@@ -1,0 +1,39 @@
+"""Deterministic cross-engine hashing primitives.
+
+Built exclusively on MD5 (available identically in Spark and every SQL
+engine) so that hash-dependent operators — MinHash signatures, SimHash,
+fingerprints, LSH buckets — are reproducible AND expressible as ANSI SQL
+for the DuckDB correctness oracle. Spark's native ``hash()``/``xxhash64``
+would be faster but engine-specific; these operators are not in the hot
+path at scale (the hash is computed once per token/shingle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def md5_long(c: Column | str) -> Column:
+    """First 60 bits of md5 as a non-negative BIGINT.
+
+    15 hex chars < 2^60 so the value is exact in int64 (and in SQL engines
+    that parse via double, though none we target do).
+    DuckDB oracle equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    c = F.col(c) if isinstance(c, str) else c
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def salted_md5_long(c: Column | str, salt: int | Column) -> Column:
+    """Independent hash family member: md5(salt || ':' || x)."""
+    c = F.col(c) if isinstance(c, str) else c
+    salt = F.lit(salt) if not isinstance(salt, Column) else salt
+    return md5_long(F.concat_ws(":", salt.cast("string"), c))
+
+
+def md5_bit(c: Column | str, bit: int) -> Column:
+    """Bit ``bit`` (0-based, little-endian) of :func:`md5_long` — used by
+    SimHash. Returns 0/1 int. ``bit`` must be a Python int (expressions are
+    generated per-bit at plan-build time)."""
+    return F.shiftright(md5_long(c), bit).bitwiseAND(F.lit(1))

@@ -1,0 +1,132 @@
+"""Text-column function library (SURVEY.md §2.2, §2.10 + pipeline extensions).
+
+Everything is built-in Spark SQL expressions (JVM codegen, pushdown-friendly)
+— no Python UDFs. The reference implements clean_text as a row-at-a-time
+Python UDF (src/pipeline/pipeline.py:50, utils.py:43-48), which is an
+optimization barrier; the built-in regexp pipeline below is semantically
+identical (strip \\r \\n, collapse whitespace runs, trim, null passthrough).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def clean_text(c: Column | str) -> Column:
+    """P3: collapse all whitespace (incl. \\r\\n) to single spaces and trim.
+    Matches reference utils.py:43-48 (null passes through)."""
+    return F.trim(F.regexp_replace(_col(c), r"\s+", " "))
+
+
+def snippet(c: Column | str, length: int = 200) -> Column:
+    """P9: first N chars for display, newlines → spaces
+    (pipeline_mode.py:48, compare_base_vs_dp.py:19)."""
+    return F.substring(F.regexp_replace(_col(c), r"\n", " "), 1, length)
+
+
+def specialty_concat(specialty: Column | str, text: Column | str) -> Column:
+    """P5: ``specialty + ", " + text`` when specialty is non-null, else text
+    (pipeline.py:59-64)."""
+    specialty, text = _col(specialty), _col(text)
+    return F.when(
+        specialty.isNotNull(), F.concat_ws(", ", specialty, text)
+    ).otherwise(text)
+
+
+def attr_sentence(*cols: Column | str) -> Column:
+    """P10: "{name} {gender} {age} {city}" attribute sentence
+    (pipeline_mode.py:69-72)."""
+    return F.concat_ws(" ", *[_col(c) for c in cols])
+
+
+def tokenize(c: Column | str) -> Column:
+    """lower().split() — the reference's BM25 tokenizer (pipeline.py:171).
+    Splits on whitespace runs; empty tokens filtered."""
+    return F.filter(
+        F.split(F.lower(F.trim(_col(c))), r"\s+"), lambda t: t != F.lit("")
+    )
+
+
+def shingles(tokens: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (space-joined), distinct. Input: token array.
+
+    expr: for i in 1..len-n+1 -> concat_ws(' ', slice(tokens, i, n)).
+    """
+    tokens = _col(tokens)
+    idx = F.sequence(
+        F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    )
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    )
+
+
+def token_count(c: Column | str) -> Column:
+    return F.size(tokenize(c))
+
+
+def punct_ratio(c: Column | str) -> Column:
+    """Fraction of characters that are not [a-z0-9 ] after lowering."""
+    c = _col(c)
+    stripped = F.regexp_replace(F.lower(c), r"[a-z0-9 ]", "")
+    return F.length(stripped).cast("double") / F.greatest(
+        F.length(c), F.lit(1)
+    ).cast("double")
+
+
+STOPWORDS = (
+    "the a an and or of to in is it for on with as at by from that this".split()
+)
+
+
+def stopword_ratio(tokens: Column | str) -> Column:
+    """Fraction of tokens in a small fixed English stopword list."""
+    tokens = _col(tokens)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(tokens, lambda t: F.array_contains(stop, t)))
+    return n_stop.cast("double") / F.greatest(F.size(tokens), F.lit(1)).cast(
+        "double"
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Heuristic doc-quality score in [0,1]: rewards mid-length docs, low
+    punctuation noise, sane stopword density. Deterministic, SQL-expressible;
+    the exact weights are this engine's own contract (no reference analog —
+    training-data-pipeline extension)."""
+    text = _col(text)
+    toks = tokenize(text)
+    n = F.size(toks).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    punct = punct_ratio(text)
+    stop = stopword_ratio(toks)
+    # ideal stopword band ~[0.1, 0.5]
+    stop_score = F.when((stop >= 0.1) & (stop <= 0.5), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    return (
+        F.lit(0.4) * len_score + F.lit(0.3) * (F.lit(1.0) - punct) + F.lit(0.3) * stop_score
+    )
+
+
+# tiny per-language marker lexicons for the n-gram/stopword language-ID
+# heuristic (extension operator; deterministic and SQL-expressible).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+
+def lang_score(tokens: Column | str, lang: str) -> Column:
+    """Count of tokens matching ``lang``'s marker lexicon."""
+    tokens = _col(tokens)
+    markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))

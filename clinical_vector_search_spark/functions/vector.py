@@ -1,0 +1,223 @@
+"""Vector-column kernel (SURVEY.md §2.3).
+
+All operators work on ``ArrayType(FloatType/DoubleType)`` columns using Spark
+higher-order functions — pure JVM expressions, no Python in the hot path, so
+Catalyst/Tungsten codegen applies and the ops scale with the data, not the
+driver. A pandas-UDF fast path is provided for batch jobs where Arrow-batched
+NumPy beats expression evaluation (wide matmuls).
+
+Reference parity notes (file:line cites into /root/reference):
+  * L2 normalize keeps the reference's ``+1e-9`` epsilon
+    (src/pipeline/utils.py:9-15).
+  * Cosine/dot is the FAISS IndexFlatIP metric over normalized vectors
+    (src/pipeline/pipeline.py:131,158; evaluation.py:291).
+  * Weighted concat is the DP index layout: 0.7*text ⊕ 0.3*attr then
+    re-normalize (src/pipeline/pipeline_mode.py:83-86).
+  * Noise injection reproduces the DP perturbation
+    (src/pipeline/pipeline_mode.py:78-80) but DETERMINISTICALLY — the
+    reference leaves np.random unseeded there; we derive noise from an LCG
+    keyed on (row id, element index) so runs are reproducible and
+    oracle-checkable in plain SQL.
+  * Random projection reproduces the FHE dimensionality reduction
+    (src/pipeline/pipeline_mode.py:139-148: vecs @ R, R ~ seeded rng), again
+    via a deterministic LCG matrix.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+EPS = 1e-9  # normalization epsilon, matches reference utils.py:9-15
+
+# LCG constants (public-domain glibc/Borland parameters). Shared with the
+# DuckDB oracle SQL — both engines compute identical 64-bit integer math.
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2147483648  # 2^31
+
+PROJ_A = 22695477  # Borland LCG multiplier, used for the projection matrix
+PROJ_C = 1
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def to_double(vec: Column | str) -> Column:
+    """Cast array<float> → array<double> so downstream math runs in fp64."""
+    return F.transform(_col(vec), lambda x: x.cast("double"))
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Inner product — left-to-right fold, fp64 accumulate (V3)."""
+    return F.aggregate(
+        F.zip_with(_col(a), _col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(a: Column | str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def l2_normalize(a: Column | str, eps: float = EPS) -> Column:
+    """V2: v / (‖v‖ + eps). Epsilon guards the zero vector (utils.py:9-15)."""
+    a = _col(a)
+    return F.transform(a, lambda x: x.cast("double") / (l2_norm(a) + F.lit(eps)))
+
+
+def cosine(a: Column | str, b: Column | str, eps: float = EPS) -> Column:
+    """Cosine similarity for not-necessarily-normalized inputs."""
+    return dot(a, b) / ((l2_norm(a) + F.lit(eps)) * (l2_norm(b) + F.lit(eps)))
+
+
+def scale(a: Column | str, s: float | Column) -> Column:
+    s = F.lit(s) if not isinstance(s, Column) else s
+    return F.transform(_col(a), lambda x: x.cast("double") * s)
+
+
+def weighted_concat(
+    a: Column | str, b: Column | str, wa: float = 0.7, wb: float = 0.3
+) -> Column:
+    """V7: hstack(wa*a, wb*b) — the DP 768-d layout (pipeline_mode.py:83-86).
+
+    Callers re-normalize with :func:`l2_normalize` to finish the DP index
+    vector. Query-side zero-padding (pipeline_mode.py:97-102) is
+    ``weighted_concat(q, zeros(dim_b), 0.7, 0.3)``.
+    """
+    return F.concat(scale(a, wa), scale(b, wb))
+
+
+def zeros(dim: int) -> Column:
+    return F.array_repeat(F.lit(0.0), dim)
+
+
+def lcg_uniform(index: Column) -> Column:
+    """Deterministic uniform in [0,1) from a 64-bit index — exact integer
+    math, so Spark and any ANSI-SQL engine produce bit-identical values."""
+    x = F.pmod(F.lit(LCG_A) * index.cast("long") + F.lit(LCG_C), F.lit(LCG_M))
+    return x.cast("double") / F.lit(float(LCG_M))
+
+
+def add_noise(
+    vec: Column | str, row_id: Column | str, sigma: float, dim: int
+) -> Column:
+    """V6: element-wise perturbation ``v[i] + noise(row_id, i)`` with
+    noise ~ deterministic-uniform(-sigma, sigma).
+
+    The reference draws np.random.normal(0, sigma) UNSEEDED
+    (pipeline_mode.py:78-80) — untestable. We key an LCG on
+    (row_id*dim + i) instead: same privacy intent (bounded perturbation),
+    fully reproducible, SQL-expressible. A seeded-Gaussian pandas-UDF
+    variant is in :func:`add_gaussian_noise_pd` for reference-exact shape.
+    """
+    vec, row_id = _col(vec), _col(row_id)
+    return F.transform(
+        vec,
+        lambda x, i: x.cast("double")
+        + (lcg_uniform(row_id * F.lit(dim) + i) - F.lit(0.5))
+        * F.lit(2.0 * sigma),
+    )
+
+
+def proj_weight(i: Column, j: Column, out_dim: int) -> Column:
+    """Projection matrix entry R[i][j] ~ deterministic-uniform(-0.5, 0.5)."""
+    idx = i.cast("long") * F.lit(out_dim) + j.cast("long")
+    x = F.pmod(F.lit(PROJ_A) * idx + F.lit(PROJ_C), F.lit(LCG_M))
+    return x.cast("double") / F.lit(float(LCG_M)) - F.lit(0.5)
+
+
+def random_projection(vec: Column | str, in_dim: int, out_dim: int) -> Column:
+    """V8: out[j] = Σ_i vec[i] * R[i][j] — dimensionality reduction before
+    the expensive (FHE) stage, as pipeline_mode.py:139-148 but with a
+    deterministic matrix. Pure SQL expression; for very wide matmuls use
+    :func:`random_projection_pd`."""
+    vec = _col(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(out_dim - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(0), F.lit(in_dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double") * proj_weight(i, j, out_dim),
+        ),
+    )
+
+
+def hyperplane_sign_bucket(vec: Column | str, dim: int, n_planes: int) -> Column:
+    """LSH bucket id: n_planes random-hyperplane sign bits packed little-endian.
+
+    Plane p's normal is the deterministic LCG vector H[p][i] ~ U(-0.5, 0.5)
+    (salted so it differs from the projection matrix). Used by the
+    approximate-kNN scale path (SURVEY.md V5 — recall contract, not
+    id-parity)."""
+    vec = _col(vec)
+
+    def plane_dot(p: Column) -> Column:
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(vec, i + 1).cast("double")
+            # salt=7777777 keeps plane weights independent of proj_weight
+            * (
+                F.pmod(
+                    F.lit(PROJ_A) * (p.cast("long") * F.lit(dim) + i + F.lit(7777777))
+                    + F.lit(PROJ_C),
+                    F.lit(LCG_M),
+                ).cast("double")
+                / F.lit(float(LCG_M))
+                - F.lit(0.5)
+            ),
+        )
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(plane_dot(p) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pandas-UDF fast paths (Arrow-batched NumPy) — for batch index-build jobs
+# where a wide matmul beats per-element expressions. Not used by the
+# oracle-checked queries (NumPy SIMD reassociates float sums).
+# ---------------------------------------------------------------------------
+
+
+def normalize_pd_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+    import numpy as np
+
+    for s in batches:
+        mat = np.array(s.tolist(), dtype="float64")
+        norms = np.linalg.norm(mat, axis=1, keepdims=True) + EPS
+        yield pd.Series(list(mat / norms))
+
+
+def add_gaussian_noise_pd(df, vec_col: str, id_col: str, sigma: float, seed: int):
+    """Reference-shaped DP noise (np.random.normal) but seeded per row id —
+    hardened version of pipeline_mode.py:78-80 / embedding.py:44-51.
+    Runs as mapInPandas so each Arrow batch is perturbed vectorized."""
+    import numpy as np
+
+    out_schema = df.schema
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mats = np.array(pdf[vec_col].tolist(), dtype="float64")
+            for r in range(len(pdf)):
+                rng = np.random.default_rng(seed + int(pdf[id_col].iloc[r]))
+                mats[r] += rng.normal(0.0, sigma, mats.shape[1])
+            norms = np.linalg.norm(mats, axis=1, keepdims=True) + EPS
+            pdf[vec_col] = list(mats / norms)
+            yield pdf
+
+    return df.mapInPandas(fn, out_schema)

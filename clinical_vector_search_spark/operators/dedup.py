@@ -1,0 +1,249 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+Generalizes the reference's exact text dedup (src/pipeline/pipeline.py:67,
+``drop_duplicates(subset=["text"])``) into the family of operators a 100 TB
+corpus pipeline needs. All hash-dependent operators use the cross-engine
+MD5 primitives from ``functions.hashing`` so they are deterministic and
+oracle-checkable in ANSI SQL.
+
+Scale design notes:
+  * exact_dedup: one shuffle on the (hashed) key; at 100 TB hash the text
+    first so the shuffle key is 8 bytes, not the document body.
+  * minhash: explode-to-shingles is map-side; the signature is a groupBy
+    on doc_id (co-partitioned with the source if bucketed). Candidate
+    generation joins on (band, band-signature) — a uniform key, small
+    buckets, no N² blow-up.
+  * ngram_jaccard: the self-join is on shingle (postings join); frequent
+    shingles are the skew risk — cap or salt them in a real deployment
+    (df_cap parameter here).
+  * embedding near-dup: brute self-join is quadratic; the scale path
+    buckets by LSH sign-hash first (same hyperplanes as knn_lsh).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import hashing as H
+from clinical_vector_search_spark.functions import text as TXT
+from clinical_vector_search_spark.functions import vector as V
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one row per distinct text — deterministic survivor = min id
+    (the reference keeps first-in-file, pipeline.py:67; pandas order is an
+    accident, min-id is the explicit contract here). Groups on md5(text) so
+    the shuffle key is fixed-width."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("dup_count"),
+        )
+        .select(id_col, "text_hash", "dup_count")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 8,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signature rows (doc_id, hash_idx, sig).
+
+    sig[h] = min over the doc's distinct word-shingles of
+    md5_long(h || ':' || shingle). Docs with fewer tokens than
+    shingle_size have no shingles and drop out (callers that need them use
+    a smaller shingle size)."""
+    sh = df.select(
+        F.col(id_col),
+        F.explode(
+            TXT.shingles(TXT.tokenize(text_col), shingle_size)
+        ).alias("shingle"),
+    )
+    hashed = sh.crossJoin(
+        F.broadcast(
+            df.sparkSession.range(num_hashes).select(
+                F.col("id").cast("int").alias("hash_idx")
+            )
+        )
+    ).select(
+        id_col,
+        "hash_idx",
+        H.salted_md5_long(F.col("shingle"), F.col("hash_idx")).alias("hv"),
+    )
+    return hashed.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("sig"))
+
+
+def minhash_band_buckets(
+    sigs: DataFrame, rows_per_band: int = 2, id_col: str = "doc_id"
+) -> DataFrame:
+    """LSH banding: (doc_id, band, bucket) where bucket = md5 of the band's
+    concatenated signature values. Two docs sharing any (band, bucket) are
+    near-dup candidates."""
+    banded = sigs.withColumn(
+        "band", (F.col("hash_idx") / F.lit(rows_per_band)).cast("int")
+    )
+    return (
+        banded.groupBy(id_col, "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("hash_idx", "sig"))
+                    ),
+                    lambda s: s["sig"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+        .select(id_col, "band", F.md5("band_key").alias("bucket"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs (a_id < b_id) from MinHash LSH banding."""
+    sigs = minhash_signatures(df, num_hashes, shingle_size, text_col, id_col)
+    buckets = minhash_band_buckets(sigs, rows_per_band, id_col)
+    a = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
+    )
+    b = buckets.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("b_id")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for every pair sharing ≥1 shingle.
+
+    Postings self-join on shingle → common count; |A|,|B| joined back;
+    J = common / (|A| + |B| - common). ``df_cap`` drops shingles appearing
+    in more than df_cap docs (stopword-shingle skew guard at scale)."""
+    sh = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(TXT.shingles(TXT.tokenize(text_col), shingle_size)).alias(
+            "shingle"
+        ),
+    )
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        sh = sh.join(freq.filter(F.col("sdf") <= df_cap), "shingle").select(
+            "doc", "shingle"
+        )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("doc", "a_id").withColumnRenamed("n_sh", "na"), "a_id")
+        .join(sizes.withColumnRenamed("doc", "b_id").withColumnRenamed("n_sh", "nb"), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc SimHash: bit j of the hash = 1 iff Σ_tokens (±1 for token's
+    md5 bit j) > 0. Returns (doc_id, simhash long).
+
+    Implemented as one aggregation per doc over token-hash longs with the
+    per-bit popcount unrolled at plan-build time (bits is small and fixed).
+    Unweighted tokens (multiset — repeated tokens count repeatedly)."""
+    toks = df.select(
+        F.col(id_col), F.explode(TXT.tokenize(text_col)).alias("tok")
+    ).withColumn("hv", H.md5_long(F.col("tok")))
+    per_bit = toks.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(
+                    F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1)
+            ).alias(f"b{j}")
+            for j in range(bits)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(bits):
+        sim = sim + F.when(
+            F.col(f"b{j}") > 0, F.shiftleft(F.lit(1).cast("long"), j)
+        ).otherwise(F.lit(0).cast("long"))
+    return per_bit.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_lsh: bool = False,
+    dim: int | None = None,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Pairs (a_id < b_id, cosine) with cosine ≥ threshold.
+
+    ``use_lsh=True`` restricts comparison to same-LSH-bucket pairs (the
+    scale path — recall<1 contract); default is the exact quadratic
+    self-join (fine at test SF, the oracle-checkable path)."""
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if use_lsh:
+        assert dim is not None
+        base = base.withColumn(
+            "bucket", V.hyperplane_sign_bucket(vec_col, dim, n_planes)
+        )
+        join_cond = ["bucket"]
+        a = base.select(
+            *join_cond, F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+        )
+        b = base.select(
+            *join_cond, F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+        )
+        pairs = a.join(b, join_cond).filter(F.col("a_id") < F.col("b_id"))
+    else:
+        a = base.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
+        b = base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    return pairs.select(
+        "a_id", "b_id", V.cosine("va", "vb").alias("cosine")
+    ).filter(F.col("cosine") >= threshold)

@@ -1,0 +1,173 @@
+"""Exact and approximate k-nearest-neighbor retrieval (SURVEY.md V4/V5/R1).
+
+Reference behavior: FAISS IndexFlatIP brute-force top-k over L2-normalized
+vectors (src/pipeline/pipeline.py:126-159), approximate variant IndexHNSWFlat
+(pipeline.py:126-129, pipeline_mode.py:217-228). Here retrieval is a QUERY
+over a vector table — "index = data".
+
+Physical strategy (designed for 100 TB / 1000 executors):
+
+* ``strategy="partial_topk"`` (default): broadcast the query matrix to every
+  partition; each docs partition computes its own per-query top-k with
+  vectorized NumPy inside ``mapInPandas`` (Arrow-batched); only
+  ``n_partitions * Q * k`` candidate rows — not N×Q — reach the final
+  per-query merge. No shuffle of the corpus, no crossJoin blow-up. This is
+  the map-side-combine shape of a distributed FlatIP search.
+
+* ``strategy="window"``: declarative crossJoin → score → row_number window.
+  Catalyst-friendly and oracle-identical, but shuffles N×Q scored rows on
+  query_id; kept for small inputs and plan comparison.
+
+Both produce identical results: score = fp64 inner product (cosine when
+inputs are normalized), ties broken by doc id ascending.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import vector as V
+
+
+def knn(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+    strategy: str = "partial_topk",
+) -> DataFrame:
+    """Top-k docs per query by inner product (descending), ties → doc id asc.
+
+    Returns columns: query_id, rank, doc_id, score (fp64).
+    """
+    if strategy == "window":
+        return _knn_window(queries, docs, k, query_id, query_vec, doc_id, doc_vec)
+    return _knn_partial_topk(queries, docs, k, query_id, query_vec, doc_id, doc_vec)
+
+
+def _ranked(scored: DataFrame, query_id: str, doc_id: str, k: int) -> DataFrame:
+    w = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(doc_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, "score")
+    )
+
+
+def _knn_window(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    doc_id: str,
+    doc_vec: str,
+) -> DataFrame:
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    d = docs.select(F.col(doc_id), F.col(doc_vec))
+    scored = d.crossJoin(F.broadcast(q)).select(
+        query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
+    )
+    return _ranked(scored, query_id, doc_id, k)
+
+
+def _knn_partial_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    doc_id: str,
+    doc_vec: str,
+) -> DataFrame:
+    """Per-partition NumPy top-k, then a cheap global merge.
+
+    The query set is collected to the driver (Q is small by construction —
+    the reference evaluates 10 queries; even 10k queries × 384 dims is
+    ~15 MB) and broadcast with the closure to every partition.
+    """
+    import numpy as np
+
+    rows = queries.select(query_id, query_vec).collect()
+    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    q_mat = np.array([r[1] for r in rows], dtype="float64")  # Q x d
+
+    out_schema = f"{query_id} long, {doc_id} long, score double"
+
+    def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[doc_id].to_numpy()
+            mat = np.array(pdf[doc_vec].tolist(), dtype="float64")  # n x d
+            scores = mat @ q_mat.T  # n x Q
+            n = len(ids)
+            kk = min(k, n)
+            # per-query local top-k (argpartition = O(n), not a full sort)
+            out_q, out_d, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                col = scores[:, qi]
+                if kk < n:
+                    cand = np.argpartition(-col, kk - 1)[:kk]
+                else:
+                    cand = np.arange(n)
+                out_q.append(np.full(len(cand), q_ids[qi]))
+                out_d.append(ids[cand])
+                out_s.append(col[cand])
+            yield pd.DataFrame(
+                {
+                    query_id: np.concatenate(out_q),
+                    doc_id: np.concatenate(out_d),
+                    "score": np.concatenate(out_s),
+                }
+            )
+
+    candidates = docs.select(doc_id, doc_vec).mapInPandas(partition_topk, out_schema)
+    # fp64 NumPy matmul may reassociate vs the fold-order dot; recompute the
+    # surviving ≤ partitions*Q*k candidate scores with the canonical fold so
+    # results are bit-stable across strategies.
+    rescored = (
+        candidates.join(docs.select(doc_id, doc_vec), doc_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(query_id, doc_id, V.dot(query_vec, doc_vec).alias("score"))
+    )
+    return _ranked(rescored, query_id, doc_id, k)
+
+
+def knn_lsh(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """Approximate kNN: random-hyperplane LSH bucketing (V5 analog).
+
+    Docs and queries are hashed to a 2^n_planes-bucket space with
+    deterministic hyperplanes; scoring happens only within the query's
+    bucket (an equi-join on bucket id — co-partitioned, no crossJoin).
+    Contract is recall-vs-exact, not id parity (SURVEY.md §7: HNSW ids are
+    not reproducible targets). At scale: the bucket join shuffles docs once
+    on a uniform-ish key; use more planes for smaller candidate sets.
+    """
+    d = docs.withColumn(
+        "bucket", V.hyperplane_sign_bucket(doc_vec, dim, n_planes)
+    ).select(doc_id, doc_vec, "bucket")
+    q = queries.withColumn(
+        "bucket", V.hyperplane_sign_bucket(query_vec, dim, n_planes)
+    ).select(query_id, query_vec, "bucket")
+    scored = d.join(F.broadcast(q), "bucket").select(
+        query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
+    )
+    return _ranked(scored, query_id, doc_id, k)

@@ -1,0 +1,92 @@
+"""MMR (maximal marginal relevance) re-ranking (SURVEY.md R4).
+
+Semantics match the reference's greedy loop (src/pipeline/utils.py:17-41;
+inline copy evaluation.py:293-310): first pick = argmax query-similarity;
+each later pick = argmax over remaining candidates of
+``lambda * sim_to_query - (1 - lambda) * max_sim_to_already_selected``;
+ties resolved by candidate order (ascending doc id here — explicit, where
+the reference inherits argmax's first-wins over FAISS candidate order).
+
+MMR is inherently sequential (each pick depends on all previous picks), so
+like the reference we run the greedy loop driver-side over the COLLECTED
+candidate set — which is small by construction: candidates come from a
+cheap retrieval stage (k*4 or candidate_k=128 rows per query,
+pipeline_mode.py:240-249), never the full corpus. The distributed part is
+everything before: candidate generation (kNN/BM25) and vector gathering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+
+def mmr_rerank_rows(
+    cand_ids: list[int],
+    cand_vecs: np.ndarray,
+    query_vec: np.ndarray,
+    k: int,
+    lam: float = 0.5,
+) -> list[tuple[int, int]]:
+    """Greedy MMR over one query's candidates → [(rank, doc_id)].
+
+    Pure-NumPy reimplementation of the published MMR algorithm (Carbonell &
+    Goldstein 1998); k is clamped to the candidate count like utils.py:26.
+    """
+    n = len(cand_ids)
+    k = min(k, n)
+    if n == 0:
+        return []
+    # unit-normalize for cosine
+    qv = query_vec / (np.linalg.norm(query_vec) + 1e-9)
+    cv = cand_vecs / (np.linalg.norm(cand_vecs, axis=1, keepdims=True) + 1e-9)
+    sims = cv @ qv
+    selected: list[int] = []
+    remaining = list(range(n))
+    # deterministic candidate order: ascending doc id
+    order = np.argsort(cand_ids, kind="stable")
+    remaining = [int(i) for i in order]
+    for _ in range(k):
+        if not selected:
+            best = max(remaining, key=lambda i: (sims[i], -cand_ids[i]))
+        else:
+            sel_mat = cv[selected]
+            best, best_score = None, -np.inf
+            for i in remaining:
+                div = float(np.max(sel_mat @ cv[i]))
+                score = lam * float(sims[i]) - (1.0 - lam) * div
+                if score > best_score:
+                    best, best_score = i, score
+        selected.append(best)
+        remaining.remove(best)
+    return [(r + 1, int(cand_ids[i])) for r, i in enumerate(selected)]
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Re-rank candidate rows (query_id, doc_id, embedding, query_vec) →
+    (query_id, rank, doc_id). Collects candidates (small) and distributes
+    nothing further; see module docstring for why."""
+    rows = candidates.select(query_id, doc_id, doc_vec, query_vec).collect()
+    by_q: dict[int, list] = {}
+    qvecs: dict[int, np.ndarray] = {}
+    for r in rows:
+        by_q.setdefault(r[0], []).append((r[1], r[2]))
+        qvecs[r[0]] = np.array(r[3], dtype="float64")
+    out = []
+    for q, items in by_q.items():
+        ids = [i for i, _ in items]
+        vecs = np.array([v for _, v in items], dtype="float64")
+        for rank, did in mmr_rerank_rows(ids, vecs, qvecs[q], k, lam):
+            out.append((q, rank, did))
+    return spark.createDataFrame(
+        out, schema=f"{query_id} long, rank int, {doc_id} long"
+    )

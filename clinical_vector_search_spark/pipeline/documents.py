@@ -1,0 +1,92 @@
+"""Document load / clean / dedup pipeline (SURVEY.md §2.2, §3.1 steps 3).
+
+Reproduces the reference's only true Spark stage (src/pipeline/pipeline.py:
+26-67): CSV scan with multiLine+escape → header lower-casing → strict
+column check → project/rename → cast → clean_text → null-drop → specialty
+concat → text dedup. Difference by design: the reference crosses to pandas
+at pipeline.py:56 and continues single-node; here the whole pipeline stays
+a distributed DataFrame plan with stable explicit doc ids (row_number over
+a deterministic order) instead of pandas positional ids.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import text as TXT
+
+# canonical column mapping (reference pipeline.py:36-46)
+MTSAMPLES_COLUMNS = {
+    "name": "name",
+    "gender": "gender",
+    "age": "age",
+    "city": "city",
+    "medical_specialty": "medical_specialty",
+    "transcription": "text",
+}
+
+
+def read_csv(spark: SparkSession, path: str) -> DataFrame:
+    """S1: header CSV with quoted multi-line fields (pipeline.py:26-29)."""
+    return spark.read.csv(path, header=True, multiLine=True, escape='"')
+
+
+def normalize_headers(df: DataFrame) -> DataFrame:
+    """P7 (pipeline.py:33)."""
+    return df.toDF(*[c.lower() for c in df.columns])
+
+
+def require_columns(df: DataFrame, required: list[str]) -> DataFrame:
+    """Strict schema check — fail fast like evaluation.py:97-114."""
+    missing = [c for c in required if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"missing required columns: {missing}; have {df.columns}"
+        )
+    return df
+
+
+def clean_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    specialty_col: str | None = None,
+    id_col: str | None = None,
+) -> DataFrame:
+    """P2–P6: cast, clean, null-drop, optional specialty concat, dedup.
+
+    If ``id_col`` is None a stable ``doc_id`` is minted with row_number over
+    md5(text) order (deterministic, unlike pandas reset_index order).
+    """
+    out = df.withColumn(text_col, F.col(text_col).cast("string"))
+    out = out.withColumn(text_col, TXT.clean_text(F.col(text_col)))
+    out = out.na.drop(subset=[text_col])
+    if specialty_col is not None:
+        out = out.withColumn(
+            text_col, TXT.specialty_concat(specialty_col, text_col)
+        )
+    if id_col is None:
+        out = out.withColumn(
+            "doc_id",
+            F.row_number().over(Window.orderBy(F.md5(F.col(text_col)))).cast("long")
+            - 1,
+        )
+        id_col = "doc_id"
+    # dedup keeping min id — explicit deterministic survivor rule
+    w = Window.partitionBy(text_col).orderBy(F.col(id_col))
+    out = (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return out
+
+
+def load_mtsamples(spark: SparkSession, path: str) -> DataFrame:
+    """Full reference load path (pipeline.py:26-67) as one declarative plan."""
+    df = normalize_headers(read_csv(spark, path))
+    require_columns(df, list(MTSAMPLES_COLUMNS))
+    df = df.select(
+        *[F.col(src).alias(dst) for src, dst in MTSAMPLES_COLUMNS.items()]
+    )
+    return clean_documents(df, specialty_col="medical_specialty")

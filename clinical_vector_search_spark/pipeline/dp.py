@@ -1,0 +1,60 @@
+"""Differential-privacy mode: noised attribute-augmented index
+(SURVEY.md §3.2 / V6+V7; reference src/pipeline/pipeline_mode.py:56-113).
+
+Index build: attr sentence → attr vector → seeded noise → weighted concat
+0.7*text ⊕ 0.3*noisy_attr → re-normalize (pipeline_mode.py:78-86).
+Query build: 0.7*query_vec ⊕ 0.3*zeros (pipeline_mode.py:97-102).
+Noise-quality metric A7: mean cosine(attr, noisy_attr)
+(pipeline_mode.py:112-113).
+
+All vector math is JVM expressions (functions.vector); noise is the
+deterministic LCG perturbation — the one place we deliberately diverge from
+the reference (its np.random.normal at pipeline_mode.py:79 is unseeded and
+therefore untestable; SURVEY.md §7c).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import vector as V
+
+
+def build_dp_index(
+    df: DataFrame,
+    text_vec: str,
+    attr_vec: str,
+    id_col: str,
+    sigma: float = 0.15,
+    dim: int | None = None,
+    w_text: float = 0.7,
+    w_attr: float = 0.3,
+) -> DataFrame:
+    """Add ``dp_vec`` (unit-norm, dim_text+dim_attr) and ``noise_cosine``
+    (per-row A7 quality) columns."""
+    if dim is None:
+        dim = len(df.select(attr_vec).first()[0])
+    noisy = F.transform(
+        V.add_noise(attr_vec, id_col, sigma, dim), lambda x: x
+    )
+    out = df.withColumn("_noisy_attr", noisy)
+    out = out.withColumn(
+        "noise_cosine", V.cosine(attr_vec, "_noisy_attr")
+    )
+    dp = V.weighted_concat(
+        V.l2_normalize(text_vec), V.l2_normalize("_noisy_attr"), w_text, w_attr
+    )
+    out = out.withColumn("dp_vec", V.l2_normalize(dp)).drop("_noisy_attr")
+    return out
+
+
+def dp_query_vec(
+    df: DataFrame, query_vec: str, attr_dim: int, w_text: float = 0.7, w_attr: float = 0.3
+) -> DataFrame:
+    """Zero-pad the attribute half on the query side
+    (pipeline_mode.py:97-102)."""
+    padded = V.weighted_concat(
+        V.l2_normalize(query_vec), V.zeros(attr_dim), w_text, w_attr
+    )
+    return df.withColumn("dp_query_vec", V.l2_normalize(padded))

@@ -1,0 +1,85 @@
+"""Event-stream operators over the driver's ``events`` table.
+
+The reference has no streaming surface (SURVEY.md §2.8); these are the
+north-star extensions (§7 step 8) built on Structured Streaming, with
+batch-mode twins for the DuckDB correctness oracle (a tumbling-window
+aggregation is the same SQL in batch).
+
+events.parquet ships ``ts`` as parquet timestamp[ns]; with
+``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.get_spark) it
+reads as LongType nanoseconds — cast helpers below keep this explicit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ts_ns (long) and ts (timestamp, µs truncated)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = df.withColumnRenamed("ts", "ts_ns")
+    return df.withColumn(
+        "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
+    )
+
+
+def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
+    """Tumbling-window counts/sums per event_type. Batch twin of the
+    streaming aggregation; window start exposed as epoch seconds (long) so
+    the oracle comparison is timezone-proof."""
+    bucket = (
+        F.floor(F.col("ts_ns") / F.lit(NS * window_sec)) * F.lit(window_sec)
+    ).alias("window_start")
+    return (
+        events.groupBy(bucket, "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.avg("value").alias("avg_value"),
+        )
+    )
+
+
+def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
+    """Gap-based sessionization per user: a new session starts when the gap
+    since the previous event exceeds ``gap_sec``. Classic lag + running-sum
+    window plan — one shuffle on user_id. Returns per-session rollups."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns")
+    gap_ns = gap_sec * NS
+    with_flag = events.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_ns") - F.lag("ts_ns").over(w)) > F.lit(gap_ns), 1
+        ).otherwise(0),
+    )
+    with_sid = with_flag.withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return with_sid.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts_ns").alias("session_start_ns"),
+        F.max("ts_ns").alias("session_end_ns"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, events: DataFrame, window_sec: int = 300
+):
+    """True Structured Streaming variant: replays a bounded events DataFrame
+    through a memory-source stream with a watermark and event-time window.
+    Used by tests (readStream from a temp parquet dir); production would
+    point readStream at Kafka/files with the same plan."""
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", f"{window_sec} seconds"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+    )
+    return agg
