@@ -56,13 +56,22 @@ def shingles(tokens: Column | str, n: int = 3) -> Column:
     """Word n-gram shingles (space-joined), distinct. Input: token array.
 
     expr: for i in 1..len-n+1 -> concat_ws(' ', slice(tokens, i, n)).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array (they drop out of
+    explode-based consumers) — guarded with ``when``, because
+    ``sequence(1, 0)`` would otherwise produce the descending list [1, 0]
+    and ``slice(tokens, 0, n)`` throws INVALID_PARAMETER_VALUE.START.
     """
     tokens = _col(tokens)
-    idx = F.sequence(
-        F.lit(1), F.greatest(F.size(tokens) - F.lit(n - 1), F.lit(0))
+    count = F.size(tokens) - F.lit(n - 1)
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.array_join(F.slice(tokens, i, n), " "),
+        )
     )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(tokens, i, n), " "))
+    return F.when(count >= 1, grams).otherwise(
+        F.expr("cast(array() as array<string>)")
     )
 
 

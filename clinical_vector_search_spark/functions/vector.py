@@ -66,9 +66,20 @@ def l2_norm(a: Column | str) -> Column:
 
 
 def l2_normalize(a: Column | str, eps: float = EPS) -> Column:
-    """V2: v / (‖v‖ + eps). Epsilon guards the zero vector (utils.py:9-15)."""
+    """V2: v / (‖v‖ + eps). Epsilon guards the zero vector (utils.py:9-15).
+
+    The norm is evaluated ONCE per row: ``array_repeat(norm, size(v))``
+    materializes it, then ``zip_with`` divides element-wise — O(d) total.
+    (A naive ``transform(v, x -> x / norm(v))`` re-evaluates the norm
+    aggregate inside the lambda for every element → O(d²) per vector.)
+    """
     a = _col(a)
-    return F.transform(a, lambda x: x.cast("double") / (l2_norm(a) + F.lit(eps)))
+    norm = l2_norm(a) + F.lit(eps)
+    return F.zip_with(
+        a,
+        F.array_repeat(norm, F.size(a)),
+        lambda x, n: x.cast("double") / n,
+    )
 
 
 def cosine(a: Column | str, b: Column | str, eps: float = EPS) -> Column:
@@ -99,8 +110,14 @@ def zeros(dim: int) -> Column:
 
 def lcg_uniform(index: Column) -> Column:
     """Deterministic uniform in [0,1) from a 64-bit index — exact integer
-    math, so Spark and any ANSI-SQL engine produce bit-identical values."""
-    x = F.pmod(F.lit(LCG_A) * index.cast("long") + F.lit(LCG_C), F.lit(LCG_M))
+    math, so Spark and any ANSI-SQL engine produce bit-identical values.
+
+    The index is reduced mod LCG_M BEFORE the multiply so every intermediate
+    stays below LCG_A * 2^31 ≈ 2.4e18 < 2^63 — no int64 overflow however
+    large the row count (a raw ``LCG_A * index`` overflows past ~8.4e9,
+    i.e. ~22M rows at dim 384, and Spark 4's ANSI mode would throw)."""
+    reduced = F.pmod(index.cast("long"), F.lit(LCG_M))
+    x = F.pmod(F.lit(LCG_A) * reduced + F.lit(LCG_C), F.lit(LCG_M))
     return x.cast("double") / F.lit(float(LCG_M))
 
 
@@ -126,8 +143,10 @@ def add_noise(
 
 
 def proj_weight(i: Column, j: Column, out_dim: int) -> Column:
-    """Projection matrix entry R[i][j] ~ deterministic-uniform(-0.5, 0.5)."""
-    idx = i.cast("long") * F.lit(out_dim) + j.cast("long")
+    """Projection matrix entry R[i][j] ~ deterministic-uniform(-0.5, 0.5).
+    Index reduced mod LCG_M before the multiply (same overflow guard as
+    :func:`lcg_uniform`)."""
+    idx = F.pmod(i.cast("long") * F.lit(out_dim) + j.cast("long"), F.lit(LCG_M))
     x = F.pmod(F.lit(PROJ_A) * idx + F.lit(PROJ_C), F.lit(LCG_M))
     return x.cast("double") / F.lit(float(LCG_M)) - F.lit(0.5)
 
@@ -164,10 +183,15 @@ def hyperplane_sign_bucket(vec: Column | str, dim: int, n_planes: int) -> Column
             F.lit(0.0),
             lambda acc, i: acc
             + F.element_at(vec, i + 1).cast("double")
-            # salt=7777777 keeps plane weights independent of proj_weight
+            # salt=7777777 keeps plane weights independent of proj_weight;
+            # index reduced mod LCG_M first (overflow guard, see lcg_uniform)
             * (
                 F.pmod(
-                    F.lit(PROJ_A) * (p.cast("long") * F.lit(dim) + i + F.lit(7777777))
+                    F.lit(PROJ_A)
+                    * F.pmod(
+                        p.cast("long") * F.lit(dim) + i + F.lit(7777777),
+                        F.lit(LCG_M),
+                    )
                     + F.lit(PROJ_C),
                     F.lit(LCG_M),
                 ).cast("double")
@@ -200,6 +224,45 @@ def normalize_pd_iter(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         mat = np.array(s.tolist(), dtype="float64")
         norms = np.linalg.norm(mat, axis=1, keepdims=True) + EPS
         yield pd.Series(list(mat / norms))
+
+
+def _proj_matrix_np(in_dim: int, out_dim: int):
+    """NumPy twin of :func:`proj_weight`: the full R[in_dim, out_dim] matrix
+    from the same LCG, bit-identical to the expression path (all math in
+    int64, indices < 2^31 so no reduction differences)."""
+    import numpy as np
+
+    idx = (
+        np.arange(in_dim, dtype="int64")[:, None] * out_dim
+        + np.arange(out_dim, dtype="int64")[None, :]
+    ) % LCG_M
+    x = (PROJ_A * idx + PROJ_C) % LCG_M
+    return x.astype("float64") / float(LCG_M) - 0.5
+
+
+def random_projection_pd(
+    df, vec_col: str, id_col: str, in_dim: int, out_dim: int, out_col: str = "proj_vec"
+):
+    """V8 fast path: one NumPy matmul per Arrow batch via mapInPandas —
+    same deterministic matrix as :func:`random_projection`, for wide
+    matmuls where the per-element expression tree is too slow. Returns
+    (id_col, out_col) rows."""
+    import numpy as np
+
+    R = _proj_matrix_np(in_dim, out_dim)  # in x out, built once, ships in closure
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), out_col: list(mat @ R)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} array<double>"
+    )
 
 
 def add_gaussian_noise_pd(df, vec_col: str, id_col: str, sigma: float, seed: int):

@@ -1,18 +1,29 @@
 """BM25 Okapi lexical scoring as a pure DataFrame subplan (SURVEY.md R2).
 
 Reference: rank_bm25.BM25Okapi over lower().split() tokens
-(src/pipeline/pipeline.py:166-176), rebuilt per query. rank_bm25 defaults:
-k1=1.5, b=0.75, idf = ln((N - df + 0.5)/(df + 0.5) + 1).
+(src/pipeline/pipeline.py:166-176), rebuilt per query — the per-query
+rebuild is the reference flaw this module fixes: here the corpus statistics
+are a reusable DataFrame "index" built once (cacheable), and scoring is a
+join against it. No driver actions in the score path — n_docs/avgdl/idf all
+live IN the plan (1-row aggregates cross-joined broadcast-style), so the
+whole thing is lazy, cacheable, and scales horizontally.
 
-Here the corpus statistics (doc lengths, document frequencies, avgdl) are a
-reusable DataFrame "index" — built once, usable by any number of queries —
-and scoring a query is a broadcast join against the term postings. No UDFs,
-no driver loops: everything is explode → groupBy → join → agg, so Catalyst
-handles it and it scales horizontally (postings are partitioned by term;
-the per-query term list is tiny and broadcast).
+Formula parity with rank_bm25 BM25Okapi defaults (k1=1.5, b=0.75,
+epsilon=0.25):
+
+  idf(t)   = ln((N - df + 0.5) / (df + 0.5))          # Robertson — can go <0
+  avg_idf  = mean of RAW idf over the whole vocabulary (negatives included)
+  idf'(t)  = epsilon * avg_idf  if idf(t) < 0  else idf(t)
+  score(d) = Σ_{t in query, with multiplicity}
+               idf'(t) * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+Duplicate query terms score once PER OCCURRENCE (rank_bm25.get_scores loops
+the query list), implemented as a multiplicity weight joined in.
 """
 
 from __future__ import annotations
+
+from collections import Counter
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -21,20 +32,90 @@ from clinical_vector_search_spark.functions import text as TXT
 
 K1 = 1.5
 B = 0.75
+EPSILON = 0.25  # rank_bm25 BM25Okapi default
 
 
-def bm25_index(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"):
-    """Build corpus statistics. Returns (postings, doclens, n_docs, avgdl)
-    as DataFrames/scalars; postings = (term, doc, tf, df)."""
+def bm25_index(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Build the reusable BM25 index: one row per (doc, term) with every
+    statistic scoring needs: (doc, term, tf, dl, idf, n_docs, avgdl).
+
+    Lazy — no driver actions. Cache the result to amortize across queries
+    (``bm25_index(docs).cache()``); at scale the postings are partitioned
+    by term and the 1-row stats are broadcast by AQE.
+    """
     toks = docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     )
     doclens = toks.select("doc", F.size("tokens").alias("dl"))
     terms = toks.select("doc", F.explode("tokens").alias("term"))
     tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
-    postings = tf.join(df_, "term")
-    return postings, doclens
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = doclens.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    raw_idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn("raw_idf", raw_idf)
+    # rank_bm25 floor: negatives → epsilon * mean(raw idf over full vocab)
+    avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
+    idf_tbl = idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
+        "idf",
+        F.when(
+            F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")
+        ).otherwise(F.col("raw_idf")),
+    )
+    return tf.join(
+        idf_tbl.select("term", "idf", "n_docs", "avgdl"), "term"
+    ).join(doclens, "doc")
+
+
+def bm25_score_index(
+    index: DataFrame,
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score every document against ``query_terms`` using a prebuilt index;
+    returns (doc_id, bm25). Docs with zero term overlap score 0.0 (kept —
+    the reference's argsort over the dense score vector keeps them too,
+    pipeline.py:174-175)."""
+    counts = Counter(query_terms)
+    spark = index.sparkSession
+    qdf = spark.createDataFrame(
+        [(t, float(c)) for t, c in counts.items()], "term string, qw double"
+    )
+    matched = index.join(F.broadcast(qdf), "term")
+    term_score = (
+        F.col("qw")
+        * F.col("idf")
+        * (
+            F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    scores = (
+        matched.select("doc", term_score.alias("s"))
+        .groupBy("doc")
+        .agg(F.sum("s").alias("bm25"))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc"))
+        .join(scores, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
+        )
+    )
 
 
 def bm25_score(
@@ -45,37 +126,8 @@ def bm25_score(
     k1: float = K1,
     b: float = B,
 ) -> DataFrame:
-    """Score every document against ``query_terms``; returns (doc_id, bm25).
-
-    Docs with zero term overlap score 0.0 (kept — the reference's argsort
-    over the dense score vector keeps them too, pipeline.py:174-175).
-    """
-    postings, doclens = bm25_index(docs, id_col, text_col)
-    n_docs = docs.count()
-    avgdl_row = doclens.agg(F.avg("dl").alias("avgdl")).collect()[0]
-    avgdl = float(avgdl_row["avgdl"])
-
-    qt = F.array(*[F.lit(t) for t in query_terms])
-    matched = postings.filter(F.array_contains(qt, F.col("term"))).join(
-        doclens, "doc"
-    )
-    idf = F.log(
-        (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        + F.lit(1.0)
-    )
-    term_score = idf * (
-        F.col("tf") * F.lit(k1 + 1.0)
-        / (F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.lit(avgdl)))
-    )
-    scores = matched.select("doc", term_score.alias("s")).groupBy("doc").agg(
-        F.sum("s").alias("bm25")
-    )
-    # left join back so zero-overlap docs appear with score 0
-    return (
-        docs.select(F.col(id_col).alias("doc"))
-        .join(scores, "doc", "left")
-        .select(
-            F.col("doc").alias(id_col),
-            F.coalesce(F.col("bm25"), F.lit(0.0)).alias("bm25"),
-        )
+    """One-shot convenience: build index + score. For repeated queries build
+    the index once with :func:`bm25_index` and use :func:`bm25_score_index`."""
+    return bm25_score_index(
+        bm25_index(docs, id_col, text_col), docs, query_terms, id_col, k1, b
     )

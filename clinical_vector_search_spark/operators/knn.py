@@ -96,10 +96,17 @@ def _knn_partial_topk(
     import numpy as np
 
     rows = queries.select(query_id, query_vec).collect()
-    q_ids = np.array([r[0] for r in rows], dtype="int64")
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"partial_topk collects the query side ({len(rows)} rows); "
+            "use strategy='window' or pre-reduce the query set"
+        )
+    q_ids = [r[0] for r in rows]  # kept generic — int or string ids both work
     q_mat = np.array([r[1] for r in rows], dtype="float64")  # Q x d
 
-    out_schema = f"{query_id} long, {doc_id} long, score double"
+    qid_type = dict(zip(queries.columns, (f.dataType.simpleString() for f in queries.schema.fields)))[query_id]
+    did_type = dict(zip(docs.columns, (f.dataType.simpleString() for f in docs.schema.fields)))[doc_id]
+    out_schema = f"{query_id} {qid_type}, {doc_id} {did_type}, score double"
 
     def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -118,12 +125,12 @@ def _knn_partial_topk(
                     cand = np.argpartition(-col, kk - 1)[:kk]
                 else:
                     cand = np.arange(n)
-                out_q.append(np.full(len(cand), q_ids[qi]))
+                out_q.extend([q_ids[qi]] * len(cand))
                 out_d.append(ids[cand])
                 out_s.append(col[cand])
             yield pd.DataFrame(
                 {
-                    query_id: np.concatenate(out_q),
+                    query_id: out_q,
                     doc_id: np.concatenate(out_d),
                     "score": np.concatenate(out_s),
                 }

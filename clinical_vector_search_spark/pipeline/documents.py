@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from clinical_vector_search_spark.functions import hashing as H
 from clinical_vector_search_spark.functions import text as TXT
 
 # canonical column mapping (reference pipeline.py:36-46)
@@ -55,8 +56,15 @@ def clean_documents(
 ) -> DataFrame:
     """P2–P6: cast, clean, null-drop, optional specialty concat, dedup.
 
-    If ``id_col`` is None a stable ``doc_id`` is minted with row_number over
-    md5(text) order (deterministic, unlike pandas reset_index order).
+    If ``id_col`` is None a stable ``doc_id`` is minted as md5_long(text) —
+    a deterministic content-derived id (60-bit hash; collisions are
+    vanishingly unlikely and collide only equal-hash texts, which dedup
+    merges anyway). No global window: an unpartitioned
+    ``row_number() over (order by ...)`` funnels the whole corpus through
+    ONE partition — the canonical scale-killer at 100 TB.
+
+    Dedup partitions its window by md5(text) (16-byte shuffle key), never
+    by the full document body.
     """
     out = df.withColumn(text_col, F.col(text_col).cast("string"))
     out = out.withColumn(text_col, TXT.clean_text(F.col(text_col)))
@@ -66,14 +74,10 @@ def clean_documents(
             text_col, TXT.specialty_concat(specialty_col, text_col)
         )
     if id_col is None:
-        out = out.withColumn(
-            "doc_id",
-            F.row_number().over(Window.orderBy(F.md5(F.col(text_col)))).cast("long")
-            - 1,
-        )
+        out = out.withColumn("doc_id", H.md5_long(F.col(text_col)))
         id_col = "doc_id"
-    # dedup keeping min id — explicit deterministic survivor rule
-    w = Window.partitionBy(text_col).orderBy(F.col(id_col))
+    # dedup keeping min id — deterministic survivor, hash-keyed shuffle
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
     out = (
         out.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -32,20 +32,30 @@ def build_dp_index(
     w_attr: float = 0.3,
 ) -> DataFrame:
     """Add ``dp_vec`` (unit-norm, dim_text+dim_attr) and ``noise_cosine``
-    (per-row A7 quality) columns."""
+    (per-row A7 quality) columns.
+
+    Matches reference order of operations (pipeline_mode.py:78-86): the
+    attribute vector is NORMALIZED first, noise is added to the normalized
+    vector, and ``noise_cosine`` compares normalized-vs-noisy — so the
+    noise-to-signal ratio has reference semantics even for unnormalized
+    encoder outputs. Pass ``dim`` explicitly to keep plan construction
+    lazy (the fallback runs a small Spark job to sniff it).
+    """
     if dim is None:
         dim = len(df.select(attr_vec).first()[0])
-    noisy = F.transform(
-        V.add_noise(attr_vec, id_col, sigma, dim), lambda x: x
-    )
-    out = df.withColumn("_noisy_attr", noisy)
+    out = df.withColumn("_attr_n", V.l2_normalize(attr_vec))
     out = out.withColumn(
-        "noise_cosine", V.cosine(attr_vec, "_noisy_attr")
+        "_noisy_attr", V.add_noise("_attr_n", id_col, sigma, dim)
     )
+    out = out.withColumn("noise_cosine", V.cosine("_attr_n", "_noisy_attr"))
     dp = V.weighted_concat(
         V.l2_normalize(text_vec), V.l2_normalize("_noisy_attr"), w_text, w_attr
     )
-    out = out.withColumn("dp_vec", V.l2_normalize(dp)).drop("_noisy_attr")
+    out = (
+        out.withColumn("dp_vec", V.l2_normalize(dp))
+        .drop("_noisy_attr")
+        .drop("_attr_n")
+    )
     return out
 
 

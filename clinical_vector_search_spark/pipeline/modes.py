@@ -1,0 +1,136 @@
+"""End-to-end mode entry points (SURVEY.md §3; reference src/main.py:8-46
+dispatching baseline/dp/fhe/rag via src/pipeline/pipeline_mode.py).
+
+Each mode is one callable over the driver testdata layout: documents
+(doc_id, text, ...) + embeddings (vec_id, embedding, ...). The reference's
+positional FAISS-id identity becomes the explicit doc_id == vec_id key the
+testdata ships.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import text as TXT
+from clinical_vector_search_spark.functions import vector as V
+from clinical_vector_search_spark.io.tables import read_table
+from clinical_vector_search_spark.operators.knn import knn
+from clinical_vector_search_spark.pipeline.dp import build_dp_index, dp_query_vec
+from clinical_vector_search_spark.pipeline.embedding import hash_embed
+from clinical_vector_search_spark.pipeline.rag import rag_pipeline
+
+
+def load_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """documents + normalized embeddings (doc_id-keyed) from testdata."""
+    docs = read_table(spark, sf_dir, "documents")
+    vecs = (
+        read_table(spark, sf_dir, "embeddings")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize("embedding").alias("embedding"),
+        )
+    )
+    return docs, vecs
+
+
+def make_queries(vecs: DataFrame, n: int = 10) -> DataFrame:
+    """Deterministic query set: the first ``n`` corpus vectors
+    (query_id = doc_id). Self-retrieval is the reference's own sanity
+    check: top-1 of each query must be itself with score ≈ 1."""
+    return vecs.filter(F.col("doc_id") < n).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def baseline_mode(
+    spark: SparkSession, sf_dir: str, k: int = 10, n_queries: int = 10
+) -> DataFrame:
+    """Reference baseline mode (pipeline_mode.py:32-49): exact kNN over the
+    normalized corpus, join-back to documents, snippet projection (P9/S9).
+    Returns (query_id, rank, doc_id, score, snippet)."""
+    docs, vecs = load_corpus(spark, sf_dir)
+    queries = make_queries(vecs, n_queries)
+    results = knn(queries, vecs, k)
+    return (
+        results.join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "query_id",
+            "rank",
+            "doc_id",
+            F.round("score", 6).alias("score"),
+            TXT.snippet("text", 200).alias("snippet"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def embed_mode(
+    spark: SparkSession, sf_dir: str, dim: int = 64, k: int = 10, n_queries: int = 10
+) -> DataFrame:
+    """Text→vector→kNN end-to-end: hash-embed the documents table (V1
+    fallback encoder), then self-query the first n docs' embeddings."""
+    docs = read_table(spark, sf_dir, "documents")
+    vecs = hash_embed(docs, dim)  # normalized
+    queries = vecs.filter(F.col("doc_id") < n_queries).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return knn(queries, vecs, k)
+
+
+def dp_mode(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 10,
+    sigma: float = 0.15,
+    attr_dim: int = 64,
+) -> DataFrame:
+    """DP mode (pipeline_mode.py:56-113): attribute sentence → hash-embed →
+    noised 0.3-weighted concat with 0.7-weighted text vec → kNN with
+    zero-padded queries."""
+    docs, vecs = load_corpus(spark, sf_dir)
+    attrs = docs.select(
+        "doc_id", TXT.attr_sentence("lang", "source").alias("attr_text")
+    )
+    attr_vecs = hash_embed(attrs, attr_dim, text_col="attr_text")
+    joined = vecs.join(
+        attr_vecs.select("doc_id", F.col("embedding").alias("attr_vec")),
+        "doc_id",
+    )
+    dp_index = build_dp_index(
+        joined, "embedding", "attr_vec", "doc_id", sigma=sigma, dim=attr_dim
+    )
+    queries = make_queries(vecs, n_queries)
+    dp_q = dp_query_vec(queries, "query_vec", attr_dim)
+    return knn(
+        dp_q.select("query_id", F.col("dp_query_vec").alias("query_vec")),
+        dp_index.select("doc_id", F.col("dp_vec").alias("embedding")),
+        k,
+    )
+
+
+def rag_mode(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 5,
+    candidate_k: int = 40,
+    bm25_topk: int = 40,
+    lam: float = 0.5,
+) -> DataFrame:
+    """RAG mode (pipeline_mode.py:198-264): hybrid kNN ∪ BM25 → MMR.
+    Query text = the query doc's own text (self-retrieval setup)."""
+    docs, vecs = load_corpus(spark, sf_dir)
+    queries = (
+        vecs.filter(F.col("doc_id") < n_queries)
+        .join(docs.select("doc_id", F.col("text").alias("query_text")), "doc_id")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            "query_text",
+        )
+    )
+    return rag_pipeline(
+        queries, vecs, docs, k, candidate_k, bm25_topk, lam
+    )

@@ -22,17 +22,18 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts_ns (long) and ts (timestamp, µs truncated)."""
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     df = df.withColumnRenamed("ts", "ts_ns")
-    return df.withColumn(
-        "ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long"))
-    )
+    # integer division — (ts_ns / 1000) in double loses exactness past 2^53
+    # (epoch-ns ≈ 1.7e18, ulp ≈ 256 ns), which would shift µs by ±1
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
 
 
 def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Batch twin of the
     streaming aggregation; window start exposed as epoch seconds (long) so
     the oracle comparison is timezone-proof."""
+    # integer div — double division is inexact past 2^53 (see read_events)
     bucket = (
-        F.floor(F.col("ts_ns") / F.lit(NS * window_sec)) * F.lit(window_sec)
+        F.expr(f"ts_ns div {NS * window_sec}") * F.lit(window_sec)
     ).alias("window_start")
     return (
         events.groupBy(bucket, "event_type")
