@@ -204,9 +204,11 @@ def hyperplane_sign_bucket(vec: Column | str, dim: int, n_planes: int) -> Column
         F.sequence(F.lit(0), F.lit(n_planes - 1)),
         F.lit(0).cast("long"),
         lambda acc, p: acc
-        + F.when(plane_dot(p) >= 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
-            F.lit(0).cast("long")
-        ),
+        # 2^p via pow (exact in double for p < 53); shiftleft needs a
+        # Python-int bit count and p here is a lambda-bound Column
+        + F.when(
+            plane_dot(p) >= 0, F.pow(F.lit(2.0), p).cast("long")
+        ).otherwise(F.lit(0).cast("long")),
     )
 
 
