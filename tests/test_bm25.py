@@ -1,0 +1,93 @@
+"""BM25 Okapi parity with a pure-Python rank_bm25 reimplementation.
+
+The formula contract (operators/bm25.py docstring) is rank_bm25.BM25Okapi
+with defaults k1=1.5, b=0.75, epsilon=0.25: Robertson idf with negatives
+floored to epsilon * mean(raw idf), duplicate query terms scored per
+occurrence. The oracle below reimplements that contract independently
+(from the published Okapi BM25 formula — no rank_bm25 import needed).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clinical_vector_search_spark.operators.bm25 import (
+    bm25_index,
+    bm25_score,
+    bm25_score_index,
+)
+
+CORPUS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "a quick brown cat sleeps on the mat"),
+    (2, "dogs and cats are common household pets"),
+    (3, "the fox is quick and the fox is brown"),
+    (4, "completely unrelated text about spark clusters"),
+    (5, "spark spark spark distributed compute engine"),
+]
+
+
+def okapi_reference(corpus: list[str], query: list[str]) -> list[float]:
+    """Independent BM25Okapi: k1=1.5 b=0.75 eps=0.25."""
+    k1, b, eps = 1.5, 0.75, 0.25
+    toks = [doc.lower().split() for doc in corpus]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    df: dict[str, int] = {}
+    for t in toks:
+        for w in set(t):
+            df[w] = df.get(w, 0) + 1
+    raw = {w: math.log((n - d + 0.5) / (d + 0.5)) for w, d in df.items()}
+    avg_idf = sum(raw.values()) / len(raw)
+    idf = {w: (eps * avg_idf if v < 0 else v) for w, v in raw.items()}
+    scores = []
+    for t in toks:
+        dl = len(t)
+        s = 0.0
+        for q in query:  # per occurrence
+            if q not in idf:
+                continue
+            tf = t.count(q)
+            s += idf[q] * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+        scores.append(s)
+    return scores
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, "doc_id long, text string")
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        ["quick", "fox"],
+        ["the"],  # high-df term → negative raw idf → epsilon floor
+        ["spark", "spark"],  # duplicate terms → per-occurrence scoring
+        ["zzz_absent"],
+    ],
+)
+def test_bm25_matches_reference(docs, query):
+    got = {
+        r.doc_id: r.bm25 for r in bm25_score(docs, query).collect()
+    }
+    expect = okapi_reference([t for _, t in CORPUS], query)
+    for i, e in enumerate(expect):
+        assert abs(got[i] - e) < 1e-9, f"doc {i}: {got[i]} != {e}"
+
+
+def test_index_reuse_across_queries(docs):
+    idx = bm25_index(docs).cache()
+    s1 = {r.doc_id: r.bm25 for r in bm25_score_index(idx, docs, ["fox"]).collect()}
+    s2 = {r.doc_id: r.bm25 for r in bm25_score_index(idx, docs, ["cat"]).collect()}
+    one = bm25_score(docs, ["fox"])
+    assert s1 == {r.doc_id: r.bm25 for r in one.collect()}
+    assert s2[1] > 0 and s1[3] > 0
+
+
+def test_zero_overlap_scores_zero(docs):
+    got = bm25_score(docs, ["nonexistent_term"]).collect()
+    assert all(r.bm25 == 0.0 for r in got)
+    assert len(got) == len(CORPUS)  # zero-score docs kept

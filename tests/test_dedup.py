@@ -1,0 +1,91 @@
+"""Dedup-family behavior tests: exact survivors, MinHash near-dup recall,
+SimHash locality, Jaccard exactness, embedding near-dup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.operators.dedup import (
+    embedding_neardup_pairs,
+    exact_dedup,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the afternoon sun"
+)
+NEAR = BASE.replace("afternoon", "morning")  # 1-word edit → near-dup
+FAR = "completely different content about distributed query engines and shuffles"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_min_survivor(docs):
+    out = {r.text_hash: (r.doc_id, r.dup_count) for r in exact_dedup(docs).collect()}
+    assert len(out) == 3  # 0/1 merge
+    counts = sorted(c for _, c in out.values())
+    assert counts == [1, 1, 2]
+    # survivor of the duplicate pair is min id = 0
+    assert (0, 2) in out.values()
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(
+            docs, num_hashes=8, rows_per_band=2, shingle_size=3
+        ).collect()
+    }
+    assert (0, 1) in pairs  # exact dup always collides on every band
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup likely caught
+    assert not any(3 in p for p in pairs)  # FAR shares no shingles
+
+
+def test_jaccard_exact_values(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.0).collect()
+    }
+    assert abs(pairs[(0, 1)] - 1.0) < 1e-9  # identical docs
+    assert 0.0 < pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_simhash_locality(docs):
+    h = {r.doc_id: r.simhash for r in simhash(docs, bits=32).collect()}
+    assert h[0] == h[1]  # identical text → identical hash
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(h[0], h[2]) < ham(h[0], h[3])  # near-dup closer than far doc
+
+
+def test_embedding_neardup_exact_vs_lsh(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert exact == {(0, 1)}
+    lsh = {
+        (r.a_id, r.b_id)
+        for r in embedding_neardup_pairs(
+            df, threshold=0.9, use_lsh=True, dim=4, n_planes=4
+        ).collect()
+    }
+    assert lsh <= exact  # LSH path returns a subset (recall contract)

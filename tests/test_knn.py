@@ -1,0 +1,83 @@
+"""kNN properties: self-retrieval, cross-strategy parity, LSH recall."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import vector as V
+from clinical_vector_search_spark.operators.knn import knn, knn_lsh
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize("embedding").alias("embedding"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+
+def test_self_top1(corpus, queries):
+    """kNN top-1 of a corpus vector is itself with score ≈ 1 (SURVEY §5)."""
+    res = knn(queries, corpus, 3).filter(F.col("rank") == 1).collect()
+    assert len(res) == 5
+    for r in res:
+        assert r.doc_id == r.query_id
+        assert abs(r.score - 1.0) < 1e-6
+
+
+def test_strategies_identical(corpus, queries):
+    """partial_topk (mapInPandas merge) ≡ window (crossJoin) bit-for-bit."""
+    a = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in knn(queries, corpus, 10, strategy="partial_topk").collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.doc_id, round(r.score, 9))
+        for r in knn(queries, corpus, 10, strategy="window").collect()
+    )
+    assert a == b
+
+
+def test_k_larger_than_corpus(spark):
+    docs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "doc_id long, embedding array<double>"
+    )
+    q = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "query_id long, query_vec array<double>"
+    )
+    res = knn(q, docs, 10).collect()
+    assert len(res) == 2  # clamped to corpus size
+
+
+def test_lsh_recall_vs_exact(corpus, queries):
+    """V5 contract: recall vs exact, not id parity (SURVEY §7a)."""
+    k = 10
+    exact = {
+        (r.query_id, r.doc_id) for r in knn(queries, corpus, k).collect()
+    }
+    approx = {
+        (r.query_id, r.doc_id)
+        for r in knn_lsh(queries, corpus, k, dim=DIM, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    # 4 planes / 16 buckets on 500 random docs: self-match must survive
+    # (same vector → same bucket) so recall is strictly positive
+    assert recall > 0.05
+    # every query's self-match is in its own bucket
+    selfs = {(r, r) for r in range(5)}
+    assert selfs <= approx

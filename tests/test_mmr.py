@@ -1,0 +1,73 @@
+"""MMR re-rank vs an independent NumPy port of the reference algorithm
+(src/pipeline/utils.py:17-41 semantics — SURVEY §5 e2e plan)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.operators.mmr import mmr_rerank, mmr_rerank_rows
+
+
+def reference_mmr(cand_vecs, query_vec, k, lam):
+    """Reference greedy loop (utils.py:17-41): first = argmax sim; then
+    argmax lam*sim - (1-lam)*max_sim_to_selected. Operates in candidate
+    order; returns selected indices."""
+    q = query_vec / (np.linalg.norm(query_vec) + 1e-9)
+    c = cand_vecs / (np.linalg.norm(cand_vecs, axis=1, keepdims=True) + 1e-9)
+    sims = c @ q
+    selected = [int(np.argmax(sims))]
+    while len(selected) < min(k, len(c)):
+        best, best_score = None, -np.inf
+        for i in range(len(c)):
+            if i in selected:
+                continue
+            div = float(np.max(c[selected] @ c[i]))
+            score = lam * sims[i] - (1 - lam) * div
+            if score > best_score:
+                best, best_score = i, score
+        selected.append(best)
+    return selected
+
+
+@pytest.fixture(scope="module")
+def cands():
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 16))
+    q = rng.normal(size=16)
+    ids = list(range(100, 120))  # ascending ids = candidate order
+    return ids, vecs, q
+
+
+@pytest.mark.parametrize("lam", [0.3, 0.5, 0.7])
+def test_mmr_rows_matches_reference(cands, lam):
+    ids, vecs, q = cands
+    got = mmr_rerank_rows(ids, vecs, q, k=8, lam=lam)
+    expect = reference_mmr(vecs, q, k=8, lam=lam)
+    assert [doc for _, doc in got] == [ids[i] for i in expect]
+
+
+def test_mmr_lambda1_is_similarity_order(cands):
+    """λ=1 ⇒ pure similarity ranking (SURVEY §5 property)."""
+    ids, vecs, q = cands
+    got = [doc for _, doc in mmr_rerank_rows(ids, vecs, q, k=20, lam=1.0)]
+    qn = q / (np.linalg.norm(q) + 1e-9)
+    cn = vecs / (np.linalg.norm(vecs, axis=1, keepdims=True) + 1e-9)
+    sims = cn @ qn
+    expect = [ids[i] for i in np.argsort(-sims, kind="stable")]
+    assert got == expect
+
+
+def test_mmr_dataframe_wrapper(spark, cands):
+    ids, vecs, q = cands
+    rows = [(1, ids[i], [float(x) for x in vecs[i]], [float(x) for x in q])
+            for i in range(len(ids))]
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, embedding array<double>, "
+        "query_vec array<double>"
+    )
+    out = mmr_rerank(spark, df, k=5, lam=0.5).orderBy("rank").collect()
+    expect = reference_mmr(vecs, q, k=5, lam=0.5)
+    assert [r.doc_id for r in out] == [ids[i] for i in expect]
+    assert [r.rank for r in out] == [1, 2, 3, 4, 5]

