@@ -853,15 +853,25 @@ def oracle_sql() -> dict[str, str]:
         FROM st GROUP BY user_id, session_seq
     """
 
+    from clinical_vector_search_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    params_values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in ((i, minhash_params(i)) for i in range(MINHASH_HASHES))
+    )
     s["dedup_minhash_sigs"] = f"""
         WITH toks AS ({_TOKS}),
         sh AS ({_SHINGLES}),
-        h AS (SELECT doc_id, hi.hash_idx,
-                     {_MD5L.format(x="hi.hash_idx::VARCHAR || ':' || shingle")} AS hv
-              FROM sh CROSS JOIN
-                   (SELECT unnest(range(0, {MINHASH_HASHES})) AS hash_idx) hi)
-        SELECT doc_id, hash_idx::INT AS hash_idx, min(hv) AS sig
-        FROM h GROUP BY doc_id, hash_idx
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values}) AS p(hash_idx, a, b))
+        SELECT doc_id, hash_idx::INT AS hash_idx,
+               min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+        FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx
     """
 
     s["dedup_simhash"] = f"""

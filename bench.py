@@ -43,7 +43,7 @@ def main() -> None:
 
     from clinical_vector_search_spark.operators.bm25 import (
         bm25_index,
-        bm25_score_index,
+        bm25_topk_set,
     )
     from clinical_vector_search_spark.operators.dedup import (
         minhash_candidate_pairs,
@@ -74,20 +74,21 @@ def main() -> None:
                         candidate_k=40, bm25_topk=40)
 
     def bench_bm25_queryset():
-        # index built ONCE, scored for 10 queries (the reference rebuilds
-        # per query — pipeline.py:171-172; this is the lifecycle fix)
-        idx = bm25_index(docs).cache()
-        out = None
-        for terms in (
-            ["spark", "table"], ["query", "scan"], ["join", "merge"],
-            ["window", "agg"], ["stream", "batch"], ["key", "value"],
-            ["sort", "filter"], ["row", "column"], ["fast", "slow"],
-            ["data", "part"],
-        ):
-            scored = bm25_score_index(idx, docs, terms).orderBy(
-                F.desc("bm25"), F.asc("doc_id")).limit(10)
-            out = scored if out is None else out.union(scored)
-        return out
+        # index built ONCE, whole query set scored in ONE plan (the
+        # reference rebuilds per query — pipeline.py:171-172)
+        idx = bm25_index(docs)
+        qset = [
+            (i, terms)
+            for i, terms in enumerate(
+                (
+                    ["spark", "table"], ["query", "scan"], ["join", "merge"],
+                    ["window", "agg"], ["stream", "batch"], ["key", "value"],
+                    ["sort", "filter"], ["row", "column"], ["fast", "slow"],
+                    ["data", "part"],
+                )
+            )
+        ]
+        return bm25_topk_set(idx, qset, 10)
 
     def bench_embed_corpus():
         return hash_embed(docs, 64)

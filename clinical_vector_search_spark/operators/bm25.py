@@ -131,3 +131,56 @@ def bm25_score(
     return bm25_score_index(
         bm25_index(docs, id_col, text_col), docs, query_terms, id_col, k1, b
     )
+
+
+def bm25_topk_set(
+    index: DataFrame,
+    queries: list[tuple[object, list[str]]],
+    topk: int,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """Score a whole query SET against one prebuilt index in ONE plan:
+    (query_id, doc_id, bm25, rank) with rank ≤ topk per query.
+
+    One broadcast join + one (query_id, doc) aggregation + one windowed
+    top-k — no per-query driver loop (the reference rebuilds and rescans
+    per query, pipeline.py:171-172; a loop of per-query plans repeats that
+    flaw at the job level). Docs with zero term overlap are excluded: they
+    can never outrank a matching doc, and materializing N_docs × N_queries
+    zero rows is exactly the crossJoin this plan exists to avoid.
+    Ties broken by doc id ascending.
+    """
+    from pyspark.sql import Window
+
+    rows = []
+    for qid, terms in queries:
+        for t, c in Counter(terms).items():
+            rows.append((qid, t, float(c)))
+    spark = index.sparkSession
+    # schema inferred so query ids keep their native type (int or string)
+    qdf = spark.createDataFrame(rows, ["query_id", "term", "qw"])
+    matched = index.join(F.broadcast(qdf), "term")
+    term_score = (
+        F.col("qw")
+        * F.col("idf")
+        * (
+            F.col("tf") * F.lit(k1 + 1.0)
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            )
+        )
+    )
+    scores = (
+        matched.select("query_id", F.col("doc").alias(id_col), term_score.alias("s"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("s").alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+    )

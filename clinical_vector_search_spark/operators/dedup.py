@@ -47,6 +47,18 @@ def exact_dedup(
     )
 
 
+MINHASH_P = 2147483647  # 2^31 - 1 (Mersenne prime)
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    """Deterministic universal-hash family member i: h_i(x) = (a·x + b) mod P.
+    Constants derived from the public LCG multipliers; a ∈ [1, P-1] so the
+    map is a bijection on Z_P. All intermediates < 2^62 (a, x < 2^31)."""
+    a = (1103515245 * (i + 1) + 12345) % (MINHASH_P - 1) + 1
+    b = (22695477 * (i + 1) + 1) % MINHASH_P
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     num_hashes: int = 8,
@@ -56,28 +68,36 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature rows (doc_id, hash_idx, sig).
 
-    sig[h] = min over the doc's distinct word-shingles of
-    md5_long(h || ':' || shingle). Docs with fewer tokens than
-    shingle_size have no shingles and drop out (callers that need them use
-    a smaller shingle size)."""
+    sig[i] = min over the doc's distinct word-shingles of
+    (a_i · md5_long(shingle) + b_i) mod P — ONE md5 per shingle with a
+    universal-hash family on top (vs hashing each shingle num_hashes
+    times), and all num_hashes minima computed in a SINGLE groupBy over
+    the exploded shingles (no ×num_hashes row blow-up before the shuffle —
+    at 100 TB the shingle explosion is the dominant cost and this keeps it
+    ×1). Docs with fewer tokens than shingle_size have no shingles and
+    drop out (callers that need them use a smaller shingle size)."""
     sh = df.select(
         F.col(id_col),
         F.explode(
             TXT.shingles(TXT.tokenize(text_col), shingle_size)
         ).alias("shingle"),
-    )
-    hashed = sh.crossJoin(
-        F.broadcast(
-            df.sparkSession.range(num_hashes).select(
-                F.col("id").cast("int").alias("hash_idx")
+    ).withColumn("hv", F.pmod(H.md5_long(F.col("shingle")), F.lit(MINHASH_P)))
+    mins = sh.groupBy(id_col).agg(
+        *[
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("hv") + F.lit(b), F.lit(MINHASH_P)
+                )
+            ).alias(f"_s{i}")
+            for i, (a, b) in (
+                (i, minhash_params(i)) for i in range(num_hashes)
             )
-        )
-    ).select(
-        id_col,
-        "hash_idx",
-        H.salted_md5_long(F.col("shingle"), F.col("hash_idx")).alias("hv"),
+        ]
     )
-    return hashed.groupBy(id_col, "hash_idx").agg(F.min("hv").alias("sig"))
+    stack_args = ", ".join(f"{i}, _s{i}" for i in range(num_hashes))
+    return mins.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) as (hash_idx, sig)"
+    )
 
 
 def minhash_band_buckets(

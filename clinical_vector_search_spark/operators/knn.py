@@ -33,6 +33,32 @@ from pyspark.sql import functions as F
 from clinical_vector_search_spark.functions import vector as V
 
 
+# below this input size the declarative window plan beats partial_topk's
+# fixed Python-worker + rescore-join overhead (measured ~3s at sf0.1)
+AUTO_WINDOW_MAX_BYTES = 256 * 1024 * 1024
+
+
+def _estimate_input_bytes(df: DataFrame) -> int | None:
+    """Driver-side size statistic from the scan's file listing — the same
+    kind of metadata Spark's own broadcast-threshold planning uses. Returns
+    None when the input isn't local files (remote FS → assume big)."""
+    import os
+
+    try:
+        files = df.inputFiles()
+        if not files:
+            return None
+        total = 0
+        for f in files:
+            p = f.removeprefix("file:")
+            if not os.path.exists(p):
+                return None
+            total += os.path.getsize(p)
+        return total
+    except Exception:  # noqa: BLE001 — any listing failure → unknown size
+        return None
+
+
 def knn(
     queries: DataFrame,
     docs: DataFrame,
@@ -41,12 +67,25 @@ def knn(
     query_vec: str = "query_vec",
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
-    strategy: str = "partial_topk",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Top-k docs per query by inner product (descending), ties → doc id asc.
 
     Returns columns: query_id, rank, doc_id, score (fp64).
+
+    ``strategy="auto"`` picks the physical plan by input-size statistics:
+    small corpora (< 256 MB of scan input) run the declarative
+    crossJoin+window plan (no Python workers, lowest fixed cost); large or
+    unknown-size corpora run partial_topk (the shape that survives 100 TB —
+    only partitions×Q×k rows shuffle instead of N×Q).
     """
+    if strategy == "auto":
+        nbytes = _estimate_input_bytes(docs)
+        strategy = (
+            "window"
+            if nbytes is not None and nbytes < AUTO_WINDOW_MAX_BYTES
+            else "partial_topk"
+        )
     if strategy == "window":
         return _knn_window(queries, docs, k, query_id, query_vec, doc_id, doc_vec)
     return _knn_partial_topk(queries, docs, k, query_id, query_vec, doc_id, doc_vec)

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clinical_vector_search_spark.operators.bm25 import bm25_index, bm25_score_index
+from clinical_vector_search_spark.operators.bm25 import bm25_index, bm25_topk_set
 from clinical_vector_search_spark.operators.knn import knn
 from clinical_vector_search_spark.operators.mmr import mmr_rerank
 
@@ -39,26 +39,15 @@ def bm25_topk_per_query(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 top-k for a small query SET against one shared index:
+    """BM25 top-k for a query SET against one shared index in ONE plan:
     (query_id, doc_id, bm25). Ties broken by doc id ascending."""
-    index = bm25_index(docs, id_col, text_col).cache()
-    outs = []
-    for qid, qtext in queries:
-        terms = [t for t in qtext.lower().split() if t]
-        scored = bm25_score_index(index, docs, terms, id_col)
-        outs.append(
-            scored.select(
-                F.lit(qid).cast("long").alias("query_id"),
-                F.col(id_col).alias("doc_id"),
-                F.col("bm25"),
-            )
-            .orderBy(F.desc("bm25"), F.asc("doc_id"))
-            .limit(topk)
-        )
-    result = outs[0]
-    for o in outs[1:]:
-        result = result.union(o)
-    return result
+    index = bm25_index(docs, id_col, text_col)
+    qset = [
+        (qid, [t for t in qtext.lower().split() if t]) for qid, qtext in queries
+    ]
+    return bm25_topk_set(index, qset, topk, id_col).select(
+        "query_id", F.col(id_col).alias("doc_id"), "bm25"
+    )
 
 
 def rag_pipeline(
