@@ -461,6 +461,39 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2–P6 composed: the load→cast→clean→null-drop→dedup pipeline over
+    the documents table, keeping the testdata's explicit doc ids."""
+    from clinical_vector_search_spark.pipeline.documents import clean_documents
+
+    out = clean_documents(_docs(spark, sf_dir), id_col="doc_id")
+    return out.select("doc_id", F.md5(F.col("text")).alias("text_hash"), "lang")
+
+
+def q_fhe_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8+V9+P8+R1 composed: FHE mode — deterministic 300-row subset,
+    64→16 random projection, re-normalize, top-5 kNN (plaintext scoring
+    stand-in; ranking contract identical per pipeline_mode.py:181-191)."""
+    from clinical_vector_search_spark.pipeline.modes import fhe_mode
+
+    r = fhe_mode(spark, sf_dir, k=5, n_queries=5, out_dim=16, subset_n=300)
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_evaluation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A9 harness: per-query metric table across dp/rag/fhe modes vs
+    the baseline oracle, with per-mode amortized latency. Rows-only:
+    latency columns are wall-clock (nondeterministic by nature)."""
+    from clinical_vector_search_spark.pipeline.evaluate import run_evaluation
+
+    return run_evaluation(spark, sf_dir, k=5, n_queries=5)
+
+
 def q_rag_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3+R4: hybrid kNN∪BM25 candidates → greedy MMR re-rank.
     No SQL oracle (sequential greedy loop) — rows-only check; unit-tested
@@ -541,6 +574,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "doc_pipeline": q_doc_pipeline,
+        "fhe_pipeline": q_fhe_pipeline,
+        "evaluation_table": q_evaluation_table,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_lsh": q_knn_lsh,
         "multimodal_features": q_multimodal_features,
@@ -914,7 +950,39 @@ def oracle_sql() -> dict[str, str]:
           AND {_COS.format(a="a.v", b="b.v")} >= {NEARDUP_THR}
     """
 
-    # rag_hybrid_mmr, knn_lsh, multimodal_features: intentionally omitted —
+    s["doc_pipeline"] = r"""
+        WITH c AS (SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS t,
+                          lang
+                   FROM documents WHERE text IS NOT NULL),
+        r AS (SELECT doc_id, t, lang,
+                     row_number() OVER (PARTITION BY md5(t) ORDER BY doc_id) AS rn
+              FROM c)
+        SELECT doc_id, md5(t) AS text_hash, lang FROM r WHERE rn = 1
+    """
+
+    fhe_proj = (
+        f"[list_sum([v[i + 1] * (((22695477 * ((i * 16 + j) % 2147483648) + 1)"
+        f" % 2147483648) / 2147483648.0 - 0.5) FOR i IN range(0, 64)])"
+        f" FOR j IN range(0, 16)]"
+    )
+    s["fhe_pipeline"] = f"""
+        WITH sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                     ORDER BY vec_id LIMIT 300),
+        p AS (SELECT vec_id, {fhe_proj} AS pv FROM sub),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="pv")} AS nv FROM p),
+        q AS (SELECT doc_id AS query_id, nv AS qv FROM n WHERE doc_id < 5),
+        sc AS (SELECT query_id, doc_id, list_dot_product(qv, nv) AS score
+               FROM q CROSS JOIN n),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, doc_id, round(score, 6) AS score
+        FROM r WHERE rank <= 5
+    """
+
+    # evaluation_table, rag_hybrid_mmr, knn_lsh, multimodal_features:
+    # intentionally omitted —
     # sequential greedy loop / recall-contract / engine-defined fake features
     # are not SQL-expressible; the driver records rows-only checks and the
     # pytest suite covers their semantics.

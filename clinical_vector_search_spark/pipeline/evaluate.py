@@ -69,6 +69,57 @@ def evaluate_modes(
     return out.orderBy("query_id")
 
 
+def run_evaluation(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 10,
+    csv_path: str | None = None,
+) -> DataFrame:
+    """End-to-end benchmark loop (reference evaluation.py:405-428):
+    baseline results are the oracle; DP / RAG / FHE are timed (A9), scored
+    per query with A1–A5, annotated with drift (A6); per-mode mean latency
+    is amortized across the query set (A8). Optionally persists the
+    evaluation_results.csv-shaped table via the S7 sink."""
+    from clinical_vector_search_spark.pipeline.modes import (
+        baseline_mode,
+        dp_mode,
+        fhe_mode,
+        rag_mode,
+    )
+
+    def _ids(df: DataFrame) -> DataFrame:
+        return df.select("query_id", "rank", "doc_id")
+
+    base_rows, base_ms = run_timed(
+        lambda: _ids(baseline_mode(spark, sf_dir, k, n_queries)).collect()
+    )
+    schema = "query_id long, rank int, doc_id long"
+    base = spark.createDataFrame(base_rows, schema)
+
+    mode_results: dict[str, DataFrame] = {}
+    latency: dict[str, float] = {"baseline": base_ms}
+    for mode, fn in (
+        ("dp", lambda: dp_mode(spark, sf_dir, k, n_queries)),
+        ("rag", lambda: rag_mode(spark, sf_dir, k, n_queries)),
+        ("fhe", lambda: fhe_mode(spark, sf_dir, k, n_queries)),
+    ):
+        rows, ms = run_timed(lambda f=fn: _ids(f()).collect())
+        mode_results[mode] = spark.createDataFrame(rows, schema)
+        latency[mode] = ms
+
+    table = evaluate_modes(spark, base, mode_results, latency, k, n_queries)
+    table = table.withColumn("baseline_latency", F.lit(base_ms / max(n_queries, 1)))
+    # A6 drift: reference hardcodes 1.0 when query dims differ
+    # (evaluation.py:231-235) — DP widens 64→128, so drift = 1.0
+    table = table.withColumn("dp_drift", F.lit(semantic_drift(64, 128)))
+    if csv_path is not None:
+        from clinical_vector_search_spark.io.tables import write_csv_single
+
+        write_csv_single(table, csv_path)
+    return table
+
+
 def mean_metrics(metric_table: DataFrame) -> DataFrame:
     """A8: mean of every numeric metric column across queries
     (reference src/pipeline/evaluation.py:188 ``df.mean(numeric_only)``)."""

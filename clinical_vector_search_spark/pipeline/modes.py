@@ -110,6 +110,29 @@ def dp_mode(
     )
 
 
+def fhe_mode(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+    out_dim: int = 16,
+    subset_n: int = 300,
+) -> DataFrame:
+    """FHE mode (pipeline_mode.py:120-191): deterministic subset → random
+    projection → re-normalize → (encrypted-or-plaintext) kNN. The scoring
+    is plaintext here (TenSEAL absent — SURVEY §7b); the ranking contract
+    is identical either way per the reference's own overlap criterion."""
+    from clinical_vector_search_spark.pipeline.fhe import encrypted_topk_demo
+
+    vecs = read_table(spark, sf_dir, "embeddings")
+    queries = vecs.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return encrypted_topk_demo(
+        queries, vecs, k, in_dim=64, out_dim=out_dim, subset_n=subset_n
+    )
+
+
 def rag_mode(
     spark: SparkSession,
     sf_dir: str,

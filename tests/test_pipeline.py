@@ -93,6 +93,30 @@ def test_rag_mode_self_top1(spark, sf_dir):
         assert ranked[1] == q  # MMR first pick = max query-sim = self
 
 
+def test_fhe_mode_self_top1_and_projection_dim(spark, sf_dir):
+    from clinical_vector_search_spark.pipeline.modes import fhe_mode
+
+    rows = fhe_mode(spark, sf_dir, k=3, n_queries=3, out_dim=16).collect()
+    top1 = {r.query_id: (r.doc_id, r.score) for r in rows if r.rank == 1}
+    for q, (d, s) in top1.items():
+        assert d == q  # projection is a fixed linear map → self still top-1
+        assert abs(s - 1.0) < 1e-6
+
+
+def test_run_evaluation_table_shape(spark, sf_dir):
+    from clinical_vector_search_spark.pipeline.evaluate import run_evaluation
+
+    t = run_evaluation(spark, sf_dir, k=3, n_queries=3)
+    rows = t.collect()
+    assert len(rows) == 3
+    cols = set(t.columns)
+    for mode in ("dp", "rag", "fhe"):
+        assert {f"recall_{mode}", f"ndcg_{mode}", f"{mode}_latency"} <= cols
+    assert "baseline_latency" in cols and "dp_drift" in cols
+    for r in rows:
+        assert r.recall_fhe >= 0.0 and r.dp_drift == 1.0
+
+
 def test_evaluate_modes_and_timer(spark):
     base = spark.createDataFrame(
         [(1, r, r) for r in range(1, 4)], "query_id long, rank int, doc_id long"
