@@ -53,3 +53,25 @@ def build_vector_index(
     "load index + search" (pipeline_mode.py:38-49)."""
     normalized = df.withColumn(vec_col, V.l2_normalize(vec_col))
     write_parquet(normalized, path)
+
+
+def build_bm25_index_table(
+    docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
+) -> None:
+    """Materialize the BM25 postings index as Parquet ("index = data").
+
+    The lazy ``bm25_index`` plan re-derives its tokenize→explode subtree
+    ~4× inside one DAG (Spark has no cross-DAG common-subexpression reuse),
+    so an unmaterialized one-shot build scans the corpus 4 times — at
+    100 TB the scan dominates everything else. Building the index as a
+    batch job (this function) and scoring against the persisted table
+    makes index build a one-scan-amortized cost, exactly like the vector
+    index. Read it back with ``read_bm25_index``."""
+    from clinical_vector_search_spark.operators.bm25 import bm25_index
+
+    write_parquet(bm25_index(docs, id_col, text_col), path)
+
+
+def read_bm25_index(spark: SparkSession, path: str) -> DataFrame:
+    """Scan a materialized BM25 postings index (S6 analog)."""
+    return spark.read.parquet(path)

@@ -245,7 +245,17 @@ def embedding_neardup_pairs(
 
     ``use_lsh=True`` restricts comparison to same-LSH-bucket pairs (the
     scale path — recall<1 contract); default is the exact quadratic
-    self-join (fine at test SF, the oracle-checkable path)."""
+    self-join (fine at test SF, the oracle-checkable path). The default
+    emits a warning at plan-build time: O(N²) pairs do not survive a
+    large corpus — flip to LSH beyond ~100k vectors."""
+    if not use_lsh:
+        import warnings
+
+        warnings.warn(
+            "embedding_neardup_pairs(use_lsh=False) builds an O(N^2) "
+            "crossJoin — exact/oracle path only; use use_lsh=True at scale",
+            stacklevel=2,
+        )
     base = df.select(F.col(id_col), F.col(vec_col))
     if use_lsh:
         assert dim is not None

@@ -93,6 +93,29 @@ def test_rag_mode_self_top1(spark, sf_dir):
         assert ranked[1] == q  # MMR first pick = max query-sim = self
 
 
+def test_bm25_index_materialization_roundtrip(spark, sf_dir, tmp_path):
+    from clinical_vector_search_spark.io.tables import (
+        build_bm25_index_table,
+        read_bm25_index,
+    )
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_score_index,
+        bm25_score,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    path = str(tmp_path / "bm25_idx")
+    build_bm25_index_table(docs, path)
+    idx = read_bm25_index(spark, path)
+    from_disk = {
+        r.doc_id: r.bm25 for r in bm25_score_index(idx, docs, ["spark"]).collect()
+    }
+    inline = {r.doc_id: r.bm25 for r in bm25_score(docs, ["spark"]).collect()}
+    assert from_disk.keys() == inline.keys()
+    for k in inline:
+        assert abs(from_disk[k] - inline[k]) < 1e-12
+
+
 def test_fhe_mode_self_top1_and_projection_dim(spark, sf_dir):
     from clinical_vector_search_spark.pipeline.modes import fhe_mode
 
