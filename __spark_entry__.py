@@ -427,6 +427,58 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: sliding-window aggregation (300s window / 60s slide)
+    via JVM sequence+explode fan-out."""
+    from clinical_vector_search_spark.streaming.events import sliding_agg
+
+    s = sliding_agg(_events(spark, sf_dir), 300, 60)
+    return s.select(
+        "window_start", "event_type", "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pre-tokenizer token budgeting (letter runs/digit runs/symbols)."""
+    from clinical_vector_search_spark.functions import text as TXT
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id", TXT.bpe_token_count("text").cast("long").alias("n_bpe")
+    )
+
+
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase skew-salted aggregation — exact, salt-independent."""
+    from clinical_vector_search_spark.operators.skew import salted_count_sum
+
+    s = salted_count_sum(_events(spark, sf_dir), ["event_type"], "value")
+    return s.select(
+        "event_type", "n_rows", F.round("sum_value", 6).alias("sum_value")
+    )
+
+
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate kNN (recall contract, rows-only)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn_ivf
+
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = knn_ivf(q, v, KNN_K, dim=64, n_centroids=16, n_probe=4)
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -570,6 +622,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_overlap": q_set_overlap,
         "events_tumbling": q_events_tumbling,
         "events_sessionize": q_events_sessionize,
+        "events_sliding": q_events_sliding,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "salted_agg": q_salted_agg,
+        "knn_ivf": q_knn_ivf,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -870,6 +926,31 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+
+    s["events_sliding"] = """
+        WITH e AS (SELECT event_type, value,
+                          epoch_ns(ts) // 60000000000 AS b FROM events),
+        x AS (SELECT event_type, value,
+                     unnest(range(greatest((b - 4) * 60, 0), b * 60 + 60, 60))
+                         AS window_start
+              FROM e)
+        SELECT window_start, event_type, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM x GROUP BY 1, 2
+    """
+
+    s["text_bpe_tokens"] = r"""
+        SELECT doc_id,
+               len(regexp_extract_all(text,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
+        FROM documents
+    """
+
+    s["salted_agg"] = """
+        SELECT event_type, count(*) AS n_rows,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY event_type
     """
 
     s["events_sessionize"] = f"""

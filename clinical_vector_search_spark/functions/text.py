@@ -79,6 +79,20 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokenize(c))
 
 
+# BPE-style pre-tokenizer classes (GPT-2-ish, ASCII subset so Spark's Java
+# regex and RE2-based SQL engines agree): word runs, digit runs, or a
+# single non-space-non-alnum symbol.
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def bpe_token_count(c: Column | str) -> Column:
+    """Approximate subword-budget token count: number of BPE-pre-tokenizer
+    matches (letter runs / digit runs / single symbols). A cheap,
+    deterministic proxy for LLM token budgeting over a 100 TB corpus —
+    pure JVM regex, no vocab lookup."""
+    return F.size(F.regexp_extract_all(_col(c), F.lit(BPE_PATTERN), F.lit(0)))
+
+
 def punct_ratio(c: Column | str) -> Column:
     """Fraction of characters that are not [a-z0-9 ] after lowering."""
     c = _col(c)

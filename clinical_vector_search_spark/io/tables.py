@@ -75,3 +75,53 @@ def build_bm25_index_table(
 def read_bm25_index(spark: SparkSession, path: str) -> DataFrame:
     """Scan a materialized BM25 postings index (S6 analog)."""
     return spark.read.parquet(path)
+
+
+def print_topk(
+    results: DataFrame,
+    text_col: str = "snippet",
+    limit: int = 50,
+) -> list[str]:
+    """S9: formatted stdout result sink (reference pipeline_mode.py:46-49:
+    ``[rank] score=… id=… | snippet``). Collects ≤ limit rows (top-k results
+    are tiny by construction) and returns the printed lines for testing."""
+    rows = results.orderBy("query_id", "rank").limit(limit).collect()
+    lines = []
+    for r in rows:
+        score = f"{r['score']:.4f}" if "score" in r.__fields__ else "-"
+        snip = r[text_col] if text_col in r.__fields__ else ""
+        lines.append(f"q={r['query_id']} [{r['rank']}] score={score} "
+                     f"id={r['doc_id']} | {snip}")
+    print("\n".join(lines))
+    return lines
+
+
+def plot_metrics(metric_table: DataFrame, out_dir: str) -> list[str]:
+    """S8: PNG plot sink for the evaluation metric table (reference
+    evaluation.py:353-398 bar charts). Driver-side matplotlib over the
+    collected (tiny) metric table; gated on matplotlib being installed —
+    returns the written paths, or [] with a message when unavailable."""
+    try:
+        import matplotlib  # noqa: F401
+    except ImportError:
+        print("plot_metrics: matplotlib not installed — skipping PNG sink")
+        return []
+    import os as _os
+
+    import matplotlib.pyplot as plt
+
+    pdf = metric_table.toPandas()
+    _os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for col in pdf.columns:
+        if col == "query_id" or pdf[col].dtype.kind not in "fi":
+            continue
+        fig, ax = plt.subplots()
+        ax.bar(pdf["query_id"].astype(str), pdf[col])
+        ax.set_xlabel("query")
+        ax.set_ylabel(col)
+        p = _os.path.join(out_dir, f"{col}.png")
+        fig.savefig(p)
+        plt.close(fig)
+        paths.append(p)
+    return paths

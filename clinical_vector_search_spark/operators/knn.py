@@ -187,6 +187,94 @@ def _knn_partial_topk(
     return _ranked(rescored, query_id, doc_id, k)
 
 
+def _centroid_dots(vec: str, dim: int, n_centroids: int) -> F.Column:
+    """Array of dot products against ``n_centroids`` deterministic LCG
+    centroids (salt 3333333 — independent of the projection and LSH
+    families). Centroid c, component i ~ U(-0.5, 0.5)."""
+    from clinical_vector_search_spark.functions.vector import (
+        LCG_M,
+        PROJ_A,
+        PROJ_C,
+    )
+
+    v = F.col(vec)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+        lambda c: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.element_at(v, i + 1).cast("double")
+            * (
+                F.pmod(
+                    F.lit(PROJ_A)
+                    * F.pmod(
+                        c.cast("long") * F.lit(dim) + i + F.lit(3333333),
+                        F.lit(LCG_M),
+                    )
+                    + F.lit(PROJ_C),
+                    F.lit(LCG_M),
+                ).cast("double")
+                / F.lit(float(LCG_M))
+                - F.lit(0.5)
+            ),
+        ),
+    )
+
+
+def knn_ivf(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    dim: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate kNN (the second scale path next to LSH).
+
+    Docs are assigned to their argmax-similarity centroid (one pass, one
+    shuffle on a ≤n_centroids-ary key); each query probes its top
+    ``n_probe`` centroids and scores only those partitions' docs. Recall
+    rises with n_probe (n_probe = n_centroids ⇒ exact). Deterministic LCG
+    centroids keep runs reproducible; a production variant would swap in
+    k-means centroids without changing the plan shape.
+    Contract: recall-vs-exact (like HNSW/LSH, SURVEY §7a), not id parity.
+    """
+    d_dots = _centroid_dots(doc_vec, dim, n_centroids)
+    d = docs.withColumn(
+        "cluster",
+        F.array_position(d_dots, F.array_max(d_dots)).cast("int") - 1,
+    ).select(doc_id, doc_vec, "cluster")
+
+    q_dots = _centroid_dots(query_vec, dim, n_centroids)
+    # top-n_probe centroid indices: sort (dot, idx) structs descending
+    probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    q_dots,
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda dot, i: F.struct(dot.alias("dot"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s["i"]))
+    ).select(query_id, query_vec, "cluster")
+
+    scored = d.join(q, "cluster").select(
+        query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
+    )
+    return _ranked(scored, query_id, doc_id, k)
+
+
 def knn_lsh(
     queries: DataFrame,
     docs: DataFrame,

@@ -45,6 +45,40 @@ def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     )
 
 
+def sliding_agg(
+    events: DataFrame, window_sec: int = 300, slide_sec: int = 60
+) -> DataFrame:
+    """Sliding-window counts/sums per event_type (batch twin of
+    ``F.window(ts, window, slide)``). Each event belongs to
+    window_sec/slide_sec overlapping windows; implemented as a JVM-side
+    sequence+explode fan-out (no shuffle until the final aggregation —
+    the same shape Structured Streaming uses internally).
+
+    window_sec must be a multiple of slide_sec. Window start exposed as
+    epoch seconds."""
+    assert window_sec % slide_sec == 0, "window must be a multiple of slide"
+    n_covering = window_sec // slide_sec
+    # last covering window starts at the event's slide bucket; first starts
+    # (n_covering-1) slides earlier — clamped at 0 for the epoch edge
+    slide_bucket = F.expr(f"ts_ns div {NS * slide_sec}")
+    starts = F.sequence(
+        F.greatest(
+            (slide_bucket - F.lit(n_covering - 1)) * F.lit(slide_sec),
+            F.lit(0),
+        ),
+        slide_bucket * F.lit(slide_sec),
+        F.lit(slide_sec),
+    )
+    return (
+        events.withColumn("window_start", F.explode(starts))
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     """Gap-based sessionization per user: a new session starts when the gap
     since the previous event exceeds ``gap_sec``. Classic lag + running-sum

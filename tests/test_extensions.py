@@ -1,0 +1,148 @@
+"""Tests for the scale-extension operators: sliding windows, BPE token
+counting, skew-salted aggregation, IVF approximate kNN, sinks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions import text as TXT
+from clinical_vector_search_spark.functions import vector as V
+from clinical_vector_search_spark.operators.knn import knn, knn_ivf
+from clinical_vector_search_spark.operators.skew import salted_count_sum
+from clinical_vector_search_spark.streaming.events import NS, sliding_agg
+
+
+def test_sliding_agg_covering_windows(spark):
+    # one event at t=600s: with 300s window / 60s slide it belongs to the
+    # 5 windows starting at 360..600
+    rows = [(1, 600 * NS, "a", 1.0)]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts_ns long, event_type string, value double"
+    )
+    out = sorted(r.window_start for r in sliding_agg(ev, 300, 60).collect())
+    assert out == [360, 420, 480, 540, 600]
+
+
+def test_sliding_agg_epoch_clamp(spark):
+    ev = spark.createDataFrame(
+        [(1, 0, "a", 1.0)], "event_id long, ts_ns long, event_type string, value double"
+    )
+    out = sorted(r.window_start for r in sliding_agg(ev, 300, 60).collect())
+    assert out == [0]  # no negative window starts
+
+
+def test_sliding_agg_totals_vs_tumbling(spark, sf_dir):
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        tumbling_agg,
+    )
+
+    ev = read_events(spark, sf_dir).limit(1000).cache()
+    n = ev.count()
+    slid = sliding_agg(ev, 300, 60)
+    # each event lands in exactly window/slide windows (away from epoch 0)
+    total = slid.agg(F.sum("n_events")).collect()[0][0]
+    assert total == n * 5
+    tumb = tumbling_agg(ev, 300).agg(F.sum("n_events")).collect()[0][0]
+    assert tumb == n
+
+
+def test_bpe_token_count_golden(spark):
+    rows = [
+        (0, "hello world"),        # 2
+        (1, "abc123def"),          # abc, 123, def = 3
+        (2, "a-b.c"),              # a, -, b, ., c = 5
+        (3, ""),                   # 0
+        (4, "x2!"),                # x, 2, ! = 3
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.n for r in df.select(
+        "doc_id", TXT.bpe_token_count("text").alias("n")).collect()}
+    assert got == {0: 2, 1: 3, 2: 5, 3: 0, 4: 3}
+
+
+def test_salted_agg_matches_plain(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    salted = {
+        r.event_type: (r.n_rows, round(r.sum_value, 6))
+        for r in salted_count_sum(ev, ["event_type"], "value", n_salts=8).collect()
+    }
+    plain = {
+        r.event_type: (r.n, round(r.s, 6))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert salted == plain
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize("embedding").alias("embedding"),
+        )
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def queries(corpus):
+    return corpus.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_ivf_self_match_and_recall(corpus, queries):
+    k = 10
+    exact = {(r.query_id, r.doc_id) for r in knn(queries, corpus, k).collect()}
+    approx = {
+        (r.query_id, r.doc_id)
+        for r in knn_ivf(queries, corpus, k, dim=64, n_centroids=16, n_probe=4).collect()
+    }
+    # self-match: query == doc → identical argmax centroid → same cluster
+    assert {(i, i) for i in range(5)} <= approx
+    assert len(exact & approx) / len(exact) > 0.1
+
+
+def test_ivf_full_probe_is_exact(corpus, queries):
+    k = 5
+    exact = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in knn(queries, corpus, k).collect()
+    )
+    full = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in knn_ivf(
+            queries, corpus, k, dim=64, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    assert exact == full
+
+
+def test_print_topk_sink(spark, sf_dir, capsys):
+    from clinical_vector_search_spark.io.tables import print_topk
+    from clinical_vector_search_spark.pipeline.modes import baseline_mode
+
+    res = baseline_mode(spark, sf_dir, k=2, n_queries=2)
+    lines = print_topk(res)
+    assert len(lines) == 4
+    assert lines[0].startswith("q=0 [1] score=1.0000")
+    assert capsys.readouterr().out.count("\n") >= 3
+
+
+def test_plot_metrics_gated(spark, tmp_path):
+    from clinical_vector_search_spark.io.tables import plot_metrics
+
+    t = spark.createDataFrame([(1, 0.5)], "query_id long, recall double")
+    paths = plot_metrics(t, str(tmp_path / "plots"))
+    try:
+        import matplotlib  # noqa: F401
+
+        assert paths  # matplotlib present → PNGs written
+    except ImportError:
+        assert paths == []  # gated cleanly
