@@ -105,6 +105,37 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def streaming_user_totals(events_stream: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running (n_events, sum_value) maintained in keyed state and
+    re-emitted on every update.
+
+    The canonical shape for operators Structured Streaming lacks built-in
+    (custom sessionization, decayed counters, online sketches): state is a
+    typed tuple per key, updates arrive as Arrow batches, output mode
+    Update. Input must be a STREAMING DataFrame with (user_id, value)."""
+    import pandas as pd  # local import keeps module import light
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, sum_value double"
+    state_schema = "n long, s double"
+
+    def fn(key, pdfs, state):
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def streaming_tumbling_counts(
     spark: SparkSession, events: DataFrame, window_sec: int = 300
 ):

@@ -58,6 +58,42 @@ def test_read_events_real_data(spark, sf_dir):
     assert ev.count() > 0
 
 
+def test_streaming_user_totals_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState keyed running totals: after an availableNow
+    replay, the latest emitted row per user must equal the batch totals."""
+    from clinical_vector_search_spark.streaming.events import (
+        streaming_user_totals,
+    )
+
+    src = str(tmp_path / "state_src")
+    ev = read_events(spark, sf_dir).select("user_id", "value").limit(3000).cache()
+    ev.write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_user_totals(stream_in)
+        .writeStream.format("memory")
+        .queryName("user_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.n_events, round(r.sum_value, 6))
+        for r in spark.sql("SELECT * FROM user_totals_test").collect()
+    }  # update mode with one replay batch → one row per user
+    expect = {
+        r.user_id: (r.n, round(r.s, 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+        .collect()
+    }
+    assert got == expect
+
+
 def test_streaming_tumbling_counts(spark, sf_dir, tmp_path):
     """True Structured Streaming: file source → watermark+window → memory
     sink, availableNow trigger; totals must match the batch twin."""

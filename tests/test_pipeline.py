@@ -21,6 +21,54 @@ from clinical_vector_search_spark.pipeline.evaluate import (
 from clinical_vector_search_spark.pipeline.modes import baseline_mode, rag_mode
 
 
+def test_csv_multiline_roundtrip(spark, tmp_path):
+    """S1 semantics: header CSV with quoted multi-line fields (the
+    MTSamples shape — transcriptions contain newlines inside quotes)."""
+    import csv
+
+    from clinical_vector_search_spark.pipeline.documents import read_csv
+
+    p = tmp_path / "docs.csv"
+    rows = [
+        {"Name": "A", "transcription": "line one\nline two, with comma"},
+        {"Name": "B", "transcription": 'quote " inside'},
+    ]
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=["Name", "transcription"])
+        w.writeheader()
+        w.writerows(rows)
+    df = read_csv(spark, str(p))
+    got = {r.Name: r.transcription for r in df.collect()}
+    assert got["A"] == "line one\nline two, with comma"
+    assert got["B"] == 'quote " inside'
+
+
+def test_load_mtsamples_full_path(spark, tmp_path):
+    """P1+P7+P2-P6 composed over a synthetic MTSamples-shaped CSV."""
+    import csv
+
+    from clinical_vector_search_spark.pipeline.documents import load_mtsamples
+
+    p = tmp_path / "mts.csv"
+    cols = ["Name", "Gender", "Age", "City", "medical_specialty",
+            "transcription"]
+    with open(p, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=cols)
+        w.writeheader()
+        w.writerow({"Name": "n1", "Gender": "F", "Age": "40", "City": "X",
+                    "medical_specialty": "Cardio", "transcription": "t  one"})
+        w.writerow({"Name": "n2", "Gender": "M", "Age": "50", "City": "Y",
+                    "medical_specialty": None, "transcription": "t one"})
+        w.writerow({"Name": "n3", "Gender": "F", "Age": "60", "City": "Z",
+                    "medical_specialty": "Cardio", "transcription": None})
+    out = load_mtsamples(spark, str(p)).collect()
+    # row 3 null-dropped; rows 1-2 differ after specialty concat (one has
+    # 'Cardio, ', the other not) so both survive dedup
+    texts = sorted(r.text for r in out)
+    assert texts == ["Cardio, t one", "t one"]
+    assert all(r.doc_id is not None for r in out)
+
+
 def test_clean_documents_dedup_and_ids(spark):
     rows = [
         ("same  text\r\nhere", "en"),
