@@ -453,9 +453,11 @@ def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase skew-salted aggregation — exact, salt-independent."""
     from clinical_vector_search_spark.operators.skew import salted_count_sum
 
+    # 2dp: each group sums ~20k doubles, so reassociation error (~1e-9)
+    # must stay far from the rounding spacing for cross-engine stability
     s = salted_count_sum(_events(spark, sf_dir), ["event_type"], "value")
     return s.select(
-        "event_type", "n_rows", F.round("sum_value", 6).alias("sum_value")
+        "event_type", "n_rows", F.round("sum_value", 2).alias("sum_value")
     )
 
 
@@ -949,7 +951,7 @@ def oracle_sql() -> dict[str, str]:
 
     s["salted_agg"] = """
         SELECT event_type, count(*) AS n_rows,
-               round(sum(value), 6) AS sum_value
+               round(sum(value), 2) AS sum_value
         FROM events GROUP BY event_type
     """
 

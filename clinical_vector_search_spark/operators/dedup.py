@@ -134,9 +134,16 @@ def minhash_candidate_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup candidate pairs (a_id < b_id) from MinHash LSH banding."""
+    """Near-dup candidate pairs (a_id < b_id) from MinHash LSH banding.
+
+    The bucket table is cached before the self-join: Spark does not reuse
+    exchanges across self-join sides (re-resolved exprIds break canonical
+    equality), so an uncached plan would run the whole scan→shingle→hash
+    pipeline twice. The cached frame is tiny — (doc_id, band, bucket-hash)
+    per band, never document bodies; at 100 TB you persist it as a table
+    (same "index = data" pattern as the vector/BM25 indexes)."""
     sigs = minhash_signatures(df, num_hashes, shingle_size, text_col, id_col)
-    buckets = minhash_band_buckets(sigs, rows_per_band, id_col)
+    buckets = minhash_band_buckets(sigs, rows_per_band, id_col).cache()
     a = buckets.select(
         F.col("band"), F.col("bucket"), F.col(id_col).alias("a_id")
     )
@@ -164,6 +171,9 @@ def ngram_jaccard_pairs(
     Postings self-join on shingle → common count; |A|,|B| joined back;
     J = common / (|A| + |B| - common). ``df_cap`` drops shingles appearing
     in more than df_cap docs (stopword-shingle skew guard at scale)."""
+    # cached: the postings frame feeds sizes + both self-join sides — an
+    # uncached plan would re-derive scan→tokenize→shingle 3× (no cross-side
+    # exchange reuse in Spark); rows are (doc_id, shingle) only
     sh = df.select(
         F.col(id_col).alias("doc"),
         F.explode(TXT.shingles(TXT.tokenize(text_col), shingle_size)).alias(
@@ -175,6 +185,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(freq.filter(F.col("sdf") <= df_cap), "shingle").select(
             "doc", "shingle"
         )
+    sh = sh.cache()
     sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
     a = sh.select(F.col("doc").alias("a_id"), "shingle")
     b = sh.select(F.col("doc").alias("b_id"), "shingle")
@@ -259,9 +270,11 @@ def embedding_neardup_pairs(
     base = df.select(F.col(id_col), F.col(vec_col))
     if use_lsh:
         assert dim is not None
+        # cached: the hyperplane-dot bucketing is O(n_planes·dim) per row
+        # and feeds both self-join sides (no cross-side exchange reuse)
         base = base.withColumn(
             "bucket", V.hyperplane_sign_bucket(vec_col, dim, n_planes)
-        )
+        ).cache()
         join_cond = ["bucket"]
         a = base.select(
             *join_cond, F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
