@@ -204,6 +204,7 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             TXT.lang_score(toks, lang).cast("long").alias(f"hits_{lang}")
             for lang in ("en", "es", "de", "fr")
         ],
+        TXT.lang_id(toks).alias("lang_pred"),
     )
 
 
@@ -762,14 +763,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {_MD5L.format(x="text")} AS fp FROM documents
     """
 
+    hit = (
+        "len(list_filter(tokens, x -> list_contains({m}, x)))::BIGINT"
+    )
+    _h = {
+        lang: hit.format(m=_lang_markers_sql(lang))
+        for lang in ("de", "en", "es", "fr", "zh")
+    }
     s["text_lang_id"] = f"""
-        WITH toks AS ({_TOKS})
-        SELECT doc_id,
-               len(list_filter(tokens, x -> list_contains({_lang_markers_sql("en")}, x)))::BIGINT AS hits_en,
-               len(list_filter(tokens, x -> list_contains({_lang_markers_sql("es")}, x)))::BIGINT AS hits_es,
-               len(list_filter(tokens, x -> list_contains({_lang_markers_sql("de")}, x)))::BIGINT AS hits_de,
-               len(list_filter(tokens, x -> list_contains({_lang_markers_sql("fr")}, x)))::BIGINT AS hits_fr
-        FROM toks
+        WITH toks AS ({_TOKS}),
+        h AS (SELECT doc_id,
+                     {_h["en"]} AS hits_en, {_h["es"]} AS hits_es,
+                     {_h["de"]} AS hits_de, {_h["fr"]} AS hits_fr,
+                     {_h["zh"]} AS hits_zh
+              FROM toks)
+        SELECT doc_id, hits_en, hits_es, hits_de, hits_fr,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0
+                        THEN 'und'
+                    WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+                    WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+                    WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+                    WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+        FROM h
     """
 
     s["vec_norm_checkpoints"] = f"""

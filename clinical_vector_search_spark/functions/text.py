@@ -153,3 +153,21 @@ def lang_score(tokens: Column | str, lang: str) -> Column:
     tokens = _col(tokens)
     markers = F.array(*[F.lit(w) for w in LANG_MARKERS[lang]])
     return F.size(F.filter(tokens, lambda t: F.array_contains(markers, t)))
+
+
+def lang_id(tokens: Column | str) -> Column:
+    """Language-ID heuristic: the language whose marker lexicon matches the
+    most tokens; 'und' (undetermined) when nothing matches. Ties break by
+    language code ascending (deterministic, SQL-expressible)."""
+    tokens = _col(tokens)
+    langs = sorted(LANG_MARKERS)
+    best_lang = F.lit("und")
+    best_n = F.lit(0)
+    # fold in reverse-sorted order so earlier (ascending) languages win ties
+    for lang in reversed(langs):
+        n = lang_score(tokens, lang)
+        best_lang = F.when(n >= F.greatest(best_n, F.lit(1)), F.lit(lang)).otherwise(
+            best_lang
+        )
+        best_n = F.greatest(best_n, n)
+    return best_lang

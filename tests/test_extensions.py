@@ -124,6 +124,40 @@ def test_ivf_full_probe_is_exact(corpus, queries):
     assert exact == full
 
 
+def test_lang_id_argmax_and_ties(spark):
+    rows = [
+        (0, "the cat and the dog is here"),     # en
+        (1, "el perro de la casa que ladra y"), # es
+        (2, "xyz qqq www"),                     # no markers -> und
+        (3, "the la"),                          # tie en(1)/es(1)/fr(1: la) -> alphabetical...
+        (4, "der die und das ist"),             # de
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.p for r in df.select(
+        "doc_id", TXT.lang_id(TXT.tokenize("text")).alias("p")).collect()}
+    assert got[0] == "en"
+    assert got[1] == "es"
+    assert got[2] == "und"
+    # 'the'→en(1), 'la'→es(1) and fr(1): three-way tie → 'en' (ascending)
+    assert got[3] == "en"
+    assert got[4] == "de"
+
+
+def test_resize_images_stub(spark):
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"imgbytes")), (2, bytearray(b"x"))],
+        "media_id long, content binary",
+    )
+    out = {r.media_id: (bytes(r.content), r.width, r.height)
+           for r in resize_images(df, 64, 48).collect()}
+    assert out[1] == (b"imgbytes", 64, 48)
+    assert out[2] == (b"x", 64, 48)
+
+
 def test_print_topk_sink(spark, sf_dir, capsys):
     from clinical_vector_search_spark.io.tables import print_topk
     from clinical_vector_search_spark.pipeline.modes import baseline_mode
