@@ -561,8 +561,9 @@ def q_rag_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """V5 analog: hyperplane-LSH bucketed approximate kNN. Contract is
-    recall-vs-exact (tested in tests/), not id parity — rows-only here."""
+    """V5 analog: hyperplane-LSH bucketed approximate kNN. The recall
+    CONTRACT is tested in tests/; the pipeline itself is deterministic
+    (LCG hyperplanes) so its output is oracle-checked too."""
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import knn_lsh
 
@@ -1080,9 +1081,37 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= 5
     """
 
-    # evaluation_table, rag_hybrid_mmr, knn_lsh, multimodal_features:
-    # intentionally omitted —
-    # sequential greedy loop / recall-contract / engine-defined fake features
-    # are not SQL-expressible; the driver records rows-only checks and the
-    # pytest suite covers their semantics.
+    # knn_lsh oracle: same deterministic hyperplane family as
+    # functions.vector.hyperplane_sign_bucket (salt 7777777), buckets over
+    # NORMALIZED vectors, join-per-bucket, windowed top-k
+    plane_w = (
+        "(((22695477 * ((p * 64 + i + 7777777) % 2147483648) + 1)"
+        " % 2147483648) / 2147483648.0 - 0.5)"
+    )
+    plane_dot = f"list_sum([nv[i + 1] * {plane_w} FOR i IN range(0, 64)])"
+    bucket = (
+        f"list_sum([CASE WHEN {plane_dot} >= 0"
+        f" THEN (2 ** p)::BIGINT ELSE 0 END FOR p IN range(0, 4)])"
+    )
+    s["knn_lsh"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        b AS (SELECT doc_id, nv, {bucket} AS bucket FROM n),
+        q AS (SELECT doc_id AS query_id, nv AS qv, bucket FROM b
+              WHERE doc_id < {KNN_NQ}),
+        sc AS (SELECT q.query_id, b.doc_id,
+                      list_dot_product(q.qv, b.nv) AS score
+               FROM b JOIN q USING (bucket)),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, doc_id, round(score, 6) AS score
+        FROM r WHERE rank <= {KNN_K}
+    """
+
+    # evaluation_table, rag_hybrid_mmr, multimodal_features: intentionally
+    # omitted — wall-clock latency / sequential greedy loop / engine-defined
+    # fake features are not SQL-expressible; the driver records rows-only
+    # checks and the pytest suite covers their semantics.
     return s

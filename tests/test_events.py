@@ -58,6 +58,65 @@ def test_read_events_real_data(spark, sf_dir):
     assert ev.count() > 0
 
 
+def test_streaming_watermark_advances_across_batches(spark, tmp_path):
+    """Watermark semantics across micro-batches (maxFilesPerTrigger=1):
+    the watermark advances to max-event-time − delay after batch 1, and
+    on-time windows aggregate correctly. (Late-data DROPPING is explicitly
+    best-effort in Spark — state not yet evicted may still absorb late
+    rows — so this asserts the guaranteed part: watermark progression.)"""
+    import time as _time
+
+    from clinical_vector_search_spark.streaming.events import (
+        streaming_tumbling_counts,
+    )
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    t0 = 1_700_000_000
+    base = spark.createDataFrame(
+        [(1, t0 * NS, "a", 1.0), (2, (t0 + 2 * 3600) * NS, "a", 1.0)],
+        "event_id long, ts_ns long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    late = spark.createDataFrame(
+        [(3, (t0 - 2 * 3600) * NS, "a", 1.0)],
+        "event_id long, ts_ns long, event_type string, value double",
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    base.coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    _time.sleep(1.1)  # file mod-time orders the micro-batches
+    late.coalesce(1).write.mode("overwrite").parquet(str(src / "f2"))
+
+    stream_in = (
+        spark.readStream.schema(base.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    q = (
+        streaming_tumbling_counts(spark, stream_in, window_sec=300)
+        .writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    assert len(progress) >= 2  # two micro-batches (one file each)
+    # after batch 0 (max event time t0+2h), batch 1 runs with watermark
+    # t0+2h − 1h = t0+1h
+    import datetime as _dt
+
+    wm = progress[-1]["eventTime"].get("watermark")
+    wm_ts = _dt.datetime.fromisoformat(wm.replace("Z", "+00:00")).timestamp()
+    assert int(wm_ts) == t0 + 3600
+    rows = spark.sql("SELECT window, n_events FROM late_test").collect()
+    counts = {int(r.window.start.timestamp()): r.n_events for r in rows}
+    # on-time windows correct regardless of late-row fate
+    assert counts[(t0 // 300) * 300] == 1
+    assert counts[((t0 + 7200) // 300) * 300] == 1
+
+
 def test_streaming_user_totals_stateful(spark, sf_dir, tmp_path):
     """applyInPandasWithState keyed running totals: after an availableNow
     replay, the latest emitted row per user must equal the batch totals."""
