@@ -63,13 +63,20 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
-    # session warmup outside the timed region: JVM/codegen/Python-worker
-    # spin-up and parquet footer reads are fixed per-session costs, not
-    # query costs — exercise each expression family once on 2 rows so
-    # Janino class compilation doesn't land in whichever query runs first
+    # Session warmup outside the timed region: JVM/codegen/Python-worker
+    # spin-up, parquet footer reads, AND JIT (C2) compilation of the
+    # interpreted higher-order-function eval paths are fixed per-session
+    # costs, not query costs. The HOF expressions (zip_with/aggregate/
+    # transform) are CodegenFallback — their interpreted eval needs tens of
+    # thousands of invocations before HotSpot compiles it, so a 2-row
+    # warmup leaves a measured ~10s first-query penalty. Exercise each
+    # expression family over ~40k rows so the timed queries run hot
+    # (at 100 TB a long-lived executor JVM is always hot).
     docs.count()
     spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     import pandas as _pd
+
+    from pyspark.sql import Window as _W
 
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.pipeline.embedding import hash_embed as _he
@@ -77,17 +84,28 @@ def main() -> None:
     spark.createDataFrame(_pd.DataFrame({"x": [1.0]})).mapInPandas(
         lambda it: it, "x double"
     ).count()
-    _tiny = spark.createDataFrame(
-        [(0, "warm up text", [0.1, 0.2]), (1, "more text", [0.3, 0.4])],
-        "doc_id long, text string, v array<double>",
+
+    def _noop(df):
+        df.write.format("noop").mode("overwrite").save()
+
+    _warm = spark.range(40000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tok"), (F.col("id") % 997).cast("string"),
+                 F.lit(" word "), (F.col("id") % 31).cast("string")).alias("text"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: ((F.col("id") % 7) + i).cast("double"),
+        ).alias("v"),
     )
-    _he(_tiny, 4).count()
-    _tiny.select(
-        V.dot("v", "v"),
-        V.l2_normalize("v"),
-        V.add_noise("v", "doc_id", 0.1, 2),
-        V.random_projection("v", 2, 2),
-    ).count()
+    _wn = _warm.select("doc_id", V.l2_normalize("v").alias("v"))
+    _noop(_wn.select(
+        V.dot("v", "v").alias("s"),
+        V.add_noise("v", "doc_id", 0.1, 16).alias("n"),
+        V.random_projection("v", 16, 4).alias("p"),
+    ))
+    _w = _W.partitionBy(F.col("doc_id") % 100).orderBy(F.desc("doc_id"))
+    _noop(_warm.select(F.row_number().over(_w).alias("r")).filter(F.col("r") <= 5))
+    _he(_warm, 8).count()  # tokenize/explode/groupBy/map_from_entries family
 
     def bench_baseline():
         return baseline_mode(spark, sf_dir, k=10, n_queries=10)
