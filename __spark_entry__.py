@@ -600,6 +600,88 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(feats, "media_id")
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'click' event gets the most recent same-user
+    'view' event at or before it (union-merge plan, one shuffle)."""
+    from clinical_vector_search_spark.operators.temporal import asof_join
+
+    # µs-truncated integer time on BOTH engines: DuckDB's parquet view
+    # truncates timestamp[ns] to µs, so ns-exact comparison is impossible
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=("event_id", "value"), right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_ts").alias("view_ts_us"),
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: follow-up events within 1h after each same-user error
+    event (bin-bucketed equi-join, no per-key cross product), rolled up
+    to per-error counts."""
+    from clinical_vector_search_spark.operators.temporal import range_join
+
+    # µs domain for oracle exactness (see q_events_asof_join)
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts_us"
+    )
+    pairs = range_join(
+        errors, ev, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        max_delta=3600 * 1_000_000,
+    )
+    return pairs.groupBy(F.col("l_id").alias("error_event_id")).agg(
+        F.count("*").alias("n_followups"),
+        F.min("delta").alias("min_delta_us"),
+    )
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props column: JSON field extraction + typed agg
+    (the training-data-pipeline staple for metadata sidecars)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )
+
+
+def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (§2.6): customers with no URGENT-priority orders,
+    counted per segment."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 6).alias("avg_acctbal"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rel_pricing_summary": q_rel_pricing_summary,
@@ -640,6 +722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_lsh": q_knn_lsh,
         "multimodal_features": q_multimodal_features,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "rel_cust_no_orders": q_rel_cust_no_orders,
     }
 
 
@@ -987,6 +1073,57 @@ def oracle_sql() -> dict[str, str]:
                max(ts_ns) // 1000 AS session_end_us,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
+    """
+
+    s["events_asof_join"] = """
+        WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+                        FROM events WHERE event_type = 'click'),
+        views AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+                  FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us,
+               v.ts_us AS view_ts_us,
+               v.event_id AS view_event_id,
+               round(v.value, 6) AS view_value
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT * FROM views v
+            WHERE v.user_id = c.user_id AND v.ts_us <= c.ts_us
+            ORDER BY v.ts_us DESC, v.event_id DESC LIMIT 1
+        ) v ON TRUE
+    """
+
+    s["events_range_join"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                          event_type FROM events)
+        SELECT err.event_id AS error_event_id,
+               count(*) AS n_followups,
+               min(b.ts_us - err.ts_us) AS min_delta_us
+        FROM (SELECT * FROM e WHERE event_type = 'error') err
+        JOIN e b ON b.user_id = err.user_id
+                AND b.ts_us - err.ts_us > 0
+                AND b.ts_us - err.ts_us <= 3600000000
+        GROUP BY err.event_id
+    """
+
+    s["events_json_extract"] = """
+        SELECT event_type,
+               count(k) AS n_with_k,
+               CAST(sum(k) AS BIGINT) AS sum_k,
+               round(avg(k), 6) AS avg_k
+        FROM (SELECT event_type,
+                     CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+              FROM events)
+        GROUP BY event_type
+    """
+
+    s["rel_cust_no_orders"] = """
+        SELECT c_mktsegment,
+               count(*) AS n_customers,
+               round(avg(c_acctbal), 6) AS avg_acctbal
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
     """
 
     from clinical_vector_search_spark.operators.dedup import (

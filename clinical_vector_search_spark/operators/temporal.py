@@ -1,0 +1,178 @@
+"""Temporal join operators: as-of join and range join.
+
+The reference has no temporal joins (SURVEY.md §2.6: no relational joins at
+all), but a training-data event pipeline needs them constantly — "most
+recent feature snapshot as of this label's timestamp", "events within N
+seconds of an anchor". Spark has no built-in ASOF JOIN, and a naive theta
+join (``l.ts >= r.ts``) degenerates to a per-key cross product; both
+operators here are compositions of shuffle-friendly primitives:
+
+* :func:`asof_join` — the union-merge shape: tag both sides, sort each key
+  partition once by (ts, side), and carry the latest right-side payload
+  forward with ``last(..., ignorenulls)``. ONE shuffle on the join key,
+  O(n log n) per key, no replication — the same plan a dedicated ASOF
+  physical operator would produce.
+
+* :func:`range_join` — the bin-bucket shape: hash the right side to fixed
+  time bins, explode the left side only to the bins its window overlaps
+  (⌈span/bin⌉+1 rows), equi-join on (key, bin), then apply the exact range
+  predicate. Turns an unbounded inequality join into a bounded equi-join —
+  the standard trick Spark's own range-join hints (Databricks) and
+  KDB/QuestDB interval engines use.
+
+Both are oracle-checked against DuckDB (correlated-subquery / inequality
+join formulations) in ``__spark_entry__``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts_ns",
+    right_ts: str = "ts_ns",
+    right_cols: tuple[str, ...] = ("value",),
+    right_tiebreak: str | None = None,
+    tolerance: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` for the same ``on`` key (inclusive match).
+
+    Output: all left columns + ``{prefix}ts`` (matched right timestamp,
+    null when no match) + ``{prefix}{c}`` for each of ``right_cols``.
+
+    ``right_tiebreak`` breaks equal-timestamp ties deterministically (the
+    greatest tiebreak value wins — matching the oracle's
+    ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``); ``tolerance`` (same unit
+    as the ts columns) nulls matches older than ``left.ts - tolerance``.
+
+    Plan shape: union of the two tagged sides → one shuffle on ``on`` →
+    per-key sort by (ts, side, tiebreak) → running ``last(payload)
+    ignorenulls`` → filter back to left rows. Right rows sort BEFORE left
+    rows at equal ts, making the match inclusive.
+    """
+    payload_fields = [F.col(c).alias(c) for c in right_cols]
+    tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
+    r = right.select(
+        F.col(on),
+        F.col(right_ts).cast("long").alias("_ts"),
+        F.lit(0).alias("_side"),
+        tb.cast("long").alias("_tb"),
+        F.struct(
+            F.col(right_ts).cast("long").alias("_matched_ts"), *payload_fields
+        ).alias("_payload"),
+    )
+    l_cols = left.columns
+    l = left.select(
+        *l_cols,
+        F.col(left_ts).cast("long").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(0).cast("long").alias("_tb"),
+        F.lit(None)
+        .cast(r.schema["_payload"].dataType)
+        .alias("_payload"),
+    )
+    merged = l.select(
+        F.col(on), "_ts", "_side", "_tb", "_payload",
+        F.struct(*[F.col(c) for c in l_cols]).alias("_l"),
+    ).unionByName(
+        r.select(
+            F.col(on), "_ts", "_side", "_tb", "_payload",
+            F.lit(None).cast(
+                l.select(F.struct(*[F.col(c) for c in l_cols]).alias("_l"))
+                .schema["_l"].dataType
+            ).alias("_l"),
+        )
+    )
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = (
+        merged.withColumn("_m", F.last("_payload", ignorenulls=True).over(w))
+        .filter(F.col("_side") == 1)
+    )
+    m_ts = F.col("_m._matched_ts")
+    if tolerance is not None:
+        in_range = m_ts >= (F.col("_ts") - F.lit(tolerance))
+        get = lambda c: F.when(in_range, F.col(f"_m.{c}"))  # noqa: E731
+        m_ts = F.when(in_range, m_ts)
+    else:
+        get = lambda c: F.col(f"_m.{c}")  # noqa: E731
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in l_cols],
+        m_ts.alias(f"{prefix}ts"),
+        *[get(c).alias(f"{prefix}{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    left_ts: str = "ts_ns",
+    right_ts: str = "ts_ns",
+    max_delta: int = 0,
+    min_delta: int = 0,
+    bin_width: int | None = None,
+) -> DataFrame:
+    """All pairs (left row, right row) with the same ``on`` key and
+    ``min_delta < right.ts - left.ts <= max_delta`` (strict lower bound:
+    a row never range-joins itself at delta 0).
+
+    Output: (on, l_id, r_id, delta) with delta = right.ts - left.ts.
+
+    Plan shape: the right side lands in fixed-width time bins
+    (``right.ts div bin_width`` — exactly one bin per row, so no pair is
+    produced twice); the left side explodes only to the bins its target
+    window ``(l.ts+min_delta, l.ts+max_delta]`` can overlap. The
+    inequality predicate then runs AFTER an equi-join on (key, bin) — a
+    bounded shuffle join instead of a per-key cross product. bin_width
+    defaults to the window span; fan-out per left row is
+    span/bin_width + 1 rows.
+    """
+    assert max_delta > min_delta, "empty range"
+    span = max_delta - min_delta
+    if bin_width is None:
+        bin_width = span
+
+    # integer div throughout — double division is inexact past 2^53 and
+    # epoch-ns values are ~1.7e18 (same pitfall as streaming/events.py)
+    r = right.select(
+        F.col(on),
+        F.col(right_id).alias("r_id"),
+        F.col(right_ts).cast("long").alias("r_ts"),
+    ).withColumn("_bin", F.expr(f"r_ts div {bin_width}"))
+    # probe every bin the window (l_ts+min_delta, l_ts+max_delta] can touch;
+    # per-row span/bin_width + 1 (or +2 at unlucky alignment) rows
+    l = (
+        left.select(
+            F.col(on),
+            F.col(left_id).alias("l_id"),
+            F.col(left_ts).cast("long").alias("l_ts"),
+        )
+        .withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(l_ts + {min_delta}) div {bin_width}"),
+                    F.expr(f"(l_ts + {max_delta}) div {bin_width}"),
+                )
+            ),
+        )
+    )
+    delta = F.col("r_ts") - F.col("l_ts")
+    return (
+        l.join(r, [on, "_bin"])
+        .filter((delta > F.lit(min_delta)) & (delta <= F.lit(max_delta)))
+        .select(on, "l_id", "r_id", delta.alias("delta"))
+    )

@@ -1,0 +1,140 @@
+"""Temporal join operators: as-of join and range join vs brute force."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.operators.temporal import asof_join, range_join
+
+
+@pytest.fixture(scope="module")
+def sides(spark):
+    # left: (key, ts); right: (key, ts, value) with equal-ts ties and a
+    # key that has no right rows at all
+    left = spark.createDataFrame(
+        [
+            (1, 100, "a"),
+            (1, 205, "b"),
+            (1, 300, "c"),
+            (2, 50, "d"),
+            (2, 400, "e"),
+            (3, 999, "f"),  # key with no right rows
+        ],
+        "user_id long, ts_ns long, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, 100, 10, 1.0),   # equal-ts match (inclusive)
+            (1, 100, 11, 2.0),   # tie on ts -> greatest tiebreak (11) wins
+            (1, 200, 12, 3.0),
+            (1, 250, 13, 4.0),
+            (2, 60, 14, 5.0),    # after left's ts=50 -> no match for 'd'
+        ],
+        "user_id long, ts_ns long, rid long, value double",
+    )
+    return left, right
+
+
+def brute_asof(left_rows, right_rows, tolerance=None):
+    out = {}
+    for k, lts, tag in left_rows:
+        cands = [
+            r for r in right_rows
+            if r[0] == k and r[1] <= lts
+            and (tolerance is None or r[1] >= lts - tolerance)
+        ]
+        if cands:
+            best = max(cands, key=lambda r: (r[1], r[2]))
+            out[(k, lts)] = (best[1], best[2], best[3])
+        else:
+            out[(k, lts)] = (None, None, None)
+    return out
+
+
+def test_asof_matches_brute_force(spark, sides):
+    left, right = sides
+    got = asof_join(
+        left, right, on="user_id",
+        right_cols=("rid", "value"), right_tiebreak="rid",
+    ).collect()
+    want = brute_asof(
+        [(r.user_id, r.ts_ns, r.tag) for r in left.collect()],
+        [(r.user_id, r.ts_ns, r.rid, r.value) for r in right.collect()],
+    )
+    assert len(got) == left.count()
+    for row in got:
+        w_ts, w_rid, w_val = want[(row.user_id, row.ts_ns)]
+        assert (row.asof_ts, row.asof_rid, row.asof_value) == (w_ts, w_rid, w_val), row
+
+
+def test_asof_keeps_all_left_columns(spark, sides):
+    left, right = sides
+    out = asof_join(left, right, on="user_id", right_cols=("value",))
+    assert set(out.columns) == {"user_id", "ts_ns", "tag", "asof_ts", "asof_value"}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, sides):
+    left, right = sides
+    # tolerance 60: left (1, 300) matched right ts=250 (age 50, kept);
+    # left (2, 400) matched right ts=60 (age 340, nulled)
+    got = {
+        (r.user_id, r.ts_ns): (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, on="user_id",
+            right_cols=("value",), right_tiebreak="rid", tolerance=60,
+        ).collect()
+    }
+    assert got[(1, 300)] == (250, 4.0)
+    assert got[(2, 400)] == (None, None)
+    assert got[(3, 999)] == (None, None)
+
+
+def test_asof_equal_ts_is_inclusive_and_tiebroken(spark, sides):
+    left, right = sides
+    got = {
+        (r.user_id, r.ts_ns): (r.asof_ts, r.asof_rid)
+        for r in asof_join(
+            left, right, on="user_id",
+            right_cols=("rid",), right_tiebreak="rid",
+        ).collect()
+    }
+    # left (1,100): right rows at the SAME ts are eligible; rid 11 > 10 wins
+    assert got[(1, 100)] == (100, 11)
+
+
+@pytest.mark.parametrize("bin_width", [None, 7, 100, 1000])
+def test_range_join_matches_brute_force(spark, bin_width):
+    rows = [(k, i, 13 * i % 97 + 100 * k) for k in (1, 2) for i in range(40)]
+    df = spark.createDataFrame(
+        [(k, eid, ts) for (k, eid, ts) in rows],
+        "user_id long, event_id long, ts_ns long",
+    )
+    lo, hi = 0, 25
+    got = {
+        (r.user_id, r.l_id, r.r_id, r.delta)
+        for r in range_join(
+            df, df, on="user_id", min_delta=lo, max_delta=hi,
+            bin_width=bin_width,
+        ).collect()
+    }
+    want = {
+        (ka, a, b, tb - ta)
+        for (ka, a, ta) in rows
+        for (kb, b, tb) in rows
+        if ka == kb and lo < tb - ta <= hi
+    }
+    assert got == want
+
+
+def test_range_join_no_self_pairs_at_delta_zero(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 100), (1, 2, 100), (1, 3, 150)],
+        "user_id long, event_id long, ts_ns long",
+    )
+    got = {
+        (r.l_id, r.r_id, r.delta)
+        for r in range_join(df, df, on="user_id", max_delta=50).collect()
+    }
+    # delta 0 pairs (1,2),(2,1),(1,1)... excluded; only the +50 pairs remain
+    assert got == {(1, 3, 50), (2, 3, 50)}
