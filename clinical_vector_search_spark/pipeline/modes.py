@@ -21,8 +21,19 @@ from clinical_vector_search_spark.pipeline.embedding import hash_embed
 from clinical_vector_search_spark.pipeline.rag import rag_pipeline
 
 
-def load_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """documents + normalized embeddings (doc_id-keyed) from testdata."""
+def load_corpus(
+    spark: SparkSession, sf_dir: str, cache: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """documents + normalized embeddings (doc_id-keyed) from testdata.
+
+    The normalized corpus is cached by default: every mode reads it at
+    least twice (query side + index side), and "the index is built once
+    and queried many times" is the reference's own lifecycle (FAISS file,
+    pipeline.py:134). Spark's CacheManager dedups by canonicalized plan,
+    so repeated mode calls share one materialization. At 100 TB the same
+    role is played by persisting the normalized table (io.tables.
+    build_vector_index); cache=False opts out for one-shot scans.
+    """
     docs = read_table(spark, sf_dir, "documents")
     vecs = (
         read_table(spark, sf_dir, "embeddings")
@@ -31,6 +42,8 @@ def load_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
             V.l2_normalize("embedding").alias("embedding"),
         )
     )
+    if cache:
+        vecs = vecs.cache()
     return docs, vecs
 
 
@@ -71,7 +84,7 @@ def embed_mode(
     """Text→vector→kNN end-to-end: hash-embed the documents table (V1
     fallback encoder), then self-query the first n docs' embeddings."""
     docs = read_table(spark, sf_dir, "documents")
-    vecs = hash_embed(docs, dim)  # normalized
+    vecs = hash_embed(docs, dim).cache()  # normalized; read by both kNN sides
     queries = vecs.filter(F.col("doc_id") < n_queries).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
@@ -98,9 +111,12 @@ def dp_mode(
         attr_vecs.select("doc_id", F.col("embedding").alias("attr_vec")),
         "doc_id",
     )
+    # cached: the noised index is the reusable artifact (built once,
+    # queried per query set — reference builds its DP FAISS index once,
+    # pipeline_mode.py:87-91); kNN's rescore join reads it twice
     dp_index = build_dp_index(
         joined, "embedding", "attr_vec", "doc_id", sigma=sigma, dim=attr_dim
-    )
+    ).cache()
     queries = make_queries(vecs, n_queries)
     dp_q = dp_query_vec(queries, "query_vec", attr_dim)
     return knn(

@@ -1,0 +1,168 @@
+"""Physical-plan audit: assert the plan properties the 100 TB design
+claims, on the real sf0.01 tables.
+
+Checks (each prints PASS/FAIL; exit 1 on any FAIL):
+  * relational scans push filters and prune columns (PushedFilters /
+    ReadSchema in the formatted plan);
+  * small dimension tables join via BroadcastHashJoin, not shuffle;
+  * the anti join stays a broadcast/shuffled hash join (no nested loop);
+  * kNN window strategy contains exactly the intended broadcast
+    nested-loop cross join and nothing else cartesian;
+  * as-of join plans ONE shuffle (single Exchange) over the union;
+  * BM25 scoring has no per-call driver actions (lazy plan builds);
+  * dedup/minhash plans contain no CartesianProduct.
+
+Usage: python tools/plan_audit.py [-v]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+VERBOSE = "-v" in sys.argv
+
+results: list[tuple[str, bool, str]] = []
+
+
+def check(name: str, ok: bool, detail: str = "") -> None:
+    results.append((name, ok, detail))
+    print(f"{'PASS' if ok else 'FAIL'}  {name}" + (f": {detail}" if detail and not ok else ""))
+
+
+def formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def n_nodes(plan: str, op: str) -> int:
+    """Count physical operators by their detail-section headers
+    ("(7) BroadcastHashJoin") — each node appears once there, vs twice
+    in the raw string (tree + details)."""
+    import re
+
+    return len(re.findall(rf"\(\d+\) {op}\b", plan))
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+
+    # 1. filter pushdown + column pruning on the lineitem scan
+    plan = formatted(E.q_rel_pricing_summary(spark, SF_DIR))
+    if VERBOSE:
+        print(plan)
+    check(
+        "pricing: filter pushed to parquet scan",
+        "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan,
+    )
+    check(
+        "pricing: column pruning (no l_comment-ish full read)",
+        "ReadSchema" in plan
+        and "l_orderkey" not in plan.split("ReadSchema")[1].split("\n")[0],
+        plan.split("ReadSchema")[1].split("\n")[0] if "ReadSchema" in plan else "no ReadSchema",
+    )
+
+    # 2. dimension joins broadcast
+    plan = formatted(E.q_rel_nation_rollup(spark, SF_DIR))
+    check(
+        "nation rollup: dims broadcast (2 BroadcastHashJoin)",
+        n_nodes(plan, "BroadcastHashJoin") == 2,
+        f"count={n_nodes(plan, 'BroadcastHashJoin')}",
+    )
+    check(
+        "nation rollup: no shuffle join",
+        "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan,
+    )
+
+    # 3. anti join is a hash join, not nested loop
+    plan = formatted(E.q_rel_cust_no_orders(spark, SF_DIR))
+    check(
+        "anti join: hash-based LeftAnti",
+        "LeftAnti" in plan and "NestedLoop" not in plan,
+    )
+    check(
+        "anti join: orders filter pushed",
+        "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority" in plan,
+    )
+
+    # 4. kNN window strategy: exactly the one intended broadcast cross join
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import _knn_window
+
+    vecs = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select(F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding"))
+    )
+    q = vecs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    plan = formatted(_knn_window(q, vecs, 10, "query_id", "query_vec", "doc_id", "embedding"))
+    check(
+        "knn window: query side broadcast into the cross join",
+        "BroadcastNestedLoopJoin" in plan and plan.count("CartesianProduct") == 0,
+    )
+    check(
+        "knn window: top-k pushed into sort (WindowGroupLimit)",
+        "WindowGroupLimit" in plan,
+    )
+
+    # 5. as-of join: single exchange (one shuffle on the key)
+    from clinical_vector_search_spark.operators.temporal import asof_join
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    ev = read_events(spark, SF_DIR)
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts_ns")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts_ns", "value")
+    plan = formatted(asof_join(clicks, views, on="user_id", right_cols=("value",)))
+    n_ex = n_nodes(plan, "Exchange")
+    check("asof join: ONE shuffle (single hash Exchange)", n_ex == 1, f"exchanges={n_ex}")
+
+    # 6. bm25 scoring is lazy (no driver actions at plan build)
+    from clinical_vector_search_spark.operators.bm25 import bm25_index, bm25_topk_set
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup() or [])
+    idx = bm25_index(docs)
+    _ = bm25_topk_set(idx, [(0, ["spark", "query"])], 10)
+    after = len(tracker.getJobIdsForGroup() or [])
+    check("bm25: plan construction runs zero Spark jobs", after == before,
+          f"jobs before={before} after={after}")
+
+    # 7. dedup plans: no cartesian product anywhere
+    from clinical_vector_search_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    for name, df in (
+        ("minhash_candidate_pairs", minhash_candidate_pairs(docs)),
+        ("ngram_jaccard_pairs", ngram_jaccard_pairs(docs)),
+    ):
+        plan = formatted(df)
+        check(f"{name}: no CartesianProduct", "CartesianProduct" not in plan)
+
+    n_fail = sum(1 for _, ok, _ in results if not ok)
+    print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
