@@ -75,12 +75,13 @@ def minhash_signatures(
     the exploded shingles (no ×num_hashes row blow-up before the shuffle —
     at 100 TB the shingle explosion is the dominant cost and this keeps it
     ×1). Docs with fewer tokens than shingle_size have no shingles and
-    drop out (callers that need them use a smaller shingle size)."""
-    sh = df.select(
-        F.col(id_col),
-        F.explode(
-            TXT.shingles(TXT.tokenize(text_col), shingle_size)
-        ).alias("shingle"),
+    drop out (callers that need them use a smaller shingle size).
+
+    Shingling goes through ``shingle_rows`` (codegen lead-window path,
+    ~6× the HOF expression) with ``distinct=False``: min is invariant
+    under duplicate shingles, so the per-doc dedup shuffle is skipped."""
+    sh = TXT.shingle_rows(
+        df, shingle_size, text_col, id_col, distinct=False
     ).withColumn("hv", F.pmod(H.md5_long(F.col("shingle")), F.lit(MINHASH_P)))
     mins = sh.groupBy(id_col).agg(
         *[
@@ -174,12 +175,9 @@ def ngram_jaccard_pairs(
     # cached: the postings frame feeds sizes + both self-join sides — an
     # uncached plan would re-derive scan→tokenize→shingle 3× (no cross-side
     # exchange reuse in Spark); rows are (doc_id, shingle) only
-    sh = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(TXT.shingles(TXT.tokenize(text_col), shingle_size)).alias(
-            "shingle"
-        ),
-    )
+    sh = TXT.shingle_rows(
+        df, shingle_size, text_col, id_col, distinct=True
+    ).withColumnRenamed(id_col, "doc")
     if df_cap is not None:
         freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
         sh = sh.join(freq.filter(F.col("sdf") <= df_cap), "shingle").select(

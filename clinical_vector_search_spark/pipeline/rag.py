@@ -40,8 +40,14 @@ def bm25_topk_per_query(
     text_col: str = "text",
 ) -> DataFrame:
     """BM25 top-k for a query SET against one shared index in ONE plan:
-    (query_id, doc_id, bm25). Ties broken by doc id ascending."""
-    index = bm25_index(docs, id_col, text_col)
+    (query_id, doc_id, bm25). Ties broken by doc id ascending.
+
+    The index is cached: it is the reusable build-once artifact (same
+    lifecycle as the vector index — at 100 TB you persist it via
+    io.tables.build_bm25_index_table). Spark's CacheManager dedups by
+    canonicalized plan, so repeated calls over the same docs frame share
+    one materialization instead of re-running tokenize→explode→tf/df."""
+    index = bm25_index(docs, id_col, text_col).cache()
     qset = [
         (qid, [t for t in qtext.lower().split() if t]) for qid, qtext in queries
     ]
