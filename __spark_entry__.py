@@ -482,6 +482,95 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivf_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_centroids scans every bucket, so it is exact
+    by construction (test_extensions.py::test_ivf_full_probe_is_exact) —
+    the SQL-oracle anchor for the IVF plan shape; q_knn_ivf keeps the
+    recall-contract configuration."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn_ivf
+
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = knn_ivf(q, v, KNN_K, dim=64, n_centroids=8, n_probe=8)
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_mmr_lambda1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4 degenerate contract: MMR with λ=1 drops the diversity term, so
+    the greedy loop must reproduce exact-kNN relevance order (ties by
+    doc id in both) — the SQL-expressible anchor for the otherwise
+    non-SQL greedy re-ranker."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.operators.mmr import mmr_rerank
+
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cands = knn(q, v, 40).select("query_id", "doc_id")
+    gathered = cands.join(v, "doc_id").join(F.broadcast(q), "query_id")
+    r = mmr_rerank(spark, gathered, KNN_K, 1.0)
+    return r.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "doc_id"
+    )
+
+
+RAG_NQ = 3
+RAG_CAND_K = 20
+
+
+def q_rag_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3 oracle anchor: the hybrid candidate set (kNN top-C ∪ BM25 top-C
+    per query) — everything in the RAG pipeline before the greedy MMR —
+    is plain SQL. Query text = the query doc's own text (the rag_mode
+    self-retrieval setup). BM25 ranks on round(bm25, 6) so the top-C cut
+    is stable across engines (group-sum reassociation ulps would
+    otherwise flip the doc-id tie-break between duplicate documents)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set,
+    )
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.pipeline.rag import hybrid_union
+
+    docs = _docs(spark, sf_dir)
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < RAG_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id")
+    qtexts = (
+        docs.filter(F.col("doc_id") < RAG_NQ)
+        .select("doc_id", "text")
+        .collect()
+    )
+    qset = [
+        (r["doc_id"], [t for t in r["text"].lower().split() if t])
+        for r in qtexts
+    ]
+    idx = bm25_index(docs)
+    bm = bm25_topk_set(idx, qset, RAG_CAND_K, round_to=6).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id"
+    )
+    return hybrid_union(vec_cands, bm)
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -712,6 +801,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_tokens": q_text_bpe_tokens,
         "salted_agg": q_salted_agg,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -908,6 +1000,68 @@ def oracle_sql() -> dict[str, str]:
     """
     s["knn_exact"] = _knn_sql
     s["knn_window"] = _knn_sql
+    s["knn_ivf_fullprobe"] = _knn_sql
+
+    # MMR λ=1 ≡ relevance order: exact-kNN ranking without the score col
+    s["mmr_lambda1"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        q AS (SELECT doc_id AS query_id, nv AS qv FROM n WHERE doc_id < {KNN_NQ}),
+        sc AS (SELECT query_id, doc_id, list_dot_product(qv, nv) AS score
+               FROM q CROSS JOIN n),
+        r AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, doc_id FROM r WHERE rank <= {KNN_K}
+    """
+
+    # hybrid candidate union: kNN top-C ∪ BM25 top-C (query = own doc text)
+    s["rag_union_candidates"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        qv AS (SELECT doc_id AS query_id, nv AS qvec FROM n
+               WHERE doc_id < {RAG_NQ}),
+        vsc AS (SELECT query_id, doc_id, list_dot_product(qvec, nv) AS score
+                FROM qv CROSS JOIN n),
+        vr AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM vsc),
+        vc AS (SELECT query_id, doc_id FROM vr WHERE rank <= {RAG_CAND_K}),
+        toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM toks),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5)) AS raw_idf
+                 FROM dfreq CROSS JOIN stats),
+        aidf AS (SELECT avg(raw_idf) AS avg_idf FROM idf0),
+        idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf
+                                  ELSE raw_idf END AS idf
+                FROM idf0 CROSS JOIN aidf),
+        q AS (SELECT doc_id AS query_id, unnest(tokens) AS term
+              FROM toks WHERE doc_id < {RAG_NQ}),
+        qw AS (SELECT query_id, term, count(*)::DOUBLE AS qw
+               FROM q GROUP BY query_id, term),
+        bsc AS (SELECT qw.query_id, tf.doc_id,
+                       round(sum(qw.qw * idf.idf * tf.tf * 2.5
+                                 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl
+                                                   / stats.avgdl))), 6) AS bm25
+                FROM tf JOIN qw USING (term) JOIN idf USING (term)
+                        JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY qw.query_id, tf.doc_id),
+        br AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rank
+               FROM bsc),
+        bc AS (SELECT query_id, doc_id FROM br WHERE rank <= {RAG_CAND_K})
+        SELECT query_id, doc_id FROM vc
+        UNION
+        SELECT query_id, doc_id FROM bc
+    """
 
     s["vec_dp_noise"] = f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -140,6 +140,7 @@ def bm25_topk_set(
     id_col: str = "doc_id",
     k1: float = K1,
     b: float = B,
+    round_to: int | None = None,
 ) -> DataFrame:
     """Score a whole query SET against one prebuilt index in ONE plan:
     (query_id, doc_id, bm25, rank) with rank ≤ topk per query.
@@ -151,6 +152,13 @@ def bm25_topk_set(
     can never outrank a matching doc, and materializing N_docs × N_queries
     zero rows is exactly the crossJoin this plan exists to avoid.
     Ties broken by doc id ascending.
+
+    ``round_to`` rounds scores to N decimals BEFORE ranking: group-sum
+    reassociation makes mathematically-equal scores differ by ~1 ulp
+    across engines (and across runs at scale), flipping the doc-id
+    tie-break at the top-k cut. Rounded ranking makes the cut
+    deterministic — use it wherever the result feeds a cross-engine or
+    cross-run comparison.
     """
     from pyspark.sql import Window
 
@@ -179,6 +187,8 @@ def bm25_topk_set(
         .groupBy("query_id", id_col)
         .agg(F.sum("s").alias("bm25"))
     )
+    if round_to is not None:
+        scores = scores.withColumn("bm25", F.round("bm25", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc(id_col))
     return (
         scores.withColumn("rank", F.row_number().over(w))
