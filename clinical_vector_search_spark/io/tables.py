@@ -55,6 +55,46 @@ def build_vector_index(
     write_parquet(normalized, path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) parquet table
+    in the session catalog.
+
+    Bucketing is the 100 TB co-location primitive: two tables bucketed on
+    the same key with the same bucket count join with ZERO Exchange (each
+    bucket pair joins locally), and a groupBy on the bucket key skips its
+    shuffle too — the one-time shuffle at write time is amortized over
+    every later join/agg, exactly the "index = data" lifecycle the vector
+    and BM25 indexes follow. ``sort=True`` additionally sorts within
+    buckets so sort-merge joins skip their sort step.
+
+    Uses ``saveAsTable`` (bucketing metadata lives in the catalog; plain
+    ``.parquet(path)`` cannot record bucketing). Pick ``n_buckets`` so a
+    bucket of the BIG table fits an executor's memory at target scale —
+    e.g. 100 TB / 32768 buckets ≈ 3 GB/bucket.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    if path is not None:
+        w = w.option("path", path)  # external table at an explicit location
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a bucketed table registered by ``write_bucketed``. The scan
+    reports its bucketing to the planner, which is what lets downstream
+    joins/aggs on the bucket key drop their Exchange."""
+    return spark.table(table)
+
+
 def build_bm25_index_table(
     docs: DataFrame, path: str, id_col: str = "doc_id", text_col: str = "text"
 ) -> None:
