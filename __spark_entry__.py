@@ -115,6 +115,44 @@ def q_rel_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 windowed analytics: per-customer running order total, previous
+    order price (lag), and order sequence number."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("seq"),
+        F.round(
+            F.sum("o_totalprice").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+            2,
+        ).alias("running_total"),
+        F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+    )
+
+
+def q_events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of event value per type —
+    the oracle anchor; percentile_approx is the 100 TB single-pass path
+    (tested against this within tolerance in test_extensions)."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 deterministic hash sample (~25%) — map-side filter, no sort."""
+    from clinical_vector_search_spark.pipeline.documents import hash_sample
+
+    return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "n_chars")
+
+
 def q_doc_clean_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3+P9: cast → clean_text → 100-char snippet."""
     from clinical_vector_search_spark.functions import text as TXT
@@ -775,6 +813,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
+        "rel_window_running": q_rel_window_running,
+        "events_quantiles": q_events_quantiles,
+        "doc_hash_sample": q_doc_hash_sample,
         "doc_clean_snippet": q_doc_clean_snippet,
         "doc_specialty_concat": q_doc_specialty_concat,
         "doc_attr_sentence": q_doc_attr_sentence,
@@ -998,6 +1039,32 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, doc_id, round(score, 6) AS score
         FROM r WHERE rank <= {KNN_K}
     """
+    s["rel_window_running"] = """
+        SELECT o_custkey, o_orderkey,
+               row_number() OVER w AS seq,
+               round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                   AS running_total,
+               round(lag(o_totalprice, 1) OVER w, 2) AS prev_price
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    s["events_quantiles"] = """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events GROUP BY event_type
+    """
+
+    s["doc_hash_sample"] = f"""
+        SELECT doc_id, n_chars FROM documents
+        WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+              < {int(0.25 * (1 << 32))}
+    """
+
     s["knn_exact"] = _knn_sql
     s["knn_window"] = _knn_sql
     s["knn_ivf_fullprobe"] = _knn_sql

@@ -86,6 +86,25 @@ def clean_documents(
     return out
 
 
+def hash_sample(
+    df: DataFrame, rate: float, id_col: str = "doc_id"
+) -> DataFrame:
+    """P8 at scale: deterministic Bernoulli sample — keep a row iff the
+    first 8 hex digits of md5(id) fall below rate·2³².
+
+    Unlike the reference's seeded pandas sample (pipeline_mode.py:129-130)
+    or an ORDER BY id LIMIT n (a global sort), this is a pure map-side
+    filter: no shuffle, no driver state, stable under repartitioning and
+    re-runs, and the SAME rows are kept in any engine that has md5 —
+    which is what makes it oracle-checkable and what makes sampled
+    pipelines reproducible at 100 TB."""
+    threshold = int(rate * (1 << 32))
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.filter(bucket < F.lit(threshold))
+
+
 def load_mtsamples(spark: SparkSession, path: str) -> DataFrame:
     """Full reference load path (pipeline.py:26-67) as one declarative plan."""
     df = normalize_headers(read_csv(spark, path))

@@ -180,3 +180,39 @@ def test_plot_metrics_gated(spark, tmp_path):
         assert paths  # matplotlib present → PNGs written
     except ImportError:
         assert paths == []  # gated cleanly
+
+
+def test_hash_sample_deterministic_and_near_rate(spark, sf_dir):
+    from clinical_vector_search_spark.pipeline.documents import hash_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = docs.count()
+    a = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    b = {r.doc_id for r in hash_sample(docs, 0.25).select("doc_id").collect()}
+    assert a == b  # deterministic, not a seeded RNG
+    assert 0.10 < len(a) / n < 0.40  # Bernoulli(0.25) at small n
+    # monotone: a smaller rate keeps a subset of a larger rate's rows
+    c = {r.doc_id for r in hash_sample(docs, 0.10).select("doc_id").collect()}
+    assert c <= a
+
+
+def test_percentile_approx_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_type", "value")
+    exact = {
+        r.event_type: r.p
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile(value, 0.9)").alias("p"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.p
+        for r in e.groupBy("event_type")
+        .agg(F.expr("percentile_approx(value, 0.9, 10000)").alias("p"))
+        .collect()
+    }
+    for t, p in exact.items():
+        spread = abs(p) + 1e-9
+        assert abs(approx[t] - p) / spread < 0.05, (t, p, approx[t])
