@@ -153,6 +153,42 @@ def q_doc_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample(_docs(spark, sf_dir), 0.25).select("doc_id", "n_chars")
 
 
+def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 multi-level aggregation: ROLLUP over (orderstatus, priority)
+    — subtotals and grand total in one pass (partial-agg friendly; at
+    scale this is one shuffle, not three separate groupBys)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 pivot: order counts per customer-nation × order status. Pivot
+    compiles to conditional aggregates (one shuffle), which is also how
+    the oracle expresses it (FILTER clauses)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "n_name",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_filled"),
+            F.coalesce("P", F.lit(0)).alias("n_partial"),
+        )
+    )
+
+
 def q_doc_clean_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3+P9: cast → clean_text → 100-char snippet."""
     from clinical_vector_search_spark.functions import text as TXT
@@ -814,6 +850,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
+        "rel_rollup": q_rel_rollup,
+        "rel_pivot": q_rel_pivot,
         "events_quantiles": q_events_quantiles,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_clean_snippet": q_doc_clean_snippet,
@@ -1049,6 +1087,24 @@ def oracle_sql() -> dict[str, str]:
                round(lag(o_totalprice, 1) OVER w, 2) AS prev_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    s["rel_rollup"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    s["rel_pivot"] = """
+        SELECT n_name,
+               count(*) FILTER (o_orderstatus = 'O') AS n_open,
+               count(*) FILTER (o_orderstatus = 'F') AS n_filled,
+               count(*) FILTER (o_orderstatus = 'P') AS n_partial
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
     """
 
     s["events_quantiles"] = """
