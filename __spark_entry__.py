@@ -189,6 +189,20 @@ def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails/SSNs/phones → typed placeholders) over the
+    corpus — hash-compared against the RE2 oracle to prove the patterns
+    behave identically across regex engines."""
+    from clinical_vector_search_spark.functions import text as TXT
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.md5(TXT.redact_pii("text")).alias("redacted_md5"),
+        (TXT.redact_pii("text") != F.col("text")).alias("changed"),
+    )
+
+
 def q_doc_clean_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3+P9: cast → clean_text → 100-char snippet."""
     from clinical_vector_search_spark.functions import text as TXT
@@ -851,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
         "rel_rollup": q_rel_rollup,
+        "text_redact_pii": q_text_redact_pii,
         "rel_pivot": q_rel_pivot,
         "events_quantiles": q_events_quantiles,
         "doc_hash_sample": q_doc_hash_sample,
@@ -1087,6 +1102,22 @@ def oracle_sql() -> dict[str, str]:
                round(lag(o_totalprice, 1) OVER w, 2) AS prev_price
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    s["text_redact_pii"] = r"""
+        WITH r AS (
+          SELECT doc_id,
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '[EMAIL]', 'g'),
+                     '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+                   '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS red,
+                 text
+          FROM documents)
+        SELECT doc_id, md5(red) AS redacted_md5, red <> text AS changed
+        FROM r
     """
 
     s["rel_rollup"] = """

@@ -114,6 +114,28 @@ def shingle_rows(
     return rows.distinct() if distinct else rows
 
 
+# PII patterns for corpus scrubbing. Deliberately restricted to the
+# Java-regex ∩ RE2 common subset (no lookaround/backrefs) so the same
+# pattern runs identically in Spark and SQL oracles — and compiles on
+# RE2-based engines at scale. Conservative by design: high-precision
+# shapes only; a production scrubber would add locale-specific recall.
+PII_PATTERNS = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),  # before phone: both are dashed digits
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+)
+
+
+def redact_pii(c: Column | str) -> Column:
+    """Scrub emails / SSNs / US phone numbers to typed placeholders — the
+    standard pre-training corpus-cleaning stage. Pure JVM regexp_replace
+    chain: codegen-friendly, pushes through the scan, no UDF."""
+    out = _col(c)
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def token_count(c: Column | str) -> Column:
     return F.size(tokenize(c))
 

@@ -92,3 +92,22 @@ def test_ratios_bounds(spark, sf_dir):
         F.max(TXT.stopword_ratio(TXT.tokenize("text"))).alias("s"),
     ).collect()[0]
     assert 0.0 <= r.p <= 1.0 and 0.0 <= r.s <= 1.0
+
+
+def test_redact_pii_patterns(spark):
+    from clinical_vector_search_spark.functions.text import redact_pii
+
+    rows = [
+        (1, "contact john.doe+x@example.co.uk today"),
+        (2, "ssn 123-45-6789 on file"),
+        (3, "call 555-123-4567 or 555.987.6543"),
+        (4, "no pii here, order 12345 shipped 2024-01-02"),
+        (5, "mixed: a@b.io / 987-65-4321 / 111-222-3333"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.red for r in df.select("id", redact_pii("text").alias("red")).collect()}
+    assert got[1] == "contact [EMAIL] today"
+    assert got[2] == "ssn [SSN] on file"
+    assert got[3] == "call [PHONE] or [PHONE]"
+    assert got[4] == rows[3][1]  # untouched
+    assert got[5] == "mixed: [EMAIL] / [SSN] / [PHONE]"
