@@ -203,6 +203,25 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 REAL Structured Streaming run (not the batch twin): file
+    source over the events table → watermark + event-time tumbling window
+    → memory sink (availableNow, complete mode). A bounded replay must
+    produce exactly the batch/SQL answer — this is the exactly-once
+    contract the streaming path is sold on."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_tumbling,
+    )
+
+    r = run_streaming_tumbling(spark, sf_dir, WINDOW_SEC)
+    return r.select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_doc_clean_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3+P9: cast → clean_text → 100-char snippet."""
     from clinical_vector_search_spark.functions import text as TXT
@@ -890,6 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
         "events_tumbling": q_events_tumbling,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
         "text_bpe_tokens": q_text_bpe_tokens,
@@ -1338,6 +1358,14 @@ def oracle_sql() -> dict[str, str]:
                event_type, count(*) AS n_events,
                round(sum(value), 6) AS sum_value,
                round(avg(value), 6) AS avg_value
+        FROM events GROUP BY 1, 2
+    """
+
+    s["events_streaming_tumbling"] = f"""
+        SELECT (epoch_ns(ts) // {WINDOW_SEC * 1_000_000_000}) * {WINDOW_SEC}
+                   AS window_start,
+               event_type, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
         FROM events GROUP BY 1, 2
     """
 

@@ -27,6 +27,57 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
 
 
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``read_events``: file-source readStream over the
+    same parquet (read-only), same ts_ns/ts derivation. Production points
+    the same plan at a Kafka/file-drop source."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file source requires a DIRECTORY; the testdata table is a single
+    # file, so stream the parent dir filtered down to it (read-only)
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    df = df.withColumnRenamed("ts", "ts_ns")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
+def run_streaming_tumbling(
+    spark: SparkSession,
+    sf_dir: str,
+    window_sec: int = 300,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute the real streaming tumbling aggregation over the bounded
+    events table (availableNow trigger → memory sink, complete mode) and
+    return the final result as a batch DataFrame shaped exactly like
+    ``tumbling_agg`` (window_start as epoch seconds) — so a bounded
+    replay is directly comparable to the batch twin / SQL oracle."""
+    import uuid
+
+    name = f"tumbling_{uuid.uuid4().hex[:12]}"
+    agg = streaming_tumbling_counts(
+        spark, read_events_stream(spark, sf_dir), window_sec
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_sec)
+    return spark.table(name).select(
+        (F.unix_timestamp(F.col("window.start"))).alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
 def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Batch twin of the
     streaming aggregation; window start exposed as epoch seconds (long) so
