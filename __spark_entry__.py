@@ -222,6 +222,18 @@ def q_events_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct-count aggregation per event type — the oracle anchor
+    for cardinality estimation; approx_count_distinct (HyperLogLog++) is
+    the single-pass sketch used at 100 TB, tolerance-tested against this
+    in test_extensions."""
+    e = _events(spark, sf_dir)
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
 def q_doc_clean_snippet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2+P3+P9: cast → clean_text → 100-char snippet."""
     from clinical_vector_search_spark.functions import text as TXT
@@ -909,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
         "events_tumbling": q_events_tumbling,
+        "events_distinct_users": q_events_distinct_users,
         "events_streaming_tumbling": q_events_streaming_tumbling,
         "events_sessionize": q_events_sessionize,
         "events_sliding": q_events_sliding,
@@ -1359,6 +1372,13 @@ def oracle_sql() -> dict[str, str]:
                round(sum(value), 6) AS sum_value,
                round(avg(value), 6) AS avg_value
         FROM events GROUP BY 1, 2
+    """
+
+    s["events_distinct_users"] = """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
     """
 
     s["events_streaming_tumbling"] = f"""

@@ -216,3 +216,26 @@ def test_percentile_approx_close_to_exact(spark, sf_dir):
     for t, p in exact.items():
         spread = abs(p) + 1e-9
         assert abs(approx[t] - p) / spread < 0.05, (t, p, approx[t])
+
+
+def test_approx_count_distinct_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "user_id"
+    )
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    approx = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("n"))
+        .collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) / max(n, 1) < 0.05, (t, n, approx[t])
