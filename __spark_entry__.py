@@ -793,7 +793,12 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal binary-column plumbing (metadata + mapInPandas feature
     extraction with the clearly-labeled deterministic fake decoder).
-    Rows-only: the fake feature is engine-defined, not SQL-expressible."""
+
+    The feature vector is flattened to 4 rounded scalar columns: the
+    driver's pandas canonicalizer sorts every column and array cells are
+    unhashable (the one `err` in CORRECTNESS_r02). Scalars also make the
+    fake feature DuckDB-expressible (md5 byte arithmetic), upgrading this
+    entry from rows-only to a full oracle check."""
     from clinical_vector_search_spark.multimodal.binary_ops import (
         attach_binary_metadata,
         extract_features,
@@ -805,7 +810,12 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     meta = attach_binary_metadata(media).select("media_id", "n_bytes", "content_md5")
     feats = extract_features(media, dim=4)
-    return meta.join(feats, "media_id")
+    return meta.join(feats, "media_id").select(
+        "media_id",
+        "n_bytes",
+        "content_md5",
+        *[F.round(F.col("feature")[i], 6).alias(f"f{i}") for i in range(4)],
+    )
 
 
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -891,7 +901,14 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: the four entries with no (or errored) CORRECTNESS_r02 row come
+    # FIRST, in case the driver truncates its run by time or count. All four
+    # are cheap (~1-2.5 s locally at sf0.01).
     return {
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "rel_cust_no_orders": q_rel_cust_no_orders,
+        "multimodal_features": q_multimodal_features,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -940,11 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_table": q_evaluation_table,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_lsh": q_knn_lsh,
-        "multimodal_features": q_multimodal_features,
         "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
-        "events_json_extract": q_events_json_extract,
-        "rel_cust_no_orders": q_rel_cust_no_orders,
     }
 
 
@@ -1603,8 +1616,24 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= {KNN_K}
     """
 
-    # evaluation_table, rag_hybrid_mmr, multimodal_features: intentionally
-    # omitted — wall-clock latency / sequential greedy loop / engine-defined
-    # fake features are not SQL-expressible; the driver records rows-only
-    # checks and the pytest suite covers their semantics.
+    # multimodal_features: the deterministic fake feature is
+    # ((md5_byte[i] * 31 + i) % 256) / 255.0 (binary_ops._fake_feature),
+    # reproducible in DuckDB from the hex digest. content bytes are the
+    # UTF-8 encoding of text, so md5(text) == md5(content).
+    feat_cols = ", ".join(
+        f"round(((('0x' || substr(content_md5, {2 * i + 1}, 2))::BIGINT * 31"
+        f" + {i}) % 256) / 255.0, 6) AS f{i}"
+        for i in range(4)
+    )
+    s["multimodal_features"] = f"""
+        WITH m AS (SELECT doc_id AS media_id,
+                          octet_length(encode(text))::BIGINT AS n_bytes,
+                          md5(text) AS content_md5
+                   FROM documents)
+        SELECT media_id, n_bytes, content_md5, {feat_cols} FROM m
+    """
+
+    # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock
+    # latency / sequential greedy loop are not SQL-expressible; the driver
+    # records rows-only checks and the pytest suite covers their semantics.
     return s
