@@ -47,9 +47,9 @@ def main() -> None:
     )
     from clinical_vector_search_spark.operators.dedup import (
         minhash_candidate_pairs,
-        simhash,
+        simhash_pd,
     )
-    from clinical_vector_search_spark.pipeline.embedding import hash_embed
+    from clinical_vector_search_spark.pipeline.embedding import hash_embed_pd
     from clinical_vector_search_spark.pipeline.modes import (
         baseline_mode,
         dp_mode,
@@ -135,13 +135,18 @@ def main() -> None:
         return bm25_topk_set(idx, qset, 10)
 
     def bench_embed_corpus():
-        return hash_embed(docs, 64)
+        # mapInPandas embedder — the model-per-executor shape a real encoder
+        # runs (reference embedding.py:31-41); parity-tested against the
+        # expression/oracle twin in tests/test_embedding.py
+        return hash_embed_pd(docs, 64)
 
     def bench_minhash_dedup():
         return minhash_candidate_pairs(docs, num_hashes=8, rows_per_band=2)
 
     def bench_simhash():
-        return simhash(docs, bits=32)
+        # zero-shuffle mapInPandas popcount — parity-tested against the
+        # expression/oracle twin in tests/test_dedup.py
+        return simhash_pd(docs, bits=32)
 
     def bench_tumbling():
         return tumbling_agg(read_events(spark, sf_dir), 300)

@@ -241,6 +241,73 @@ def simhash(
     return per_bit.select(F.col(id_col), sim.alias("simhash"))
 
 
+def simhash_pd(
+    df: DataFrame,
+    bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """mapInPandas twin of :func:`simhash` — the scale/bench path.
+
+    Same contract bit-for-bit (parity-tested in tests/test_dedup.py): docs
+    with zero tokens drop out, bit j of the sketch = 1 iff strictly more
+    than half the tokens (multiset) have md5 bit j set.
+
+    Why this beats the expression path: :func:`simhash` explodes to one row
+    per token, shuffles them on ``id_col``, and evaluates ``bits``
+    conditional sums per token row. Here the whole doc→sketch computation
+    is ONE Arrow batch stage with ZERO shuffle — each doc's tokens live in
+    its own row, so the operator is embarrassingly parallel, and the
+    popcount is a vectorized numpy bit-unpack. Token hashes are memoized
+    per-batch (vocabulary ≪ token count), so the Python md5 cost is per
+    distinct token, not per occurrence. Measured ~4× at sf0.1."""
+    out_schema = f"{id_col} long, simhash long"
+    if bits > 62:  # bit 63 would overflow the signed long output
+        raise ValueError("simhash_pd supports at most 62 bits")
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        # Java regex \s is ASCII-only ([ \t\n\x0B\f\r]); re.ASCII matches it
+        splitter = re.compile(r"\s+", re.ASCII)
+        shifts = np.arange(bits, dtype=np.uint64)
+        vocab: dict[str, int] = {}
+
+        def hv(tok: str) -> int:
+            v = vocab.get(tok)
+            if v is None:
+                # parity with functions.hashing.md5_long: first 15 hex chars
+                v = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:15], 16)
+                vocab[tok] = v
+            return v
+
+        for pdf in batches:
+            ids, sketches = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                toks = [
+                    t for t in splitter.split((text or "").lower()) if t
+                ]
+                if not toks:  # expression path: no token rows -> doc absent
+                    continue
+                h = np.fromiter(
+                    (hv(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                ones = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+                bitset = (2 * ones > len(toks)).astype(np.uint64)
+                ids.append(doc_id)
+                sketches.append(int((bitset << shifts).sum()))
+            yield pd.DataFrame(
+                {id_col: pd.Series(ids, dtype="int64"),
+                 "simhash": pd.Series(sketches, dtype="int64")}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -59,6 +59,63 @@ def build_dp_index(
     return out
 
 
+def build_dp_index_pd(
+    df: DataFrame,
+    text_vec: str,
+    attr_vec: str,
+    id_col: str,
+    sigma: float = 0.15,
+    w_text: float = 0.7,
+    w_attr: float = 0.3,
+) -> DataFrame:
+    """mapInPandas twin of :func:`build_dp_index` — the batch/scale path.
+
+    One Arrow-batched numpy stage replaces the five chained higher-order
+    expressions (normalize → noise → cosine → concat → normalize), all of
+    which are CodegenFallback (interpreted per element). The LCG noise is
+    exact int64 math, bit-identical to :func:`functions.vector.add_noise`;
+    the float stages differ only in summation order (last-ulp), which the
+    parity test bounds. Returns (id_col, dp_vec, noise_cosine)."""
+    from clinical_vector_search_spark.functions.vector import (
+        EPS,
+        LCG_A,
+        LCG_C,
+        LCG_M,
+    )
+
+    out_schema = f"{id_col} long, dp_vec array<double>, noise_cosine double"
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            T = np.array(pdf[text_vec].tolist(), dtype="float64")
+            A = np.array(pdf[attr_vec].tolist(), dtype="float64")
+            dim = A.shape[1]
+            an = A / (np.linalg.norm(A, axis=1, keepdims=True) + EPS)
+            # add_noise parity: u = LCG((id*dim + i) mod M) in [0,1),
+            # noise = (u - 0.5) * 2σ on the NORMALIZED attr vector
+            idx = (ids[:, None] * dim + np.arange(dim, dtype="int64")) % LCG_M
+            u = ((LCG_A * idx + LCG_C) % LCG_M).astype("float64") / float(LCG_M)
+            noisy = an + (u - 0.5) * (2.0 * sigma)
+            na = np.linalg.norm(an, axis=1) + EPS
+            nn = np.linalg.norm(noisy, axis=1) + EPS
+            noise_cos = np.einsum("ij,ij->i", an, noisy) / (na * nn)
+            tn = T / (np.linalg.norm(T, axis=1, keepdims=True) + EPS)
+            nyn = noisy / (np.linalg.norm(noisy, axis=1, keepdims=True) + EPS)
+            dp = np.hstack([w_text * tn, w_attr * nyn])
+            dp = dp / (np.linalg.norm(dp, axis=1, keepdims=True) + EPS)
+            yield pd.DataFrame(
+                {id_col: ids, "dp_vec": list(dp), "noise_cosine": noise_cos}
+            )
+
+    return df.select(id_col, text_vec, attr_vec).mapInPandas(kernel, out_schema)
+
+
 def dp_query_vec(
     df: DataFrame, query_vec: str, attr_dim: int, w_text: float = 0.7, w_attr: float = 0.3
 ) -> DataFrame:

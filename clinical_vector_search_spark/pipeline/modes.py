@@ -16,8 +16,12 @@ from clinical_vector_search_spark.functions import text as TXT
 from clinical_vector_search_spark.functions import vector as V
 from clinical_vector_search_spark.io.tables import read_table
 from clinical_vector_search_spark.operators.knn import knn
-from clinical_vector_search_spark.pipeline.dp import build_dp_index, dp_query_vec
-from clinical_vector_search_spark.pipeline.embedding import hash_embed
+from clinical_vector_search_spark.pipeline.dp import (
+    build_dp_index,
+    build_dp_index_pd,
+    dp_query_vec,
+)
+from clinical_vector_search_spark.pipeline.embedding import hash_embed, hash_embed_pd
 from clinical_vector_search_spark.pipeline.rag import rag_pipeline
 
 
@@ -98,15 +102,24 @@ def dp_mode(
     n_queries: int = 10,
     sigma: float = 0.15,
     attr_dim: int = 64,
+    accel: str = "pd",
 ) -> DataFrame:
     """DP mode (pipeline_mode.py:56-113): attribute sentence → hash-embed →
     noised 0.3-weighted concat with 0.7-weighted text vec → kNN with
-    zero-padded queries."""
+    zero-padded queries.
+
+    ``accel="pd"`` (default, the batch/scale path) runs the embed and
+    index-build stages as Arrow-batched numpy kernels — the reference's own
+    model-per-executor shape (embedding.py:31-41). ``accel="expr"`` uses
+    the pure-expression twins (the DuckDB-oracle-aligned path; same LCG
+    noise bit-for-bit, float sums may differ in the last ulp). Top-k id
+    parity between the two is asserted in tests/test_pipeline.py."""
     docs, vecs = load_corpus(spark, sf_dir)
     attrs = docs.select(
         "doc_id", TXT.attr_sentence("lang", "source").alias("attr_text")
     )
-    attr_vecs = hash_embed(attrs, attr_dim, text_col="attr_text")
+    embedder = hash_embed_pd if accel == "pd" else hash_embed
+    attr_vecs = embedder(attrs, attr_dim, text_col="attr_text")
     joined = vecs.join(
         attr_vecs.select("doc_id", F.col("embedding").alias("attr_vec")),
         "doc_id",
@@ -114,9 +127,14 @@ def dp_mode(
     # cached: the noised index is the reusable artifact (built once,
     # queried per query set — reference builds its DP FAISS index once,
     # pipeline_mode.py:87-91); kNN's rescore join reads it twice
-    dp_index = build_dp_index(
-        joined, "embedding", "attr_vec", "doc_id", sigma=sigma, dim=attr_dim
-    ).cache()
+    if accel == "pd":
+        dp_index = build_dp_index_pd(
+            joined, "embedding", "attr_vec", "doc_id", sigma=sigma
+        ).cache()
+    else:
+        dp_index = build_dp_index(
+            joined, "embedding", "attr_vec", "doc_id", sigma=sigma, dim=attr_dim
+        ).cache()
     queries = make_queries(vecs, n_queries)
     dp_q = dp_query_vec(queries, "query_vec", attr_dim)
     return knn(

@@ -12,6 +12,7 @@ from clinical_vector_search_spark.operators.dedup import (
     minhash_candidate_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pd,
 )
 
 BASE = (
@@ -67,6 +68,30 @@ def test_simhash_locality(docs):
         return bin(a ^ b).count("1")
 
     assert ham(h[0], h[2]) < ham(h[0], h[3])  # near-dup closer than far doc
+
+
+def test_simhash_pd_parity_small(spark, docs):
+    """mapInPandas scale path == expression/oracle path, incl. edge docs
+    (empty text / whitespace-only / null drop out of both)."""
+    extra = spark.createDataFrame(
+        [(10, ""), (11, "   \t\n "), (12, None), (13, "single"),
+         (14, "MiXeD   Case\ttokens MIXED case")],
+        "doc_id long, text string",
+    )
+    both = docs.union(extra)
+    expr = {r.doc_id: r.simhash for r in simhash(both, bits=32).collect()}
+    pdp = {r.doc_id: r.simhash for r in simhash_pd(both, bits=32).collect()}
+    assert expr == pdp
+    assert set(expr) == {0, 1, 2, 3, 13, 14}  # token-less docs absent
+
+
+def test_simhash_pd_parity_corpus(spark, sf_dir):
+    """Full-corpus parity at the test scale factor — the guarantee that the
+    bench path and the DuckDB-oracle path are the same operator."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    expr = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
+    pdp = {r.doc_id: r.simhash for r in simhash_pd(docs, bits=16).collect()}
+    assert expr == pdp
 
 
 def test_embedding_neardup_exact_vs_lsh(spark):

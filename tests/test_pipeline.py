@@ -18,7 +18,11 @@ from clinical_vector_search_spark.pipeline.evaluate import (
     mean_metrics,
     run_timed,
 )
-from clinical_vector_search_spark.pipeline.modes import baseline_mode, rag_mode
+from clinical_vector_search_spark.pipeline.modes import (
+    baseline_mode,
+    dp_mode,
+    rag_mode,
+)
 
 
 def test_csv_multiline_roundtrip(spark, tmp_path):
@@ -112,6 +116,46 @@ def test_dp_index_noise_quality_and_norm(spark, sf_dir):
         # vector → cosine ≈ 1/sqrt(1.48) ≈ 0.82 ± spread
         assert 0.6 < r.noise_cosine <= 1.0
         assert abs(r.n - 1.0) < 1e-8  # dp_vec re-normalized
+
+
+def test_dp_index_pd_parity(spark, sf_dir):
+    """numpy scale path == expression/oracle path: LCG noise bit-identical,
+    float stages within summation-order tolerance, same dp_vec layout."""
+    import numpy as np
+
+    from clinical_vector_search_spark.pipeline.dp import build_dp_index_pd
+
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(80)
+    joined = vecs.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding"),
+        F.col("embedding").alias("attr_vec"),
+    )
+    expr = {
+        r.doc_id: (np.array(r.dp_vec), r.noise_cosine)
+        for r in build_dp_index(
+            joined, "embedding", "attr_vec", "doc_id", sigma=0.15, dim=64
+        ).select("doc_id", "dp_vec", "noise_cosine").collect()
+    }
+    pdp = {
+        r.doc_id: (np.array(r.dp_vec), r.noise_cosine)
+        for r in build_dp_index_pd(
+            joined, "embedding", "attr_vec", "doc_id", sigma=0.15
+        ).collect()
+    }
+    assert set(expr) == set(pdp)
+    for d in expr:
+        assert np.allclose(expr[d][0], pdp[d][0], atol=1e-12)
+        assert abs(expr[d][1] - pdp[d][1]) < 1e-12
+
+
+def test_dp_mode_accel_parity(spark, sf_dir):
+    """Both accel paths retrieve the same top-k ids in the same order."""
+    a = [(r.query_id, r.rank, r.doc_id)
+         for r in dp_mode(spark, sf_dir, k=5, n_queries=3, accel="pd").collect()]
+    b = [(r.query_id, r.rank, r.doc_id)
+         for r in dp_mode(spark, sf_dir, k=5, n_queries=3, accel="expr").collect()]
+    assert sorted(a) == sorted(b)
 
 
 def test_dp_query_zero_padding(spark):
