@@ -160,8 +160,6 @@ def bm25_topk_set(
     deterministic — use it wherever the result feeds a cross-engine or
     cross-run comparison.
     """
-    from pyspark.sql import Window
-
     rows = []
     for qid, terms in queries:
         for t, c in Counter(terms).items():
@@ -169,7 +167,28 @@ def bm25_topk_set(
     spark = index.sparkSession
     # schema inferred so query ids keep their native type (int or string)
     qdf = spark.createDataFrame(rows, ["query_id", "term", "qw"])
-    matched = index.join(F.broadcast(qdf), "term")
+    return bm25_topk_set_df(index, qdf, topk, id_col, k1, b, round_to)
+
+
+def bm25_topk_set_df(
+    index: DataFrame,
+    query_terms: DataFrame,
+    topk: int,
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    round_to: int | None = None,
+) -> DataFrame:
+    """DataFrame-native variant of :func:`bm25_topk_set`: the query set
+    arrives as (query_id, term, qw) rows instead of a driver-side list, so
+    the whole retrieval — including query tokenization upstream — stays in
+    the plan with no collect. This is the scale path: a 1M-query batch is
+    just a bigger broadcast (or, past broadcast size, a shuffle join on
+    term). Same plan from here on: one join + one (query_id, doc)
+    aggregation + one windowed top-k."""
+    from pyspark.sql import Window
+
+    matched = index.join(F.broadcast(query_terms), "term")
     term_score = (
         F.col("qw")
         * F.col("idf")

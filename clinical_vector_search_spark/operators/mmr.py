@@ -7,12 +7,20 @@ each later pick = argmax over remaining candidates of
 ties resolved by candidate order (ascending doc id here — explicit, where
 the reference inherits argmax's first-wins over FAISS candidate order).
 
-MMR is inherently sequential (each pick depends on all previous picks), so
-like the reference we run the greedy loop driver-side over the COLLECTED
-candidate set — which is small by construction: candidates come from a
-cheap retrieval stage (k*4 or candidate_k=128 rows per query,
-pipeline_mode.py:240-249), never the full corpus. The distributed part is
-everything before: candidate generation (kNN/BM25) and vector gathering.
+MMR is inherently sequential WITHIN a query (each pick depends on all
+previous picks) but embarrassingly parallel ACROSS queries. Two surfaces:
+
+* :func:`mmr_rerank_dist` — ``applyInPandas`` grouped by query_id, the
+  same greedy kernel per group with ZERO driver state. One shuffle on
+  query_id (high-cardinality, uniform); scales with executors, so a 100k-
+  query batch reranks cluster-wide. The default path.
+* :func:`mmr_rerank` — the reference-shaped driver-side loop over the
+  collected candidate set (small by construction: candidate_k + bm25_topk
+  rows per query, pipeline_mode.py:240-249). Kept as the parity anchor and
+  for driver-side use on tiny sets.
+
+Both run :func:`mmr_rerank_rows`, so their outputs are identical
+(parity-tested in tests/test_mmr.py).
 """
 
 from __future__ import annotations
@@ -60,6 +68,46 @@ def mmr_rerank_rows(
         selected.append(best)
         remaining.remove(best)
     return [(r + 1, int(cand_ids[i])) for r, i in enumerate(selected)]
+
+
+def mmr_rerank_dist(
+    candidates: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    query_id: str = "query_id",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Distributed MMR: the greedy kernel runs per query GROUP via
+    ``applyInPandas`` — no driver collect, so the rerank scales with the
+    number of queries instead of bottlenecking on driver memory.
+
+    ``candidates`` carries (query_id, doc_id, doc_vec, query_vec) rows —
+    the same gathered shape :func:`mmr_rerank` takes. Returns
+    (query_id, rank, doc_id)."""
+    import pandas as pd
+
+    out_schema = f"{query_id} long, rank int, {doc_id} long"
+
+    def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[doc_id].tolist()
+        vecs = np.array(pdf[doc_vec].tolist(), dtype="float64")
+        qv = np.array(pdf[query_vec].iloc[0], dtype="float64")
+        picks = mmr_rerank_rows(ids, vecs, qv, k, lam)
+        return pd.DataFrame(
+            {
+                query_id: [int(pdf[query_id].iloc[0])] * len(picks),
+                "rank": [r for r, _ in picks],
+                doc_id: [d for _, d in picks],
+            }
+        )
+
+    return (
+        candidates.select(query_id, doc_id, doc_vec, query_vec)
+        .groupBy(query_id)
+        .applyInPandas(per_query, out_schema)
+    )
 
 
 def mmr_rerank(

@@ -3,10 +3,15 @@ src/pipeline/pipeline_mode.py:198-264).
 
 Pipeline shape (reference :240-249): cheap candidate generation — vector
 kNN (candidate_k) ∪ BM25 top-N (R3 union, :244-246) — then greedy MMR
-re-rank (R4) over the small candidate set. The expensive stages are fully
-distributed; only the final MMR loop runs driver-side over ≤ (candidate_k +
-bm25_topk) rows per query, matching the reference's own candidate-pruning
-bound.
+re-rank (R4) over the small per-query candidate set.
+
+The default path is fully distributed end-to-end: query tokenization,
+BM25 scoring, candidate union, vector gather, and the MMR rerank
+(applyInPandas grouped by query_id) all live in ONE lazy plan with zero
+driver collects — a 100k-query batch shuffles on query_id instead of
+bottlenecking on driver memory. ``distributed=False`` keeps the
+reference-shaped driver-side loop (collected candidates, Python list of
+query terms) as the parity anchor.
 
 The BM25 index is built ONCE and reused across every query in the set
 (fixing the reference's per-query rebuild, pipeline.py:171-172).
@@ -17,9 +22,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from clinical_vector_search_spark.operators.bm25 import bm25_index, bm25_topk_set
+from clinical_vector_search_spark.functions import text as TXT
+from clinical_vector_search_spark.operators.bm25 import (
+    bm25_index,
+    bm25_topk_set,
+    bm25_topk_set_df,
+)
 from clinical_vector_search_spark.operators.knn import knn
-from clinical_vector_search_spark.operators.mmr import mmr_rerank
+from clinical_vector_search_spark.operators.mmr import mmr_rerank, mmr_rerank_dist
 
 
 def hybrid_union(vec_results: DataFrame, bm25_results: DataFrame) -> DataFrame:
@@ -56,6 +66,25 @@ def bm25_topk_per_query(
     )
 
 
+def query_term_weights(
+    queries: DataFrame,
+    query_id: str = "query_id",
+    query_text: str = "query_text",
+) -> DataFrame:
+    """In-plan query tokenization: (query_id, term, qw) rows where qw is the
+    term's multiplicity in the query (rank_bm25 scores duplicate query terms
+    once per occurrence). The distributed twin of the driver-side
+    ``Counter(text.lower().split())``."""
+    return (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.explode(TXT.tokenize(query_text)).alias("term"),
+        )
+        .groupBy("query_id", "term")
+        .agg(F.count("*").cast("double").alias("qw"))
+    )
+
+
 def rag_pipeline(
     queries: DataFrame,
     docs_vec: DataFrame,
@@ -70,29 +99,49 @@ def rag_pipeline(
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
     text_col: str = "text",
+    distributed: bool = True,
 ) -> DataFrame:
     """Full hybrid retrieval: kNN candidates ∪ BM25 candidates → MMR top-k.
 
     ``queries`` carries (query_id, query_vec, query_text); ``docs_vec``
     (doc_id, embedding); ``docs_text`` (doc_id, text). Returns
-    (query_id, rank, doc_id).
+    (query_id, rank, doc_id). ``distributed=True`` (default) keeps every
+    stage — query tokenization, BM25, union, gather, MMR — in one lazy
+    plan with no driver collect; ``False`` is the reference-shaped
+    driver-side parity path (identical output, tests/test_pipeline.py).
     """
     vec_cands = knn(
         queries, docs_vec, candidate_k,
         query_id=query_id, query_vec=query_vec,
         doc_id=doc_id, doc_vec=doc_vec,
     )
-    qlist = [
-        (r[0], r[1]) for r in queries.select(query_id, query_text).collect()
-    ]
-    bm_cands = bm25_topk_per_query(
-        docs_text, qlist, bm25_topk, id_col=doc_id, text_col=text_col
-    )
+    if distributed:
+        index = bm25_index(docs_text, doc_id, text_col).cache()
+        qterms = query_term_weights(queries, query_id, query_text)
+        bm_cands = bm25_topk_set_df(index, qterms, bm25_topk, id_col=doc_id)
+        bm_cands = bm_cands.select(
+            F.col("query_id").alias(query_id),
+            F.col(doc_id).alias("doc_id"),
+            "bm25",
+        )
+    else:
+        qlist = [
+            (r[0], r[1]) for r in queries.select(query_id, query_text).collect()
+        ]
+        bm_cands = bm25_topk_per_query(
+            docs_text, qlist, bm25_topk, id_col=doc_id, text_col=text_col
+        )
     cands = hybrid_union(vec_cands, bm_cands)
     # gather vectors for MMR: candidate rows + doc vec + query vec
     gathered = cands.join(docs_vec.select(doc_id, doc_vec), doc_id).join(
         F.broadcast(queries.select(query_id, query_vec)), query_id
     )
+    if distributed:
+        return mmr_rerank_dist(
+            gathered, k, lam,
+            query_id=query_id, doc_id=doc_id,
+            doc_vec=doc_vec, query_vec=query_vec,
+        )
     return mmr_rerank(
         queries.sparkSession, gathered, k, lam,
         query_id=query_id, doc_id=doc_id,

@@ -7,7 +7,11 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
-from clinical_vector_search_spark.operators.mmr import mmr_rerank, mmr_rerank_rows
+from clinical_vector_search_spark.operators.mmr import (
+    mmr_rerank,
+    mmr_rerank_dist,
+    mmr_rerank_rows,
+)
 
 
 def reference_mmr(cand_vecs, query_vec, k, lam):
@@ -71,3 +75,26 @@ def test_mmr_dataframe_wrapper(spark, cands):
     expect = reference_mmr(vecs, q, k=5, lam=0.5)
     assert [r.doc_id for r in out] == [ids[i] for i in expect]
     assert [r.rank for r in out] == [1, 2, 3, 4, 5]
+
+
+def test_mmr_dist_parity_multi_query(spark, cands):
+    """applyInPandas path == driver-loop path across several query groups
+    (the distributed kernel is the same function, so ranks must match
+    exactly)."""
+    ids, vecs, q = cands
+    rng = np.random.default_rng(11)
+    rows = []
+    for qid in range(4):
+        qv = [float(x) for x in rng.normal(size=16)]
+        for i in range(len(ids)):
+            rows.append((qid, ids[i], [float(x) for x in vecs[i]], qv))
+    df = spark.createDataFrame(
+        rows, "query_id long, doc_id long, embedding array<double>, "
+        "query_vec array<double>"
+    )
+    driver = {(r.query_id, r.rank): r.doc_id
+              for r in mmr_rerank(spark, df, k=6, lam=0.4).collect()}
+    dist = {(r.query_id, r.rank): r.doc_id
+            for r in mmr_rerank_dist(df, k=6, lam=0.4).collect()}
+    assert driver == dist
+    assert len(dist) == 4 * 6

@@ -174,6 +174,61 @@ def test_baseline_mode_shape(spark, sf_dir):
     assert set(out.columns) == {"query_id", "rank", "doc_id", "score", "snippet"}
 
 
+def test_rag_distributed_parity_and_laziness(spark, sf_dir):
+    """The distributed RAG plan (in-plan query terms + applyInPandas MMR)
+    returns exactly the driver-loop path's results, and building it
+    launches no Spark job (no collect at plan-construction time — the
+    property that makes it scale past driver memory)."""
+    from clinical_vector_search_spark.pipeline.modes import load_corpus
+    from clinical_vector_search_spark.pipeline.rag import rag_pipeline
+
+    docs, vecs = load_corpus(spark, sf_dir)
+    queries = (
+        vecs.filter(F.col("doc_id") < 3)
+        .join(docs.select("doc_id", F.col("text").alias("query_text")), "doc_id")
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+            "query_text",
+        )
+    )
+    # Laziness: the stages this path moves in-plan (query terms, BM25
+    # scoring, MMR) must launch no job at build time. (knn's auto-strategy
+    # size probe runs file-LISTING jobs — metadata, not a collect — so the
+    # check targets the BM25+MMR subplan, built on a jobless candidate df.)
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set_df,
+    )
+    from clinical_vector_search_spark.operators.mmr import mmr_rerank_dist
+    from clinical_vector_search_spark.pipeline.rag import query_term_weights
+
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    idx = bm25_index(docs)
+    qt = query_term_weights(queries)
+    bm = bm25_topk_set_df(idx, qt, 10)
+    gathered = (
+        bm.select("query_id", "doc_id")
+        .join(vecs.select("doc_id", "embedding"), "doc_id")
+        .join(queries.select("query_id", "query_vec"), "query_id")
+    )
+    mmr_rerank_dist(gathered, 4)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before  # lazy: no job until an action
+
+    dist_df = rag_pipeline(queries, vecs, docs, k=4, candidate_k=10,
+                           bm25_topk=10, distributed=True)
+    dist = {(r.query_id, r.rank): r.doc_id for r in dist_df.collect()}
+    drv = {
+        (r.query_id, r.rank): r.doc_id
+        for r in rag_pipeline(queries, vecs, docs, k=4, candidate_k=10,
+                              bm25_topk=10, distributed=False).collect()
+    }
+    assert dist == drv
+    assert len(dist) == 3 * 4
+
+
 def test_rag_mode_self_top1(spark, sf_dir):
     rows = rag_mode(
         spark, sf_dir, k=3, n_queries=2, candidate_k=10, bm25_topk=10

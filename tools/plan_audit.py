@@ -58,6 +58,10 @@ def main() -> int:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", "8g")
         .config("spark.ui.enabled", "false")
+        # default 100-char metadata truncation can cut ReadSchema short and
+        # make the column-pruning check vacuously pass (column "absent"
+        # because truncated, not because pruned)
+        .config("spark.sql.maxMetadataStringLength", "10000")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,6 +149,31 @@ def main() -> int:
     after = len(tracker.getJobIdsForGroup() or [])
     check("bm25: plan construction runs zero Spark jobs", after == before,
           f"jobs before={before} after={after}")
+
+    # 6b. distributed RAG: query terms + BM25 + MMR all in-plan, zero jobs
+    # at build time (no driver collect anywhere in the hybrid path)
+    from clinical_vector_search_spark.operators.bm25 import bm25_topk_set_df
+    from clinical_vector_search_spark.operators.mmr import mmr_rerank_dist
+    from clinical_vector_search_spark.pipeline.rag import query_term_weights
+
+    queries = vecs.filter(F.col("doc_id") < 3).join(
+        docs.select("doc_id", F.col("text").alias("query_text")), "doc_id"
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        "query_text",
+    )
+    before = len(tracker.getJobIdsForGroup() or [])
+    bm = bm25_topk_set_df(bm25_index(docs), query_term_weights(queries), 10)
+    gathered = (
+        bm.select("query_id", "doc_id")
+        .join(vecs.select("doc_id", "embedding"), "doc_id")
+        .join(queries.select("query_id", "query_vec"), "query_id")
+    )
+    _ = mmr_rerank_dist(gathered, 5)
+    after = len(tracker.getJobIdsForGroup() or [])
+    check("rag distributed: qterms+bm25+mmr build runs zero Spark jobs",
+          after == before, f"jobs before={before} after={after}")
 
     # 7. dedup plans: no cartesian product anywhere
     from clinical_vector_search_spark.operators.dedup import (
