@@ -757,6 +757,24 @@ def q_evaluation_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_evaluation(spark, sf_dir, k=5, n_queries=5)
 
 
+def q_evaluation_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1–A5 metric half of the evaluation harness over REAL mode outputs:
+    DP (expression path) and FHE rankings scored per query against the
+    exact-kNN baseline — the deterministic, oracle-checkable core that
+    q_evaluation_table wraps with wall-clock latency columns."""
+    from clinical_vector_search_spark.pipeline.evaluate import evaluation_metrics
+
+    m = evaluation_metrics(spark, sf_dir, k=5, n_queries=5)
+    return m.select(
+        "query_id",
+        *[
+            F.round(c, 6).alias(c)
+            for c in m.columns
+            if c != "query_id"
+        ],
+    )
+
+
 def q_rag_hybrid_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3+R4: hybrid kNN∪BM25 candidates → greedy MMR re-rank.
     No SQL oracle (sequential greedy loop) — rows-only check; unit-tested
@@ -909,6 +927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_extract": q_events_json_extract,
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "multimodal_features": q_multimodal_features,
+        "evaluation_metrics": q_evaluation_metrics,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1585,6 +1604,110 @@ def oracle_sql() -> dict[str, str]:
               FROM sc)
         SELECT query_id, rank, doc_id, round(score, 6) AS score
         FROM r WHERE rank <= 5
+    """
+
+    # evaluation_metrics oracle: the FULL dp + fhe mode pipelines in SQL
+    # (composed from the individually-proven fragments: hash embed, LCG
+    # noise, weighted concat, normalize, windowed kNN), then A1-A5 per
+    # query against the exact-kNN baseline. k = n_queries = 5.
+    _lcg_u = (
+        "(((1103515245 * (({idx}) % 2147483648) + 12345) % 2147483648)"
+        " / 2147483648.0)"
+    )
+
+    def _metrics_cols(suffix: str) -> str:
+        return f"""
+               round(count(b_rank) / 5.0, 6) AS recall_{suffix},
+               round(count(b_rank) / count(*)::DOUBLE, 6) AS precision_{suffix},
+               round(avg(CASE WHEN b_rank = o_rank THEN 1.0 ELSE 0.0 END), 6)
+                   AS agreement_{suffix},
+               round(coalesce(1.0 / min(CASE WHEN b_rank IS NOT NULL
+                                             THEN o_rank END), 0.0), 6)
+                   AS mrr_{suffix},
+               round(sum(coalesce(b_rank, 0)::DOUBLE / log2(o_rank + 1.0))
+                     / sum(1.0 / log2(o_rank + 1.0)), 6) AS ndcg_{suffix}"""
+
+    s["evaluation_metrics"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        -- baseline: exact kNN top-5 of the first 5 normalized vectors
+        bq AS (SELECT doc_id AS query_id, nv AS qv FROM n WHERE doc_id < 5),
+        bsc AS (SELECT query_id, doc_id, list_dot_product(qv, nv) AS score
+                FROM bq CROSS JOIN n),
+        base AS (SELECT query_id, doc_id,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id) AS b_rank
+                 FROM bsc QUALIFY b_rank <= 5),
+        -- DP mode: attr sentence -> hash embed (dim 64) -> normalize ->
+        -- LCG noise -> 0.7/0.3 concat with re-normalized text vec ->
+        -- normalize -> kNN with zero-padded queries
+        atoks AS (SELECT doc_id,
+                         list_filter(regexp_split_to_array(
+                             lower(trim(concat_ws(' ', lang, source))), '\\s+'),
+                             t -> t <> '') AS tokens
+                  FROM documents),
+        ah AS (SELECT doc_id, {_MD5L.format(x="tok")} AS hv
+               FROM (SELECT doc_id, unnest(tokens) AS tok FROM atoks)),
+        af AS (SELECT doc_id, (hv % 64)::BIGINT AS j,
+                      sum(((hv >> 6) % 2001) / 1000.0 - 1.0) AS f
+               FROM ah GROUP BY doc_id, hv % 64),
+        dims AS (SELECT unnest(range(0, 64)) AS j),
+        agrid AS (SELECT doc_id, j, coalesce(af.f, 0.0) AS f
+                  FROM (SELECT doc_id FROM documents) docs
+                  CROSS JOIN dims LEFT JOIN af USING (doc_id, j)),
+        av AS (SELECT doc_id, list(f ORDER BY j) AS fv FROM agrid GROUP BY doc_id),
+        an AS (SELECT doc_id, {_NORMALIZE.format(v="fv")} AS anv FROM av),
+        an2 AS (SELECT doc_id, {_NORMALIZE.format(v="anv")} AS a2 FROM an),
+        ny AS (SELECT doc_id,
+                      [a2[i + 1] + ({_lcg_u.format(idx="doc_id * 64 + i")} - 0.5)
+                                   * {2.0 * DP_SIGMA}
+                       FOR i IN range(0, 64)] AS noisy
+               FROM an2),
+        tn AS (SELECT doc_id, {_NORMALIZE.format(v="nv")} AS tnv FROM n),
+        dp0 AS (SELECT tn.doc_id,
+                       list_concat(list_transform(tnv, x -> x * 0.7),
+                                   list_transform({_NORMALIZE.format(v="noisy")},
+                                                  x -> x * 0.3)) AS cat
+                FROM tn JOIN ny USING (doc_id)),
+        dpv AS (SELECT doc_id, {_NORMALIZE.format(v="cat")} AS dv FROM dp0),
+        q0 AS (SELECT doc_id AS query_id, {_NORMALIZE.format(v="nv")} AS qn
+               FROM n WHERE doc_id < 5),
+        qcat AS (SELECT query_id,
+                        list_concat(list_transform(qn, x -> x * 0.7),
+                                    [0.0 FOR i IN range(0, 64)]) AS cat
+                 FROM q0),
+        dq AS (SELECT query_id, {_NORMALIZE.format(v="cat")} AS dqv FROM qcat),
+        dsc AS (SELECT query_id, doc_id, list_dot_product(dqv, dv) AS score
+                FROM dq CROSS JOIN dpv),
+        dpr AS (SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS o_rank
+                FROM dsc QUALIFY o_rank <= 5),
+        -- FHE mode: 300-row subset -> 64->16 LCG projection -> normalize
+        -- -> exact top-5 (fhe_pipeline oracle shape)
+        sub AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                ORDER BY vec_id LIMIT 300),
+        fp AS (SELECT vec_id, {fhe_proj} AS pv FROM sub),
+        fn AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="pv")} AS fnv FROM fp),
+        fq AS (SELECT doc_id AS query_id, fnv AS fqv FROM fn WHERE doc_id < 5),
+        fsc AS (SELECT query_id, doc_id, list_dot_product(fqv, fnv) AS score
+                FROM fq CROSS JOIN fn),
+        fr AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS o_rank
+               FROM fsc QUALIFY o_rank <= 5),
+        -- A1-A5 per query for each mode vs baseline
+        dph AS (SELECT o.query_id, o.o_rank, b.b_rank
+                FROM dpr o LEFT JOIN base b
+                  ON b.query_id = o.query_id AND b.doc_id = o.doc_id),
+        dpm AS (SELECT query_id, {_metrics_cols("dp")}
+                FROM dph GROUP BY query_id),
+        feh AS (SELECT o.query_id, o.o_rank, b.b_rank
+                FROM fr o LEFT JOIN base b
+                  ON b.query_id = o.query_id AND b.doc_id = o.doc_id),
+        fem AS (SELECT query_id, {_metrics_cols("fhe")}
+                FROM feh GROUP BY query_id)
+        SELECT * FROM dpm JOIN fem USING (query_id)
     """
 
     # knn_lsh oracle: same deterministic hyperplane family as

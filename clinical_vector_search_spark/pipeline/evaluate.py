@@ -69,6 +69,46 @@ def evaluate_modes(
     return out.orderBy("query_id")
 
 
+def evaluation_metrics(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 5,
+    n_queries: int = 5,
+) -> DataFrame:
+    """The deterministic metric half of :func:`run_evaluation`: per-query
+    A1–A5 for the SQL-expressible modes (DP expression path, FHE plaintext
+    stand-in) against the exact-kNN baseline oracle — one fully lazy plan,
+    no wall-clock columns, so the whole table is DuckDB-oracle-checkable.
+    Latency (A8/A9) stays in :func:`run_evaluation`, which is rows-only
+    checked by design (wall-clock is nondeterministic)."""
+    from clinical_vector_search_spark.pipeline.modes import (
+        baseline_mode,
+        dp_mode,
+        fhe_mode,
+    )
+
+    def _ids(df: DataFrame) -> DataFrame:
+        return df.select("query_id", "rank", "doc_id")
+
+    base = _ids(baseline_mode(spark, sf_dir, k, n_queries))
+    out: DataFrame | None = None
+    for mode, res in (
+        ("dp", _ids(dp_mode(spark, sf_dir, k, n_queries, accel="expr"))),
+        ("fhe", _ids(fhe_mode(spark, sf_dir, k, n_queries))),
+    ):
+        m = evaluate_against_baseline(base, res, k).select(
+            "query_id",
+            F.col("recall").alias(f"recall_{mode}"),
+            F.col("precision").alias(f"precision_{mode}"),
+            F.col("accuracy").alias(f"agreement_{mode}"),
+            F.col("mrr").alias(f"mrr_{mode}"),
+            F.col("ndcg").alias(f"ndcg_{mode}"),
+        )
+        out = m if out is None else out.join(m, "query_id")
+    assert out is not None
+    return out.orderBy("query_id")
+
+
 def run_evaluation(
     spark: SparkSession,
     sf_dir: str,
