@@ -69,7 +69,15 @@ def run_streaming_tumbling(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    # awaitTermination(timeout) returns False on timeout — in that case the
+    # memory table holds a PARTIAL aggregate; stop the query and fail loudly
+    # rather than silently returning an incomplete streaming answer.
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
     return spark.table(name).select(
         (F.unix_timestamp(F.col("window.start"))).alias("window_start"),
         "event_type",

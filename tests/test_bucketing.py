@@ -48,24 +48,39 @@ def test_cobucketed_join_has_no_exchange(spark, sf_dir, bucketed_tables):
     from clinical_vector_search_spark.io.tables import read_bucketed, read_table
 
     ob, cb = bucketed_tables
-    joined = read_bucketed(spark, ob).join(read_bucketed(spark, cb), "o_custkey")
-    plan = _formatted(joined)
-    assert _n_exchanges(plan) == 0, plan
+    # At sf0.01 both tables are far below the 10MB broadcast threshold, so
+    # without forcing a shuffle-eligible join the plan is BroadcastHashJoin
+    # and "zero Exchange" passes whether or not bucket co-location works.
+    # Disable broadcast so the zero-Exchange assertion genuinely proves the
+    # bucket-aligned SortMergeJoin.
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_bucketed(spark, ob).join(
+            read_bucketed(spark, cb), "o_custkey"
+        )
+        plan = _formatted(joined)
+        assert "SortMergeJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert _n_exchanges(plan) == 0, plan
 
-    # unbucketed twin of the same join DOES shuffle (sanity: the zero
-    # above is bucketing, not some other rewrite) — disable broadcast so
-    # the comparison is shuffle-join vs bucket-join
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
-    cust = read_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"), "c_name"
-    )
-    plain = orders.hint("merge").join(cust, "o_custkey")
-    assert _n_exchanges(_formatted(plain)) >= 1
+        # unbucketed twin of the same join DOES shuffle (sanity: the zero
+        # above is bucketing, not some other rewrite)
+        orders = read_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        cust = read_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        )
+        plain = orders.join(cust, "o_custkey")
+        plain_plan = _formatted(plain)
+        assert "SortMergeJoin" in plain_plan, plain_plan
+        assert _n_exchanges(plain_plan) >= 1, plain_plan
 
-    # same answer
-    assert joined.count() == plain.count()
+        # same answer
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
 def test_bucket_key_groupby_has_no_exchange(spark, bucketed_tables):
