@@ -124,6 +124,34 @@ def test_ivf_full_probe_is_exact(corpus, queries):
     assert exact == full
 
 
+def test_ivf_kmeans_centroids_recall_beats_lcg(corpus, queries):
+    """Trained (spherical Lloyd's) centroids must retrieve at least as much
+    of the exact top-k as the random LCG centroids at equal n_probe — the
+    whole point of training the quantizer. Plan shape is identical."""
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+
+    k, n_cent, n_probe = 10, 8, 2
+    exact = {(r.query_id, r.doc_id) for r in knn(queries, corpus, k).collect()}
+
+    def recall(centroids):
+        got = {
+            (r.query_id, r.doc_id)
+            for r in knn_ivf(
+                queries, corpus, k, dim=64, n_centroids=n_cent,
+                n_probe=n_probe, centroids=centroids,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    cents = kmeans_centroids(corpus, dim=64, n_centroids=n_cent, n_iter=5)
+    assert len(cents) == n_cent and len(cents[0]) == 64
+    # spherical: unit-norm centroids
+    assert all(abs(sum(x * x for x in c) - 1.0) < 1e-6 for c in cents)
+    r_kmeans, r_lcg = recall(cents), recall(None)
+    assert r_kmeans >= r_lcg, (r_kmeans, r_lcg)
+    assert r_kmeans > 0.3  # trained quantizer retrieves a real share
+
+
 def test_lang_id_argmax_and_ties(spark):
     rows = [
         (0, "the cat and the dog is here"),     # en
