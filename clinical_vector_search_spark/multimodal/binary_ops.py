@@ -6,11 +6,14 @@ typed metadata alongside; decode / feature-extract / resize / frame-sample
 run as Arrow-batched ``mapInPandas`` stages so bytes never round-trip
 per-row through Python.
 
-The actual codecs (PIL/librosa/ffmpeg) are NOT installed in this container,
-so the decode kernels are STUBS: with the libraries present the real decode
-runs; without them a deterministic fake (seeded on content md5) keeps the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-real and testable.
+Codec gating: when pillow is importable on the executors, the REAL decode
+branch runs (decode → resize → feature); rows whose bytes do not decode as
+an image fall back per-row to the deterministic fake (seeded on content
+md5), so mixed/corrupt corpora degrade gracefully and the non-image test
+fixtures stay bit-stable. Without pillow (this container), every row takes
+the fake branch — the Spark-side plumbing (schema, partitioning, UDF
+signature, Arrow batch shape) is identical either way. The PIL branch is
+exercised by a gated pytest (skipped when pillow is absent).
 """
 
 from __future__ import annotations
@@ -46,32 +49,50 @@ def _fake_feature(content: bytes, dim: int) -> list[float]:
     return [((h[i % 16] * 31 + i) % 256) / 255.0 for i in range(dim)]
 
 
+def _image_feature(content: bytes, dim: int) -> list[float] | None:
+    """Real decode branch: grayscale luminance histogram with ``dim``
+    buckets, L1-normalized — a cheap, deterministic image descriptor (the
+    seam where model.encode drops in). Returns None when the bytes do not
+    decode as an image (caller falls back to the fake)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            gray = im.convert("L").resize((32, 32))
+            hist = gray.histogram()  # 256 buckets
+    except Exception:  # undecodable bytes → caller's fake fallback
+        return None
+    per = 256 // dim
+    buckets = [float(sum(hist[i * per : (i + 1) * per])) for i in range(dim)]
+    total = sum(buckets) or 1.0
+    return [b / total for b in buckets]
+
+
 def extract_features(
     df: DataFrame, dim: int = 16, content_col: str = "content", id_col: str = "media_id"
 ) -> DataFrame:
     """Decode + feature-extract as a mapInPandas stage.
 
-    Arrow batches of binary → feature vectors. With a real decoder
-    installed, replace the except-branch; the Spark plan (schema,
-    partition-parallel batches) is production-shaped either way.
+    Arrow batches of binary → feature vectors. With pillow on the
+    executors, rows that decode as images get the real histogram feature
+    (``_image_feature``); undecodable rows — and every row when pillow is
+    absent — get the deterministic fake. The Spark plan (schema,
+    partition-parallel batches) is identical either way.
     """
     out_schema = f"{id_col} long, feature array<double>"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:
-            import PIL.Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image decode not wired: install pillow on executors "
-                "and implement decode → resize → model.encode here"
-            )
-        except ImportError:
-            pass
         for pdf in batches:
-            feats = [
-                _fake_feature(bytes(c) if c is not None else b"", dim)
-                for c in pdf[content_col]
-            ]
+            feats = []
+            for c in pdf[content_col]:
+                raw = bytes(c) if c is not None else b""
+                feats.append(
+                    _image_feature(raw, dim) or _fake_feature(raw, dim)
+                )
             yield pd.DataFrame({id_col: pdf[id_col], "feature": feats})
 
     return df.select(id_col, content_col).mapInPandas(kernel, out_schema)
@@ -84,29 +105,41 @@ def resize_images(
     content_col: str = "content",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """Decode → resize as a mapInPandas stage: (id, content, width, height).
+    """Decode → resize → re-encode as a mapInPandas stage:
+    (id, content, width, height).
 
-    With PIL installed this would decode+resize real bytes; without it the
-    deterministic stand-in passes content through and stamps the target
-    dimensions, keeping the Spark-side contract (schema, Arrow batching,
-    partition parallelism) real and testable."""
+    With pillow on the executors, rows that decode as images are really
+    resized (PNG re-encode); undecodable rows — and every row when pillow
+    is absent — pass their bytes through with the target dims stamped, so
+    the Spark-side contract (schema, Arrow batching, partition
+    parallelism) holds in both branches."""
+    import io
+
     out_schema = f"{id_col} long, content binary, width int, height int"
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _resize(raw: bytes) -> bytes | None:
         try:
-            import PIL.Image  # noqa: F401
-
-            raise NotImplementedError(
-                "real image resize not wired: install pillow on executors "
-                "and implement decode → Image.resize → re-encode here"
-            )
+            from PIL import Image
         except ImportError:
-            pass
+            return None
+        try:
+            with Image.open(io.BytesIO(raw)) as im:
+                out = io.BytesIO()
+                im.resize((width, height)).save(out, format="PNG")
+                return out.getvalue()
+        except Exception:  # undecodable → passthrough
+            return None
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            content = [
+                _resize(bytes(c) if c is not None else b"") or c
+                for c in pdf[content_col]
+            ]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
-                    "content": pdf[content_col],
+                    "content": content,
                     "width": width,
                     "height": height,
                 }

@@ -186,6 +186,43 @@ def test_resize_images_stub(spark):
     assert out[2] == (b"x", 64, 48)
 
 
+def test_multimodal_real_decode_branch_gated(spark):
+    """Exercises the REAL pillow branch (decode → resize → histogram
+    feature) — skipped when pillow is absent from the container."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        extract_features,
+        resize_images,
+    )
+
+    def png_bytes(color):
+        buf = io.BytesIO()
+        Image.new("RGB", (8, 8), color).save(buf, format="PNG")
+        return bytearray(buf.getvalue())
+
+    df = spark.createDataFrame(
+        [(1, png_bytes((255, 255, 255))), (2, png_bytes((0, 0, 0))),
+         (3, bytearray(b"not an image"))],
+        "media_id long, content binary",
+    )
+    feats = {r.media_id: r.feature for r in extract_features(df, dim=4).collect()}
+    # white image: all luminance in the top bucket; black: bottom bucket
+    assert feats[1][3] == 1.0 and feats[2][0] == 1.0
+    # non-image bytes fall back to the deterministic fake per-row
+    from clinical_vector_search_spark.multimodal.binary_ops import _fake_feature
+
+    assert feats[3] == _fake_feature(b"not an image", 4)
+
+    sized = {r.media_id: r for r in resize_images(df, 4, 2).collect()}
+    with Image.open(io.BytesIO(bytes(sized[1].content))) as im:
+        assert im.size == (4, 2)  # really resized + re-encoded
+    assert bytes(sized[3].content) == b"not an image"  # passthrough
+
+
 def test_print_topk_sink(spark, sf_dir, capsys):
     from clinical_vector_search_spark.io.tables import print_topk
     from clinical_vector_search_spark.pipeline.modes import baseline_mode
