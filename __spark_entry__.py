@@ -724,6 +724,42 @@ def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components duplicate-group assignment over the n-gram
+    Jaccard candidate pairs (iterative min-label propagation; oracle is a
+    recursive-CTE transitive closure). group_id = min doc id of the
+    component; singletons keep their own id."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_groups,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=SHINGLE_N, threshold=JACCARD_THR
+    )
+    return dedup_groups(docs.select("doc_id"), pairs)
+
+
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (orders ⋈ customer over a salted key) rolled
+    up per segment — result is salt-independent, so the oracle is the
+    plain join."""
+    from clinical_vector_search_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = salted_join(o, c, "o_custkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
 def q_doc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P2–P6 composed: the load→cast→clean→null-drop→dedup pipeline over
     the documents table, keeping the testdata's explicit doc ids."""
@@ -928,6 +964,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
+        "dedup_groups": q_dedup_groups,
+        "salted_join": q_salted_join,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1564,6 +1602,41 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN sizes sa ON sa.doc_id = a_id
                     JOIN sizes sb ON sb.doc_id = b_id
         WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THR}
+    """
+
+    # dedup_groups: same Jaccard pair derivation as dedup_ngram_jaccard,
+    # then connected components as a recursive-CTE transitive closure —
+    # group_id = min reachable node; singletons seed themselves.
+    s["dedup_groups"] = f"""
+        WITH RECURSIVE toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*)::DOUBLE AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT a_id, b_id
+              FROM common JOIN sizes sa ON sa.doc_id = a_id
+                          JOIN sizes sb ON sb.doc_id = b_id
+              WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THR}),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS doc_id, min(dst) AS group_id
+        FROM reach GROUP BY src
+    """
+
+    s["salted_join"] = """
+        SELECT c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """
 
     s["dedup_embedding_neardup"] = f"""

@@ -241,6 +241,61 @@ def simhash(
     return per_bit.select(F.col(id_col), sim.alias("simhash"))
 
 
+def dedup_groups(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Duplicate-GROUP assignment: connected components over the candidate
+    pair graph — the step after MinHash/Jaccard pair generation that turns
+    pairwise matches into dedup decisions. Every doc gets
+    ``group_id = min(doc id in its component)``; the survivor of a group is
+    the doc whose id equals its group_id; singletons keep their own id.
+
+    Algorithm: iterative min-label propagation. Each round is one
+    edges⋈labels join + one min-groupBy; labels converge in diameter(G)
+    rounds (near-dup components are duplicate clusters, not social graphs —
+    diameters are tiny). Labels are ``localCheckpoint``-ed every round to
+    truncate the lineage a loop of joins would otherwise stack up, and the
+    fixed-point check is one count per round (an iterative algorithm acts
+    per iteration by nature, like Lloyd's). At extreme scale swap the
+    propagation for the alternating large-star/small-star variant
+    (O(log n) rounds) — the per-round plan shape is the same.
+
+    ``ids`` must carry every node (one row per ``id_col``); ``pairs``
+    carries (a_id, b_id) candidate edges. Returns (id_col, group_id).
+    """
+    edges = (
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .cache()  # re-read every round; rows are two ids
+    )
+    labels = ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed(id_col, "src"), "src"
+        ).select(F.col("dst").alias(id_col), "group_id")
+        new_labels = (
+            labels.union(prop)
+            .groupBy(id_col)
+            .agg(F.min("group_id").alias("group_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.select(F.col(id_col), F.col("group_id").alias("_old")),
+                id_col,
+            )
+            .filter(F.col("group_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def simhash_pd(
     df: DataFrame,
     bits: int = 32,

@@ -19,6 +19,44 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) left side gets a salt
+    in [0, n_salts); the (small) right side is replicated once per salt via
+    ``explode(sequence(...))``; the join key becomes (on…, salt), so a hot
+    key's rows spread over ``n_salts`` reducers instead of melting one
+    executor. EXACT for inner/left joins — each left row still meets each
+    matching right row exactly once (on its own salt), so the result is
+    salt-independent and plain-SQL oracle-checkable.
+
+    AQE's skew-join split handles moderate runtime skew; this is the
+    explicit plan-shape fix when one key exceeds what a single task can
+    hold, at the cost of an n_salts× replication of the right side —
+    keep the right side the small one.
+    """
+    allowed = {
+        "inner", "left", "left_outer", "leftouter",
+        "left_semi", "leftsemi", "left_anti", "leftanti",
+    }
+    if how not in allowed:
+        # right/full outer would emit each UNMATCHED replicated right row
+        # once per salt — wrong by construction
+        raise ValueError(f"salted_join supports {sorted(allowed)}, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salted_l = left.withColumn(
+        "_salt", F.pmod(F.spark_partition_id(), F.lit(n_salts))
+    )
+    salted_r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return salted_l.join(salted_r, [*keys, "_salt"], how).drop("_salt")
+
+
 def salted_count_sum(
     df: DataFrame,
     key_cols: list[str],

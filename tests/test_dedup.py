@@ -7,6 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.operators.dedup import (
+    dedup_groups,
     embedding_neardup_pairs,
     exact_dedup,
     minhash_candidate_pairs,
@@ -92,6 +93,50 @@ def test_simhash_pd_parity_corpus(spark, sf_dir):
     expr = {r.doc_id: r.simhash for r in simhash(docs, bits=16).collect()}
     pdp = {r.doc_id: r.simhash for r in simhash_pd(docs, bits=16).collect()}
     assert expr == pdp
+
+
+def test_dedup_groups_topologies(spark):
+    """Chain, triangle, singleton — labels converge to component minima."""
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2; triangle 3-4-5 (+redundant edge); 6 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)], "a_id long, b_id long"
+    )
+    got = {r.doc_id: r.group_id for r in dedup_groups(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_dedup_groups_matches_union_find_on_corpus(spark, sf_dir):
+    """Cross-check the distributed label propagation against a driver-side
+    union-find over the same real candidate pairs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.2)
+    got = {
+        r.doc_id: r.group_id
+        for r in dedup_groups(docs.select("doc_id"), pairs).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    edge_rows = pairs.select("a_id", "b_id").collect()
+    for r in edge_rows:
+        union(r.a_id, r.b_id)
+    all_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    want = {i: find(i) for i in all_ids}
+    assert got == want
+    assert len(edge_rows) > 0  # the corpus really has near-dup pairs
 
 
 def test_embedding_neardup_exact_vs_lsh(spark):

@@ -124,6 +124,38 @@ def test_ivf_full_probe_is_exact(corpus, queries):
     assert exact == full
 
 
+def test_salted_join_exact_and_guards(spark, sf_dir):
+    """Salted equi-join returns exactly the plain join's rows (salt is an
+    implementation detail), and rejects join types it cannot make exact."""
+    from clinical_vector_search_spark.operators.skew import salted_join
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    salted = {
+        (r.o_orderkey, r.c_mktsegment)
+        for r in salted_join(o, c, "o_custkey", n_salts=8).collect()
+    }
+    plain = {
+        (r.o_orderkey, r.c_mktsegment) for r in o.join(c, "o_custkey").collect()
+    }
+    assert salted == plain and len(plain) > 0
+
+    # left join: unmatched left rows survive exactly once
+    o_extra = o.union(
+        spark.createDataFrame([(999_999_999, -1)], "o_orderkey long, o_custkey long")
+    )
+    left = salted_join(o_extra, c, "o_custkey", n_salts=4, how="left")
+    unmatched = left.filter(F.col("c_mktsegment").isNull()).collect()
+    assert [r.o_orderkey for r in unmatched] == [999_999_999]
+
+    with pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(o, c, "o_custkey", how="full")
+
+
 def test_ivf_kmeans_centroids_recall_beats_lcg(corpus, queries):
     """Trained (spherical Lloyd's) centroids must retrieve at least as much
     of the exact top-k as the random LCG centroids at equal n_probe — the
