@@ -937,6 +937,18 @@ def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked stream-stream interval join (clicks ⋈ preceding
+    same-user views), availableNow replay — a genuine two-stream stateful
+    Structured Streaming run whose rollup hash-matches the batch SQL."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_interval_join,
+    )
+
+    _events(spark, sf_dir)  # sets the nanosAsLong session conf
+    return run_streaming_interval_join(spark, sf_dir, max_delta_sec=3600)
+
+
 def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.6): customers with no URGENT-priority orders,
     counted per segment."""
@@ -966,6 +978,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_metrics": q_evaluation_metrics,
         "dedup_groups": q_dedup_groups,
         "salted_join": q_salted_join,
+        "events_streaming_join": q_events_streaming_join,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1539,6 +1552,22 @@ def oracle_sql() -> dict[str, str]:
                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
               FROM events)
         GROUP BY event_type
+    """
+
+    s["events_streaming_join"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                          event_type, value FROM events),
+        c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+              FROM e WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts_us AS view_us, value
+              FROM e WHERE event_type = 'view')
+        SELECT c.click_id,
+               count(*) AS n_views,
+               round(sum(v.value), 6) AS sum_view_value
+        FROM c JOIN v ON v.user_id = c.user_id
+                     AND v.view_us <= c.click_us
+                     AND v.view_us >= c.click_us - 3600000000
+        GROUP BY c.click_id
     """
 
     s["rel_cust_no_orders"] = """

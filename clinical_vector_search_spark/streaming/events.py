@@ -86,6 +86,108 @@ def run_streaming_tumbling(
     )
 
 
+def run_streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    max_delta_sec: int = 3600,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """REAL watermarked stream-stream interval join: every 'click' joins
+    the same user's 'view' events from the preceding ``max_delta_sec``
+    (inclusive both ends), executed as an availableNow replay of the
+    bounded events table through two file-source streams into a memory
+    sink, then rolled up per click — shaped exactly like the batch/SQL
+    oracle, so a genuine Structured Streaming run is hash-comparable.
+
+    This is the canonical two-stream stateful shape: watermarks on BOTH
+    event-time columns plus a time-range join condition let Spark bound
+    the join state (views older than click_watermark − max_delta are
+    dropped); without them the state grows forever. Inner-join matches
+    emit as soon as both sides arrive (append mode)."""
+    import uuid
+
+    name = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user_id"),
+            F.col("ts").alias("view_ts"),
+            "value",
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {max_delta_sec} SECONDS")
+        ),
+        "inner",
+    )
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming join {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    return spark.table(name).groupBy("click_id").agg(
+        F.count("*").alias("n_views"),
+        F.round(F.sum("value"), 6).alias("sum_view_value"),
+    )
+
+
+def interval_join_batch(
+    events: DataFrame, max_delta_sec: int = 3600
+) -> DataFrame:
+    """Batch twin of :func:`run_streaming_interval_join` over the same
+    events DataFrame — per-click rollup of same-user views in the
+    preceding window (µs domain)."""
+    delta_us = max_delta_sec * 1_000_000
+    ev = events.withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_us"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts_us").alias("view_us"),
+        "value",
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_us") <= F.col("click_us"))
+        & (F.col("view_us") >= F.col("click_us") - F.lit(delta_us)),
+        "inner",
+    )
+    return pairs.groupBy("click_id").agg(
+        F.count("*").alias("n_views"),
+        F.round(F.sum("value"), 6).alias("sum_view_value"),
+    )
+
+
 def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     """Tumbling-window counts/sums per event_type. Batch twin of the
     streaming aggregation; window start exposed as epoch seconds (long) so

@@ -176,3 +176,27 @@ def test_streaming_tumbling_counts(spark, sf_dir, tmp_path):
         "SELECT sum(n_events) AS n FROM tumbling_test"
     ).collect()[0].n
     assert got == ev.count()
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """REAL stream-stream join (two watermarked file-source streams,
+    availableNow) produces exactly the batch twin's per-click rollup."""
+    from clinical_vector_search_spark.streaming.events import (
+        interval_join_batch,
+        run_streaming_interval_join,
+    )
+
+    stream = {
+        (r.click_id, r.n_views, r.sum_view_value)
+        for r in run_streaming_interval_join(
+            spark, sf_dir, max_delta_sec=3600
+        ).collect()
+    }
+    batch = {
+        (r.click_id, r.n_views, r.sum_view_value)
+        for r in interval_join_batch(
+            read_events(spark, sf_dir), max_delta_sec=3600
+        ).collect()
+    }
+    assert stream == batch
+    assert len(batch) > 0  # corpus really has click←view matches
