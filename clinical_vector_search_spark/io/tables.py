@@ -45,6 +45,22 @@ def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).csv(path, header=True)
 
 
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan — the interchange format training-data pipelines
+    actually ship (one JSON doc per line). Spark's json source is already
+    line-delimited by default; pass ``schema`` to skip the inference scan
+    (at 100 TB, schema inference is a full extra pass — always pass it)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one doc per line, partition-parallel files)."""
+    df.write.mode(mode).json(path)
+
+
 def build_vector_index(
     df: DataFrame, path: str, vec_col: str = "embedding"
 ) -> None:
@@ -53,6 +69,48 @@ def build_vector_index(
     "load index + search" (pipeline_mode.py:38-49)."""
     normalized = df.withColumn(vec_col, V.l2_normalize(vec_col))
     write_parquet(normalized, path)
+
+
+def upsert_vector_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance: merge ``new_docs`` (raw vectors) into
+    the persisted index at ``path`` — new rows win on id collision, so
+    re-embedding a changed doc replaces its old vector. Completes the
+    "index = data" lifecycle (build → query → INCREMENT) without a full
+    rebuild: one scan of the old index + the delta, one shuffle on id.
+
+    At 100 TB you'd land deltas as date-partitioned files and compact on a
+    schedule instead of rewriting — the merge plan (union → windowed
+    latest-wins dedup) is the same; the rewrite here keeps the demo
+    self-contained on plain Parquet. Writes to a temp dir then swaps so a
+    failed merge never truncates the live index."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import Window
+
+    old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
+    incoming = (
+        new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
+        .select(*old.drop("_gen").columns)
+        .withColumn("_gen", F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
+    merged = (
+        old.unionByName(incoming)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
+    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
 
 
 def write_bucketed(

@@ -279,6 +279,49 @@ def test_plot_metrics_gated(spark, tmp_path):
         assert paths == []  # gated cleanly
 
 
+def test_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    from clinical_vector_search_spark.io.tables import read_jsonl, write_jsonl
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = read_jsonl(spark, path, schema=docs.schema)
+    a = {r.doc_id: (r.text, r.lang) for r in docs.collect()}
+    b = {r.doc_id: (r.text, r.lang) for r in back.collect()}
+    assert a == b
+
+
+def test_upsert_vector_index_latest_wins(spark, tmp_path):
+    import numpy as np
+
+    from clinical_vector_search_spark.io.tables import (
+        build_vector_index,
+        upsert_vector_index,
+    )
+
+    path = str(tmp_path / "vindex")
+    base = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "doc_id long, embedding array<double>"
+    )
+    build_vector_index(base, path)
+    # upsert: replace doc 1's vector, add doc 2
+    delta = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [1.0, 1.0])], "doc_id long, embedding array<double>"
+    )
+    upsert_vector_index(spark, path, delta)
+    got = {
+        r.doc_id: [round(x, 6) for x in r.embedding]
+        for r in spark.read.parquet(path).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    assert got[0] == [1.0, 0.0]  # untouched rows survive
+    assert got[1] == [0.6, 0.8]  # replaced AND re-normalized (3,4)/5
+    norm2 = float(np.linalg.norm(got[2]))
+    assert abs(norm2 - 1.0) < 1e-6  # new rows normalized on the way in
+
+
 def test_hash_sample_deterministic_and_near_rate(spark, sf_dir):
     from clinical_vector_search_spark.pipeline.documents import hash_sample
 
