@@ -38,6 +38,9 @@ JACCARD_THR = 0.2
 NEARDUP_THR = 0.2
 WINDOW_SEC = 300
 SESSION_GAP_SEC = 1800
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+TFIDF_TOPK = 5
 
 _STOPWORDS = (
     "the a an and or of to in is it for on with as at by from that this".split()
@@ -966,6 +969,32 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the pre-embedding stage of an
+    LLM training/RAG pipeline (map-only fan-out, no shuffle)."""
+    from clinical_vector_search_spark.functions.text import chunk_rows
+
+    return chunk_rows(
+        _docs(spark, sf_dir), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP
+    )
+
+
+def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-terms per document (corpus-level df via map-side-combined
+    agg; N joined as a broadcast scalar, no driver action)."""
+    from clinical_vector_search_spark.functions.text import tfidf_top_terms
+
+    r = tfidf_top_terms(_docs(spark, sf_dir), topk=TFIDF_TOPK)
+    return r.select(
+        "doc_id",
+        F.col("term_rank").cast("long").alias("term_rank"),
+        "term",
+        "tf",
+        "df",
+        "tfidf",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: the four entries with no (or errored) CORRECTNESS_r02 row come
     # FIRST, in case the driver truncates its run by time or count. All four
@@ -979,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "salted_join": q_salted_join,
         "events_streaming_join": q_events_streaming_join,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_tfidf_topterms": q_text_tfidf_topterms,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1489,6 +1520,42 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text,
                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
         FROM documents
+    """
+
+    _chunk_step = CHUNK_SIZE - CHUNK_OVERLAP
+    s["text_chunk_windows"] = f"""
+        WITH toks AS ({_TOKS}),
+        s AS (
+            SELECT doc_id, tokens,
+                   unnest(range(1, greatest(len(tokens) - {CHUNK_OVERLAP}, 1) + 1,
+                                {_chunk_step})) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               (start - 1) // {_chunk_step} AS chunk_seq,
+               array_to_string(tokens[start:start + {CHUNK_SIZE - 1}], ' ')
+                   AS chunk_text,
+               least({CHUNK_SIZE}, len(tokens) - start + 1) AS n_tokens
+        FROM s
+        WHERE least({CHUNK_SIZE}, len(tokens) - start + 1) > 0
+    """
+
+    s["text_tfidf_topterms"] = f"""
+        WITH toks AS ({_TOKS}),
+        t AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        n AS (SELECT count(*) AS _n FROM documents),
+        scored AS (
+            SELECT doc_id, term, tf, df,
+                   round(tf * ln(_n / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, term ASC) AS term_rank
+              FROM scored)
+        SELECT doc_id, term_rank, term, tf, df, tfidf
+        FROM r WHERE term_rank <= {TFIDF_TOPK}
     """
 
     s["salted_agg"] = """

@@ -114,6 +114,93 @@ def shingle_rows(
     return rows.distinct() if distinct else rows
 
 
+def chunk_rows(
+    df: DataFrame,
+    size: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunking — the standard pre-embedding stage
+    of an LLM training/RAG pipeline (split long docs into model-window-sized
+    pieces, keep ``overlap`` tokens of context between neighbors).
+
+    Returns (id_col, chunk_seq, chunk_text, n_tokens): chunk ``i`` covers
+    tokens [1 + i*(size-overlap), … + size); the final chunk may be shorter;
+    docs with no tokens emit nothing. Pure JVM expressions (sequence +
+    slice inside one ``posexplode`` fan-out) — no shuffle at all until a
+    downstream consumer aggregates, so at 100 TB this is a map-only stage
+    that pipelines into the embedder.
+    """
+    if not 0 <= overlap < size:
+        raise ValueError(f"need 0 <= overlap < size, got {size=} {overlap=}")
+    step = size - overlap
+    # null text tokenizes to null; size(null)=null would otherwise slip a
+    # phantom chunk through greatest/least (which skip nulls in Spark)
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("_toks")).filter(
+        F.size("_toks") >= 1
+    )
+    n = F.size("_toks")
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(overlap), F.lit(1)), F.lit(step)
+    )
+    out = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.struct(
+                    F.array_join(F.slice("_toks", s, size), " ").alias("chunk_text"),
+                    F.least(F.lit(size), n - s + 1).alias("n_tokens"),
+                ),
+            )
+        ).alias("chunk_seq", "_c"),
+    )
+    return out.filter(F.col("_c.n_tokens") > 0).select(
+        F.col(id_col),
+        F.col("chunk_seq").cast("long").alias("chunk_seq"),
+        F.col("_c.chunk_text").alias("chunk_text"),
+        F.col("_c.n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    topk: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """TF-IDF top-``topk`` terms per document: tf = term count in doc,
+    idf = ln(N / df), score rounded to 6 decimals (rank ties break by the
+    rounded score then term ascending — deterministic cross-engine).
+
+    Plan shape at scale: one (doc, term) shuffle for tf, a map-side-combined
+    term-keyed agg for df (skewed common terms are fine — partial aggregation
+    absorbs them before the exchange), the corpus size joined in as a
+    broadcast scalar (no driver ``count()`` action in the plan), and a
+    per-doc window for the top-k. Returns
+    (id_col, term_rank, term, tf, df, tfidf)."""
+    toks = df.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = df.select(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn(
+            "tfidf", F.round(F.col("tf") * F.log(F.col("_n") / F.col("df")), 6)
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= topk)
+        .select(id_col, "term_rank", "term", "tf", "df", "tfidf")
+    )
+
+
 # PII patterns for corpus scrubbing. Deliberately restricted to the
 # Java-regex ∩ RE2 common subset (no lookaround/backrefs) so the same
 # pattern runs identically in Spark and SQL oracles — and compiles on

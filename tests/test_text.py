@@ -111,3 +111,76 @@ def test_redact_pii_patterns(spark):
     assert got[3] == "call [PHONE] or [PHONE]"
     assert got[4] == rows[3][1]  # untouched
     assert got[5] == "mixed: [EMAIL] / [SSN] / [PHONE]"
+
+
+def test_chunk_rows_semantics(spark):
+    from clinical_vector_search_spark.functions.text import chunk_rows
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks: chunks at 1, 5
+        (2, "a b c"),                               # shorter than size: 1 chunk
+        (3, ""),                                    # empty: no chunks
+        (4, None),                                  # null: no chunks
+        (5, " ".join(f"w{i}" for i in range(8))),   # exactly size: 1 chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_rows(df, size=8, overlap=4).collect()
+    by_doc: dict[int, list] = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: starts 1 and 5 (greatest(10-4,1)=6 -> [1, 5]), overlap of 4
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_seq)
+    assert [r.chunk_seq for r in c1] == [0, 1]
+    assert c1[0].chunk_text == "t0 t1 t2 t3 t4 t5 t6 t7" and c1[0].n_tokens == 8
+    assert c1[1].chunk_text == "t4 t5 t6 t7 t8 t9" and c1[1].n_tokens == 6
+    # consecutive chunks share exactly `overlap` tokens
+    assert c1[0].chunk_text.split()[-4:] == c1[1].chunk_text.split()[:4]
+    assert by_doc[2][0].chunk_text == "a b c" and by_doc[2][0].n_tokens == 3
+    assert 3 not in by_doc and 4 not in by_doc
+    assert len(by_doc[5]) == 1 and by_doc[5][0].n_tokens == 8
+
+
+def test_chunk_rows_covers_every_token(spark, sf_dir):
+    from clinical_vector_search_spark.functions.text import chunk_rows, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_rows(docs, size=16, overlap=4)
+    # sum of (n_tokens - overlap) + overlap-per-doc == total token count
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("c")
+    )
+    tot = docs.select(F.col("doc_id"), token_count("text").alias("n")).filter(
+        F.col("n") > 0
+    )
+    joined = per_doc.join(tot, "doc_id").select(
+        (F.col("s") - (F.col("c") - 1) * 4 - F.col("n")).alias("delta")
+    )
+    deltas = [r.delta for r in joined.collect()]
+    assert deltas and all(d == 0 for d in deltas)
+
+
+def test_tfidf_top_terms(spark):
+    import math
+
+    from clinical_vector_search_spark.functions.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana shared"),
+        (2, "banana cherry shared"),
+        (3, "cherry date shared shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = tfidf_top_terms(df, topk=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1 top term: apple (tf=2, df=1) -> 2*ln(3)
+    top1 = sorted(by_doc[1], key=lambda r: r.term_rank)[0]
+    assert top1.term == "apple" and top1.tf == 2 and top1.df == 1
+    assert abs(top1.tfidf - round(2 * math.log(3.0), 6)) < 1e-9
+    # 'shared' appears in all docs -> idf 0, never outranks a distinctive term
+    for docid, lst in by_doc.items():
+        for r in lst:
+            if r.term == "shared":
+                assert r.tfidf == 0.0
+    assert all(len(lst) <= 2 for lst in by_doc.values())
