@@ -969,6 +969,45 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column (4× scan/shuffle
+    volume cut for ANN at scale), validated via integer checkpoints + the
+    original↔dequantized cosine."""
+    from clinical_vector_search_spark.functions import vector as V
+
+    v = _vecs(spark, sf_dir)
+    s = V.quantize_scale("embedding")
+    q = V.quantize_int8("embedding", scale_col=s)
+    dq = V.dequantize(q, s)
+    return v.select(
+        "vec_id",
+        F.round(s, 6).alias("scale"),
+        F.element_at(q, 1).cast("long").alias("q_first"),
+        F.aggregate(q, F.lit(0), lambda a, x: a + x).cast("long").alias("q_sum"),
+        F.array_min(q).cast("long").alias("q_min"),
+        F.array_max(q).cast("long").alias("q_max"),
+        F.round(V.cosine("embedding", dq), 6).alias("cos_dequant"),
+    )
+
+
+def q_vec_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean embedding per label (chunk→document pooling shape),
+    validated via scalar checkpoints of the pooled vector."""
+    from clinical_vector_search_spark.functions import vector as V
+
+    pooled = V.mean_pool(_vecs(spark, sf_dir), key_col="label")
+    mv = F.col("mean_vec")
+    return pooled.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n_vecs").alias("n_vecs"),
+        F.round(F.element_at(mv, 1), 6).alias("mean_first"),
+        F.round(F.aggregate(mv, F.lit(0.0), lambda a, x: a + x), 6).alias(
+            "mean_sum"
+        ),
+        F.round(V.l2_norm(mv), 6).alias("mean_norm"),
+    )
+
+
 def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking — the pre-embedding stage of an
     LLM training/RAG pipeline (map-only fan-out, no shuffle)."""
@@ -1010,6 +1049,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_join": q_events_streaming_join,
         "text_chunk_windows": q_text_chunk_windows,
         "text_tfidf_topterms": q_text_tfidf_topterms,
+        "vec_quantize_int8": q_vec_quantize_int8,
+        "vec_mean_pool": q_vec_mean_pool,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1520,6 +1561,56 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text,
                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
         FROM documents
+    """
+
+    s["vec_quantize_int8"] = f"""
+        WITH q AS (
+            SELECT vec_id, embedding,
+                   (list_max(list_transform(embedding, x -> abs(x::DOUBLE)))
+                        + 1e-12) / 127.0 AS s
+            FROM embeddings
+        ),
+        qq AS (
+            SELECT vec_id, embedding, s,
+                   list_transform(embedding,
+                       x -> greatest(-127, least(127,
+                                round(x::DOUBLE / s)::INT))) AS qv
+            FROM q
+        ),
+        dq AS (
+            -- ed: embedding cast per-element to DOUBLE; list_dot_product on
+            -- mixed FLOAT[]/DOUBLE[] inputs otherwise degrades to float32
+            SELECT vec_id, s, qv,
+                   list_transform(embedding, x -> x::DOUBLE) AS ed,
+                   list_transform(qv, c -> c * s) AS dv
+            FROM qq
+        )
+        SELECT vec_id, round(s, 6) AS scale,
+               qv[1]::BIGINT AS q_first,
+               list_sum(qv)::BIGINT AS q_sum,
+               list_min(qv)::BIGINT AS q_min,
+               list_max(qv)::BIGINT AS q_max,
+               round({_COS.format(a="ed", b="dv")}, 6) AS cos_dequant
+        FROM dq
+    """
+
+    s["vec_mean_pool"] = """
+        WITH ex AS (
+            SELECT label,
+                   unnest(list_transform(embedding, x -> x::DOUBLE)) AS x,
+                   unnest(range(1, len(embedding) + 1)) AS pos
+            FROM embeddings
+        ),
+        per AS (
+            SELECT label, pos, avg(x) AS m, count(*) AS n
+            FROM ex GROUP BY label, pos
+        )
+        SELECT label::BIGINT AS label,
+               max(n) AS n_vecs,
+               round(sum(CASE WHEN pos = 1 THEN m ELSE 0 END), 6) AS mean_first,
+               round(sum(m), 6) AS mean_sum,
+               round(sqrt(sum(m * m)), 6) AS mean_norm
+        FROM per GROUP BY label
     """
 
     _chunk_step = CHUNK_SIZE - CHUNK_OVERLAP

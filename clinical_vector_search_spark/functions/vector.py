@@ -108,6 +108,47 @@ def zeros(dim: int) -> Column:
     return F.array_repeat(F.lit(0.0), dim)
 
 
+def quantize_scale(vec: Column | str, eps: float = 1e-12) -> Column:
+    """Per-vector symmetric int8 scale: max(|x|)/127 (+eps guards the zero
+    vector). One value per row — the metadata a quantized ANN index stores
+    next to each code."""
+    v = to_double(vec)
+    return (F.array_max(F.transform(v, F.abs)) + F.lit(eps)) / F.lit(127.0)
+
+
+def quantize_int8(
+    vec: Column | str, scale_col: Column | None = None
+) -> Column:
+    """Scalar int8 quantization: round(x/scale) clamped to [-127, 127],
+    returned as array<int>.
+
+    The 100 TB rationale: a 384-d fp32 embedding is 1536 bytes; int8 codes
+    + one fp scale are ~388 — a 4× cut in scan/shuffle/cache volume for
+    ANN candidate generation, with exact rescoring on the surviving top-k
+    (the same two-phase shape ``knn partial_topk`` already uses). Pure JVM
+    expressions; dequantization is ``scale * code``.
+    """
+    v = to_double(vec)
+    s = scale_col if scale_col is not None else quantize_scale(vec)
+    # materialize the scale once per row (not per element — see l2_normalize)
+    return F.zip_with(
+        v,
+        F.array_repeat(s, F.size(v)),
+        lambda x, sc: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x / sc, 0).cast("int"))
+        ),
+    )
+
+
+def dequantize(qvec: Column | str, scale_col: Column | str) -> Column:
+    """Inverse of :func:`quantize_int8`: array<double> = scale * code."""
+    s = _col(scale_col)
+    q = _col(qvec)
+    return F.zip_with(
+        q, F.array_repeat(s, F.size(q)), lambda c, sc: c.cast("double") * sc
+    )
+
+
 def lcg_uniform(index: Column) -> Column:
     """Deterministic uniform in [0,1) from a 64-bit index — exact integer
     math, so Spark and any ANSI-SQL engine produce bit-identical values.
@@ -286,3 +327,33 @@ def add_gaussian_noise_pd(df, vec_col: str, id_col: str, sigma: float, seed: int
             yield pdf
 
     return df.mapInPandas(fn, out_schema)
+
+
+def mean_pool(
+    df,
+    key_col: str = "label",
+    vec_col: str = "embedding",
+    out_col: str = "mean_vec",
+):
+    """Element-wise mean vector per key — the pooling stage that turns
+    chunk/segment embeddings into one document/class embedding.
+
+    Plan shape at scale: ``posexplode`` fans each vector out to (key, pos,
+    value) rows, the mean is a map-side-combined aggregate on the COMPOSITE
+    key (key, pos) — dim× more groups than keys, so a few hot keys cannot
+    skew a partition the way a groupBy(key)+collect_list of whole vectors
+    would — and the final reassembly groups dim tiny (pos, mean) rows per
+    key. Returns (key_col, n_vecs, out_col).
+    """
+    ex = df.select(
+        F.col(key_col), F.posexplode(to_double(vec_col)).alias("pos", "x")
+    )
+    per = ex.groupBy(key_col, "pos").agg(
+        F.avg("x").alias("m"), F.count("*").alias("n")
+    )
+    return per.groupBy(key_col).agg(
+        F.max("n").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias(out_col),
+    )

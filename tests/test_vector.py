@@ -157,3 +157,43 @@ def test_normalize_pd_iter_matches_expression(spark, vdf):
     for got, (_, v) in zip(out, [x for x in VECS if any(x[1])]):
         expect = np.array(v) / (np.linalg.norm(v) + V.EPS)
         assert np.allclose(got, expect, atol=1e-12)
+
+
+def test_quantize_int8_roundtrip(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    s = V.quantize_scale("embedding")
+    q = V.quantize_int8("embedding", scale_col=s)
+    dq = V.dequantize(q, s)
+    rows = v.select(
+        F.col("embedding"),
+        s.alias("s"),
+        q.alias("q"),
+        dq.alias("dq"),
+        V.cosine("embedding", dq).alias("cos"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r.q)
+        # max-abs element quantizes to ±127 (up to the eps guard)
+        assert max(abs(c) for c in r.q) == 127
+        # per-element reconstruction error bounded by half a quantization step
+        for x, y in zip(r.embedding, r.dq):
+            assert abs(x - y) <= r.s / 2 + 1e-12
+        assert r.cos > 0.999
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "id long, v array<double>")
+    r = df.select(V.quantize_int8("v").alias("q")).collect()[0]
+    assert r.q == [0, 0, 0]
+
+
+def test_mean_pool_matches_numpy(spark, sf_dir):
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r.label: (r.n_vecs, r.mean_vec) for r in V.mean_pool(v).collect()}
+    pdf = v.toPandas()
+    for label, grp in pdf.groupby("label"):
+        mat = np.array(grp["embedding"].tolist(), dtype="float64")
+        n, mv = got[label]
+        assert n == len(grp)
+        assert np.allclose(np.array(mv), mat.mean(axis=0), atol=1e-9)
