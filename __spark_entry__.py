@@ -969,6 +969,70 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped 3-way join: revenue of undelivered BUILDING-segment
+    orders, top 10. The customer dim is broadcast (no shuffle of the fact
+    side on the customer key); orders⋈lineitem shuffles on orderkey with
+    both filters pushed to the scans."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") < F.lit("1997-06-30")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_shipdate") > F.lit("1997-06-30")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_events_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming deduplication (availableNow replay,
+    append-mode memory sink) — one row per distinct (user_id, event_type)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from clinical_vector_search_spark.streaming.events import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf_dir)
+
+
+def q_io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC scan → aggregate: format-parity check that the same
+    rows survive a round trip through Spark's second columnar format."""
+    import tempfile
+
+    from clinical_vector_search_spark.io.tables import read_orc, write_orc
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/cvs_orc_docs_{tag}"
+    write_orc(
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"), path
+    )
+    return (
+        read_orc(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count(F.when(F.col("source") == "src1", 1)).alias("n_src1"),
+        )
+    )
+
+
 def q_vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar int8 quantization of the embedding column (4× scan/shuffle
     volume cut for ANN at scale), validated via integer checkpoints + the
@@ -1051,6 +1115,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "vec_quantize_int8": q_vec_quantize_int8,
         "vec_mean_pool": q_vec_mean_pool,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1561,6 +1628,31 @@ def oracle_sql() -> dict[str, str]:
                len(regexp_extract_all(text,
                    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_bpe
         FROM documents
+    """
+
+    s["rel_shipping_priority"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < '1997-06-30'
+          AND l_shipdate > '1997-06-30'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """
+
+    s["events_streaming_dedup"] = """
+        SELECT DISTINCT user_id, event_type FROM events
+    """
+
+    s["io_orc_roundtrip"] = """
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+               count(CASE WHEN source = 'src1' THEN 1 END) AS n_src1
+        FROM documents GROUP BY lang
     """
 
     s["vec_quantize_int8"] = f"""

@@ -61,6 +61,19 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — Spark's second built-in columnar format. Same predicate-
+    pushdown/column-pruning contract as parquet (ORC carries min/max +
+    bloom-filter indexes per stripe), so a lake standardized on ORC gets
+    the identical scan behavior."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (pushdown + pruning verified in tests/test_plan_audit)."""
+    return spark.read.orc(path)
+
+
 def build_vector_index(
     df: DataFrame, path: str, vec_col: str = "embedding"
 ) -> None:

@@ -157,6 +157,49 @@ def run_streaming_interval_join(
     )
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Streaming deduplication: first-seen (user_id, event_type) pairs over
+    an availableNow replay of the bounded events table — the streaming twin
+    of ``SELECT DISTINCT``. Output (append mode) carries exactly one row per
+    distinct pair, so a bounded replay is hash-comparable to the batch/SQL
+    oracle.
+
+    State design: the dedup state is keyed by the pair; with the event-time
+    watermark attached, production streams with replay-bounded duplicate
+    horizons should use ``dropDuplicatesWithinWatermark`` so state ages out
+    instead of growing with key cardinality. Here keys are bounded
+    (users × event types), the exact-distinct contract of the oracle."""
+    import uuid
+
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    ev = (
+        read_events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+    )
+    dd = ev.dropDuplicates(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming dedup {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    return spark.table(name)
+
+
 def interval_join_batch(
     events: DataFrame, max_delta_sec: int = 3600
 ) -> DataFrame:

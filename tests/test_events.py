@@ -200,3 +200,23 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     }
     assert stream == batch
     assert len(batch) > 0  # corpus really has click←view matches
+
+
+def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        run_streaming_dedup,
+    )
+
+    got = {
+        (r.user_id, r.event_type)
+        for r in run_streaming_dedup(spark, sf_dir).collect()
+    }
+    expect = {
+        (r.user_id, r.event_type)
+        for r in read_events(spark, sf_dir)
+        .select("user_id", "event_type")
+        .distinct()
+        .collect()
+    }
+    assert got == expect and got

@@ -379,3 +379,37 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     }
     for t, n in exact.items():
         assert abs(approx[t] - n) / max(n, 1) < 0.05, (t, n, approx[t])
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from clinical_vector_search_spark.io.tables import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    a = {(r.doc_id, r.lang, r.n_chars) for r in docs.collect()}
+    b = {(r.doc_id, r.lang, r.n_chars) for r in back.collect()}
+    assert a == b
+
+
+def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
+    from clinical_vector_search_spark.io.tables import read_orc, write_orc
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang", "n_chars"
+    )
+    path = str(tmp_path / "docs_orc_plan")
+    write_orc(docs, path)
+    plan = (
+        read_orc(spark, path)
+        .filter(F.col("lang") == "en")
+        .select("doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "lang" in plan
