@@ -56,9 +56,10 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.parquet carries timestamp[ns]; PySpark 4 needs the legacy flag
-    # (set here at runtime — it is a session conf) to read it as long.
+    # read_events is dtype-adaptive (timestamp[us] or legacy long epoch-ns);
+    # the legacy flag + UTC tz are fallbacks for ns-typed parquet files
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     from clinical_vector_search_spark.streaming.events import read_events
 
     return read_events(spark, sf_dir)

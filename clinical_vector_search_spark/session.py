@@ -40,7 +40,8 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet ships timestamp[ns]; read as long (ns since epoch)
+        # fallback for timestamp[ns] parquet files (read as long epoch-ns);
+        # current testdata ships timestamp[us] — streaming.events adapts
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))

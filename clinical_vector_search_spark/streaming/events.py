@@ -5,33 +5,58 @@ north-star extensions (§7 step 8) built on Structured Streaming, with
 batch-mode twins for the DuckDB correctness oracle (a tumbling-window
 aggregation is the same SQL in batch).
 
-events.parquet ships ``ts`` as parquet timestamp[ns]; with
-``spark.sql.legacy.parquet.nanosAsLong=true`` (set by session.get_spark) it
-reads as LongType nanoseconds — cast helpers below keep this explicit.
+events.parquet may ship ``ts`` as parquet timestamp[us] (reads as
+TIMESTAMP_NTZ / TIMESTAMP) or timestamp[ns] (reads as LongType nanoseconds
+under ``spark.sql.legacy.parquet.nanosAsLong=true``, set by
+session.get_spark). The readers below normalize BOTH shapes to the same
+contract: ``ts_ns`` (long, epoch nanoseconds) + ``ts`` (TIMESTAMP) — via a
+timezone-independent derivation, so correctness does not depend on the
+caller's session timezone.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 NS = 1_000_000_000
 
 
+def _with_ts_ns(df: DataFrame) -> DataFrame:
+    """Normalize the scanned ``ts`` column to (ts_ns: long, ts: timestamp),
+    branching on the dtype the parquet footer actually produced."""
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
+        # timestamp[ns] + nanosAsLong → already epoch-ns; derive ts below.
+        # integer division — (ts_ns / 1000) in double loses exactness past
+        # 2^53 (epoch-ns ≈ 1.7e18, ulp ≈ 256 ns), shifting µs by ±1
+        df = df.withColumnRenamed("ts", "ts_ns")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        # timestamp[us], isAdjustedToUTC=false → TIMESTAMP_NTZ. An NTZ→
+        # TIMESTAMP cast would shift by the session timezone; a timestampdiff
+        # against the NTZ epoch literal is timezone-INDEPENDENT and exact.
+        us = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        )
+    else:
+        # timestamp[us], isAdjustedToUTC=true → TIMESTAMP; already an instant
+        us = F.unix_micros(F.col("ts"))
+    return df.withColumn(
+        "ts_ns", (us * F.lit(1000)).cast("long")
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+
+
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ts_ns (long) and ts (timestamp, µs truncated)."""
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    df = df.withColumnRenamed("ts", "ts_ns")
-    # integer division — (ts_ns / 1000) in double loses exactness past 2^53
-    # (epoch-ns ≈ 1.7e18, ulp ≈ 256 ns), which would shift µs by ±1
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    """events with ts_ns (long, epoch ns) and ts (timestamp, µs resolution)."""
+    return _with_ts_ns(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``read_events``: file-source readStream over the
     same parquet (read-only), same ts_ns/ts derivation. Production points
     the same plan at a Kafka/file-drop source."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
     # the file source requires a DIRECTORY; the testdata table is a single
@@ -41,8 +66,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    df = df.withColumnRenamed("ts", "ts_ns")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+    return _with_ts_ns(df)
 
 
 def run_streaming_tumbling(
