@@ -1100,32 +1100,72 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # NOTE: the four entries with no (or errored) CORRECTNESS_r02 row come
-    # FIRST, in case the driver truncates its run by time or count. All four
-    # are cheap (~1-2.5 s locally at sf0.01).
+    # The driver checks only the FIRST ~50 entries, so ordering is a
+    # freshness rotation (VERDICT r3 task 2):
+    #   1. entries with NO r3 driver row (the r3 tail, dark one round)
+    #   2. the events family (errored r3 on the ts dtype regression)
+    #   3. entries new this round
+    #   4. entries green exactly once (first checked r3)
+    #   5. entries green two consecutive rounds (r2+r3) — demoted past the
+    #      driver's window; rotate them back in next round.
     return {
+        # -- 1: unchecked in r3 ------------------------------------------
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh": q_knn_lsh,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "doc_pipeline": q_doc_pipeline,
+        "fhe_pipeline": q_fhe_pipeline,
+        "evaluation_table": q_evaluation_table,
+        "events_asof_join": q_events_asof_join,
+        # -- 2: events family (errored r3, fixed this round) -------------
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "events_distinct_users": q_events_distinct_users,
         "events_range_join": q_events_range_join,
         "events_json_extract": q_events_json_extract,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
+        "events_streaming_join": q_events_streaming_join,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "salted_agg": q_salted_agg,
+        # -- 3: new in r4 ------------------------------------------------
+        # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
+        "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
         "dedup_groups": q_dedup_groups,
         "salted_join": q_salted_join,
-        "events_streaming_join": q_events_streaming_join,
         "text_chunk_windows": q_text_chunk_windows,
         "text_tfidf_topterms": q_text_tfidf_topterms,
         "vec_quantize_int8": q_vec_quantize_int8,
         "vec_mean_pool": q_vec_mean_pool,
-        "rel_shipping_priority": q_rel_shipping_priority,
-        "events_streaming_dedup": q_events_streaming_dedup,
         "io_orc_roundtrip": q_io_orc_roundtrip,
+        # -- 5: green r2+r3, demoted -------------------------------------
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
         "rel_rollup": q_rel_rollup,
-        "text_redact_pii": q_text_redact_pii,
         "rel_pivot": q_rel_pivot,
-        "events_quantiles": q_events_quantiles,
+        "knn_exact": q_knn_exact,
+        "knn_window": q_knn_window,
+        "bm25_okapi": q_bm25_okapi,
+        "embed_hash_features": q_embed_hash_features,
+        "metrics_eval": q_metrics_eval,
+        "set_overlap": q_set_overlap,
+        "vec_norm_checkpoints": q_vec_norm_checkpoints,
+        "vec_dot_cosine": q_vec_dot_cosine,
+        "vec_dp_noise": q_vec_dp_noise,
+        "vec_weighted_concat": q_vec_weighted_concat,
+        "vec_random_projection": q_vec_random_projection,
         "doc_hash_sample": q_doc_hash_sample,
         "doc_clean_snippet": q_doc_clean_snippet,
         "doc_specialty_concat": q_doc_specialty_concat,
@@ -1136,38 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_fingerprint": q_text_fingerprint,
         "text_lang_id": q_text_lang_id,
-        "vec_norm_checkpoints": q_vec_norm_checkpoints,
-        "vec_dot_cosine": q_vec_dot_cosine,
-        "knn_exact": q_knn_exact,
-        "knn_window": q_knn_window,
-        "vec_dp_noise": q_vec_dp_noise,
-        "vec_weighted_concat": q_vec_weighted_concat,
-        "vec_random_projection": q_vec_random_projection,
-        "embed_hash_features": q_embed_hash_features,
-        "bm25_okapi": q_bm25_okapi,
-        "metrics_eval": q_metrics_eval,
-        "set_overlap": q_set_overlap,
-        "events_tumbling": q_events_tumbling,
-        "events_distinct_users": q_events_distinct_users,
-        "events_streaming_tumbling": q_events_streaming_tumbling,
-        "events_sessionize": q_events_sessionize,
-        "events_sliding": q_events_sliding,
+        "text_redact_pii": q_text_redact_pii,
         "text_bpe_tokens": q_text_bpe_tokens,
-        "salted_agg": q_salted_agg,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-        "mmr_lambda1": q_mmr_lambda1,
-        "rag_union_candidates": q_rag_union_candidates,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "doc_pipeline": q_doc_pipeline,
-        "fhe_pipeline": q_fhe_pipeline,
-        "evaluation_table": q_evaluation_table,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_lsh": q_knn_lsh,
-        "events_asof_join": q_events_asof_join,
     }
 
 
