@@ -178,6 +178,16 @@ def main() -> None:
         "rel_pricing_summary": bench_pricing,
     }
 
+    # Throwaway end-to-end run of the flagship query before ANY timing
+    # starts (VERDICT r3 task 4): the synthetic 40k-row warmup above leaves
+    # the real sf-dir scan paths, Python workers for mapInPandas over the
+    # actual schemas, and broadcast machinery cold — r3 measured 2.9 s cold
+    # vs 1.1 s warm for the identical baseline_knn plan.
+    try:
+        materialize(bench_baseline())
+    except Exception as ex:  # noqa: BLE001
+        print(f"warmup baseline failed: {ex}", file=sys.stderr)
+
     # best-of-2: first execution of a plan family pays one-time JVM/codegen
     # compilation (measured ~7s on the DP expression tree); the min reflects
     # steady-state throughput, which is the 100TB-relevant number
