@@ -155,3 +155,68 @@ def hash_embed_pd(
     return df.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, {out_col} array<double>"
     )
+
+
+# per-worker-process model cache: mapInPandas calls fn per PARTITION, but
+# the Python worker process is reused across partitions/tasks — caching by
+# model name amortizes the multi-second model load across the whole job
+_MODEL_CACHE: dict = {}
+
+
+def _load_st_model(model_name: str):
+    model = _MODEL_CACHE.get(model_name)
+    if model is None:
+        from sentence_transformers import SentenceTransformer
+
+        model = SentenceTransformer(model_name)
+        _MODEL_CACHE[model_name] = model
+    return model
+
+
+def encode_pd(
+    df: DataFrame,
+    model_name: str = "all-MiniLM-L6-v2",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "embedding",
+    normalize: bool = True,
+    batch_size: int = 64,
+) -> DataFrame:
+    """Real-model mapInPandas embedder (reference pipeline.py:90-95 encoder,
+    distributed per the embed_partition design at embedding.py:31-41): the
+    SentenceTransformer loads once per executor Python worker and encodes
+    Arrow-delivered batches. Same plan shape as :func:`hash_embed_pd` — the
+    two differ only in the inner kernel, so every downstream operator
+    (kNN/DP/RAG/dedup) is encoder-agnostic.
+
+    Raises ImportError at plan-build time when sentence_transformers is not
+    installed (this container has no model weights); callers gate on import
+    or use the deterministic hash embedder.
+    """
+    import importlib
+
+    if importlib.util.find_spec("sentence_transformers") is None:
+        raise ImportError(
+            "sentence_transformers is not installed; use hash_embed_pd"
+        )
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = _load_st_model(model_name)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            texts = ["" if t is None else str(t) for t in pdf[text_col]]
+            mat = np.asarray(
+                model.encode(
+                    texts, batch_size=batch_size, show_progress_bar=False
+                ),
+                dtype="float64",
+            )
+            if normalize:
+                mat = mat / (np.linalg.norm(mat, axis=1, keepdims=True) + V.EPS)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(mat)})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} array<double>"
+    )

@@ -57,3 +57,37 @@ def test_text_to_vector_to_knn_self_retrieval(docs):
     for r in top1:
         assert r.doc_id == r.query_id
         assert abs(r.score - 1.0) < 1e-6
+
+def test_encode_pd_gate_raises_cleanly_without_package(spark, sf_dir):
+    """encode_pd must fail at plan-build time with ImportError (not at
+    executor runtime) when sentence_transformers is absent."""
+    import importlib
+
+    import pytest
+
+    from clinical_vector_search_spark.pipeline.embedding import encode_pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(4)
+    if importlib.util.find_spec("sentence_transformers") is None:
+        with pytest.raises(ImportError):
+            encode_pd(docs)
+    else:
+        pytest.skip("sentence_transformers installed; covered by parity test")
+
+
+def test_encode_pd_parity_with_hash_plumbing(spark, sf_dir):
+    """Gated: with a real model present, encode_pd must match hash_embed_pd
+    plumbing — same output schema, unit-norm rows, one row per input doc."""
+    import pytest
+
+    pytest.importorskip("sentence_transformers")
+    from clinical_vector_search_spark.pipeline.embedding import encode_pd
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(8)
+    out = encode_pd(docs)
+    assert [f.name for f in out.schema.fields] == ["doc_id", "embedding"]
+    rows = out.collect()
+    assert len(rows) == 8
+    for r in rows:
+        n = sum(x * x for x in r.embedding) ** 0.5
+        assert abs(n - 1.0) < 1e-6

@@ -304,3 +304,45 @@ def test_evaluate_modes_and_timer(spark):
     assert row.dp_latency == 10.0
     means = mean_metrics(table).collect()[0]
     assert abs(means["mean_recall_dp"] - 2 / 3) < 1e-9
+
+def test_ckks_encrypted_topk_overlap(spark, sf_dir):
+    """Gated: real CKKS loop vs plaintext ranking (reference
+    pipeline_mode.py:181-191 acceptance metric). Skips without tenseal."""
+    import pytest
+
+    pytest.importorskip("tenseal")
+    from pyspark.sql import functions as F
+
+    from clinical_vector_search_spark.pipeline.fhe import (
+        ckks_topk_overlap,
+        fhe_sample,
+        project_vectors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    subset = fhe_sample(emb, 50, "vec_id")
+    pdocs = project_vectors(subset, "embedding", dim, 16, "proj_vec")
+    pq = subset.limit(3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    pq = project_vectors(pq, "query_vec", dim, 16, "proj_qvec")
+    assert ckks_topk_overlap(pq, pdocs, k=5) >= 0.99
+
+
+def test_fhe_demo_does_not_raise_regardless_of_tenseal(spark, sf_dir):
+    """encrypted_topk_demo must produce the deterministic plaintext-ranked
+    contract output whether or not tenseal is importable (VERDICT r3 #5)."""
+    from pyspark.sql import functions as F
+
+    from clinical_vector_search_spark.pipeline.fhe import encrypted_topk_demo
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    q = emb.limit(2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    rows = encrypted_topk_demo(q, emb, k=3, in_dim=dim, subset_n=50).collect()
+    assert len(rows) == 6 and {r.rank for r in rows} == {1, 2, 3}
