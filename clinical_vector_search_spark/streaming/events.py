@@ -110,27 +110,13 @@ def run_streaming_tumbling(
     )
 
 
-def run_streaming_interval_join(
-    spark: SparkSession,
-    sf_dir: str,
-    max_delta_sec: int = 3600,
-    timeout_sec: int = 300,
+def streaming_interval_join_pairs(
+    spark: SparkSession, sf_dir: str, max_delta_sec: int = 3600
 ) -> DataFrame:
-    """REAL watermarked stream-stream interval join: every 'click' joins
-    the same user's 'view' events from the preceding ``max_delta_sec``
-    (inclusive both ends), executed as an availableNow replay of the
-    bounded events table through two file-source streams into a memory
-    sink, then rolled up per click — shaped exactly like the batch/SQL
-    oracle, so a genuine Structured Streaming run is hash-comparable.
-
-    This is the canonical two-stream stateful shape: watermarks on BOTH
-    event-time columns plus a time-range join condition let Spark bound
-    the join state (views older than click_watermark − max_delta are
-    dropped); without them the state grows forever. Inner-join matches
-    emit as soon as both sides arrive (append mode)."""
-    import uuid
-
-    name = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    """The stream-stream interval-join PLAN (unstarted): clicks joined to
+    same-user views from the preceding ``max_delta_sec``. Watermarks on BOTH
+    event-time columns + the time-range condition are what let Spark bound
+    the join state — tools/plan_audit.py asserts both are present."""
     clicks = (
         read_events_stream(spark, sf_dir)
         .filter(F.col("event_type") == "click")
@@ -152,7 +138,7 @@ def run_streaming_interval_join(
         )
         .withWatermark("view_ts", "1 hour")
     )
-    pairs = clicks.join(
+    return clicks.join(
         views,
         (F.col("user_id") == F.col("v_user_id"))
         & (F.col("view_ts") <= F.col("click_ts"))
@@ -162,6 +148,30 @@ def run_streaming_interval_join(
         ),
         "inner",
     )
+
+
+def run_streaming_interval_join(
+    spark: SparkSession,
+    sf_dir: str,
+    max_delta_sec: int = 3600,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """REAL watermarked stream-stream interval join: every 'click' joins
+    the same user's 'view' events from the preceding ``max_delta_sec``
+    (inclusive both ends), executed as an availableNow replay of the
+    bounded events table through two file-source streams into a memory
+    sink, then rolled up per click — shaped exactly like the batch/SQL
+    oracle, so a genuine Structured Streaming run is hash-comparable.
+
+    This is the canonical two-stream stateful shape: watermarks on BOTH
+    event-time columns plus a time-range join condition let Spark bound
+    the join state (views older than click_watermark − max_delta are
+    dropped); without them the state grows forever. Inner-join matches
+    emit as soon as both sides arrive (append mode)."""
+    import uuid
+
+    name = f"ssjoin_{uuid.uuid4().hex[:12]}"
+    pairs = streaming_interval_join_pairs(spark, sf_dir, max_delta_sec)
     q = (
         pairs.writeStream.format("memory")
         .queryName(name)

@@ -175,7 +175,48 @@ def main() -> int:
     check("rag distributed: qterms+bm25+mmr build runs zero Spark jobs",
           after == before, f"jobs before={before} after={after}")
 
-    # 7. dedup plans: no cartesian product anywhere
+    # 7. streaming plans (VERDICT r3 task 7)
+    from clinical_vector_search_spark.streaming.events import (
+        read_events_stream,
+        sliding_agg,
+        streaming_interval_join_pairs,
+        streaming_tumbling_counts,
+    )
+
+    # 7a. stream-stream join: BOTH sides watermarked (state bounding) and
+    # the join carries the time-range condition. A streaming plan cannot be
+    # physically planned without starting the query, so assert on the
+    # ANALYZED plan — EventTimeWatermark nodes are exactly the state bound.
+    pairs = streaming_interval_join_pairs(spark, SF_DIR)
+    aplan = pairs._jdf.queryExecution().analyzed().toString()
+    check(
+        "streaming join: watermark on BOTH inputs (2 EventTimeWatermark)",
+        aplan.count("EventTimeWatermark") == 2,
+        f"count={aplan.count('EventTimeWatermark')}",
+    )
+    check(
+        "streaming join: time-range condition present (bounded state)",
+        "view_ts" in aplan and ">=" in aplan and "<=" in aplan,
+    )
+
+    # 7b. streaming tumbling agg: watermarked event-time window
+    sagg = streaming_tumbling_counts(
+        spark, read_events_stream(spark, SF_DIR), 300
+    )
+    aplan = sagg._jdf.queryExecution().analyzed().toString()
+    check(
+        "streaming tumbling: watermark + event-time window",
+        aplan.count("EventTimeWatermark") == 1 and "window" in aplan,
+    )
+
+    # 7c. batch sliding agg: the sequence+explode fan-out must keep ONE
+    # Exchange (the final groupBy) — a self-join formulation would add more
+    plan = formatted(sliding_agg(ev, 300, 60))
+    n_ex = n_nodes(plan, "Exchange")
+    check("sliding agg: single Exchange (map-side fan-out)", n_ex == 1,
+          f"exchanges={n_ex}")
+
+    # 8. dedup plans: no cartesian product anywhere
     from clinical_vector_search_spark.operators.dedup import (
         minhash_candidate_pairs,
         ngram_jaccard_pairs,
