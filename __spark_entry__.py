@@ -551,6 +551,23 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 extension: skew-resistant sessionization — salted by time range
+    so no task holds one user's full history (streaming/events.py
+    sessionize_skew); must agree with the single-window oracle exactly."""
+    from clinical_vector_search_spark.streaming.events import sessionize_skew
+
+    s = sessionize_skew(_events(spark, sf_dir), SESSION_GAP_SEC, range_sec=7200)
+    return s.select(
+        "user_id",
+        F.col("session_num").cast("long").alias("session_num"),
+        "n_events",
+        F.expr("session_start_ns div 1000").alias("session_start_us"),
+        F.expr("session_end_ns div 1000").alias("session_end_us"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 extension: sliding-window aggregation (300s window / 60s slide)
     via JVM sequence+explode fan-out."""
@@ -1137,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_dedup": q_events_streaming_dedup,
         "salted_agg": q_salted_agg,
         # -- 3: new in r4 ------------------------------------------------
+        "events_sessionize_skew": q_events_sessionize_skew,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1768,6 +1786,24 @@ def oracle_sql() -> dict[str, str]:
                                                 ROWS UNBOUNDED PRECEDING)
                              AS session_seq FROM l)
         SELECT user_id, session_seq::BIGINT AS session_seq,
+               count(*) AS n_events,
+               min(ts_ns) // 1000 AS session_start_us,
+               max(ts_ns) // 1000 AS session_end_us,
+               round(sum(value), 6) AS sum_value
+        FROM st GROUP BY user_id, session_seq
+    """
+
+    # identical session semantics; ids are 1-based in the skew variant
+    s["events_sessionize_skew"] = f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER
+                                  (PARTITION BY user_id ORDER BY ts_ns)
+                                  > {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session FROM e),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                                ROWS UNBOUNDED PRECEDING)
+                             AS session_seq FROM l)
+        SELECT user_id, session_seq::BIGINT + 1 AS session_num,
                count(*) AS n_events,
                min(ts_ns) // 1000 AS session_start_us,
                max(ts_ns) // 1000 AS session_end_us,

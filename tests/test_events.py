@@ -220,3 +220,56 @@ def test_streaming_dedup_matches_batch_distinct(spark, sf_dir):
         .collect()
     }
     assert got == expect and got
+
+def test_sessionize_skew_matches_plain(spark, sf_dir):
+    """sessionize_skew must produce the exact same session rollups as the
+    single-window sessionize, modulo session numbering (skew ids are
+    1-based; compare id-free multisets)."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        sessionize,
+        sessionize_skew,
+    )
+
+    ev = read_events(spark, sf_dir)
+    plain = sorted(
+        (r.user_id, r.n_events, r.session_start_ns, r.session_end_ns,
+         round(r.sum_value, 6))
+        for r in sessionize(ev, 1800).collect()
+    )
+    # range_sec = 2h: small enough that many sessions cross range borders
+    skew = sorted(
+        (r.user_id, r.n_events, r.session_start_ns, r.session_end_ns,
+         round(r.sum_value, 6))
+        for r in sessionize_skew(ev, 1800, range_sec=7200).collect()
+    )
+    assert skew == plain
+
+
+def test_sessionize_skew_boundary_merge(spark):
+    """A session spanning a range border must stitch into ONE session."""
+    from clinical_vector_search_spark.streaming.events import sessionize_skew
+
+    NS = 1_000_000_000
+    rows = [
+        # user 1: events at t=90s and t=110s with 100s ranges, 60s gap →
+        # same session across the range border
+        (1, 90 * NS, 1.0),
+        (1, 110 * NS, 2.0),
+        # user 1: far later → its own session
+        (1, 1000 * NS, 3.0),
+        # user 2: exactly-at-gap pair (gap NOT exceeded at ==) in one range
+        (2, 10 * NS, 1.0),
+        (2, 70 * NS, 1.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, value double")
+    got = {
+        (r.user_id, r.session_num): (r.n_events, r.session_start_ns,
+                                     r.session_end_ns, r.sum_value)
+        for r in sessionize_skew(ev, gap_sec=60, range_sec=100).collect()
+    }
+    assert got == {
+        (1, 1): (2, 90 * NS, 110 * NS, 3.0),
+        (1, 2): (1, 1000 * NS, 1000 * NS, 3.0),
+        (2, 1): (2, 10 * NS, 70 * NS, 2.0),
+    }
