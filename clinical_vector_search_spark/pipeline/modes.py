@@ -179,6 +179,10 @@ def rag_mode(
     """RAG mode (pipeline_mode.py:198-264): hybrid kNN ∪ BM25 → MMR.
     Query text = the query doc's own text (self-retrieval setup)."""
     docs, vecs = load_corpus(spark, sf_dir)
+    # cached: the query batch feeds THREE plan consumers (kNN query side,
+    # query tokenization, the MMR gather broadcast) — without the cache each
+    # re-runs the filter+join subplan. A query batch is bounded by
+    # construction, so this holds at any corpus scale.
     queries = (
         vecs.filter(F.col("doc_id") < n_queries)
         .join(docs.select("doc_id", F.col("text").alias("query_text")), "doc_id")
@@ -187,6 +191,7 @@ def rag_mode(
             F.col("embedding").alias("query_vec"),
             "query_text",
         )
+        .cache()
     )
     return rag_pipeline(
         queries, vecs, docs, k, candidate_k, bm25_topk, lam
