@@ -568,6 +568,18 @@ def q_events_sessionize_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: REAL Structured Streaming session windows (F.session_window,
+    availableNow replay, complete mode) — streaming/events.py
+    run_streaming_sessionize."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_sessionize,
+    )
+
+    _events(spark, sf_dir)  # pins UTC/nanos fallback session confs
+    return run_streaming_sessionize(spark, sf_dir, SESSION_GAP_SEC)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 extension: sliding-window aggregation (300s window / 60s slide)
     via JVM sequence+explode fan-out."""
@@ -1155,6 +1167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         # -- 3: new in r4 ------------------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1789,6 +1802,25 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_events,
                min(ts_ns) // 1000 AS session_start_us,
                max(ts_ns) // 1000 AS session_end_us,
+               round(sum(value), 6) AS sum_value
+        FROM st GROUP BY user_id, session_seq
+    """
+
+    # session_window close semantics: end = last event + gap, new session
+    # opens at diff >= gap (vs the batch twin's strict >)
+    s["events_streaming_sessionize"] = f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER
+                                  (PARTITION BY user_id ORDER BY ts_ns)
+                                  >= {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session FROM e),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                                ROWS UNBOUNDED PRECEDING)
+                             AS session_seq FROM l)
+        SELECT user_id,
+               min(ts_ns) // 1000 AS session_start_us,
+               max(ts_ns) // 1000 + {SESSION_GAP_SEC * 1_000_000} AS session_end_us,
+               count(*) AS n_events,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
     """

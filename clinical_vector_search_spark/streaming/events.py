@@ -343,6 +343,57 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def run_streaming_sessionize(
+    spark: SparkSession,
+    sf_dir: str,
+    gap_sec: int = 1800,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """REAL Structured Streaming sessionization via ``F.session_window``:
+    a session extends while events keep arriving within ``gap_sec`` of the
+    latest one, executed as an availableNow replay of the bounded events
+    table into a memory sink. Returns per-session (user_id,
+    session_start_us, session_end_us, n_events, sum_value) where the end is
+    last-event + gap (session_window's close semantics; a new session opens
+    at diff >= gap — the batch twin's strict-> differs only on exact-equality
+    gaps, measure-zero on µs data).
+
+    Complete output mode keeps every session in state — correct for the
+    bounded-replay/oracle contract here; an unbounded production stream
+    uses append mode so the watermark finalizes and evicts closed sessions.
+    """
+    import uuid
+
+    name = f"sessw_{uuid.uuid4().hex[:12]}"
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    agg = ev.groupBy(
+        F.session_window("ts", f"{gap_sec} seconds"), F.col("user_id")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming sessionize {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
 def sessionize_skew(
     events: DataFrame, gap_sec: int = 1800, range_sec: int = 86400
 ) -> DataFrame:

@@ -273,3 +273,25 @@ def test_sessionize_skew_boundary_merge(spark):
         (1, 2): (1, 1000 * NS, 1000 * NS, 3.0),
         (2, 1): (2, 10 * NS, 70 * NS, 2.0),
     }
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """Real F.session_window streaming run must carry the same sessions as
+    the batch gap-sessionize (start/count/sum; streaming end = last+gap)."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        run_streaming_sessionize,
+        sessionize,
+    )
+
+    got = sorted(
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events,
+         r.sum_value)
+        for r in run_streaming_sessionize(spark, sf_dir, 1800).collect()
+    )
+    want = sorted(
+        (r.user_id, r.session_start_ns // 1000,
+         r.session_end_ns // 1000 + 1800 * 1_000_000, r.n_events,
+         round(r.sum_value, 6))
+        for r in sessionize(read_events(spark, sf_dir), 1800).collect()
+    )
+    assert got == want
