@@ -723,6 +723,41 @@ def q_rag_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_union(vec_cands, bm)
 
 
+def q_rag_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the kNN and BM25 rankings (k0=60) — the
+    rank-only hybrid fusion twin of the MMR path (pipeline/rag.py
+    rrf_fuse). Same candidate generators as q_rag_union_candidates."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set,
+    )
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.pipeline.rag import rrf_fuse
+
+    docs = _docs(spark, sf_dir)
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < RAG_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id", "rank")
+    qtexts = (
+        docs.filter(F.col("doc_id") < RAG_NQ)
+        .select("doc_id", "text")
+        .collect()
+    )
+    qset = [
+        (r["doc_id"], [t for t in r["text"].lower().split() if t])
+        for r in qtexts
+    ]
+    bm = bm25_topk_set(bm25_index(docs), qset, RAG_CAND_K, round_to=6).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
+    )
+    return rrf_fuse(vec_cands, bm, KNN_K)
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -1168,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 3: new in r4 ------------------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
+        "rag_rrf": q_rag_rrf,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1512,6 +1548,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id FROM vc
         UNION
         SELECT query_id, doc_id FROM bc
+    """
+
+    # RRF: same vr/br rank CTEs as rag_union_candidates, fused by
+    # 1/(60+rank); 1/(k0+r) is a single IEEE division → cross-engine exact
+    s["rag_rrf"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        qv AS (SELECT doc_id AS query_id, nv AS qvec FROM n
+               WHERE doc_id < {RAG_NQ}),
+        vsc AS (SELECT query_id, doc_id, list_dot_product(qvec, nv) AS score
+                FROM qv CROSS JOIN n),
+        vr AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM vsc),
+        vc AS (SELECT query_id, doc_id, rank FROM vr WHERE rank <= {RAG_CAND_K}),
+        toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM toks),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5)) AS raw_idf
+                 FROM dfreq CROSS JOIN stats),
+        aidf AS (SELECT avg(raw_idf) AS avg_idf FROM idf0),
+        idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf
+                                  ELSE raw_idf END AS idf
+                FROM idf0 CROSS JOIN aidf),
+        q AS (SELECT doc_id AS query_id, unnest(tokens) AS term
+              FROM toks WHERE doc_id < {RAG_NQ}),
+        qw AS (SELECT query_id, term, count(*)::DOUBLE AS qw
+               FROM q GROUP BY query_id, term),
+        bsc AS (SELECT qw.query_id, tf.doc_id,
+                       round(sum(qw.qw * idf.idf * tf.tf * 2.5
+                                 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl
+                                                   / stats.avgdl))), 6) AS bm25
+                FROM tf JOIN qw USING (term) JOIN idf USING (term)
+                        JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY qw.query_id, tf.doc_id),
+        br AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rank
+               FROM bsc),
+        bc AS (SELECT query_id, doc_id, rank FROM br WHERE rank <= {RAG_CAND_K}),
+        fused AS (SELECT coalesce(vc.query_id, bc.query_id) AS query_id,
+                         coalesce(vc.doc_id, bc.doc_id) AS doc_id,
+                         coalesce(1.0 / (60.0 + vc.rank), 0.0)
+                         + coalesce(1.0 / (60.0 + bc.rank), 0.0) AS rrf
+                  FROM vc FULL OUTER JOIN bc
+                       ON vc.query_id = bc.query_id AND vc.doc_id = bc.doc_id),
+        fr AS (SELECT query_id, doc_id, rrf,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rrf DESC, doc_id) AS rank
+               FROM fused)
+        SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf
+        FROM fr WHERE rank <= {KNN_K}
     """
 
     s["vec_dp_noise"] = f"""

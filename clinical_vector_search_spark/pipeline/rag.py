@@ -42,6 +42,44 @@ def hybrid_union(vec_results: DataFrame, bm25_results: DataFrame) -> DataFrame:
     )
 
 
+def rrf_fuse(
+    vec_results: DataFrame,
+    bm25_results: DataFrame,
+    k: int,
+    k0: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion of two ranked candidate lists (the standard
+    alternative to MMR for hybrid retrieval): fused(d) = Σ_sources
+    1/(k0 + rank_source(d)), missing-from-a-source contributes 0. Inputs
+    both carry (query_id, doc_id, rank); returns (query_id, rank, doc_id,
+    rrf) with the fused rank ≤ k, ties broken by doc_id.
+
+    Pure DataFrame plan: one full-outer join on (query_id, doc_id) + one
+    window top-k — rank-only fusion needs no score normalization across
+    sources, which is exactly why RRF is robust at scale (BM25 and cosine
+    live on incomparable scales). The 1/(k0+r) doubles are products of a
+    single division, so cross-engine determinism is exact (no
+    reassociation)."""
+    v = vec_results.select("query_id", "doc_id", F.col("rank").alias("v_rank"))
+    b = bm25_results.select("query_id", "doc_id", F.col("rank").alias("b_rank"))
+    fused = (
+        v.join(b, ["query_id", "doc_id"], "full_outer")
+        .withColumn(
+            "rrf",
+            F.coalesce(F.lit(1.0) / (F.lit(float(k0)) + F.col("v_rank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(float(k0)) + F.col("b_rank")), F.lit(0.0)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", F.round("rrf", 6).alias("rrf"))
+    )
+
+
 def bm25_topk_per_query(
     docs: DataFrame,
     queries: list[tuple[int, str]],

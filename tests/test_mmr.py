@@ -98,3 +98,22 @@ def test_mmr_dist_parity_multi_query(spark, cands):
             for r in mmr_rerank_dist(df, k=6, lam=0.4).collect()}
     assert driver == dist
     assert len(dist) == 4 * 6
+
+def test_rrf_fuse_handles_single_source_docs(spark):
+    """RRF: a doc present in only one list still fuses (other side = 0),
+    and a doc ranked well in both beats a single-source top doc."""
+    from clinical_vector_search_spark.pipeline.rag import rrf_fuse
+
+    vec = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3)],
+        "query_id long, doc_id long, rank long",
+    )
+    bm = spark.createDataFrame(
+        [(1, 11, 1), (1, 13, 2)],
+        "query_id long, doc_id long, rank long",
+    )
+    rows = {r.doc_id: (r.rank, r.rrf) for r in rrf_fuse(vec, bm, 4).collect()}
+    # doc 11: 1/62 + 1/61 = top; doc 10: 1/61; doc 13: 1/62; doc 12: 1/63
+    assert rows[11][0] == 1 and rows[10][0] == 2
+    assert rows[13][0] == 3 and rows[12][0] == 4
+    assert abs(rows[11][1] - round(1 / 62 + 1 / 61, 6)) < 1e-9
