@@ -723,6 +723,14 @@ def q_rag_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_union(vec_cands, bm)
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters over tokens (functions/text.py
+    repetition_signals): dup-token fraction + top 1/2/3-gram fractions."""
+    from clinical_vector_search_spark.functions.text import repetition_signals
+
+    return repetition_signals(_docs(spark, sf_dir))
+
+
 def q_rag_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the kNN and BM25 rankings (k0=60) — the
     rank-only hybrid fusion twin of the MMR path (pipeline/rag.py
@@ -1204,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
         "rag_rrf": q_rag_rrf,
+        "text_repetition": q_text_repetition,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1548,6 +1557,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id FROM vc
         UNION
         SELECT query_id, doc_id FROM bc
+    """
+
+    s["text_repetition"] = f"""
+        WITH toks AS ({_TOKS}),
+        base AS (SELECT doc_id, len(tokens) AS n_tokens,
+                        len(list_distinct(tokens)) AS n_distinct, tokens
+                 FROM toks),
+        t1 AS (SELECT doc_id, unnest(tokens) AS g FROM toks),
+        m1 AS (SELECT doc_id, max(c) AS mx1 FROM
+                 (SELECT doc_id, g, count(*) AS c FROM t1 GROUP BY 1, 2)
+               GROUP BY 1),
+        g2 AS (SELECT doc_id,
+                      unnest([tokens[i] || ' ' || tokens[i + 1]
+                              FOR i IN range(1, len(tokens))]) AS g
+               FROM toks WHERE len(tokens) >= 2),
+        m2 AS (SELECT doc_id, max(c) AS mx2 FROM
+                 (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2)
+               GROUP BY 1),
+        g3 AS (SELECT doc_id,
+                      unnest([tokens[i] || ' ' || tokens[i + 1] || ' '
+                              || tokens[i + 2]
+                              FOR i IN range(1, len(tokens) - 1)]) AS g
+               FROM toks WHERE len(tokens) >= 3),
+        m3 AS (SELECT doc_id, max(c) AS mx3 FROM
+                 (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2)
+               GROUP BY 1)
+        SELECT base.doc_id, n_tokens,
+               round(CASE WHEN n_tokens > 0 THEN
+                     (n_tokens - n_distinct) / n_tokens::DOUBLE ELSE 0 END, 6)
+                   AS dup_token_frac,
+               round(CASE WHEN n_tokens > 0 THEN
+                     coalesce(mx1, 0) / n_tokens::DOUBLE ELSE 0 END, 6)
+                   AS top_1gram_frac,
+               round(CASE WHEN n_tokens - 1 > 0 THEN
+                     coalesce(mx2, 0) / (n_tokens - 1)::DOUBLE ELSE 0 END, 6)
+                   AS top_2gram_frac,
+               round(CASE WHEN n_tokens - 2 > 0 THEN
+                     coalesce(mx3, 0) / (n_tokens - 2)::DOUBLE ELSE 0 END, 6)
+                   AS top_3gram_frac
+        FROM base LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
+                  LEFT JOIN m3 USING (doc_id)
     """
 
     # RRF: same vr/br rank CTEs as rag_union_candidates, fused by

@@ -319,3 +319,66 @@ def lang_id(tokens: Column | str) -> Column:
         )
         best_n = F.greatest(best_n, n)
     return best_lang
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed over tokens since this
+    corpus has no line structure): duplicate-token fraction (1 - type/token
+    ratio) and the occurrence fraction of the most frequent 1/2/3-gram.
+    High values flag boilerplate/degenerate docs for pre-training filters.
+
+    Plan shape: per-row HOF expressions for the token stats, then one
+    explode -> groupBy(doc, gram) -> groupBy(doc) max per n-gram level —
+    the same postings shape as TF-IDF, linear in corpus size (never
+    quadratic in doc length, unlike a per-row mode-by-filter HOF).
+    Returns (id, n_tokens, dup_token_frac, top_1gram_frac, top_2gram_frac,
+    top_3gram_frac), fractions rounded to 6.
+    """
+    toks = df.select(F.col(id_col), tokenize(text_col).alias("toks"))
+    base = toks.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+        "toks",
+    )
+
+    def gram_expr(n: int) -> str:
+        # slice(toks, 1, 0) = typed empty array (sequence(0, -1) would
+        # produce a DESCENDING [0,-1] and index out of range)
+        if n == 1:
+            return "toks"
+        cat = ", ".join(f"toks[i + {j}]" for j in range(n))
+        return (
+            f"CASE WHEN size(toks) >= {n} THEN "
+            f"transform(sequence(0, size(toks) - {n}), i -> concat_ws(' ', {cat})) "
+            f"ELSE slice(toks, 1, 0) END"
+        )
+
+    out = base.select(id_col, "n_tokens", "n_distinct")
+    for n in (1, 2, 3):
+        mx = (
+            base.select(id_col, F.explode(F.expr(gram_expr(n))).alias("g"))
+            .groupBy(id_col, "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy(id_col)
+            .agg(F.max("c").alias(f"_mx{n}"))
+        )
+        out = out.join(mx, id_col, "left")
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, F.coalesce(num, F.lit(0)).cast("double") / den)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        frac(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens")).alias(
+            "dup_token_frac"
+        ),
+        frac(F.col("_mx1"), F.col("n_tokens")).alias("top_1gram_frac"),
+        frac(F.col("_mx2"), F.col("n_tokens") - 1).alias("top_2gram_frac"),
+        frac(F.col("_mx3"), F.col("n_tokens") - 2).alias("top_3gram_frac"),
+    )

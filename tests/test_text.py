@@ -184,3 +184,27 @@ def test_tfidf_top_terms(spark):
             if r.term == "shared":
                 assert r.tfidf == 0.0
     assert all(len(lst) <= 2 for lst in by_doc.values())
+
+def test_repetition_signals_handcrafted(spark):
+    """dup/top-ngram fractions on crafted docs incl. degenerate lengths."""
+    from clinical_vector_search_spark.functions.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # dup 2/4; top1 3/4; top2 "a a" 2/3; top3 1/2
+            (2, "x"),               # single token: no 2/3-grams
+            (3, ""),                # empty text -> zero tokens
+            (4, "p q p q p q"),     # top2 "p q" 3/5, "q p" 2/5; top3 2/4
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_signals(df).collect()}
+    r1 = got[1]
+    assert (r1.n_tokens, r1.dup_token_frac, r1.top_1gram_frac) == (4, 0.5, 0.75)
+    assert r1.top_2gram_frac == round(2 / 3, 6) and r1.top_3gram_frac == 0.5
+    r2 = got[2]
+    assert (r2.n_tokens, r2.top_2gram_frac, r2.top_3gram_frac) == (1, 0.0, 0.0)
+    r3 = got[3]
+    assert (r3.n_tokens, r3.dup_token_frac) == (0, 0.0)
+    r4 = got[4]
+    assert r4.top_2gram_frac == 0.6 and r4.top_3gram_frac == 0.5
