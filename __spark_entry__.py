@@ -817,6 +817,23 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs.select("doc_id"), pairs)
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection per duplicate group (keep longest text,
+    ties min id) — operators/dedup.py dedup_survivors over the
+    connected-components groups."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_groups,
+        dedup_survivors,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=SHINGLE_N, threshold=JACCARD_THR
+    )
+    return dedup_survivors(docs, dedup_groups(docs.select("doc_id"), pairs))
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (orders ⋈ customer over a salted key) rolled
     up per segment — result is salt-independent, so the oracle is the
@@ -1213,6 +1230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_sessionize": q_events_streaming_sessionize,
         "rag_rrf": q_rag_rrf,
         "text_repetition": q_text_repetition,
+        "dedup_survivors": q_dedup_survivors,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2130,6 +2148,37 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS doc_id, min(dst) AS group_id
         FROM reach GROUP BY src
+    """
+
+    # survivors: the dedup_groups closure + keep-longest (ties min id)
+    s["dedup_survivors"] = f"""
+        WITH RECURSIVE toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*)::DOUBLE AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT a_id, b_id
+              FROM common JOIN sizes sa ON sa.doc_id = a_id
+                          JOIN sizes sb ON sb.doc_id = b_id
+              WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THR}),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        g AS (SELECT src AS doc_id, min(dst) AS group_id
+              FROM reach GROUP BY src),
+        ranked AS (SELECT g.doc_id, g.group_id,
+                          row_number() OVER (PARTITION BY g.group_id
+                                             ORDER BY length(d.text) DESC,
+                                                      g.doc_id) AS rn
+                   FROM g JOIN documents d ON d.doc_id = g.doc_id)
+        SELECT doc_id, group_id, rn = 1 AS keep FROM ranked
     """
 
     s["salted_join"] = """

@@ -434,3 +434,36 @@ def embedding_neardup_pairs(
     return pairs.select(
         "a_id", "b_id", cos.alias("cosine")
     ).filter(F.col("cosine") >= threshold)
+
+
+def dedup_survivors(
+    docs: DataFrame,
+    groups: DataFrame,
+    quality_col: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Canonical-document selection per duplicate group — the step that
+    turns group assignments into an actual deduplicated corpus: keep the
+    highest-quality member (default quality = text length, the common
+    keep-the-longest heuristic), ties broken by min id.
+
+    ``groups`` carries (id, group_id) from :func:`dedup_groups`. Returns
+    (id, group_id, keep); ``filter(keep)`` yields exactly one survivor per
+    group (singletons survive trivially). One window shuffle on group_id —
+    group sizes are duplicate-cluster sizes, naturally small; a
+    pathological giant cluster is a data bug upstream, not a plan hazard.
+    """
+    from pyspark.sql import Window
+
+    q = (
+        docs.select(id_col, F.col(quality_col).alias("_q"))
+        if quality_col
+        else docs.select(id_col, F.length(text_col).alias("_q"))
+    )
+    w = Window.partitionBy("group_id").orderBy(F.desc("_q"), F.asc(id_col))
+    return (
+        groups.join(q, id_col)
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .select(id_col, "group_id", "keep")
+    )

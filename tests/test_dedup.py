@@ -159,3 +159,23 @@ def test_embedding_neardup_exact_vs_lsh(spark):
         ).collect()
     }
     assert lsh <= exact  # LSH path returns a subset (recall contract)
+
+def test_dedup_survivors_keep_longest(spark):
+    """One survivor per group: longest text wins, ties -> min doc_id;
+    singletons always survive."""
+    from clinical_vector_search_spark.operators.dedup import dedup_survivors
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "longest text"), (3, "same"), (4, "samf"),
+         (5, "alone")],
+        "doc_id long, text string",
+    )
+    groups = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 3), (5, 5)],
+        "doc_id long, group_id long",
+    )
+    got = {r.doc_id: (r.group_id, r.keep)
+           for r in dedup_survivors(docs, groups).collect()}
+    assert got == {1: (1, False), 2: (1, True),   # longest wins
+                   3: (3, True), 4: (3, False),   # tie -> min id
+                   5: (5, True)}                   # singleton survives
