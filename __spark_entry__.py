@@ -171,6 +171,37 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 multi-level aggregation: CUBE over (orderstatus, priority) —
+    all four grouping-set combinations in one shuffle (the ROLLUP twin
+    plus the priority-only marginal)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 full rank-function family over one window (orders per customer
+    by date): rank, dense_rank, percent_rank, cume_dist, ntile(4), lead —
+    one shuffle, all functions share the sort."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lead("o_orderkey", 1).over(w).alias("next_orderkey"),
+    )
+
+
 def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 pivot: order counts per customer-nation × order status. Pivot
     compiles to conditional aggregates (one shuffle), which is also how
@@ -1231,6 +1262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_rrf": q_rag_rrf,
         "text_repetition": q_text_repetition,
         "dedup_survivors": q_dedup_survivors,
+        "rel_cube": q_rel_cube,
+        "rel_window_ranks": q_rel_window_ranks,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1485,6 +1518,25 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    s["rel_cube"] = """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """
+
+    s["rel_window_ranks"] = """
+        SELECT o_custkey, o_orderkey,
+               rank() OVER w AS rnk,
+               dense_rank() OVER w AS drnk,
+               round(percent_rank() OVER w, 6) AS prnk,
+               round(cume_dist() OVER w, 6) AS cdist,
+               ntile(4) OVER w AS quartile,
+               lead(o_orderkey, 1) OVER w AS next_orderkey
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """
 
     s["rel_pivot"] = """
