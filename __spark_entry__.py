@@ -797,6 +797,46 @@ def q_rag_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse(vec_cands, bm, KNN_K)
 
 
+PQ_M, PQ_KSUB = 8, 16
+
+
+def q_vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (operators/pq.py): 64-dim vector →
+    8 subspace codes against the deterministic LCG codebooks (128×
+    compression; the trained-codebook path is the same plan with
+    pq_codebooks_trained)."""
+    from clinical_vector_search_spark.operators.pq import (
+        pq_codebooks_lcg,
+        pq_encode,
+    )
+
+    emb = _vecs(spark, sf_dir)
+    enc = pq_encode(emb, pq_codebooks_lcg(64, PQ_M, PQ_KSUB))
+    # flattened to scalar rows: the driver compare stringifies array cells
+    # engine-dependently (numpy vs list repr)
+    return enc.select(
+        "vec_id", F.posexplode("codes").alias("sub", "code")
+    ).select("vec_id", F.col("sub").cast("int").alias("sub"), "code")
+
+
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k: per-query m×ksub distance table + m code lookups per
+    doc — the codes table is the only corpus-sized input."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_adc,
+        pq_codebooks_lcg,
+        pq_encode,
+    )
+
+    emb = _vecs(spark, sf_dir)
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = pq_encode(emb, books).withColumnRenamed("vec_id", "doc_id")
+    return knn_pq_adc(queries, codes, books, KNN_K)
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -1264,6 +1304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "rel_cube": q_rel_cube,
         "rel_window_ranks": q_rel_window_ranks,
+        "vec_pq_codes": q_vec_pq_codes,
+        "knn_pq_adc": q_knn_pq_adc,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1725,6 +1767,51 @@ def oracle_sql() -> dict[str, str]:
                FROM fused)
         SELECT query_id, rank, doc_id, round(rrf, 6) AS rrf
         FROM fr WHERE rank <= {KNN_K}
+    """
+
+    # PQ: symbolic LCG codebooks — value(sub,k,d) from one LCG step, so no
+    # literal tables; encode = per-subspace L2 argmin (first-min ties ==
+    # Spark array_position), ADC = table lookups summed in sub order
+    _pq_cbv = (
+        "((((22695477 * ((({sub}*16 + k)*8 + dd + 7777777) % 2147483648)) + 1)"
+        " % 2147483648) / 2147483648.0 - 0.5)"
+    )
+
+    def _pq_dists(vexpr: str, sub: int) -> str:
+        return (
+            "[list_sum([ (" + vexpr + f"[{sub}*8 + dd + 1] - "
+            + _pq_cbv.format(sub=sub)
+            + ") ^ 2 FOR dd IN range(0, 8)]) FOR k IN range(0, 16)]"
+        )
+
+    _pq_codes = "[" + ", ".join(
+        f"CAST(list_indexof({_pq_dists('v', sub)}, "
+        f"list_min({_pq_dists('v', sub)})) - 1 AS INT)"
+        for sub in range(PQ_M)
+    ) + "]"
+    _pq_qtab = "[" + ", ".join(_pq_dists("q.v", s) for s in range(PQ_M)) + "]"
+
+    s["vec_pq_codes"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id, {_pq_codes} AS codes FROM d)
+        SELECT vec_id, CAST(sub - 1 AS INT) AS sub, codes[sub] AS code
+        FROM c, unnest(generate_series(1, {PQ_M})) AS t(sub)
+    """
+
+    s["knn_pq_adc"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS doc_id, {_pq_codes} AS codes FROM d),
+        q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {KNN_NQ}),
+        tabs AS (SELECT query_id, {_pq_qtab} AS tab FROM q),
+        sc AS (SELECT query_id, doc_id,
+                 list_sum([tab[sub + 1][codes[sub + 1] + 1]
+                           FOR sub IN range(0, {PQ_M})]) AS adc
+               FROM tabs CROSS JOIN c),
+        r AS (SELECT query_id, doc_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, doc_id) AS rank FROM sc)
+        SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
+        FROM r WHERE rank <= {KNN_K}
     """
 
     s["vec_dp_noise"] = f"""

@@ -1,0 +1,245 @@
+"""Product quantization (PQ) — the third approximate-NN scale path next to
+LSH and IVF (operators/knn.py), per Jégou et al., "Product Quantization for
+Nearest Neighbor Search" (TPAMI 2011).
+
+The 64-dim embedding splits into ``m`` subspaces of ``dsub`` dims; each
+subspace has its own ``ksub``-entry codebook, so a vector compresses to
+``m`` small codes (m=8, ksub=16 → 8 codes ≈ 4 bytes vs 512 bytes of
+float64: a 128× memory cut, which is the point at 100 TB — the codes table
+fits where the raw vectors cannot). Query scoring is ADC (asymmetric
+distance computation): one tiny per-query distance table (m × ksub), then
+each doc scores with ``m`` table lookups instead of a ``dim``-wide dot.
+
+Codebooks:
+  * :func:`pq_codebooks_lcg` — deterministic integer-LCG codebooks
+    (salt 7777777, disjoint from the projection/LSH/IVF families). Poor
+    quantizers but bit-reproducible in ANSI SQL, so encode AND ADC top-k
+    get full value-hash oracles (the knn_ivf_fullprobe pattern).
+  * :func:`pq_codebooks_trained` — per-subspace Lloyd's k-means, every
+    iteration ONE distributed mapInPandas pass producing partitions×m×ksub
+    partial rows (the kmeans_centroids shape, knn.py:211-269). Train on a
+    hash-sampled subset at scale, exactly like FAISS trains its quantizer.
+
+Encoders: :func:`pq_encode` (pure expressions — the oracle twin) and
+:func:`pq_encode_pd` (Arrow-batched NumPy argmin — the throughput twin);
+parity is asserted in tests/test_pq.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions.vector import LCG_M, PROJ_A, PROJ_C
+
+PQ_SALT = 7777777
+
+
+def pq_codebooks_lcg(dim: int, m: int = 8, ksub: int = 16) -> list:
+    """Deterministic codebooks: value(sub, k, d) from one LCG step of the
+    flat index (sub*ksub + k)*dsub + d + salt, mapped to U(-0.5, 0.5).
+    Integer math + one exact division → reproducible in any engine."""
+    assert dim % m == 0, "dim must divide into m subspaces"
+    dsub = dim // m
+    return [
+        [
+            [
+                (PROJ_A * (((sub * ksub + k) * dsub + d + PQ_SALT) % LCG_M) + PROJ_C)
+                % LCG_M
+                / float(LCG_M)
+                - 0.5
+                for d in range(dsub)
+            ]
+            for k in range(ksub)
+        ]
+        for sub in range(m)
+    ]
+
+
+def pq_codebooks_trained(
+    docs: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_iter: int = 5,
+    doc_vec: str = "embedding",
+) -> list:
+    """Per-subspace k-means codebooks. Each iteration: one mapInPandas pass
+    computes per-(subspace, cluster) (count, sum) partials in NumPy; the
+    driver combines partitions×m×ksub tiny rows. LCG-initialized, so runs
+    are reproducible; empty clusters keep their previous centroid."""
+    import numpy as np
+
+    assert dim % m == 0
+    dsub = dim // m
+    books = np.array(pq_codebooks_lcg(dim, m, ksub), dtype="float64")
+    data = docs.select(doc_vec)
+    schema = "sub int, cluster int, n long, vsum array<double>"
+    for _ in range(n_iter):
+        B = books
+
+        def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            sums = np.zeros((m, ksub, dsub), dtype="float64")
+            counts = np.zeros((m, ksub), dtype="int64")
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
+                segs = mat.reshape(len(mat), m, dsub)
+                for sub in range(m):
+                    # L2 argmin via ||x||² - 2x·c + ||c||² (x-term constant)
+                    d2 = (
+                        -2.0 * segs[:, sub, :] @ B[sub].T
+                        + (B[sub] ** 2).sum(axis=1)
+                    )
+                    assign = np.argmin(d2, axis=1)
+                    np.add.at(sums[sub], assign, segs[:, sub, :])
+                    counts[sub] += np.bincount(assign, minlength=ksub)
+            rows = []
+            for sub in range(m):
+                for k in range(ksub):
+                    rows.append((sub, k, int(counts[sub, k]), list(sums[sub, k])))
+            yield pd.DataFrame(rows, columns=["sub", "cluster", "n", "vsum"])
+
+        parts = data.mapInPandas(partial, schema).collect()
+        tot = np.zeros_like(books)
+        cnt = np.zeros((m, ksub), dtype="int64")
+        for r in parts:
+            tot[r["sub"], r["cluster"]] += np.array(r["vsum"], dtype="float64")
+            cnt[r["sub"], r["cluster"]] += r["n"]
+        new = books.copy()
+        nz = cnt > 0
+        new[nz] = tot[nz] / cnt[nz][:, None]
+        books = new
+    return [[[float(x) for x in c] for c in b] for b in books]
+
+
+def _books_lit(books: list) -> F.Column:
+    return F.array(
+        *[
+            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in b])
+            for b in books
+        ]
+    )
+
+
+def _subspace_dists(vec: str, books: list, sub: int) -> F.Column:
+    """Array of ksub squared-L2 distances from vec's sub-th segment to the
+    sub-th codebook (literal) — d-order summation matches the SQL oracle."""
+    dsub = len(books[0][0])
+    v = F.col(vec)
+    cb = _books_lit(books)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(len(books[0]) - 1)),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(0), F.lit(dsub - 1)),
+            F.lit(0.0),
+            lambda acc, d: acc
+            + F.pow(
+                F.element_at(v, (F.lit(sub * dsub) + d).cast("int") + 1)
+                - F.element_at(
+                    F.element_at(F.element_at(cb, sub + 1), k.cast("int") + 1),
+                    d.cast("int") + 1,
+                ),
+                F.lit(2.0),
+            ),
+        ),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Expression-path encoder: codes[sub] = argmin_k ||segment - c_k||²
+    (first-min ties, matching SQL list_indexof). Returns (id, codes)."""
+    m = len(books)
+    code_cols = []
+    for sub in range(m):
+        dists = _subspace_dists(vec_col, books, sub)
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*code_cols).alias(out_col))
+
+
+def pq_encode_pd(
+    df: DataFrame,
+    books: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """NumPy twin of :func:`pq_encode` (Arrow-batched, BLAS argmin) — the
+    throughput path; identical codes asserted in tests/test_pq.py."""
+    import numpy as np
+
+    B = np.array(books, dtype="float64")  # (m, ksub, dsub)
+    m, _ksub, dsub = B.shape
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            segs = mat.reshape(len(mat), m, dsub)
+            codes = np.empty((len(mat), m), dtype="int32")
+            for sub in range(m):
+                d2 = (
+                    ((segs[:, sub, :, None] - B[sub].T[None]) ** 2).sum(axis=1)
+                )
+                codes[:, sub] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(codes)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} array<int>"
+    )
+
+
+def knn_pq_adc(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """ADC top-k: per query build the m×ksub distance table IN-PLAN (tiny,
+    from the literal codebooks), broadcast-join it to the codes table, and
+    score each doc with m table lookups — never touching raw doc vectors.
+    Returns (query_id, rank, doc_id, adc_dist) ascending, ties by doc id.
+
+    At 100 TB the codes table is the only corpus-sized input (≈128× smaller
+    than the vectors); the query side is a broadcast. Approximation error
+    is the quantization error — recall vs exact kNN rises with
+    trained codebooks (tests/test_pq.py)."""
+    m = len(books)
+    tables = F.array(
+        *[_subspace_dists(query_vec, books, sub) for sub in range(m)]
+    ).alias("_tab")
+    q = queries.select(query_id, tables)
+    pairs = codes.join(F.broadcast(q), how="cross")
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, sub: acc
+        + F.element_at(
+            F.element_at("_tab", sub.cast("int") + 1),
+            F.element_at(F.col(code_col), sub.cast("int") + 1) + 1,
+        ),
+    )
+    scored = pairs.select(query_id, doc_id, dist.alias("adc_dist"))
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
+    )

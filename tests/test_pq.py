@@ -1,0 +1,98 @@
+"""Product quantization: encoder twin parity, trained-codebook quality,
+and ADC recall against exact kNN."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+
+def _books_and_vecs(spark, sf_dir):
+    from clinical_vector_search_spark.operators.pq import pq_codebooks_lcg
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return pq_codebooks_lcg(64, 8, 16), emb
+
+
+def test_pq_encode_expression_vs_numpy_parity(spark, sf_dir):
+    from clinical_vector_search_spark.operators.pq import (
+        pq_encode,
+        pq_encode_pd,
+    )
+
+    books, emb = _books_and_vecs(spark, sf_dir)
+    a = {r.vec_id: list(r.codes) for r in pq_encode(emb, books).collect()}
+    b = {r.vec_id: list(r.codes) for r in pq_encode_pd(emb, books).collect()}
+    assert a == b and len(a) > 0
+
+
+def test_pq_trained_codebooks_cut_reconstruction_error(spark, sf_dir):
+    """Per-subspace k-means must quantize better than the LCG codebooks:
+    mean squared reconstruction error strictly drops."""
+    from clinical_vector_search_spark.operators.pq import (
+        pq_codebooks_lcg,
+        pq_codebooks_trained,
+        pq_encode_pd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mat = np.array(
+        [r.embedding for r in emb.select("embedding").collect()], dtype="float64"
+    )
+
+    def mse(books):
+        B = np.array(books)
+        codes = np.array(
+            [r.codes for r in pq_encode_pd(emb, books).orderBy("vec_id").collect()]
+        )
+        segs = np.array(
+            [r.embedding for r in emb.orderBy("vec_id").collect()]
+        ).reshape(len(mat), 8, 8)
+        recon = np.stack(
+            [B[s][codes[:, s]] for s in range(8)], axis=1
+        )
+        return float(((segs - recon) ** 2).mean())
+
+    lcg = mse(pq_codebooks_lcg(64, 8, 16))
+    trained = mse(pq_codebooks_trained(emb, 64, 8, 16, n_iter=10))
+    assert trained < lcg, (trained, lcg)
+
+
+def test_pq_adc_recall_improves_with_trained_books(spark, sf_dir):
+    """ADC top-10 recall vs exact kNN: trained codebooks must beat the LCG
+    ones, and both must be far above random (10/N)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_adc,
+        pq_codebooks_lcg,
+        pq_codebooks_trained,
+        pq_encode_pd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    exact = {}
+    for r in knn(queries, docs, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.doc_id)
+
+    def recall(books):
+        codes = pq_encode_pd(emb, books).withColumnRenamed("vec_id", "doc_id")
+        got = {}
+        for r in knn_pq_adc(queries, codes, books, 10).collect():
+            got.setdefault(r.query_id, set()).add(r.doc_id)
+        return sum(
+            len(got[q] & exact[q]) / len(exact[q]) for q in exact
+        ) / len(exact)
+
+    r_lcg = recall(pq_codebooks_lcg(64, 8, 16))
+    r_tr = recall(pq_codebooks_trained(emb, 64, 8, 16, n_iter=10))
+    assert r_tr >= r_lcg, (r_tr, r_lcg)
+    # both must clear random-guessing (k/N) by a wide margin
+    n_docs = docs.count()
+    assert r_tr > 3 * 10.0 / n_docs, (r_tr, n_docs)
