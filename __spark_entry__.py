@@ -202,6 +202,70 @@ def q_rel_window_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region) with the local-supplier constraint (customer and
+    supplier share a nation), one-year date filter pushed to the orders
+    scan, ASIA region pruned via broadcast. Revenue per nation."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet").filter(
+        F.col("r_name") == "ASIA"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned sink → pruned scan: documents written partitioned
+    by lang, read back with a lang filter that must prune at the directory
+    level (io/tables.py write_partitioned; pruning asserted in
+    tests/test_extensions.py)."""
+    import tempfile
+
+    from clinical_vector_search_spark.io.tables import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = f"{tempfile.gettempdir()}/cvs_part_docs_{tag}"
+    write_partitioned(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "lang"),
+        path,
+        ["lang"],
+    )
+    return (
+        read_partitioned(spark, path)
+        .filter(F.col("lang").isin("en", "de"))
+        .groupBy("lang", "source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
 def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 pivot: order counts per customer-nation × order status. Pivot
     compiles to conditional aggregates (one shuffle), which is also how
@@ -1306,6 +1370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_window_ranks": q_rel_window_ranks,
         "vec_pq_codes": q_vec_pq_codes,
         "knn_pq_adc": q_knn_pq_adc,
+        "rel_local_supplier_volume": q_rel_local_supplier_volume,
+        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1579,6 +1645,30 @@ def oracle_sql() -> dict[str, str]:
                lead(o_orderkey, 1) OVER w AS next_orderkey
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
+
+    s["io_partitioned_roundtrip"] = """
+        SELECT lang, source, count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM documents WHERE lang IN ('en', 'de')
+        GROUP BY lang, source
+    """
+
+    s["rel_local_supplier_volume"] = """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+                     AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= '1996-01-01'
+          AND o_orderdate < '1997-01-01'
+        GROUP BY n_name
     """
 
     s["rel_pivot"] = """

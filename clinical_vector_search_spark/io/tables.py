@@ -61,6 +61,34 @@ def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet sink (``path/col=value/...``): the
+    layout that makes partition PRUNING possible — a filter on a partition
+    column skips whole directories at plan time instead of reading and
+    discarding rows. At 100 TB this is the difference between scanning one
+    day and scanning three years; partition columns must be low-cardinality
+    (date, lang, source), never high-cardinality ids (small-file
+    explosion). Pruning is asserted in tests (the scan's partitionFilters,
+    not data filters)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, basePath: str | None = None
+) -> DataFrame:
+    """Scan a partitioned layout; partition values come back as real
+    columns recovered from the directory names."""
+    reader = spark.read
+    if basePath:
+        reader = reader.option("basePath", basePath)
+    return reader.parquet(path)
+
+
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """ORC sink — Spark's second built-in columnar format. Same predicate-
     pushdown/column-pruning contract as parquet (ORC carries min/max +

@@ -413,3 +413,29 @@ def test_orc_scan_pushes_filters(spark, sf_dir, tmp_path):
         .toString()
     )
     assert "PushedFilters: [" in plan and "lang" in plan
+
+def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
+    """A filter on the partition column must land in the scan's
+    PartitionFilters (directory pruning), not the data filters — and the
+    pruned read must return exactly the matching rows."""
+    from clinical_vector_search_spark.io.tables import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars", "lang"
+    )
+    path = str(tmp_path / "part_docs")
+    write_partitioned(docs, path, ["lang"])
+
+    scan = read_partitioned(spark, path).filter(F.col("lang") == "en")
+    plan = scan._sc._jvm.PythonSQLUtils.explainString(
+        scan._jdf.queryExecution(), "formatted"
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lang" in m.group(1), plan[:2000]
+    want = docs.filter(F.col("lang") == "en").count()
+    assert scan.count() == want and want > 0
