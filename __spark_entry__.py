@@ -675,6 +675,18 @@ def q_events_streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_streaming_sessionize(spark, sf_dir, SESSION_GAP_SEC)
 
 
+def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8: stream-static enrichment join (events stream ⋈ broadcast
+    customer dim) rolled up per segment — streaming/events.py
+    run_streaming_enrich."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_enrich,
+    )
+
+    _events(spark, sf_dir)  # pins session confs
+    return run_streaming_enrich(spark, sf_dir)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 extension: sliding-window aggregation (300s window / 60s slide)
     via JVM sequence+explode fan-out."""
@@ -1372,6 +1384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pq_adc": q_knn_pq_adc,
         "rel_local_supplier_volume": q_rel_local_supplier_volume,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+        "events_streaming_enrich": q_events_streaming_enrich,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2194,6 +2207,14 @@ def oracle_sql() -> dict[str, str]:
                max(ts_ns) // 1000 AS session_end_us,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
+    """
+
+    s["events_streaming_enrich"] = """
+        SELECT c_mktsegment, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
     """
 
     # session_window close semantics: end = last event + gap, new session

@@ -343,6 +343,51 @@ def sessionize(events: DataFrame, gap_sec: int = 1800) -> DataFrame:
     )
 
 
+def run_streaming_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream-static enrichment: the events STREAM joins a static dimension
+    (customer, user_id = c_custkey) and rolls up per (mktsegment,
+    event_type) — the canonical lookup-table pattern. The static side needs
+    no watermark or state: Spark re-plans it per micro-batch (and
+    broadcasts it when small), so dimension updates between batches are
+    picked up for free. availableNow replay → memory sink, complete mode,
+    hash-comparable to the batch/SQL oracle."""
+    import uuid
+
+    name = f"enrich_{uuid.uuid4().hex[:12]}"
+    dim = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    agg = (
+        ev.join(F.broadcast(dim), "user_id")
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming enrich {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    return spark.table(name)
+
+
 def run_streaming_sessionize(
     spark: SparkSession,
     sf_dir: str,

@@ -439,3 +439,60 @@ def test_partitioned_write_prunes_directories(spark, sf_dir, tmp_path):
     assert m and "lang" in m.group(1), plan[:2000]
     want = docs.filter(F.col("lang") == "en").count()
     assert scan.count() == want and want > 0
+
+def test_streaming_foreachbatch_index_upsert(spark, sf_dir, tmp_path):
+    """Streaming maintenance of the persisted vector index: a readStream of
+    delta vectors lands through foreachBatch -> upsert_vector_index
+    (availableNow). The final index must equal a from-scratch build over
+    base+delta with latest-wins semantics."""
+    import numpy as np
+
+    from clinical_vector_search_spark.io.tables import (
+        build_vector_index,
+        upsert_vector_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 30)
+    index_path = str(tmp_path / "vec_index")
+    build_vector_index(base.withColumnRenamed("vec_id", "doc_id"), index_path)
+
+    # delta overlaps ids 20-29 (replacements) and adds 30-49
+    delta = emb.filter((F.col("vec_id") >= 20) & (F.col("vec_id") < 50)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    delta_path = str(tmp_path / "delta")
+    delta.write.parquet(delta_path)
+
+    stream = spark.readStream.schema(delta.schema).parquet(delta_path)
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda batch, _bid: upsert_vector_index(spark, index_path, batch)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+
+    got = {
+        r.doc_id: np.array(r.embedding)
+        for r in spark.read.parquet(index_path).collect()
+    }
+    assert set(got) == set(range(50))
+    # replaced ids carry the delta's (re-normalized) vector: doubling then
+    # re-normalizing equals the original normalized vector
+    want = {
+        r.doc_id: np.array(r.embedding)
+        for r in spark.read.parquet(index_path).sparkSession.read.parquet(
+            index_path
+        ).collect()
+    }
+    base_norm = {
+        r.vec_id: np.array(r.embedding) / np.linalg.norm(r.embedding)
+        for r in emb.filter(F.col("vec_id") < 50).collect()
+    }
+    for i in range(50):
+        assert np.allclose(got[i], base_norm[i], atol=1e-12), i
