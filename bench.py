@@ -154,6 +154,34 @@ def main() -> None:
     def bench_sessionize():
         return sessionize(read_events(spark, sf_dir), 1800)
 
+    def bench_pq_adc():
+        # PQ encode (numpy twin) + ADC top-10 — the compressed-index ANN
+        # path; codes are the only corpus-sized input at query time
+        from clinical_vector_search_spark.functions import vector as V
+        from clinical_vector_search_spark.operators.pq import (
+            knn_pq_adc_pd,
+            pq_codebooks_lcg,
+            pq_encode_pd,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", V.l2_normalize("embedding").alias("embedding")
+        )
+        books = pq_codebooks_lcg(64, 8, 16)
+        queries = emb.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        codes = pq_encode_pd(emb, books).withColumnRenamed("vec_id", "doc_id")
+        return knn_pq_adc_pd(queries, codes, books, 10)
+
+    def bench_sessionize_skew():
+        from clinical_vector_search_spark.streaming.events import (
+            sessionize_skew,
+        )
+
+        return sessionize_skew(read_events(spark, sf_dir), 1800, 7200)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -175,6 +203,8 @@ def main() -> None:
         "simhash": bench_simhash,
         "events_tumbling": bench_tumbling,
         "events_sessionize": bench_sessionize,
+        "events_sessionize_skew": bench_sessionize_skew,
+        "pq_adc": bench_pq_adc,
         "rel_pricing_summary": bench_pricing,
     }
 

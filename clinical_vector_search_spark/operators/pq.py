@@ -243,3 +243,63 @@ def knn_pq_adc(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def knn_pq_adc_pd(
+    queries: DataFrame,
+    codes: DataFrame,
+    books: list,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    code_col: str = "codes",
+) -> DataFrame:
+    """NumPy twin of :func:`knn_pq_adc` (parity-tested): the bounded query
+    batch collects to the driver, per-query distance tables broadcast into
+    a mapInPandas kernel that scores whole Arrow batches with vectorized
+    table lookups and emits only its per-partition top-k per query
+    (deterministic (dist, doc_id) lexsort); a final window over the
+    partitions × Q × k survivors picks the global top-k. This is the
+    partial_topk shape (operators/knn.py:62-91) — the corpus-sized codes
+    table is read once, map-side, and only tiny candidate sets shuffle."""
+    import numpy as np
+
+    B = np.array(books, dtype="float64")
+    m, _ksub, dsub = B.shape
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = [r[0] for r in qrows]
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    segs = Q.reshape(len(Q), m, dsub)
+    # tables[q, sub, k] — d-order summation matches the expression path
+    tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            C = np.array(pdf[code_col].tolist(), dtype="int64")
+            ids = pdf[doc_id].to_numpy()
+            d = np.zeros((len(qids), len(C)), dtype="float64")
+            for sub in range(m):
+                d += tabs[:, sub, C[:, sub]]
+            kk = min(k, len(C))
+            out_q, out_d, out_s = [], [], []
+            for qi in range(len(qids)):
+                order = np.lexsort((ids, d[qi]))[:kk]
+                out_q.extend([qids[qi]] * kk)
+                out_d.extend(ids[order])
+                out_s.extend(d[qi][order])
+            yield pd.DataFrame(
+                {query_id: out_q, doc_id: out_d, "adc_dist": out_s}
+            )
+
+    partials = codes.mapInPandas(
+        fn, f"{query_id} long, {doc_id} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
+    )

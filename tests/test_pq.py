@@ -96,3 +96,26 @@ def test_pq_adc_recall_improves_with_trained_books(spark, sf_dir):
     # both must clear random-guessing (k/N) by a wide margin
     n_docs = docs.count()
     assert r_tr > 3 * 10.0 / n_docs, (r_tr, n_docs)
+
+
+def test_pq_adc_numpy_twin_parity(spark, sf_dir):
+    """knn_pq_adc_pd must reproduce the expression ADC ranking exactly."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_adc,
+        knn_pq_adc_pd,
+        pq_codebooks_lcg,
+        pq_encode_pd,
+    )
+
+    books, emb = _books_and_vecs(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    codes = pq_encode_pd(emb, books).withColumnRenamed("vec_id", "doc_id")
+    a = sorted(
+        tuple(r) for r in knn_pq_adc(queries, codes, books, 10).collect()
+    )
+    b = sorted(
+        tuple(r) for r in knn_pq_adc_pd(queries, codes, books, 10).collect()
+    )
+    assert a == b and len(a) == 50
