@@ -830,6 +830,22 @@ def q_rag_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_union(vec_cands, bm)
 
 
+def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (training-data mixing: different
+    keep-rates per source) — pipeline/documents.py stratified_hash_sample."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        stratified_hash_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    s = stratified_hash_sample(
+        d, {"src0": 1.0, "src1": 0.5, "src2": 0.1}, default_rate=0.25
+    )
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters over tokens (functions/text.py
     repetition_signals): dup-token fraction + top 1/2/3-gram fractions."""
@@ -1112,6 +1128,34 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: every 'click' gets the EARLIEST same-user 'view'
+    at or after it (direction='forward' — same union-merge single-shuffle
+    plan with the ts sort flipped)."""
+    from clinical_vector_search_spark.operators.temporal import asof_join
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join(
+        clicks, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=("event_id", "value"), right_tiebreak="event_id",
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_ts").alias("view_ts_us"),
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every 'click' event gets the most recent same-user
     'view' event at or before it (union-merge plan, one shuffle)."""
@@ -1385,6 +1429,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_local_supplier_volume": q_rel_local_supplier_volume,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
         "events_streaming_enrich": q_events_streaming_enrich,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "events_asof_forward": q_events_asof_forward,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1772,6 +1818,20 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id FROM vc
         UNION
         SELECT query_id, doc_id FROM bc
+    """
+
+    s["doc_stratified_sample"] = f"""
+        WITH b AS (SELECT *,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS bucket
+            FROM documents)
+        SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM b
+        WHERE bucket < CASE source
+                       WHEN 'src0' THEN {int(1.0 * (1 << 32))}
+                       WHEN 'src1' THEN {int(0.5 * (1 << 32))}
+                       WHEN 'src2' THEN {int(0.1 * (1 << 32))}
+                       ELSE {int(0.25 * (1 << 32))} END
+        GROUP BY source
     """
 
     s["text_repetition"] = f"""
@@ -2252,6 +2312,22 @@ def oracle_sql() -> dict[str, str]:
                max(ts_ns) // 1000 AS session_end_us,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
+    """
+
+    s["events_asof_forward"] = """
+        WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+                        FROM events WHERE event_type = 'click'),
+        views AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+                  FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us,
+               v.ts_us AS view_ts_us,
+               v.event_id AS view_event_id,
+               round(v.value, 6) AS view_value
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT * FROM views v
+            WHERE v.user_id = c.user_id AND v.ts_us >= c.ts_us
+            ORDER BY v.ts_us ASC, v.event_id DESC LIMIT 1
+        ) v ON TRUE
     """
 
     s["events_asof_join"] = """

@@ -40,9 +40,13 @@ def asof_join(
     right_tiebreak: str | None = None,
     tolerance: int | None = None,
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    ``right.ts <= left.ts`` for the same ``on`` key (inclusive match).
+    """For every left row, attach the matching right row for the same
+    ``on`` key — ``direction`` picks the match (the pandas ``merge_asof``
+    contract): ``"backward"`` (default) = most recent right with
+    ``right.ts <= left.ts``; ``"forward"`` = earliest right with
+    ``right.ts >= left.ts`` (both inclusive).
 
     Output: all left columns + ``{prefix}ts`` (matched right timestamp,
     null when no match) + ``{prefix}{c}`` for each of ``right_cols``.
@@ -50,13 +54,17 @@ def asof_join(
     ``right_tiebreak`` breaks equal-timestamp ties deterministically (the
     greatest tiebreak value wins — matching the oracle's
     ``ORDER BY ts DESC, tiebreak DESC LIMIT 1``); ``tolerance`` (same unit
-    as the ts columns) nulls matches older than ``left.ts - tolerance``.
+    as the ts columns) nulls matches further than ``tolerance`` from
+    ``left.ts`` in the match direction.
 
     Plan shape: union of the two tagged sides → one shuffle on ``on`` →
     per-key sort by (ts, side, tiebreak) → running ``last(payload)
-    ignorenulls`` → filter back to left rows. Right rows sort BEFORE left
-    rows at equal ts, making the match inclusive.
+    ignorenulls`` → filter back to left rows; forward just flips the ts
+    sort direction. Right rows iterate BEFORE left rows at equal ts,
+    making the match inclusive either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     payload_fields = [F.col(c).alias(c) for c in right_cols]
     tb = F.col(right_tiebreak) if right_tiebreak else F.lit(0)
     r = right.select(
@@ -90,9 +98,10 @@ def asof_join(
             ).alias("_l"),
         )
     )
+    ts_order = F.asc("_ts") if direction == "backward" else F.desc("_ts")
     w = (
         Window.partitionBy(on)
-        .orderBy(F.asc("_ts"), F.asc("_side"), F.asc("_tb"))
+        .orderBy(ts_order, F.asc("_side"), F.asc("_tb"))
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     matched = (
@@ -101,7 +110,11 @@ def asof_join(
     )
     m_ts = F.col("_m._matched_ts")
     if tolerance is not None:
-        in_range = m_ts >= (F.col("_ts") - F.lit(tolerance))
+        in_range = (
+            m_ts >= (F.col("_ts") - F.lit(tolerance))
+            if direction == "backward"
+            else m_ts <= (F.col("_ts") + F.lit(tolerance))
+        )
         get = lambda c: F.when(in_range, F.col(f"_m.{c}"))  # noqa: E731
         m_ts = F.when(in_range, m_ts)
     else:
@@ -175,4 +188,44 @@ def range_join(
         l.join(r, [on, "_bin"])
         .filter((delta > F.lit(min_delta)) & (delta <= F.lit(max_delta)))
         .select(on, "l_id", "r_id", delta.alias("delta"))
+    )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts_ns",
+    right_ts: str = "ts_ns",
+    right_cols: tuple[str, ...] = ("value",),
+    tolerance: int | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """direction="nearest": the closest right row on either side of
+    ``left.ts`` (ties -> the backward match, pandas merge_asof semantics).
+    Composed as a backward pass feeding a forward pass — still one shuffle
+    shape each — then a per-row pick of the smaller |delta|."""
+    b = asof_join(
+        left, right, on, left_ts, right_ts, right_cols,
+        tolerance=tolerance, prefix="_b_",
+    )
+    # the forward pass runs over the backward output (which keeps every
+    # original left column), so the final select sees both match sets
+    f = asof_join(
+        b, right, on, left_ts, right_ts, right_cols,
+        tolerance=tolerance, prefix="_f_", direction="forward",
+    )
+    lts = F.col(left_ts).cast("long")
+    back_wins = F.col("_b_ts").isNotNull() & (
+        F.col("_f_ts").isNull()
+        | ((lts - F.col("_b_ts")) <= (F.col("_f_ts") - lts))
+    )
+    pick = lambda c: F.when(  # noqa: E731
+        back_wins, F.col(f"_b_{c}")
+    ).otherwise(F.col(f"_f_{c}"))
+    keep = [c for c in left.columns]
+    return f.select(
+        *keep,
+        pick("ts").alias(f"{prefix}ts"),
+        *[pick(c).alias(f"{prefix}{c}") for c in right_cols],
     )

@@ -113,3 +113,28 @@ def load_mtsamples(spark: SparkSession, path: str) -> DataFrame:
         *[F.col(src).alias(dst) for src, dst in MTSAMPLES_COLUMNS.items()]
     )
     return clean_documents(df, specialty_col="medical_specialty")
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the training-data mixing
+    primitive (e.g. keep 100% of books, 10% of common-crawl): each stratum
+    gets its own md5 threshold, so this is ``hash_sample`` with a
+    per-stratum rate. Same properties: pure map-side filter, no shuffle,
+    reproducible across engines/re-runs/repartitioning (unlike
+    ``DataFrame.sampleBy``, whose seeded sample depends on partitioning).
+    Strata absent from ``fractions`` keep ``default_rate``."""
+    bucket = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    thr = F.lit(int(default_rate * (1 << 32)))
+    for value, rate in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, F.lit(int(rate * (1 << 32)))
+        ).otherwise(thr)
+    return df.filter(bucket < thr)

@@ -138,3 +138,46 @@ def test_range_join_no_self_pairs_at_delta_zero(spark):
     }
     # delta 0 pairs (1,2),(2,1),(1,1)... excluded; only the +50 pairs remain
     assert got == {(1, 3, 50), (2, 3, 50)}
+
+def test_asof_forward_and_nearest(spark):
+    """Forward = earliest right >= left.ts (inclusive); nearest = smaller
+    |delta|, ties -> backward (pandas merge_asof semantics)."""
+    from clinical_vector_search_spark.operators.temporal import (
+        asof_join,
+        asof_join_nearest,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (1, 35, 102), (2, 5, 200)],
+        "k long, ts_ns long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 20, 2.0), (1, 30, 3.0), (1, 50, 4.0)],
+        "k long, ts_ns long, value double",
+    )
+    fwd = {
+        r.lid: (r.asof_ts, r.asof_value)
+        for r in asof_join(
+            left, right, "k", direction="forward"
+        ).collect()
+    }
+    assert fwd == {
+        100: (20, 2.0),   # earliest >= 10
+        101: (20, 2.0),   # inclusive at equality
+        102: (50, 4.0),   # skips past 30 < 35
+        200: (None, None) # key 2 has no rights
+    }
+    near = {
+        r.lid: (r.asof_ts, r.asof_value)
+        for r in asof_join_nearest(left, right, "k").collect()
+    }
+    assert near == {
+        100: (8, 1.0),    # |10-8|=2 < |20-10|=10
+        101: (20, 2.0),   # exact
+        102: (30, 3.0),   # |35-30|=5 < |50-35|=15
+        200: (None, None),
+    }
+    # equidistant tie -> backward wins
+    left2 = spark.createDataFrame([(1, 25, 300)], "k long, ts_ns long, lid long")
+    near2 = {r.lid: r.asof_ts for r in asof_join_nearest(left2, right, "k").collect()}
+    assert near2 == {300: 20}  # |25-20| == |30-25| -> backward
