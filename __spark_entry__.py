@@ -997,6 +997,21 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(docs, dedup_groups(docs.select("doc_id"), pairs))
 
 
+DECON_N = 5
+DECON_BENCH = 20  # doc_id < 20 plays the held-out benchmark set
+
+
+def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any word 5-gram with
+    the 'benchmark' subset (operators/dedup.py decontaminate; benchmark
+    grams broadcast, corpus map-side)."""
+    from clinical_vector_search_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < DECON_BENCH).select("text")
+    return decontaminate(docs, bench, n=DECON_N)
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-salted equi-join (orders ⋈ customer over a salted key) rolled
     up per segment — result is salt-independent, so the oracle is the
@@ -1431,6 +1446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_enrich": q_events_streaming_enrich,
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_asof_forward": q_events_asof_forward,
+        "doc_decontaminate": q_doc_decontaminate,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2474,6 +2490,24 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT src AS doc_id, min(dst) AS group_id
         FROM reach GROUP BY src
+    """
+
+    s["doc_decontaminate"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS (SELECT doc_id, unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM toks),
+        bg AS (SELECT DISTINCT g FROM sh WHERE doc_id < {DECON_BENCH}),
+        hits AS (SELECT s.doc_id, count(*) AS n_hits
+                 FROM sh s JOIN bg USING (g) GROUP BY s.doc_id)
+        SELECT d.doc_id,
+               coalesce(n_hits, 0) AS n_contaminated_grams,
+               coalesce(n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """
 
     # survivors: the dedup_groups closure + keep-longest (ties min id)

@@ -467,3 +467,46 @@ def dedup_survivors(
         .withColumn("keep", F.row_number().over(w) == 1)
         .select(id_col, "group_id", "keep")
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — flag training docs that share any word
+    n-gram with an evaluation/benchmark set (the GPT-3/PaLM-style 'remove
+    eval overlap from pretraining data' step). Returns (id,
+    n_contaminated_grams, contaminated); filter ``~contaminated`` for the
+    clean corpus, or join the flag back for auditing.
+
+    Plan shape: benchmark n-grams (distinct) are BROADCAST — eval sets are
+    tiny next to a pretraining corpus — so the corpus side is one map-side
+    semi-join of its exploded distinct shingles, then a groupBy(id) count.
+    No corpus-×-benchmark shuffle; corpus rows never leave their
+    partitions until the per-doc count aggregation.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(TXT.shingles(TXT.tokenize(bench_text_col), n)).alias("g")
+        ).distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(TXT.shingles(TXT.tokenize(text_col), n)).alias("g"),
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_contaminated_grams"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_contaminated_grams", F.lit(0)).alias(
+            "n_contaminated_grams"
+        ),
+        (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -179,3 +179,27 @@ def test_dedup_survivors_keep_longest(spark):
     assert got == {1: (1, False), 2: (1, True),   # longest wins
                    3: (3, True), 4: (3, False),   # tie -> min id
                    5: (5, True)}                   # singleton survives
+
+def test_decontaminate_flags_ngram_overlap(spark):
+    """Docs sharing an n-gram with the benchmark are flagged; others are
+    clean; short docs (< n tokens) can never be contaminated."""
+    from clinical_vector_search_spark.operators.dedup import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words here nothing shared at all"),
+            (3, "tiny doc"),
+            (4, "prefix words then the quick brown fox jumps suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps",)], "text string"
+    )
+    got = {r.doc_id: (r.n_contaminated_grams, r.contaminated)
+           for r in decontaminate(docs, bench, n=5).collect()}
+    assert got[1] == (1, True)      # contains the exact benchmark 5-gram
+    assert got[4] == (1, True)      # same 5-gram mid-document
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)     # only 2 tokens
