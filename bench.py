@@ -218,14 +218,15 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"warmup baseline failed: {ex}", file=sys.stderr)
 
-    # best-of-2: first execution of a plan family pays one-time JVM/codegen
-    # compilation (measured ~7s on the DP expression tree); the min reflects
-    # steady-state throughput, which is the 100TB-relevant number
+    # best-of-3: first execution of a plan family pays one-time JVM/codegen
+    # compilation (measured ~7s on the DP expression tree), and local[32]
+    # runs see ±2x scheduler/GC noise on sub-second queries; the min
+    # reflects steady-state throughput, the 100TB-relevant number
     times: dict[str, float] = {}
     for name, fn in benches.items():
         best = -1.0
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.time()
                 materialize(fn())
                 dt = round(time.time() - t0, 3)
