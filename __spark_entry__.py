@@ -929,6 +929,20 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(queries, codes, books, KNN_K)
 
 
+def q_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Euclidean exact kNN over RAW embeddings (operators/knn.py knn_l2 —
+    the FAISS IndexFlatL2 metric; ranking genuinely differs from the
+    inner-product knn on unnormalized vectors)."""
+    from clinical_vector_search_spark.operators.knn import knn_l2
+
+    emb = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    return knn_l2(queries, docs, KNN_K)
+
+
 def _ivfpq_inputs(spark: SparkSession, sf_dir: str):
     # RAW embeddings — the knn_pq_adc oracle quantizes the unnormalized
     # vectors, and the fullprobe composite must match it bit-for-bit
@@ -1492,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
         "knn_ivfpq": q_knn_ivfpq,
+        "knn_exact_l2": q_knn_exact_l2,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2039,6 +2054,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     s["knn_ivfpq_fullprobe"] = s["knn_pq_adc"]
+
+    # L2 kNN: d-order summation of squared diffs matches the fold order
+    s["knn_exact_l2"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {KNN_NQ}),
+        sc AS (SELECT query_id, vec_id AS doc_id,
+                      list_sum([ (qv[i + 1] - v[i + 1]) ^ 2
+                                 FOR i IN range(0, 64)]) AS l2
+               FROM q CROSS JOIN d),
+        r AS (SELECT query_id, doc_id, l2,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY l2, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, doc_id, round(l2, 6) AS l2_dist
+        FROM r WHERE rank <= {KNN_K}
+    """
 
     s["vec_dp_noise"] = f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -65,6 +65,21 @@ def l2_norm(a: Column | str) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def l2_sq(a: Column | str, b: Column | str) -> Column:
+    """Squared Euclidean distance — left-to-right fold, fp64 accumulate
+    (the FAISS IndexFlatL2 metric; no sqrt, same argmin)."""
+    return F.aggregate(
+        F.zip_with(
+            _col(a),
+            _col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def l2_normalize(a: Column | str, eps: float = EPS) -> Column:
     """V2: v / (‖v‖ + eps). Epsilon guards the zero vector (utils.py:9-15).
 

@@ -386,3 +386,32 @@ def knn_lsh(
         query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
     )
     return _ranked(scored, query_id, doc_id, k)
+
+
+def knn_l2(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """Euclidean top-k (ascending squared-L2, ties -> doc id asc) — the
+    FAISS IndexFlatL2 metric twin of :func:`knn` (which ranks by inner
+    product). Same broadcast-queries + WindowGroupLimit plan shape as
+    ``_knn_window``; on normalized vectors the two rankings coincide
+    (L2² = 2 - 2·cos), on raw vectors they genuinely differ.
+    Returns (query_id, rank, doc_id, l2_dist)."""
+    pairs = docs.join(
+        F.broadcast(queries.select(query_id, query_vec)), how="cross"
+    )
+    scored = pairs.select(
+        query_id, doc_id, V.l2_sq(query_vec, doc_vec).alias("l2_dist")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.asc("l2_dist"), F.asc(doc_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, F.round("l2_dist", 6).alias("l2_dist"))
+    )

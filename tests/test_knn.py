@@ -81,3 +81,20 @@ def test_lsh_recall_vs_exact(corpus, queries):
     # every query's self-match is in its own bucket
     selfs = {(r, r) for r in range(5)}
     assert selfs <= approx
+
+def test_knn_l2_matches_ip_on_normalized_vectors(spark, sf_dir):
+    """On L2-normalized vectors, ascending-L2 and descending-IP rankings
+    must agree (L2^2 = 2 - 2cos); on raw vectors they may differ."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn, knn_l2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    ip = {(r.query_id, r.rank): r.doc_id for r in knn(q, d, 10).collect()}
+    l2 = {(r.query_id, r.rank): r.doc_id for r in knn_l2(q, d, 10).collect()}
+    assert ip == l2 and len(ip) == 30
