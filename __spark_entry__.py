@@ -929,6 +929,26 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_pq_adc(queries, codes, books, KNN_K)
 
 
+def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (operators/pca.py): one-pass covariance partials →
+    driver eigh → literal-matrix projection. Rows-only by design — the
+    eigendecomposition is not SQL-expressible; fit parity vs single-node
+    NumPy and expr/pd transform parity are asserted in tests/test_pca.py."""
+    from clinical_vector_search_spark.operators.pca import (
+        pca_fit,
+        pca_transform,
+    )
+
+    emb = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    model = pca_fit(emb, dim=64, k=8)
+    out = pca_transform(emb, model)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("pca_vec", 1), 6).alias("pc1"),
+        F.round(F.element_at("pca_vec", 2), 6).alias("pc2"),
+    )
+
+
 def q_knn_exact_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Euclidean exact kNN over RAW embeddings (operators/knn.py knn_l2 —
     the FAISS IndexFlatL2 metric; ranking genuinely differs from the
@@ -1507,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_exact_l2": q_knn_exact_l2,
+        "vec_pca": q_vec_pca,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
