@@ -216,6 +216,52 @@ def main() -> int:
     check("sliding agg: single Exchange (map-side fan-out)", n_ex == 1,
           f"exchanges={n_ex}")
 
+    # 7d. Q5-style six-table join: all four dims broadcast, lineitem/orders
+    # date filter pushed to the scan
+    plan = formatted(E.q_rel_local_supplier_volume(spark, SF_DIR))
+    check(
+        "q5 join: 4 broadcast joins (c, s, n, r)",
+        n_nodes(plan, "BroadcastHashJoin") >= 4,
+        f"count={n_nodes(plan, 'BroadcastHashJoin')}",
+    )
+    check(
+        "q5 join: orders date filter pushed",
+        "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"
+        in plan,
+    )
+
+    # 7e. decontamination: benchmark grams broadcast (corpus side map-only
+    # until the per-doc count)
+    from clinical_vector_search_spark.operators.dedup import decontaminate
+
+    bench = docs.filter(F.col("doc_id") < 20).select("text")
+    plan = formatted(decontaminate(docs, bench, n=5))
+    check(
+        "decontaminate: benchmark grams broadcast into the semi-join",
+        n_nodes(plan, "BroadcastHashJoin") >= 1
+        and "CartesianProduct" not in plan,
+    )
+
+    # 7f. PQ ADC: query tables broadcast; codes side never exchanges before
+    # the scoring join
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_adc,
+        pq_codebooks_lcg,
+        pq_encode_pd,
+    )
+
+    books = pq_codebooks_lcg(64, 8, 16)
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    pq_q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    pq_codes = pq_encode_pd(emb, books).withColumnRenamed("vec_id", "doc_id")
+    plan = formatted(knn_pq_adc(pq_q, pq_codes, books, 10))
+    check(
+        "pq adc: query distance tables broadcast (BNLJ, no CartesianProduct)",
+        "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan,
+    )
+
     # 8. dedup plans: no cartesian product anywhere
     from clinical_vector_search_spark.operators.dedup import (
         minhash_candidate_pairs,
