@@ -171,6 +171,44 @@ def q_rel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column (rows, nulls, distinct, min, max) over
+    orders in ONE aggregation pass (unpivot via stack → groupBy column) —
+    the schema-audit primitive a pipeline runs before trusting a new drop."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"]
+    stacked = o.select(
+        F.expr(
+            "stack({n}, {args}) AS (col_name, val)".format(
+                n=len(cols),
+                args=", ".join(f"'{c}', cast({c} AS string)" for c in cols),
+            )
+        )
+    )
+    return stacked.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("val").alias("n_notnull"),
+        F.countDistinct("val").alias("n_distinct"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def q_rel_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 left-semi join: customers having at least one URGENT order —
+    the existence filter twin of the anti join (rel_cust_no_orders)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 def q_rel_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 multi-level aggregation: CUBE over (orderstatus, priority) —
     all four grouping-set combinations in one shuffle (the ROLLUP twin
@@ -1528,6 +1566,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "knn_exact_l2": q_knn_exact_l2,
         "vec_pca": q_vec_pca,
+        "rel_profile": q_rel_profile,
+        "rel_semi_join": q_rel_semi_join,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1782,6 +1822,32 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n, round(sum(o_totalprice), 2) AS total
         FROM orders
         GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """
+
+    s["rel_profile"] = """
+        WITH s AS (
+            SELECT 'o_orderkey' AS col_name, o_orderkey::VARCHAR AS val FROM orders
+            UNION ALL
+            SELECT 'o_custkey', o_custkey::VARCHAR FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', o_orderstatus::VARCHAR FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', o_totalprice::VARCHAR FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', o_orderpriority::VARCHAR FROM orders
+        )
+        SELECT col_name, count(*) AS n_rows, count(val) AS n_notnull,
+               count(DISTINCT val) AS n_distinct,
+               min(val) AS min_val, max(val) AS max_val
+        FROM s GROUP BY col_name
+    """
+
+    s["rel_semi_join"] = """
+        SELECT c_mktsegment, count(*) AS n_customers
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
     """
 
     s["rel_cube"] = """
