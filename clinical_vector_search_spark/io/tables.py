@@ -264,3 +264,34 @@ def plot_metrics(metric_table: DataFrame, out_dir: str) -> list[str]:
         plt.close(fig)
         paths.append(p)
     return paths
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction — the maintenance job every incremental
+    pipeline needs: streaming/upsert sinks accumulate many tiny files, and
+    at 100 TB scan cost is dominated by file-open overhead once files drop
+    below ~tens of MB. Rewrites the directory into ⌈bytes/target⌉
+    size-targeted files (temp-dir + swap, same crash-safety as
+    upsert_vector_index). Returns the new file count.
+
+    Uses round-robin repartition (not coalesce): coalesce(n) would chain
+    narrow onto the upstream plan and skew output file sizes to the
+    original file layout."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    files = [f.removeprefix("file:") for f in df.inputFiles()]
+    nbytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    n = max(1, math.ceil(nbytes / target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return n

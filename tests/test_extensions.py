@@ -496,3 +496,26 @@ def test_streaming_foreachbatch_index_upsert(spark, sf_dir, tmp_path):
     }
     for i in range(50):
         assert np.allclose(got[i], base_norm[i], atol=1e-12), i
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """50 tiny files compact to far fewer with identical data."""
+    import glob
+
+    from clinical_vector_search_spark.io.tables import compact_parquet
+
+    path = str(tmp_path / "frag")
+    spark.range(5000).withColumn("v", F.col("id") * 2).repartition(
+        50
+    ).write.parquet(path)
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 50
+    before = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).first()
+
+    n = compact_parquet(spark, path, target_file_bytes=10 * 1024 * 1024)
+    files_after = glob.glob(f"{path}/part-*.parquet")
+    assert len(files_after) == n and n < 10
+    after = spark.read.parquet(path).agg(
+        F.count("*"), F.sum("id"), F.sum("v")
+    ).first()
+    assert tuple(before) == tuple(after)
