@@ -461,6 +461,13 @@ def sessionize_skew(
     range and the boundary stitch would miss the merge). Returns the same
     per-session rollup columns as ``sessionize`` with ``session_num``
     (1-based per user) instead of ``session_seq``.
+
+    Cost honesty: the stitch adds ~4 extra stages, so on data whose
+    heaviest user still fits one sort task (measured: 500k events/user →
+    plain 1.1s vs salted 4.2s at 2M rows) ``sessionize`` is faster. This
+    variant is insurance for the tail that breaks the plain plan —
+    per-user histories too big for one task's memory/runtime — not a
+    default replacement.
     """
     assert range_sec >= gap_sec, "range_sec must be >= gap_sec"
     gap_ns = gap_sec * NS
