@@ -884,6 +884,27 @@ def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CMS_W, CMS_D = 256, 4
+
+
+def q_text_cms_heavyhitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch term frequencies vs exact counts
+    (operators/sketch.py): est >= true always; sketch is depth×width
+    counters regardless of vocabulary size."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(F.explode(TXT.tokenize("text")).alias("term"))
+    true = toks.groupBy("term").agg(F.count("*").alias("true_count"))
+    sketch = cms_build(docs, CMS_W, CMS_D)
+    est = cms_estimate(sketch, true.select("term"), CMS_W, CMS_D)
+    return true.join(est, "term").select("term", "true_count", "est_count")
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters over tokens (functions/text.py
     repetition_signals): dup-token fraction + top 1/2/3-gram fractions."""
@@ -1568,6 +1589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_pca": q_vec_pca,
         "rel_profile": q_rel_profile,
         "rel_semi_join": q_rel_semi_join,
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -1981,6 +2003,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, doc_id FROM vc
         UNION
         SELECT query_id, doc_id FROM bc
+    """
+
+    s["text_cms_heavyhitters"] = f"""
+        WITH toks AS ({_TOKS}),
+        t AS (SELECT unnest(tokens) AS term FROM toks),
+        rows AS (SELECT unnest(range(0, {CMS_D})) AS row),
+        h AS (SELECT row,
+                     ('0x' || substr(md5('cms' || row || ':' || term), 1, 15))::BIGINT
+                       % {CMS_W} AS col
+              FROM t CROSS JOIN rows),
+        sk AS (SELECT row, col, count(*) AS cnt FROM h GROUP BY 1, 2),
+        vocab AS (SELECT term, count(*) AS true_count FROM t GROUP BY term),
+        probe AS (SELECT term, row,
+                         ('0x' || substr(md5('cms' || row || ':' || term), 1, 15))::BIGINT
+                           % {CMS_W} AS col
+                  FROM vocab CROSS JOIN rows),
+        est AS (SELECT term, min(coalesce(cnt, 0)) AS est_count
+                FROM probe LEFT JOIN sk USING (row, col) GROUP BY term)
+        SELECT v.term, true_count, est_count
+        FROM vocab v JOIN est USING (term)
     """
 
     s["doc_stratified_sample"] = f"""

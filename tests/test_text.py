@@ -225,3 +225,24 @@ def test_chunk_udtf_parity_with_expression_chunker(spark, sf_dir):
         for r in chunk_rows_udtf(spark, docs).collect()
     )
     assert got == want and len(got) > 0
+
+def test_cms_overestimates_never_under(spark, sf_dir):
+    """CMS bound: est >= true for every term; exact when no row collides."""
+    from clinical_vector_search_spark.functions.text import tokenize
+    from clinical_vector_search_spark.operators.sketch import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(F.explode(tokenize("text")).alias("term"))
+    true = {r.term: r.c for r in toks.groupBy("term").count()
+            .withColumnRenamed("count", "c").collect()}
+    sketch = cms_build(docs, width=512, depth=4)
+    est = {r.term: r.est_count for r in cms_estimate(
+        sketch, toks.select("term").distinct(), width=512, depth=4).collect()}
+    assert set(est) == set(true)
+    assert all(est[t] >= true[t] for t in true)
+    # with a 512-wide sketch and a tiny vocab, most estimates are exact
+    exact_frac = sum(est[t] == true[t] for t in true) / len(true)
+    assert exact_frac > 0.9, exact_frac
