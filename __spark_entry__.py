@@ -289,8 +289,12 @@ def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_partitioned,
     )
 
+    # pid-unique path: a fixed shared path lets concurrent runs (driver +
+    # local checker) clobber each other's overwrite mid-scan
+    import os
+
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/cvs_part_docs_{tag}"
+    path = f"{tempfile.gettempdir()}/cvs_part_docs_{tag}_{os.getpid()}"
     write_partitioned(
         _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "lang"),
         path,

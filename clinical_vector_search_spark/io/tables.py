@@ -148,10 +148,15 @@ def upsert_vector_index(
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_gen")
     )
-    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__tmp_{tag}"
     merged.write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # old moves aside, new moves in, old deletes last — a crash leaves
+    # either the old or the new index recoverable, never neither
+    old = f"{path}__old_{tag}"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
 
 
 def write_bucketed(
@@ -285,13 +290,28 @@ def compact_parquet(
     import os
     import shutil
     import uuid
+    from urllib.parse import unquote, urlparse
 
     df = spark.read.parquet(path)
-    files = [f.removeprefix("file:") for f in df.inputFiles()]
-    nbytes = sum(os.path.getsize(f) for f in files if os.path.exists(f))
+    # inputFiles() returns URIs — percent-decode or sizes silently read as
+    # missing (a path with a space would compact everything into ONE file)
+    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
+    missing = [f for f in files if not os.path.exists(f)]
+    if not files or missing:
+        raise ValueError(
+            f"cannot size {path!r}: non-local or unreadable input files "
+            f"(first missing: {missing[:1]})"
+        )
+    nbytes = sum(os.path.getsize(f) for f in files)
     n = max(1, math.ceil(nbytes / target_file_bytes))
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{path}__compact_{tag}"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    # swap keeps a live copy at every instant: old moves aside, new moves
+    # in, old deletes last — a crash leaves either the old or the new
+    # directory recoverable, never neither
+    old = f"{path}__old_{tag}"
+    shutil.move(path, old)
     shutil.move(tmp, path)
+    shutil.rmtree(old)
     return n

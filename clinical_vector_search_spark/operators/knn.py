@@ -409,9 +409,18 @@ def knn_l2(
     scored = pairs.select(
         query_id, doc_id, V.l2_sq(query_vec, doc_vec).alias("l2_dist")
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("l2_dist"), F.asc(doc_id))
+    return _ranked_asc(scored, query_id, doc_id, k, "l2_dist")
+
+
+def _ranked_asc(
+    scored: DataFrame, query_id: str, doc_id: str, k: int, dist_col: str
+) -> DataFrame:
+    """Ascending twin of :func:`_ranked` for distance metrics: rank ≤ k by
+    (dist asc, doc id asc), distance rounded to 6 in the output (ranking on
+    the raw value). Shared by knn_l2 and the PQ ADC paths."""
+    w = Window.partitionBy(query_id).orderBy(F.asc(dist_col), F.asc(doc_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select(query_id, "rank", doc_id, F.round("l2_dist", 6).alias("l2_dist"))
+        .select(query_id, "rank", doc_id, F.round(dist_col, 6).alias(dist_col))
     )

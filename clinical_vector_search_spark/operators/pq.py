@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.functions.vector import LCG_M, PROJ_A, PROJ_C
+from clinical_vector_search_spark.operators.knn import _ranked_asc
 
 PQ_SALT = 7777777
 
@@ -117,21 +118,16 @@ def pq_codebooks_trained(
     return [[[float(x) for x in c] for c in b] for b in books]
 
 
-def _books_lit(books: list) -> F.Column:
-    return F.array(
-        *[
-            F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in b])
-            for b in books
-        ]
-    )
-
-
 def _subspace_dists(vec: str, books: list, sub: int) -> F.Column:
     """Array of ksub squared-L2 distances from vec's sub-th segment to the
-    sub-th codebook (literal) — d-order summation matches the SQL oracle."""
+    sub-th codebook — d-order summation matches the SQL oracle. Only the
+    sub-th codebook slice enters the plan as a literal (embedding the full
+    m×ksub×dsub table per call would bloat every pq_encode plan m-fold)."""
     dsub = len(books[0][0])
     v = F.col(vec)
-    cb = _books_lit(books)
+    cb = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in books[sub]]
+    )
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(books[0]) - 1)),
         lambda k: F.aggregate(
@@ -141,7 +137,7 @@ def _subspace_dists(vec: str, books: list, sub: int) -> F.Column:
             + F.pow(
                 F.element_at(v, (F.lit(sub * dsub) + d).cast("int") + 1)
                 - F.element_at(
-                    F.element_at(F.element_at(cb, sub + 1), k.cast("int") + 1),
+                    F.element_at(cb, k.cast("int") + 1),
                     d.cast("int") + 1,
                 ),
                 F.lit(2.0),
@@ -237,12 +233,7 @@ def knn_pq_adc(
         ),
     )
     scored = pairs.select(query_id, doc_id, dist.alias("adc_dist"))
-    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
-    )
+    return _ranked_asc(scored, query_id, doc_id, k, "adc_dist")
 
 
 def knn_pq_adc_pd(
@@ -297,12 +288,7 @@ def knn_pq_adc_pd(
     partials = codes.mapInPandas(
         fn, f"{query_id} long, {doc_id} long, adc_dist double"
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
-    return (
-        partials.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
-    )
+    return _ranked_asc(partials, query_id, doc_id, k, "adc_dist")
 
 
 def knn_ivfpq(
@@ -420,9 +406,4 @@ def knn_ivfpq(
     scored = joined.mapInPandas(
         score, f"{query_id} long, {doc_id} long, adc_dist double"
     )
-    w = Window.partitionBy(query_id).orderBy(F.asc("adc_dist"), F.asc(doc_id))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id, "rank", doc_id, F.round("adc_dist", 6).alias("adc_dist"))
-    )
+    return _ranked_asc(scored, query_id, doc_id, k, "adc_dist")

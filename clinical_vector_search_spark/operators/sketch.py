@@ -37,18 +37,25 @@ def cms_build(
     depth: int = 4,
     text_col: str = "text",
 ) -> DataFrame:
-    """Build the sketch: (row, col, cnt) with ≤ depth × width rows."""
+    """Build the sketch: (row, col, cnt) with ≤ depth × width rows. ONE
+    corpus pass: each token occurrence explodes to its ``depth`` (row, col)
+    cells in-plan (a union of per-row branches would re-scan and
+    re-tokenize the corpus depth times)."""
     toks = docs.select(F.explode(TXT.tokenize(text_col)).alias("term"))
-    rows = [
-        toks.select(
-            F.lit(d).alias("row"), _cms_col(F.col("term"), d, width).alias("col")
-        )
-        for d in range(depth)
-    ]
-    union = rows[0]
-    for r in rows[1:]:
-        union = union.unionByName(r)
-    return union.groupBy("row", "col").agg(F.count("*").alias("cnt"))
+    cells = toks.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("row"),
+                        _cms_col(F.col("term"), d, width).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("_c")
+    ).select(F.col("_c.row").alias("row"), F.col("_c.col").alias("col"))
+    return cells.groupBy("row", "col").agg(F.count("*").alias("cnt"))
 
 
 def cms_estimate(

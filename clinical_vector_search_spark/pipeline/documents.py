@@ -86,6 +86,15 @@ def clean_documents(
     return out
 
 
+def _hash_bucket(id_col: str) -> F.Column:
+    """Uniform bucket in [0, 2³²) from the first 8 hex digits of md5(id) —
+    the shared sampling key; the DuckDB oracles replicate this expression
+    bit-for-bit, so every sampler must use THIS helper, never a copy."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+
+
 def hash_sample(
     df: DataFrame, rate: float, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -99,10 +108,7 @@ def hash_sample(
     which is what makes it oracle-checkable and what makes sampled
     pipelines reproducible at 100 TB."""
     threshold = int(rate * (1 << 32))
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    return df.filter(bucket < F.lit(threshold))
+    return df.filter(_hash_bucket(id_col) < F.lit(threshold))
 
 
 def load_mtsamples(spark: SparkSession, path: str) -> DataFrame:
@@ -129,9 +135,7 @@ def stratified_hash_sample(
     reproducible across engines/re-runs/repartitioning (unlike
     ``DataFrame.sampleBy``, whose seeded sample depends on partitioning).
     Strata absent from ``fractions`` keep ``default_rate``."""
-    bucket = F.conv(
-        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    bucket = _hash_bucket(id_col)
     thr = F.lit(int(default_rate * (1 << 32)))
     for value, rate in sorted(fractions.items()):
         thr = F.when(

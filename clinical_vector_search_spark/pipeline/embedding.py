@@ -193,7 +193,7 @@ def encode_pd(
     installed (this container has no model weights); callers gate on import
     or use the deterministic hash embedder.
     """
-    import importlib
+    import importlib.util
 
     if importlib.util.find_spec("sentence_transformers") is None:
         raise ImportError(

@@ -469,7 +469,11 @@ def sessionize_skew(
     per-user histories too big for one task's memory/runtime — not a
     default replacement.
     """
-    assert range_sec >= gap_sec, "range_sec must be >= gap_sec"
+    if range_sec < gap_sec:
+        raise ValueError(
+            f"range_sec ({range_sec}) must be >= gap_sec ({gap_sec}): a "
+            "session could span an empty range and the stitch would miss it"
+        )
     gap_ns = gap_sec * NS
     ev = events.withColumn("rng", F.expr(f"ts_ns div {range_sec * NS}"))
 

@@ -484,12 +484,6 @@ def test_streaming_foreachbatch_index_upsert(spark, sf_dir, tmp_path):
     assert set(got) == set(range(50))
     # replaced ids carry the delta's (re-normalized) vector: doubling then
     # re-normalizing equals the original normalized vector
-    want = {
-        r.doc_id: np.array(r.embedding)
-        for r in spark.read.parquet(index_path).sparkSession.read.parquet(
-            index_path
-        ).collect()
-    }
     base_norm = {
         r.vec_id: np.array(r.embedding) / np.linalg.norm(r.embedding)
         for r in emb.filter(F.col("vec_id") < 50).collect()
