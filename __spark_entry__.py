@@ -729,6 +729,18 @@ def q_events_streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_enrich(spark, sf_dir)
 
 
+def q_events_streaming_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9: custom stateful streaming operator (applyInPandasWithState
+    keyed running totals) executed as a real availableNow replay —
+    streaming/events.py run_streaming_user_totals."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_user_totals,
+    )
+
+    _events(spark, sf_dir)  # pins session confs
+    return run_streaming_user_totals(spark, sf_dir)
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 extension: sliding-window aggregation (300s window / 60s slide)
     via JVM sequence+explode fan-out."""
@@ -1594,6 +1606,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_profile": q_rel_profile,
         "rel_semi_join": q_rel_semi_join,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
+        "events_streaming_user_totals": q_events_streaming_user_totals,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2494,6 +2507,12 @@ def oracle_sql() -> dict[str, str]:
                max(ts_ns) // 1000 AS session_end_us,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
+    """
+
+    s["events_streaming_user_totals"] = """
+        SELECT user_id, count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events GROUP BY user_id
     """
 
     s["events_streaming_enrich"] = """

@@ -581,6 +581,48 @@ def streaming_user_totals(events_stream: DataFrame) -> DataFrame:
     )
 
 
+def run_streaming_user_totals(
+    spark: SparkSession,
+    sf_dir: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Execute :func:`streaming_user_totals` (the applyInPandasWithState
+    custom stateful operator) as an availableNow replay into a memory sink
+    and reduce to the FINAL per-user totals. Update mode emits one row per
+    key per micro-batch it received data in; since the running totals only
+    grow, the final state is the max-``n_events`` row per user — robust to
+    availableNow splitting the replay into several batches."""
+    import uuid
+
+    name = f"utotals_{uuid.uuid4().hex[:12]}"
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    q = (
+        streaming_user_totals(ev)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming user totals {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    final = F.max(F.struct("n_events", "sum_value")).alias("_m")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("_m.n_events").alias("n_events"),
+            F.round("_m.sum_value", 6).alias("sum_value"),
+        )
+    )
+
+
 def streaming_tumbling_counts(
     spark: SparkSession, events: DataFrame, window_sec: int = 300
 ):
