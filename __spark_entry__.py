@@ -1081,6 +1081,58 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rag_mmr_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL hybrid-RAG greedy MMR with an exact SQL oracle: the same
+    kNN ∪ BM25 candidate generation as q_rag_union_candidates, then the
+    distributed applyInPandas MMR kernel with round_to=6 — rounding the
+    query/pairwise similarities before each greedy argmax makes every pick
+    reproducible in DuckDB's recursive-CTE greedy (raw-float MMR semantics
+    stay in rag_hybrid_mmr, rows-only by design)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set,
+    )
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.operators.mmr import mmr_rerank_dist
+    from clinical_vector_search_spark.pipeline.rag import hybrid_union
+
+    docs = _docs(spark, sf_dir)
+    raw = _vecs(spark, sf_dir).select("vec_id", "embedding")
+    v = raw.select(
+        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    )
+    q = v.filter(F.col("doc_id") < RAG_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id")
+    qtexts = (
+        docs.filter(F.col("doc_id") < RAG_NQ).select("doc_id", "text").collect()
+    )
+    qset = [
+        (r["doc_id"], [t for t in r["text"].lower().split() if t])
+        for r in qtexts
+    ]
+    bm = bm25_topk_set(bm25_index(docs), qset, RAG_CAND_K, round_to=6).select(
+        F.col("query_id").cast("long").alias("query_id"), "doc_id"
+    )
+    cands = hybrid_union(vec_cands, bm)
+    # RAW vectors into the kernel: it normalizes internally exactly once,
+    # which is what the oracle's single _NORMALIZE replicates
+    gathered = cands.join(
+        raw.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    ).join(
+        F.broadcast(
+            raw.filter(F.col("vec_id") < RAG_NQ).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+            )
+        ),
+        "query_id",
+    )
+    return mmr_rerank_dist(gathered, KNN_K, 0.5, round_to=6)
+
+
 def q_dedup_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 salted md5 hash family members, 3-shingles)."""
     from clinical_vector_search_spark.operators.dedup import minhash_signatures
@@ -1607,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": q_rel_semi_join,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "events_streaming_user_totals": q_events_streaming_user_totals,
+        "rag_mmr_rounded": q_rag_mmr_rounded,
         # -- 4: first green row in r3 ------------------------------------
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "rel_shipping_priority": q_rel_shipping_priority,
@@ -2095,6 +2148,87 @@ def oracle_sql() -> dict[str, str]:
                    AS top_3gram_frac
         FROM base LEFT JOIN m1 USING (doc_id) LEFT JOIN m2 USING (doc_id)
                   LEFT JOIN m3 USING (doc_id)
+    """
+
+    # full greedy MMR over the hybrid candidates — recursive-CTE greedy:
+    # each step picks argmax(0.5*rel - 0.5*max sim to chosen) with sims
+    # rounded to 6 BEFORE the argmax (mirrors mmr_rerank_rows round_to=6)
+    s["rag_mmr_rounded"] = f"""
+        WITH RECURSIVE d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        qv AS (SELECT doc_id AS query_id, nv AS qvec FROM n
+               WHERE doc_id < {RAG_NQ}),
+        vsc AS (SELECT query_id, doc_id, list_dot_product(qvec, nv) AS score
+                FROM qv CROSS JOIN n),
+        vr AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rank
+               FROM vsc),
+        vc AS (SELECT query_id, doc_id FROM vr WHERE rank <= {RAG_CAND_K}),
+        toks AS ({_TOKS}),
+        dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM toks),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5)) AS raw_idf
+                 FROM dfreq CROSS JOIN stats),
+        aidf AS (SELECT avg(raw_idf) AS avg_idf FROM idf0),
+        idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf
+                                  ELSE raw_idf END AS idf
+                FROM idf0 CROSS JOIN aidf),
+        qt AS (SELECT doc_id AS query_id, unnest(tokens) AS term
+               FROM toks WHERE doc_id < {RAG_NQ}),
+        qw AS (SELECT query_id, term, count(*)::DOUBLE AS qw
+               FROM qt GROUP BY query_id, term),
+        bsc AS (SELECT qw.query_id, tf.doc_id,
+                       round(sum(qw.qw * idf.idf * tf.tf * 2.5
+                                 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl
+                                                   / stats.avgdl))), 6) AS bm25
+                FROM tf JOIN qw USING (term) JOIN idf USING (term)
+                        JOIN dl USING (doc_id) CROSS JOIN stats
+                GROUP BY qw.query_id, tf.doc_id),
+        br AS (SELECT query_id, doc_id,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY bm25 DESC, doc_id) AS rank
+               FROM bsc),
+        bc AS (SELECT query_id, doc_id FROM br WHERE rank <= {RAG_CAND_K}),
+        ids AS (SELECT query_id, doc_id FROM vc
+                UNION SELECT query_id, doc_id FROM bc),
+        cand AS (SELECT ids.query_id, ids.doc_id,
+                        round(list_dot_product(n.nv, qv.qvec), 6) AS rel,
+                        n.nv
+                 FROM ids JOIN n USING (doc_id)
+                          JOIN qv ON qv.query_id = ids.query_id),
+        pair AS (SELECT a.query_id, a.doc_id AS a_id, b.doc_id AS b_id,
+                        round(list_dot_product(a.nv, b.nv), 6) AS sim
+                 FROM cand a JOIN cand b USING (query_id)),
+        f AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY rel DESC, doc_id) AS rn
+              FROM cand),
+        sel AS (
+            SELECT query_id, 1 AS rank, doc_id, [doc_id] AS chosen
+            FROM f WHERE rn = 1
+            UNION ALL
+            SELECT s.query_id, s.rank + 1, pick.doc_id,
+                   list_append(s.chosen, pick.doc_id)
+            FROM sel s, LATERAL (
+               SELECT c.doc_id
+               FROM cand c
+               WHERE c.query_id = s.query_id
+                 AND NOT list_contains(s.chosen, c.doc_id)
+               ORDER BY 0.5 * c.rel
+                        - 0.5 * (SELECT max(p.sim) FROM pair p
+                                 WHERE p.query_id = s.query_id
+                                   AND p.a_id = c.doc_id
+                                   AND list_contains(s.chosen, p.b_id)) DESC,
+                        c.doc_id
+               LIMIT 1) pick
+            WHERE s.rank < {KNN_K}
+        )
+        SELECT query_id, rank, doc_id FROM sel
     """
 
     # RRF: same vr/br rank CTEs as rag_union_candidates, fused by

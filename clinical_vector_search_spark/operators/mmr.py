@@ -35,11 +35,18 @@ def mmr_rerank_rows(
     query_vec: np.ndarray,
     k: int,
     lam: float = 0.5,
+    round_to: int | None = None,
 ) -> list[tuple[int, int]]:
     """Greedy MMR over one query's candidates → [(rank, doc_id)].
 
     Pure-NumPy reimplementation of the published MMR algorithm (Carbonell &
     Goldstein 1998); k is clamped to the candidate count like utils.py:26.
+
+    ``round_to`` rounds the query-similarities and pairwise similarities to
+    N decimals BEFORE the greedy argmax — the same round-before-rank trick
+    as bm25_topk_set: float-ulp differences between engines would otherwise
+    flip greedy picks, so only the rounded variant is SQL-oracle-checkable
+    (reference semantics = raw floats, round_to=None, the default).
     """
     n = len(cand_ids)
     k = min(k, n)
@@ -49,6 +56,10 @@ def mmr_rerank_rows(
     qv = query_vec / (np.linalg.norm(query_vec) + 1e-9)
     cv = cand_vecs / (np.linalg.norm(cand_vecs, axis=1, keepdims=True) + 1e-9)
     sims = cv @ qv
+    pair = None
+    if round_to is not None:
+        sims = np.round(sims, round_to)
+        pair = np.round(cv @ cv.T, round_to)
     selected: list[int] = []
     remaining = list(range(n))
     # deterministic candidate order: ascending doc id
@@ -61,7 +72,10 @@ def mmr_rerank_rows(
             sel_mat = cv[selected]
             best, best_score = None, -np.inf
             for i in remaining:
-                div = float(np.max(sel_mat @ cv[i]))
+                if pair is not None:
+                    div = float(np.max(pair[selected, i]))
+                else:
+                    div = float(np.max(sel_mat @ cv[i]))
                 score = lam * float(sims[i]) - (1.0 - lam) * div
                 if score > best_score:
                     best, best_score = i, score
@@ -78,6 +92,7 @@ def mmr_rerank_dist(
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
     query_vec: str = "query_vec",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Distributed MMR: the greedy kernel runs per query GROUP via
     ``applyInPandas`` — no driver collect, so the rerank scales with the
@@ -94,7 +109,7 @@ def mmr_rerank_dist(
         ids = pdf[doc_id].tolist()
         vecs = np.array(pdf[doc_vec].tolist(), dtype="float64")
         qv = np.array(pdf[query_vec].iloc[0], dtype="float64")
-        picks = mmr_rerank_rows(ids, vecs, qv, k, lam)
+        picks = mmr_rerank_rows(ids, vecs, qv, k, lam, round_to)
         return pd.DataFrame(
             {
                 query_id: [int(pdf[query_id].iloc[0])] * len(picks),
