@@ -1,0 +1,122 @@
+"""Property-based tests (hypothesis): randomized inputs against
+independent reference implementations. Example counts are kept small —
+every example runs real Spark jobs."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+NS = 1_000_000_000
+
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),          # user_id
+        st.integers(min_value=0, max_value=50_000),      # ts seconds
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@_slow
+@given(events_strategy)
+def test_sessionize_skew_equals_plain_on_random_streams(spark, rows):
+    """For ANY event stream, the skew-salted sessionizer must produce the
+    identical session rollup multiset as the single-window one."""
+    from clinical_vector_search_spark.streaming.events import (
+        sessionize,
+        sessionize_skew,
+    )
+
+    ev = spark.createDataFrame(
+        [(u, t * NS, v) for u, t, v in rows],
+        "user_id long, ts_ns long, value double",
+    )
+    key = lambda r: (  # noqa: E731
+        r.user_id, r.n_events, r.session_start_ns, r.session_end_ns,
+        round(r.sum_value, 9),
+    )
+    plain = sorted(key(r) for r in sessionize(ev, 1800).collect())
+    skew = sorted(key(r) for r in sessionize_skew(ev, 1800, 3600).collect())
+    assert skew == plain
+
+
+@_slow
+@given(
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+             min_size=1, max_size=20),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 1000)),
+             min_size=0, max_size=20),
+)
+def test_asof_join_matches_python_reference(spark, lefts, rights):
+    """Backward/forward as-of joins vs a brute-force per-row reference
+    (most recent right <= ts / earliest right >= ts, same key)."""
+    from clinical_vector_search_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)],
+        "k long, ts_ns long, lid long",
+    )
+    right = spark.createDataFrame(
+        [(k, t, float(t)) for k, t in set(rights)],
+        "k long, ts_ns long, value double",
+    )
+    rset = sorted(set(rights))
+    for direction in ("backward", "forward"):
+        got = {
+            r.lid: r.asof_ts
+            for r in asof_join(left, right, "k", direction=direction).collect()
+        }
+        for i, (k, t) in enumerate(lefts):
+            if direction == "backward":
+                cands = [rt for rk, rt in rset if rk == k and rt <= t]
+                want = max(cands) if cands else None
+            else:
+                cands = [rt for rk, rt in rset if rk == k and rt >= t]
+                want = min(cands) if cands else None
+            assert got[i] == want, (direction, i, k, t, got[i], want)
+
+
+@_slow
+@given(
+    st.text(
+        alphabet=st.sampled_from("ab cd"),
+        min_size=0,
+        max_size=120,
+    ),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=0, max_value=3),
+)
+def test_chunk_rows_covers_every_token(spark, text, size, overlap):
+    """Chunking invariants for any text/size/overlap: concatenating chunks
+    with the overlap removed reproduces the token stream exactly, and every
+    chunk except the last has exactly `size` tokens."""
+    if overlap >= size:
+        overlap = size - 1
+    from clinical_vector_search_spark.functions.text import chunk_rows
+
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = [
+        (r.chunk_seq, r.chunk_text.split(), r.n_tokens)
+        for r in chunk_rows(df, size, overlap).orderBy("chunk_seq").collect()
+    ]
+    toks = [t for t in text.lower().split() if t]
+    if not toks:
+        assert chunks == []
+        return
+    rebuilt: list[str] = []
+    for seq, ctoks, n in chunks:
+        assert len(ctoks) == n
+        rebuilt.extend(ctoks if seq == 0 else ctoks[overlap:])
+    assert rebuilt == toks
+    for _seq, ctoks, _n in chunks[:-1]:
+        assert len(ctoks) == size
