@@ -382,3 +382,77 @@ def repetition_signals(
         frac(F.col("_mx2"), F.col("n_tokens") - 1).alias("top_2gram_frac"),
         frac(F.col("_mx3"), F.col("n_tokens") - 2).alias("top_3gram_frac"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    max_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sequence packing — fill fixed-size training windows with whole
+    documents (greedy first-fit by token count) so short docs don't waste
+    padding. The canonical pre-training batching step.
+
+    Globally optimal bin packing is inherently sequential; the scalable
+    contract (what every production packer does) is greedy packing WITHIN
+    each partition via ``mapInPandas`` — map-only, no shuffle — with pack
+    ids made globally unique by offsetting with the partition id. Docs
+    longer than ``max_tokens`` get a pack of their own (truncation is the
+    chunker's job, not the packer's).
+
+    Returns (pack_id, id, n_tokens): one row per packed doc; aggregate by
+    pack_id for the sequences. Invariants (tested): every doc appears
+    exactly once; no multi-doc pack exceeds max_tokens.
+    """
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+    from pyspark.sql.functions import spark_partition_id
+
+    toks = df.select(
+        F.col(id_col),
+        token_count(text_col).alias("_nt"),
+        spark_partition_id().alias("_pid"),
+    )
+
+    def pack(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        # one packer state per PARTITION (mapInPandas calls this once per
+        # partition; batches iterate within it)
+        open_packs: list[tuple[int, int]] = []  # (local pack id, used)
+        next_id = 0
+        pid = None
+        out_ids, out_packs, out_nt = [], [], []
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["_pid"].iloc[0])
+            for did, nt in zip(pdf[id_col], pdf["_nt"]):
+                nt = int(nt)
+                placed = None
+                for j, (pk, used) in enumerate(open_packs):
+                    if used + nt <= max_tokens:
+                        placed = j
+                        break
+                if placed is None:
+                    open_packs.append((next_id, nt))
+                    pk = next_id
+                    next_id += 1
+                else:
+                    pk, used = open_packs[placed]
+                    open_packs[placed] = (pk, used + nt)
+                out_ids.append(int(did))
+                out_packs.append(pk)
+                out_nt.append(nt)
+        if pid is None:
+            return
+        # globally unique pack ids: partition id in the high bits
+        yield _pd.DataFrame(
+            {
+                "pack_id": [pid * 1_000_000_000 + p for p in out_packs],
+                id_col: out_ids,
+                "n_tokens": out_nt,
+            }
+        )
+
+    return toks.mapInPandas(pack, f"pack_id long, {id_col} long, n_tokens long")

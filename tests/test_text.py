@@ -246,3 +246,23 @@ def test_cms_overestimates_never_under(spark, sf_dir):
     # with a 512-wide sketch and a tiny vocab, most estimates are exact
     exact_frac = sum(est[t] == true[t] for t in true) / len(true)
     assert exact_frac > 0.9, exact_frac
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    """Every doc packed exactly once; multi-doc packs never exceed the
+    budget; oversized docs get singleton packs; packing is reasonably
+    dense (beats one-doc-per-pack by a wide margin)."""
+    from clinical_vector_search_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    out = pack_sequences(docs, max_tokens=128).collect()
+    assert sorted(r.doc_id for r in out) == sorted(
+        r.doc_id for r in docs.select("doc_id").collect()
+    )
+    by_pack: dict = {}
+    for r in out:
+        by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
+    for pack, toks in by_pack.items():
+        if len(toks) > 1:
+            assert sum(toks) <= 128, (pack, toks)
+    assert len(by_pack) < n_docs / 1.5, (len(by_pack), n_docs)
