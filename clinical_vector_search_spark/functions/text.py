@@ -456,3 +456,55 @@ def pack_sequences(
         )
 
     return toks.mapInPandas(pack, f"pack_id long, {id_col} long, n_tokens long")
+
+
+def normalize_text_pd(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "norm_text",
+    form: str = "NFKC",
+    strip_accents: bool = True,
+    casefold: bool = True,
+) -> DataFrame:
+    """Unicode normalization — the canonicalization pass web-scale text
+    needs before tokenization/dedup (fullwidth forms, ligatures, combining
+    accents and case all fragment token statistics). Spark has no built-in
+    Unicode normalizer, so this is an Arrow-batched mapInPandas kernel
+    (unicodedata is pure stdlib): ``form`` normalization → optional
+    combining-mark strip (NFD decompose, drop Mn) → optional casefold.
+    Null text passes through as null."""
+    import unicodedata
+    from typing import Iterator as _Iterator
+
+    import pandas as _pd
+
+    def norm_one(t):
+        if t is None:
+            return None
+        s = unicodedata.normalize(form, str(t))
+        if strip_accents:
+            s = "".join(
+                c
+                for c in unicodedata.normalize("NFD", s)
+                if unicodedata.category(c) != "Mn"
+            )
+            s = unicodedata.normalize("NFC", s)
+        if casefold:
+            s = s.casefold()
+        return s
+
+    def fn(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield _pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    out_col: [norm_one(t) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} string"
+    )

@@ -266,3 +266,27 @@ def test_pack_sequences_invariants(spark, sf_dir):
         if len(toks) > 1:
             assert sum(toks) <= 128, (pack, toks)
     assert len(by_pack) < n_docs / 1.5, (len(by_pack), n_docs)
+
+def test_normalize_text_pd_goldens(spark):
+    """Unicode canonicalization goldens: fullwidth, ligature, combining
+    accent, case, null passthrough."""
+    from clinical_vector_search_spark.functions.text import normalize_text_pd
+
+    df = spark.createDataFrame(
+        [
+            (1, "Ｈｅｌｌｏ"),           # fullwidth -> hello
+            (2, "ﬁle CAFÉ"),            # ligature + precomposed accent
+            (3, "café"),          # combining accent
+            (4, "STRASSE"),             # casefold (ß handled on casefold side)
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.norm_text for r in normalize_text_pd(df).collect()}
+    assert got == {
+        1: "hello",
+        2: "file cafe",
+        3: "cafe",
+        4: "strasse",
+        5: None,
+    }
