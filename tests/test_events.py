@@ -295,3 +295,40 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
         for r in sessionize(read_events(spark, sf_dir), 1800).collect()
     )
     assert got == want
+
+def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Exactly-once incremental ingest: with a checkpointLocation, a second
+    availableNow run picks up ONLY files added since the first run."""
+    import glob
+    import shutil
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def drop_file(lo, hi, name):
+        stage = tmp_path / f"stage_{name}"
+        spark.range(lo, hi).coalesce(1).write.parquet(str(stage))
+        part = glob.glob(f"{stage}/part-*.parquet")[0]
+        shutil.copy(part, src / f"{name}.parquet")
+
+    drop_file(0, 10, "a")
+    seen: list[int] = []
+
+    def run():
+        q = (
+            spark.readStream.schema("id long")
+            .parquet(str(src))
+            .writeStream.foreachBatch(lambda b, _bid: seen.append(b.count()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run()
+    assert sum(seen) == 10
+    drop_file(100, 105, "b")
+    seen.clear()
+    run()
+    assert sum(seen) == 5  # only the new file; the checkpoint remembers 'a'
