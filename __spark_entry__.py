@@ -852,36 +852,13 @@ def q_rag_union_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-retrieval setup). BM25 ranks on round(bm25, 6) so the top-C cut
     is stable across engines (group-sum reassociation ulps would
     otherwise flip the doc-id tie-break between duplicate documents)."""
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.bm25 import (
-        bm25_index,
-        bm25_topk_set,
-    )
-    from clinical_vector_search_spark.operators.knn import knn
     from clinical_vector_search_spark.pipeline.rag import hybrid_union
 
-    docs = _docs(spark, sf_dir)
-    v = _vecs(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    _raw, vec_ranked, bm_ranked = _rag_candidate_parts(spark, sf_dir)
+    return hybrid_union(
+        vec_ranked.select("query_id", "doc_id"),
+        bm_ranked.select("query_id", "doc_id"),
     )
-    q = v.filter(F.col("doc_id") < RAG_NQ).select(
-        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id")
-    qtexts = (
-        docs.filter(F.col("doc_id") < RAG_NQ)
-        .select("doc_id", "text")
-        .collect()
-    )
-    qset = [
-        (r["doc_id"], [t for t in r["text"].lower().split() if t])
-        for r in qtexts
-    ]
-    idx = bm25_index(docs)
-    bm = bm25_topk_set(idx, qset, RAG_CAND_K, round_to=6).select(
-        F.col("query_id").cast("long").alias("query_id"), "doc_id"
-    )
-    return hybrid_union(vec_cands, bm)
 
 
 def q_doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -933,35 +910,14 @@ def q_rag_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the kNN and BM25 rankings (k0=60) — the
     rank-only hybrid fusion twin of the MMR path (pipeline/rag.py
     rrf_fuse). Same candidate generators as q_rag_union_candidates."""
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.bm25 import (
-        bm25_index,
-        bm25_topk_set,
-    )
-    from clinical_vector_search_spark.operators.knn import knn
     from clinical_vector_search_spark.pipeline.rag import rrf_fuse
 
-    docs = _docs(spark, sf_dir)
-    v = _vecs(spark, sf_dir).select(
-        F.col("vec_id").alias("doc_id"), V.l2_normalize("embedding").alias("embedding")
+    _raw, vec_ranked, bm_ranked = _rag_candidate_parts(spark, sf_dir)
+    return rrf_fuse(
+        vec_ranked.select("query_id", "doc_id", "rank"),
+        bm_ranked.select("query_id", "doc_id", "rank"),
+        KNN_K,
     )
-    q = v.filter(F.col("doc_id") < RAG_NQ).select(
-        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
-    )
-    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id", "rank")
-    qtexts = (
-        docs.filter(F.col("doc_id") < RAG_NQ)
-        .select("doc_id", "text")
-        .collect()
-    )
-    qset = [
-        (r["doc_id"], [t for t in r["text"].lower().split() if t])
-        for r in qtexts
-    ]
-    bm = bm25_topk_set(bm25_index(docs), qset, RAG_CAND_K, round_to=6).select(
-        F.col("query_id").cast("long").alias("query_id"), "doc_id", "rank"
-    )
-    return rrf_fuse(vec_cands, bm, KNN_K)
 
 
 PQ_M, PQ_KSUB = 8, 16
@@ -1081,21 +1037,19 @@ def q_knn_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_rag_mmr_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL hybrid-RAG greedy MMR with an exact SQL oracle: the same
-    kNN ∪ BM25 candidate generation as q_rag_union_candidates, then the
-    distributed applyInPandas MMR kernel with round_to=6 — rounding the
-    query/pairwise similarities before each greedy argmax makes every pick
-    reproducible in DuckDB's recursive-CTE greedy (raw-float MMR semantics
-    stay in rag_hybrid_mmr, rows-only by design)."""
+def _rag_candidate_parts(spark: SparkSession, sf_dir: str):
+    """Shared candidate generation for the rag_* entries (kNN top-C over
+    normalized vectors + BM25 top-C with round-6 ranking, query text = the
+    query doc's own text). MUST stay in lockstep with the vsc/vr/vc and
+    bsc/br/bc CTEs of the rag_* oracles — every entry that composes these
+    parts shares one implementation so kernel and oracle cannot
+    desynchronize entry-by-entry. Returns (raw, vec_ranked, bm_ranked)."""
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.bm25 import (
         bm25_index,
         bm25_topk_set,
     )
     from clinical_vector_search_spark.operators.knn import knn
-    from clinical_vector_search_spark.operators.mmr import mmr_rerank_dist
-    from clinical_vector_search_spark.pipeline.rag import hybrid_union
 
     docs = _docs(spark, sf_dir)
     raw = _vecs(spark, sf_dir).select("vec_id", "embedding")
@@ -1105,7 +1059,7 @@ def q_rag_mmr_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = v.filter(F.col("doc_id") < RAG_NQ).select(
         F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    vec_cands = knn(q, v, RAG_CAND_K).select("query_id", "doc_id")
+    vec_ranked = knn(q, v, RAG_CAND_K)
     qtexts = (
         docs.filter(F.col("doc_id") < RAG_NQ).select("doc_id", "text").collect()
     )
@@ -1113,10 +1067,27 @@ def q_rag_mmr_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["doc_id"], [t for t in r["text"].lower().split() if t])
         for r in qtexts
     ]
-    bm = bm25_topk_set(bm25_index(docs), qset, RAG_CAND_K, round_to=6).select(
-        F.col("query_id").cast("long").alias("query_id"), "doc_id"
+    bm_ranked = bm25_topk_set(
+        bm25_index(docs), qset, RAG_CAND_K, round_to=6
+    ).withColumn("query_id", F.col("query_id").cast("long"))
+    return raw, vec_ranked, bm_ranked
+
+
+def q_rag_mmr_rounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL hybrid-RAG greedy MMR with an exact SQL oracle: the same
+    kNN ∪ BM25 candidate generation as q_rag_union_candidates, then the
+    distributed applyInPandas MMR kernel with round_to=6 — rounding the
+    query/pairwise similarities before each greedy argmax makes every pick
+    reproducible in DuckDB's recursive-CTE greedy (raw-float MMR semantics
+    stay in rag_hybrid_mmr, rows-only by design)."""
+    from clinical_vector_search_spark.operators.mmr import mmr_rerank_dist
+    from clinical_vector_search_spark.pipeline.rag import hybrid_union
+
+    raw, vec_ranked, bm_ranked = _rag_candidate_parts(spark, sf_dir)
+    cands = hybrid_union(
+        vec_ranked.select("query_id", "doc_id"),
+        bm_ranked.select("query_id", "doc_id"),
     )
-    cands = hybrid_union(vec_cands, bm)
     # RAW vectors into the kernel: it normalizes internally exactly once,
     # which is what the oracle's single _NORMALIZE replicates
     gathered = cands.join(

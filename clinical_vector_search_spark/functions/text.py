@@ -404,15 +404,24 @@ def pack_sequences(
     Returns (pack_id, id, n_tokens): one row per packed doc; aggregate by
     pack_id for the sequences. Invariants (tested): every doc appears
     exactly once; no multi-doc pack exceeds max_tokens.
+
+    The open-pack set is BOUNDED (first-fit over the ``max_open`` most
+    recently opened packs; the oldest retires when the set is full) —
+    unbounded first-fit degrades to O(n²) scans per partition once packs
+    fill up. Output streams per Arrow batch (packer state persists across
+    batches), so worker memory is O(batch + max_open), not O(partition).
     """
     from typing import Iterator as _Iterator
 
     import pandas as _pd
     from pyspark.sql.functions import spark_partition_id
 
+    max_open = 64
     toks = df.select(
         F.col(id_col),
-        token_count(text_col).alias("_nt"),
+        # null text tokenizes to null -> NaN in Arrow -> int() crash; a
+        # null doc packs as zero tokens (kept: exactly-once contract)
+        F.coalesce(token_count(text_col), F.lit(0)).alias("_nt"),
         spark_partition_id().alias("_pid"),
     )
 
@@ -421,12 +430,11 @@ def pack_sequences(
         # partition; batches iterate within it)
         open_packs: list[tuple[int, int]] = []  # (local pack id, used)
         next_id = 0
-        pid = None
-        out_ids, out_packs, out_nt = [], [], []
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pid = int(pdf["_pid"].iloc[0])
+            out_ids, out_packs, out_nt = [], [], []
             for did, nt in zip(pdf[id_col], pdf["_nt"]):
                 nt = int(nt)
                 placed = None
@@ -435,6 +443,8 @@ def pack_sequences(
                         placed = j
                         break
                 if placed is None:
+                    if len(open_packs) >= max_open:
+                        open_packs.pop(0)  # retire the oldest
                     open_packs.append((next_id, nt))
                     pk = next_id
                     next_id += 1
@@ -444,16 +454,14 @@ def pack_sequences(
                 out_ids.append(int(did))
                 out_packs.append(pk)
                 out_nt.append(nt)
-        if pid is None:
-            return
-        # globally unique pack ids: partition id in the high bits
-        yield _pd.DataFrame(
-            {
-                "pack_id": [pid * 1_000_000_000 + p for p in out_packs],
-                id_col: out_ids,
-                "n_tokens": out_nt,
-            }
-        )
+            # globally unique pack ids: partition id in the high bits
+            yield _pd.DataFrame(
+                {
+                    "pack_id": [pid * 1_000_000_000 + p for p in out_packs],
+                    id_col: out_ids,
+                    "n_tokens": out_nt,
+                }
+            )
 
     return toks.mapInPandas(pack, f"pack_id long, {id_col} long, n_tokens long")
 
@@ -472,8 +480,9 @@ def normalize_text_pd(
     accents and case all fragment token statistics). Spark has no built-in
     Unicode normalizer, so this is an Arrow-batched mapInPandas kernel
     (unicodedata is pure stdlib): ``form`` normalization → optional
-    combining-mark strip (NFD decompose, drop Mn) → optional casefold.
-    Null text passes through as null."""
+    casefold → optional combining-mark strip (NFD decompose, drop Mn).
+    The strip runs AFTER casefold because casefold can introduce combining
+    marks (e.g. Turkish İ → 'i' + U+0307). Null text passes through."""
     import unicodedata
     from typing import Iterator as _Iterator
 
@@ -483,6 +492,8 @@ def normalize_text_pd(
         if t is None:
             return None
         s = unicodedata.normalize(form, str(t))
+        if casefold:
+            s = s.casefold()
         if strip_accents:
             s = "".join(
                 c
@@ -490,8 +501,6 @@ def normalize_text_pd(
                 if unicodedata.category(c) != "Mn"
             )
             s = unicodedata.normalize("NFC", s)
-        if casefold:
-            s = s.casefold()
         return s
 
     def fn(batches: _Iterator[_pd.DataFrame]) -> _Iterator[_pd.DataFrame]:

@@ -58,8 +58,13 @@ def mmr_rerank_rows(
     sims = cv @ qv
     pair = None
     if round_to is not None:
-        sims = np.round(sims, round_to)
-        pair = np.round(cv @ cv.T, round_to)
+        # half-AWAY-from-zero, matching DuckDB round() and Spark F.round —
+        # np.round's half-to-even would disagree exactly at the .5
+        # boundaries the rounding exists to pin down
+        scale = 10.0**round_to
+        away = lambda a: np.sign(a) * np.floor(np.abs(a) * scale + 0.5) / scale  # noqa: E731
+        sims = away(sims)
+        pair = away(cv @ cv.T)
     selected: list[int] = []
     remaining = list(range(n))
     # deterministic candidate order: ascending doc id
@@ -69,7 +74,7 @@ def mmr_rerank_rows(
         if not selected:
             best = max(remaining, key=lambda i: (sims[i], -cand_ids[i]))
         else:
-            sel_mat = cv[selected]
+            sel_mat = cv[selected] if pair is None else None
             best, best_score = None, -np.inf
             for i in remaining:
                 if pair is not None:

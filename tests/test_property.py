@@ -41,13 +41,22 @@ def test_sessionize_skew_equals_plain_on_random_streams(spark, rows):
         [(u, t * NS, v) for u, t, v in rows],
         "user_id long, ts_ns long, value double",
     )
+    # exact match on the integer session identity; sums compared with a
+    # tolerance — the two plans aggregate in different orders, and rounding
+    # two ulp-different doubles can straddle a rounding boundary
     key = lambda r: (  # noqa: E731
         r.user_id, r.n_events, r.session_start_ns, r.session_end_ns,
-        round(r.sum_value, 9),
     )
-    plain = sorted(key(r) for r in sessionize(ev, 1800).collect())
-    skew = sorted(key(r) for r in sessionize_skew(ev, 1800, 3600).collect())
-    assert skew == plain
+    plain = sorted(
+        (key(r), r.sum_value) for r in sessionize(ev, 1800).collect()
+    )
+    skew = sorted(
+        (key(r), r.sum_value)
+        for r in sessionize_skew(ev, 1800, 3600).collect()
+    )
+    assert [k for k, _ in skew] == [k for k, _ in plain]
+    for (_, a), (_, b) in zip(skew, plain):
+        assert abs(a - b) < 1e-9, (a, b)
 
 
 @_slow
