@@ -224,6 +224,10 @@ def main() -> None:
     # reflects steady-state throughput, the 100TB-relevant number
     times: dict[str, float] = {}
     for name, fn in benches.items():
+        # JVM GC between query families: leftover garbage from the previous
+        # family's shuffles otherwise triggers collections mid-measurement
+        # (observed ±2x noise on sub-second queries)
+        spark._jvm.System.gc()
         best = -1.0
         try:
             for _ in range(3):
