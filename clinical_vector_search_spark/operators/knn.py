@@ -396,20 +396,106 @@ def knn_l2(
     query_vec: str = "query_vec",
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
+    strategy: str = "auto",
 ) -> DataFrame:
     """Euclidean top-k (ascending squared-L2, ties -> doc id asc) — the
     FAISS IndexFlatL2 metric twin of :func:`knn` (which ranks by inner
-    product). Same broadcast-queries + WindowGroupLimit plan shape as
-    ``_knn_window``; on normalized vectors the two rankings coincide
+    product). On normalized vectors the two rankings coincide
     (L2² = 2 - 2·cos), on raw vectors they genuinely differ.
-    Returns (query_id, rank, doc_id, l2_dist)."""
-    pairs = docs.join(
-        F.broadcast(queries.select(query_id, query_vec)), how="cross"
+    Returns (query_id, rank, doc_id, l2_dist).
+
+    Same two physical strategies as :func:`knn`, picked by the same
+    input-size statistic: the declarative broadcast+WindowGroupLimit plan
+    for small corpora, per-partition NumPy top-k (only partitions×Q×k
+    candidate rows shuffle) for large/unknown ones."""
+    if strategy == "auto":
+        nbytes = _estimate_input_bytes(docs)
+        strategy = (
+            "window"
+            if nbytes is not None and nbytes < AUTO_WINDOW_MAX_BYTES
+            else "partial_topk"
+        )
+    if strategy == "window":
+        pairs = docs.join(
+            F.broadcast(queries.select(query_id, query_vec)), how="cross"
+        )
+        scored = pairs.select(
+            query_id, doc_id, V.l2_sq(query_vec, doc_vec).alias("l2_dist")
+        )
+        return _ranked_asc(scored, query_id, doc_id, k, "l2_dist")
+    return _knn_l2_partial(queries, docs, k, query_id, query_vec, doc_id, doc_vec)
+
+
+def _knn_l2_partial(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    query_id: str,
+    query_vec: str,
+    doc_id: str,
+    doc_vec: str,
+) -> DataFrame:
+    """L2 twin of :func:`_knn_partial_topk`: per-partition NumPy top-k by
+    ascending squared distance (||d||² − 2·d·q + ||q||², one BLAS matmul),
+    then the surviving ≤ partitions×Q×k candidates are RESCORED with the
+    canonical fold-order :func:`~...vector.l2_sq` so the final ranking is
+    bit-stable across strategies."""
+    import numpy as np
+
+    rows = queries.select(query_id, query_vec).collect()
+    if len(rows) > 100_000:
+        raise ValueError(
+            f"partial_topk collects the query side ({len(rows)} rows); "
+            "use strategy='window' or pre-reduce the query set"
+        )
+    q_ids = [r[0] for r in rows]
+    q_mat = np.array([r[1] for r in rows], dtype="float64")
+    q_sq = (q_mat**2).sum(axis=1)
+
+    qid_type = dict(
+        zip(queries.columns, (f.dataType.simpleString() for f in queries.schema.fields))
+    )[query_id]
+    did_type = dict(
+        zip(docs.columns, (f.dataType.simpleString() for f in docs.schema.fields))
+    )[doc_id]
+    out_schema = f"{query_id} {qid_type}, {doc_id} {did_type}, l2_dist double"
+
+    def partition_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[doc_id].to_numpy()
+            mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
+            d2 = (mat**2).sum(axis=1)[:, None] - 2.0 * (mat @ q_mat.T) + q_sq
+            n = len(ids)
+            kk = min(k, n)
+            out_q, out_d, out_s = [], [], []
+            for qi in range(len(q_ids)):
+                col = d2[:, qi]
+                if kk < n:
+                    cand = np.argpartition(col, kk - 1)[:kk]
+                else:
+                    cand = np.arange(n)
+                out_q.extend([q_ids[qi]] * len(cand))
+                out_d.append(ids[cand])
+                out_s.append(col[cand])
+            yield pd.DataFrame(
+                {
+                    query_id: out_q,
+                    doc_id: np.concatenate(out_d),
+                    "l2_dist": np.concatenate(out_s),
+                }
+            )
+
+    candidates = docs.select(doc_id, doc_vec).mapInPandas(
+        partition_topk, out_schema
     )
-    scored = pairs.select(
-        query_id, doc_id, V.l2_sq(query_vec, doc_vec).alias("l2_dist")
+    rescored = (
+        candidates.join(docs.select(doc_id, doc_vec), doc_id)
+        .join(F.broadcast(queries.select(query_id, query_vec)), query_id)
+        .select(query_id, doc_id, V.l2_sq(query_vec, doc_vec).alias("l2_dist"))
     )
-    return _ranked_asc(scored, query_id, doc_id, k, "l2_dist")
+    return _ranked_asc(rescored, query_id, doc_id, k, "l2_dist")
 
 
 def _ranked_asc(

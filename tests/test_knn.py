@@ -98,3 +98,21 @@ def test_knn_l2_matches_ip_on_normalized_vectors(spark, sf_dir):
     ip = {(r.query_id, r.rank): r.doc_id for r in knn(q, d, 10).collect()}
     l2 = {(r.query_id, r.rank): r.doc_id for r in knn_l2(q, d, 10).collect()}
     assert ip == l2 and len(ip) == 30
+
+def test_knn_l2_strategies_agree(spark, sf_dir):
+    """L2 window and partial_topk strategies must produce identical
+    rankings and (rescored) distances on raw embeddings."""
+    from clinical_vector_search_spark.operators.knn import knn_l2
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    d = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    a = sorted(tuple(r) for r in knn_l2(q, d, 10, strategy="window").collect())
+    b = sorted(
+        tuple(r) for r in knn_l2(q, d, 10, strategy="partial_topk").collect()
+    )
+    assert a == b and len(a) == 40
