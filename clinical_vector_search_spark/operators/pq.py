@@ -304,6 +304,7 @@ def knn_ivfpq(
     query_vec: str = "query_vec",
     doc_id: str = "doc_id",
     doc_vec: str = "embedding",
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ composite — the canonical billion-scale ANN layout (FAISS
     IVFx,PQy): a coarse quantizer prunes the corpus to ``n_probe`` of
@@ -312,6 +313,13 @@ def knn_ivfpq(
     corpus is stored ONCE as (cluster, codes) — ~128× smaller than raw
     vectors — clustered/partitioned by the coarse cell so a probe reads
     only its cells' files.
+
+    ``residual=True`` is true FAISS IVFADC: each doc encodes its RESIDUAL
+    (x − coarse centroid) instead of x, and the query builds one distance
+    table per (query, probed cell) over (q − centroid) — residuals are
+    tighter around zero than raw vectors, so the same codebook budget
+    quantizes them with less error. The per-(query, cell) tables are
+    nq × n_centroids × m × ksub scalars — still driver-tiny.
 
     Composition of the two audited parts: coarse assignment/probing from
     operators.knn (argmax-dot centroids, knn.py:302-356) and ADC scoring
@@ -337,7 +345,8 @@ def knn_ivfpq(
                 continue
             mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
             cluster = np.argmax(mat @ C.T, axis=1)
-            segs = mat.reshape(len(mat), m, dsub)
+            enc = mat - C[cluster] if residual else mat
+            segs = enc.reshape(len(mat), m, dsub)
             codes = np.empty((len(mat), m), dtype="int32")
             for sub in range(m):
                 d2 = ((segs[:, sub, :, None] - B[sub].T[None]) ** 2).sum(axis=1)
@@ -373,17 +382,23 @@ def knn_ivfpq(
         "cluster", F.explode(F.transform(probes, lambda s: s["i"]))
     ).select(query_id, query_vec, "cluster")
 
-    # ADC within probed cells: per-(query, cluster) distance tables would
-    # duplicate work — build per-query tables once driver-side (bounded
-    # query batch) and score the cell-joined codes in numpy
+    # ADC within probed cells: build the distance tables once driver-side
+    # (bounded query batch) and score the cell-joined codes in numpy.
+    # residual=False: one table per query; residual=True: one per
+    # (query, cell) over (q − centroid) — both driver-tiny.
     qrows = queries.select(query_id, query_vec).collect()
     qids = {r[0]: i for i, r in enumerate(qrows)}
     Q = np.array([list(r[1]) for r in qrows], dtype="float64")
-    segs = Q.reshape(len(Q), m, dsub)
-    tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
+    if residual:
+        # (nq, n_centroids, m, dsub) residual query segments
+        rq = (Q[:, None, :] - C[None]).reshape(len(Q), len(C), m, dsub)
+        tabs = ((rq[:, :, :, None, :] - B[None, None]) ** 2).sum(axis=-1)
+    else:
+        segs = Q.reshape(len(Q), m, dsub)
+        tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
 
     joined = index.join(q.select(query_id, "cluster"), "cluster").select(
-        query_id, doc_id, "codes"
+        query_id, doc_id, "cluster", "codes"
     )
 
     def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -393,8 +408,13 @@ def knn_ivfpq(
             Cc = np.array(pdf["codes"].tolist(), dtype="int64")
             qi = pdf[query_id].map(qids).to_numpy()
             d = np.zeros(len(Cc), dtype="float64")
-            for sub in range(m):
-                d += tabs[qi, sub, Cc[:, sub]]
+            if residual:
+                cl = pdf["cluster"].to_numpy()
+                for sub in range(m):
+                    d += tabs[qi, cl, sub, Cc[:, sub]]
+            else:
+                for sub in range(m):
+                    d += tabs[qi, sub, Cc[:, sub]]
             yield pd.DataFrame(
                 {
                     query_id: pdf[query_id],
@@ -407,3 +427,34 @@ def knn_ivfpq(
         score, f"{query_id} long, {doc_id} long, adc_dist double"
     )
     return _ranked_asc(scored, query_id, doc_id, k, "adc_dist")
+
+
+def residual_vectors(
+    docs: DataFrame,
+    dim: int,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "residual",
+) -> DataFrame:
+    """(id, residual) frame: each vector minus its argmax-dot coarse
+    centroid — the training input for residual codebooks (train
+    :func:`pq_codebooks_trained` on THIS frame to get IVFADC books that
+    quantize what will actually be encoded)."""
+    import numpy as np
+
+    C = np.array(centroids, dtype="float64")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            cluster = np.argmax(mat @ C.T, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], out_col: list(mat - C[cluster])}
+            )
+
+    return docs.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_col} long, {out_col} array<double>"
+    )

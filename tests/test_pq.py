@@ -166,3 +166,98 @@ def test_ivfpq_recall_and_fullprobe_equivalence(spark, sf_dir):
     recall = sum(len(got[q] & ref[q]) / len(ref[q]) for q in ref) / len(ref)
     n_docs = docs.count()
     assert recall > 3 * 10.0 / n_docs, (recall, n_docs)
+
+
+def test_ivfpq_residual_fullprobe_matches_numpy_reference(spark, sf_dir):
+    """IVFADC correctness: fullprobe residual IVF-PQ must equal a
+    single-node NumPy reference (assign -> residual-encode -> per-cell ADC)
+    exactly; residual recall must clear the random floor by a wide margin
+    and trained-residual books must beat untrained plain IVF-PQ."""
+    import numpy as np
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import (
+        _centroid_matrix,
+        knn,
+    )
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        pq_codebooks_lcg,
+        pq_codebooks_trained,
+        residual_vectors,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, 8, 16)
+    cents = _centroid_matrix(64, 8)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    got = sorted(
+        tuple(r)
+        for r in knn_ivfpq(
+            queries, docs, 10, 64, books, centroids=cents,
+            n_centroids=8, n_probe=8, residual=True,
+        ).collect()
+    )
+
+    # single-node reference
+    drows = sorted((r.doc_id, list(r.embedding)) for r in docs.collect())
+    ids = np.array([i for i, _ in drows])
+    X = np.array([v for _, v in drows])
+    C = np.array(cents)
+    B = np.array(books)
+    cl = np.argmax(X @ C.T, axis=1)
+    R = (X - C[cl]).reshape(len(X), 8, 8)
+    codes = np.stack(
+        [
+            np.argmin(((R[:, s, :, None] - B[s].T[None]) ** 2).sum(1), axis=1)
+            for s in range(8)
+        ],
+        axis=1,
+    )
+    want = []
+    for qr in sorted((r.query_id, list(r.query_vec)) for r in queries.collect()):
+        qid, qv = qr[0], np.array(qr[1])
+        rq = (qv[None] - C).reshape(len(C), 8, 8)
+        tabs = ((rq[:, :, None, :] - B[None]) ** 2).sum(-1)
+        d = np.zeros(len(X))
+        for s in range(8):
+            d += tabs[cl, s, codes[:, s]]
+        order = np.lexsort((ids, d))[:10]
+        want.extend(
+            (qid, rank + 1, int(ids[j]), round(float(d[j]), 6))
+            for rank, j in enumerate(order)
+        )
+    assert got == sorted(want)
+
+    # recall contracts
+    exact = {}
+    for r in knn(queries, docs, 10).collect():
+        exact.setdefault(r.query_id, set()).add(r.doc_id)
+
+    def recall(res):
+        g = {}
+        for r in res:
+            g.setdefault(r.query_id, set()).add(r.doc_id)
+        return sum(len(g[q] & exact[q]) / 10 for q in exact) / len(exact)
+
+    res_books = pq_codebooks_trained(
+        residual_vectors(emb, 64, cents), 64, 8, 16, n_iter=8,
+        doc_vec="residual",
+    )
+    r_res = recall(
+        knn_ivfpq(queries, docs, 10, 64, res_books, centroids=cents,
+                  n_centroids=8, n_probe=8, residual=True).collect()
+    )
+    r_plain = recall(
+        knn_ivfpq(queries, docs, 10, 64, books, centroids=cents,
+                  n_centroids=8, n_probe=8).collect()
+    )
+    n_docs = docs.count()
+    assert r_res > 3 * 10.0 / n_docs, (r_res, n_docs)
+    assert r_res >= r_plain, (r_res, r_plain)
