@@ -510,3 +510,76 @@ def decontaminate(
         ),
         (F.coalesce("n_contaminated_grams", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def simhash_candidate_pairs(
+    sketches: DataFrame,
+    bits: int = 32,
+    n_blocks: int = 4,
+    max_hamming: int | None = None,
+    id_col: str = "doc_id",
+    sketch_col: str = "simhash",
+) -> DataFrame:
+    """Hamming-near pairs from SimHash sketches via block banding — the
+    pigeonhole trick that makes SimHash usable without all-pairs: split the
+    ``bits``-bit sketch into ``n_blocks`` equal blocks and equi-join on any
+    identical block. Two sketches within Hamming distance ``n_blocks - 1``
+    MUST share at least one exact block (pigeonhole), so recall is total up
+    to that distance; block collisions beyond it are filtered by the exact
+    popcount predicate.
+
+    Returns (a_id, b_id, hamming) with a_id < b_id and hamming ≤
+    ``max_hamming`` (default ``n_blocks - 1``, the guaranteed-recall
+    radius). Candidate dedup across multi-block collisions is a distinct
+    on the pair — same banding shape as MinHash-LSH
+    (minhash_candidate_pairs)."""
+    if bits % n_blocks != 0:
+        raise ValueError(f"{bits=} must divide into {n_blocks=}")
+    if max_hamming is None:
+        max_hamming = n_blocks - 1
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+
+    blocks = sketches.select(
+        F.col(id_col),
+        F.col(sketch_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("block"),
+                        F.shiftright(F.col(sketch_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_blocks)
+                ]
+            )
+        ).alias("_b"),
+    ).select(
+        id_col, sketch_col, F.col("_b.block").alias("block"), F.col("_b.key").alias("key")
+    )
+    a = blocks.select(
+        F.col(id_col).alias("a_id"),
+        F.col(sketch_col).alias("a_sketch"),
+        "block",
+        "key",
+    )
+    b = blocks.select(
+        F.col(id_col).alias("b_id"),
+        F.col(sketch_col).alias("b_sketch"),
+        "block",
+        "key",
+    )
+    pairs = (
+        a.join(b, ["block", "key"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sketch", "b_sketch")
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("a_sketch").bitwiseXOR(F.col("b_sketch"))
+    ).alias("hamming")
+    return pairs.select("a_id", "b_id", hamming).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -203,3 +203,37 @@ def test_decontaminate_flags_ngram_overlap(spark):
     assert got[4] == (1, True)      # same 5-gram mid-document
     assert got[2] == (0, False)
     assert got[3] == (0, False)     # only 2 tokens
+
+def test_simhash_candidate_pairs_pigeonhole_recall(spark):
+    """Banding guarantee: EVERY pair within Hamming n_blocks-1 is found
+    (verified against a brute-force all-pairs reference on synthetic
+    sketches), and no returned pair exceeds the radius."""
+    import itertools
+    import random
+
+    from clinical_vector_search_spark.operators.dedup import (
+        simhash_candidate_pairs,
+    )
+
+    rng = random.Random(7)
+    base = rng.getrandbits(32)
+    sketches = [(0, base)]
+    # neighbors at controlled Hamming distances + random far sketches
+    for i, d in enumerate((1, 2, 3, 5, 9), start=1):
+        s = base
+        for bit in rng.sample(range(32), d):
+            s ^= 1 << bit
+        sketches.append((i, s))
+    for i in range(6, 20):
+        sketches.append((i, rng.getrandbits(32)))
+    df = spark.createDataFrame(sketches, "doc_id long, simhash long")
+
+    got = {(r.a_id, r.b_id): r.hamming
+           for r in simhash_candidate_pairs(df, bits=32, n_blocks=4).collect()}
+    want = {}
+    for (i, a), (j, b) in itertools.combinations(sketches, 2):
+        h = bin(a ^ b).count("1")
+        if h <= 3:
+            want[(min(i, j), max(i, j))] = h
+    assert got == want and (0, 1) in got and (0, 3) in got
+
