@@ -142,3 +142,36 @@ def stratified_hash_sample(
             F.col(strata_col) == value, F.lit(int(rate * (1 << 32)))
         ).otherwise(thr)
     return df.filter(bucket < thr)
+
+
+def weighted_hash_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirtakis A-Res):
+    each row gets priority u^(1/w) with u a deterministic md5-uniform of
+    its id, and the global top-``n`` priorities win — rows are selected
+    with probability proportional to ``weight_col`` (the quality-weighted
+    corpus selection step: sample harder from high-quality sources).
+
+    Deterministic (same rows on every run/engine/partitioning, like
+    hash_sample), one pass + a top-n (Spark's sort-limit is a distributed
+    TakeOrdered — no full global sort materializes). Non-positive weights
+    never win while any positive-weight row remains (their priority is
+    exactly 0)."""
+    from clinical_vector_search_spark.functions import hashing as H
+
+    # u in (0, 1): 60-bit md5 fraction, offset so u is never exactly 0
+    u = (H.md5_long(F.col(id_col).cast("string")) + F.lit(1.0)) / F.lit(
+        float((1 << 60) + 1)
+    )
+    w = F.col(weight_col).cast("double")
+    priority = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_pri", priority)
+        .orderBy(F.desc("_pri"), F.asc(id_col))
+        .limit(n)
+        .drop("_pri")
+    )

@@ -346,3 +346,50 @@ def test_fhe_demo_does_not_raise_regardless_of_tenseal(spark, sf_dir):
     )
     rows = encrypted_topk_demo(q, emb, k=3, in_dim=dim, subset_n=50).collect()
     assert len(rows) == 6 and {r.rank for r in rows} == {1, 2, 3}
+
+
+def test_weighted_hash_sample_matches_reference_and_respects_weights(
+    spark, sf_dir
+):
+    """A-Res selection must match a single-node reference exactly, be
+    deterministic across runs, and never pick zero-weight rows while
+    positive-weight rows remain."""
+    import hashlib
+    import math
+
+    from clinical_vector_search_spark.pipeline.documents import (
+        weighted_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    got = sorted(
+        r.doc_id for r in weighted_hash_sample(docs, 50, "n_chars").collect()
+    )
+
+    rows = [(r.doc_id, r.n_chars) for r in docs.collect()]
+
+    def pri(doc_id, w):
+        hv = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        u = (hv + 1.0) / ((1 << 60) + 1)
+        return math.pow(u, 1.0 / w) if w > 0 else 0.0
+
+    ref = sorted(
+        i for i, _ in sorted(
+            rows, key=lambda t: (-pri(t[0], t[1]), t[0])
+        )[:50]
+    )
+    assert got == ref
+
+    got2 = sorted(
+        r.doc_id for r in weighted_hash_sample(docs, 50, "n_chars").collect()
+    )
+    assert got2 == got  # deterministic across runs
+
+    # zero-weight rows lose to any positive weight
+    mixed = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars")).otherwise(0)
+    )
+    picked = {r.doc_id for r in weighted_hash_sample(mixed, 20, "w").collect()}
+    assert all(d % 2 == 0 for d in picked)
