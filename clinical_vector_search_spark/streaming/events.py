@@ -636,3 +636,36 @@ def streaming_tumbling_counts(
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
     )
     return agg
+
+
+def decayed_counts(
+    events: DataFrame,
+    half_life_sec: float,
+    as_of_ns: int | None = None,
+    keys: tuple[str, ...] = ("user_id",),
+) -> DataFrame:
+    """Exponentially-decayed event counters per key — the recency-weighted
+    popularity/activity signal (each event contributes
+    2^(-(as_of - t) / half_life), so activity from one half-life ago counts
+    half). Pure aggregation: one shuffle on the keys, map-side combined —
+    the batch twin of a decayed-counter stateful stream.
+
+    ``as_of_ns`` defaults to the max event time in the frame (computed
+    in-plan via a broadcast 1-row aggregate, so the operator stays lazy).
+    Returns keys + (decayed_count, decayed_value_sum, n_events)."""
+    ev = events
+    if as_of_ns is None:
+        mx = events.agg(F.max("ts_ns").alias("_as_of"))
+        ev = events.crossJoin(F.broadcast(mx))
+        as_of_col = F.col("_as_of")
+    else:
+        as_of_col = F.lit(int(as_of_ns))
+    age_hl = (as_of_col - F.col("ts_ns")).cast("double") / F.lit(
+        half_life_sec * float(NS)
+    )
+    wgt = F.pow(F.lit(2.0), -age_hl)
+    return ev.groupBy(*[F.col(k) for k in keys]).agg(
+        F.sum(wgt).alias("decayed_count"),
+        F.sum(wgt * F.col("value")).alias("decayed_value_sum"),
+        F.count("*").alias("n_events"),
+    )

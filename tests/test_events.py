@@ -332,3 +332,28 @@ def test_streaming_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     seen.clear()
     run()
     assert sum(seen) == 5  # only the new file; the checkpoint remembers 'a'
+
+def test_decayed_counts_reference(spark):
+    """Decayed counters vs a hand-computed reference: an event exactly one
+    half-life old contributes 0.5; as_of defaults to the max event time."""
+    NS = 1_000_000_000
+    from clinical_vector_search_spark.streaming.events import decayed_counts
+
+    rows = [
+        (1, 0 * NS, 4.0),       # two half-lives old -> 0.25
+        (1, 300 * NS, 2.0),     # one half-life old  -> 0.5
+        (1, 600 * NS, 1.0),     # now                -> 1.0
+        (2, 600 * NS, 10.0),    # single fresh event
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts_ns long, value double")
+    got = {r.user_id: (r.decayed_count, r.decayed_value_sum, r.n_events)
+           for r in decayed_counts(ev, half_life_sec=300).collect()}
+    dc1, dv1, n1 = got[1]
+    assert abs(dc1 - (0.25 + 0.5 + 1.0)) < 1e-12 and n1 == 3
+    assert abs(dv1 - (0.25 * 4.0 + 0.5 * 2.0 + 1.0 * 1.0)) < 1e-12
+    assert got[2] == (1.0, 10.0, 1)
+
+    # explicit as_of: everything ages by one more half-life
+    got2 = {r.user_id: r.decayed_count
+            for r in decayed_counts(ev, 300, as_of_ns=900 * NS).collect()}
+    assert abs(got2[1] - (0.125 + 0.25 + 0.5)) < 1e-12
