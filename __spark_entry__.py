@@ -1571,68 +1571,16 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
-    # freshness rotation (VERDICT r3 task 2):
-    #   1. entries with NO r3 driver row (the r3 tail, dark one round)
-    #   2. the events family (errored r3 on the ts dtype regression)
-    #   3. entries new this round
-    #   4. entries green exactly once (first checked r3)
-    #   5. entries green two consecutive rounds (r2+r3) — demoted past the
-    #      driver's window; rotate them back in next round.
+    # freshness rotation (VERDICT r4 task 1):
+    #   1. the 38 entries with NO r4 driver row (last row r3/r2, all
+    #      locally re-verified green at sf0.01 in r4)
+    #   2. entries new in r5
+    #   3. entries whose ONLY driver row is r4 (the r4-new section) —
+    #      first few land inside the window, rest just past it
+    #   4. entries green two recent rounds — demoted past the driver's
+    #      window; rotate back in next round.
     return {
-        # -- 1: unchecked in r3 ------------------------------------------
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-        "knn_lsh": q_knn_lsh,
-        "mmr_lambda1": q_mmr_lambda1,
-        "rag_union_candidates": q_rag_union_candidates,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "doc_pipeline": q_doc_pipeline,
-        "fhe_pipeline": q_fhe_pipeline,
-        "evaluation_table": q_evaluation_table,
-        "events_asof_join": q_events_asof_join,
-        # -- 2: events family (errored r3, fixed this round) -------------
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
-        "events_distinct_users": q_events_distinct_users,
-        "events_range_join": q_events_range_join,
-        "events_json_extract": q_events_json_extract,
-        "events_streaming_tumbling": q_events_streaming_tumbling,
-        "events_streaming_join": q_events_streaming_join,
-        "events_streaming_dedup": q_events_streaming_dedup,
-        "salted_agg": q_salted_agg,
-        # -- 3: new in r4 ------------------------------------------------
-        "events_sessionize_skew": q_events_sessionize_skew,
-        "events_streaming_sessionize": q_events_streaming_sessionize,
-        "rag_rrf": q_rag_rrf,
-        "text_repetition": q_text_repetition,
-        "dedup_survivors": q_dedup_survivors,
-        "rel_cube": q_rel_cube,
-        "rel_window_ranks": q_rel_window_ranks,
-        "vec_pq_codes": q_vec_pq_codes,
-        "knn_pq_adc": q_knn_pq_adc,
-        "rel_local_supplier_volume": q_rel_local_supplier_volume,
-        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        "events_streaming_enrich": q_events_streaming_enrich,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "events_asof_forward": q_events_asof_forward,
-        "doc_decontaminate": q_doc_decontaminate,
-        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_exact_l2": q_knn_exact_l2,
-        "vec_pca": q_vec_pca,
-        "rel_profile": q_rel_profile,
-        "rel_semi_join": q_rel_semi_join,
-        "text_cms_heavyhitters": q_text_cms_heavyhitters,
-        "events_streaming_user_totals": q_events_streaming_user_totals,
-        "rag_mmr_rounded": q_rag_mmr_rounded,
-        # -- 4: first green row in r3 ------------------------------------
-        "rel_cust_no_orders": q_rel_cust_no_orders,
+        # -- 1: unchecked in r4 ------------------------------------------
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -1643,7 +1591,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_quantize_int8": q_vec_quantize_int8,
         "vec_mean_pool": q_vec_mean_pool,
         "io_orc_roundtrip": q_io_orc_roundtrip,
-        # -- 5: green r2+r3, demoted -------------------------------------
         "rel_pricing_summary": q_rel_pricing_summary,
         "rel_nation_rollup": q_rel_nation_rollup,
         "rel_window_running": q_rel_window_running,
@@ -1672,6 +1619,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_redact_pii": q_text_redact_pii,
         "text_bpe_tokens": q_text_bpe_tokens,
+        # -- 2: new in r5 ------------------------------------------------
+        # -- 3: only driver row is r4 ------------------------------------
+        "events_sessionize_skew": q_events_sessionize_skew,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
+        "rag_rrf": q_rag_rrf,
+        "text_repetition": q_text_repetition,
+        "dedup_survivors": q_dedup_survivors,
+        "rel_cube": q_rel_cube,
+        "rel_window_ranks": q_rel_window_ranks,
+        "vec_pq_codes": q_vec_pq_codes,
+        "knn_pq_adc": q_knn_pq_adc,
+        "rel_local_supplier_volume": q_rel_local_supplier_volume,
+        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+        "events_streaming_enrich": q_events_streaming_enrich,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "events_asof_forward": q_events_asof_forward,
+        "doc_decontaminate": q_doc_decontaminate,
+        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_exact_l2": q_knn_exact_l2,
+        "vec_pca": q_vec_pca,
+        "rel_profile": q_rel_profile,
+        "rel_semi_join": q_rel_semi_join,
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
+        "events_streaming_user_totals": q_events_streaming_user_totals,
+        "rag_mmr_rounded": q_rag_mmr_rounded,
+        "rel_cust_no_orders": q_rel_cust_no_orders,
+        # -- 4: green r4 + earlier, demoted ------------------------------
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh": q_knn_lsh,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "doc_pipeline": q_doc_pipeline,
+        "fhe_pipeline": q_fhe_pipeline,
+        "evaluation_table": q_evaluation_table,
+        "events_asof_join": q_events_asof_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "events_distinct_users": q_events_distinct_users,
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
+        "events_streaming_join": q_events_streaming_join,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "salted_agg": q_salted_agg,
     }
 
 
