@@ -41,6 +41,13 @@ SESSION_GAP_SEC = 1800
 CHUNK_SIZE = 32
 CHUNK_OVERLAP = 8
 TFIDF_TOPK = 5
+WEIGHTED_SAMPLE_N = 100
+PACK_MAX_TOKENS = 128
+PACK_MAX_OPEN = 64
+DECAY_HALF_LIFE_SEC = 600
+# NFC probe: e + combining acute (composes to é), fi-ligature and circled-1
+# (compatibility chars — NFC must NOT touch them)
+NFC_PROBE = " cafe\u0301 \ufb01le \u2460"
 
 _STOPWORDS = (
     "the a an and or of to in is it for on with as at by from that this".split()
@@ -63,6 +70,27 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clinical_vector_search_spark.streaming.events import read_events
 
     return read_events(spark, sf_dir)
+
+
+def _scratch_dir(prefix: str, tag: str) -> str:
+    """Deterministic per-(prefix, tag, pid) scratch path for IO-roundtrip
+    entries. The pid suffix keeps concurrent runs (driver + local checker)
+    from clobbering each other's overwrite mid-scan; siblings left behind
+    by DEAD pids are reaped here so repeated runs don't accumulate /tmp
+    garbage (live pids are left alone)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    base = tempfile.gettempdir()
+    for p in glob.glob(f"{base}/{prefix}_{tag}_*"):
+        pid = p.rsplit("_", 1)[-1]
+        if pid.isdigit() and int(pid) != os.getpid() and not os.path.exists(
+            f"/proc/{pid}"
+        ):
+            shutil.rmtree(p, ignore_errors=True)
+    return f"{base}/{prefix}_{tag}_{os.getpid()}"
 
 
 # ---------------------------------------------------------------------------
@@ -282,19 +310,13 @@ def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     by lang, read back with a lang filter that must prune at the directory
     level (io/tables.py write_partitioned; pruning asserted in
     tests/test_extensions.py)."""
-    import tempfile
-
     from clinical_vector_search_spark.io.tables import (
         read_partitioned,
         write_partitioned,
     )
 
-    # pid-unique path: a fixed shared path lets concurrent runs (driver +
-    # local checker) clobber each other's overwrite mid-scan
-    import os
-
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    path = f"{tempfile.gettempdir()}/cvs_part_docs_{tag}_{os.getpid()}"
+    path = _scratch_dir("cvs_part_docs", tag)
     write_partitioned(
         _docs(spark, sf_dir).select("doc_id", "source", "n_chars", "lang"),
         path,
@@ -1569,6 +1591,116 @@ def q_text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling without replacement (A-Res, log-priority
+    ln(u)/w — pipeline/documents.py weighted_hash_sample): global top-N
+    docs weighted by n_chars. Priorities rounded to 9 dp before ranking so
+    a 1-ulp ln() difference between Spark's and DuckDB's libm cannot flip
+    the selected set."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        weighted_hash_sample,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return weighted_hash_sample(
+        d, WEIGHTED_SAMPLE_N, "n_chars", round_to=9
+    )
+
+
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization (functions/text.py normalize_text_pd, an
+    Arrow-batched stdlib-unicodedata kernel). A decomposed probe suffix is
+    appended to every doc so the kernel provably composes (e+U+0301 -> é)
+    while leaving compatibility chars (fi-ligature, circled-1) alone; the
+    oracle is DuckDB's utf8proc nfc_normalize. Emits md5 + codepoint count
+    of the normalized text."""
+    from clinical_vector_search_spark.functions.text import normalize_text_pd
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat("text", F.lit(NFC_PROBE)).alias("text")
+    )
+    r = normalize_text_pd(d, form="NFC", strip_accents=False, casefold=False)
+    return r.select(
+        "doc_id",
+        F.md5("norm_text").alias("norm_md5"),
+        F.length("norm_text").cast("long").alias("n_codepoints"),
+    )
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy bounded first-fit sequence packing (functions/text.py
+    pack_sequences). The scale path packs per-partition (pytest
+    invariants); this oracle twin pins ONE doc_id-sorted partition so the
+    DuckDB recursive-CTE packer can replay the identical fit order —
+    per-pack membership is then exactly reproducible."""
+    from clinical_vector_search_spark.functions.text import pack_sequences
+
+    d = _docs(spark, sf_dir).coalesce(1).sortWithinPartitions("doc_id")
+    r = pack_sequences(d, max_tokens=PACK_MAX_TOKENS)
+    return r.select("pack_id", "doc_id", "n_tokens")
+
+
+def q_events_decayed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed per-user event counters (streaming/events.py
+    decayed_counts): each event weighs 2^(-age/half_life) as of the max
+    event time — one map-side-combined aggregation."""
+    from clinical_vector_search_spark.streaming.events import decayed_counts
+
+    r = decayed_counts(
+        _events(spark, sf_dir), half_life_sec=DECAY_HALF_LIFE_SEC
+    )
+    return r.select(
+        "user_id",
+        F.round("decayed_count", 6).alias("decayed_count"),
+        F.round("decayed_value_sum", 6).alias("decayed_value_sum"),
+        "n_events",
+    )
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-near pairs via block banding (operators/dedup.py
+    simhash_candidate_pairs): 32-bit sketches split into 4 blocks,
+    equi-join on any identical block (pigeonhole: total recall to Hamming
+    distance 3), exact popcount filter."""
+    from clinical_vector_search_spark.operators.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    sk = simhash(_docs(spark, sf_dir), bits=32)
+    p = simhash_candidate_pairs(sk, bits=32, n_blocks=4)
+    return p.select("a_id", "b_id", F.col("hamming").cast("long").alias("hamming"))
+
+
+def q_io_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction (io/tables.py compact_parquet): documents
+    written as 16 deliberately-tiny files, compacted into size-targeted
+    files (here 1), read back — content must be byte-identical to the
+    source table and the file count must hit the target."""
+    import os
+
+    from clinical_vector_search_spark.io.tables import compact_parquet
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch_dir("cvs_compact_docs", tag)
+    (
+        _docs(spark, sf_dir)
+        .select("doc_id", "source", "n_chars")
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    compact_parquet(spark, path, target_file_bytes=1 << 30)
+    # the OBSERVED post-compaction file count — the oracle pins it to 1,
+    # so a compaction that fails to merge shows up as a value mismatch
+    n_parts = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return (
+        spark.read.parquet(path)
+        .select("doc_id", "source", "n_chars")
+        .withColumn("n_files_after", F.lit(n_parts).cast("long"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (VERDICT r4 task 1):
@@ -1620,6 +1752,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "text_bpe_tokens": q_text_bpe_tokens,
         # -- 2: new in r5 ------------------------------------------------
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "text_normalize": q_text_normalize,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "events_decayed": q_events_decayed,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "io_compact_roundtrip": q_io_compact_roundtrip,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3072,6 +3210,133 @@ def oracle_sql() -> dict[str, str]:
                           md5(text) AS content_md5
                    FROM documents)
         SELECT media_id, n_bytes, content_md5, {feat_cols} FROM m
+    """
+
+    # doc_weighted_sample: A-Res log-priority ln(u)/w with the identical
+    # 60-bit md5 uniform; both sides round the priority to 9 dp before the
+    # (desc priority, asc doc_id) top-N cut.
+    s["doc_weighted_sample"] = f"""
+        WITH pri AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN n_chars > 0 THEN
+                       round(ln(({_MD5L.format(x="doc_id::VARCHAR")} + 1.0)
+                                / {float((1 << 60) + 1)!r})
+                             / n_chars::DOUBLE, 9)
+                   ELSE '-infinity'::DOUBLE END AS lp
+            FROM documents)
+        SELECT doc_id, n_chars FROM pri
+        ORDER BY lp DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_N}
+    """
+
+    # text_normalize: utf8proc NFC == stdlib-unicodedata NFC (normalization
+    # is stability-guaranteed across Unicode versions); the probe suffix is
+    # embedded verbatim (decomposed) in both engines' plans.
+    s["text_normalize"] = f"""
+        WITH n AS (SELECT doc_id,
+                          nfc_normalize(text || '{NFC_PROBE}') AS nt
+                   FROM documents)
+        SELECT doc_id, md5(nt) AS norm_md5, length(nt)::BIGINT AS n_codepoints
+        FROM n
+    """
+
+    # doc_pack_sequences: replay of the bounded first-fit packer as a
+    # recursive CTE — state = (row index, open-pack list, next pack id);
+    # each step places the next doc_id-ordered doc into the FIRST open pack
+    # it fits (list_position over the fit mask — returns 0, NOT NULL, when
+    # nothing fits), else retires the oldest pack when the set is full and
+    # opens a new one. Mirrors functions/text.py pack_sequences over one
+    # sorted partition.
+    fit_j = (
+        f"list_position(list_transform(s.open,"
+        f" o -> o.used + t.ntok <= {PACK_MAX_TOKENS}), true)"
+    )
+    s["doc_pack_sequences"] = f"""
+        WITH RECURSIVE toks AS ({_TOKS}),
+        nt0 AS (SELECT doc_id,
+                       coalesce(len(tokens), 0)::BIGINT AS ntok
+                FROM toks),
+        nt AS (SELECT doc_id, ntok,
+                      row_number() OVER (ORDER BY doc_id) AS rn
+               FROM nt0),
+        st AS (
+            SELECT 0::BIGINT AS rn,
+                   []::STRUCT(pk BIGINT, used BIGINT)[] AS open,
+                   0::BIGINT AS next_id,
+                   NULL::BIGINT AS doc_id,
+                   NULL::BIGINT AS pack_id,
+                   NULL::BIGINT AS n_tokens
+            UNION ALL
+            SELECT t.rn,
+                   CASE WHEN {fit_j} = 0 THEN
+                       list_append(
+                           CASE WHEN len(s.open) >= {PACK_MAX_OPEN}
+                                THEN s.open[2:] ELSE s.open END,
+                           {{'pk': s.next_id, 'used': t.ntok}})
+                   ELSE
+                       [CASE WHEN i = {fit_j}
+                             THEN {{'pk': s.open[i].pk,
+                                    'used': s.open[i].used + t.ntok}}
+                             ELSE s.open[i] END
+                        FOR i IN range(1, len(s.open) + 1)]
+                   END AS open,
+                   CASE WHEN {fit_j} = 0
+                        THEN s.next_id + 1 ELSE s.next_id END AS next_id,
+                   t.doc_id,
+                   CASE WHEN {fit_j} = 0 THEN s.next_id
+                        ELSE s.open[{fit_j}].pk END AS pack_id,
+                   t.ntok AS n_tokens
+            FROM st s JOIN nt t ON t.rn = s.rn + 1)
+        SELECT pack_id, doc_id, n_tokens FROM st WHERE rn > 0
+    """
+
+    # events_decayed: closed-form decayed counters — same 2^(-age/hl)
+    # per-event weight, round-6 absorbs cross-engine sum reassociation.
+    decay_w = (
+        f"pow(2.0, -((mx - ts_ns)::DOUBLE"
+        f" / {float(DECAY_HALF_LIFE_SEC * 1_000_000_000)!r}))"
+    )
+    s["events_decayed"] = f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        m AS (SELECT max(ts_ns) AS mx FROM e)
+        SELECT user_id,
+               round(sum({decay_w}), 6) AS decayed_count,
+               round(sum({decay_w} * value), 6) AS decayed_value_sum,
+               count(*) AS n_events
+        FROM e CROSS JOIN m GROUP BY user_id
+    """
+
+    # dedup_simhash_pairs: 32-bit simhash (same md5-bit majority as
+    # dedup_simhash), 4 Hamming blocks of 8 bits, equi-join on any shared
+    # block, exact popcount filter at distance <= n_blocks - 1 = 3.
+    s["dedup_simhash_pairs"] = f"""
+        WITH toks AS ({_TOKS}),
+        t AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
+        h AS (SELECT doc_id, {_MD5L.format(x="tok")} AS hv FROM t),
+        bits AS (SELECT unnest(range(0, 32)) AS j),
+        sb AS (SELECT doc_id, j,
+                      sum(CASE WHEN (hv >> j::INT) & 1 = 1 THEN 1 ELSE -1 END)
+                          AS bsum
+               FROM h CROSS JOIN bits GROUP BY doc_id, j),
+        sim AS (SELECT doc_id,
+                       sum(CASE WHEN bsum > 0 THEN (1::BIGINT << j::INT)
+                                ELSE 0 END)::BIGINT AS simhash
+                FROM sb GROUP BY doc_id),
+        blk AS (SELECT doc_id, simhash, b,
+                       (simhash >> (b::INT * 8)) & 255 AS key
+                FROM sim, (SELECT unnest(range(0, 4)) AS b)),
+        pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+                                  a.simhash AS sa, b.simhash AS sb
+                  FROM blk a JOIN blk b
+                    ON a.b = b.b AND a.key = b.key AND a.doc_id < b.doc_id)
+        SELECT a_id, b_id, bit_count(xor(sa, sb))::BIGINT AS hamming
+        FROM pairs WHERE bit_count(xor(sa, sb)) <= 3
+    """
+
+    # io_compact_roundtrip: content invariance + the pinned file count
+    # (1 << 30 target always compacts the tiny test table to one file).
+    s["io_compact_roundtrip"] = """
+        SELECT doc_id, source, n_chars, 1::BIGINT AS n_files_after
+        FROM documents
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

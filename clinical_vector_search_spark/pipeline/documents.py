@@ -149,6 +149,7 @@ def weighted_hash_sample(
     n: int,
     weight_col: str,
     id_col: str = "doc_id",
+    round_to: int | None = None,
 ) -> DataFrame:
     """Weighted sampling without replacement (Efraimidis–Spirtakis A-Res):
     each row gets priority u^(1/w) with u a deterministic md5-uniform of
@@ -156,11 +157,19 @@ def weighted_hash_sample(
     with probability proportional to ``weight_col`` (the quality-weighted
     corpus selection step: sample harder from high-quality sources).
 
+    Ranks on the LOG-priority ln(u)/w, which orders identically to
+    u^(1/w) for positive weights but never underflows: pow(u, 1/w)
+    flushes to exactly 0.0 for small weights (w ≲ 0.01), which would let
+    tiny-but-positive weights tie with excluded zero-weight rows.
+    ln(u)/w stays finite down to w ≈ 2.3e-307. Non-positive weights get
+    -infinity, so they never win while any positive-weight row remains.
+
     Deterministic (same rows on every run/engine/partitioning, like
     hash_sample), one pass + a top-n (Spark's sort-limit is a distributed
-    TakeOrdered — no full global sort materializes). Non-positive weights
-    never win while any positive-weight row remains (their priority is
-    exactly 0)."""
+    TakeOrdered — no full global sort materializes). ``round_to`` rounds
+    the log-priority before ranking — the cross-engine determinism knob
+    for the DuckDB oracle (a 1-ulp ln() difference between libm builds
+    cannot flip the selected set once both sides round)."""
     from clinical_vector_search_spark.functions import hashing as H
 
     # u in (0, 1): 60-bit md5 fraction, offset so u is never exactly 0
@@ -168,9 +177,11 @@ def weighted_hash_sample(
         float((1 << 60) + 1)
     )
     w = F.col(weight_col).cast("double")
-    priority = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    logpri = F.when(w > 0, F.log(u) / w).otherwise(F.lit(float("-inf")))
+    if round_to is not None:
+        logpri = F.round(logpri, round_to)
     return (
-        df.withColumn("_pri", priority)
+        df.withColumn("_pri", logpri)
         .orderBy(F.desc("_pri"), F.asc(id_col))
         .limit(n)
         .drop("_pri")

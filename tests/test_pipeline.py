@@ -373,7 +373,7 @@ def test_weighted_hash_sample_matches_reference_and_respects_weights(
     def pri(doc_id, w):
         hv = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
         u = (hv + 1.0) / ((1 << 60) + 1)
-        return math.pow(u, 1.0 / w) if w > 0 else 0.0
+        return math.log(u) / w if w > 0 else float("-inf")
 
     ref = sorted(
         i for i, _ in sorted(
@@ -392,4 +392,12 @@ def test_weighted_hash_sample_matches_reference_and_respects_weights(
         "w", F.when(F.col("doc_id") % 2 == 0, F.col("n_chars")).otherwise(0)
     )
     picked = {r.doc_id for r in weighted_hash_sample(mixed, 20, "w").collect()}
+    assert all(d % 2 == 0 for d in picked)
+
+    # tiny positive weights must ALSO beat zero-weight rows: pow(u, 1/w)
+    # underflows to exactly 0.0 at w=1e-4, the log-priority does not
+    tiny = docs.withColumn(
+        "w", F.when(F.col("doc_id") % 2 == 0, F.lit(1e-4)).otherwise(F.lit(0.0))
+    )
+    picked = {r.doc_id for r in weighted_hash_sample(tiny, 20, "w").collect()}
     assert all(d % 2 == 0 for d in picked)
