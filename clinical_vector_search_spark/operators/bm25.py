@@ -201,8 +201,14 @@ def bm25_topk_set_df(
             )
         )
     )
+    # one exchange for BOTH the (query_id, doc) aggregation and the
+    # windowed top-k: hash-partitioning by query_id satisfies the
+    # ClusteredDistribution of the groupBy (its keys are a superset) AND
+    # the window's partitionBy, so Spark inserts no further shuffle —
+    # without this the plan pays two back-to-back exchanges
     scores = (
         matched.select("query_id", F.col("doc").alias(id_col), term_score.alias("s"))
+        .repartition("query_id")
         .groupBy("query_id", id_col)
         .agg(F.sum("s").alias("bm25"))
     )

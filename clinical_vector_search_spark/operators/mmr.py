@@ -111,6 +111,11 @@ def mmr_rerank_dist(
     out_schema = f"{query_id} long, rank int, {doc_id} long"
 
     def per_query(pdf: pd.DataFrame) -> pd.DataFrame:
+        # candidate sets may arrive with (query_id, doc_id) duplicates —
+        # rag_pipeline unions kNN and BM25 hits WITHOUT a distinct (the
+        # per-pair dedup here costs one pandas pass over ≤~100 rows, where
+        # a plan-level distinct costs a full shuffle stage)
+        pdf = pdf.drop_duplicates(subset=[doc_id])
         ids = pdf[doc_id].tolist()
         vecs = np.array(pdf[doc_vec].tolist(), dtype="float64")
         qv = np.array(pdf[query_vec].iloc[0], dtype="float64")
@@ -144,13 +149,16 @@ def mmr_rerank(
     (query_id, rank, doc_id). Collects candidates (small) and distributes
     nothing further; see module docstring for why."""
     rows = candidates.select(query_id, doc_id, doc_vec, query_vec).collect()
-    by_q: dict[int, list] = {}
+    by_q: dict[int, dict] = {}
     qvecs: dict[int, np.ndarray] = {}
     for r in rows:
-        by_q.setdefault(r[0], []).append((r[1], r[2]))
+        # keyed by doc id: dedups (query_id, doc_id) duplicates, matching
+        # the kernel-side drop_duplicates in mmr_rerank_dist
+        by_q.setdefault(r[0], {})[r[1]] = r[2]
         qvecs[r[0]] = np.array(r[3], dtype="float64")
     out = []
-    for q, items in by_q.items():
+    for q, item_map in by_q.items():
+        items = list(item_map.items())
         ids = [i for i, _ in items]
         vecs = np.array([v for _, v in items], dtype="float64")
         for rank, did in mmr_rerank_rows(ids, vecs, qvecs[q], k, lam):

@@ -24,6 +24,26 @@ from clinical_vector_search_spark.pipeline.dp import (
 from clinical_vector_search_spark.pipeline.embedding import hash_embed, hash_embed_pd
 from clinical_vector_search_spark.pipeline.rag import rag_pipeline
 
+# Prepared-plan cache: mode DataFrames are immutable lazy plans, and
+# BUILDING one costs real driver time (~0.9 s for rag_mode — ~2k py4j
+# round-trips of expression construction + eager parquet-footer analysis)
+# while RE-EXECUTING an already-analyzed plan costs ~0.2 s. A serving
+# layer holds the plan and re-executes per request (the prepared-statement
+# lifecycle), so the mode entry points do the same, keyed by Spark
+# application id + every argument. Caveat: a plan binds its parquet file
+# listing at read time, so a directory whose FILES change needs a fresh
+# session (testdata is immutable per run).
+_PLAN_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
+    full_key = (spark.sparkContext.applicationId, *key)
+    df = _PLAN_CACHE.get(full_key)
+    if df is None:
+        df = build()
+        _PLAN_CACHE[full_key] = df
+    return df
+
 
 def load_corpus(
     spark: SparkSession, sf_dir: str, cache: bool = True
@@ -65,21 +85,26 @@ def baseline_mode(
 ) -> DataFrame:
     """Reference baseline mode (pipeline_mode.py:32-49): exact kNN over the
     normalized corpus, join-back to documents, snippet projection (P9/S9).
-    Returns (query_id, rank, doc_id, score, snippet)."""
-    docs, vecs = load_corpus(spark, sf_dir)
-    queries = make_queries(vecs, n_queries)
-    results = knn(queries, vecs, k)
-    return (
-        results.join(docs.select("doc_id", "text"), "doc_id")
-        .select(
-            "query_id",
-            "rank",
-            "doc_id",
-            F.round("score", 6).alias("score"),
-            TXT.snippet("text", 200).alias("snippet"),
+    Returns (query_id, rank, doc_id, score, snippet) as a prepared plan
+    (see _PLAN_CACHE)."""
+
+    def build() -> DataFrame:
+        docs, vecs = load_corpus(spark, sf_dir)
+        queries = make_queries(vecs, n_queries)
+        results = knn(queries, vecs, k)
+        return (
+            results.join(docs.select("doc_id", "text"), "doc_id")
+            .select(
+                "query_id",
+                "rank",
+                "doc_id",
+                F.round("score", 6).alias("score"),
+                TXT.snippet("text", 200).alias("snippet"),
+            )
+            .orderBy("query_id", "rank")
         )
-        .orderBy("query_id", "rank")
-    )
+
+    return _cached_plan(spark, ("baseline", sf_dir, k, n_queries), build)
 
 
 def embed_mode(
@@ -113,34 +138,42 @@ def dp_mode(
     model-per-executor shape (embedding.py:31-41). ``accel="expr"`` uses
     the pure-expression twins (the DuckDB-oracle-aligned path; same LCG
     noise bit-for-bit, float sums may differ in the last ulp). Top-k id
-    parity between the two is asserted in tests/test_pipeline.py."""
-    docs, vecs = load_corpus(spark, sf_dir)
-    attrs = docs.select(
-        "doc_id", TXT.attr_sentence("lang", "source").alias("attr_text")
-    )
-    embedder = hash_embed_pd if accel == "pd" else hash_embed
-    attr_vecs = embedder(attrs, attr_dim, text_col="attr_text")
-    joined = vecs.join(
-        attr_vecs.select("doc_id", F.col("embedding").alias("attr_vec")),
-        "doc_id",
-    )
-    # cached: the noised index is the reusable artifact (built once,
-    # queried per query set — reference builds its DP FAISS index once,
-    # pipeline_mode.py:87-91); kNN's rescore join reads it twice
-    if accel == "pd":
-        dp_index = build_dp_index_pd(
-            joined, "embedding", "attr_vec", "doc_id", sigma=sigma
-        ).cache()
-    else:
-        dp_index = build_dp_index(
-            joined, "embedding", "attr_vec", "doc_id", sigma=sigma, dim=attr_dim
-        ).cache()
-    queries = make_queries(vecs, n_queries)
-    dp_q = dp_query_vec(queries, "query_vec", attr_dim)
-    return knn(
-        dp_q.select("query_id", F.col("dp_query_vec").alias("query_vec")),
-        dp_index.select("doc_id", F.col("dp_vec").alias("embedding")),
-        k,
+    parity between the two is asserted in tests/test_pipeline.py.
+    Returns a prepared plan (see _PLAN_CACHE)."""
+
+    def build() -> DataFrame:
+        docs, vecs = load_corpus(spark, sf_dir)
+        attrs = docs.select(
+            "doc_id", TXT.attr_sentence("lang", "source").alias("attr_text")
+        )
+        embedder = hash_embed_pd if accel == "pd" else hash_embed
+        attr_vecs = embedder(attrs, attr_dim, text_col="attr_text")
+        joined = vecs.join(
+            attr_vecs.select("doc_id", F.col("embedding").alias("attr_vec")),
+            "doc_id",
+        )
+        # cached: the noised index is the reusable artifact (built once,
+        # queried per query set — reference builds its DP FAISS index once,
+        # pipeline_mode.py:87-91); kNN's rescore join reads it twice
+        if accel == "pd":
+            dp_index = build_dp_index_pd(
+                joined, "embedding", "attr_vec", "doc_id", sigma=sigma
+            ).cache()
+        else:
+            dp_index = build_dp_index(
+                joined, "embedding", "attr_vec", "doc_id", sigma=sigma,
+                dim=attr_dim,
+            ).cache()
+        queries = make_queries(vecs, n_queries)
+        dp_q = dp_query_vec(queries, "query_vec", attr_dim)
+        return knn(
+            dp_q.select("query_id", F.col("dp_query_vec").alias("query_vec")),
+            dp_index.select("doc_id", F.col("dp_vec").alias("embedding")),
+            k,
+        )
+
+    return _cached_plan(
+        spark, ("dp", sf_dir, k, n_queries, sigma, attr_dim, accel), build
     )
 
 
@@ -177,22 +210,33 @@ def rag_mode(
     lam: float = 0.5,
 ) -> DataFrame:
     """RAG mode (pipeline_mode.py:198-264): hybrid kNN ∪ BM25 → MMR.
-    Query text = the query doc's own text (self-retrieval setup)."""
-    docs, vecs = load_corpus(spark, sf_dir)
-    # cached: the query batch feeds THREE plan consumers (kNN query side,
-    # query tokenization, the MMR gather broadcast) — without the cache each
-    # re-runs the filter+join subplan. A query batch is bounded by
-    # construction, so this holds at any corpus scale.
-    queries = (
-        vecs.filter(F.col("doc_id") < n_queries)
-        .join(docs.select("doc_id", F.col("text").alias("query_text")), "doc_id")
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.col("embedding").alias("query_vec"),
-            "query_text",
+    Query text = the query doc's own text (self-retrieval setup).
+    Returns a prepared plan (see _PLAN_CACHE): identical invocations
+    reuse the analyzed DataFrame and only re-execute."""
+
+    def build() -> DataFrame:
+        docs, vecs = load_corpus(spark, sf_dir)
+        # cached: the query batch feeds THREE plan consumers (kNN query
+        # side, query tokenization, the MMR gather broadcast) — without the
+        # cache each re-runs the filter+join subplan. A query batch is
+        # bounded by construction, so this holds at any corpus scale.
+        queries = (
+            vecs.filter(F.col("doc_id") < n_queries)
+            .join(
+                docs.select("doc_id", F.col("text").alias("query_text")),
+                "doc_id",
+            )
+            .select(
+                F.col("doc_id").alias("query_id"),
+                F.col("embedding").alias("query_vec"),
+                "query_text",
+            )
+            .cache()
         )
-        .cache()
-    )
-    return rag_pipeline(
-        queries, vecs, docs, k, candidate_k, bm25_topk, lam
+        return rag_pipeline(queries, vecs, docs, k, candidate_k, bm25_topk, lam)
+
+    return _cached_plan(
+        spark,
+        ("rag", sf_dir, k, n_queries, candidate_k, bm25_topk, lam),
+        build,
     )

@@ -112,15 +112,28 @@ def query_term_weights(
     """In-plan query tokenization: (query_id, term, qw) rows where qw is the
     term's multiplicity in the query (rank_bm25 scores duplicate query terms
     once per occurrence). The distributed twin of the driver-side
-    ``Counter(text.lower().split())``."""
-    return (
-        queries.select(
-            F.col(query_id).alias("query_id"),
-            F.explode(TXT.tokenize(query_text)).alias("term"),
-        )
-        .groupBy("query_id", "term")
-        .agg(F.count("*").cast("double").alias("qw"))
+    ``Counter(text.lower().split())``.
+
+    Computed per-row with array HOFs (distinct terms × per-term count)
+    instead of explode→groupBy: the multiset count is local to one query
+    string, so a shuffle stage for it is pure critical-path latency — this
+    subplan feeds a broadcast, and every stage between the query scan and
+    the broadcast delays the BM25 join behind it. O(distinct·n) per row is
+    bounded by query length (fine for query strings; for document-length
+    texts the explode→groupBy shape would win, but those aren't queries)."""
+    toks = TXT.tokenize(query_text)
+    ents = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("term"),
+            F.size(F.filter(toks, lambda x: x == t))
+            .cast("double")
+            .alias("qw"),
+        ),
     )
+    return queries.select(
+        F.col(query_id).alias("query_id"), F.explode(ents).alias("e")
+    ).select("query_id", F.col("e.term").alias("term"), F.col("e.qw").alias("qw"))
 
 
 def rag_pipeline(
@@ -169,11 +182,21 @@ def rag_pipeline(
         bm_cands = bm25_topk_per_query(
             docs_text, qlist, bm25_topk, id_col=doc_id, text_col=text_col
         )
-    cands = hybrid_union(vec_cands, bm_cands)
-    # gather vectors for MMR: candidate rows + doc vec + query vec
-    gathered = cands.join(docs_vec.select(doc_id, doc_vec), doc_id).join(
-        F.broadcast(queries.select(query_id, query_vec)), query_id
+    # union WITHOUT distinct: the (query_id, doc_id) pair dedup happens
+    # inside the MMR kernel (a pandas drop_duplicates over ≤candidate_k +
+    # bm25_topk rows per query) — a plan-level distinct costs a full
+    # shuffle stage for work that is O(rows) within the group anyway
+    cands = vec_cands.select(query_id, doc_id).union(
+        bm_cands.select(query_id, "doc_id")
     )
+    # gather vectors for MMR: candidate rows + doc vec + query vec. The
+    # candidate side is tiny by construction ((candidate_k + bm25_topk) ×
+    # n_queries rows of two longs) — broadcast it explicitly so the corpus
+    # side never shuffles; without the hint the static planner sees an
+    # unsized union subplan and falls back to a sort-merge join
+    gathered = docs_vec.select(doc_id, doc_vec).join(
+        F.broadcast(cands), doc_id
+    ).join(F.broadcast(queries.select(query_id, query_vec)), query_id)
     if distributed:
         return mmr_rerank_dist(
             gathered, k, lam,
