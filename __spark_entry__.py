@@ -62,11 +62,20 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+_EVENTS_SESSION_READY: set[str] = set()
+
+
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read_events is dtype-adaptive (timestamp[us] or legacy long epoch-ns);
-    # the legacy flag + UTC tz are fallbacks for ns-typed parquet files
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # the legacy flag + UTC tz are fallbacks for ns-typed parquet files.
+    # session.get_spark sets both at build time, but the DRIVER's session
+    # isn't ours — ensure them once per foreign session here (session-level
+    # concern, so guarded rather than re-set on every per-query call)
+    app = spark.sparkContext.applicationId
+    if app not in _EVENTS_SESSION_READY:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _EVENTS_SESSION_READY.add(app)
     from clinical_vector_search_spark.streaming.events import read_events
 
     return read_events(spark, sf_dir)

@@ -44,12 +44,20 @@ class ChunkUDTF:
 
 def chunk_rows_udtf(spark, df, text_col: str = "text", id_col: str = "doc_id"):
     """Apply ChunkUDTF via the SQL lateral-join surface; returns the same
-    (id, chunk_seq, chunk_text, n_tokens) frame as chunk_rows."""
+    (id, chunk_seq, chunk_text, n_tokens) frame as chunk_rows.
+
+    The temp view gets a per-call uuid name: spark.sql resolves the view at
+    plan-build time, so a unique name keeps concurrent/interleaved calls in
+    one session from silently rebinding each other's input between build
+    and execution (the UDTF registration itself is idempotent)."""
+    import uuid
+
     spark.udtf.register("chunk_udtf", ChunkUDTF)
-    df.createOrReplaceTempView("_chunk_in")
+    view = f"_chunk_in_{uuid.uuid4().hex[:12]}"
+    df.createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT t.{id_col}, c.chunk_seq, c.chunk_text, c.n_tokens
-        FROM _chunk_in t, LATERAL chunk_udtf(t.{text_col}) c
+        FROM {view} t, LATERAL chunk_udtf(t.{text_col}) c
         """
     )

@@ -129,7 +129,14 @@ def upsert_vector_index(
     schedule instead of rewriting — the merge plan (union → windowed
     latest-wins dedup) is the same; the rewrite here keeps the demo
     self-contained on plain Parquet. Writes to a temp dir then swaps so a
-    failed merge never truncates the live index."""
+    failed merge never truncates the live index.
+
+    Swap caveat (single-writer, local-FS contract): between the two moves
+    there is a brief window with NO directory at ``path`` — a concurrent
+    reader mid-swap fails, and a crash inside the window leaves the data
+    in ``<path>__old_<tag>`` (recover with a manual rename). On a real
+    filesystem use an atomic rename-over or a versioned-directory +
+    pointer-file layout instead."""
     import shutil
     import uuid
 
@@ -280,8 +287,10 @@ def compact_parquet(
     pipeline needs: streaming/upsert sinks accumulate many tiny files, and
     at 100 TB scan cost is dominated by file-open overhead once files drop
     below ~tens of MB. Rewrites the directory into ⌈bytes/target⌉
-    size-targeted files (temp-dir + swap, same crash-safety as
-    upsert_vector_index). Returns the new file count.
+    size-targeted files (temp-dir + swap, same crash-safety AND same
+    single-writer swap caveat as upsert_vector_index — see its docstring
+    for the mid-swap window and the ``__old_<tag>`` recovery step).
+    Returns the new file count.
 
     Uses round-robin repartition (not coalesce): coalesce(n) would chain
     narrow onto the upstream plan and skew output file sizes to the

@@ -39,6 +39,23 @@ from clinical_vector_search_spark.operators.knn import _ranked_asc
 PQ_SALT = 7777777
 
 
+def _sumsq_lr(diff, axis: int):
+    """Left-to-right fold of ``diff**2`` along ``axis``.
+
+    np.sum uses pairwise (tree) summation, which can differ from the
+    sequential fold of F.aggregate / DuckDB list_sum by an ulp — enough in
+    principle to flip a round(,6) value or an argmin on a near-tie. The
+    expression path and the oracle both fold d-order left-to-right, so the
+    numpy twins must too (ADVICE r4)."""
+    import numpy as np
+
+    sq = np.moveaxis(diff * diff, axis, -1)
+    acc = sq[..., 0].copy()
+    for t in range(1, sq.shape[-1]):
+        acc += sq[..., t]
+    return acc
+
+
 def pq_codebooks_lcg(dim: int, m: int = 8, ksub: int = 16) -> list:
     """Deterministic codebooks: value(sub, k, d) from one LCG step of the
     flat index (sub*ksub + k)*dsub + d + salt, mapped to U(-0.5, 0.5).
@@ -187,9 +204,7 @@ def pq_encode_pd(
             segs = mat.reshape(len(mat), m, dsub)
             codes = np.empty((len(mat), m), dtype="int32")
             for sub in range(m):
-                d2 = (
-                    ((segs[:, sub, :, None] - B[sub].T[None]) ** 2).sum(axis=1)
-                )
+                d2 = _sumsq_lr(segs[:, sub, :, None] - B[sub].T[None], 1)
                 codes[:, sub] = np.argmin(d2, axis=1)
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(codes)})
 
@@ -262,8 +277,9 @@ def knn_pq_adc_pd(
     qids = [r[0] for r in qrows]
     Q = np.array([list(r[1]) for r in qrows], dtype="float64")
     segs = Q.reshape(len(Q), m, dsub)
-    # tables[q, sub, k] — d-order summation matches the expression path
-    tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
+    # tables[q, sub, k] — left-to-right d-order fold matches the
+    # expression path exactly (see _sumsq_lr)
+    tabs = _sumsq_lr(segs[:, :, None, :] - B[None], -1)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -349,7 +365,7 @@ def knn_ivfpq(
             segs = enc.reshape(len(mat), m, dsub)
             codes = np.empty((len(mat), m), dtype="int32")
             for sub in range(m):
-                d2 = ((segs[:, sub, :, None] - B[sub].T[None]) ** 2).sum(axis=1)
+                d2 = _sumsq_lr(segs[:, sub, :, None] - B[sub].T[None], 1)
                 codes[:, sub] = np.argmin(d2, axis=1)
             yield pd.DataFrame(
                 {
@@ -392,10 +408,10 @@ def knn_ivfpq(
     if residual:
         # (nq, n_centroids, m, dsub) residual query segments
         rq = (Q[:, None, :] - C[None]).reshape(len(Q), len(C), m, dsub)
-        tabs = ((rq[:, :, :, None, :] - B[None, None]) ** 2).sum(axis=-1)
+        tabs = _sumsq_lr(rq[:, :, :, None, :] - B[None, None], -1)
     else:
         segs = Q.reshape(len(Q), m, dsub)
-        tabs = ((segs[:, :, None, :] - B[None]) ** 2).sum(axis=-1)
+        tabs = _sumsq_lr(segs[:, :, None, :] - B[None], -1)
 
     joined = index.join(q.select(query_id, "cluster"), "cluster").select(
         query_id, doc_id, "cluster", "codes"
