@@ -246,6 +246,56 @@ def test_sessionize_skew_matches_plain(spark, sf_dir):
     assert skew == plain
 
 
+def test_sessionize_auto_dispatch(spark, sf_dir):
+    """strategy="auto" picks plain on uniform data, skew past the per-user
+    threshold, and returns the SAME sessions either way in the normalized
+    (1-based session_num) schema."""
+    from clinical_vector_search_spark.streaming.events import (
+        choose_sessionize_strategy,
+        read_events,
+        sessionize,
+    )
+
+    ev = read_events(spark, sf_dir)
+    # sf testdata is uniform: far below any reasonable threshold
+    assert choose_sessionize_strategy(ev) == "plain"
+
+    # power-law fixture: one bot user holds most events
+    NS = 1_000_000_000
+    bot = spark.range(500).select(
+        F.lit(1).alias("user_id"),
+        (F.col("id") * 10 * NS).alias("ts_ns"),
+        F.lit(1.0).alias("value"),
+    )
+    rest = spark.range(5).select(
+        (F.col("id") + 2).alias("user_id"),
+        (F.col("id") * 10 * NS).alias("ts_ns"),
+        F.lit(1.0).alias("value"),
+    )
+    skewed = bot.unionByName(rest)
+    assert choose_sessionize_strategy(skewed, skew_threshold=100) == "skew"
+
+    # auto output is strategy-invariant: same sessions, same schema
+    def rollups(df):
+        return sorted(
+            (r.user_id, r.session_num, r.n_events, r.session_start_ns,
+             r.session_end_ns, round(r.sum_value, 6))
+            for r in df.collect()
+        )
+
+    via_plain = sessionize(skewed, 60, strategy="auto", skew_threshold=10**9)
+    via_skew = sessionize(
+        skewed, 60, strategy="auto", skew_threshold=100, range_sec=200
+    )
+    assert rollups(via_plain) == rollups(via_skew)
+    assert {f for f in via_plain.columns} == {f for f in via_skew.columns}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sessionize(skewed, 60, strategy="bogus")
+
+
 def test_sessionize_skew_boundary_merge(spark):
     """A session spanning a range border must stitch into ONE session."""
     from clinical_vector_search_spark.streaming.events import sessionize_skew
