@@ -1186,6 +1186,23 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_groups(docs.select("doc_id"), pairs)
 
 
+def q_dedup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star rounds
+    (O(log n) convergence, Kiveris et al. SoCC'14) over the same n-gram
+    Jaccard pairs — must agree exactly with q_dedup_groups, so it shares
+    its recursive-CTE oracle."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_groups_star,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=SHINGLE_N, threshold=JACCARD_THR
+    )
+    return dedup_groups_star(docs.select("doc_id"), pairs)
+
+
 def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-doc selection per duplicate group (keep longest text,
     ties min id) — operators/dedup.py dedup_survivors over the
@@ -1767,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_decayed": q_events_decayed,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "io_compact_roundtrip": q_io_compact_roundtrip,
+        "dedup_groups_star": q_dedup_groups_star,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -2973,6 +2991,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT src AS doc_id, min(dst) AS group_id
         FROM reach GROUP BY src
     """
+    # the star variant computes the identical closure by a different
+    # distributed algorithm — same oracle
+    s["dedup_groups_star"] = s["dedup_groups"]
 
     s["doc_decontaminate"] = f"""
         WITH toks AS ({_TOKS}),

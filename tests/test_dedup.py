@@ -237,3 +237,48 @@ def test_simhash_candidate_pairs_pigeonhole_recall(spark):
             want[(min(i, j), max(i, j))] = h
     assert got == want and (0, 1) in got and (0, 3) in got
 
+
+
+def test_dedup_groups_star_topologies(spark):
+    """Chain, triangle, singleton — star rounds land on component minima."""
+    from clinical_vector_search_spark.operators.dedup import dedup_groups_star
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)], "a_id long, b_id long"
+    )
+    got = {r.doc_id: r.group_id
+           for r in dedup_groups_star(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3, 6: 6}
+
+
+def test_dedup_groups_star_adversarial_chain(spark):
+    """A 200-link path is the worst case for min-label propagation
+    (diameter rounds — dedup_groups would need 200 joins); the alternating
+    star rounds must collapse it to one component in O(log n) rounds."""
+    from clinical_vector_search_spark.operators.dedup import dedup_groups_star
+
+    n = 200
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    )
+    # max_iter=15 would be far beyond reach for diameter-bound propagation
+    got = {r.doc_id: r.group_id
+           for r in dedup_groups_star(ids, pairs, max_iter=15).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_groups_star_matches_propagation_on_corpus(spark, sf_dir):
+    """Operator equivalence on real candidate pairs: the O(log n) star
+    variant and the diameter-round propagation must assign identical
+    groups over the sf corpus."""
+    from clinical_vector_search_spark.operators.dedup import dedup_groups_star
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = ngram_jaccard_pairs(docs, shingle_size=3, threshold=0.2)
+    prop = {r.doc_id: r.group_id
+            for r in dedup_groups(docs.select("doc_id"), pairs).collect()}
+    star = {r.doc_id: r.group_id
+            for r in dedup_groups_star(docs.select("doc_id"), pairs).collect()}
+    assert star == prop
