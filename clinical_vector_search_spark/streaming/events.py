@@ -568,26 +568,24 @@ def sessionize_skew(
         F.min("ts_ns").alias("session_start_ns"),
         F.max("ts_ns").alias("session_end_ns"),
         F.sum("value").alias("sum_value"),
-        F.max("new_session").alias("_any_new"),  # only for the offset calc
+        F.max("new_session").alias("_any_new"),  # only for the numbering
     )
-    offsets = (
-        part.groupBy("user_id", "rng")
-        .agg(F.sum("_any_new").alias("n_new"))
-        .withColumn(
-            "cum_before",
-            F.coalesce(
-                F.sum("n_new").over(
-                    w_rng.rowsBetween(Window.unboundedPreceding, -1)
-                ),
-                F.lit(0),
+    # Global numbering in ONE session-granularity window: runs ordered by
+    # (rng, local_run) per user; each run that opened a session carries
+    # _any_new = 1, a local_run of 0 (range opens mid-session) carries 0 and
+    # therefore inherits the PREVIOUS range's last number. The running sum
+    # equals sessions-closed-before-this-range + local_run — the same value
+    # the former per-range offset join produced, minus its groupBy + join
+    # stages. Partitioned by user over SESSION rows (bounded: events/gap),
+    # not events, so the skew-safety contract is preserved.
+    w_sess = Window.partitionBy("user_id").orderBy("rng", "local_run")
+    return (
+        part.withColumn(
+            "session_num",
+            F.sum("_any_new").over(
+                w_sess.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )
-    )
-    # a local_run of 0 (range opens mid-session) maps onto the PREVIOUS
-    # range's last session: cum_before + 0 == that session's number
-    return (
-        part.join(offsets.select("user_id", "rng", "cum_before"), ["user_id", "rng"])
-        .withColumn("session_num", F.col("cum_before") + F.col("local_run"))
         .groupBy("user_id", "session_num")
         .agg(
             F.sum("n_events").alias("n_events"),
