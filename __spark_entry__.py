@@ -1727,6 +1727,28 @@ def q_io_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout key over (l_partkey, l_orderkey) with
+    data-derived bounds — io/layout.py zorder_key, the clustering key
+    behind zorder_write's multi-dimensional file pruning (envelope payoff
+    asserted in tests/test_layout.py; here the oracle pins the exact
+    integer bit-interleave both engines must agree on)."""
+    from clinical_vector_search_spark.io.layout import zorder_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
+    ).first()
+    key = zorder_key(
+        [("l_partkey", b[0], b[1]), ("l_orderkey", b[2], b[3])], bits=8
+    )
+    return (
+        li.filter(F.col("l_orderkey") < 300)
+        .select("l_orderkey", "l_linenumber", "l_partkey", key.alias("zkey"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (VERDICT r4 task 1):
@@ -1785,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "io_compact_roundtrip": q_io_compact_roundtrip,
         "dedup_groups_star": q_dedup_groups_star,
+        "io_zorder_key": q_io_zorder_key,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3367,6 +3390,22 @@ def oracle_sql() -> dict[str, str]:
     s["io_compact_roundtrip"] = """
         SELECT doc_id, source, n_chars, 1::BIGINT AS n_files_after
         FROM documents
+    """
+
+    # z-order key: the SQL twin is generated from the SAME spec as the
+    # Spark expression (io/layout.py), bounds via a one-row bounds CTE
+    from clinical_vector_search_spark.io.layout import zorder_key_sql
+
+    _zsql = zorder_key_sql(
+        [("l_partkey", "b.lo_p", "b.hi_p"), ("l_orderkey", "b.lo_o", "b.hi_o")],
+        bits=8,
+    )
+    s["io_zorder_key"] = f"""
+        WITH b AS (SELECT min(l_partkey) AS lo_p, max(l_partkey) AS hi_p,
+                          min(l_orderkey) AS lo_o, max(l_orderkey) AS hi_o
+                   FROM lineitem)
+        SELECT l_orderkey, l_linenumber, l_partkey, {_zsql} AS zkey
+        FROM lineitem, b WHERE l_orderkey < 300
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

@@ -1,0 +1,101 @@
+"""Z-order layout: Morton-key exactness (vs a Python reference and the
+SQL oracle twin) and the actual pruning payoff — clustered files must
+have tight per-dimension min/max envelopes."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.io.layout import (
+    zorder_key,
+    zorder_key_sql,
+    zorder_write,
+)
+
+
+def _morton_py(vals: list[int], bits: int) -> int:
+    out = 0
+    n = len(vals)
+    for i, v in enumerate(vals):
+        for b in range(bits):
+            out |= ((v >> b) & 1) << (b * n + i)
+    return out
+
+
+def test_zorder_key_is_exact_morton_on_full_grid(spark):
+    """On an aligned 2^bits x 2^bits grid the key must be the exact Morton
+    permutation of 0..4^bits-1 — bijective, no quantization slack."""
+    bits = 6
+    side = 1 << bits
+    df = spark.range(side * side).select(
+        (F.col("id") / side).cast("long").alias("x"),
+        (F.col("id") % side).alias("y"),
+    )
+    key = zorder_key([("x", 0, side - 1), ("y", 0, side - 1)], bits=bits)
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", key.alias("z")).collect()}
+    assert len(set(got.values())) == side * side  # bijection
+    for (x, y), z in got.items():
+        assert z == _morton_py([x, y], bits)
+
+
+def test_zorder_key_sql_twin_parity(spark):
+    """Spark expression and DuckDB SQL rendering agree bit-for-bit,
+    including clamping and non-power-of-two bounds quantization."""
+    rows = [(i, 7 + (i * 37) % 450, -3 + (i * 91) % 800) for i in range(300)]
+    pdf = pd.DataFrame(rows, columns=["rid", "a", "b"])
+    cols = [("a", 10, 400), ("b", 0, 777)]  # clamps both ends
+    sdf = spark.createDataFrame(pdf).select(
+        "rid", zorder_key(cols, bits=7).alias("z")
+    )
+    got = {r.rid: r.z for r in sdf.collect()}
+
+    con = duckdb.connect()
+    con.register("t", pdf)
+    sql = f"SELECT rid, {zorder_key_sql(cols, bits=7)} AS z FROM t"
+    want = {int(rid): int(z) for rid, z in con.execute(sql).fetchall()}
+    assert got == want
+
+
+def test_zorder_write_tightens_file_envelopes(spark, sf_dir, tmp_path):
+    """The point of the layout: after clustering lineitem on
+    (l_partkey, l_suppkey), each output file's min/max envelope must cover
+    a small fraction of BOTH key domains (so scans with predicates on
+    either column can prune most files), while an unclustered shuffle
+    write covers nearly all of each domain in every file."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_orderkey"
+    )
+    b = li.agg(
+        F.min("l_partkey"), F.max("l_partkey"),
+        F.min("l_orderkey"), F.max("l_orderkey"),
+    ).first()
+    dom_p, dom_o = b[1] - b[0] + 1, b[3] - b[2] + 1
+    cols = [("l_partkey", b[0], b[1]), ("l_orderkey", b[2], b[3])]
+
+    def mean_envelope(path: str) -> tuple[float, float]:
+        files = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("l_partkey") - F.min("l_partkey")).alias("rp"),
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("ro"),
+            )
+            .agg(F.avg("rp").alias("rp"), F.avg("ro").alias("ro"))
+            .first()
+        )
+        return files.rp / dom_p, files.ro / dom_o
+
+    zpath = str(tmp_path / "z")
+    rpath = str(tmp_path / "r")
+    zorder_write(li, zpath, cols, n_files=16, bits=8)
+    li.repartition(16).write.mode("overwrite").parquet(rpath)
+
+    zp, zo = mean_envelope(zpath)
+    rp, ro = mean_envelope(rpath)
+    # round-robin layout: every file sees ~the whole domain of both dims
+    assert rp > 0.85 and ro > 0.85, (rp, ro)
+    # z-order: 16 curve segments -> each file covers a small slice of BOTH
+    # dims (a plain sort would give ~1/16 on one dim and ~1.0 on the other)
+    assert zp < 0.55 and zo < 0.55, (zp, zo)
