@@ -1749,6 +1749,43 @@ def q_io_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INCR_CORPUS_MAX = 400  # doc_id < 400 plays the existing corpus
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingest filter (operators/dedup.py
+    dedup_incremental): docs with id >= 400 play the incoming batch,
+    probed as a left-semi band/bucket join against the persisted MinHash
+    index of the id < 400 corpus — each batch shingles only itself."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < INCR_CORPUS_MAX)
+    new = docs.filter(F.col("doc_id") >= INCR_CORPUS_MAX)
+    idx = minhash_band_buckets(
+        minhash_signatures(corpus, MINHASH_HASHES, SHINGLE_N), 2
+    )
+    return dedup_incremental(
+        new, idx, MINHASH_HASHES, 2, SHINGLE_N
+    )
+
+
+def q_ids_dense_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global row ids == row_number() OVER (ORDER BY n_chars,
+    doc_id), computed WITHOUT a single-task global sort
+    (functions/ids.py dense_row_ids: range exchange + per-partition
+    numbering + count offsets; plan asserted SinglePartition-free in
+    tests/test_ids.py)."""
+    from clinical_vector_search_spark.functions.ids import dense_row_ids
+
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    return dense_row_ids(docs, ["n_chars", "doc_id"], n_partitions=16)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (VERDICT r4 task 1):
@@ -1808,6 +1845,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_compact_roundtrip": q_io_compact_roundtrip,
         "dedup_groups_star": q_dedup_groups_star,
         "io_zorder_key": q_io_zorder_key,
+        "ids_dense_rows": q_ids_dense_rows,
+        "dedup_incremental": q_dedup_incremental,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -2957,6 +2996,32 @@ def oracle_sql() -> dict[str, str]:
         FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx
     """
 
+    # incremental ingest filter: same signature family, banded with
+    # string_agg ordered by hash_idx (== Spark's array_sort-by-hash_idx
+    # band key); corpus = doc_id < INCR_CORPUS_MAX, batch = the rest
+    s["dedup_incremental"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values}) AS p(hash_idx, a, b)),
+        sigs AS (SELECT doc_id, hash_idx,
+                        min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+                 FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx),
+        bands AS (SELECT doc_id, hash_idx // 2 AS band,
+                         string_agg(sig::VARCHAR, '-' ORDER BY hash_idx) AS bk
+                  FROM sigs GROUP BY doc_id, hash_idx // 2),
+        corp AS (SELECT DISTINCT band, bk FROM bands
+                 WHERE doc_id < {INCR_CORPUS_MAX}),
+        hits AS (SELECT DISTINCT b.doc_id FROM bands b
+                 JOIN corp USING (band, bk)
+                 WHERE b.doc_id >= {INCR_CORPUS_MAX})
+        SELECT d.doc_id, (h.doc_id IS NOT NULL) AS corpus_dup
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+        WHERE d.doc_id >= {INCR_CORPUS_MAX}
+    """
+
     s["dedup_simhash"] = f"""
         WITH toks AS ({_TOKS}),
         t AS (SELECT doc_id, unnest(tokens) AS tok FROM toks),
@@ -3406,6 +3471,12 @@ def oracle_sql() -> dict[str, str]:
                    FROM lineitem)
         SELECT l_orderkey, l_linenumber, l_partkey, {_zsql} AS zkey
         FROM lineitem, b WHERE l_orderkey < 300
+    """
+
+    s["ids_dense_rows"] = """
+        SELECT doc_id, n_chars,
+               row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
+        FROM documents
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

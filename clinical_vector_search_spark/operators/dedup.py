@@ -160,6 +160,49 @@ def minhash_candidate_pairs(
     )
 
 
+def dedup_incremental(
+    new_docs: DataFrame,
+    corpus_buckets: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch-ingest near-dup filter: flag each NEW document whose MinHash
+    LSH bucket collides with the EXISTING corpus index.
+
+    The incremental shape of :func:`minhash_candidate_pairs`: the corpus
+    side is the persisted (doc_id, band, bucket) table built once by
+    :func:`minhash_band_buckets` ("index = data", io.tables) and only
+    appended as batches are accepted; each incoming batch shingles only
+    ITS OWN documents — cost ∝ batch size, not corpus size. The probe is
+    a left-semi join on (band, bucket) against the distinct corpus
+    buckets; both join sides are slim band/bucket rows, never document
+    bodies. Returns one row per new doc: (id_col, corpus_dup) —
+    shingle-less docs (shorter than the shingle size) can't collide and
+    come back False.
+    """
+    sigs = minhash_signatures(
+        new_docs, num_hashes, shingle_size, text_col, id_col
+    )
+    nb = minhash_band_buckets(sigs, rows_per_band, id_col)
+    hits = (
+        nb.join(
+            corpus_buckets.select("band", "bucket").distinct(),
+            ["band", "bucket"],
+            "left_semi",
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("corpus_dup", F.lit(True))
+    )
+    return new_docs.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("corpus_dup", F.lit(False)).alias("corpus_dup"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     shingle_size: int = 3,

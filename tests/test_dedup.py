@@ -282,3 +282,27 @@ def test_dedup_groups_star_matches_propagation_on_corpus(spark, sf_dir):
     star = {r.doc_id: r.group_id
             for r in dedup_groups_star(docs.select("doc_id"), pairs).collect()}
     assert star == prop
+
+
+def test_dedup_incremental_flags_corpus_collisions(spark):
+    """Exact dup of a corpus doc and a 1-word-edit near-dup must collide
+    with the persisted corpus bucket index; unrelated text must not."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (3, FAR)], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(10, BASE), (11, NEAR),
+         (12, "totally fresh text about streaming watermark semantics and "
+              "stateful aggregation timeouts in structured streaming")],
+        "doc_id long, text string",
+    )
+    idx = minhash_band_buckets(minhash_signatures(corpus, 8, 3), 2)
+    got = {r.doc_id: r.corpus_dup
+           for r in dedup_incremental(new, idx, 8, 2, 3).collect()}
+    assert got == {10: True, 11: True, 12: False}

@@ -1,0 +1,48 @@
+"""dense_row_ids: exact row_number parity without the single-task sort."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.functions.ids import dense_row_ids
+
+
+def test_dense_row_ids_matches_global_row_number(spark, sf_dir):
+    # (n_chars, doc_id) — composite with real ties on the first column,
+    # made unique by the second
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    got = {
+        r.doc_id: r.row_id
+        for r in dense_row_ids(
+            docs, ["n_chars", "doc_id"], n_partitions=7
+        ).collect()
+    }
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("n_chars", "doc_id")
+    want = {
+        r.doc_id: r.rid
+        for r in docs.select(
+            "doc_id", F.row_number().over(w).alias("rid")
+        ).collect()
+    }
+    assert got == want
+    n = len(want)
+    assert set(got.values()) == set(range(1, n + 1))  # dense 1..N
+
+
+def test_dense_row_ids_no_global_window_in_plan(spark, sf_dir):
+    """The physical plan must not contain a single-partition window — the
+    whole point is that every Window/Sort node runs per range partition."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = dense_row_ids(
+        docs, ["n_chars", "doc_id"], n_partitions=8
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dense_row_ids_empty_frame(spark):
+    df = spark.createDataFrame([], "k long")
+    assert dense_row_ids(df, ["k"]).count() == 0
