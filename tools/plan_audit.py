@@ -275,6 +275,52 @@ def main() -> int:
         plan = formatted(df)
         check(f"{name}: no CartesianProduct", "CartesianProduct" not in plan)
 
+    # 9. incremental dedup: corpus-index probe is a semi join, no cartesian
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    corp_idx = minhash_band_buckets(
+        minhash_signatures(docs.filter(F.col("doc_id") < 400)), 2
+    )
+    plan = formatted(
+        dedup_incremental(docs.filter(F.col("doc_id") >= 400), corp_idx)
+    )
+    check(
+        "dedup_incremental: semi-join probe, no CartesianProduct",
+        "LeftSemi" in plan and "CartesianProduct" not in plan,
+    )
+
+    # 10. dense row ids: every Window/Sort is per range partition — the
+    # plan must never funnel the table through a single partition
+    from clinical_vector_search_spark.functions.ids import dense_row_ids
+
+    plan = formatted(dense_row_ids(docs.select("doc_id", "n_chars"),
+                                   ["n_chars", "doc_id"], n_partitions=8))
+    check("dense_row_ids: no SinglePartition window/sort",
+          "SinglePartition" not in plan)
+
+    # 11. z-order write: clustering is a range exchange (sampled
+    # boundaries), not a global sort into one task
+    from clinical_vector_search_spark.io.layout import zorder_key
+
+    li_z = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    zdf = (
+        li_z.withColumn(
+            "_zkey",
+            zorder_key([("l_partkey", 0, 199), ("l_orderkey", 0, 6000)], 8),
+        )
+        .repartitionByRange(8, "_zkey")
+        .sortWithinPartitions("_zkey")
+    )
+    plan = formatted(zdf)
+    check(
+        "zorder layout: rangepartitioning exchange, no SinglePartition",
+        "rangepartitioning" in plan.lower() and "SinglePartition" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
