@@ -1749,6 +1749,20 @@ def q_io_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture rebalancing (pipeline/documents.py mixture_sample): target
+    domain proportions 50/30/20 over a 60-row budget; keep-rates derived
+    from observed counts, applied as the deterministic md5-threshold
+    filter. Untargeted sources drop."""
+    from clinical_vector_search_spark.pipeline.documents import mixture_sample
+
+    d = _docs(spark, sf_dir)
+    s = mixture_sample(d, {"src0": 0.5, "src1": 0.3, "src2": 0.2}, 60)
+    return s.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 INCR_CORPUS_MAX = 400  # doc_id < 400 plays the existing corpus
 
 
@@ -1847,6 +1861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_zorder_key": q_io_zorder_key,
         "ids_dense_rows": q_ids_dense_rows,
         "dedup_incremental": q_dedup_incremental,
+        "doc_mixture_sample": q_doc_mixture_sample,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -2994,6 +3009,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, hash_idx::INT AS hash_idx,
                min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
         FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx
+    """
+
+    # mixture rebalancing: thresholds derived in SQL from the same
+    # observed counts and double arithmetic as the Spark side
+    s["doc_mixture_sample"] = """
+        WITH cnt AS (SELECT source, count(*) AS n
+                     FROM documents GROUP BY source),
+        w AS (SELECT * FROM (VALUES ('src0', CAST(0.5 AS DOUBLE)),
+                                    ('src1', CAST(0.3 AS DOUBLE)),
+                                    ('src2', CAST(0.2 AS DOUBLE)))
+              AS t(source, frac)),
+        thr AS (SELECT source,
+                       CAST(floor(least(1.0, 60 * frac / n)
+                                  * 4294967296.0) AS BIGINT) AS t
+                FROM cnt JOIN w USING (source)),
+        b AS (SELECT d.source, d.n_chars, t,
+                     ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+                         AS bucket
+              FROM documents d JOIN thr USING (source))
+        SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM b WHERE bucket < t GROUP BY source
     """
 
     # incremental ingest filter: same signature family, banded with

@@ -144,6 +144,41 @@ def stratified_hash_sample(
     return df.filter(bucket < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    targets: dict[str, float],
+    total_n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Rebalance a corpus to target domain proportions — the data-mixing
+    step of a training pipeline ("books 50%, web 30%, code 20%"): the
+    per-domain keep-rate ``min(1, total_n · target_d / n_d)`` is derived
+    from the OBSERVED domain counts (one map-side-combined agg; #domains
+    rows to the driver — bounded like the k-means partials), then applied
+    as :func:`stratified_hash_sample`'s deterministic md5-threshold
+    filter — map-side, shuffle-free on the data path, reproducible across
+    engines/re-runs/partitionings.
+
+    Domains absent from ``targets`` are dropped (rate 0). Scarce domains
+    cap at keeping 100% — the availability limit (no upsampling; callers
+    wanting replication handle that separately). Expected output size is
+    ``≈ total_n`` when every domain has enough rows.
+    """
+    counts = {
+        r[strata_col]: r["n"]
+        for r in df.groupBy(strata_col).agg(F.count("*").alias("n")).collect()
+    }
+    fractions = {}
+    for dom, frac in targets.items():
+        n_d = counts.get(dom, 0)
+        if n_d:
+            fractions[dom] = min(1.0, total_n * frac / n_d)
+    return stratified_hash_sample(
+        df, fractions, strata_col, id_col, default_rate=0.0
+    )
+
+
 def weighted_hash_sample(
     df: DataFrame,
     n: int,

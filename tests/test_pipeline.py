@@ -401,3 +401,33 @@ def test_weighted_hash_sample_matches_reference_and_respects_weights(
     )
     picked = {r.doc_id for r in weighted_hash_sample(tiny, 20, "w").collect()}
     assert all(d % 2 == 0 for d in picked)
+
+
+def test_mixture_sample_rebalances_to_targets(spark, sf_dir):
+    """Keep-rates derive from observed domain counts; untargeted domains
+    drop; scarce domains cap at 100% (availability limit)."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        mixture_sample,
+        stratified_hash_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    targets = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    out = mixture_sample(docs, targets, total_n=60)
+
+    # only targeted domains survive
+    assert {r.source for r in out.select("source").distinct().collect()} \
+        <= set(targets)
+
+    # rates match the explicit stratified spelling on the same counts
+    counts = {r.source: r.n for r in docs.groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    rates = {d: min(1.0, 60 * f / counts[d]) for d, f in targets.items()}
+    want = sorted(r.doc_id for r in
+                  stratified_hash_sample(docs, rates).collect())
+    assert sorted(r.doc_id for r in out.collect()) == want
+
+    # asking for more than exists keeps every row of the domain
+    n_src0 = counts["src0"]
+    all_src0 = mixture_sample(docs, {"src0": 1.0}, total_n=10**6)
+    assert all_src0.count() == n_src0
