@@ -1763,6 +1763,16 @@ def q_doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document sentence-span dedup (operators/dedup.py span_dedup,
+    the C4/RefinedWeb boilerplate-removal shape): each normalized span
+    survives only at its first (doc_id, pos) occurrence; docs reassembled
+    from surviving spans."""
+    from clinical_vector_search_spark.operators.dedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
 INCR_CORPUS_MAX = 400  # doc_id < 400 plays the existing corpus
 
 
@@ -1862,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ids_dense_rows": q_ids_dense_rows,
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
+        "dedup_spans": q_dedup_spans,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3030,6 +3041,30 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN thr USING (source))
         SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM b WHERE bucket < t GROUP BY source
+    """
+
+    # span-level dedup: first-occurrence winners via row_number (the
+    # oracle can afford the window; Spark side uses the skew-safe
+    # groupBy-min), reassembly via ordered string_agg
+    s["dedup_spans"] = r"""
+        WITH u0 AS (SELECT doc_id,
+                unnest(regexp_split_to_array(text, '\.\s+')) AS unit,
+                unnest(range(1, len(regexp_split_to_array(text, '\.\s+')) + 1))
+                    AS pos
+            FROM documents),
+        f AS (SELECT doc_id, pos, unit, lower(trim(unit)) AS k
+              FROM u0 WHERE trim(unit) <> ''),
+        kept AS (SELECT doc_id, pos, unit FROM
+                 (SELECT f.*, row_number()
+                         OVER (PARTITION BY k ORDER BY doc_id, pos) AS rn
+                  FROM f)
+                 WHERE rn = 1),
+        rb AS (SELECT doc_id, count(*) AS n_kept,
+                      string_agg(unit, '. ' ORDER BY pos) AS text_dedup
+               FROM kept GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(rb.n_kept, 0) AS n_kept,
+               coalesce(rb.text_dedup, '') AS text_dedup
+        FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
     """
 
     # incremental ingest filter: same signature family, banded with

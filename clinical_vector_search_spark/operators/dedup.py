@@ -203,6 +203,68 @@ def dedup_incremental(
     )
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    delim: str = r"\.\s+",
+    joiner: str = ". ",
+) -> DataFrame:
+    """Cross-document span-level dedup (the C4 / RefinedWeb shape): every
+    sentence-span that occurs in more than one place is kept only at its
+    FIRST occurrence (ordered by (doc id, position)) and removed
+    everywhere else; documents are reassembled from their surviving
+    spans. This is the boilerplate-killer — repeated disclaimers,
+    navigation text, licence blocks — that document-level dedup cannot
+    touch.
+
+    Plan: split+posexplode (map-side) → winner per normalized span via
+    groupBy-min(struct(doc_id, pos)) — a MAP-SIDE-COMBINED aggregation,
+    so a span repeated a billion times collapses to one row per input
+    partition before the shuffle (the skew-safe alternative to a
+    row_number window, which would funnel all copies of one hot span
+    into one task) → equi-join spans⋈winners on the span key →
+    reassemble with one groupBy(doc id). Two span-sized shuffles total.
+
+    Returns one row per input doc: (id_col, n_kept, text_dedup) —
+    docs whose every span was claimed elsewhere come back with
+    n_kept = 0 and an empty string.
+    """
+    units = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "unit"),
+        )
+        .filter(F.trim(F.col("unit")) != "")
+        .withColumn("k", F.lower(F.trim(F.col("unit"))))
+    )
+    winners = units.groupBy("k").agg(
+        F.min(F.struct(id_col, "pos")).alias("w")
+    )
+    kept = units.join(winners, "k").filter(
+        (F.col(id_col) == F.col(f"w.{id_col}")) & (F.col("pos") == F.col("w.pos"))
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda s: s["unit"],
+            ),
+            joiner,
+        ).alias("text_dedup"),
+    )
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     shingle_size: int = 3,

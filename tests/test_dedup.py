@@ -306,3 +306,25 @@ def test_dedup_incremental_flags_corpus_collisions(spark):
     got = {r.doc_id: r.corpus_dup
            for r in dedup_incremental(new, idx, 8, 2, 3).collect()}
     assert got == {10: True, 11: True, 12: False}
+
+
+def test_span_dedup_removes_cross_doc_boilerplate(spark):
+    """A sentence repeated across docs survives only at its first
+    (doc_id, pos) occurrence; unique sentences all survive; a doc made
+    entirely of claimed spans comes back empty."""
+    from clinical_vector_search_spark.operators.dedup import span_dedup
+
+    boiler = "all rights reserved contact us for details"
+    rows = [
+        (0, f"alpha unique sentence. {boiler}. omega closing thought"),
+        (1, f"{boiler}. beta standalone insight"),
+        (2, f"{boiler}"),
+        (3, "gamma totally original. delta also original"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_kept, r.text_dedup)
+           for r in span_dedup(df).collect()}
+    assert got[0] == (3, f"alpha unique sentence. {boiler}. omega closing thought")
+    assert got[1] == (1, "beta standalone insight")
+    assert got[2] == (0, "")
+    assert got[3] == (2, "gamma totally original. delta also original")
