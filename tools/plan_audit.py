@@ -293,6 +293,16 @@ def main() -> int:
         "LeftSemi" in plan and "CartesianProduct" not in plan,
     )
 
+    # 9b. span dedup: winner selection must be the map-side-combined
+    # groupBy-min, never a per-key row_number window (hot-span funnel)
+    from clinical_vector_search_spark.operators.dedup import span_dedup
+
+    plan = formatted(span_dedup(docs))
+    check(
+        "span_dedup: no Window winner-selection, no CartesianProduct",
+        n_nodes(plan, "Window") == 0 and "CartesianProduct" not in plan,
+    )
+
     # 10. dense row ids: every Window/Sort is per range partition — the
     # plan must never funnel the table through a single partition
     from clinical_vector_search_spark.functions.ids import dense_row_ids
