@@ -218,27 +218,32 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"warmup baseline failed: {ex}", file=sys.stderr)
 
-    # best-of-3: first execution of a plan family pays one-time JVM/codegen
-    # compilation (measured ~7s on the DP expression tree), and local[32]
-    # runs see ±2x scheduler/GC noise on sub-second queries; the min
-    # reflects steady-state throughput, the 100TB-relevant number
+    # best-of-3, repetitions INTERLEAVED round-robin across queries: first
+    # execution of a plan family pays one-time JVM/codegen compilation
+    # (measured ~7s on the DP expression tree), local[32] runs see ±2x
+    # scheduler/GC noise on sub-second queries, and the shared host adds
+    # multi-second noise WINDOWS (observed: identical runs 7.2s vs 13.4s
+    # total) — consecutive reps of one query would all land inside such a
+    # window, so each rep sweep visits every query once and the per-query
+    # min is taken across sweeps. The min reflects steady-state
+    # throughput, the 100TB-relevant number.
     times: dict[str, float] = {}
-    for name, fn in benches.items():
-        # JVM GC between query families: leftover garbage from the previous
-        # family's shuffles otherwise triggers collections mid-measurement
-        # (observed ±2x noise on sub-second queries)
-        spark._jvm.System.gc()
-        best = -1.0
-        try:
-            for _ in range(3):
+    for _sweep in range(3):
+        for name, fn in benches.items():
+            if times.get(name, 0.0) < 0:
+                continue  # failed in an earlier sweep
+            # JVM GC between query families: leftover garbage from the
+            # previous family's shuffles otherwise triggers collections
+            # mid-measurement (observed ±2x noise on sub-second queries)
+            spark._jvm.System.gc()
+            try:
                 t0 = time.time()
                 materialize(fn())
                 dt = round(time.time() - t0, 3)
-                best = dt if best < 0 else min(best, dt)
-        except Exception as ex:  # noqa: BLE001
-            print(f"bench {name} failed: {ex}", file=sys.stderr)
-            best = -1.0
-        times[name] = best
+                times[name] = min(times.get(name, dt), dt)
+            except Exception as ex:  # noqa: BLE001
+                print(f"bench {name} failed: {ex}", file=sys.stderr)
+                times[name] = -1.0
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     print(json.dumps({
