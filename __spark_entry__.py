@@ -1773,6 +1773,17 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup(_docs(spark, sf_dir))
 
 
+def q_dedup_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-token-window scoring (operators/dedup.py
+    repeated_window_fraction — the Lee et al. exact-substring duplication
+    signal at window granularity): per-doc hot-window fraction."""
+    from clinical_vector_search_spark.operators.dedup import (
+        repeated_window_fraction,
+    )
+
+    return repeated_window_fraction(_docs(spark, sf_dir), 5, 2)
+
+
 INCR_CORPUS_MAX = 400  # doc_id < 400 plays the existing corpus
 
 
@@ -1873,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
+        "dedup_repeated_windows": q_dedup_repeated_windows,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3065,6 +3077,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, coalesce(rb.n_kept, 0) AS n_kept,
                coalesce(rb.text_dedup, '') AS text_dedup
         FROM documents d LEFT JOIN rb ON d.doc_id = rb.doc_id
+    """
+
+    # repeated-window scoring: 5-token windows (non-distinct), hotness by
+    # distinct-doc count, same md5-long gram key as the Spark side
+    s["dedup_repeated_windows"] = f"""
+        WITH toks AS ({_TOKS}),
+        w AS (SELECT doc_id, unnest(
+                CASE WHEN len(tokens) >= 5
+                     THEN [array_to_string(tokens[i:i+4], ' ')
+                           FOR i IN range(1, len(tokens) - 3)]
+                     ELSE []::VARCHAR[] END) AS gram
+              FROM toks),
+        g AS (SELECT doc_id, {_MD5L.format(x="gram")} AS g FROM w),
+        hot AS (SELECT g FROM g GROUP BY g
+                HAVING count(DISTINCT doc_id) >= 2),
+        st AS (SELECT t.doc_id, count(*) AS n_windows,
+                      sum(CASE WHEN h.g IS NOT NULL THEN 1 ELSE 0 END)
+                          AS n_repeated
+               FROM g t LEFT JOIN hot h ON t.g = h.g
+               GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               coalesce(n_windows, 0)::BIGINT AS n_windows,
+               coalesce(n_repeated, 0)::BIGINT AS n_repeated,
+               CASE WHEN coalesce(n_windows, 0) > 0
+                    THEN round(coalesce(n_repeated, 0)::DOUBLE / n_windows, 6)
+                    ELSE 0.0 END AS frac_repeated
+        FROM documents d LEFT JOIN st ON d.doc_id = st.doc_id
     """
 
     # incremental ingest filter: same signature family, banded with

@@ -265,6 +265,66 @@ def span_dedup(
     )
 
 
+def repeated_window_fraction(
+    df: DataFrame,
+    window_tokens: int = 5,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document repeated token-window scoring — the exact-substring
+    duplication signal of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (ACL'22), approximated at fixed token-window
+    granularity instead of a distributed suffix array: every
+    ``window_tokens``-gram occurring in >= ``min_docs`` DISTINCT documents
+    is "hot", and each document is scored by the fraction of its window
+    positions covered by hot grams — the memorization-risk number used to
+    cut or down-weight documents.
+
+    Within-doc repetition deliberately does NOT flag (that is
+    ``functions.text`` Gopher-repetition's job): hotness counts distinct
+    documents, so a chorus repeated 50× inside one song scores 0 here.
+
+    Plan: codegen lead-window gram rows (one shuffle on id), gram key
+    md5-hashed so the hotness groupBy shuffles 8-byte keys instead of
+    gram text, hot set map-side-combined via count_distinct, one left
+    join back, one per-doc count. Every stage is gram- or doc-sized —
+    no pairs, no quadratic blow-up.
+    """
+    wins = TXT.shingle_rows(
+        df, window_tokens, text_col, id_col, distinct=False
+    ).select(F.col(id_col), H.md5_long(F.col("shingle")).alias("g"))
+    hot = (
+        wins.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g", F.lit(1).alias("_hot"))
+    )
+    stats = (
+        wins.join(hot, "g", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("_hot", F.lit(0))).alias("n_repeated"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(stats, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+            F.coalesce("n_repeated", F.lit(0)).alias("n_repeated"),
+            F.when(
+                F.coalesce("n_windows", F.lit(0)) > 0,
+                F.round(F.col("n_repeated") / F.col("n_windows"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac_repeated"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     shingle_size: int = 3,

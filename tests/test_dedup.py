@@ -328,3 +328,35 @@ def test_span_dedup_removes_cross_doc_boilerplate(spark):
     assert got[1] == (1, "beta standalone insight")
     assert got[2] == (0, "")
     assert got[3] == (2, "gamma totally original. delta also original")
+
+
+def test_repeated_window_fraction_cross_doc_only(spark):
+    """Windows shared across docs count; repetition inside one doc does
+    not; window math is len - W + 1."""
+    from clinical_vector_search_spark.operators.dedup import (
+        repeated_window_fraction,
+    )
+
+    shared = "one two three four five"          # 5 tokens = 1 window (W=5)
+    rows = [
+        (0, f"{shared} alpha beta gamma"),      # 8 tokens -> 4 windows
+        (1, f"prefix words here {shared}"),     # 8 tokens -> 4 windows
+        (2, f"{shared} {shared}"),              # self-repeat + cross-doc hot
+        (3, "aa bb cc dd ee ff gg hh"),         # unique, 4 windows
+        (4, "too short"),                       # < W tokens -> 0 windows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_windows, r.n_repeated)
+           for r in repeated_window_fraction(df, 5, 2).collect()}
+    # docs 0/1: exactly the one shared window is hot
+    assert got[0] == (4, 1) and got[1] == (4, 1)
+    # doc 2: 10 tokens -> 6 windows; hot gram appears at positions 0 and 5
+    assert got[2] == (6, 2)
+    assert got[3] == (4, 0)
+    assert got[4] == (0, 0)
+
+    # within-doc-only repetition must NOT flag: same doc 2 text alone
+    solo = spark.createDataFrame([(9, f"{shared} {shared}")],
+                                 "doc_id long, text string")
+    r = repeated_window_fraction(solo, 5, 2).collect()[0]
+    assert (r.n_windows, r.n_repeated) == (6, 0)
