@@ -182,6 +182,13 @@ def main() -> None:
 
         return sessionize_skew(read_events(spark, sf_dir), 1800, 7200)
 
+    def bench_span_dedup():
+        # C4-style cross-doc sentence-span dedup: posexplode + skew-safe
+        # groupBy-min winners + reassembly (operators/dedup.py span_dedup)
+        from clinical_vector_search_spark.operators.dedup import span_dedup
+
+        return span_dedup(docs)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -205,6 +212,7 @@ def main() -> None:
         "events_sessionize": bench_sessionize,
         "events_sessionize_skew": bench_sessionize_skew,
         "pq_adc": bench_pq_adc,
+        "span_dedup": bench_span_dedup,
         "rel_pricing_summary": bench_pricing,
     }
 
