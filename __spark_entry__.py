@@ -1784,6 +1784,19 @@ def q_dedup_repeated_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_window_fraction(_docs(spark, sf_dir), 5, 2)
 
 
+def q_io_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant dataset content fingerprint (functions/hashing.py
+    dataset_fingerprint): one (n_rows, content_hash) row over documents —
+    map-side XOR of per-row md5-longs, the lineage/reproducibility
+    identity check."""
+    from clinical_vector_search_spark.functions.hashing import (
+        dataset_fingerprint,
+    )
+
+    cols = ["doc_id", "source", "text", "n_chars"]
+    return dataset_fingerprint(_docs(spark, sf_dir).select(*cols), cols)
+
+
 INCR_CORPUS_MAX = 400  # doc_id < 400 plays the existing corpus
 
 
@@ -1885,6 +1898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
         "dedup_repeated_windows": q_dedup_repeated_windows,
+        "io_dataset_fingerprint": q_io_dataset_fingerprint,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3053,6 +3067,19 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN thr USING (source))
         SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM b WHERE bucket < t GROUP BY source
+    """
+
+    # dataset fingerprint: same NULL-sentinel rendering and 60-bit md5
+    # XOR as functions/hashing.py dataset_fingerprint
+    s["io_dataset_fingerprint"] = """
+        SELECT count(*)::BIGINT AS n_rows,
+               bit_xor(('0x' || substr(md5(concat_ws('|',
+                   coalesce(doc_id::VARCHAR, chr(0) || 'null'),
+                   coalesce(source, chr(0) || 'null'),
+                   coalesce(text, chr(0) || 'null'),
+                   coalesce(n_chars::VARCHAR, chr(0) || 'null'))),
+                   1, 15))::BIGINT) AS content_hash
+        FROM documents
     """
 
     # span-level dedup: first-occurrence winners via row_number (the

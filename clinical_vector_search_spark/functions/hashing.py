@@ -37,3 +37,38 @@ def md5_bit(c: Column | str, bit: int) -> Column:
     SimHash. Returns 0/1 int. ``bit`` must be a Python int (expressions are
     generated per-bit at plan-build time)."""
     return F.shiftright(md5_long(c), bit).bitwiseAND(F.lit(1))
+
+
+def dataset_fingerprint(df, cols: list[str]):
+    """Order-invariant content fingerprint of a DataFrame — the dataset
+    identity primitive for lineage / reproducibility checks ("is the
+    corpus we trained on byte-identical to the one we audited?"): one row
+    (n_rows, content_hash) where content_hash is the XOR of each row's
+    md5-long over ``cols`` rendered with an explicit NULL sentinel.
+
+    Properties that matter at 100 TB: entirely map-side until a single
+    scalar combine (XOR and count are commutative + associative, so
+    partial aggregation does all the work), invariant to row order and
+    partitioning, and exactly reproducible in any engine with md5 —
+    including the SQL oracle. XOR (not sum) keeps the accumulator in
+    int64 without overflow semantics entering the contract.
+
+    NULL handling: each column is rendered as ``coalesce(cast(c as
+    string), '\\x00null')`` and joined with '|', so NULL ≠ 'null' ≠ ''.
+    Multiset caveat: XOR cancels PAIRS of identical rows; datasets that
+    may contain exact duplicate rows should fingerprint after adding a
+    disambiguating id column (e.g. a doc id, which every table here has).
+    """
+    from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
+
+    rendered = F.concat_ws(
+        "|",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
+            for c in cols
+        ],
+    )
+    return df.select(md5_long(rendered).alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(h)").alias("content_hash"),
+    )

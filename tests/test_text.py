@@ -290,3 +290,40 @@ def test_normalize_text_pd_goldens(spark):
         4: "strasse",
         5: None,
     }
+
+
+def test_dataset_fingerprint_order_invariant_null_distinct(spark):
+    """Fingerprint is invariant to row order/partitioning; NULL, 'null'
+    and '' render distinctly; any single-value change flips the hash."""
+    from pyspark.sql import functions as F
+
+    from clinical_vector_search_spark.functions.hashing import (
+        dataset_fingerprint,
+    )
+
+    rows = [(1, "a"), (2, None), (3, "null"), (4, "")]
+    df = spark.createDataFrame(rows, "id long, v string")
+    a = dataset_fingerprint(df, ["id", "v"]).collect()[0]
+    b = dataset_fingerprint(
+        df.repartition(5).orderBy(F.rand(3)), ["id", "v"]
+    ).collect()[0]
+    assert (a.n_rows, a.content_hash) == (4, b.content_hash) == (4, a.content_hash)
+
+    # NULL vs the string 'null' vs '' must hash differently
+    c = dataset_fingerprint(
+        spark.createDataFrame([(2, "null")], "id long, v string"), ["id", "v"]
+    ).collect()[0]
+    d = dataset_fingerprint(
+        spark.createDataFrame([(2, None)], "id long, v string"), ["id", "v"]
+    ).collect()[0]
+    e = dataset_fingerprint(
+        spark.createDataFrame([(2, "")], "id long, v string"), ["id", "v"]
+    ).collect()[0]
+    assert len({c.content_hash, d.content_hash, e.content_hash}) == 3
+
+    # a one-value edit changes the dataset identity
+    f_ = dataset_fingerprint(
+        df.withColumn("v", F.when(F.col("id") == 1, "b").otherwise(F.col("v"))),
+        ["id", "v"],
+    ).collect()[0]
+    assert f_.content_hash != a.content_hash
