@@ -129,3 +129,65 @@ def test_chunk_rows_covers_every_token(spark, text, size, overlap):
     assert rebuilt == toks
     for _seq, ctoks, _n in chunks[:-1]:
         assert len(ctoks) == size
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**9), max_value=10**9),
+            st.integers(min_value=-(10**9), max_value=10**9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=1, max_value=12),  # bits
+)
+def test_zorder_key_matches_python_reference(spark, pts, bits):
+    """For ANY point set and resolution, the Spark Morton key equals a
+    pure-Python clamp -> quantize -> interleave reference."""
+    from clinical_vector_search_spark.io.layout import zorder_key
+
+    lo_x, hi_x = -1000, 999983  # non-power-of-two, negative lo
+    lo_y, hi_y = 7, 5000
+    nb = 1 << bits
+
+    def ref(x, y):
+        out = 0
+        for i, (v, lo, hi) in enumerate(((x, lo_x, hi_x), (y, lo_y, hi_y))):
+            v = max(lo, min(hi, v))
+            q = min(nb - 1, (v - lo) * nb // (hi - lo + 1))
+            for b in range(bits):
+                out |= ((q >> b) & 1) << (b * 2 + i)
+        return out
+
+    df = spark.createDataFrame(
+        [(i, x, y) for i, (x, y) in enumerate(pts)],
+        "rid long, x long, y long",
+    )
+    key = zorder_key([("x", lo_x, hi_x), ("y", lo_y, hi_y)], bits=bits)
+    got = {r.rid: r.z for r in df.select("rid", key.alias("z")).collect()}
+    want = {i: ref(x, y) for i, (x, y) in enumerate(pts)}
+    assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.integers(min_value=-(10**6), max_value=10**6),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    ),
+    st.integers(min_value=1, max_value=9),
+)
+def test_dense_row_ids_is_rank_for_any_keys(spark, keys, nparts):
+    """For ANY unique key set and partition count, dense_row_ids assigns
+    exactly the 1-based sort rank."""
+    from clinical_vector_search_spark.functions.ids import dense_row_ids
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    got = {r.k: r.row_id
+           for r in dense_row_ids(df, ["k"], n_partitions=nparts).collect()}
+    want = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert got == want
