@@ -24,7 +24,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from clinical_vector_search_spark.functions import hashing as H
 from clinical_vector_search_spark.functions import text as TXT
@@ -487,13 +486,17 @@ def dedup_groups_star(
       * small-star: on the hi→lo oriented edges, every node of
         N(u) ∪ {u} re-hooks to m = min(N(u) ∪ {u}).
 
-    Plan shape per round: two window-min shuffles + distinct; edges are
-    ``localCheckpoint``-ed each round to truncate the join-loop lineage.
-    Convergence = (count, xor-of-xxhash64) fingerprint equality — two
-    cheap aggs, no symmetric-difference join. The same per-round convergence
-    action any iterative algorithm (Lloyd's, label propagation) performs.
+    Plan shape per round: neighborhood minima via groupBy-min (MAP-SIDE
+    combined — a duplication hub with 10⁹ neighbors collapses to one row
+    per input partition before the shuffle, where a window-min would
+    funnel and sort the whole neighborhood in one task) joined back onto
+    the edges (streaming hash join, AQE-skew-splittable), then distinct;
+    edges are ``localCheckpoint``-ed each round to truncate the join-loop
+    lineage. Convergence = (count, xor-of-xxhash64) fingerprint equality —
+    two cheap aggs, no symmetric-difference join. The same per-round
+    convergence action any iterative algorithm (Lloyd's, label
+    propagation) performs.
     """
-    w_u = Window.partitionBy("u")
     # canonical hi→lo orientation; self-loops dropped
     edges = (
         pairs.select(
@@ -517,19 +520,22 @@ def dedup_groups_star(
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
+        lmins = sym.groupBy("u").agg(F.min("v").alias("mn"))
         large = (
-            sym.withColumn("m", F.least(F.col("u"), F.min("v").over(w_u)))
+            sym.join(lmins, "u")
+            .withColumn("m", F.least(F.col("u"), F.col("mn")))
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
         # small-star input is hi→lo oriented (m <= u < v above), so
-        # min(N(u) ∪ {u}) is simply min(v) within the partition
-        with_m = large.withColumn("m", F.min("v").over(w_u))
+        # min(N(u) ∪ {u}) is simply min(v) per u
+        smins = large.groupBy("u").agg(F.min("v").alias("m"))
+        with_m = large.join(smins, "u")
         small = (
             with_m.filter(F.col("v") != F.col("m"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(with_m.select("u", F.col("m").alias("v")))
+            .union(with_m.select("u", F.col("m").alias("v")).distinct())
             .distinct()
             .localCheckpoint()
         )
