@@ -229,13 +229,16 @@ def span_dedup(
     docs whose every span was claimed elsewhere come back with
     n_kept = 0 and an empty string.
     """
+    # the span key is the md5-long of the normalized span, not the text:
+    # the winner groupBy and the join back shuffle 8-byte keys, and the
+    # span text rides along only once (for reassembly)
     units = (
         df.select(
             F.col(id_col),
             F.posexplode(F.split(F.col(text_col), delim)).alias("pos", "unit"),
         )
         .filter(F.trim(F.col("unit")) != "")
-        .withColumn("k", F.lower(F.trim(F.col("unit"))))
+        .withColumn("k", H.md5_long(F.lower(F.trim(F.col("unit")))))
     )
     winners = units.groupBy("k").agg(
         F.min(F.struct(id_col, "pos")).alias("w")
