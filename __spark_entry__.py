@@ -1838,12 +1838,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (VERDICT r4 task 1):
     #   1. the 38 entries with NO r4 driver row (last row r3/r2, all
-    #      locally re-verified green at sf0.01 in r4)
-    #   2. entries new in r5
-    #   3. entries whose ONLY driver row is r4 (the r4-new section) —
-    #      first few land inside the window, rest just past it
+    #      locally re-verified green at sf0.01 in r4 AND r5)
+    #   2. entries new in r5 (14 entries; the last 2 may spill just past
+    #      a strict 50-entry window — both verified green locally at
+    #      sf0.01 AND sf0.1 this round)
+    #   3. entries whose ONLY driver row is r4 (the r4-new section)
     #   4. entries green two recent rounds — demoted past the driver's
-    #      window; rotate back in next round.
+    #      window; rotate back in next round (r6: promote sections 3+4,
+    #      demote the entries that get r5 rows).
     return {
         # -- 1: unchecked in r4 ------------------------------------------
         "rel_shipping_priority": q_rel_shipping_priority,
