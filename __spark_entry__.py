@@ -1822,6 +1822,19 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (streaming/events.py funnel): users
+    performing view -> click -> purchase in strict timestamp order, via
+    greedy earliest-completion levels — per-user min partials + user-
+    granularity joins, no event lists."""
+    from clinical_vector_search_spark.streaming.events import funnel
+
+    return funnel(_events(spark, sf_dir), FUNNEL_STEPS)
+
+
 def q_ids_dense_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global row ids == row_number() OVER (ORDER BY n_chars,
     doc_id), computed WITHOUT a single-task global sort
@@ -1901,6 +1914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": q_dedup_spans,
         "dedup_repeated_windows": q_dedup_repeated_windows,
         "io_dataset_fingerprint": q_io_dataset_fingerprint,
+        "events_funnel": q_events_funnel,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3069,6 +3083,32 @@ def oracle_sql() -> dict[str, str]:
               FROM documents d JOIN thr USING (source))
         SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
         FROM b WHERE bucket < t GROUP BY source
+    """
+
+    # ordered funnel: greedy earliest-completion levels in SQL, strict >
+    s["events_funnel"] = """
+        WITH t1 AS (SELECT user_id, min(epoch_ns(ts)) AS t FROM events
+                    WHERE event_type = 'view' GROUP BY user_id),
+        t2 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+               FROM events e JOIN t1 ON e.user_id = t1.user_id
+               WHERE e.event_type = 'click' AND epoch_ns(e.ts) > t1.t
+               GROUP BY e.user_id),
+        t3 AS (SELECT e.user_id, min(epoch_ns(e.ts)) AS t
+               FROM events e JOIN t2 ON e.user_id = t2.user_id
+               WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > t2.t
+               GROUP BY e.user_id),
+        c AS (SELECT 1 AS step_idx, 'view' AS step,
+                     (SELECT count(*) FROM t1)::BIGINT AS n_users
+              UNION ALL
+              SELECT 2, 'click', (SELECT count(*) FROM t2)::BIGINT
+              UNION ALL
+              SELECT 3, 'purchase', (SELECT count(*) FROM t3)::BIGINT)
+        SELECT step_idx, step, n_users,
+               CASE WHEN (SELECT count(*) FROM t1) > 0
+                    THEN round(n_users::DOUBLE /
+                               (SELECT count(*) FROM t1), 6)
+                    ELSE 0.0 END AS conv_rate
+        FROM c
     """
 
     # dataset fingerprint: same NULL-sentinel rendering and 60-bit md5

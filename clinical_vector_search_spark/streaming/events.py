@@ -283,6 +283,70 @@ def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     )
 
 
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-funnel analysis: how many users performed ``steps`` in
+    strict timestamp order (view → click → purchase, each AFTER the
+    previous). Returns one row per step: (step_idx, step, n_users,
+    conv_rate) with conv_rate relative to step 1.
+
+    Greedy earliest-completion is exact for existence: t_1 = a user's
+    earliest step-1 event; t_i = earliest step-i event strictly after
+    t_{i-1}; the user reaches step i iff t_i exists. Each level is one
+    filtered scan (event-type predicate pushed to the parquet scan) +
+    a map-side-combined min per user + a user-granularity join against
+    the previous level — k levels, no per-user event lists collected
+    anywhere, so a bot with a billion events costs its min() partials,
+    not memory. Counts per level are single-row aggs unioned at the end.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    reached = None
+    counts = []
+    for i, s in enumerate(steps):
+        ev_s = events.filter(F.col(type_col) == s).select(
+            F.col(id_col), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            cur = ev_s.groupBy(id_col).agg(F.min("_ts").alias("t"))
+        else:
+            cur = (
+                ev_s.join(
+                    reached.select(id_col, F.col("t").alias("_prev")), id_col
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy(id_col)
+                .agg(F.min("_ts").alias("t"))
+            )
+        reached = cur
+        counts.append(
+            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(s).alias("step"),
+                "n_users",
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.union(c)
+    base = counts[0].select(F.col("n_users").alias("_n1"))
+    return out.crossJoin(F.broadcast(base)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        F.when(
+            F.col("_n1") > 0, F.round(F.col("n_users") / F.col("_n1"), 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("conv_rate"),
+    )
+
+
 def sliding_agg(
     events: DataFrame, window_sec: int = 300, slide_sec: int = 60
 ) -> DataFrame:

@@ -407,3 +407,32 @@ def test_decayed_counts_reference(spark):
     got2 = {r.user_id: r.decayed_count
             for r in decayed_counts(ev, 300, as_of_ns=900 * NS).collect()}
     assert abs(got2[1] - (0.125 + 0.25 + 0.5)) < 1e-12
+
+
+def test_funnel_strict_order_semantics(spark):
+    """Reaching step i requires a step-i event STRICTLY after the earliest
+    completion of the prefix — out-of-order steps don't count."""
+    from clinical_vector_search_spark.streaming.events import funnel
+
+    NS = 1_000_000_000
+    rows = [
+        # user 0: view@10 click@20 purchase@30 — full funnel
+        (0, 10, "view"), (0, 20, "click"), (0, 30, "purchase"),
+        # user 1: click BEFORE view — click must not count
+        (1, 10, "click"), (1, 20, "view"),
+        # user 2: view only
+        (2, 5, "view"),
+        # user 3: view@10, click@10 (equal ts, not strictly after) — stops
+        (3, 10, "view"), (3, 10, "click"),
+        # user 4: never views; click+purchase don't count at all
+        (4, 1, "click"), (4, 2, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t * NS, t_) for u, t, t_ in rows],
+        "user_id long, ts_ns long, event_type string",
+    )
+    got = {r.step_idx: (r.step, r.n_users, r.conv_rate)
+           for r in funnel(ev, ["view", "click", "purchase"]).collect()}
+    assert got[1] == ("view", 4, 1.0)
+    assert got[2] == ("click", 1, 0.25)
+    assert got[3] == ("purchase", 1, 0.25)
