@@ -1835,6 +1835,16 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_events(spark, sf_dir), FUNNEL_STEPS)
 
 
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (streaming/events.py retention_cohorts): users
+    grouped by first-activity day, re-activity measured at 1- and 2-day
+    horizons — distinct user-days, map-side cohort minima, one
+    user-granularity join."""
+    from clinical_vector_search_spark.streaming.events import retention_cohorts
+
+    return retention_cohorts(_events(spark, sf_dir), [1, 2])
+
+
 def q_ids_dense_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global row ids == row_number() OVER (ORDER BY n_chars,
     doc_id), computed WITHOUT a single-task global sort
@@ -1915,6 +1925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_repeated_windows": q_dedup_repeated_windows,
         "io_dataset_fingerprint": q_io_dataset_fingerprint,
         "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3109,6 +3120,26 @@ def oracle_sql() -> dict[str, str]:
                                (SELECT count(*) FROM t1), 6)
                     ELSE 0.0 END AS conv_rate
         FROM c
+    """
+
+    # cohort retention: distinct user-days, first-day cohorts, 1/2-day
+    # horizons (events span ~2.9 days per sf0.01; sf0.1 spans ~29)
+    s["events_retention"] = """
+        WITH days AS (SELECT DISTINCT user_id,
+                             epoch_ns(ts) // 86400000000000 AS day
+                      FROM events),
+        firsts AS (SELECT user_id, min(day) AS cohort_day
+                   FROM days GROUP BY user_id),
+        sizes AS (SELECT cohort_day, count(*)::BIGINT AS n_users
+                  FROM firsts GROUP BY cohort_day),
+        offs AS (SELECT f.cohort_day, d.day - f.cohort_day AS horizon,
+                        count(*)::BIGINT AS n_active
+                 FROM days d JOIN firsts f ON d.user_id = f.user_id
+                 WHERE d.day - f.cohort_day IN (1, 2)
+                 GROUP BY f.cohort_day, d.day - f.cohort_day)
+        SELECT s.cohort_day, s.n_users, o.horizon, o.n_active,
+               round(o.n_active::DOUBLE / s.n_users, 6) AS rate
+        FROM sizes s JOIN offs o ON s.cohort_day = o.cohort_day
     """
 
     # dataset fingerprint: same NULL-sentinel rendering and 60-bit md5

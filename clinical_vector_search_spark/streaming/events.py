@@ -347,6 +347,53 @@ def funnel(
     )
 
 
+def retention_cohorts(
+    events: DataFrame,
+    horizons: list[int],
+    day_sec: int = 86400,
+    id_col: str = "user_id",
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Cohort retention: group users by first-activity day, then for each
+    horizon n report how many were active again exactly n days later.
+    Returns (cohort_day, n_users, horizon, n_active, rate) — one row per
+    (cohort, horizon), cohort_day in epoch days.
+
+    Plan: distinct (user, day) — the only event-volume shuffle, and it's
+    a map-side-combined dedup to at most users×days rows; cohort = min
+    day per user (map-side partials); activity offsets from one
+    user-granularity join; final counts per (cohort, horizon). Exact
+    distinct-user counts throughout (swap count_distinct for
+    approx_count_distinct at trillion-row scale if ±2% suffices).
+    """
+    if not horizons:
+        raise ValueError("retention_cohorts needs at least one horizon")
+    days = events.select(
+        F.col(id_col), F.expr(f"{ts_col} div {day_sec * NS}").alias("day")
+    ).distinct()
+    firsts = days.groupBy(id_col).agg(F.min("day").alias("cohort_day"))
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    offsets = (
+        days.join(firsts, id_col)
+        .withColumn("horizon", F.col("day") - F.col("cohort_day"))
+        .filter(F.col("horizon").isin([int(h) for h in horizons]))
+        .groupBy("cohort_day", "horizon")
+        .agg(F.count(F.lit(1)).alias("n_active"))  # (user, day) distinct
+    )
+    return (
+        sizes.join(offsets, "cohort_day")
+        .select(
+            "cohort_day",
+            "n_users",
+            "horizon",
+            "n_active",
+            F.round(F.col("n_active") / F.col("n_users"), 6).alias("rate"),
+        )
+    )
+
+
 def sliding_agg(
     events: DataFrame, window_sec: int = 300, slide_sec: int = 60
 ) -> DataFrame:

@@ -436,3 +436,31 @@ def test_funnel_strict_order_semantics(spark):
     assert got[1] == ("view", 4, 1.0)
     assert got[2] == ("click", 1, 0.25)
     assert got[3] == ("purchase", 1, 0.25)
+
+
+def test_retention_cohorts_counts(spark):
+    """Cohort = first-activity day; retention counts users active exactly
+    n days after, deduped within a day."""
+    from clinical_vector_search_spark.streaming.events import retention_cohorts
+
+    NS = 1_000_000_000
+    D = 86400
+    rows = [
+        # cohort day 0: users 0,1,2
+        (0, 0), (1, 10), (2, 20),
+        # user 0 returns day 1 (twice — must count once) and day 7
+        (0, D + 5), (0, D + 6), (0, 7 * D + 1),
+        # user 1 returns day 7 only
+        (1, 7 * D + 2),
+        # cohort day 3: user 3, returns day 4
+        (3, 3 * D), (3, 4 * D + 9),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t * NS) for u, t in rows], "user_id long, ts_ns long"
+    )
+    got = {(r.cohort_day, r.horizon): (r.n_users, r.n_active, r.rate)
+           for r in retention_cohorts(ev, [1, 7]).collect()}
+    assert got[(0, 1)] == (3, 1, round(1 / 3, 6))
+    assert got[(0, 7)] == (3, 2, round(2 / 3, 6))
+    assert got[(3, 1)] == (1, 1, 1.0)
+    assert (3, 7) not in got  # no activity -> no row
