@@ -62,20 +62,19 @@ def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
-_EVENTS_SESSION_READY: set[str] = set()
-
-
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read_events is dtype-adaptive (timestamp[us] or legacy long epoch-ns);
     # the legacy flag + UTC tz are fallbacks for ns-typed parquet files.
     # session.get_spark sets both at build time, but the DRIVER's session
-    # isn't ours — ensure them once per foreign session here (session-level
-    # concern, so guarded rather than re-set on every per-query call)
-    app = spark.sparkContext.applicationId
-    if app not in _EVENTS_SESSION_READY:
+    # isn't ours. These are SparkSession-level (not app-level) confs, so a
+    # ready-set keyed by applicationId would wrongly skip sibling sessions
+    # (spark.newSession()) or a conf changed after first use — instead
+    # check the live value and set only on mismatch (conf reads are local,
+    # no job).
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
         spark.conf.set("spark.sql.session.timeZone", "UTC")
-        _EVENTS_SESSION_READY.add(app)
     from clinical_vector_search_spark.streaming.events import read_events
 
     return read_events(spark, sf_dir)
@@ -3142,15 +3141,18 @@ def oracle_sql() -> dict[str, str]:
         FROM sizes s JOIN offs o ON s.cohort_day = o.cohort_day
     """
 
-    # dataset fingerprint: same NULL-sentinel rendering and 60-bit md5
-    # XOR as functions/hashing.py dataset_fingerprint
-    s["io_dataset_fingerprint"] = """
+    # dataset fingerprint: same injective len:tag+value framing and
+    # 60-bit md5 XOR as functions/hashing.py dataset_fingerprint
+    def _frame_sql(c: str) -> str:
+        t = f"CASE WHEN {c} IS NULL THEN 'N' ELSE 'V' || {c}::VARCHAR END"
+        return f"concat(length({t})::VARCHAR, ':', {t})"
+
+    _fp_cols = ", ".join(
+        _frame_sql(c) for c in ("doc_id", "source", "text", "n_chars")
+    )
+    s["io_dataset_fingerprint"] = f"""
         SELECT count(*)::BIGINT AS n_rows,
-               bit_xor(('0x' || substr(md5(concat_ws('|',
-                   coalesce(doc_id::VARCHAR, chr(0) || 'null'),
-                   coalesce(source, chr(0) || 'null'),
-                   coalesce(text, chr(0) || 'null'),
-                   coalesce(n_chars::VARCHAR, chr(0) || 'null'))),
+               bit_xor(('0x' || substr(md5(concat_ws('|', {_fp_cols})),
                    1, 15))::BIGINT) AS content_hash
         FROM documents
     """

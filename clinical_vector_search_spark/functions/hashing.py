@@ -53,21 +53,23 @@ def dataset_fingerprint(df, cols: list[str]):
     including the SQL oracle. XOR (not sum) keeps the accumulator in
     int64 without overflow semantics entering the contract.
 
-    NULL handling: each column is rendered as ``coalesce(cast(c as
-    string), '\\x00null')`` and joined with '|', so NULL ≠ 'null' ≠ ''.
-    Multiset caveat: XOR cancels PAIRS of identical rows; datasets that
-    may contain exact duplicate rows should fingerprint after adding a
+    Row rendering is INJECTIVE (netstring-style): each column becomes
+    ``len:tag+value`` where tag is 'N' for NULL or 'V' + the value —
+    a '|' (or any delimiter) inside a value cannot shift content across
+    field boundaries, and NULL ≠ 'null' ≠ '' by the tag. Multiset
+    caveat: XOR cancels PAIRS of identical rows; datasets that may
+    contain exact duplicate rows should fingerprint after adding a
     disambiguating id column (e.g. a doc id, which every table here has).
     """
     from pyspark.sql import DataFrame  # noqa: F401  (doc typing only)
 
-    rendered = F.concat_ws(
-        "|",
-        *[
-            F.coalesce(F.col(c).cast("string"), F.lit("\x00null"))
-            for c in cols
-        ],
-    )
+    def frame(c: str) -> Column:
+        tagged = F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(c).cast("string"))
+        )
+        return F.concat(F.length(tagged).cast("string"), F.lit(":"), tagged)
+
+    rendered = F.concat_ws("|", *[frame(c) for c in cols])
     return df.select(md5_long(rendered).alias("h")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").alias("content_hash"),

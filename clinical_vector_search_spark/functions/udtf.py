@@ -55,9 +55,15 @@ def chunk_rows_udtf(spark, df, text_col: str = "text", id_col: str = "doc_id"):
     spark.udtf.register("chunk_udtf", ChunkUDTF)
     view = f"_chunk_in_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
-    return spark.sql(
-        f"""
-        SELECT t.{id_col}, c.chunk_seq, c.chunk_text, c.n_tokens
-        FROM {view} t, LATERAL chunk_udtf(t.{text_col}) c
-        """
-    )
+    try:
+        return spark.sql(
+            f"""
+            SELECT t.{id_col}, c.chunk_seq, c.chunk_text, c.n_tokens
+            FROM {view} t, LATERAL chunk_udtf(t.{text_col}) c
+            """
+        )
+    finally:
+        # the view is resolved into the plan during spark.sql above, so
+        # dropping it immediately is safe and keeps per-call views from
+        # accumulating in the session catalog
+        spark.catalog.dropTempView(view)

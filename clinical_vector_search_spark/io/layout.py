@@ -49,6 +49,14 @@ def zorder_key(
     for i, (name, lo, hi) in enumerate(cols):
         if hi < lo:
             raise ValueError(f"{name}: hi {hi} < lo {lo}")
+        if (hi - lo + 1) > (2**63 - 1) // nb:
+            # (x - lo) * nb must stay inside int64 or the bigint multiply
+            # wraps (or throws under ANSI) and the curve is garbage
+            raise ValueError(
+                f"{name}: domain width {hi - lo + 1} x 2^{bits} buckets "
+                f"overflows int64 — use fewer bits or pre-scale the column "
+                f"(e.g. epoch-ns -> epoch-s) before clustering"
+            )
         # `div` (not `/` + cast) keeps the quantization in exact integer
         # arithmetic — `/` detours through double and loses ulps once
         # (x - lo) * nb crosses 2^53

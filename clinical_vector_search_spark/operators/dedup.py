@@ -186,9 +186,12 @@ def dedup_incremental(
         new_docs, num_hashes, shingle_size, text_col, id_col
     )
     nb = minhash_band_buckets(sigs, rows_per_band, id_col)
+    # no .distinct() on the corpus side: left-semi join semantics already
+    # ignore duplicate build rows, and a distinct would re-aggregate the
+    # whole corpus index on every ingest batch
     hits = (
         nb.join(
-            corpus_buckets.select("band", "bucket").distinct(),
+            corpus_buckets.select("band", "bucket"),
             ["band", "bucket"],
             "left_semi",
         )
@@ -519,6 +522,7 @@ def dedup_groups_star(
         return (row["n"], row["h"])
 
     fp = fingerprint(edges)
+    converged = False
     for _ in range(max_iter):
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -545,8 +549,18 @@ def dedup_groups_star(
         new_fp = fingerprint(small)
         edges = small
         if new_fp == fp:
+            converged = True
             break
         fp = new_fp
+    if not converged:
+        # the final min-per-u label read below is only valid on a star
+        # forest (the fixed point) — returning early labels would be
+        # silently wrong, unlike the propagation variant whose partial
+        # labels are at least self-consistent
+        raise RuntimeError(
+            f"dedup_groups_star did not converge in {max_iter} rounds; "
+            "raise max_iter (O(log n) rounds suffice for any topology)"
+        )
 
     # at the fixed point the edge set is a forest of stars hi → component-min
     labels = edges.groupBy("u").agg(F.min("v").alias("group_id"))

@@ -30,10 +30,15 @@ from clinical_vector_search_spark.pipeline.rag import rag_pipeline
 # while RE-EXECUTING an already-analyzed plan costs ~0.2 s. A serving
 # layer holds the plan and re-executes per request (the prepared-statement
 # lifecycle), so the mode entry points do the same, keyed by Spark
-# application id + every argument. Caveat: a plan binds its parquet file
+# application id + every argument. Caveats: a plan binds its parquet file
 # listing at read time, so a directory whose FILES change needs a fresh
-# session (testdata is immutable per run).
+# session (testdata is immutable per run); and the dict is FIFO-bounded so
+# a long-lived server sweeping many distinct arg tuples can't grow the
+# driver without limit (evicted entries' .cache()'d sub-frames stay
+# registered with the block manager, which evicts storage under its own
+# memory pressure — MEMORY_AND_DISK blocks are reclaimable).
 _PLAN_CACHE: dict[tuple, DataFrame] = {}
+_PLAN_CACHE_MAX = 64
 
 
 def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
@@ -41,6 +46,8 @@ def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
     df = _PLAN_CACHE.get(full_key)
     if df is None:
         df = build()
+        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
         _PLAN_CACHE[full_key] = df
     return df
 

@@ -99,3 +99,15 @@ def test_zorder_write_tightens_file_envelopes(spark, sf_dir, tmp_path):
     # z-order: 16 curve segments -> each file covers a small slice of BOTH
     # dims (a plain sort would give ~1/16 on one dim and ~1.0 on the other)
     assert zp < 0.55 and zo < 0.55, (zp, zo)
+
+
+def test_zorder_key_rejects_int64_overflow_domains():
+    import pytest
+
+    from clinical_vector_search_spark.io.layout import zorder_key
+
+    # epoch-ns over ~1.2 years at 8 bits: (hi-lo+1) * 256 > 2^63
+    with pytest.raises(ValueError, match="overflows int64"):
+        zorder_key([("ts_ns", 0, 4 * 10**16)], bits=8)
+    # same domain at coarser pre-scaled resolution is fine
+    zorder_key([("ts_s", 0, 4 * 10**7)], bits=8)

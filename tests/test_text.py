@@ -327,3 +327,13 @@ def test_dataset_fingerprint_order_invariant_null_distinct(spark):
         ["id", "v"],
     ).collect()[0]
     assert f_.content_hash != a.content_hash
+
+    # separator injection: content shifted across a field boundary must
+    # change the fingerprint (injective len:tag framing, not plain '|')
+    g1 = dataset_fingerprint(
+        spark.createDataFrame([("a|b", "c")], "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    g2 = dataset_fingerprint(
+        spark.createDataFrame([("a", "b|c")], "x string, y string"), ["x", "y"]
+    ).collect()[0]
+    assert g1.content_hash != g2.content_hash
