@@ -182,6 +182,14 @@ def main() -> None:
 
         return sessionize_skew(read_events(spark, sf_dir), 1800, 7200)
 
+    def bench_funnel():
+        # ordered-funnel conversion over 1M events: greedy earliest-
+        # completion levels (streaming/events.py funnel)
+        from clinical_vector_search_spark.streaming.events import funnel
+
+        return funnel(read_events(spark, sf_dir),
+                      ["view", "click", "purchase"])
+
     def bench_span_dedup():
         # C4-style cross-doc sentence-span dedup: posexplode + skew-safe
         # groupBy-min winners + reassembly (operators/dedup.py span_dedup)
@@ -212,6 +220,7 @@ def main() -> None:
         "events_sessionize": bench_sessionize,
         "events_sessionize_skew": bench_sessionize_skew,
         "pq_adc": bench_pq_adc,
+        "events_funnel": bench_funnel,
         "span_dedup": bench_span_dedup,
         "rel_pricing_summary": bench_pricing,
     }

@@ -331,6 +331,21 @@ def main() -> int:
         "rangepartitioning" in plan.lower() and "SinglePartition" not in plan,
     )
 
+    # 12. funnel: the event-type predicate of every level reaches the
+    # parquet scan (PushedFilters), and levels join at user granularity
+    from clinical_vector_search_spark.streaming.events import (
+        funnel,
+        read_events,
+    )
+
+    ev = read_events(spark, SF_DIR)
+    plan = formatted(funnel(ev, ["view", "click", "purchase"]))
+    check(
+        "funnel: event_type filters pushed to scan, no CartesianProduct",
+        "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in plan
+        and "CartesianProduct" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
