@@ -191,3 +191,48 @@ def test_dense_row_ids_is_rank_for_any_keys(spark, keys, nparts):
            for r in dense_row_ids(df, ["k"], n_partitions=nparts).collect()}
     want = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["aa bb", "cc dd", "ee ff", "gg hh", "II jj",
+                             "kk LL mm", "nn oo", ""]),
+            min_size=0,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_span_dedup_matches_python_reference(spark, docs_spans):
+    """For ANY corpus built from a small span vocabulary (with case
+    variation and empty spans), span_dedup must equal the brute-force
+    first-occurrence reference."""
+    import re
+
+    from clinical_vector_search_spark.operators.dedup import span_dedup
+
+    texts = [". ".join(s for s in spans) for spans in docs_spans]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+
+    seen: set[str] = set()
+    want = {}
+    for i, text in enumerate(texts):
+        kept = []
+        for unit in re.split(r"\.\s+", text):
+            if not unit.strip():
+                continue
+            k = unit.strip().lower()
+            if k in seen:
+                continue
+            seen.add(k)
+            kept.append(unit)
+        want[i] = (len(kept), ". ".join(kept))
+
+    got = {r.doc_id: (r.n_kept, r.text_dedup)
+           for r in span_dedup(df).collect()}
+    assert got == want
