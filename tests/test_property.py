@@ -236,3 +236,49 @@ def test_span_dedup_matches_python_reference(spark, docs_spans):
     got = {r.doc_id: (r.n_kept, r.text_dedup)
            for r in span_dedup(df).collect()}
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),               # user
+            st.integers(min_value=0, max_value=30),              # ts
+            st.sampled_from(["view", "click", "purchase", "x"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_funnel_matches_bruteforce_reference(spark, rows):
+    """Greedy earliest-completion must agree with a brute-force
+    subsequence-existence check on ANY event stream (duplicate
+    timestamps, missing steps, interleaved users, noise events)."""
+    from clinical_vector_search_spark.streaming.events import funnel
+
+    steps = ["view", "click", "purchase"]
+    ev = spark.createDataFrame(
+        [(u, t * NS, s) for u, t, s in rows],
+        "user_id long, ts_ns long, event_type string",
+    )
+
+    def reaches(user_events, upto):
+        # exists e_1 < ... < e_upto with the required types, strict ts order
+        t_prev = None
+        for s in steps[:upto]:
+            cands = [t for (t, typ) in user_events
+                     if typ == s and (t_prev is None or t > t_prev)]
+            if not cands:
+                return False
+            t_prev = min(cands)
+        return True
+
+    by_user: dict = {}
+    for u, t, s in rows:
+        by_user.setdefault(u, []).append((t, s))
+    want = {
+        i + 1: sum(1 for ue in by_user.values() if reaches(ue, i + 1))
+        for i in range(len(steps))
+    }
+    got = {r.step_idx: r.n_users for r in funnel(ev, steps).collect()}
+    assert got == want
