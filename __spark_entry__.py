@@ -1844,6 +1844,24 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir), [1, 2])
 
 
+def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 versioned user-state history (operators/temporal.py
+    scd2_merge) built from scratch over events of users < 50: per-user
+    event_type transitions with (valid_from, valid_to) ranges,
+    consecutive duplicate states collapsed."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    return scd2_merge(
+        empty, ev.select("user_id", "event_type", "ts_ns"),
+        "user_id", ["event_type"],
+    )
+
+
 def q_ids_dense_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global row ids == row_number() OVER (ORDER BY n_chars,
     doc_id), computed WITHOUT a single-task global sort
@@ -1925,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_dataset_fingerprint": q_io_dataset_fingerprint,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_scd2": q_events_scd2,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3119,6 +3138,22 @@ def oracle_sql() -> dict[str, str]:
                                (SELECT count(*) FROM t1), 6)
                     ELSE 0.0 END AS conv_rate
         FROM c
+    """
+
+    # SCD2 from-scratch history: lag-dedup of consecutive states, lead
+    # for validity ranges, (ts, state) ordering as the deterministic tie
+    s["events_scd2"] = """
+        WITH upd AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+                     FROM events WHERE user_id < 50),
+        seq AS (SELECT *, lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+                FROM upd),
+        chg AS (SELECT user_id, event_type, ts FROM seq
+                WHERE prev IS NULL OR prev <> event_type)
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_type) AS valid_to
+        FROM chg
     """
 
     # cohort retention: distinct user-days, first-day cohorts, 1/2-day

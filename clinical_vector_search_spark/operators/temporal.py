@@ -229,3 +229,57 @@ def asof_join_nearest(
         pick("ts").alias(f"{prefix}ts"),
         *[pick(c).alias(f"{prefix}{c}") for c in right_cols],
     )
+
+
+def scd2_merge(
+    current: DataFrame,
+    updates: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """SCD2 (type-2 slowly-changing-dimension) merge: maintain a
+    versioned history table (key, tracked..., valid_from, valid_to) from
+    a batch of timestamped updates — the lakehouse pattern behind
+    MERGE-based dimension maintenance.
+
+      * CLOSED versions (valid_to not null) pass through untouched;
+      * each key's OPEN version and its updates are re-sequenced by
+        (ts, tracked...) — the tracked tuple as tiebreak makes equal-ts
+        batches deterministic in any engine;
+      * consecutive duplicate states collapse (an update that doesn't
+        change the tracked attributes creates no version);
+      * valid_from = the state's ts, valid_to = the next state's ts
+        (null = still open).
+
+    Scale shape: closed history is never shuffled; the two windows run
+    per KEY over version-granularity rows (versions per key per batch
+    are small by definition — a key whose attributes flap every event is
+    a data-quality problem, not a plan problem). ``current`` may be an
+    empty frame with the right schema for a from-scratch history build.
+    """
+    tracked = list(tracked_cols)
+    closed = current.filter(F.col("valid_to").isNotNull())
+    open_rows = current.filter(F.col("valid_to").isNull()).select(
+        F.col(key_col),
+        *tracked,
+        F.col("valid_from").alias(ts_col),
+    )
+    states = open_rows.unionByName(
+        updates.select(key_col, *tracked, ts_col)
+    )
+    w = Window.partitionBy(key_col).orderBy(ts_col, *tracked)
+    state = F.struct(*tracked)
+    changed = states.withColumn("_prev", F.lag(state).over(w)).filter(
+        F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(state)
+    )
+    w2 = Window.partitionBy(key_col).orderBy(ts_col, *tracked)
+    versions = changed.select(
+        F.col(key_col),
+        *tracked,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w2).alias("valid_to"),
+    )
+    return closed.select(
+        key_col, *tracked, "valid_from", "valid_to"
+    ).unionByName(versions)

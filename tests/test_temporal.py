@@ -181,3 +181,42 @@ def test_asof_forward_and_nearest(spark):
     left2 = spark.createDataFrame([(1, 25, 300)], "k long, ts_ns long, lid long")
     near2 = {r.lid: r.asof_ts for r in asof_join_nearest(left2, right, "k").collect()}
     assert near2 == {300: 20}  # |25-20| == |30-25| -> backward
+
+
+def test_scd2_merge_versions_and_passthrough(spark):
+    """Closed history passes through; open version closes when the state
+    changes; no-change updates create no version; equal-ts ties are
+    deterministic via the tracked tiebreak."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    current = spark.createDataFrame(
+        [
+            (1, "bronze", 0, 100),     # closed — must pass through
+            (1, "silver", 100, None),  # open
+            (2, "bronze", 50, None),   # open, no updates -> stays open
+        ],
+        "user_id long, tier string, valid_from long, valid_to long",
+    )
+    updates = spark.createDataFrame(
+        [
+            (1, "silver", 150),  # no change -> no new version
+            (1, "gold", 200),    # change -> close silver at 200
+            (3, "bronze", 300),  # brand-new key
+            (3, "gold", 400),
+        ],
+        "user_id long, tier string, ts_ns long",
+    )
+    got = {
+        (r.user_id, r.tier, r.valid_from): r.valid_to
+        for r in scd2_merge(
+            current, updates, "user_id", ["tier"]
+        ).collect()
+    }
+    assert got == {
+        (1, "bronze", 0): 100,
+        (1, "silver", 100): 200,
+        (1, "gold", 200): None,
+        (2, "bronze", 50): None,
+        (3, "bronze", 300): 400,
+        (3, "gold", 400): None,
+    }
