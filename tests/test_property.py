@@ -282,3 +282,87 @@ def test_funnel_matches_bruteforce_reference(spark, rows):
     }
     got = {r.step_idx: r.n_users for r in funnel(ev, steps).collect()}
     assert got == want
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # user
+            st.integers(min_value=0, max_value=6),   # day
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_retention_matches_bruteforce_reference(spark, rows):
+    """Cohort retention on ANY activity pattern must match a brute-force
+    per-user first-day/offset reference."""
+    from clinical_vector_search_spark.streaming.events import (
+        retention_cohorts,
+    )
+
+    D = 86400
+    ev = spark.createDataFrame(
+        [(u, d * D * NS + 5) for u, d in rows], "user_id long, ts_ns long"
+    )
+    days: dict = {}
+    for u, d in rows:
+        days.setdefault(u, set()).add(d)
+    firsts = {u: min(ds) for u, ds in days.items()}
+    want: dict = {}
+    for h in (1, 2):
+        for u, ds in days.items():
+            if firsts[u] + h in ds:
+                key = (firsts[u], h)
+                want[key] = want.get(key, 0) + 1
+    sizes: dict = {}
+    for u, f in firsts.items():
+        sizes[f] = sizes.get(f, 0) + 1
+    got = {(r.cohort_day, r.horizon): (r.n_users, r.n_active)
+           for r in retention_cohorts(ev, [1, 2]).collect()}
+    assert got == {k: (sizes[k[0]], n) for k, n in want.items()}
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),              # key
+            st.integers(min_value=0, max_value=20),             # ts
+            st.sampled_from(["a", "b", "c"]),                   # state
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_scd2_from_scratch_matches_reference(spark, rows):
+    """From-scratch SCD2 over ANY update stream must match a driver-side
+    sort + consecutive-dedup + lead reference (same (ts, state) tie)."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    empty = spark.createDataFrame(
+        [], "k long, s string, valid_from long, valid_to long"
+    )
+    upd = spark.createDataFrame(rows, "k long, ts_ns long, s string")
+    got = sorted(
+        (r.k, r.s, r.valid_from, r.valid_to)
+        for r in scd2_merge(
+            empty, upd.select("k", "s", "ts_ns"), "k", ["s"]
+        ).collect()
+    )
+
+    want = []
+    by_key: dict = {}
+    for k, t, s in rows:
+        by_key.setdefault(k, []).append((t, s))
+    for k, evs in by_key.items():
+        evs = sorted(set(evs))  # (ts, state) tie order; dups collapse anyway
+        kept = []
+        for t, s in evs:
+            if not kept or kept[-1][1] != s:
+                kept.append((t, s))
+        for i, (t, s) in enumerate(kept):
+            vt = kept[i + 1][0] if i + 1 < len(kept) else None
+            want.append((k, s, t, vt))
+    assert got == sorted(want)
