@@ -1844,6 +1844,16 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir), [1, 2])
 
 
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-self-trained bigram LM scoring (functions/text.py
+    bigram_lm_score — the count-based CCNet-style perplexity filter):
+    per-doc mean bigram log-probability + perplexity, statistics trained
+    on the same corpus in the same plan."""
+    from clinical_vector_search_spark.functions.text import bigram_lm_score
+
+    return bigram_lm_score(_docs(spark, sf_dir))
+
+
 def q_events_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 versioned user-state history (operators/temporal.py
     scd2_merge) built from scratch over events of users < 50: per-user
@@ -1944,6 +1954,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
+        "text_bigram_lm": q_text_bigram_lm,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3138,6 +3149,30 @@ def oracle_sql() -> dict[str, str]:
                                (SELECT count(*) FROM t1), 6)
                     ELSE 0.0 END AS conv_rate
         FROM c
+    """
+
+    # bigram LM: same md5-hashed gram keys, count tables, ln ratio
+    s["text_bigram_lm"] = f"""
+        WITH toks AS ({_TOKS}),
+        bg AS (SELECT doc_id, unnest(
+                 CASE WHEN len(tokens) >= 2
+                      THEN [array_to_string(tokens[i:i+1], ' ')
+                            FOR i IN range(1, len(tokens))]
+                      ELSE []::VARCHAR[] END) AS gram
+               FROM toks),
+        g AS (SELECT doc_id, {_MD5L.format(x="gram")} AS g2,
+                     {_MD5L.format(x="split_part(gram, ' ', 1)")} AS g1
+              FROM bg),
+        c2t AS (SELECT g2, count(*) AS c2 FROM g GROUP BY g2),
+        c1t AS (SELECT g1, count(*) AS c1 FROM g GROUP BY g1),
+        sc AS (SELECT doc_id, ln(c2::DOUBLE / c1) AS logp
+               FROM g JOIN c2t USING (g2) JOIN c1t USING (g1)),
+        agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                       round(avg(logp), 6) AS avg_logp
+                FROM sc GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_bigrams, 0)::BIGINT AS n_bigrams,
+               avg_logp, round(exp(-avg_logp), 6) AS ppl
+        FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
 
     # SCD2 from-scratch history: lag-dedup of consecutive states, lead

@@ -517,3 +517,57 @@ def normalize_text_pd(
     return df.select(id_col, text_col).mapInPandas(
         fn, f"{id_col} long, {out_col} string"
     )
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-self-trained bigram language-model scoring — the
+    count-based version of the CCNet/Wikipedia-LM perplexity filter used
+    to rank documents by fluency, with no external model: train bigram
+    statistics ON the corpus in the same plan, then score each document
+    by its mean bigram log-probability.
+
+    P(w2|w1) = c(w1 w2) / c(w1·), both counts over the whole corpus
+    (c(w1·) = occurrences of w1 as a bigram history, the standard
+    conditional denominator). Per doc: (n_bigrams, avg_logp, ppl) with
+    ppl = exp(-avg_logp); docs with < 2 tokens score NULL. A document of
+    corpus-typical word transitions scores near the corpus average; word
+    salad (or another language) scores far below — cut on ppl.
+
+    Scale shape: bigram rows via the codegen lead-window (one shuffle on
+    id), count tables via map-side-combined groupBys on md5-hashed
+    8-byte keys, two slim equi-joins back (count tables are
+    vocabulary-sized, broadcastable at most corpus sizes), one per-doc
+    aggregation. Everything bigram- or vocab-sized; no driver state.
+    """
+    from clinical_vector_search_spark.functions import hashing as H
+
+    big = shingle_rows(df, 2, text_col, id_col, distinct=False).select(
+        F.col(id_col),
+        H.md5_long(F.col("shingle")).alias("g2"),
+        H.md5_long(F.split(F.col("shingle"), " ").getItem(0)).alias("g1"),
+    )
+    c2 = big.groupBy("g2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = big.groupBy("g1").agg(F.count(F.lit(1)).alias("c1"))
+    scored = (
+        big.join(c2, "g2")
+        .join(c1, "g1")
+        .withColumn("logp", F.log(F.col("c2") / F.col("c1")))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logp"), 6).alias("avg_logp"),
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.col("avg_logp"),
+            F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl"),
+        )
+    )

@@ -337,3 +337,26 @@ def test_dataset_fingerprint_order_invariant_null_distinct(spark):
         spark.createDataFrame([("a", "b|c")], "x string, y string"), ["x", "y"]
     ).collect()[0]
     assert g1.content_hash != g2.content_hash
+
+
+def test_bigram_lm_score_ranks_fluency(spark):
+    """Docs made of corpus-typical transitions outscore word salad;
+    repeated fluent text has deterministic exact probabilities."""
+    from clinical_vector_search_spark.functions.text import bigram_lm_score
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (0, fluent),
+        (1, fluent),                         # same transitions
+        (2, "dog the over quick lazy fox"),  # same words, rare transitions
+        (3, "single"),                       # < 2 tokens -> NULL score
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logp, r.ppl)
+           for r in bigram_lm_score(df).collect()}
+    assert got[0] == got[1]
+    assert got[0][0] == 8
+    assert got[3] == (0, None, None)
+    # fluent docs: every transition seen 2x out of 2-3 histories
+    assert got[0][1] > got[2][1]
+    assert got[0][2] < got[2][2]  # lower perplexity = more fluent
