@@ -1844,6 +1844,15 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(_events(spark, sf_dir), [1, 2])
 
 
+def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of events.value over [-5, 15) x 20 bins
+    with explicit overflow bins (operators/sketch.py histogram): one
+    map-side bucket expression + one <= n_bins+2-key groupBy."""
+    from clinical_vector_search_spark.operators.sketch import histogram
+
+    return histogram(_events(spark, sf_dir), "value", -5.0, 15.0, 20)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram LM scoring (functions/text.py
     bigram_lm_score — the count-based CCNet-style perplexity filter):
@@ -1955,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
         "text_bigram_lm": q_text_bigram_lm,
+        "events_histogram": q_events_histogram,
         # -- 3: only driver row is r4 ------------------------------------
         "events_sessionize_skew": q_events_sessionize_skew,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -3149,6 +3159,20 @@ def oracle_sql() -> dict[str, str]:
                                (SELECT count(*) FROM t1), 6)
                     ELSE 0.0 END AS conv_rate
         FROM c
+    """
+
+    # histogram: identical one-order double bucket arithmetic + overflow
+    # bins; bin edges recomputed with the same rounding
+    s["events_histogram"] = """
+        WITH b AS (SELECT CASE WHEN value < -5.0 THEN -1
+                               WHEN value >= 15.0 THEN 20
+                               ELSE floor((value - (-5.0)) / 20.0 * 20.0)::BIGINT
+                          END AS bin
+                   FROM events WHERE value IS NOT NULL)
+        SELECT bin, round(-5.0 + bin * 1.0, 6) AS bin_lo,
+               round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
+               count(*)::BIGINT AS n
+        FROM b GROUP BY bin
     """
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio

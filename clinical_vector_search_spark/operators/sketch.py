@@ -87,3 +87,46 @@ def cms_estimate(
         .groupBy(term_col)
         .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("est_count"))
     )
+
+
+def histogram(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Exact equi-width histogram of a numeric column — the profiling
+    primitive behind distribution dashboards and outlier triage at scale:
+    one map-side bucket expression + one groupBy over ≤ ``n_bins`` + 2
+    keys (no sort, no sampling, unlike approx quantiles).
+
+    Bins: bin i covers [lo + i·w, lo + (i+1)·w) with w = (hi-lo)/n_bins;
+    values below ``lo`` land in bin -1, values ≥ ``hi`` in bin
+    ``n_bins`` (explicit overflow bins instead of silent clamping, so a
+    bad bound choice is visible in the result). NULLs drop. The bucket
+    arithmetic is written in one fixed double-op order so the SQL oracle
+    computes bit-identical bins. Returns (bin, bin_lo, bin_hi, n) for
+    non-empty bins.
+    """
+    if n_bins <= 0 or not hi > lo:
+        raise ValueError("need n_bins > 0 and hi > lo")
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(float(n_bins)))
+    b = (
+        F.when(x < F.lit(float(lo)), F.lit(-1).cast("long"))
+        .when(x >= F.lit(float(hi)), F.lit(n_bins).cast("long"))
+        .otherwise(raw.cast("long"))
+    )
+    w = (hi - lo) / n_bins
+    return (
+        df.filter(x.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            F.round(F.lit(lo) + F.col("bin") * F.lit(w), 6).alias("bin_lo"),
+            F.round(F.lit(lo) + (F.col("bin") + 1) * F.lit(w), 6).alias("bin_hi"),
+            "n",
+        )
+    )

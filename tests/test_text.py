@@ -360,3 +360,16 @@ def test_bigram_lm_score_ranks_fluency(spark):
     # fluent docs: every transition seen 2x out of 2-3 histories
     assert got[0][1] > got[2][1]
     assert got[0][2] < got[2][2]  # lower perplexity = more fluent
+
+
+def test_histogram_exact_bins_and_overflow(spark):
+    from clinical_vector_search_spark.operators.sketch import histogram
+
+    vals = [-2.0, 0.0, 0.49, 0.5, 0.99, 1.0, 3.5, None]
+    df = spark.createDataFrame([(v,) for v in vals], "v double")
+    got = {r.bin: (r.bin_lo, r.bin_hi, r.n)
+           for r in histogram(df, "v", 0.0, 1.0, 2).collect()}
+    assert got[-1][2] == 1            # below lo
+    assert got[0] == (0.0, 0.5, 2)    # [0, 0.5): 0.0, 0.49
+    assert got[1] == (0.5, 1.0, 2)    # [0.5, 1): 0.5, 0.99
+    assert got[2][2] == 2             # >= hi: 1.0, 3.5; NULL dropped
