@@ -346,6 +346,24 @@ def main() -> int:
         and "CartesianProduct" not in plan,
     )
 
+    # 13. bigram LM: count-table joins are hash joins, no cartesian
+    from clinical_vector_search_spark.functions.text import bigram_lm_score
+
+    plan = formatted(bigram_lm_score(docs))
+    check(
+        "bigram_lm: hash joins only, no CartesianProduct",
+        "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan,
+    )
+
+    # 14. histogram: exactly ONE shuffle (the <= n_bins+2-key groupBy)
+    from clinical_vector_search_spark.operators.sketch import histogram
+
+    plan = formatted(histogram(ev.select("value"), "value", -5.0, 15.0, 20))
+    check(
+        "histogram: single Exchange, map-side bucket expression",
+        n_nodes(plan, "Exchange") == 1,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
