@@ -3166,7 +3166,9 @@ def oracle_sql() -> dict[str, str]:
     s["events_histogram"] = """
         WITH b AS (SELECT CASE WHEN value < -5.0 THEN -1
                                WHEN value >= 15.0 THEN 20
-                               ELSE floor((value - (-5.0)) / 20.0 * 20.0)::BIGINT
+                               ELSE least(
+                                   floor((value - (-5.0)) / 20.0 * 20.0),
+                                   19)::BIGINT
                           END AS bin
                    FROM events WHERE value IS NOT NULL)
         SELECT bin, round(-5.0 + bin * 1.0, 6) AS bin_lo,
@@ -3200,15 +3202,22 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # SCD2 from-scratch history: lag-dedup of consecutive states, lead
-    # for validity ranges, (ts, state) ordering as the deterministic tie
+    # for validity ranges, (ts, state) ordering as the deterministic tie.
+    # The dedup mirrors Spark's eqNullSafe on the tracked struct exactly:
+    # rn = 1 marks the lag edge (a NULL from lag is otherwise ambiguous
+    # with a genuinely-NULL previous state) and IS DISTINCT FROM is the
+    # null-safe comparison, so a NULL tracked value collapses identically
+    # in both engines.
     s["events_scd2"] = """
         WITH upd AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
                      FROM events WHERE user_id < 50),
         seq AS (SELECT *, lag(event_type) OVER
-                    (PARTITION BY user_id ORDER BY ts, event_type) AS prev
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+                   row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS rn
                 FROM upd),
         chg AS (SELECT user_id, event_type, ts FROM seq
-                WHERE prev IS NULL OR prev <> event_type)
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
         SELECT user_id, event_type, ts AS valid_from,
                lead(ts) OVER (PARTITION BY user_id
                               ORDER BY ts, event_type) AS valid_to
@@ -3229,10 +3238,15 @@ def oracle_sql() -> dict[str, str]:
                         count(*)::BIGINT AS n_active
                  FROM days d JOIN firsts f ON d.user_id = f.user_id
                  WHERE d.day - f.cohort_day IN (1, 2)
-                 GROUP BY f.cohort_day, d.day - f.cohort_day)
-        SELECT s.cohort_day, s.n_users, o.horizon, o.n_active,
-               round(o.n_active::DOUBLE / s.n_users, 6) AS rate
-        FROM sizes s JOIN offs o ON s.cohort_day = o.cohort_day
+                 GROUP BY f.cohort_day, d.day - f.cohort_day),
+        dense AS (SELECT s.cohort_day, s.n_users, h.horizon
+                  FROM sizes s CROSS JOIN (VALUES (1::BIGINT), (2::BIGINT))
+                       AS h(horizon))
+        SELECT d.cohort_day, d.n_users, d.horizon,
+               coalesce(o.n_active, 0)::BIGINT AS n_active,
+               round(coalesce(o.n_active, 0)::DOUBLE / d.n_users, 6) AS rate
+        FROM dense d LEFT JOIN offs o
+          ON d.cohort_day = o.cohort_day AND d.horizon = o.horizon
     """
 
     # dataset fingerprint: same injective len:tag+value framing and

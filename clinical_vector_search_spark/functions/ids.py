@@ -20,6 +20,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+# Above this many range partitions, per-partition offsets are shipped as a
+# broadcast-joined frame instead of a create_map literal (which would be
+# O(n_partitions) expression nodes on the driver).
+_LITERAL_MAP_MAX_PARTITIONS = 4096
+
 
 def dense_row_ids(
     df: DataFrame,
@@ -38,7 +43,9 @@ def dense_row_ids(
     ``n_partitions`` longs); pass 2 numbers rows with a PER-PARTITION
     window (each task handles exactly one bounded range partition — no
     global funnel) and adds the partition's cumulative offset via a
-    broadcast-sized literal map.
+    literal map (small partition counts) or a broadcast-joined offsets
+    frame (above ``_LITERAL_MAP_MAX_PARTITIONS``, keeping the driver-side
+    expression tree bounded).
 
     ``order_cols`` should be a unique key for a deterministic result (ties
     are broken arbitrarily-but-consistently within the checkpointed
@@ -62,6 +69,23 @@ def dense_row_ids(
     for pid, n in counts:
         offsets[pid] = acc
         acc += n
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    if len(offsets) > _LITERAL_MAP_MAX_PARTITIONS:
+        # A create_map literal is O(n_partitions) expression nodes ON THE
+        # DRIVER — at 100 TB with ~1e5 range partitions that is a ~2e5-node
+        # tree through analysis/codegen. Above the threshold, ship the
+        # offsets as a broadcast-joined two-column frame instead: same
+        # result, bounded expression tree, one broadcast of n_partitions
+        # longs.
+        offsets_df = df.sparkSession.createDataFrame(
+            list(offsets.items()), "_pid int, _offset long"
+        )
+        return (
+            parted.withColumn("_rn", F.row_number().over(w))
+            .join(F.broadcast(offsets_df), "_pid")
+            .withColumn(id_col, (F.col("_rn") + F.col("_offset")).cast("long"))
+            .drop("_pid", "_rn", "_offset")
+        )
     offset_expr = F.coalesce(
         *(
             [
@@ -74,7 +98,6 @@ def dense_row_ids(
         ),
         F.lit(0).cast("long"),
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         parted.withColumn(
             id_col, (F.row_number().over(w) + offset_expr).cast("long")

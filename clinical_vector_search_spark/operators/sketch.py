@@ -106,8 +106,12 @@ def histogram(
     ``n_bins`` (explicit overflow bins instead of silent clamping, so a
     bad bound choice is visible in the result). NULLs drop. The bucket
     arithmetic is written in one fixed double-op order so the SQL oracle
-    computes bit-identical bins. Returns (bin, bin_lo, bin_hi, n) for
-    non-empty bins.
+    computes bit-identical bins; the in-range branch is clamped to
+    ``n_bins - 1`` because for x within one ulp of ``hi`` the double
+    division can round (x-lo)/(hi-lo) up to exactly 1.0 — without the
+    clamp such an in-range value would land in the overflow bin,
+    violating the bin-``n_bins`` ⇔ x ≥ hi contract. Returns
+    (bin, bin_lo, bin_hi, n) for non-empty bins.
     """
     if n_bins <= 0 or not hi > lo:
         raise ValueError("need n_bins > 0 and hi > lo")
@@ -116,7 +120,7 @@ def histogram(
     b = (
         F.when(x < F.lit(float(lo)), F.lit(-1).cast("long"))
         .when(x >= F.lit(float(hi)), F.lit(n_bins).cast("long"))
-        .otherwise(raw.cast("long"))
+        .otherwise(F.least(raw, F.lit(n_bins - 1)).cast("long"))
     )
     w = (hi - lo) / n_bins
     return (

@@ -23,6 +23,11 @@ from clinical_vector_search_spark.pipeline.dp import (
 )
 from clinical_vector_search_spark.pipeline.embedding import hash_embed, hash_embed_pd
 from clinical_vector_search_spark.pipeline.rag import rag_pipeline
+from clinical_vector_search_spark.plan_cache import (
+    begin_build,
+    end_build,
+    tracked_cache as _tracked_cache,
+)
 
 # Prepared-plan cache: mode DataFrames are immutable lazy plans, and
 # BUILDING one costs real driver time (~0.9 s for rag_mode — ~2k py4j
@@ -34,22 +39,34 @@ from clinical_vector_search_spark.pipeline.rag import rag_pipeline
 # listing at read time, so a directory whose FILES change needs a fresh
 # session (testdata is immutable per run); and the dict is FIFO-bounded so
 # a long-lived server sweeping many distinct arg tuples can't grow the
-# driver without limit (evicted entries' .cache()'d sub-frames stay
-# registered with the block manager, which evicts storage under its own
-# memory pressure — MEMORY_AND_DISK blocks are reclaimable).
-_PLAN_CACHE: dict[tuple, DataFrame] = {}
+# driver without limit. Each entry owns the .cache() handles its build
+# created (registered via _tracked_cache), and eviction unpersists them —
+# without that, MEMORY_AND_DISK blocks evicted from storage memory would
+# spill to executor DISK and stay there until app exit, an unbounded leak
+# on a long-lived server sweeping many distinct arg tuples.
+_PLAN_CACHE: dict[tuple, tuple[DataFrame, list[DataFrame]]] = {}
 _PLAN_CACHE_MAX = 64
 
 
 def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, *key)
-    df = _PLAN_CACHE.get(full_key)
-    if df is None:
-        df = build()
+    hit = _PLAN_CACHE.get(full_key)
+    if hit is None:
+        begin_build()
+        try:
+            df = build()
+        finally:
+            handles = end_build()
         while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-        _PLAN_CACHE[full_key] = df
-    return df
+            _, old_handles = _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+            for h in old_handles:
+                try:
+                    h.unpersist(blocking=False)
+                except Exception:  # noqa: BLE001 — session may be gone
+                    pass
+        _PLAN_CACHE[full_key] = (df, handles)
+        hit = (df, handles)
+    return hit[0]
 
 
 def load_corpus(
@@ -74,7 +91,7 @@ def load_corpus(
         )
     )
     if cache:
-        vecs = vecs.cache()
+        vecs = _tracked_cache(vecs)
     return docs, vecs
 
 
@@ -163,14 +180,14 @@ def dp_mode(
         # queried per query set — reference builds its DP FAISS index once,
         # pipeline_mode.py:87-91); kNN's rescore join reads it twice
         if accel == "pd":
-            dp_index = build_dp_index_pd(
+            dp_index = _tracked_cache(build_dp_index_pd(
                 joined, "embedding", "attr_vec", "doc_id", sigma=sigma
-            ).cache()
+            ))
         else:
-            dp_index = build_dp_index(
+            dp_index = _tracked_cache(build_dp_index(
                 joined, "embedding", "attr_vec", "doc_id", sigma=sigma,
                 dim=attr_dim,
-            ).cache()
+            ))
         queries = make_queries(vecs, n_queries)
         dp_q = dp_query_vec(queries, "query_vec", attr_dim)
         return knn(
@@ -238,8 +255,8 @@ def rag_mode(
                 F.col("embedding").alias("query_vec"),
                 "query_text",
             )
-            .cache()
         )
+        queries = _tracked_cache(queries)
         return rag_pipeline(queries, vecs, docs, k, candidate_k, bm25_topk, lam)
 
     return _cached_plan(

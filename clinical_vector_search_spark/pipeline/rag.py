@@ -30,6 +30,7 @@ from clinical_vector_search_spark.operators.bm25 import (
 )
 from clinical_vector_search_spark.operators.knn import knn
 from clinical_vector_search_spark.operators.mmr import mmr_rerank, mmr_rerank_dist
+from clinical_vector_search_spark.plan_cache import tracked_cache
 
 
 def hybrid_union(vec_results: DataFrame, bm25_results: DataFrame) -> DataFrame:
@@ -95,7 +96,7 @@ def bm25_topk_per_query(
     io.tables.build_bm25_index_table). Spark's CacheManager dedups by
     canonicalized plan, so repeated calls over the same docs frame share
     one materialization instead of re-running tokenize→explode→tf/df."""
-    index = bm25_index(docs, id_col, text_col).cache()
+    index = tracked_cache(bm25_index(docs, id_col, text_col))
     qset = [
         (qid, [t for t in qtext.lower().split() if t]) for qid, qtext in queries
     ]
@@ -167,7 +168,7 @@ def rag_pipeline(
         doc_id=doc_id, doc_vec=doc_vec,
     )
     if distributed:
-        index = bm25_index(docs_text, doc_id, text_col).cache()
+        index = tracked_cache(bm25_index(docs_text, doc_id, text_col))
         qterms = query_term_weights(queries, query_id, query_text)
         bm_cands = bm25_topk_set_df(index, qterms, bm25_topk, id_col=doc_id)
         bm_cands = bm_cands.select(

@@ -283,6 +283,42 @@ def tumbling_agg(events: DataFrame, window_sec: int = 300) -> DataFrame:
     )
 
 
+def funnel_levels(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+) -> list[DataFrame]:
+    """The lazy per-level frames behind :func:`funnel`: level i holds
+    (id, t) = users who completed steps[0..i] in order, with t the greedy
+    earliest completion time. Exposed so callers (and the physical-plan
+    audit) can inspect or reuse the level chain; :func:`funnel` persists
+    each level so the chain executes with one pushed-down events scan per
+    step."""
+    levels: list[DataFrame] = []
+    reached = None
+    for step in steps:
+        ev_s = events.filter(F.col(type_col) == step).select(
+            F.col(id_col), F.col(ts_col).alias("_ts")
+        )
+        if reached is None:
+            cur = ev_s.groupBy(id_col).agg(F.min("_ts").alias("t"))
+        else:
+            cur = (
+                ev_s.join(
+                    reached.select(id_col, F.col("t").alias("_prev")),
+                    id_col,
+                )
+                .filter(F.col("_ts") > F.col("_prev"))
+                .groupBy(id_col)
+                .agg(F.min("_ts").alias("t"))
+            )
+        levels.append(cur)
+        reached = cur
+    return levels
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
@@ -302,48 +338,35 @@ def funnel(
     a map-side-combined min per user + a user-granularity join against
     the previous level — k levels, no per-user event lists collected
     anywhere, so a bot with a billion events costs its min() partials,
-    not memory. Counts per level are single-row aggs unioned at the end.
+    not memory.
+
+    EAGER by design: the result is k rows, so each level frame
+    (user-granularity, bounded by #distinct users) is persisted, counted
+    in its own job — level i+1 reads the CACHED level i, keeping the
+    events source at exactly one pushed-down scan per step instead of
+    the O(k²) rescans a fully-lazy chain would pay — and every persisted
+    level is unpersisted before returning. The returned DataFrame is a
+    k-row local frame with no lineage into ``events``.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
-    reached = None
-    counts = []
-    for i, s in enumerate(steps):
-        ev_s = events.filter(F.col(type_col) == s).select(
-            F.col(id_col), F.col(ts_col).alias("_ts")
-        )
-        if reached is None:
-            cur = ev_s.groupBy(id_col).agg(F.min("_ts").alias("t"))
-        else:
-            cur = (
-                ev_s.join(
-                    reached.select(id_col, F.col("t").alias("_prev")), id_col
-                )
-                .filter(F.col("_ts") > F.col("_prev"))
-                .groupBy(id_col)
-                .agg(F.min("_ts").alias("t"))
-            )
-        reached = cur
-        counts.append(
-            cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-                F.lit(i + 1).alias("step_idx"),
-                F.lit(s).alias("step"),
-                "n_users",
-            )
-        )
-    out = counts[0]
-    for c in counts[1:]:
-        out = out.union(c)
-    base = counts[0].select(F.col("n_users").alias("_n1"))
-    return out.crossJoin(F.broadcast(base)).select(
-        "step_idx",
-        "step",
-        "n_users",
-        F.when(
-            F.col("_n1") > 0, F.round(F.col("n_users") / F.col("_n1"), 6)
-        )
-        .otherwise(F.lit(0.0))
-        .alias("conv_rate"),
+    spark = events.sparkSession
+    levels = funnel_levels(events, steps, id_col, ts_col, type_col)
+    rows = []
+    try:
+        for i, (step, cur) in enumerate(zip(steps, levels)):
+            cur.persist()  # level i+1's join reads the CACHED level i
+            rows.append((i + 1, step, cur.count()))
+    finally:
+        for df in levels:
+            df.unpersist(blocking=False)
+    n1 = rows[0][2]
+    out = [
+        (idx, step, n, round(n / n1, 6) if n1 > 0 else 0.0)
+        for idx, step, n in rows
+    ]
+    return spark.createDataFrame(
+        out, "step_idx int, step string, n_users bigint, conv_rate double"
     )
 
 
@@ -356,13 +379,16 @@ def retention_cohorts(
 ) -> DataFrame:
     """Cohort retention: group users by first-activity day, then for each
     horizon n report how many were active again exactly n days later.
-    Returns (cohort_day, n_users, horizon, n_active, rate) — one row per
-    (cohort, horizon), cohort_day in epoch days.
+    Returns (cohort_day, n_users, horizon, n_active, rate) — EVERY
+    requested horizon appears for every cohort, with n_active = 0 when no
+    user returned (a consumer can tell 0% retention from missing data);
+    cohort_day in epoch days.
 
     Plan: distinct (user, day) — the only event-volume shuffle, and it's
     a map-side-combined dedup to at most users×days rows; cohort = min
     day per user (map-side partials); activity offsets from one
-    user-granularity join; final counts per (cohort, horizon). Exact
+    user-granularity join; final counts per (cohort, horizon), densified
+    by a broadcast cross with the tiny horizons list + left join. Exact
     distinct-user counts throughout (swap count_distinct for
     approx_count_distinct at trillion-row scale if ±2% suffices).
     """
@@ -382,14 +408,21 @@ def retention_cohorts(
         .groupBy("cohort_day", "horizon")
         .agg(F.count(F.lit(1)).alias("n_active"))  # (user, day) distinct
     )
+    horizon_rows = events.sparkSession.createDataFrame(
+        [(int(h),) for h in sorted({int(h) for h in horizons})],
+        "horizon long",
+    )
     return (
-        sizes.join(offsets, "cohort_day")
+        sizes.crossJoin(F.broadcast(horizon_rows))
+        .join(offsets, ["cohort_day", "horizon"], "left")
         .select(
             "cohort_day",
             "n_users",
             "horizon",
-            "n_active",
-            F.round(F.col("n_active") / F.col("n_users"), 6).alias("rate"),
+            F.coalesce("n_active", F.lit(0)).cast("long").alias("n_active"),
+            F.round(
+                F.coalesce("n_active", F.lit(0)) / F.col("n_users"), 6
+            ).alias("rate"),
         )
     )
 

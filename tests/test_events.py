@@ -463,4 +463,7 @@ def test_retention_cohorts_counts(spark):
     assert got[(0, 1)] == (3, 1, round(1 / 3, 6))
     assert got[(0, 7)] == (3, 2, round(2 / 3, 6))
     assert got[(3, 1)] == (1, 1, 1.0)
-    assert (3, 7) not in got  # no activity -> no row
+    # zero returning users is an explicit 0-count row, not a missing one
+    # (a consumer must distinguish 0% retention from absent data)
+    assert got[(3, 7)] == (1, 0, 0.0)
+    assert set(got) == {(0, 1), (0, 7), (3, 1), (3, 7)}

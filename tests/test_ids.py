@@ -46,3 +46,25 @@ def test_dense_row_ids_no_global_window_in_plan(spark, sf_dir):
 def test_dense_row_ids_empty_frame(spark):
     df = spark.createDataFrame([], "k long")
     assert dense_row_ids(df, ["k"]).count() == 0
+
+
+def test_dense_row_ids_broadcast_offsets_above_threshold(spark, monkeypatch):
+    """Above _LITERAL_MAP_MAX_PARTITIONS the offsets ship as a
+    broadcast-joined frame (bounded driver expression tree), with
+    identical ids to the literal-map path."""
+    import clinical_vector_search_spark.functions.ids as ids_mod
+
+    df = spark.range(500).select((F.col("id") * 37 % 1000).alias("k"),
+                                 F.col("id").alias("u"))
+    small = {
+        r.u: r.row_id
+        for r in dense_row_ids(df, ["k", "u"], n_partitions=12).collect()
+    }
+    monkeypatch.setattr(ids_mod, "_LITERAL_MAP_MAX_PARTITIONS", 4)
+    big_df = dense_row_ids(df, ["k", "u"], n_partitions=12)
+    plan = big_df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan  # offsets joined, not a literal
+    assert "SinglePartition" not in plan, plan
+    big = {r.u: r.row_id for r in big_df.collect()}
+    assert big == small
+    assert set(big.values()) == set(range(1, 501))

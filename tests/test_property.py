@@ -321,7 +321,14 @@ def test_retention_matches_bruteforce_reference(spark, rows):
         sizes[f] = sizes.get(f, 0) + 1
     got = {(r.cohort_day, r.horizon): (r.n_users, r.n_active)
            for r in retention_cohorts(ev, [1, 2]).collect()}
-    assert got == {k: (sizes[k[0]], n) for k, n in want.items()}
+    # densified contract: every (cohort, requested horizon) pair appears,
+    # zero-return pairs with n_active = 0
+    expect = {
+        (f, h): (sizes[f], want.get((f, h), 0))
+        for f in sizes
+        for h in (1, 2)
+    }
+    assert got == expect
 
 
 @_slow

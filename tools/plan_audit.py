@@ -339,7 +339,12 @@ def main() -> int:
     )
 
     ev = read_events(spark, SF_DIR)
-    plan = formatted(funnel(ev, ["view", "click", "purchase"]))
+    # funnel() itself is eager (returns a k-row local frame with no
+    # lineage); audit the LAST lazy level plan, whose lineage contains
+    # every level's filtered scan and user-granularity join
+    from clinical_vector_search_spark.streaming.events import funnel_levels
+
+    plan = formatted(funnel_levels(ev, ["view", "click", "purchase"])[-1])
     check(
         "funnel: event_type filters pushed to scan, no CartesianProduct",
         "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in plan
