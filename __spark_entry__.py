@@ -1893,20 +1893,162 @@ def q_ids_dense_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dense_row_ids(docs, ["n_chars", "doc_id"], n_partitions=16)
 
 
+def q_events_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionize with strategy="auto" (streaming/events.py sessionize →
+    choose_sessionize_strategy): the histogram probe must pick the PLAIN
+    single-window plan on the uniform testdata, so the oracle is the
+    plain-path SQL with the skew-shaped 1-based session_num — a wrong
+    dispatch (skew path, 1-based vs 0-based drift) fails the hash."""
+    from clinical_vector_search_spark.streaming.events import sessionize
+
+    s = sessionize(_events(spark, sf_dir), SESSION_GAP_SEC, strategy="auto")
+    return s.select(
+        "user_id",
+        F.col("session_num").cast("long").alias("session_num"),
+        "n_events",
+        F.expr("session_start_ns div 1000").alias("session_start_us"),
+        F.expr("session_end_ns div 1000").alias("session_end_us"),
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
+def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 MERGE path (operators/temporal.py scd2_merge with a NON-empty
+    current table): history is seeded from the first half of the event
+    stream (ts below the (min+max)/2 cut), then the second half is merged
+    — closed versions pass through untouched, the open version
+    re-sequences with the new batch. Because the cut strictly separates
+    each user's updates in time, two-step merge ≡ one-shot build, so the
+    oracle is the same single-pass SQL as events_scd2 — exercising the
+    closed-passthrough and open-version paths against it."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 50)
+        .select("user_id", "event_type", "ts_ns")
+    )
+    lo, hi = ev.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cut = (lo + hi) // 2
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    current = scd2_merge(
+        empty, ev.filter(F.col("ts_ns") < cut), "user_id", ["event_type"]
+    )
+    return scd2_merge(
+        current, ev.filter(F.col("ts_ns") >= cut), "user_id", ["event_type"]
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup):
+    argmax-cosine cluster assignment over the LCG centroid matrix, then
+    within-cluster near-dup prune keeping the smallest id per pair.
+    Survivors (vec_id, cluster)."""
+    from clinical_vector_search_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _vecs(spark, sf_dir), dim=64, threshold=0.35, n_clusters=8
+    )
+
+
+def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pair stage of SemDeDup (operators/dedup.py
+    semantic_dedup_pairs): within-cluster cosine ≥ 0.35 pairs only —
+    the cluster id bucketing the quadratic comparison."""
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    r = semantic_dedup_pairs(
+        _vecs(spark, sf_dir), dim=64, threshold=0.35, n_clusters=8
+    )
+    return r.select(
+        "a_id", "b_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
-    # freshness rotation (VERDICT r4 task 1):
-    #   1. the 38 entries with NO r4 driver row (last row r3/r2, all
-    #      locally re-verified green at sf0.01 in r4 AND r5)
-    #   2. entries new in r5 (14 entries; the last 2 may spill just past
-    #      a strict 50-entry window — both verified green locally at
-    #      sf0.01 AND sf0.1 this round)
-    #   3. entries whose ONLY driver row is r4 (the r4-new section)
-    #   4. entries green two recent rounds — demoted past the driver's
-    #      window; rotate back in next round (r6: promote sections 3+4,
-    #      demote the entries that get r5 rows).
+    # freshness rotation (established in r5; VERDICT r5 task 1):
+    #   1. the 7 entries with NO driver row ever (added late in r5;
+    #      all locally oracle-green at sf0.01)
+    #   2. entries new in r6 (semantic dedup, sessionize auto-dispatch,
+    #      SCD2 merge-path)
+    #   3. entries whose last driver row is r4 — weakest-evidence first
+    #      (rows-only anchors, streaming replays, ANN recall twins);
+    #      the ~11 past the 50-window stay r4-stale and lead the r7
+    #      rotation
+    #   4. entries green in r5 — demoted past the window; rotate back
+    #      in r7/r8 so no entry goes two driver-rounds dark.
     return {
-        # -- 1: unchecked in r4 ------------------------------------------
+        # -- 1: never driver-checked --------------------------------------
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_scd2": q_events_scd2,
+        "events_histogram": q_events_histogram,
+        "text_bigram_lm": q_text_bigram_lm,
+        "dedup_repeated_windows": q_dedup_repeated_windows,
+        "io_dataset_fingerprint": q_io_dataset_fingerprint,
+        # -- 2: new in r6 ------------------------------------------------
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_pairs": q_dedup_semantic_pairs,
+        "events_sessionize_auto": q_events_sessionize_auto,
+        "events_scd2_merge": q_events_scd2_merge,
+        # -- 3: last driver row r4 ---------------------------------------
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh": q_knn_lsh,
+        "fhe_pipeline": q_fhe_pipeline,
+        "evaluation_table": q_evaluation_table,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
+        "doc_pipeline": q_doc_pipeline,
+        "events_asof_join": q_events_asof_join,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "events_distinct_users": q_events_distinct_users,
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
+        "events_streaming_join": q_events_streaming_join,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "salted_agg": q_salted_agg,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        "vec_pca": q_vec_pca,
+        "rag_mmr_rounded": q_rag_mmr_rounded,
+        "rag_rrf": q_rag_rrf,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
+        "events_streaming_enrich": q_events_streaming_enrich,
+        "events_streaming_user_totals": q_events_streaming_user_totals,
+        "events_sessionize_skew": q_events_sessionize_skew,
+        "events_asof_forward": q_events_asof_forward,
+        "knn_pq_adc": q_knn_pq_adc,
+        "vec_pq_codes": q_vec_pq_codes,
+        "knn_exact_l2": q_knn_exact_l2,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_decontaminate": q_doc_decontaminate,
+        "dedup_survivors": q_dedup_survivors,
+        "text_repetition": q_text_repetition,
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
+        "rel_cube": q_rel_cube,
+        "rel_window_ranks": q_rel_window_ranks,
+        "rel_local_supplier_volume": q_rel_local_supplier_volume,
+        "rel_profile": q_rel_profile,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_cust_no_orders": q_rel_cust_no_orders,
+        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+        # -- 4: green in r5, demoted -------------------------------------
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -1945,7 +2087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_redact_pii": q_text_redact_pii,
         "text_bpe_tokens": q_text_bpe_tokens,
-        # -- 2: new in r5 ------------------------------------------------
         "doc_weighted_sample": q_doc_weighted_sample,
         "text_normalize": q_text_normalize,
         "doc_pack_sequences": q_doc_pack_sequences,
@@ -1958,67 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        "dedup_repeated_windows": q_dedup_repeated_windows,
-        "io_dataset_fingerprint": q_io_dataset_fingerprint,
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_scd2": q_events_scd2,
-        "text_bigram_lm": q_text_bigram_lm,
-        "events_histogram": q_events_histogram,
-        # -- 3: only driver row is r4 ------------------------------------
-        "events_sessionize_skew": q_events_sessionize_skew,
-        "events_streaming_sessionize": q_events_streaming_sessionize,
-        "rag_rrf": q_rag_rrf,
-        "text_repetition": q_text_repetition,
-        "dedup_survivors": q_dedup_survivors,
-        "rel_cube": q_rel_cube,
-        "rel_window_ranks": q_rel_window_ranks,
-        "vec_pq_codes": q_vec_pq_codes,
-        "knn_pq_adc": q_knn_pq_adc,
-        "rel_local_supplier_volume": q_rel_local_supplier_volume,
-        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        "events_streaming_enrich": q_events_streaming_enrich,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "events_asof_forward": q_events_asof_forward,
-        "doc_decontaminate": q_doc_decontaminate,
-        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_exact_l2": q_knn_exact_l2,
-        "vec_pca": q_vec_pca,
-        "rel_profile": q_rel_profile,
-        "rel_semi_join": q_rel_semi_join,
-        "text_cms_heavyhitters": q_text_cms_heavyhitters,
-        "events_streaming_user_totals": q_events_streaming_user_totals,
-        "rag_mmr_rounded": q_rag_mmr_rounded,
-        "rel_cust_no_orders": q_rel_cust_no_orders,
-        # -- 4: green r4 + earlier, demoted ------------------------------
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-        "knn_lsh": q_knn_lsh,
-        "mmr_lambda1": q_mmr_lambda1,
-        "rag_union_candidates": q_rag_union_candidates,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "doc_pipeline": q_doc_pipeline,
-        "fhe_pipeline": q_fhe_pipeline,
-        "evaluation_table": q_evaluation_table,
-        "events_asof_join": q_events_asof_join,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
-        "events_distinct_users": q_events_distinct_users,
-        "events_range_join": q_events_range_join,
-        "events_json_extract": q_events_json_extract,
-        "events_streaming_tumbling": q_events_streaming_tumbling,
-        "events_streaming_join": q_events_streaming_join,
-        "events_streaming_dedup": q_events_streaming_dedup,
-        "salted_agg": q_salted_agg,
     }
-
 
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
@@ -3177,6 +3258,49 @@ def oracle_sql() -> dict[str, str]:
         FROM b GROUP BY bin
     """
 
+    # SemDeDup: literal LCG centroid matrix (same _centroid_matrix the
+    # Spark side uses), argmax assignment with first-max tie-break
+    # (ORDER BY dot DESC, cid ASC ≡ array_position of array_max), then
+    # within-cluster pairs and a smallest-id-keeper anti join
+    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+
+    _cents = _centroid_matrix(64, 8)
+    _cents_sql = ", ".join(
+        f"({c}, [{', '.join(repr(w) for w in row)}]::DOUBLE[])"
+        for c, row in enumerate(_cents)
+    )
+    _semdedup_base = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        cents AS (SELECT * FROM (VALUES {_cents_sql}) AS c(cid, w)),
+        dots AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                 FROM n CROSS JOIN cents),
+        asg AS (SELECT vec_id, cid::INT AS cluster FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dot DESC, cid) AS rn
+                   FROM dots)
+                WHERE rn = 1),
+        an AS (SELECT n.vec_id, n.nv, asg.cluster
+               FROM n JOIN asg ON n.vec_id = asg.vec_id),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+                     list_dot_product(a.nv, b.nv) AS cosine
+              FROM an a JOIN an b
+                ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              WHERE list_dot_product(a.nv, b.nv) >= 0.35)
+    """
+    s["dedup_semantic_pairs"] = (
+        _semdedup_base
+        + "SELECT a_id, b_id, cluster, round(cosine, 6) AS cosine FROM p"
+    )
+    s["dedup_semantic"] = (
+        _semdedup_base
+        + """
+        SELECT asg.vec_id, asg.cluster FROM asg
+        WHERE asg.vec_id NOT IN (SELECT b_id FROM p)
+    """
+    )
+
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio
     s["text_bigram_lm"] = f"""
         WITH toks AS ({_TOKS}),
@@ -3222,6 +3346,30 @@ def oracle_sql() -> dict[str, str]:
                lead(ts) OVER (PARTITION BY user_id
                               ORDER BY ts, event_type) AS valid_to
         FROM chg
+    """
+
+    # two-step merge over a strictly-time-separating cut ≡ one-shot build
+    # (closed versions pass through; the open version re-sequences with
+    # the second batch exactly where the one-shot lag/lead would put it)
+    s["events_scd2_merge"] = s["events_scd2"]
+
+    # auto dispatch on uniform data must produce the PLAIN plan's result,
+    # re-shaped to the skew-style 1-based session_num
+    s["events_sessionize_auto"] = f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER
+                                  (PARTITION BY user_id ORDER BY ts_ns)
+                                  > {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session FROM e),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns
+                                                ROWS UNBOUNDED PRECEDING)
+                             AS session_seq FROM l)
+        SELECT user_id, (session_seq + 1)::BIGINT AS session_num,
+               count(*) AS n_events,
+               min(ts_ns) // 1000 AS session_start_us,
+               max(ts_ns) // 1000 AS session_end_us,
+               round(sum(value), 6) AS sum_value
+        FROM st GROUP BY user_id, session_seq
     """
 
     # cohort retention: distinct user-days, first-day cohorts, 1/2-day

@@ -861,3 +861,105 @@ def simhash_candidate_pairs(
     return pairs.select("a_id", "b_id", hamming).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication
+# ---------------------------------------------------------------------------
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs, the SemDeDup shape (Abbas et
+    al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication"): assign every embedding to its
+    argmax-cosine centroid, then compare pairs ONLY inside a cluster.
+    Returns (a_id < b_id, cluster, cosine) with cosine ≥ ``threshold``.
+
+    Scale shape: the cluster id buckets the quadratic stage exactly like
+    the LSH bucket in :func:`embedding_neardup_pairs` — the join
+    shuffles on ``cluster`` and each task compares one cluster's rows,
+    so total work is Σ|c|² over clusters, not N². At 100 TB you raise
+    ``n_clusters`` so E[|c|] stays ~O(10⁴) (the paper uses 50k clusters
+    for 5B embeddings) and pass ``centroids`` from
+    :func:`~clinical_vector_search_spark.operators.knn.kmeans_centroids`
+    (trained on a hash-sample) so cluster sizes stay balanced — a hot
+    cluster is the skew risk here, and trained centroids + more clusters
+    are the fix. ``centroids=None`` uses the deterministic LCG matrix
+    (reproducible, the oracle-twin default).
+
+    Recall contract: a true near-dup pair straddling a cluster boundary
+    is missed (same recall<1 contract as LSH near-dup; the paper accepts
+    this by design — ε-balls live inside clusters).
+    """
+    from clinical_vector_search_spark.operators.knn import _centroid_dots
+
+    base = df.select(
+        F.col(id_col), V.l2_normalize(vec_col).alias("_nv")
+    )
+    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
+    # argmax with first-occurrence tie-break (array_position returns the
+    # FIRST index of the max — the oracle mirrors with ORDER BY dot DESC,
+    # cid ASC)
+    assigned = base.withColumn(
+        "cluster",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    ).cache()  # feeds both self-join sides
+    a = assigned.select(
+        "cluster", F.col(id_col).alias("a_id"), F.col("_nv").alias("_va")
+    )
+    b = assigned.select(
+        "cluster", F.col(id_col).alias("b_id"), F.col("_nv").alias("_vb")
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "cluster", V.dot("_va", "_vb").alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Semantic-dedup survivors: drop every row that has a
+    smaller-id near-duplicate (cosine ≥ threshold) in its cluster.
+    Returns (id, cluster) for the kept rows.
+
+    The keeper rule is greedy-by-id: the paper keeps one exemplar per
+    ε-ball (random, or farthest-from-centroid); smallest-id is the
+    deterministic analogue, chosen so the result is reproducible and
+    SQL-checkable. The prune is one left-anti join of the id set against
+    the ``b_id`` side of :func:`semantic_dedup_pairs` — ids only, no
+    vectors shuffled in the prune stage.
+    """
+    pairs = semantic_dedup_pairs(
+        df, dim, threshold, n_clusters, id_col, vec_col, centroids
+    )
+    from clinical_vector_search_spark.operators.knn import _centroid_dots
+
+    base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
+    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
+    assigned = base.select(
+        id_col,
+        (F.array_position(dots, F.array_max(dots)) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+    pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
+    return assigned.join(pruned, id_col, "left_anti")

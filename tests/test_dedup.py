@@ -360,3 +360,53 @@ def test_repeated_window_fraction_cross_doc_only(spark):
                                  "doc_id long, text string")
     r = repeated_window_fraction(solo, 5, 2).collect()[0]
     assert (r.n_windows, r.n_repeated) == (6, 0)
+
+
+def test_semantic_dedup_pairs_subset_of_exact(spark, sf_dir):
+    """SemDeDup recall contract: within-cluster pairs are a SUBSET of the
+    exact O(N²) near-dup pairs at the same threshold (clustering can only
+    MISS boundary-straddling pairs, never invent one), every reported pair
+    shares a cluster, and its cosine matches the exact path."""
+    import warnings
+
+    from clinical_vector_search_spark.operators.dedup import (
+        embedding_neardup_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r.a_id, r.b_id): r.cosine
+        for r in semantic_dedup_pairs(emb, dim=64, threshold=0.3,
+                                      n_clusters=4).collect()
+    }
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exact = {
+            (r.a_id, r.b_id): r.cosine
+            for r in embedding_neardup_pairs(emb, threshold=0.3).collect()
+        }
+    assert got, "threshold 0.3 must yield at least one within-cluster pair"
+    assert set(got) <= set(exact)
+    for k, c in got.items():
+        assert abs(c - exact[k]) < 1e-9
+
+
+def test_semantic_dedup_prunes_larger_id_of_each_pair(spark, sf_dir):
+    """Survivors = ids that never appear as the b_id of a qualifying
+    pair; every id appears exactly once with its cluster."""
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = semantic_dedup_pairs(emb, dim=64, threshold=0.3,
+                                 n_clusters=4).collect()
+    pruned = {r.b_id for r in pairs}
+    surv = semantic_dedup(emb, dim=64, threshold=0.3, n_clusters=4).collect()
+    n_total = emb.count()
+    assert len(surv) == n_total - len(pruned)
+    ids = [r.vec_id for r in surv]
+    assert len(ids) == len(set(ids))
+    assert pruned.isdisjoint(ids)

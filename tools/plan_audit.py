@@ -369,6 +369,39 @@ def main() -> int:
         n_nodes(plan, "Exchange") == 1,
     )
 
+    # 15. semantic dedup: the quadratic stage is bucketed by cluster —
+    # a hash join on the cluster key, never a cartesian product
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    emb_sd = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = formatted(semantic_dedup_pairs(emb_sd, dim=64, threshold=0.35,
+                                          n_clusters=8))
+    check(
+        "semantic_dedup: cluster-bucketed join, no CartesianProduct",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan
+        and "cluster" in plan,
+    )
+
+    # 16. sessionize auto-dispatch: on the uniform testdata the histogram
+    # probe must pick the PLAIN plan — a single user_id session window,
+    # no range-salt (_rng) columns anywhere in the physical plan
+    from clinical_vector_search_spark.streaming.events import (
+        choose_sessionize_strategy,
+        sessionize,
+    )
+
+    picked = choose_sessionize_strategy(ev)
+    plan = formatted(sessionize(ev, 1800, strategy="auto"))
+    check(
+        "sessionize auto: uniform data dispatches to the plain "
+        "single-window plan",
+        picked == "plain" and "_rng" not in plan
+        and n_nodes(plan, "Window") >= 1,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
