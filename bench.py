@@ -137,8 +137,15 @@ def main() -> None:
     def bench_embed_corpus():
         # mapInPandas embedder — the model-per-executor shape a real encoder
         # runs (reference embedding.py:31-41); parity-tested against the
-        # expression/oracle twin in tests/test_embedding.py
-        return hash_embed_pd(docs, 64)
+        # expression/oracle twin in tests/test_embedding.py.
+        # The sf0.1 documents table is ONE ~11MB parquet split, so without
+        # the repartition the whole Arrow pipeline runs on a single core
+        # (r5 profiled 0.73-1.48s single-task variance — the r5 "+39%
+        # regression" was that variance, not a plan change). Embedding is
+        # compute-bound: any real encoder fans the corpus across every
+        # executor core first, so the bench measures that shape — the
+        # repartition shuffle is 11MB, the parallelism is 32x.
+        return hash_embed_pd(docs.repartition(int(cpus)), 64)
 
     def bench_minhash_dedup():
         return minhash_candidate_pairs(docs, num_hashes=8, rows_per_band=2)
@@ -190,6 +197,16 @@ def main() -> None:
         return funnel(read_events(spark, sf_dir),
                       ["view", "click", "purchase"])
 
+    def bench_retention():
+        # cohort retention: the (user, day)-distinct shuffle shape
+        # (streaming/events.py retention_cohorts) — tracked here so the
+        # distinct's cost has a number before anyone scales it
+        from clinical_vector_search_spark.streaming.events import (
+            retention_cohorts,
+        )
+
+        return retention_cohorts(read_events(spark, sf_dir), [1, 2, 7])
+
     def bench_span_dedup():
         # C4-style cross-doc sentence-span dedup: posexplode + skew-safe
         # groupBy-min winners + reassembly (operators/dedup.py span_dedup)
@@ -221,6 +238,7 @@ def main() -> None:
         "events_sessionize_skew": bench_sessionize_skew,
         "pq_adc": bench_pq_adc,
         "events_funnel": bench_funnel,
+        "events_retention": bench_retention,
         "span_dedup": bench_span_dedup,
         "rel_pricing_summary": bench_pricing,
     }
@@ -230,6 +248,9 @@ def main() -> None:
     # the real sf-dir scan paths, Python workers for mapInPandas over the
     # actual schemas, and broadcast machinery cold — r3 measured 2.9 s cold
     # vs 1.1 s warm for the identical baseline_knn plan.
+    # (This also builds+caches the baseline plan, so baseline_knn's
+    # "cold" first-sweep number below is really a warm re-execution —
+    # every OTHER query's first sweep is a true cold plan build.)
     try:
         materialize(bench_baseline())
     except Exception as ex:  # noqa: BLE001
@@ -244,7 +265,15 @@ def main() -> None:
     # window, so each rep sweep visits every query once and the per-query
     # min is taken across sweeps. The min reflects steady-state
     # throughput, the 100TB-relevant number.
+    # Cold vs warm: the prepared-plan cache (pipeline/modes.py) makes the
+    # MODE queries plan-build-free on sweeps 2-3, while non-mode queries
+    # rebuild their plan every sweep — so the per-query min mixes two
+    # regimes. Both numbers are recorded: "queries_cold" = the FIRST
+    # sweep (plan build + execute, the one-shot-job number) and
+    # "queries" = the min across sweeps (steady-state re-execution, the
+    # serving-layer and 100TB-relevant number the total reports).
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for _sweep in range(3):
         for name, fn in benches.items():
             if times.get(name, 0.0) < 0:
@@ -257,17 +286,23 @@ def main() -> None:
                 t0 = time.time()
                 materialize(fn())
                 dt = round(time.time() - t0, 3)
+                if name not in cold:
+                    cold[name] = dt
                 times[name] = min(times.get(name, dt), dt)
             except Exception as ex:  # noqa: BLE001
                 print(f"bench {name} failed: {ex}", file=sys.stderr)
                 times[name] = -1.0
+                cold.setdefault(name, -1.0)
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    total_cold = round(sum(t for t in cold.values() if t >= 0), 3)
     print(json.dumps({
         "metric": "e2e_batch_pipeline",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_cold": cold,
+        "value_cold": total_cold,
         "sf": sf,
     }))
 

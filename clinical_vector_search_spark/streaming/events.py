@@ -319,12 +319,86 @@ def funnel_levels(
     return levels
 
 
+def funnel_window(
+    events: DataFrame,
+    steps: list[str],
+    id_col: str = "user_id",
+    ts_col: str = "ts_ns",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Single-job funnel: the greedy per-user completion times t_1..t_k
+    as CHAINED window minima over one user partitioning — t_i =
+    min(ts of step-i events with ts > t_{i-1}) OVER (PARTITION BY user).
+    The k Window operators share the partitioning, so the plan has ONE
+    event-volume exchange (plus a tiny single-row count agg); the
+    step-type isin filter is pushed to the scan. Fully lazy.
+
+    Skew note: each WindowExec buffers one user's rows (spilling to
+    disk), so a power-law bot user makes a straggler task — same unit of
+    work as plain sessionize. :func:`funnel` strategy="levels" is the
+    bounded-per-task alternative; "auto" (the default) probes the
+    per-user histogram and dispatches.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(id_col)
+    df = events.filter(F.col(type_col).isin(list(steps))).select(
+        id_col, ts_col, type_col
+    )
+    tcols = []
+    for i, step in enumerate(steps):
+        cond = F.col(type_col) == step
+        if tcols:
+            cond = cond & (F.col(ts_col) > F.col(tcols[-1]))
+        name = f"_t{i + 1}"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        tcols.append(name)
+    per_user = df.groupBy(id_col).agg(
+        *[F.first(c).alias(c) for c in tcols]  # t_i constant per user
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(c).isNotNull().cast("long")).alias(f"_n{i + 1}")
+            for i, c in enumerate(tcols)
+        ]
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(step).alias("step"),
+                F.coalesce(F.col(f"_n{i + 1}"), F.lit(0)).alias("n_users"),
+            )
+            for i, step in enumerate(steps)
+        ]
+    )
+    return (
+        counts.select(
+            F.coalesce(F.col("_n1"), F.lit(0)).alias("_base"),
+            F.explode(rows).alias("_r"),
+        )
+        .select(
+            F.col("_r.step_idx").alias("step_idx"),
+            F.col("_r.step").alias("step"),
+            F.col("_r.n_users").alias("n_users"),
+            F.when(
+                F.col("_base") > 0,
+                F.round(F.col("_r.n_users") / F.col("_base"), 6),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("conv_rate"),
+        )
+    )
+
+
 def funnel(
     events: DataFrame,
     steps: list[str],
     id_col: str = "user_id",
     ts_col: str = "ts_ns",
     type_col: str = "event_type",
+    strategy: str = "auto",
+    skew_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Ordered-funnel analysis: how many users performed ``steps`` in
     strict timestamp order (view → click → purchase, each AFTER the
@@ -333,23 +407,37 @@ def funnel(
 
     Greedy earliest-completion is exact for existence: t_1 = a user's
     earliest step-1 event; t_i = earliest step-i event strictly after
-    t_{i-1}; the user reaches step i iff t_i exists. Each level is one
-    filtered scan (event-type predicate pushed to the parquet scan) +
-    a map-side-combined min per user + a user-granularity join against
-    the previous level — k levels, no per-user event lists collected
-    anywhere, so a bot with a billion events costs its min() partials,
-    not memory.
+    t_{i-1}; the user reaches step i iff t_i exists.
 
-    EAGER by design: the result is k rows, so each level frame
-    (user-granularity, bounded by #distinct users) is persisted, counted
-    in its own job — level i+1 reads the CACHED level i, keeping the
-    events source at exactly one pushed-down scan per step instead of
-    the O(k²) rescans a fully-lazy chain would pay — and every persisted
-    level is unpersisted before returning. The returned DataFrame is a
-    k-row local frame with no lineage into ``events``.
+    ``strategy``:
+
+    * ``"window"`` — :func:`funnel_window`: ONE lazy job, one
+      event-volume shuffle, chained per-user window minima. The fast
+      path; a WindowExec buffers (and spills) one user's rows per task.
+    * ``"levels"`` — the bounded-per-task path: k filtered scans
+      (event-type predicate pushed to the parquet scan), each level a
+      map-side-combined min per user + a user-granularity join against
+      the previous level. No per-user event buffering anywhere, so a
+      bot with a billion events costs min() partials, not task memory —
+      at the price of k sequential jobs (EAGER: levels are persisted,
+      counted, and unpersisted; the result is a k-row local frame).
+    * ``"auto"`` (default) — probe the per-user event histogram (one
+      cheap map-side-combined agg, same dispatch as sessionize) and
+      pick "levels" iff some user exceeds ``skew_threshold`` events.
+
+    All strategies return identical values (equivalence-tested).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if strategy == "auto":
+        # same histogram probe as choose_sessionize_strategy, but on the
+        # funnel's own id column
+        mx = events.groupBy(id_col).count().agg(F.max("count")).first()[0]
+        strategy = "levels" if (mx or 0) > skew_threshold else "window"
+    if strategy == "window":
+        return funnel_window(events, steps, id_col, ts_col, type_col)
+    if strategy != "levels":
+        raise ValueError(f"unknown funnel strategy: {strategy!r}")
     spark = events.sparkSession
     levels = funnel_levels(events, steps, id_col, ts_col, type_col)
     rows = []

@@ -467,3 +467,50 @@ def test_retention_cohorts_counts(spark):
     # (a consumer must distinguish 0% retention from absent data)
     assert got[(3, 7)] == (1, 0, 0.0)
     assert set(got) == {(0, 1), (0, 7), (3, 1), (3, 7)}
+
+
+def test_funnel_strategies_agree(spark, sf_dir):
+    """window / levels / auto must return identical rows; auto on the
+    uniform testdata must pick the single-job window plan (lazy frame,
+    not the eager local one)."""
+    from clinical_vector_search_spark.streaming.events import (
+        funnel,
+        read_events,
+    )
+
+    ev = read_events(spark, sf_dir)
+    steps = ["view", "click", "purchase"]
+    base = sorted(
+        (r.step_idx, r.step, r.n_users, r.conv_rate)
+        for r in funnel(ev, steps, strategy="window").collect()
+    )
+    lv = sorted(
+        (r.step_idx, r.step, r.n_users, r.conv_rate)
+        for r in funnel(ev, steps, strategy="levels").collect()
+    )
+    auto = sorted(
+        (r.step_idx, r.step, r.n_users, r.conv_rate)
+        for r in funnel(ev, steps).collect()
+    )
+    assert base == lv == auto
+    assert len(base) == 3 and base[0][2] > 0
+
+
+def test_funnel_window_handles_empty_and_missing_steps(spark):
+    from clinical_vector_search_spark.streaming.events import funnel
+
+    ev = spark.createDataFrame(
+        [(1, 10, "view"), (1, 20, "click"), (2, 5, "view")],
+        "user_id long, ts_ns long, event_type string",
+    )
+    got = {r.step_idx: (r.n_users, r.conv_rate)
+           for r in funnel(ev, ["view", "click", "buy"],
+                           strategy="window").collect()}
+    assert got[1] == (2, 1.0)
+    assert got[2] == (1, 0.5)
+    assert got[3] == (0, 0.0)
+    # no step-1 events at all -> all zero, rate 0
+    got0 = {r.step_idx: (r.n_users, r.conv_rate)
+            for r in funnel(ev, ["absent", "view"],
+                            strategy="window").collect()}
+    assert got0[1] == (0, 0.0) and got0[2] == (0, 0.0)

@@ -65,6 +65,7 @@ def main() -> int:
 
     qs, oracles = E.queries(), E.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
+    entry_secs: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,8 +82,9 @@ def main() -> int:
                 n_fail += 1
             else:
                 n_rows_only += 1
+            entry_secs[name] = time.time() - t0
             print(f"{status} {name}: rows={len(sdf)} (rows-only, no oracle)"
-                  f" [{time.time() - t0:.1f}s]")
+                  f" [{entry_secs[name]:.1f}s]")
             continue
         try:
             odf = con.execute(oracles[name]).df()
@@ -105,12 +107,21 @@ def main() -> int:
                     f"hash mismatch ({int(bad.sum())}/{len(a)} rows differ); "
                     f"first diffs:\n--spark--\n{a[bad].head(3)}\n--oracle--\n{b[bad].head(3)}"
                 )
+        entry_secs[name] = time.time() - t0
         if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)} [{time.time() - t0:.1f}s]")
+            print(f"FAIL  {name}: {'; '.join(problems)} [{entry_secs[name]:.1f}s]")
             n_fail += 1
         else:
-            print(f"PASS  {name}: rows={len(sdf)} hash=ok [{time.time() - t0:.1f}s]")
+            print(f"PASS  {name}: rows={len(sdf)} hash=ok [{entry_secs[name]:.1f}s]")
             n_pass += 1
+    # cumulative-time leaderboard: as the inventory grows, an entry whose
+    # oracle or plan cost quietly balloons shows up here first
+    if len(entry_secs) > 1:
+        top = sorted(entry_secs.items(), key=lambda kv: -kv[1])[:10]
+        total = sum(entry_secs.values())
+        print(f"\nslowest entries (of {total:.0f}s total):")
+        for n, t in top:
+            print(f"  {t:6.1f}s  {n}")
     print(f"\n{n_pass} pass, {n_rows_only} rows-only, {n_fail} fail")
     return 1 if n_fail else 0
 

@@ -346,9 +346,22 @@ def main() -> int:
 
     plan = formatted(funnel_levels(ev, ["view", "click", "purchase"])[-1])
     check(
-        "funnel: event_type filters pushed to scan, no CartesianProduct",
+        "funnel levels: event_type filters pushed to scan, no "
+        "CartesianProduct",
         "PushedFilters: [IsNotNull(event_type), EqualTo(event_type," in plan
         and "CartesianProduct" not in plan,
+    )
+
+    # 12b. window funnel (the default fast path): the step-type In filter
+    # is pushed to the scan, the k chained Windows share ONE user_id
+    # exchange, and the only other exchange is the tiny single-row count
+    # agg — so exactly 2 Exchanges total
+    from clinical_vector_search_spark.streaming.events import funnel_window
+
+    plan = formatted(funnel_window(ev, ["view", "click", "purchase"]))
+    check(
+        "funnel window: pushed In-filter, one event-volume exchange",
+        "In(event_type" in plan and n_nodes(plan, "Exchange") == 2,
     )
 
     # 13. bigram LM: count-table joins are hash joins, no cartesian
