@@ -1221,6 +1221,8 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECON_N = 5
 DECON_BENCH = 20  # doc_id < 20 plays the held-out benchmark set
+BLOOM_M = 1 << 16  # bloom decontamination: filter bits
+BLOOM_K = 4  # bloom decontamination: hash count
 
 
 def q_doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1942,6 +1944,36 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality quota (operators/skew.py topk_per_group,
+    strategy="partial"): the 5 longest docs per source via the
+    zero-shuffle Arrow-batch prune + global window — bit-identical to
+    the plain window strategy, but a hot domain never funnels one task."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    docs = _docs(spark, sf_dir).select("source", "doc_id", "n_chars")
+    return topk_per_group(
+        docs, ["source"], [("n_chars", False), ("doc_id", True)], 5
+    )
+
+
+def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (operators/dedup.py
+    decontaminate_bloom; functions/hashing.py bloom_build/bloom_probe):
+    the benchmark shingle set compressed to a 2^16-bit 4-hash bitmap,
+    probed map-side by the corpus. Deterministic md5 positions mean even
+    the false-positive set hash-matches the SQL oracle."""
+    from clinical_vector_search_spark.operators.dedup import (
+        decontaminate_bloom,
+    )
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < DECON_BENCH).select("text")
+    return decontaminate_bloom(
+        docs, bench, n=DECON_N, m=BLOOM_M, k=BLOOM_K
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup):
     argmax-cosine cluster assignment over the LCG centroid matrix, then
@@ -1997,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs": q_dedup_semantic_pairs,
         "events_sessionize_auto": q_events_sessionize_auto,
         "events_scd2_merge": q_events_scd2_merge,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_topk_per_source": q_doc_topk_per_source,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3256,6 +3290,54 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # per-group top-k: strategy-independent result == plain window SQL
+    s["doc_topk_per_source"] = """
+        WITH r AS (SELECT source, doc_id, n_chars,
+                          row_number() OVER (PARTITION BY source
+                                             ORDER BY n_chars DESC, doc_id)
+                            AS rank
+                   FROM documents)
+        SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 5
+    """
+
+    # Bloom decontamination: same md5 positions (salt j, ':' framing),
+    # 32-bit words in BIGINTs (checked shifts stay in range), bit_or
+    # build, all-bits-set probe — FPs are deterministic so the full
+    # result hash-matches
+    s["doc_decontaminate_bloom"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS (SELECT doc_id, unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM toks),
+        bg AS (SELECT DISTINCT g FROM sh WHERE doc_id < {DECON_BENCH}),
+        bpos AS (SELECT DISTINCT
+                   {_MD5L.format(x="concat_ws(':', j::VARCHAR, g)")}
+                     % {BLOOM_M} AS pos
+                 FROM bg CROSS JOIN range({BLOOM_K}) t(j)),
+        words AS (SELECT pos // 32 AS widx,
+                         bit_or(1::BIGINT << (pos % 32)::INT) AS word
+                  FROM bpos GROUP BY pos // 32),
+        dpos AS (SELECT doc_id, g, j,
+                   {_MD5L.format(x="concat_ws(':', j::VARCHAR, g)")}
+                     % {BLOOM_M} AS pos
+                 FROM sh CROSS JOIN range({BLOOM_K}) t(j)),
+        gchk AS (SELECT doc_id, g,
+                        bool_and((coalesce(w.word, 0)
+                                  & (1::BIGINT << (pos % 32)::INT)) <> 0)
+                          AS gin
+                 FROM dpos LEFT JOIN words w ON dpos.pos // 32 = w.widx
+                 GROUP BY doc_id, g),
+        hits AS (SELECT doc_id, count(*) AS n_hits FROM gchk
+                 WHERE gin GROUP BY doc_id)
+        SELECT d.doc_id, coalesce(n_hits, 0)::BIGINT AS n_flagged_grams,
+               coalesce(n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """
 
     # SemDeDup: literal LCG centroid matrix (same _centroid_matrix the

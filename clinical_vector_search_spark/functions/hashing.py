@@ -74,3 +74,81 @@ def dataset_fingerprint(df, cols: list[str]):
         F.count(F.lit(1)).alias("n_rows"),
         F.expr("bit_xor(h)").alias("content_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (cross-engine deterministic)
+# ---------------------------------------------------------------------------
+
+
+def bloom_positions(c: Column | str, m: int, k: int) -> Column:
+    """The ``k`` bit positions of key ``c`` in an ``m``-bit Bloom filter:
+    position_j = salted_md5_long(j, c) % m. Returns array<long> of length
+    k. Same math is one line of SQL per hash, so build and probe are
+    exactly reproducible in any md5-capable engine — false positives
+    included (a Bloom probe is deterministic given (m, k), so even the
+    FP set hash-matches the oracle)."""
+    return F.array(*[salted_md5_long(c, j) % F.lit(m) for j in range(k)])
+
+
+def bloom_build(
+    keys: "DataFrame", key_col: str, m: int, k: int
+) -> "DataFrame":
+    """Build an ``m``-bit / ``k``-hash Bloom filter over a key column as a
+    (word_idx long, word long) DataFrame — bit i lives in word i//32 at
+    bit i%32. Words are 32-BIT (stored in longs): every mask is then a
+    positive value ≤ 2³¹, which SQL engines with overflow-checked shifts
+    (DuckDB raises on 1::BIGINT << 63) reproduce exactly — the point of
+    this filter is cross-engine determinism, not packing density.
+
+    Plan: explode the k positions per key (map-side), distinct them (the
+    only shuffle, at set-bit granularity ≤ m), then a ≤ m/32-key groupBy
+    whose partials combine map-side (bit_or is commutative/associative).
+    The result is the broadcastable index artifact: 10⁹ eval-set shingles
+    at ~10 bits/key is a ~1.25 GB bitmap — shippable to every executor,
+    where the raw shingle set would be tens of GB. Absent word_idx rows
+    mean an all-zero word."""
+    pos = keys.select(
+        F.explode(bloom_positions(key_col, m, k)).alias("pos")
+    ).distinct()
+    return (
+        pos.groupBy(F.expr("pos div 32").alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(1L, cast(pos % 32 as int))")
+            ).alias("word")
+        )
+    )
+
+
+def bloom_words_array(bloom: "DataFrame", m: int) -> list[int]:
+    """Collect a :func:`bloom_build` result into the dense ``m/32``-long
+    Python word list used to make a literal probe expression. Bounded:
+    m/32 longs (2 MiB of longs per 2²³ filter bits)."""
+    n_words = (m + 31) // 32
+    words = [0] * n_words
+    for r in bloom.collect():
+        words[int(r["word_idx"])] = int(r["word"])
+    return words
+
+
+def bloom_probe(c: Column | str, words: list[int], m: int, k: int) -> Column:
+    """Boolean membership probe of key ``c`` against a literal bitmap
+    (from :func:`bloom_words_array`): true iff ALL k bits are set.
+    Entirely map-side — the bitmap rides the plan as a constant array
+    (whole-stage-codegen'd), so probing a corpus costs zero shuffles
+    until whatever aggregation consumes the flag."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    checks = []
+    for j in range(k):
+        pos = salted_md5_long(c, j) % F.lit(m)
+        # word index = pos >> 5, bit = pos & 31 (pos is non-negative)
+        word = F.element_at(arr, F.shiftright(pos, 5).cast("int") + 1)
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), pos.bitwiseAND(F.lit(31)).cast("int")
+        )
+        checks.append(word.bitwiseAND(mask) != F.lit(0))
+    out = checks[0]
+    for ch in checks[1:]:
+        out = out & ch
+    return out

@@ -78,3 +78,77 @@ def salted_count_sum(
         *partial_aggs
     )
     return partial.groupBy(*key_cols).agg(*final_aggs)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_spec: list[tuple[str, bool]],
+    k: int,
+    strategy: str = "partial",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Top-k rows per group — the quality-quota primitive ("keep the 5
+    best docs per domain") — with a skew-safe scale path.
+
+    ``order_spec`` is [(column, ascending), ...] and must be a total
+    order within a group (add a unique id as the last key) so results
+    are deterministic and oracle-checkable. Appends ``rank_col`` (1-based).
+
+    ``strategy``:
+
+    * ``"window"`` — the classic one-shuffle row_number window. One task
+      sorts each group: fine until a hot group (one domain with 10⁹
+      docs) funnels into a single straggler.
+    * ``"partial"`` (default) — ZERO-shuffle Arrow-batch prune first:
+      within every batch of every input partition, only a group's local
+      top-k can contain a global top-k row, so each batch keeps ≤ k rows
+      per group present in it (the same argument as kNN partial_topk).
+      The global window then ranks ≤ k × n_batches candidates per group
+      — the hot group's 10⁹ rows never meet one task. Prune order
+      replicates Spark's null placement (asc ⇒ NULLS FIRST) so no
+      candidate is lost; values pass through unchanged and the FINAL
+      ranking is always the Spark window, so both strategies are
+      bit-identical (equivalence-tested).
+    """
+    from pyspark.sql.window import Window
+
+    if strategy not in ("window", "partial"):
+        raise ValueError(f"unknown topk_per_group strategy: {strategy!r}")
+    order_exprs = [
+        (F.col(c).asc() if asc else F.col(c).desc()) for c, asc in order_spec
+    ]
+    w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
+    src = df
+    if strategy == "partial":
+        import pandas as pd  # noqa: F401
+
+        names = [c for c, _ in order_spec]
+        ascs = [asc for _, asc in order_spec]
+        schema = df.schema
+
+        def prune(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                # iterative stable sorts, last key first, each with
+                # Spark's null placement (asc=NULLS FIRST, desc=LAST)
+                for c, asc in reversed(list(zip(names, ascs))):
+                    pdf = pdf.sort_values(
+                        c,
+                        ascending=asc,
+                        kind="mergesort",
+                        na_position="first" if asc else "last",
+                    )
+                # dropna=False: a NULL group key is a group like any other
+                # (pandas would silently drop those rows, diverging from
+                # the window strategy)
+                yield pdf.groupby(
+                    list(group_cols), sort=False, dropna=False
+                ).head(k)
+
+        src = df.mapInPandas(prune, schema)
+    return (
+        src.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )

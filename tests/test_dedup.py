@@ -410,3 +410,71 @@ def test_semantic_dedup_prunes_larger_id_of_each_pair(spark, sf_dir):
     ids = [r.vec_id for r in surv]
     assert len(ids) == len(set(ids))
     assert pruned.isdisjoint(ids)
+
+
+def test_bloom_filter_no_false_negatives_and_fp_behavior(spark):
+    """Every inserted key must probe true (Bloom guarantee); with a
+    deliberately tiny filter, non-members must show SOME false positives
+    (the bits saturate) — proving the probe actually reads the bitmap
+    rather than degenerating to always-false/always-true."""
+    from clinical_vector_search_spark.functions.hashing import (
+        bloom_build,
+        bloom_probe,
+        bloom_words_array,
+    )
+
+    keys = spark.range(200).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("g")
+    )
+    m, k = 1 << 12, 4
+    words = bloom_words_array(bloom_build(keys, "g", m, k), m)
+    probed = keys.select(bloom_probe("g", words, m, k).alias("hit")).collect()
+    assert all(r.hit for r in probed)  # zero false negatives, ever
+
+    others = spark.range(200, 1200).select(
+        F.concat(F.lit("key_"), F.col("id")).alias("g")
+    )
+    fp = others.select(
+        bloom_probe("g", words, m, k).cast("int").alias("hit")
+    ).agg(F.sum("hit")).collect()[0][0]
+    # 200 keys * 4 hashes in 4096 bits -> ~18% bits set -> FP ~0.1%:
+    # near-zero but never a false negative (asserted above)
+    assert fp < 50, fp
+
+    # undersized filter (1024 bits, ~54% set): FP rate ~8% — must see
+    # SOME false positives, proving the probe really reads the bitmap
+    m2 = 1 << 10
+    words2 = bloom_words_array(bloom_build(keys, "g", m2, k), m2)
+    fp2 = others.select(
+        bloom_probe("g", words2, m2, k).cast("int").alias("hit")
+    ).agg(F.sum("hit")).collect()[0][0]
+    assert 5 < fp2 < 500, fp2
+
+    tiny_words = bloom_words_array(bloom_build(keys, "g", 64, 2), 64)
+    sat = others.select(
+        bloom_probe("g", tiny_words, 64, 2).cast("int").alias("hit")
+    ).agg(F.sum("hit")).collect()[0][0]
+    assert sat > 900  # 64-bit filter with 200 keys is saturated
+
+
+def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
+    """Bloom flags are a SUPERSET of the exact operator's (conservative
+    direction), and every exact hit keeps its exact gram count ≤ the
+    bloom count."""
+    from clinical_vector_search_spark.operators.dedup import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") < 10).select("text")
+    exact = {r.doc_id: (r.contaminated, r.n_contaminated_grams)
+             for r in decontaminate(docs, bench, n=5).collect()}
+    bloom = {r.doc_id: (r.contaminated, r.n_flagged_grams)
+             for r in decontaminate_bloom(docs, bench, n=5,
+                                          m=1 << 14, k=4).collect()}
+    assert set(exact) == set(bloom)
+    for d, (c, n) in exact.items():
+        bc, bn = bloom[d]
+        if c:
+            assert bc and bn >= n

@@ -513,3 +513,43 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
         F.count("*"), F.sum("id"), F.sum("v")
     ).first()
     assert tuple(before) == tuple(after)
+
+
+def test_topk_per_group_strategies_identical(spark, sf_dir):
+    """partial (Arrow-batch prune + window) must equal the plain window
+    strategy row-for-row, including rank values."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "doc_id", "n_chars"
+    ).repartition(7)  # multiple partitions so the prune actually prunes
+    spec = [("n_chars", False), ("doc_id", True)]
+    a = {(r.source, r.doc_id, r.rank)
+         for r in topk_per_group(docs, ["source"], spec, 3,
+                                 strategy="partial").collect()}
+    b = {(r.source, r.doc_id, r.rank)
+         for r in topk_per_group(docs, ["source"], spec, 3,
+                                 strategy="window").collect()}
+    assert a == b and len(a) > 0
+
+
+def test_topk_per_group_null_keys_and_null_order_values(spark):
+    """NULL group keys form a group (pandas dropna pitfall) and NULL
+    order values follow Spark's placement (asc=NULLS FIRST), so the
+    prune never loses a candidate."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    rows = [
+        ("a", 1, 10), ("a", 2, None), ("a", 3, 30), ("a", 4, 20),
+        (None, 5, 1), (None, 6, 2),
+    ]
+    df = spark.createDataFrame(
+        rows, "g string, id long, score long"
+    ).repartition(3)
+    # ascending score: NULL ranks FIRST in Spark
+    got = {(r.g, r.rank): r.id
+           for r in topk_per_group(df, ["g"], [("score", True),
+                                               ("id", True)], 2,
+                                   strategy="partial").collect()}
+    want = {("a", 1): 2, ("a", 2): 1, (None, 1): 5, (None, 2): 6}
+    assert got == want

@@ -415,6 +415,46 @@ def main() -> int:
         and n_nodes(plan, "Window") >= 1,
     )
 
+    # 17. topk_per_group partial: the Arrow prune is shuffle-free, so the
+    # whole plan has exactly ONE exchange (the final per-group window)
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    plan = formatted(
+        topk_per_group(
+            docs.select("source", "doc_id", "n_chars"),
+            ["source"],
+            [("n_chars", False), ("doc_id", True)],
+            5,
+            strategy="partial",
+        )
+    )
+    check(
+        "topk_per_group partial: zero-shuffle prune, one window exchange",
+        n_nodes(plan, "Exchange") == 1 and "MapInPandas" in plan,
+    )
+
+    # 18. bloom probe: a pure map-side expression — scan + filter with
+    # NO exchange (the bitmap rides as a literal array)
+    from clinical_vector_search_spark.functions.hashing import (
+        bloom_build,
+        bloom_probe,
+        bloom_words_array,
+    )
+
+    bkeys = spark.range(50).select(
+        F.concat(F.lit("w"), F.col("id")).alias("g")
+    )
+    words = bloom_words_array(bloom_build(bkeys, "g", 1 << 12, 4), 1 << 12)
+    plan = formatted(
+        docs.select("doc_id", "text").filter(
+            bloom_probe(F.substring("text", 1, 20), words, 1 << 12, 4)
+        )
+    )
+    check(
+        "bloom probe: map-side literal-bitmap filter, zero exchanges",
+        n_nodes(plan, "Exchange") == 0,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
