@@ -1944,6 +1944,86 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score anomaly counts (operators/sketch.py
+    zscore_outliers with the round_dp cross-engine boundary): event
+    volume scanned once, group stats broadcast back."""
+    from clinical_vector_search_spark.operators.sketch import zscore_outliers
+
+    flagged = zscore_outliers(
+        _events(spark, sf_dir).select("event_type", "value"),
+        "value",
+        ["event_type"],
+        z=2.5,
+        round_dp=6,
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("is_outlier").cast("long")).alias("n_outliers"),
+        F.round(
+            F.sum(F.col("is_outlier").cast("long")) / F.count(F.lit(1)), 6
+        ).alias("outlier_rate"),
+    )
+
+
+def q_doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END LLM data-prep in ONE lazy plan — the composition a
+    pretraining pipeline actually runs, every stage an operator with its
+    own oracle-green entry: clean text → language filter (metadata en) →
+    heuristic quality filter (quality_score ≥ 0.6) → exact dedup
+    (min doc_id per md5 of cleaned text) → benchmark decontamination
+    (5-gram overlap vs the doc_id < 20 held-out set, broadcast) → BPE
+    token budget. Returns the surviving (doc_id, n_tokens, quality).
+
+    Scale: clean/filter/score are map-side expressions; dedup is one
+    md5-key shuffle; decontamination broadcasts only benchmark grams;
+    no stage collects. The composed plan is what Catalyst optimizes
+    jointly — filters push below the dedup shuffle."""
+    from clinical_vector_search_spark.functions import text as TXT
+
+    docs = _docs(spark, sf_dir)
+    cleaned = docs.select(
+        "doc_id", "lang", TXT.clean_text("text").alias("ctext")
+    )
+    kept = (
+        cleaned.filter(F.col("lang") == "en")
+        .withColumn("quality", F.round(TXT.quality_score("ctext"), 6))
+        .filter(F.col("quality") >= 0.6)
+    )
+    deduped = (
+        kept.groupBy(F.md5("ctext").alias("_h"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("ctext").alias("ctext"),  # identical within an md5 group
+            F.min("quality").alias("quality"),
+        )
+    )
+    bench_grams = (
+        cleaned.filter(F.col("doc_id") < DECON_BENCH)
+        .select(
+            F.explode(
+                TXT.shingles(TXT.tokenize("ctext"), DECON_N)
+            ).alias("g")
+        )
+        .distinct()
+    )
+    doc_grams = deduped.select(
+        "doc_id",
+        F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g"),
+    )
+    contaminated = doc_grams.join(F.broadcast(bench_grams), "g").select(
+        "doc_id"
+    ).distinct()
+    return (
+        deduped.join(contaminated, "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            TXT.bpe_token_count("ctext").alias("n_tokens"),
+            "quality",
+        )
+    )
+
+
 def q_doc_topk_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain quality quota (operators/skew.py topk_per_group,
     strategy="partial"): the 5 longest docs per source via the
@@ -2031,6 +2111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_merge": q_events_scd2_merge,
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_topk_per_source": q_doc_topk_per_source,
+        "doc_prep_pipeline": q_doc_prep_pipeline,
+        "events_zscore_outliers": q_events_zscore_outliers,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3290,6 +3372,89 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # z-score outliers: stats per type, rounded z-ratio boundary (the
+    # round_dp contract — raw float boundaries differ across engines)
+    s["events_zscore_outliers"] = """
+        WITH st AS (SELECT event_type, avg(value) AS m,
+                           stddev_pop(value) AS sd
+                    FROM events GROUP BY event_type),
+        f AS (SELECT e.event_type, e.value,
+                     (e.value IS NOT NULL AND st.sd > 0
+                      AND round(abs(e.value - st.m) / st.sd, 6) > 2.5)
+                       AS is_outlier
+              FROM events e JOIN st USING (event_type))
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               sum(is_outlier::INT)::BIGINT AS n_outliers,
+               round(sum(is_outlier::INT)::DOUBLE / count(*), 6)
+                 AS outlier_rate
+        FROM f GROUP BY event_type
+    """
+
+    # composed prep pipeline: every stage is the same SQL fragment its
+    # standalone entry uses (clean → lang/quality filter → md5 dedup →
+    # 5-gram decontamination → BPE budget)
+    s["doc_prep_pipeline"] = rf"""
+        WITH c AS (SELECT doc_id, lang,
+                          replace(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  chr(10), ' ') AS ctext
+                   FROM documents),
+        t AS (SELECT doc_id, lang, ctext,
+                     list_filter(regexp_split_to_array(lower(trim(ctext)),
+                                                       '\s+'),
+                                 x -> x <> '') AS tokens
+              FROM c),
+        q AS (SELECT doc_id, ctext, tokens,
+                     round(0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+                       + 0.3 * (1.0 -
+                           length(regexp_replace(lower(ctext),
+                                                 '[a-z0-9 ]', '', 'g'))::DOUBLE
+                             / greatest(length(ctext), 1))
+                       + 0.3 * (CASE WHEN
+                             len(list_filter(tokens,
+                                 x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                               / greatest(len(tokens), 1) >= 0.1
+                             AND
+                             len(list_filter(tokens,
+                                 x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                               / greatest(len(tokens), 1) <= 0.5
+                             THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM t WHERE lang = 'en'),
+        kept AS (SELECT * FROM q WHERE quality >= 0.6),
+        dd AS (SELECT min(doc_id) AS doc_id, min(ctext) AS ctext,
+                      min(quality) AS quality
+               FROM kept GROUP BY md5(ctext)),
+        ddt AS (SELECT doc_id, ctext, quality,
+                       list_filter(regexp_split_to_array(lower(trim(ctext)),
+                                                         '\s+'),
+                                   x -> x <> '') AS tokens
+                FROM dd),
+        bt AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(lower(trim(ctext)),
+                                                        '\s+'),
+                                  x -> x <> '') AS tokens
+               FROM c WHERE doc_id < {DECON_BENCH}),
+        bg AS (SELECT DISTINCT unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM bt),
+        dg AS (SELECT doc_id, unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM ddt),
+        bad AS (SELECT DISTINCT doc_id FROM dg JOIN bg USING (g))
+        SELECT d.doc_id,
+               len(regexp_extract_all(d.ctext,
+                   '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))::BIGINT AS n_tokens,
+               d.quality
+        FROM dd d WHERE d.doc_id NOT IN (SELECT doc_id FROM bad)
     """
 
     # per-group top-k: strategy-independent result == plain window SQL

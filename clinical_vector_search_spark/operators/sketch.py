@@ -134,3 +134,46 @@ def histogram(
             "n",
         )
     )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    z: float = 3.0,
+    round_dp: int | None = None,
+) -> DataFrame:
+    """Per-group z-score outlier flagging — the metric-anomaly triage
+    primitive: a row is an outlier when |value − group mean| exceeds
+    ``z`` group population standard deviations. Appends (_mean, _std,
+    is_outlier); NULL values are never outliers, and a constant group
+    (std = 0) flags nothing.
+
+    Scale shape: one map-side-combined aggregate to a GROUP-granularity
+    stats frame (avg + stddev_pop are single-pass associative partials),
+    broadcast back over the events — so the event volume is scanned
+    once, shuffled never. This is the two-pass-free analogue of the
+    classic "compute stats, re-join" pattern; the stats side is bounded
+    by group cardinality, which a grouping worth alerting on always is.
+
+    ``round_dp``: when set, the decision boundary becomes
+    round(|v − mean| / std, dp) > z. Different engines accumulate
+    avg/stddev in different orders, so a raw float boundary can flip for
+    a value within ulps of it — rounding the z-ratio first makes the
+    flag cross-engine stable (the oracle-checked contract).
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("_mean"),
+        F.stddev_pop(value_col).alias("_std"),
+    )
+    v = F.col(value_col)
+    if round_dp is None:
+        cond = F.abs(v - F.col("_mean")) > F.lit(float(z)) * F.col("_std")
+    else:
+        cond = (
+            F.round(F.abs(v - F.col("_mean")) / F.col("_std"), round_dp)
+            > F.lit(float(z))
+        )
+    return df.join(F.broadcast(stats), group_cols).withColumn(
+        "is_outlier", v.isNotNull() & (F.col("_std") > 0) & cond
+    )

@@ -553,3 +553,26 @@ def test_topk_per_group_null_keys_and_null_order_values(spark):
                                    strategy="partial").collect()}
     want = {("a", 1): 2, ("a", 2): 1, (None, 1): 5, (None, 2): 6}
     assert got == want
+
+
+def test_zscore_outliers_golden(spark):
+    """Known stats: group 'a' = nine 10s + one 100 → mean 19, std 27,
+    z(100) = 3.0 exactly; constant group flags nothing; NULL never
+    flags."""
+    from clinical_vector_search_spark.operators.sketch import zscore_outliers
+
+    rows = [("a", 10.0)] * 9 + [("a", 100.0), ("b", 5.0), ("b", 5.0),
+                                ("a", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = zscore_outliers(df, "v", ["g"], z=2.5).collect()
+    flags = {(r.g, r.v): r.is_outlier for r in got}
+    assert flags[("a", 100.0)] is True
+    assert flags[("a", 10.0)] is False
+    assert flags[("b", 5.0)] is False          # std = 0 → never outliers
+    assert flags[("a", None)] is False         # NULL value → not an outlier
+    # z=3.0 boundary is EXACT here (mean 19, std 27 over the 10 non-null
+    # 'a' values... recompute: mean=(9*10+100)/10=19, var=(9*81+81*81)/10
+    # = 729, std=27; |100-19|/27 = 3.0): strict > must NOT flag at z=3
+    got3 = {(r.g, r.v): r.is_outlier
+            for r in zscore_outliers(df, "v", ["g"], z=3.0).collect()}
+    assert got3[("a", 100.0)] is False

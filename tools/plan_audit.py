@@ -455,6 +455,20 @@ def main() -> int:
         n_nodes(plan, "Exchange") == 0,
     )
 
+    # 19. composed prep pipeline: the lang filter reaches the parquet
+    # scan THROUGH the whole composition, the decontamination join is a
+    # broadcast, and nothing degenerates to a cartesian
+    import __spark_entry__ as E
+
+    plan = formatted(E.q_doc_prep_pipeline(spark, SF_DIR))
+    check(
+        "doc_prep_pipeline: lang filter pushed to scan, broadcast "
+        "decontamination, no cartesian",
+        "EqualTo(lang,en)" in plan
+        and "BroadcastHashJoin" in plan
+        and "CartesianProduct" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
