@@ -1944,6 +1944,23 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL distinct users per day (operators/sketch.py
+    hll_partials + hll_rollup, DataSketches binary — rows-only by design:
+    the sketch encoding is engine-specific so no SQL oracle exists;
+    anchored by the oracle-checked exact twin events_distinct_users and
+    the accuracy/merge-consistency contracts in tests/test_extensions.py)."""
+    from clinical_vector_search_spark.operators.sketch import (
+        hll_partials,
+        hll_rollup,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    )
+    return hll_rollup(hll_partials(ev, ["day"], "user_id"), ["day"])
+
+
 def q_events_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type z-score anomaly counts (operators/sketch.py
     zscore_outliers with the round_dp cross-engine boundary): event
@@ -2113,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
         "events_zscore_outliers": q_events_zscore_outliers,
+        "events_distinct_hll": q_events_distinct_hll,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,

@@ -576,3 +576,32 @@ def test_zscore_outliers_golden(spark):
     got3 = {(r.g, r.v): r.is_outlier
             for r in zscore_outliers(df, "v", ["g"], z=3.0).collect()}
     assert got3[("a", 100.0)] is False
+
+
+def test_hll_partials_accuracy_and_merge_consistency(spark, sf_dir):
+    """HLL contracts: (1) per-group estimates within the lg_k=12 error
+    bound of exact; (2) sketch algebra — rolling up daily partials must
+    give the SAME estimate as sketching the raw union directly."""
+    from clinical_vector_search_spark.operators.sketch import (
+        hll_partials,
+        hll_rollup,
+    )
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    ev = read_events(spark, sf_dir).select(
+        F.expr("ts_ns div 86400000000000").alias("day"), "user_id"
+    )
+    per_day = {r.day: r.n_distinct_est
+               for r in hll_rollup(hll_partials(ev, ["day"], "user_id"),
+                                   ["day"]).collect()}
+    exact = {r.day: r.n for r in ev.distinct().groupBy("day")
+             .agg(F.count("*").alias("n")).collect()}
+    assert set(per_day) == set(exact)
+    for d, est in per_day.items():
+        assert abs(est - exact[d]) / exact[d] < 0.05, (d, est, exact[d])
+
+    merged = hll_rollup(hll_partials(ev, ["day"], "user_id"), []).collect()[0][0]
+    direct = hll_rollup(hll_partials(ev, [], "user_id"), []).collect()[0][0]
+    assert merged == direct  # union of partials == sketch of union
+    total_exact = ev.select("user_id").distinct().count()
+    assert abs(merged - total_exact) / total_exact < 0.05
