@@ -280,8 +280,12 @@ def test_funnel_matches_bruteforce_reference(spark, rows):
         i + 1: sum(1 for ue in by_user.values() if reaches(ue, i + 1))
         for i in range(len(steps))
     }
-    got = {r.step_idx: r.n_users for r in funnel(ev, steps).collect()}
-    assert got == want
+    got_w = {r.step_idx: r.n_users
+             for r in funnel(ev, steps, strategy="window").collect()}
+    got_l = {r.step_idx: r.n_users
+             for r in funnel(ev, steps, strategy="levels").collect()}
+    assert got_w == want
+    assert got_l == want
 
 
 @_slow
@@ -373,3 +377,40 @@ def test_scd2_from_scratch_matches_reference(spark, rows):
             vt = kept[i + 1][0] if i + 1 < len(kept) else None
             want.append((k, s, t, vt))
     assert got == sorted(want)
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),   # group
+            st.integers(min_value=0, max_value=9),   # score (ties likely)
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_topk_per_group_matches_bruteforce(spark, rows):
+    """Both strategies must equal a brute-force per-group sort on ANY
+    input, including heavy ties (id is the tiebreak) and k > group
+    size."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    data = [(g, i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "g long, id long, score long"
+    ).repartition(3)
+    k = 3
+    by_g: dict = {}
+    for g, i, s in data:
+        by_g.setdefault(g, []).append((-s, i))
+    want = set()
+    for g, items in by_g.items():
+        for rank, (_, i) in enumerate(sorted(items)[:k], start=1):
+            want.add((g, i, rank))
+    spec = [("score", False), ("id", True)]
+    for strat in ("window", "partial"):
+        got = {(r.g, r.id, r.rank)
+               for r in topk_per_group(df, ["g"], spec, k,
+                                       strategy=strat).collect()}
+        assert got == want, strat
