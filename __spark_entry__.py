@@ -1944,6 +1944,42 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment
+    (pipeline/documents.py split_assign): salted-md5 bucket cut at
+    cumulative thresholds — stable under repartitioning/re-runs, unlike
+    randomSplit; disjoint and exhaustive by construction."""
+    from clinical_vector_search_spark.pipeline.documents import split_assign
+
+    return split_assign(
+        _docs(spark, sf_dir),
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+    ).select("doc_id", "split")
+
+
+def q_rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK→PK referential audit over the TPC-H graph (operators/audit.py
+    referential_audit): orphan + null-fk counts per relationship, each a
+    single-column scan with a broadcast anti join."""
+    from clinical_vector_search_spark.operators.audit import (
+        referential_audit,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    s_ = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return referential_audit(
+        [
+            ("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+            ("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+            ("customer.nationkey->nation", c, "c_nationkey", n, "n_nationkey"),
+            ("supplier.nationkey->nation", s_, "s_nationkey", n, "n_nationkey"),
+        ]
+    )
+
+
 def q_events_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable HLL distinct users per day (operators/sketch.py
     hll_partials + hll_rollup, DataSketches binary — rows-only by design:
@@ -2131,6 +2167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prep_pipeline": q_doc_prep_pipeline,
         "events_zscore_outliers": q_events_zscore_outliers,
         "events_distinct_hll": q_events_distinct_hll,
+        "doc_split_assign": q_doc_split_assign,
+        "rel_integrity_audit": q_rel_integrity_audit,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3391,6 +3429,50 @@ def oracle_sql() -> dict[str, str]:
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
     """
+
+    # split assignment: identical salted-md5 bucket + truncated-int
+    # cumulative thresholds (0.8*2^32 and 0.9*2^32 truncate like int())
+    _t1 = int(0.8 * (1 << 32))
+    _t2 = int((0.8 + 0.1) * (1 << 32))
+    s["doc_split_assign"] = f"""
+        SELECT doc_id,
+               CASE WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                         1, 8))::BIGINT < {_t1} THEN 'train'
+                    WHEN ('0x' || substr(md5('split:' || doc_id::VARCHAR),
+                                         1, 8))::BIGINT < {_t2} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """
+
+    # referential audit: per-relationship orphan/null counts, UNION ALL
+    def _rel_audit_sql(name: str, fact: str, fk: str, dim: str, pk: str) -> str:
+        return f"""
+        SELECT '{name}' AS relationship,
+               (SELECT count(*) FROM {fact})::BIGINT AS n_rows,
+               (SELECT count(*) FROM {fact} WHERE {fk} IS NULL)::BIGINT
+                 AS n_null_fk,
+               (SELECT count(*) FROM {fact}
+                WHERE {fk} IS NOT NULL
+                  AND {fk} NOT IN (SELECT {pk} FROM {dim}))::BIGINT
+                 AS n_orphans,
+               round((SELECT count(*) FROM {fact}
+                      WHERE {fk} IS NOT NULL
+                        AND {fk} NOT IN (SELECT {pk} FROM {dim}))::DOUBLE
+                     / (SELECT count(*) FROM {fact}), 6) AS orphan_rate
+        """
+
+    s["rel_integrity_audit"] = " UNION ALL ".join(
+        [
+            _rel_audit_sql("orders.custkey->customer", "orders",
+                           "o_custkey", "customer", "c_custkey"),
+            _rel_audit_sql("lineitem.orderkey->orders", "lineitem",
+                           "l_orderkey", "orders", "o_orderkey"),
+            _rel_audit_sql("customer.nationkey->nation", "customer",
+                           "c_nationkey", "nation", "n_nationkey"),
+            _rel_audit_sql("supplier.nationkey->nation", "supplier",
+                           "s_nationkey", "nation", "n_nationkey"),
+        ]
+    )
 
     # z-score outliers: stats per type, rounded z-ratio boundary (the
     # round_dp contract — raw float boundaries differ across engines)

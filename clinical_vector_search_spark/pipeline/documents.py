@@ -221,3 +221,48 @@ def weighted_hash_sample(
         .limit(n)
         .drop("_pri")
     )
+
+
+def split_assign(
+    df: DataFrame,
+    splits: list[tuple[str, float]],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: append a ``split`` column
+    by cutting the salted md5 bucket of the id at cumulative-fraction
+    thresholds. ``splits`` = [(name, fraction), ...], fractions summing
+    to ~1 (the last split absorbs rounding).
+
+    Why not ``randomSplit``: its assignment depends on partitioning,
+    sampling seed plumbing, and re-runs — a doc can hop splits between
+    jobs, which leaks eval data into training. This is a pure map-side
+    expression on md5(salt:id): stable under repartitioning, cluster
+    size, engine (oracle-checkable), and time; changing ``salt`` draws a
+    fresh independent split. Disjoint and exhaustive by construction.
+    """
+    fracs = [f for _, f in splits]
+    if min(fracs) < 0 or abs(sum(fracs) - 1.0) > 1e-6:
+        raise ValueError("split fractions must be >= 0 and sum to 1")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    acc = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        acc += frac
+        cond = bucket < F.lit(int(acc * (1 << 32)))
+        expr = (
+            F.when(cond, F.lit(name))
+            if expr is None
+            else expr.when(cond, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    out = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", out)

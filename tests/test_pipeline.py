@@ -431,3 +431,48 @@ def test_mixture_sample_rebalances_to_targets(spark, sf_dir):
     n_src0 = counts["src0"]
     all_src0 = mixture_sample(docs, {"src0": 1.0}, total_n=10**6)
     assert all_src0.count() == n_src0
+
+
+def test_split_assign_disjoint_exhaustive_stable(spark, sf_dir):
+    """Splits are disjoint+exhaustive, proportions land near the
+    fractions, assignment survives repartitioning, and a different salt
+    draws a different split."""
+    from clinical_vector_search_spark.pipeline.documents import split_assign
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    a = {r.doc_id: r.split for r in split_assign(docs, splits).collect()}
+    n = len(a)
+    assert n == docs.count()  # exhaustive, one row each
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) <= {"train", "val", "test"}
+    assert 0.6 * n < c["train"] < 0.95 * n  # loose: n=500
+    b = {r.doc_id: r.split
+         for r in split_assign(docs.repartition(13), splits).collect()}
+    assert a == b  # partitioning-independent
+    s2 = {r.doc_id: r.split
+          for r in split_assign(docs, splits, salt="other").collect()}
+    assert s2 != a  # independent draw under a new salt
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        split_assign(docs, [("a", 0.5), ("b", 0.2)])
+
+
+def test_referential_audit_counts_orphans_and_nulls(spark):
+    from clinical_vector_search_spark.operators.audit import (
+        referential_audit,
+    )
+
+    fact = spark.createDataFrame(
+        [(1,), (2,), (2,), (99,), (None,)], "fk long"
+    )
+    dim = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = referential_audit([("f->d", fact, "fk", dim, "pk")]).collect()[0]
+    assert (r.relationship, r.n_rows, r.n_null_fk, r.n_orphans) == (
+        "f->d", 5, 1, 1,
+    )
+    assert r.orphan_rate == 0.2
