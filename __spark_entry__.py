@@ -1944,6 +1944,29 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator composition: top-3 busiest users per 1-hour tumbling
+    window — per-window user counts (one groupBy) fed through the
+    skew-safe topk_per_group partial strategy. The per-window heavy-
+    hitter dashboard query."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    ev = _events(spark, sf_dir)
+    counts = (
+        ev.groupBy(
+            F.expr("ts_ns div 3600000000000").alias("window_hour"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return topk_per_group(
+        counts,
+        ["window_hour"],
+        [("n_events", False), ("user_id", True)],
+        3,
+    )
+
+
 def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/val/test assignment
     (pipeline/documents.py split_assign): salted-md5 bucket cut at
@@ -2169,6 +2192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_distinct_hll": q_events_distinct_hll,
         "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
+        "events_window_topk": q_events_window_topk,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3428,6 +3452,18 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # window top-k composition: counts per (hour, user), rank per hour
+    s["events_window_topk"] = """
+        WITH c AS (SELECT epoch_ns(ts) // 3600000000000 AS window_hour,
+                          user_id, count(*)::BIGINT AS n_events
+                   FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY window_hour
+                                           ORDER BY n_events DESC, user_id)
+                          AS rank
+              FROM c)
+        SELECT window_hour, user_id, n_events, rank FROM r WHERE rank <= 3
     """
 
     # split assignment: identical salted-md5 bucket + truncated-int

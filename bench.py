@@ -214,6 +214,14 @@ def main() -> None:
 
         return span_dedup(docs)
 
+    def bench_prep_pipeline():
+        # the composed LLM data-prep plan: clean -> lang/quality filter ->
+        # md5 dedup -> 5-gram decontamination -> BPE budget in one job
+        # (__spark_entry__.q_doc_prep_pipeline)
+        import __spark_entry__ as E
+
+        return E.q_doc_prep_pipeline(spark, sf_dir)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -240,6 +248,7 @@ def main() -> None:
         "events_funnel": bench_funnel,
         "events_retention": bench_retention,
         "span_dedup": bench_span_dedup,
+        "prep_pipeline": bench_prep_pipeline,
         "rel_pricing_summary": bench_pricing,
     }
 

@@ -414,3 +414,44 @@ def test_topk_per_group_matches_bruteforce(spark, rows):
                for r in topk_per_group(df, ["g"], spec, k,
                                        strategy=strat).collect()}
         assert got == want, strat
+
+
+@_slow
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),               # key
+            st.integers(min_value=0, max_value=20),              # ts
+            st.sampled_from(["a", "b", "c"]),                    # state
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=0, max_value=20),                      # cut
+)
+def test_scd2_two_step_merge_equals_one_shot(spark, rows, cut):
+    """The merge identity behind events_scd2_merge: for ANY update
+    stream and ANY time cut, scd2(scd2(∅, before), after) must equal
+    scd2(∅, all) — closed-version passthrough and open-version
+    re-sequencing composed correctly."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    empty = spark.createDataFrame(
+        [], "k long, s string, valid_from long, valid_to long"
+    )
+    upd = spark.createDataFrame(rows, "k long, ts_ns long, s string")
+
+    def hist(df):
+        return sorted(
+            (r.k, r.s, r.valid_from, r.valid_to) for r in df.collect()
+        )
+
+    one_shot = hist(scd2_merge(empty, upd, "k", ["s"]))
+    first = upd.filter(F.col("ts_ns") < cut)
+    second = upd.filter(F.col("ts_ns") >= cut)
+    if first.count() == 0:
+        current = empty
+    else:
+        current = scd2_merge(empty, first, "k", ["s"])
+    two_step = hist(scd2_merge(current, second, "k", ["s"]))
+    assert two_step == one_shot
