@@ -1944,6 +1944,15 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (functions/text.py cdc_chunk_rows):
+    rolling-hash cut points make chunk identity survive token shifts —
+    the chunk-dedup/caching primitive fixed windows can't provide."""
+    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+
+    return cdc_chunk_rows(_docs(spark, sf_dir), w=4, divisor=8)
+
+
 def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator composition: top-3 busiest users per 1-hour tumbling
     window — per-window user counts (one groupBy) fed through the
@@ -2193,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
         "events_window_topk": q_events_window_topk,
+        "text_cdc_chunks": q_text_cdc_chunks,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3452,6 +3462,32 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # CDC chunking: same md5 window-hash cut set, boundary-pair slices
+    _CDC_W, _CDC_D = 4, 8
+    s["text_cdc_chunks"] = rf"""
+        WITH toks AS ({_TOKS}),
+        b AS (SELECT doc_id, tokens,
+                     [0] || [c FOR c IN
+                        [i + {_CDC_W} FOR i IN
+                           range(0, greatest(len(tokens) - {_CDC_W} + 1, 0))
+                         IF ('0x' || substr(md5(array_to_string(
+                               tokens[i+1:i+{_CDC_W}], ' ')), 1, 15))::BIGINT
+                              % {_CDC_D} = 0]
+                      IF c <> len(tokens)] || [len(tokens)] AS bounds
+              FROM toks WHERE len(tokens) > 0),
+        ch AS (SELECT doc_id, tokens, bounds,
+                      unnest(range(1, len(bounds))) AS j
+               FROM b)
+        SELECT doc_id, (j - 1)::INT AS chunk_seq,
+               array_to_string(tokens[bounds[j]+1:bounds[j+1]], ' ')
+                 AS chunk_text,
+               ('0x' || substr(md5(array_to_string(
+                   tokens[bounds[j]+1:bounds[j+1]], ' ')), 1, 15))::BIGINT
+                 AS chunk_hash,
+               (bounds[j+1] - bounds[j])::INT AS n_tokens
+        FROM ch
     """
 
     # window top-k composition: counts per (hour, user), rank per hour

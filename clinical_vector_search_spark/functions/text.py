@@ -571,3 +571,72 @@ def bigram_lm_score(
             F.round(F.exp(-F.col("avg_logp")), 6).alias("ppl"),
         )
     )
+
+
+def cdc_chunk_rows(
+    df: DataFrame,
+    w: int = 4,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (rolling-hash cut points, the CDC family
+    behind shift-robust dedup): cut the token stream AFTER position
+    i + w whenever the hash of the w-token window starting at i is
+    ≡ 0 (mod ``divisor``). Returns (id, chunk_seq, chunk_text,
+    chunk_hash, n_tokens).
+
+    Why not fixed windows: inserting one token at the front of a doc
+    shifts EVERY fixed-window chunk, so chunk-level dedup/caching misses
+    the other 99% unchanged content. CDC boundaries depend only on local
+    content — interior chunks keep their identity under shifts (tested),
+    which is what makes chunk-hash dedup across near-identical docs
+    work. Expected chunk length ≈ ``divisor`` tokens (+ w tail).
+
+    Pure expressions end-to-end (tokenize → windows → hash-filtered cut
+    set → boundary-pair slices → posexplode): map-side until whatever
+    consumes the chunks; md5 window hashes make it reproducible in SQL.
+    Docs shorter than ``w + 1`` tokens become one chunk; FastCDC-style
+    min/max chunk clamps are a caller-side post-step if needed.
+    """
+    from clinical_vector_search_spark.functions.hashing import md5_long
+
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # cut AFTER 1-based token index i+w for each 0-based window start i
+    # whose window hash divides; starts range over 0..n-w
+    gram = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w))  # noqa: E731
+    cuts = F.when(
+        n >= w,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - F.lit(w)),
+                lambda i: F.when(
+                    F.pmod(md5_long(gram(i)), F.lit(divisor)) == 0,
+                    i + F.lit(w),
+                ).otherwise(F.lit(-1)),
+            ),
+            lambda x: x >= 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.array_distinct(
+        F.concat(F.array(F.lit(0)), cuts, F.array(n))
+    )
+    pairs = F.zip_with(
+        F.slice(bounds, 1, F.size(bounds) - 1),
+        F.slice(bounds, 2, F.size(bounds) - 1),
+        lambda a, b: F.concat_ws(" ", F.slice(toks, a + 1, b - a)),
+    )
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(F.when(n > 0, pairs).otherwise(F.array().cast(
+            "array<string>"
+        ))).alias("chunk_seq", "chunk_text"),
+    )
+    return out.select(
+        id_col,
+        "chunk_seq",
+        "chunk_text",
+        md5_long("chunk_text").alias("chunk_hash"),
+        F.size(tokenize("chunk_text")).alias("n_tokens"),
+    )

@@ -455,3 +455,37 @@ def test_scd2_two_step_merge_equals_one_shot(spark, rows, cut):
         current = scd2_merge(empty, first, "k", ["s"])
     two_step = hist(scd2_merge(current, second, "k", ["s"]))
     assert two_step == one_shot
+
+
+@_slow
+@given(
+    st.text(alphabet=st.sampled_from("ab cd"), min_size=0, max_size=150),
+    st.integers(min_value=2, max_value=5),   # w
+    st.integers(min_value=2, max_value=8),   # divisor
+)
+def test_cdc_chunks_reconstruct_and_shift_robust(spark, text, w, divisor):
+    """CDC invariants for ANY text: chunks concatenate back to the exact
+    token stream; prepending a token changes only a bounded PREFIX of
+    chunk hashes (boundaries after the first cut ≥ the shift point are
+    content-defined, so the interior survives)."""
+    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+
+    df = spark.createDataFrame(
+        [(0, text), (1, "zz " + text)], "doc_id long, text string"
+    )
+    rows = cdc_chunk_rows(df, w=w, divisor=divisor).collect()
+    by_doc: dict = {0: [], 1: []}
+    for r in rows:
+        by_doc[r.doc_id].append((r.chunk_seq, r.chunk_text, r.chunk_hash))
+    toks = [t for t in text.lower().split() if t]
+    chunks0 = [c for _, c, _ in sorted(by_doc[0])]
+    rebuilt = [t for c in chunks0 for t in c.split()]
+    assert rebuilt == toks
+    if not toks:
+        assert chunks0 == []
+        return
+    # shift robustness: every chunk of doc0 that starts at/after doc0's
+    # FIRST cut must reappear in shifted doc1 (identical hash)
+    h1 = {h for _, _, h in by_doc[1]}
+    for seq, _c, h in sorted(by_doc[0])[1:]:
+        assert h in h1, (seq, _c)
