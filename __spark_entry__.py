@@ -1944,6 +1944,36 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join (operators/temporal.py asof_join_nearest):
+    every 'click' gets the CLOSEST same-user 'view' on either side,
+    ties to the backward match (pandas merge_asof semantics), equal
+    right timestamps broken by event_id (greatest wins)."""
+    from clinical_vector_search_spark.operators.temporal import (
+        asof_join_nearest,
+    )
+
+    ev = _events(spark, sf_dir).withColumn("ts_us", F.expr("ts_ns div 1000"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = asof_join_nearest(
+        clicks, views, on="user_id", left_ts="ts_us", right_ts="ts_us",
+        right_cols=("event_id", "value"), right_tiebreak="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.col("asof_ts").alias("view_ts_us"),
+        F.col("asof_event_id").alias("view_event_id"),
+        F.round("asof_value", 6).alias("view_value"),
+    )
+
+
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (functions/text.py cdc_chunk_rows):
     rolling-hash cut points make chunk identity survive token shifts —
@@ -2203,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_integrity_audit": q_rel_integrity_audit,
         "events_window_topk": q_events_window_topk,
         "text_cdc_chunks": q_text_cdc_chunks,
+        "events_asof_nearest": q_events_asof_nearest,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3462,6 +3493,27 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # nearest as-of: closest view either side, |delta| ties -> backward,
+    # equal-ts ties within a side -> greatest event_id
+    s["events_asof_nearest"] = """
+        WITH clicks AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us
+                        FROM events WHERE event_type = 'click'),
+        views AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+                  FROM events WHERE event_type = 'view')
+        SELECT c.event_id, c.user_id, c.ts_us,
+               v.ts_us AS view_ts_us,
+               v.event_id AS view_event_id,
+               round(v.value, 6) AS view_value
+        FROM clicks c LEFT JOIN LATERAL (
+            SELECT * FROM views v
+            WHERE v.user_id = c.user_id
+            ORDER BY abs(v.ts_us - c.ts_us) ASC,
+                     (v.ts_us > c.ts_us) ASC,
+                     v.event_id DESC
+            LIMIT 1
+        ) v ON TRUE
     """
 
     # CDC chunking: same md5 window-hash cut set, boundary-pair slices

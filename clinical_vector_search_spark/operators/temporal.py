@@ -198,22 +198,27 @@ def asof_join_nearest(
     left_ts: str = "ts_ns",
     right_ts: str = "ts_ns",
     right_cols: tuple[str, ...] = ("value",),
+    right_tiebreak: str | None = None,
     tolerance: int | None = None,
     prefix: str = "asof_",
 ) -> DataFrame:
     """direction="nearest": the closest right row on either side of
     ``left.ts`` (ties -> the backward match, pandas merge_asof semantics).
     Composed as a backward pass feeding a forward pass — still one shuffle
-    shape each — then a per-row pick of the smaller |delta|."""
+    shape each — then a per-row pick of the smaller |delta|.
+    ``right_tiebreak`` disambiguates equal-timestamp right rows in each
+    pass (greatest wins), making the result deterministic/oracle-checkable
+    when right timestamps can collide."""
     b = asof_join(
         left, right, on, left_ts, right_ts, right_cols,
-        tolerance=tolerance, prefix="_b_",
+        right_tiebreak=right_tiebreak, tolerance=tolerance, prefix="_b_",
     )
     # the forward pass runs over the backward output (which keeps every
     # original left column), so the final select sees both match sets
     f = asof_join(
         b, right, on, left_ts, right_ts, right_cols,
-        tolerance=tolerance, prefix="_f_", direction="forward",
+        right_tiebreak=right_tiebreak, tolerance=tolerance, prefix="_f_",
+        direction="forward",
     )
     lts = F.col(left_ts).cast("long")
     back_wins = F.col("_b_ts").isNotNull() & (

@@ -20,6 +20,8 @@ FAST_ORACLE_SUBSET = [
     "knn_exact",
     "metrics_eval",
     "events_tumbling",
+    "doc_split_assign",
+    "text_cdc_chunks",
 ]
 
 
