@@ -868,6 +868,29 @@ def simhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+def semantic_clusters(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Argmax-cosine cluster assignment over normalized embeddings:
+    (id, cluster, _nv). First-occurrence tie-break (array_position of
+    array_max — the oracle mirrors with ORDER BY dot DESC, cid ASC).
+    CACHED: it feeds both sides of the pair self-join and the survivor
+    anti-join, and the centroid-dot stage is the per-row expensive part."""
+    from clinical_vector_search_spark.operators.knn import _centroid_dots
+
+    base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
+    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
+    return base.withColumn(
+        "cluster",
+        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+    ).cache()
+
+
 def semantic_dedup_pairs(
     df: DataFrame,
     dim: int,
@@ -876,6 +899,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, the SemDeDup shape (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -893,25 +917,18 @@ def semantic_dedup_pairs(
     (trained on a hash-sample) so cluster sizes stay balanced — a hot
     cluster is the skew risk here, and trained centroids + more clusters
     are the fix. ``centroids=None`` uses the deterministic LCG matrix
-    (reproducible, the oracle-twin default).
+    (reproducible, the oracle-twin default). ``assigned`` reuses a
+    :func:`semantic_clusters` frame (so a caller computing survivors too
+    pays the centroid-dot stage once).
 
     Recall contract: a true near-dup pair straddling a cluster boundary
     is missed (same recall<1 contract as LSH near-dup; the paper accepts
     this by design — ε-balls live inside clusters).
     """
-    from clinical_vector_search_spark.operators.knn import _centroid_dots
-
-    base = df.select(
-        F.col(id_col), V.l2_normalize(vec_col).alias("_nv")
-    )
-    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
-    # argmax with first-occurrence tie-break (array_position returns the
-    # FIRST index of the max — the oracle mirrors with ORDER BY dot DESC,
-    # cid ASC)
-    assigned = base.withColumn(
-        "cluster",
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-    ).cache()  # feeds both self-join sides
+    if assigned is None:
+        assigned = semantic_clusters(
+            df, dim, n_clusters, id_col, vec_col, centroids
+        )
     a = assigned.select(
         "cluster", F.col(id_col).alias("a_id"), F.col("_nv").alias("_va")
     )
@@ -946,79 +963,15 @@ def semantic_dedup(
     deterministic analogue, chosen so the result is reproducible and
     SQL-checkable. The prune is one left-anti join of the id set against
     the ``b_id`` side of :func:`semantic_dedup_pairs` — ids only, no
-    vectors shuffled in the prune stage.
-    """
-    pairs = semantic_dedup_pairs(
-        df, dim, threshold, n_clusters, id_col, vec_col, centroids
+    vectors shuffled in the prune stage. The cluster assignment is
+    computed ONCE (shared cached frame feeding the pair join and the
+    survivor side)."""
+    assigned = semantic_clusters(
+        df, dim, n_clusters, id_col, vec_col, centroids
     )
-    from clinical_vector_search_spark.operators.knn import _centroid_dots
-
-    base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
-    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
-    assigned = base.select(
-        id_col,
-        (F.array_position(dots, F.array_max(dots)) - 1)
-        .cast("int")
-        .alias("cluster"),
+    pairs = semantic_dedup_pairs(
+        df, dim, threshold, n_clusters, id_col, vec_col, centroids,
+        assigned=assigned,
     )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
-    return assigned.join(pruned, id_col, "left_anti")
-
-
-def decontaminate_bloom(
-    docs: DataFrame,
-    benchmark: DataFrame,
-    n: int = 5,
-    m: int = 1 << 16,
-    k: int = 4,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    bench_text_col: str = "text",
-) -> DataFrame:
-    """Bloom-filter benchmark decontamination — the scale path of
-    :func:`decontaminate`. Same output shape (id, n_flagged_grams,
-    contaminated), but instead of broadcasting the raw benchmark shingle
-    SET, the benchmark is compressed into an m-bit / k-hash Bloom bitmap
-    and the corpus probes it entirely map-side.
-
-    Why this matters at 100 TB: a full eval-suite shingle set can run
-    tens of GB (unbroadcastable); at ~10 bits/key the bitmap is ~1.25 GB
-    per 10⁹ shingles — shippable to every executor — and the probe is a
-    constant-array bit test inside whole-stage codegen, zero shuffles
-    until the per-doc count. The price is false positives
-    (≈ (1 - e^(-kn/m))^k, ~2.4% at 8 bits/key k=4): flagged docs are a
-    SUPERSET of the exact operator's — conservative in the right
-    direction for decontamination. The FP set itself is deterministic
-    (md5 positions), so results — including FPs — are reproducible and
-    oracle-checkable in any md5-capable engine.
-
-    The bitmap is collected to the driver at plan-build time (bounded:
-    m/64 longs) and inlined as a literal array — the same
-    build-once-probe-many artifact lifecycle as the BM25/vector indexes;
-    persist the (word_idx, word) frame via io.tables for reuse across
-    jobs.
-    """
-    from clinical_vector_search_spark.functions.hashing import (
-        bloom_build,
-        bloom_probe,
-        bloom_words_array,
-    )
-
-    bench_grams = benchmark.select(
-        F.explode(TXT.shingles(TXT.tokenize(bench_text_col), n)).alias("g")
-    ).distinct()
-    words = bloom_words_array(bloom_build(bench_grams, "g", m, k), m)
-    doc_grams = docs.select(
-        F.col(id_col),
-        F.explode(TXT.shingles(TXT.tokenize(text_col), n)).alias("g"),
-    )
-    hits = (
-        doc_grams.filter(bloom_probe("g", words, m, k))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    return docs.select(id_col).join(hits, id_col, "left").select(
-        id_col,
-        F.coalesce("n_hits", F.lit(0)).alias("n_flagged_grams"),
-        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
-    )
+    return assigned.select(id_col, "cluster").join(pruned, id_col, "left_anti")
