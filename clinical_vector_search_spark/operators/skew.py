@@ -121,16 +121,23 @@ def topk_per_group(
     w = Window.partitionBy(*group_cols).orderBy(*order_exprs)
     src = df
     if strategy == "partial":
-        import pandas as pd  # noqa: F401
+        import pandas as pd
+        import pyarrow as pa
 
         names = [c for c, _ in order_spec]
         ascs = [asc for _, asc in order_spec]
         schema = df.schema
 
+        # mapInArrow + ArrowDtype-backed pandas, NOT mapInPandas: the
+        # default Arrow→pandas conversion turns a nullable int64 batch
+        # into float64, silently corrupting values past 2^53 on the way
+        # THROUGH the prune (measured: two distinct 2^60-range ids
+        # collapsing). ArrowDtype columns round-trip losslessly.
         def prune(batches):
-            for pdf in batches:
-                if len(pdf) == 0:
+            for batch in batches:
+                if batch.num_rows == 0:
                     continue
+                pdf = batch.to_pandas(types_mapper=pd.ArrowDtype)
                 # iterative stable sorts, last key first, each with
                 # Spark's null placement (asc=NULLS FIRST, desc=LAST)
                 for c, asc in reversed(list(zip(names, ascs))):
@@ -143,11 +150,14 @@ def topk_per_group(
                 # dropna=False: a NULL group key is a group like any other
                 # (pandas would silently drop those rows, diverging from
                 # the window strategy)
-                yield pdf.groupby(
+                out = pdf.groupby(
                     list(group_cols), sort=False, dropna=False
                 ).head(k)
+                yield pa.RecordBatch.from_pandas(
+                    out, schema=batch.schema, preserve_index=False
+                )
 
-        src = df.mapInPandas(prune, schema)
+        src = df.mapInArrow(prune, schema)
     return (
         src.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)

@@ -605,3 +605,19 @@ def test_hll_partials_accuracy_and_merge_consistency(spark, sf_dir):
     assert merged == direct  # union of partials == sketch of union
     total_exact = ev.select("user_id").distinct().count()
     assert abs(merged - total_exact) / total_exact < 0.05
+
+
+def test_topk_per_group_lossless_bigint_with_nulls(spark):
+    """Regression: a NULL in an int64 column used to coerce the whole
+    Arrow batch column to float64 inside the prune, silently collapsing
+    values past 2^53. The mapInArrow/ArrowDtype path must round-trip
+    2^60-range longs exactly."""
+    from clinical_vector_search_spark.operators.skew import topk_per_group
+
+    big = (1 << 60) + 1
+    rows = [("a", 1, big), ("a", 2, None), ("a", 3, big + 2)]
+    df = spark.createDataFrame(rows, "g string, id long, v long").coalesce(1)
+    got = {r.id: r.v
+           for r in topk_per_group(df, ["g"], [("id", True)], 3,
+                                   strategy="partial").collect()}
+    assert got == {1: big, 2: None, 3: big + 2}

@@ -430,7 +430,7 @@ def main() -> int:
     )
     check(
         "topk_per_group partial: zero-shuffle prune, one window exchange",
-        n_nodes(plan, "Exchange") == 1 and "MapInPandas" in plan,
+        n_nodes(plan, "Exchange") == 1 and "MapInArrow" in plan,
     )
 
     # 18. bloom probe: a pure map-side expression — scan + filter with
