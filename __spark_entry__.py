@@ -1944,6 +1944,38 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality deciles by self-trained LM perplexity — global
+    quantile bucketing WITHOUT a single-task sort: bigram_lm_score →
+    dense_row_ids (range-partitioned global rank, functions/ids.py) →
+    bucket = ((rank-1)·10) div N map-side → per-bucket rollup. The NTILE
+    pattern re-expressed so no Window ever sees SinglePartition; docs
+    with < 2 tokens (NULL ppl) are excluded up front. N and the range
+    boundaries are the only driver-side values (bounded)."""
+    from clinical_vector_search_spark.functions.ids import dense_row_ids
+    from clinical_vector_search_spark.functions.text import bigram_lm_score
+
+    scored = (
+        bigram_lm_score(_docs(spark, sf_dir))
+        .filter(F.col("ppl").isNotNull())
+        .select("doc_id", "ppl")
+    )
+    ranked = dense_row_ids(scored, ["ppl", "doc_id"], n_partitions=16)
+    n_total = ranked.count()  # bounded: one long; the rank frame is
+    # checkpointed by dense_row_ids, so this does not recompute scoring
+    return (
+        ranked.withColumn(
+            "bucket",
+            (F.expr(f"(row_id - 1) * 10 div {n_total}") + 1).cast("int"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 6).alias("avg_ppl"),
+        )
+    )
+
+
 def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest as-of join (operators/temporal.py asof_join_nearest):
     every 'click' gets the CLOSEST same-user 'view' on either side,
@@ -2234,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_topk": q_events_window_topk,
         "text_cdc_chunks": q_text_cdc_chunks,
         "events_asof_nearest": q_events_asof_nearest,
+        "text_ppl_buckets": q_text_ppl_buckets,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3795,6 +3828,20 @@ def oracle_sql() -> dict[str, str]:
                avg_logp, round(exp(-avg_logp), 6) AS ppl
         FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
     """
+
+    # perplexity deciles: rank by (ppl, doc_id) == dense_row_ids order;
+    # same truncated ((rank-1)*10) // N bucket arithmetic
+    s["text_ppl_buckets"] = (
+        "SELECT bucket, count(*)::BIGINT AS n_docs,"
+        "       round(avg(ppl), 6) AS avg_ppl "
+        "FROM (SELECT ppl,"
+        "             (((row_number() OVER (ORDER BY ppl, doc_id) - 1) * 10)"
+        "              // (count(*) OVER ()) + 1)::INT AS bucket"
+        f"      FROM ({s['text_bigram_lm']}) b"
+        "      WHERE ppl IS NOT NULL) t "
+        "GROUP BY bucket"
+    )
+
 
     # SCD2 from-scratch history: lag-dedup of consecutive states, lead
     # for validity ranges, (ts, state) ordering as the deterministic tie.
