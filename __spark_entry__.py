@@ -2235,7 +2235,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   1. the 7 entries with NO driver row ever (added late in r5;
     #      all locally oracle-green at sf0.01)
     #   2. entries new in r6 (semantic dedup, sessionize auto-dispatch,
-    #      SCD2 merge-path)
+    #      SCD2 merge-path, Bloom decontamination, per-group top-k,
+    #      composed prep pipeline, z-score outliers, HLL rollup,
+    #      split assignment, referential audit, window top-k, CDC
+    #      chunking, nearest as-of, perplexity deciles)
     #   3. entries whose last driver row is r4 — weakest-evidence first
     #      (rows-only anchors, streaming replays, ANN recall twins);
     #      the ~11 past the 50-window stay r4-stale and lead the r7
