@@ -975,3 +975,62 @@ def semantic_dedup(
     )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return assigned.select(id_col, "cluster").join(pruned, id_col, "left_anti")
+
+
+def decontaminate_bloom(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    m: int = 1 << 16,
+    k: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination — the scale path of
+    :func:`decontaminate`. Same output shape (id, n_flagged_grams,
+    contaminated), but instead of broadcasting the raw benchmark shingle
+    SET, the benchmark is compressed into an m-bit / k-hash Bloom bitmap
+    and the corpus probes it entirely map-side.
+
+    Why this matters at 100 TB: a full eval-suite shingle set can run
+    tens of GB (unbroadcastable); at ~10 bits/key the bitmap is ~1.25 GB
+    per 10⁹ shingles — shippable to every executor — and the probe is a
+    constant-array bit test inside whole-stage codegen, zero shuffles
+    until the per-doc count. The price is false positives
+    (≈ (1 - e^(-kn/m))^k, ~2.4% at 8 bits/key k=4): flagged docs are a
+    SUPERSET of the exact operator's — conservative in the right
+    direction for decontamination. The FP set itself is deterministic
+    (md5 positions), so results — including FPs — are reproducible and
+    oracle-checkable in any md5-capable engine.
+
+    The bitmap is collected to the driver at plan-build time (bounded:
+    m/64 longs) and inlined as a literal array — the same
+    build-once-probe-many artifact lifecycle as the BM25/vector indexes;
+    persist the (word_idx, word) frame via io.tables for reuse across
+    jobs.
+    """
+    from clinical_vector_search_spark.functions.hashing import (
+        bloom_build,
+        bloom_probe,
+        bloom_words_array,
+    )
+
+    bench_grams = benchmark.select(
+        F.explode(TXT.shingles(TXT.tokenize(bench_text_col), n)).alias("g")
+    ).distinct()
+    words = bloom_words_array(bloom_build(bench_grams, "g", m, k), m)
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(TXT.shingles(TXT.tokenize(text_col), n)).alias("g"),
+    )
+    hits = (
+        doc_grams.filter(bloom_probe("g", words, m, k))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return docs.select(id_col).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).alias("n_flagged_grams"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
