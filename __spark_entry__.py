@@ -1944,6 +1944,61 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped large-volume-order query: orders whose lineitems
+    sum past 250 units, with customer attribution. The HAVING set is a
+    small aggregate frame — BROADCAST back against lineitem (no second
+    shuffle of the fact table) — and the customer dim broadcasts too, so
+    the only event-volume shuffle is the quantity groupBy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c.select("c_custkey", "c_name")),
+              o.o_custkey == F.col("c_custkey"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias(
+                "o_orderdate"
+            ),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+    )
+
+
+def q_io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution roundtrip: write a v1 slice (doc_id, source),
+    append a v2 slice with an ADDED column (n_chars), read the directory
+    with mergeSchema — v1 rows surface the new column as NULL. The
+    lakehouse append-with-wider-schema pattern; at 100 TB the same read
+    works because parquet footers carry per-file schemas and Spark
+    reconciles by name."""
+    import tempfile
+
+    docs = _docs(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cvs_schema_evo_")
+    docs.filter(F.col("doc_id") < 100).select("doc_id", "source").write.mode(
+        "overwrite"
+    ).parquet(f"{tmp}/d")
+    docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200)).select(
+        "doc_id", "source", "n_chars"
+    ).write.mode("append").parquet(f"{tmp}/d")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{tmp}/d")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
 def q_text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum/quality deciles by self-trained LM perplexity — global
     quantile bucketing WITHOUT a single-task sort: bigram_lm_score →
@@ -2270,6 +2325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cdc_chunks": q_text_cdc_chunks,
         "events_asof_nearest": q_events_asof_nearest,
         "text_ppl_buckets": q_text_ppl_buckets,
+        "rel_big_spenders": q_rel_big_spenders,
+        "io_schema_evolution": q_io_schema_evolution,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3529,6 +3586,28 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # Q18 shape: HAVING aggregate broadcast back, customer attribution
+    s["rel_big_spenders"] = """
+        WITH big AS (SELECT l_orderkey, sum(l_quantity) AS total_qty
+                     FROM lineitem GROUP BY l_orderkey
+                     HAVING sum(l_quantity) > 250)
+        SELECT c.c_name, c.c_custkey, o.o_orderkey,
+               o.o_orderdate::DATE::VARCHAR AS o_orderdate,
+               round(o.o_totalprice, 2) AS o_totalprice,
+               round(b.total_qty, 2) AS total_qty
+        FROM orders o JOIN big b ON o.o_orderkey = b.l_orderkey
+                      JOIN customer c ON o.o_custkey = c.c_custkey
+    """
+
+    # schema evolution: v1 slice lacks n_chars -> NULL after mergeSchema
+    s["io_schema_evolution"] = """
+        SELECT doc_id, source, NULL::BIGINT AS n_chars
+        FROM documents WHERE doc_id < 100
+        UNION ALL
+        SELECT doc_id, source, n_chars
+        FROM documents WHERE doc_id >= 100 AND doc_id < 200
     """
 
     # nearest as-of: closest view either side, |delta| ties -> backward,
