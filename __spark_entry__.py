@@ -1944,6 +1944,23 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs (operators/dedup.py
+    blocked_fuzzy_pairs): customer names within the same 16-char-prefix
+    block at Levenshtein distance ≤ 1 — JVM-side edit distance, one
+    block-key shuffle, never all-pairs."""
+    from clinical_vector_search_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("doc_id"), "c_name"
+    )
+    return blocked_fuzzy_pairs(
+        c, "c_name", F.substring("c_name", 1, 16), max_distance=1
+    )
+
+
 def q_rel_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q18-shaped large-volume-order query: orders whose lineitems
     sum past 250 units, with customer attribution. The HAVING set is a
@@ -2327,6 +2344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_buckets": q_text_ppl_buckets,
         "rel_big_spenders": q_rel_big_spenders,
         "io_schema_evolution": q_io_schema_evolution,
+        "rel_name_match": q_rel_name_match,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3586,6 +3604,18 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # blocked fuzzy pairs: same prefix block + levenshtein threshold
+    s["rel_name_match"] = """
+        WITH b AS (SELECT c_custkey AS id, c_name,
+                          substr(c_name, 1, 16) AS blk
+                   FROM customer)
+        SELECT a.id AS a_id, x.id AS b_id,
+               a.c_name AS a_key, x.c_name AS b_key,
+               levenshtein(a.c_name, x.c_name)::INT AS distance
+        FROM b a JOIN b x ON a.blk = x.blk AND a.id < x.id
+        WHERE levenshtein(a.c_name, x.c_name) <= 1
     """
 
     # Q18 shape: HAVING aggregate broadcast back, customer attribution

@@ -1034,3 +1034,46 @@ def decontaminate_bloom(
         F.coalesce("n_hits", F.lit(0)).alias("n_flagged_grams"),
         (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    key_col: str,
+    block_expr: Column,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Entity-resolution candidate pairs: Levenshtein-close string keys
+    compared only WITHIN a blocking key — the classic record-linkage
+    blocking pattern (compare "J. Smith" vs "J Smith" without an N²
+    scan). Returns (a_id < b_id, a_key, b_key, distance) with
+    ``distance ≤ max_distance``.
+
+    ``block_expr`` is any deterministic expression over the row (prefix,
+    phonetic code, sorted-token key...); recall is bounded by it — two
+    records in different blocks are never compared (the same recall<1
+    contract as every bucketed dedup here). Scale shape: one shuffle on
+    the block key, per-task work Σ|b|² over blocks — choose a blocking
+    key whose hot block stays task-sized, exactly like the LSH/cluster
+    buckets. Levenshtein runs JVM-side (built-in), no Python."""
+    base = df.select(
+        F.col(id_col), F.col(key_col).alias("_k"), block_expr.alias("_b")
+    )
+    a = base.select(
+        F.col("_b"), F.col(id_col).alias("a_id"), F.col("_k").alias("a_key")
+    )
+    b = base.select(
+        F.col("_b"), F.col(id_col).alias("b_id"), F.col("_k").alias("b_key")
+    )
+    return (
+        a.join(b, "_b")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            "a_key",
+            "b_key",
+            F.levenshtein("a_key", "b_key").alias("distance"),
+        )
+        .filter(F.col("distance") <= max_distance)
+    )

@@ -478,3 +478,22 @@ def test_decontaminate_bloom_superset_of_exact(spark, sf_dir):
         bc, bn = bloom[d]
         if c:
             assert bc and bn >= n
+
+
+def test_blocked_fuzzy_pairs_golden(spark):
+    """Pairs only within a block, ordered a<b, distance filtered; cross-
+    block near-matches are (by contract) missed."""
+    from clinical_vector_search_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+    )
+
+    rows = [(1, "smith j"), (2, "smith i"), (3, "smath j"),
+            (4, "jones a"), (5, "jones b"), (6, "smith jzzz")]
+    df = spark.createDataFrame(rows, "doc_id long, name string")
+    got = {(r.a_id, r.b_id): r.distance
+           for r in blocked_fuzzy_pairs(
+               df, "name", F.substring("name", 1, 2), max_distance=2,
+           ).collect()}
+    # within 'sm' block: (1,2) d1, (1,3) d1, (2,3) d2, (1,6) d3 dropped
+    # within 'jo' block: (4,5) d1; never cross-block
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (4, 5): 1}
