@@ -61,6 +61,14 @@ def main() -> None:
         tumbling_agg,
     )
 
+    # NOTE on input splits: the sf0.1 documents table is ONE parquet
+    # split. Fanning it out helps only COMPUTE-bound stages (the embed
+    # bench repartitions for itself); for the tokenize→groupBy pipelines
+    # (bm25/minhash/prep) a measured repartition(32) made things 1.4-2.4×
+    # SLOWER — 32 partial maps each carrying the full term vocabulary
+    # multiply the map-side-combine output ~32×. Keeping the natural
+    # split count is both faster here and the honest default (Spark
+    # sizes splits so a partition's combine map stays effective).
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     # Session warmup outside the timed region: JVM/codegen/Python-worker
@@ -138,13 +146,9 @@ def main() -> None:
         # mapInPandas embedder — the model-per-executor shape a real encoder
         # runs (reference embedding.py:31-41); parity-tested against the
         # expression/oracle twin in tests/test_embedding.py.
-        # The sf0.1 documents table is ONE ~11MB parquet split, so without
-        # the repartition the whole Arrow pipeline runs on a single core
-        # (r5 profiled 0.73-1.48s single-task variance — the r5 "+39%
-        # regression" was that variance, not a plan change). Embedding is
-        # compute-bound: any real encoder fans the corpus across every
-        # executor core first, so the bench measures that shape — the
-        # repartition shuffle is 11MB, the parallelism is 32x.
+        # repartition: embedding is COMPUTE-bound (no combine stage to
+        # bloat), so fanning the single test split across cores is pure
+        # win — the shape a real encoder runs.
         return hash_embed_pd(docs.repartition(int(cpus)), 64)
 
     def bench_minhash_dedup():
