@@ -218,6 +218,16 @@ def main() -> None:
 
         return span_dedup(docs)
 
+    def bench_cdc_chunks():
+        # content-defined chunking: compute-bound interpreted-HOF md5
+        # windows, map-only — fan the single test split across cores
+        # (measured 15s -> 1.0s warm; no combine stage to bloat)
+        from clinical_vector_search_spark.functions.text import (
+            cdc_chunk_rows,
+        )
+
+        return cdc_chunk_rows(docs.repartition(int(cpus)), w=4, divisor=8)
+
     def bench_prep_pipeline():
         # the composed LLM data-prep plan: clean -> lang/quality filter ->
         # md5 dedup -> 5-gram decontamination -> BPE budget in one job
@@ -252,6 +262,7 @@ def main() -> None:
         "events_funnel": bench_funnel,
         "events_retention": bench_retention,
         "span_dedup": bench_span_dedup,
+        "cdc_chunks": bench_cdc_chunks,
         "prep_pipeline": bench_prep_pipeline,
         "rel_pricing_summary": bench_pricing,
     }

@@ -596,6 +596,10 @@ def cdc_chunk_rows(
     Pure expressions end-to-end (tokenize → windows → hash-filtered cut
     set → boundary-pair slices → posexplode): map-side until whatever
     consumes the chunks; md5 window hashes make it reproducible in SQL.
+    COMPUTE-bound (the md5-in-transform window hashing is interpreted
+    HOF eval, ~15 µs/window): parallelism equals input splits, so
+    repartition a few-split source first — measured 15× on one split
+    fanned over 32 cores, and there is no combine stage to bloat.
     Docs shorter than ``w + 1`` tokens become one chunk; FastCDC-style
     min/max chunk clamps are a caller-side post-step if needed.
     """

@@ -469,6 +469,48 @@ def main() -> int:
         and "CartesianProduct" not in plan,
     )
 
+    # 20. z-score outliers: group stats come back as a BROADCAST join —
+    # the event volume is never shuffled
+    from clinical_vector_search_spark.operators.sketch import zscore_outliers
+
+    plan = formatted(
+        zscore_outliers(ev.select("event_type", "value"), "value",
+                        ["event_type"], z=2.5, round_dp=6)
+    )
+    check(
+        "zscore_outliers: stats broadcast back, no event-volume exchange",
+        "BroadcastHashJoin" in plan
+        and "hashpartitioning" not in plan.split("BroadcastHashJoin")[0],
+    )
+
+    # 21. CDC chunking: pure expressions — zero exchanges until a
+    # consumer aggregates
+    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+
+    plan = formatted(cdc_chunk_rows(docs, w=4, divisor=8))
+    check(
+        "cdc_chunk_rows: map-side expressions, zero exchanges",
+        n_nodes(plan, "Exchange") == 0,
+    )
+
+    # 22. Q18 shape: the HAVING aggregate and the customer dim both come
+    # back as broadcasts — lineitem shuffles exactly once (its groupBy)
+    plan = formatted(E.q_rel_big_spenders(spark, SF_DIR))
+    check(
+        "rel_big_spenders: HAVING set + dim broadcast, single fact shuffle",
+        plan.count("BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in plan,
+    )
+
+    # 23. blocked fuzzy pairs: an equi-join on the block key, never a
+    # cartesian / nested-loop
+    plan = formatted(E.q_rel_name_match(spark, SF_DIR))
+    check(
+        "rel_name_match: block-key equi-join, no cartesian",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
