@@ -1944,6 +1944,40 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped returned-item revenue: customers ranked by
+    revenue lost to returns in a date window. lineitem⋈orders shuffles
+    on orderkey with both filters pushed; customer and nation dims
+    broadcast; one revenue groupBy at customer granularity; top 20 by
+    (revenue desc, custkey)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
 def q_rel_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-resolution candidate pairs (operators/dedup.py
     blocked_fuzzy_pairs): customer names within the same 16-char-prefix
@@ -2345,6 +2379,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_big_spenders": q_rel_big_spenders,
         "io_schema_evolution": q_io_schema_evolution,
         "rel_name_match": q_rel_name_match,
+        "rel_returned_items": q_rel_returned_items,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3604,6 +3639,24 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # Q10 shape: returned-item revenue per customer, top 20
+    s["rel_returned_items"] = """
+        SELECT c.c_custkey, c.c_name, n.n_name, c.c_mktsegment,
+               round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 2)
+                 AS revenue,
+               count(*)::BIGINT AS n_items
+        FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+          AND o.o_orderdate >= '1997-01-01'
+          AND o.o_orderdate < '1998-01-01'
+        GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_mktsegment
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
     """
 
     # blocked fuzzy pairs: same prefix block + levenshtein threshold
