@@ -489,3 +489,63 @@ def test_cdc_chunks_reconstruct_and_shift_robust(spark, text, w, divisor):
     h1 = {h for _, _, h in by_doc[1]}
     for seq, _c, h in sorted(by_doc[0])[1:]:
         assert h in h1, (seq, _c)
+
+
+@_slow
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1, max_value=1, allow_nan=False,
+                      width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_semantic_dedup_matches_numpy_reference(spark, vecs):
+    """Cluster assignment (argmax dot, first-max tie), within-cluster
+    pair set, and smallest-id-keeper survivors must match a NumPy
+    re-implementation for ANY small vector set."""
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+
+    dim, k, thr = 4, 4, 0.9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array(_centroid_matrix(dim, k))
+    X = np.array(vecs, dtype="float64")
+    Xn = X / (np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-9)
+    dots = Xn @ cents.T
+    assign = dots.argmax(axis=1)  # argmax = first max, same tie rule
+    from hypothesis import assume
+
+    want_pairs = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            cos = float(Xn[i] @ Xn[j])
+            # discard examples sitting on the threshold within float
+            # noise — numpy matmul vs the Spark fold may differ in the
+            # last ulp, and the CONTRACT under test is the set logic,
+            # not which side of an exact tie a ulp lands on
+            assume(abs(cos - thr) > 1e-9)
+            if assign[i] == assign[j] and cos >= thr:
+                want_pairs.add((i, j))
+    got_pairs = {
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(df, dim, thr, k).collect()
+    }
+    assert got_pairs == want_pairs
+    pruned = {b for _, b in want_pairs}
+    want_surv = {i: int(assign[i]) for i in range(len(vecs)) if i not in pruned}
+    got_surv = {r.vec_id: r.cluster
+                for r in semantic_dedup(df, dim, thr, k).collect()}
+    assert got_surv == want_surv
