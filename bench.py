@@ -218,6 +218,23 @@ def main() -> None:
 
         return span_dedup(docs)
 
+    def bench_semantic_dedup():
+        # SemDeDup shape at 64 clusters: cluster-bucketed within-cluster
+        # cosine prune over the 5k sf0.1 embeddings — the quadratic stage
+        # bounded by cluster size, never all-pairs
+        from clinical_vector_search_spark.operators.dedup import (
+            semantic_dedup,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        # expression path: at sf0.1 clusters hold ~78 vectors, so the
+        # BLAS twin's extra shuffle + rescore joins cost more than its
+        # tiny matmuls save (measured 5.4s pd vs 2.8s expr). The pd twin
+        # exists for the regime where it wins — clusters of 10^4+ where
+        # interpreted pair dots are 10^10 ops (see its docstring); both
+        # are bit-identical (parity test).
+        return semantic_dedup(emb, dim=64, threshold=0.35, n_clusters=64)
+
     def bench_cdc_chunks():
         # content-defined chunking: compute-bound interpreted-HOF md5
         # windows, map-only — fan the single test split across cores
@@ -262,6 +279,7 @@ def main() -> None:
         "events_funnel": bench_funnel,
         "events_retention": bench_retention,
         "span_dedup": bench_span_dedup,
+        "semantic_dedup": bench_semantic_dedup,
         "cdc_chunks": bench_cdc_chunks,
         "prep_pipeline": bench_prep_pipeline,
         "rel_pricing_summary": bench_pricing,

@@ -953,6 +953,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    accel: str = "expr",
 ) -> DataFrame:
     """Semantic-dedup survivors: drop every row that has a
     smaller-id near-duplicate (cosine ≥ threshold) in its cluster.
@@ -969,10 +970,17 @@ def semantic_dedup(
     assigned = semantic_clusters(
         df, dim, n_clusters, id_col, vec_col, centroids
     )
-    pairs = semantic_dedup_pairs(
-        df, dim, threshold, n_clusters, id_col, vec_col, centroids,
-        assigned=assigned,
-    )
+    if accel == "pd":
+        # BLAS per-cluster matmul twin (bit-identical via canonical
+        # rescore) — the benched scale path
+        pairs = semantic_dedup_pairs_pd(
+            df, dim, threshold, n_clusters, id_col, vec_col, centroids
+        )
+    else:
+        pairs = semantic_dedup_pairs(
+            df, dim, threshold, n_clusters, id_col, vec_col, centroids,
+            assigned=assigned,
+        )
     pruned = pairs.select(F.col("b_id").alias(id_col)).distinct()
     return assigned.select(id_col, "cluster").join(pruned, id_col, "left_anti")
 
@@ -1076,4 +1084,76 @@ def blocked_fuzzy_pairs(
             F.levenshtein("a_key", "b_key").alias("distance"),
         )
         .filter(F.col("distance") <= max_distance)
+    )
+
+
+def semantic_dedup_pairs_pd(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """NumPy twin of :func:`semantic_dedup_pairs` — the benched scale
+    path (SemDeDup at web scale runs per-cluster matmuls, not per-pair
+    fold expressions): one ``applyInPandas`` per cluster computes the
+    full within-cluster cosine matrix in BLAS, emits candidates at
+    ``threshold - 1e-6``, and the surviving (≪ |c|²) pairs are RESCORED
+    with the canonical expression dot — so the output is bit-identical
+    to the expression path (same trick as kNN partial_topk's rescore;
+    parity asserted in tests). Per-task memory is |c|² floats, bounded
+    by the same cluster-size contract the operator already carries.
+
+    Crossover note (measured at sf0.1): with ~78-vector clusters the
+    extra groupBy shuffle + rescore joins cost MORE than the tiny
+    matmuls save — the expression twin wins below roughly 10³ vectors
+    per cluster. This path is for the SemDeDup regime proper (clusters
+    of 10⁴+, where the fold path would evaluate 10¹⁰ interpreted dots).
+    """
+    import numpy as np
+    import pandas as pd
+
+    assigned = semantic_clusters(
+        df, dim, n_clusters, id_col, vec_col, centroids
+    )
+    eps = 1e-6
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        X = np.array(pdf["_nv"].tolist(), dtype="float64")
+        ids = pdf[id_col].to_numpy()
+        S = X @ X.T
+        iu, ju = np.triu_indices(n, k=1)
+        keep = S[iu, ju] >= (threshold - eps)
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi})
+
+    cands = assigned.groupBy("cluster").applyInPandas(
+        cluster_pairs, "a_id long, b_id long"
+    )
+    slim = assigned.select(F.col(id_col), "_nv", "cluster")
+    return (
+        cands.join(
+            slim.select(
+                F.col(id_col).alias("a_id"),
+                F.col("_nv").alias("_va"),
+                "cluster",
+            ),
+            "a_id",
+        )
+        .join(
+            slim.select(
+                F.col(id_col).alias("b_id"), F.col("_nv").alias("_vb")
+            ),
+            "b_id",
+        )
+        .select(
+            "a_id", "b_id", "cluster", V.dot("_va", "_vb").alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
     )

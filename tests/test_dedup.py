@@ -497,3 +497,25 @@ def test_blocked_fuzzy_pairs_golden(spark):
     # within 'sm' block: (1,2) d1, (1,3) d1, (2,3) d2, (1,6) d3 dropped
     # within 'jo' block: (4,5) d1; never cross-block
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 2, (4, 5): 1}
+
+
+def test_semantic_pairs_pd_parity(spark, sf_dir):
+    """The BLAS per-cluster twin must be BIT-identical to the expression
+    path (candidates found in numpy at threshold-1e-6, rescored with the
+    canonical fold dot)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_pd,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r.a_id, r.b_id): r.cosine
+         for r in semantic_dedup_pairs(emb, 64, 0.3, 4).collect()}
+    b = {(r.a_id, r.b_id): r.cosine
+         for r in semantic_dedup_pairs_pd(emb, 64, 0.3, 4).collect()}
+    assert a == b and len(a) > 0
+    sa = {r.vec_id for r in semantic_dedup(emb, 64, 0.3, 4).collect()}
+    sb = {r.vec_id
+          for r in semantic_dedup(emb, 64, 0.3, 4, accel="pd").collect()}
+    assert sa == sb
