@@ -1944,6 +1944,44 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (multimodal/binary_ops.py
+    frame_sample_plan): shuffle-free sequence+explode fan-out to
+    (media_id, frame_ts_ms) sample points every 250ms over a synthetic
+    duration derived from doc length — the stage that precedes per-frame
+    decode."""
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        frame_sample_plan,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") % 2000 + 1).cast("long").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=250)
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (multimodal/binary_ops.py
+    resize_images): the mapInPandas decode→resize→re-encode stage over
+    opaque binary content. The fixture bytes are UTF-8 text — never a
+    decodable image — so the passthrough branch is taken whether or not
+    pillow is importable, and the oracle is exact md5 passthrough with
+    target dims stamped."""
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        resize_images,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    out = resize_images(media, 64, 48)
+    return out.select(
+        "media_id", F.md5("content").alias("content_md5"), "width", "height"
+    )
+
+
 def q_rel_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q10-shaped returned-item revenue: customers ranked by
     revenue lost to returns in a date window. lineitem⋈orders shuffles
@@ -2380,6 +2418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_schema_evolution": q_io_schema_evolution,
         "rel_name_match": q_rel_name_match,
         "rel_returned_items": q_rel_returned_items,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_framesample": q_multimodal_framesample,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3639,6 +3679,21 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # frame sampling: generate_series every 250ms over the clamped span
+    s["multimodal_framesample"] = """
+        SELECT doc_id AS media_id, unnest(
+            generate_series(0, greatest((n_chars % 2000 + 1) - 1, 0), 250)
+        )::BIGINT AS frame_ts_ms
+        FROM documents
+    """
+
+    # resize passthrough: md5 of the original bytes, stamped dims
+    s["multimodal_resize"] = """
+        SELECT doc_id AS media_id, md5(text) AS content_md5,
+               64::INT AS width, 48::INT AS height
+        FROM documents
     """
 
     # Q10 shape: returned-item revenue per customer, top 20
