@@ -1944,6 +1944,30 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL surface: tables registered as temp views, the query
+    written as ANSI SQL through spark.sql() — same Catalyst plan as the
+    DataFrame API (the engine's two front-ends are one optimizer). A
+    supplier-nation rollup with a HAVING filter."""
+    spark.read.parquet(f"{sf_dir}/supplier.parquet").createOrReplaceTempView(
+        "v_supplier"
+    )
+    spark.read.parquet(f"{sf_dir}/nation.parquet").createOrReplaceTempView(
+        "v_nation"
+    )
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               count(*) AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS total_acctbal,
+               round(avg(s.s_acctbal), 4) AS avg_acctbal
+        FROM v_supplier s JOIN v_nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING count(*) >= 1
+        """
+    )
+
+
 def q_multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (multimodal/binary_ops.py
     frame_sample_plan): shuffle-free sequence+explode fan-out to
@@ -2420,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_returned_items": q_rel_returned_items,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
+        "rel_sql_interface": q_rel_sql_interface,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3679,6 +3704,16 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # pure-SQL surface twin
+    s["rel_sql_interface"] = """
+        SELECT n.n_name, count(*)::BIGINT AS n_suppliers,
+               round(sum(s.s_acctbal), 2) AS total_acctbal,
+               round(avg(s.s_acctbal), 4) AS avg_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        HAVING count(*) >= 1
     """
 
     # frame sampling: generate_series every 250ms over the clamped span
