@@ -1944,6 +1944,24 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4 DataSource API,
+    io/pysource.py): a partition-parallel deterministic corpus
+    generator registered with spark.dataSource.register and read via
+    spark.read.format("synthetic_docs"). Every row is a pure md5
+    function of its index, so even custom SOURCE plumbing gets a full
+    value-hash oracle."""
+    from clinical_vector_search_spark.io.pysource import register
+
+    register(spark)
+    return (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+
+
 def q_rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The pure-SQL surface: tables registered as temp views, the query
     written as ANSI SQL through spark.sql() — same Catalyst plan as the
@@ -2445,6 +2463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_framesample": q_multimodal_framesample,
         "rel_sql_interface": q_rel_sql_interface,
+        "io_python_datasource": q_io_python_datasource,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3704,6 +3723,21 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # python datasource: same md5-derived token generation, row-exact
+    s["io_python_datasource"] = f"""
+        WITH idx AS (SELECT unnest(range(500)) AS i),
+        tok AS (SELECT i, unnest(range(
+                    5 + ({_MD5L.format(x="'len:' || i::VARCHAR")} % 6)
+                )) AS j
+                FROM idx)
+        SELECT i::BIGINT AS doc_id,
+               string_agg(
+                   'w' || ({_MD5L.format(x="i::VARCHAR || ':' || j::VARCHAR")}
+                           % 997),
+                   ' ' ORDER BY j) AS text
+        FROM tok GROUP BY i
     """
 
     # pure-SQL surface twin

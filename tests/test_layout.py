@@ -111,3 +111,30 @@ def test_zorder_key_rejects_int64_overflow_domains():
         zorder_key([("ts_ns", 0, 4 * 10**16)], bits=8)
     # same domain at coarser pre-scaled resolution is fine
     zorder_key([("ts_s", 0, 4 * 10**7)], bits=8)
+
+
+def test_python_datasource_deterministic_and_partition_independent(spark):
+    """Spark 4 Python DataSource: rows are a pure function of the index,
+    so partition count never changes the data; partitions() really
+    parallelizes (one range per task)."""
+    from clinical_vector_search_spark.io.pysource import register, synth_row
+
+    register(spark)
+
+    def load(rows, parts):
+        return (
+            spark.read.format("synthetic_docs")
+            .option("rows", rows)
+            .option("partitions", parts)
+            .load()
+        )
+
+    a = {r.doc_id: r.text for r in load(97, 4).collect()}
+    b = {r.doc_id: r.text for r in load(97, 13).collect()}
+    assert a == b == {i: synth_row(i)[1] for i in range(97)}
+    assert load(97, 4).rdd.getNumPartitions() == 4
+    # text contract: 5..10 tokens from the ~1k vocab
+    for t in a.values():
+        toks = t.split()
+        assert 5 <= len(toks) <= 10
+        assert all(tok.startswith("w") for tok in toks)
