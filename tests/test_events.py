@@ -586,3 +586,45 @@ def test_streaming_checkpoint_recovery_exactly_once(spark, tmp_path):
         expect[w] = expect.get(w, 0) + 1
     assert got == expect
     assert sum(got.values()) == 35
+
+
+def test_streaming_user_totals_tws(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas twin (Spark 4 StatefulProcessor) must
+    match batch totals, like the applyInPandasWithState path. GATED: the
+    TWS driver worker requires google.protobuf, absent in this
+    container — the operator is exercised wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf.descriptor",
+        reason="transformWithState python runner needs protobuf",
+    )
+    from clinical_vector_search_spark.streaming.events import (
+        streaming_user_totals_tws,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    src = str(tmp_path / "tws_src")
+    ev = read_events(spark, sf_dir).select("user_id", "value").limit(2000).cache()
+    ev.write.mode("overwrite").parquet(src)
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        streaming_user_totals_tws(stream_in)
+        .writeStream.format("memory")
+        .queryName("tws_totals_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.user_id: (r.n_events, round(r.sum_value, 6))
+           for r in spark.sql("SELECT * FROM tws_totals_test").collect()}
+    expect = {r.user_id: (r.n, round(r.s, 6))
+              for r in ev.groupBy("user_id")
+              .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
+              .collect()}
+    assert got == expect
