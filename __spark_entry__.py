@@ -1944,6 +1944,34 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALAR + GROUPED_AGG pandas_udf surface (functions/udaf.py):
+    per-type weighted mean of softclipped values, weight = |value|.
+    The GROUPED_AGG runs one vectorized reduction per group (bounded
+    groups here); the oracle is the map-side-combinable expression twin
+    sum(v·w)/sum(w) — both spellings equal (tested)."""
+    from clinical_vector_search_spark.functions.udaf import (
+        softclip,
+        weighted_mean,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        softclip(F.col("value")).alias("v"),
+        F.abs(F.col("value")).alias("w"),
+    )
+    # Spark disallows mixing a GROUPED_AGG pandas UDF with built-in
+    # aggregates in one agg — counts come from a second group-granularity
+    # agg joined back (both sides are n_types rows)
+    wm = ev.groupBy("event_type").agg(
+        F.round(weighted_mean(F.col("v"), F.col("w")), 6).alias("wmean")
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return wm.join(counts, "event_type")
+
+
 def q_io_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source (Spark 4 DataSource API,
     io/pysource.py): a partition-parallel deterministic corpus
@@ -2464,6 +2492,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_framesample": q_multimodal_framesample,
         "rel_sql_interface": q_rel_sql_interface,
         "io_python_datasource": q_io_python_datasource,
+        "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3723,6 +3752,22 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # pandas_udf surface: softclip = v/(1+|v|); weighted mean as the
+    # combinable expression twin
+    s["events_weighted_avg_udaf"] = """
+        WITH e AS (SELECT event_type,
+                          value / (1.0 + abs(value)) AS v,
+                          abs(value) AS w
+                   FROM events)
+        SELECT event_type,
+               round(sum(CASE WHEN v IS NOT NULL AND w IS NOT NULL
+                              THEN v * w END)
+                     / sum(CASE WHEN v IS NOT NULL AND w IS NOT NULL
+                                THEN w END), 6) AS wmean,
+               count(*)::BIGINT AS n_events
+        FROM e GROUP BY event_type
     """
 
     # python datasource: same md5-derived token generation, row-exact

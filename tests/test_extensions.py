@@ -621,3 +621,32 @@ def test_topk_per_group_lossless_bigint_with_nulls(spark):
            for r in topk_per_group(df, ["g"], [("id", True)], 3,
                                    strategy="partial").collect()}
     assert got == {1: big, 2: None, 3: big + 2}
+
+
+def test_pandas_udaf_matches_expression_twin(spark):
+    """GROUPED_AGG weighted_mean == the map-side-combinable expression
+    spelling, incl. NULL pairs and a zero-weight group; scalar softclip
+    squashes into (-1, 1) and propagates NULL."""
+    from clinical_vector_search_spark.functions.udaf import (
+        softclip,
+        weighted_mean,
+        weighted_mean_expr,
+    )
+
+    rows = [("a", 1.0, 2.0), ("a", 3.0, 1.0), ("a", None, 5.0),
+            ("a", 7.0, None), ("b", 4.0, 0.0), ("c", 9.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    udaf = {r.g: r.m for r in df.groupBy("g").agg(
+        F.round(weighted_mean(F.col("v"), F.col("w")), 9).alias("m")
+    ).collect()}
+    expr = {r.g: r.m for r in df.groupBy("g").agg(
+        F.round(weighted_mean_expr("v", "w"), 9).alias("m")
+    ).collect()}
+    assert udaf == expr
+    assert udaf["a"] == round((1 * 2 + 3 * 1) / 3.0, 9)
+    assert udaf["b"] is None  # zero weight mass
+    sc = {r.v: r.s for r in df.select(
+        "v", F.round(softclip(F.col("v")), 9).alias("s")
+    ).distinct().collect()}
+    assert sc[1.0] == 0.5 and sc[None] is None
+    assert all(s is None or -1 < s < 1 for s in sc.values())
