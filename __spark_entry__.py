@@ -1944,6 +1944,27 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS-style range search (operators/knn.py range_search): every
+    doc with cosine ≥ 0.25 per query — the radius twin of top-k,
+    broadcast query batch, filter inside the scan stage."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import range_search
+
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize("embedding").alias("embedding"),
+    )
+    q = v.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    r = range_search(q, v, 0.25)
+    return r.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score")
+    )
+
+
 def q_events_weighted_avg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALAR + GROUPED_AGG pandas_udf surface (functions/udaf.py):
     per-type weighted mean of softclipped values, weight = |value|.
@@ -2493,6 +2514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sql_interface": q_rel_sql_interface,
         "io_python_datasource": q_io_python_datasource,
         "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
+        "knn_range_search": q_knn_range_search,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3752,6 +3774,18 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # range search: all pairs over the radius, same normalize/dot
+    s["knn_range_search"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        q AS (SELECT vec_id AS query_id, nv AS qv FROM n
+              WHERE vec_id < {KNN_NQ})
+        SELECT q.query_id, n.vec_id AS doc_id,
+               round(list_dot_product(qv, nv), 6) AS score
+        FROM q CROSS JOIN n
+        WHERE list_dot_product(qv, nv) >= 0.25
     """
 
     # pandas_udf surface: softclip = v/(1+|v|); weighted mean as the

@@ -510,3 +510,35 @@ def _ranked_asc(
         .filter(F.col("rank") <= k)
         .select(query_id, "rank", doc_id, F.round(dist_col, 6).alias(dist_col))
     )
+
+
+def range_search(
+    queries: DataFrame,
+    docs: DataFrame,
+    min_score: float,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """FAISS-style range search: ALL docs scoring ≥ ``min_score``
+    (dot / cosine-on-normalized) per query — the radius twin of top-k
+    kNN for "give me every candidate above the match threshold"
+    workloads (dedup sweeps, recall-first retrieval). Returns
+    (query_id, doc_id, score), unbounded per query by design.
+
+    Plan: broadcast the bounded query batch against the corpus — one
+    scan, no shuffle until whatever consumes the matches; the filter
+    runs inside the scan stage so non-matches never materialize. Same
+    scale contract as exact kNN's broadcast path; for huge query sets
+    switch to the IVF/LSH bucketed operators and filter their scores.
+    """
+    q = queries.select(F.col(query_id), F.col(query_vec))
+    d = docs.select(F.col(doc_id), F.col(doc_vec))
+    return (
+        d.crossJoin(F.broadcast(q))
+        .select(
+            query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
+        )
+        .filter(F.col("score") >= F.lit(float(min_score)))
+    )
