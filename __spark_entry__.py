@@ -1944,6 +1944,40 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval composition: confusion counts of the lang-ID
+    heuristic (functions/text.py lang_id) against the metadata label —
+    the per-(label, prediction) matrix every model-quality dashboard
+    starts from. One groupBy over label granularity."""
+    from clinical_vector_search_spark.functions.text import lang_id, tokenize
+
+    d = _docs(spark, sf_dir).select(
+        "lang", lang_id(tokenize("text")).alias("lang_pred")
+    )
+    return d.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+def q_rel_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric column profiling over lineitem: min/max/stddev of quantity
+    and the Pearson correlations (qty↔price, price↔discount) — the
+    column-statistics pass that precedes model-feature selection; one
+    map-side-combined aggregate, single row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.agg(
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("std_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias(
+            "corr_price_disc"
+        ),
+    )
+
+
 def q_knn_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FAISS-style range search (operators/knn.py range_search): every
     doc with cosine ≥ 0.25 per query — the radius twin of top-k,
@@ -2515,6 +2549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_python_datasource": q_io_python_datasource,
         "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
         "knn_range_search": q_knn_range_search,
+        "text_lang_confusion": q_text_lang_confusion,
+        "rel_numeric_profile": q_rel_numeric_profile,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -3774,6 +3810,39 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    # lang-ID confusion matrix: reuse the marker-hit CASE from text_lang_id
+    s["text_lang_confusion"] = f"""
+        WITH toks AS ({_TOKS}),
+        h AS (SELECT t.doc_id, d.lang,
+                     {_h["en"]} AS hits_en, {_h["es"]} AS hits_es,
+                     {_h["de"]} AS hits_de, {_h["fr"]} AS hits_fr,
+                     {_h["zh"]} AS hits_zh
+              FROM toks t JOIN documents d ON t.doc_id = d.doc_id),
+        p AS (SELECT lang,
+               CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) = 0
+                        THEN 'und'
+                    WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'de'
+                    WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'en'
+                    WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'es'
+                    WHEN hits_fr = greatest(hits_de, hits_en, hits_es, hits_fr, hits_zh) THEN 'fr'
+                    ELSE 'zh' END AS lang_pred
+              FROM h)
+        SELECT lang, lang_pred, count(*)::BIGINT AS n_docs
+        FROM p GROUP BY lang, lang_pred
+    """
+
+    # numeric profile: same single-row stats
+    s["rel_numeric_profile"] = """
+        SELECT min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               round(stddev_pop(l_quantity), 6) AS std_qty,
+               round(corr(l_quantity, l_extendedprice), 6)
+                 AS corr_qty_price,
+               round(corr(l_extendedprice, l_discount), 6)
+                 AS corr_price_disc
+        FROM lineitem
     """
 
     # range search: all pairs over the radius, same normalize/dot
