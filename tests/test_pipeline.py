@@ -476,3 +476,30 @@ def test_referential_audit_counts_orphans_and_nulls(spark):
         "f->d", 5, 1, 1,
     )
     assert r.orphan_rate == 0.2
+
+
+def test_plan_cache_eviction_unpersists_subframes(spark, sf_dir):
+    """FIFO eviction must unpersist the evicted plan's cached sub-frames
+    (ADVICE r5: without this, MEMORY_AND_DISK blocks evicted from
+    storage memory stay on executor disk until app exit)."""
+    import clinical_vector_search_spark.pipeline.modes as m
+
+    old_max, old_cache = m._PLAN_CACHE_MAX, dict(m._PLAN_CACHE)
+    try:
+        m._PLAN_CACHE.clear()
+        m._PLAN_CACHE_MAX = 1
+        m.baseline_mode(spark, sf_dir, k=3, n_queries=2).count()
+        assert len(m._PLAN_CACHE) == 1
+        (_, handles), = m._PLAN_CACHE.values()
+        assert handles, "baseline build must register cached sub-frames"
+        assert all(h.storageLevel.useMemory for h in handles)
+        # a different arg tuple evicts the first plan
+        m.baseline_mode(spark, sf_dir, k=4, n_queries=2).count()
+        assert len(m._PLAN_CACHE) == 1
+        assert all(not h.storageLevel.useMemory for h in handles), (
+            "evicted plan's caches must be unpersisted"
+        )
+    finally:
+        m._PLAN_CACHE_MAX = old_max
+        m._PLAN_CACHE.clear()
+        m._PLAN_CACHE.update(old_cache)
