@@ -1944,6 +1944,40 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What CDC chunking is FOR: cross-document chunk-hash dedup. A
+    chunk appearing in ≥ 2 docs is shared content; per doc report
+    (n_chunks, n_shared_chunks, shared_fraction). Chunk hashes are
+    8-byte keys — the dedup shuffle never moves chunk text (same
+    contract as span dedup)."""
+    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+
+    ch = cdc_chunk_rows(_docs(spark, sf_dir), w=4, divisor=8).select(
+        "doc_id", "chunk_hash"
+    )
+    hot = (
+        ch.groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("chunk_hash")
+    )
+    flagged = ch.join(F.broadcast(hot), "chunk_hash").select(
+        "doc_id", "chunk_hash"
+    )
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    shared = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_chunks")
+    )
+    return per_doc.join(shared, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_shared_chunks", F.lit(0)).alias("n_shared_chunks"),
+        F.round(
+            F.coalesce("n_shared_chunks", F.lit(0)) / F.col("n_chunks"), 6
+        ).alias("shared_fraction"),
+    )
+
+
 def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classifier-eval composition: confusion counts of the lang-ID
     heuristic (functions/text.py lang_id) against the metadata label —
@@ -2551,6 +2585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_range_search": q_knn_range_search,
         "text_lang_confusion": q_text_lang_confusion,
         "rel_numeric_profile": q_rel_numeric_profile,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -4011,6 +4046,26 @@ def oracle_sql() -> dict[str, str]:
                (bounds[j+1] - bounds[j])::INT AS n_tokens
         FROM ch
     """
+
+    # cross-doc CDC chunk dedup: wrap the chunk SQL, count shared hashes
+    s["dedup_cdc_chunks"] = (
+        "WITH ch AS (SELECT doc_id, chunk_hash FROM ("
+        + s["text_cdc_chunks"]
+        + """) q),
+        hot AS (SELECT chunk_hash FROM ch
+                GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2),
+        per_doc AS (SELECT doc_id, count(*)::BIGINT AS n_chunks
+                    FROM ch GROUP BY doc_id),
+        sh AS (SELECT c.doc_id, count(*)::BIGINT AS n_shared
+               FROM ch c JOIN hot USING (chunk_hash) GROUP BY c.doc_id)
+        SELECT p.doc_id, p.n_chunks,
+               coalesce(s.n_shared, 0)::BIGINT AS n_shared_chunks,
+               round(coalesce(s.n_shared, 0)::DOUBLE / p.n_chunks, 6)
+                 AS shared_fraction
+        FROM per_doc p LEFT JOIN sh s ON p.doc_id = s.doc_id
+    """
+    )
+
 
     # window top-k composition: counts per (hour, user), rank per hour
     s["events_window_topk"] = """
