@@ -1944,6 +1944,71 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document AUDIT TRAIL of the prep pipeline: every doc with
+    its keep/drop decision and the FIRST failing rule (lang → quality →
+    exact-dup → contaminated), instead of just the survivor set — the
+    artifact a data-governance review actually reads ("why was this doc
+    dropped?"). Rules and fragments identical to doc_prep_pipeline; one
+    extra doc-granularity join per signal, all flags computed in one
+    lazy plan."""
+    from clinical_vector_search_spark.functions import text as TXT
+
+    docs = _docs(spark, sf_dir)
+    cleaned = docs.select(
+        "doc_id", "lang", TXT.clean_text("text").alias("ctext")
+    )
+    scored = cleaned.withColumn(
+        "quality", F.round(TXT.quality_score("ctext"), 6)
+    )
+    # exact-dup losers: same md5 group, not the min doc_id (among docs
+    # passing the earlier rules, matching the pipeline's stage order)
+    passing = scored.filter(
+        (F.col("lang") == "en") & (F.col("quality") >= 0.6)
+    )
+    winners = passing.groupBy(F.md5("ctext").alias("_h")).agg(
+        F.min("doc_id").alias("_keep_id")
+    )
+    dup_loser = (
+        passing.select("doc_id", F.md5("ctext").alias("_h"))
+        .join(winners, "_h")
+        .select(
+            "doc_id", (F.col("doc_id") != F.col("_keep_id")).alias("is_dup")
+        )
+    )
+    bench_grams = (
+        cleaned.filter(F.col("doc_id") < DECON_BENCH)
+        .select(
+            F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g")
+        )
+        .distinct()
+    )
+    contaminated = (
+        cleaned.select(
+            "doc_id",
+            F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g"),
+        )
+        .join(F.broadcast(bench_grams), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    return (
+        scored.join(dup_loser, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.when(F.col("lang") != "en", F.lit("lang"))
+            .when(F.col("quality") < 0.6, F.lit("quality"))
+            .when(F.coalesce("is_dup", F.lit(False)), F.lit("duplicate"))
+            .when(F.coalesce("is_contam", F.lit(False)), F.lit("contaminated"))
+            .otherwise(F.lit("keep"))
+            .alias("decision"),
+        )
+    )
+
+
 def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """What CDC chunking is FOR: cross-document chunk-hash dedup. A
     chunk appearing in ≥ 2 docs is shared content; per doc report
@@ -2586,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_confusion": q_text_lang_confusion,
         "rel_numeric_profile": q_rel_numeric_profile,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "doc_filter_audit": q_doc_filter_audit,
         # -- 3: last driver row r4 ---------------------------------------
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
         "knn_ivf": q_knn_ivf,
@@ -4139,6 +4205,64 @@ def oracle_sql() -> dict[str, str]:
                round(sum(is_outlier::INT)::DOUBLE / count(*), 6)
                  AS outlier_rate
         FROM f GROUP BY event_type
+    """
+
+    # filter audit: same fragments as doc_prep_pipeline, but per-doc
+    # first-failing-rule decisions instead of the survivor set
+    s["doc_filter_audit"] = rf"""
+        WITH c AS (SELECT doc_id, lang,
+                          replace(trim(regexp_replace(text, '\s+', ' ', 'g')),
+                                  chr(10), ' ') AS ctext
+                   FROM documents),
+        t AS (SELECT doc_id, lang, ctext,
+                     list_filter(regexp_split_to_array(lower(trim(ctext)),
+                                                       '\s+'),
+                                 x -> x <> '') AS tokens
+              FROM c),
+        q AS (SELECT doc_id, lang, ctext, tokens,
+                     round(0.4 * least(len(tokens)::DOUBLE / 100.0, 1.0)
+                       + 0.3 * (1.0 -
+                           length(regexp_replace(lower(ctext),
+                                                 '[a-z0-9 ]', '', 'g'))::DOUBLE
+                             / greatest(length(ctext), 1))
+                       + 0.3 * (CASE WHEN
+                             len(list_filter(tokens,
+                                 x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                               / greatest(len(tokens), 1) >= 0.1
+                             AND
+                             len(list_filter(tokens,
+                                 x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                               / greatest(len(tokens), 1) <= 0.5
+                             THEN 1.0 ELSE 0.5 END), 6) AS quality
+              FROM t),
+        pass AS (SELECT * FROM q WHERE lang = 'en' AND quality >= 0.6),
+        win AS (SELECT md5(ctext) AS h, min(doc_id) AS keep_id
+                FROM pass GROUP BY md5(ctext)),
+        dup AS (SELECT p.doc_id, p.doc_id <> w.keep_id AS is_dup
+                FROM pass p JOIN win w ON md5(p.ctext) = w.h),
+        bg AS (SELECT DISTINCT unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM t WHERE doc_id < {DECON_BENCH}),
+        dg AS (SELECT doc_id, unnest(
+                 CASE WHEN len(tokens) >= {DECON_N}
+                      THEN list_distinct(
+                        [array_to_string(tokens[i:i+{DECON_N - 1}], ' ')
+                         FOR i IN range(1, len(tokens) - {DECON_N - 2})])
+                      ELSE []::VARCHAR[] END) AS g
+               FROM t),
+        bad AS (SELECT DISTINCT dg.doc_id FROM dg JOIN bg USING (g))
+        SELECT q.doc_id, q.quality,
+               CASE WHEN q.lang <> 'en' THEN 'lang'
+                    WHEN q.quality < 0.6 THEN 'quality'
+                    WHEN coalesce(d.is_dup, FALSE) THEN 'duplicate'
+                    WHEN b.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'keep' END AS decision
+        FROM q LEFT JOIN dup d ON q.doc_id = d.doc_id
+               LEFT JOIN bad b ON q.doc_id = b.doc_id
     """
 
     # composed prep pipeline: every stage is the same SQL fragment its

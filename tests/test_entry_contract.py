@@ -55,3 +55,12 @@ def test_oracle_subset_sf0001(spark, sf_dir, name):
         by=sorted(odf.columns), ignore_index=True
     )
     assert a.equals(b), f"{name}: value mismatch"
+
+
+def test_filter_audit_consistent_with_prep_pipeline(spark, sf_dir):
+    """The audit's 'keep' decisions must be exactly the prep pipeline's
+    survivor set — two spellings of one contract."""
+    keep = {r.doc_id for r in E.q_doc_filter_audit(spark, sf_dir).collect()
+            if r.decision == "keep"}
+    surv = {r.doc_id for r in E.q_doc_prep_pipeline(spark, sf_dir).collect()}
+    assert keep == surv and len(keep) > 0
