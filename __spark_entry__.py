@@ -2599,74 +2599,19 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
-    # freshness rotation (established in r5; VERDICT r5 task 1):
-    #   1. the 7 entries with NO driver row ever (added late in r5;
-    #      all locally oracle-green at sf0.01)
-    #   2. entries new in r6 (semantic dedup, sessionize auto-dispatch,
-    #      SCD2 merge-path, Bloom decontamination, per-group top-k,
-    #      composed prep pipeline, z-score outliers, HLL rollup,
-    #      split assignment, referential audit, window top-k, CDC
-    #      chunking, nearest as-of, perplexity deciles)
-    #   3. entries whose last driver row is r4 — weakest-evidence first
-    #      (rows-only anchors, streaming replays, ANN recall twins);
-    #      the ~11 past the 50-window stay r4-stale and lead the r7
-    #      rotation
-    #   4. entries green in r5 — demoted past the window; rotate back
-    #      in r7/r8 so no entry goes two driver-rounds dark.
+    # freshness rotation (established r5; re-rotated each round —
+    # VERDICT r6 task 1):
+    #   1. entries NEW in r7 (never driver-checked) lead.
+    #   2. the 36 entries whose last driver row is r4 (streaming
+    #      replays, IVF-PQ family, rel_* windows, samplers) — the
+    #      exact stale set named in VERDICT r6.
+    #   3. entries last green in r5 — next-stalest; the tail past the
+    #      window stays r5-stale and leads the r8 rotation with any
+    #      r7 leftovers.
+    #   4. entries green in the r6 window — freshest, demoted last.
     return {
-        # -- 1: never driver-checked --------------------------------------
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_scd2": q_events_scd2,
-        "events_histogram": q_events_histogram,
-        "text_bigram_lm": q_text_bigram_lm,
-        "dedup_repeated_windows": q_dedup_repeated_windows,
-        "io_dataset_fingerprint": q_io_dataset_fingerprint,
-        # -- 2: new in r6 ------------------------------------------------
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_semantic_pairs": q_dedup_semantic_pairs,
-        "events_sessionize_auto": q_events_sessionize_auto,
-        "events_scd2_merge": q_events_scd2_merge,
-        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        "doc_topk_per_source": q_doc_topk_per_source,
-        "doc_prep_pipeline": q_doc_prep_pipeline,
-        "events_zscore_outliers": q_events_zscore_outliers,
-        "events_distinct_hll": q_events_distinct_hll,
-        "doc_split_assign": q_doc_split_assign,
-        "rel_integrity_audit": q_rel_integrity_audit,
-        "events_window_topk": q_events_window_topk,
-        "text_cdc_chunks": q_text_cdc_chunks,
-        "events_asof_nearest": q_events_asof_nearest,
-        "text_ppl_buckets": q_text_ppl_buckets,
-        "rel_big_spenders": q_rel_big_spenders,
-        "io_schema_evolution": q_io_schema_evolution,
-        "rel_name_match": q_rel_name_match,
-        "rel_returned_items": q_rel_returned_items,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_framesample": q_multimodal_framesample,
-        "rel_sql_interface": q_rel_sql_interface,
-        "io_python_datasource": q_io_python_datasource,
-        "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
-        "knn_range_search": q_knn_range_search,
-        "text_lang_confusion": q_text_lang_confusion,
-        "rel_numeric_profile": q_rel_numeric_profile,
-        "dedup_cdc_chunks": q_dedup_cdc_chunks,
-        "doc_filter_audit": q_doc_filter_audit,
-        # -- 3: last driver row r4 ---------------------------------------
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_ivf": q_knn_ivf,
-        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-        "knn_lsh": q_knn_lsh,
-        "fhe_pipeline": q_fhe_pipeline,
-        "evaluation_table": q_evaluation_table,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "mmr_lambda1": q_mmr_lambda1,
-        "rag_union_candidates": q_rag_union_candidates,
-        "doc_pipeline": q_doc_pipeline,
-        "events_asof_join": q_events_asof_join,
+        # -- 1: new in r7 (inserted as built) --
+        # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
         "events_sessionize": q_events_sessionize,
@@ -2703,7 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": q_rel_semi_join,
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        # -- 4: green in r5, demoted -------------------------------------
+        # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -2754,6 +2699,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
+        # -- 4: green in r6 window (freshest) --
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_scd2": q_events_scd2,
+        "events_histogram": q_events_histogram,
+        "text_bigram_lm": q_text_bigram_lm,
+        "dedup_repeated_windows": q_dedup_repeated_windows,
+        "io_dataset_fingerprint": q_io_dataset_fingerprint,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_pairs": q_dedup_semantic_pairs,
+        "events_sessionize_auto": q_events_sessionize_auto,
+        "events_scd2_merge": q_events_scd2_merge,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_topk_per_source": q_doc_topk_per_source,
+        "doc_prep_pipeline": q_doc_prep_pipeline,
+        "events_zscore_outliers": q_events_zscore_outliers,
+        "events_distinct_hll": q_events_distinct_hll,
+        "doc_split_assign": q_doc_split_assign,
+        "rel_integrity_audit": q_rel_integrity_audit,
+        "events_window_topk": q_events_window_topk,
+        "text_cdc_chunks": q_text_cdc_chunks,
+        "events_asof_nearest": q_events_asof_nearest,
+        "text_ppl_buckets": q_text_ppl_buckets,
+        "rel_big_spenders": q_rel_big_spenders,
+        "io_schema_evolution": q_io_schema_evolution,
+        "rel_name_match": q_rel_name_match,
+        "rel_returned_items": q_rel_returned_items,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_framesample": q_multimodal_framesample,
+        "rel_sql_interface": q_rel_sql_interface,
+        "io_python_datasource": q_io_python_datasource,
+        "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
+        "knn_range_search": q_knn_range_search,
+        "text_lang_confusion": q_text_lang_confusion,
+        "rel_numeric_profile": q_rel_numeric_profile,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "doc_filter_audit": q_doc_filter_audit,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh": q_knn_lsh,
+        "fhe_pipeline": q_fhe_pipeline,
+        "evaluation_table": q_evaluation_table,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
+        "doc_pipeline": q_doc_pipeline,
+        "events_asof_join": q_events_asof_join,
     }
 
 # ---------------------------------------------------------------------------

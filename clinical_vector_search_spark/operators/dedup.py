@@ -879,16 +879,23 @@ def semantic_clusters(
     """Argmax-cosine cluster assignment over normalized embeddings:
     (id, cluster, _nv). First-occurrence tie-break (array_position of
     array_max — the oracle mirrors with ORDER BY dot DESC, cid ASC).
-    CACHED: it feeds both sides of the pair self-join and the survivor
-    anti-join, and the centroid-dot stage is the per-row expensive part."""
+    CACHED via plan_cache.tracked_cache: it feeds both sides of the
+    pair self-join and the survivor anti-join, and the centroid-dot
+    stage is the per-row expensive part. Inside a registered plan build
+    the handle is owned (and evicted) by the plan-cache entry; outside
+    one the caller owns the returned frame's lifecycle (unpersist when
+    done on a long-lived driver)."""
     from clinical_vector_search_spark.operators.knn import _centroid_dots
+    from clinical_vector_search_spark.plan_cache import tracked_cache
 
     base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
     dots = _centroid_dots("_nv", dim, n_clusters, centroids)
-    return base.withColumn(
-        "cluster",
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-    ).cache()
+    return tracked_cache(
+        base.withColumn(
+            "cluster",
+            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
+        )
+    )
 
 
 def semantic_dedup_pairs(
@@ -900,6 +907,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     assigned: DataFrame | None = None,
+    max_cluster_rows: int | None = 4096,
 ) -> DataFrame:
     """Within-cluster near-duplicate pairs, the SemDeDup shape (Abbas et
     al. 2023, "SemDeDup: Data-efficient learning at web-scale through
@@ -914,12 +922,23 @@ def semantic_dedup_pairs(
     ``n_clusters`` so E[|c|] stays ~O(10⁴) (the paper uses 50k clusters
     for 5B embeddings) and pass ``centroids`` from
     :func:`~clinical_vector_search_spark.operators.knn.kmeans_centroids`
-    (trained on a hash-sample) so cluster sizes stay balanced — a hot
-    cluster is the skew risk here, and trained centroids + more clusters
-    are the fix. ``centroids=None`` uses the deterministic LCG matrix
-    (reproducible, the oracle-twin default). ``assigned`` reuses a
+    (trained on a hash-sample) so cluster sizes stay balanced.
+    ``centroids=None`` uses the deterministic LCG matrix (reproducible,
+    the oracle-twin default). ``assigned`` reuses a
     :func:`semantic_clusters` frame (so a caller computing survivors too
     pays the centroid-dot stage once).
+
+    Hot-cluster guard (AUTOMATED — a mega-cluster is the skew risk
+    here, and trained centroids only mitigate it): the operator probes
+    cluster sizes with one n_clusters-row count (same cheap
+    histogram-dispatch pattern as ``choose_sessionize_strategy``) and,
+    when any cluster exceeds ``max_cluster_rows``, switches that join to
+    the exact block self-join decomposition in
+    :func:`_semantic_pairs_salted` — per-task pair count stays ~
+    ``max_cluster_rows²`` regardless of cluster size, with NO recall
+    change (every pair still compared exactly once). Pass
+    ``max_cluster_rows=None`` to skip the probe (e.g. when sizes are
+    known-balanced and the extra count job matters).
 
     Recall contract: a true near-dup pair straddling a cluster boundary
     is missed (same recall<1 contract as LSH near-dup; the paper accepts
@@ -929,6 +948,20 @@ def semantic_dedup_pairs(
         assigned = semantic_clusters(
             df, dim, n_clusters, id_col, vec_col, centroids
         )
+    if max_cluster_rows is not None:
+        # Bounded probe: one aggregate job over the (cached) assignment,
+        # result is ≤ n_clusters rows on the driver.
+        sizes = {
+            r["cluster"]: r["count"]
+            for r in assigned.groupBy("cluster").count().collect()
+        }
+        if any(c > max_cluster_rows for c in sizes.values()):
+            n_salts = {
+                k: -(-c // max_cluster_rows) for k, c in sizes.items()
+            }
+            return _semantic_pairs_salted(
+                assigned, threshold, n_salts, id_col
+            )
     a = assigned.select(
         "cluster", F.col(id_col).alias("a_id"), F.col("_nv").alias("_va")
     )
@@ -940,6 +973,69 @@ def semantic_dedup_pairs(
         .filter(F.col("a_id") < F.col("b_id"))
         .select(
             "a_id", "b_id", "cluster", V.dot("_va", "_vb").alias("cosine")
+        )
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+    )
+
+
+def _semantic_pairs_salted(
+    assigned: DataFrame,
+    threshold: float,
+    n_salts: dict[int, int],
+    id_col: str,
+) -> DataFrame:
+    """Exact block self-join for oversized clusters: split a cluster of
+    |c| rows into s = ceil(|c| / max_rows) salt buckets by
+    ``pmod(xxhash64(id), s)`` and realize the |c|² comparison as the
+    s(s+1)/2 block pairs (i ≤ j). A row in bucket p is replicated to
+    the a-side of tasks (i=p, j ∈ [p, s-1]) and the b-side of tasks
+    (i ∈ [0, p], j=p), so every unordered pair meets in EXACTLY one
+    (cluster, i, j) task — same output as the plain path (no recall
+    loss, a property test asserts equality), but per-task pair count is
+    bounded by ~max_rows² instead of |c|². The join stays a hash
+    equi-join on (cluster, _i, _j); replication factor per row is s —
+    linear in the split, the price of bounding the quadratic.
+
+    Orientation: a cross-bucket pair (i < j) meets once in a FIXED a/b
+    orientation (bucket membership, not id order, picks the side), so
+    the id-order filter applies only to within-bucket (i == j) tasks —
+    where both orientations meet — and cross-bucket output is
+    normalized with least/greatest instead.
+
+    ``n_salts`` maps cluster → s (from the caller's size probe),
+    inlined as a literal map so the salt stage is pure map-side."""
+    smap = F.create_map(
+        *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv]
+    )
+    base = assigned.withColumn(
+        "_s", smap[F.col("cluster")]
+    ).withColumn(
+        "_p", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
+    )
+    a = base.select(
+        "cluster",
+        F.col("_p").alias("_i"),
+        F.explode(F.sequence(F.col("_p"), F.col("_s") - 1)).alias("_j"),
+        F.col(id_col).alias("a_id"),
+        F.col("_nv").alias("_va"),
+    )
+    b = base.select(
+        "cluster",
+        F.explode(F.sequence(F.lit(0), F.col("_p"))).alias("_i"),
+        F.col("_p").alias("_j"),
+        F.col(id_col).alias("b_id"),
+        F.col("_nv").alias("_vb"),
+    )
+    return (
+        a.join(b, ["cluster", "_i", "_j"])
+        .filter(
+            (F.col("_i") != F.col("_j")) | (F.col("a_id") < F.col("b_id"))
+        )
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+            "cluster",
+            V.dot("_va", "_vb").alias("cosine"),
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
@@ -972,9 +1068,11 @@ def semantic_dedup(
     )
     if accel == "pd":
         # BLAS per-cluster matmul twin (bit-identical via canonical
-        # rescore) — the benched scale path
+        # rescore) — the benched scale path; shares the cached
+        # assignment frame (one centroid-dot stage, one cache handle).
         pairs = semantic_dedup_pairs_pd(
-            df, dim, threshold, n_clusters, id_col, vec_col, centroids
+            df, dim, threshold, n_clusters, id_col, vec_col, centroids,
+            assigned=assigned,
         )
     else:
         pairs = semantic_dedup_pairs(
@@ -1013,7 +1111,8 @@ def decontaminate_bloom(
     oracle-checkable in any md5-capable engine.
 
     The bitmap is collected to the driver at plan-build time (bounded:
-    m/64 longs) and inlined as a literal array — the same
+    m/32 longs — 32-bit words, see bloom_words_array) and inlined as a
+    literal array — the same
     build-once-probe-many artifact lifecycle as the BM25/vector indexes;
     persist the (word_idx, word) frame via io.tables for reuse across
     jobs.
@@ -1095,6 +1194,8 @@ def semantic_dedup_pairs_pd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    assigned: DataFrame | None = None,
+    max_cluster_rows: int | None = 4096,
 ) -> DataFrame:
     """NumPy twin of :func:`semantic_dedup_pairs` — the benched scale
     path (SemDeDup at web scale runs per-cluster matmuls, not per-pair
@@ -1115,9 +1216,10 @@ def semantic_dedup_pairs_pd(
     import numpy as np
     import pandas as pd
 
-    assigned = semantic_clusters(
-        df, dim, n_clusters, id_col, vec_col, centroids
-    )
+    if assigned is None:
+        assigned = semantic_clusters(
+            df, dim, n_clusters, id_col, vec_col, centroids
+        )
     eps = 1e-6
 
     def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1133,9 +1235,78 @@ def semantic_dedup_pairs_pd(
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pd.DataFrame({"a_id": lo, "b_id": hi})
 
-    cands = assigned.groupBy("cluster").applyInPandas(
-        cluster_pairs, "a_id long, b_id long"
-    )
+    n_salts = None
+    if max_cluster_rows is not None:
+        sizes = {
+            r["cluster"]: r["count"]
+            for r in assigned.groupBy("cluster").count().collect()
+        }
+        if any(c > max_cluster_rows for c in sizes.values()):
+            n_salts = {
+                k: -(-c // max_cluster_rows) for k, c in sizes.items()
+            }
+    if n_salts is not None:
+        # Hot-cluster guard, BLAS flavor: the same exact block
+        # decomposition as _semantic_pairs_salted, but each
+        # (cluster, i, j) task runs ONE matmul — a triangle on the
+        # a-side rows when i == j, an A@Bᵀ cross-block otherwise.
+        # Per-task memory drops from |c|² to ~max_cluster_rows².
+        smap = F.create_map(
+            *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv]
+        )
+        base = assigned.withColumn(
+            "_s", smap[F.col("cluster")]
+        ).withColumn(
+            "_p",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int"),
+        )
+        a_side = base.select(
+            "cluster",
+            F.col("_p").alias("_i"),
+            F.explode(
+                F.sequence(F.col("_p"), F.col("_s") - 1)
+            ).alias("_j"),
+            F.lit(0).alias("_side"),
+            F.col(id_col),
+            "_nv",
+        )
+        b_side = base.select(
+            "cluster",
+            F.explode(F.sequence(F.lit(0), F.col("_p"))).alias("_i"),
+            F.col("_p").alias("_j"),
+            F.lit(1).alias("_side"),
+            F.col(id_col),
+            "_nv",
+        )
+
+        def block_pairs(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            _, i, j = key
+            a_rows = pdf[pdf["_side"] == 0]
+            if i == j:
+                return cluster_pairs(a_rows)
+            b_rows = pdf[pdf["_side"] == 1]
+            if len(a_rows) == 0 or len(b_rows) == 0:
+                return pd.DataFrame({"a_id": [], "b_id": []}).astype(
+                    "int64"
+                )
+            A = np.array(a_rows["_nv"].tolist(), dtype="float64")
+            B = np.array(b_rows["_nv"].tolist(), dtype="float64")
+            S = A @ B.T
+            ii, jj = np.nonzero(S >= (threshold - eps))
+            a = a_rows[id_col].to_numpy()[ii]
+            b = b_rows[id_col].to_numpy()[jj]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            return pd.DataFrame({"a_id": lo, "b_id": hi})
+
+        cands = (
+            a_side.unionByName(b_side)
+            .groupBy("cluster", "_i", "_j")
+            .applyInPandas(block_pairs, "a_id long, b_id long")
+        )
+    else:
+        cands = assigned.groupBy("cluster").applyInPandas(
+            cluster_pairs, "a_id long, b_id long"
+        )
     slim = assigned.select(F.col(id_col), "_nv", "cluster")
     return (
         cands.join(

@@ -512,6 +512,12 @@ def _ranked_asc(
     )
 
 
+# above this many query rows the broadcast would strain executor memory
+# (100k × 384-dim fp64 ≈ 300 MB before java object overhead) — same
+# bound _knn_partial_topk enforces on its driver collect
+RANGE_BROADCAST_MAX_QUERIES = 100_000
+
+
 def range_search(
     queries: DataFrame,
     docs: DataFrame,
@@ -530,14 +536,25 @@ def range_search(
     Plan: broadcast the bounded query batch against the corpus — one
     scan, no shuffle until whatever consumes the matches; the filter
     runs inside the scan stage so non-matches never materialize. Same
-    scale contract as exact kNN's broadcast path; for huge query sets
-    switch to the IVF/LSH bucketed operators and filter their scores.
+    scale contract as exact kNN's broadcast path.
+
+    The bound is ENFORCED, not just documented: a cheap count probe on
+    the query side (ids+vecs only) guards the broadcast, and above
+    ``RANGE_BROADCAST_MAX_QUERIES`` the plan falls back to a
+    partitioned cartesian (each task scores one docs-split × one
+    query-split block — no single executor ever holds the query batch
+    whole). All-pairs work is inherent to range search at that query
+    volume; for sub-quadratic behavior switch to the IVF/LSH bucketed
+    operators and filter their scores.
     """
     q = queries.select(F.col(query_id), F.col(query_vec))
     d = docs.select(F.col(doc_id), F.col(doc_vec))
+    if q.count() <= RANGE_BROADCAST_MAX_QUERIES:
+        joined = d.crossJoin(F.broadcast(q))
+    else:
+        joined = d.crossJoin(q)
     return (
-        d.crossJoin(F.broadcast(q))
-        .select(
+        joined.select(
             query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")
         )
         .filter(F.col("score") >= F.lit(float(min_score)))

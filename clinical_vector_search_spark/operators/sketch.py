@@ -162,10 +162,22 @@ def zscore_outliers(
     a value within ulps of it — rounding the z-ratio first makes the
     flag cross-engine stable (the oracle-checked contract).
     """
-    stats = df.groupBy(*group_cols).agg(
+    gcols = list(group_cols)
+    stats = df.groupBy(*gcols).agg(
         F.avg(value_col).alias("_mean"),
         F.stddev_pop(value_col).alias("_std"),
     )
+    # Null-safe equi-join (<=>): groupBy keeps the NULL group, and a
+    # plain `on=group_cols` join would silently DROP those rows (NULL
+    # keys never equality-match) — breaking the row-preserving
+    # contract. <=> is still a hash-joinable equi-key, so the
+    # broadcast-hash shape is unchanged.
+    stats = stats.select(
+        *[F.col(c).alias(f"_g_{c}") for c in gcols], "_mean", "_std"
+    )
+    join_cond = F.lit(True)
+    for c in gcols:
+        join_cond = join_cond & F.col(c).eqNullSafe(F.col(f"_g_{c}"))
     v = F.col(value_col)
     if round_dp is None:
         cond = F.abs(v - F.col("_mean")) > F.lit(float(z)) * F.col("_std")
@@ -174,8 +186,12 @@ def zscore_outliers(
             F.round(F.abs(v - F.col("_mean")) / F.col("_std"), round_dp)
             > F.lit(float(z))
         )
-    return df.join(F.broadcast(stats), group_cols).withColumn(
-        "is_outlier", v.isNotNull() & (F.col("_std") > 0) & cond
+    return (
+        df.join(F.broadcast(stats), join_cond)
+        .drop(*[f"_g_{c}" for c in gcols])
+        .withColumn(
+            "is_outlier", v.isNotNull() & (F.col("_std") > 0) & cond
+        )
     )
 
 

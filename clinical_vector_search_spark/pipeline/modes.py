@@ -9,6 +9,8 @@ testdata ships.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +29,7 @@ from clinical_vector_search_spark.plan_cache import (
     begin_build,
     end_build,
     tracked_cache as _tracked_cache,
+    unpersist_all,
 )
 
 # Prepared-plan cache: mode DataFrames are immutable lazy plans, and
@@ -46,26 +49,38 @@ from clinical_vector_search_spark.plan_cache import (
 # on a long-lived server sweeping many distinct arg tuples.
 _PLAN_CACHE: dict[tuple, tuple[DataFrame, list[DataFrame]]] = {}
 _PLAN_CACHE_MAX = 64
+_PLAN_LOCK = threading.Lock()
 
 
 def _cached_plan(spark: SparkSession, key: tuple, build) -> DataFrame:
     full_key = (spark.sparkContext.applicationId, *key)
-    hit = _PLAN_CACHE.get(full_key)
+    with _PLAN_LOCK:
+        hit = _PLAN_CACHE.get(full_key)
     if hit is None:
+        # Build outside the lock (expensive; handle registry is
+        # thread-local so concurrent builds can't interleave).
         begin_build()
         try:
             df = build()
-        finally:
-            handles = end_build()
-        while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
-            _, old_handles = _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-            for h in old_handles:
-                try:
-                    h.unpersist(blocking=False)
-                except Exception:  # noqa: BLE001 — session may be gone
-                    pass
-        _PLAN_CACHE[full_key] = (df, handles)
-        hit = (df, handles)
+        except BaseException:
+            unpersist_all(end_build())
+            raise
+        handles = end_build()
+        with _PLAN_LOCK:
+            hit = _PLAN_CACHE.get(full_key)
+            if hit is not None:
+                # Lost the race: another thread cached this key first.
+                # Drop OUR handles; theirs stay owned by the entry.
+                evict = [handles]
+            else:
+                evict = []
+                while len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
+                    _, old = _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
+                    evict.append(old)
+                _PLAN_CACHE[full_key] = (df, handles)
+                hit = (df, handles)
+        for old in evict:
+            unpersist_all(old)
     return hit[0]
 
 

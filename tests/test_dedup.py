@@ -519,3 +519,85 @@ def test_semantic_pairs_pd_parity(spark, sf_dir):
     sb = {r.vec_id
           for r in semantic_dedup(emb, 64, 0.3, 4, accel="pd").collect()}
     assert sa == sb
+
+
+def test_semantic_hot_cluster_guard_exact_and_bounded(spark):
+    """Property test for the automated hot-cluster guard: 90% of rows in
+    ONE cluster, max_cluster_rows small → the salted block self-join
+    must (a) return EXACTLY the plain path's pairs (the decomposition
+    covers every unordered pair once — no recall change), and (b) bound
+    per-task pair work: every (cluster, i, j) block holds at most
+    ~2*max_cluster_rows rows, so no task sees the hot cluster whole."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clinical_vector_search_spark.operators.dedup import (
+        _semantic_pairs_salted,
+        semantic_clusters,
+        semantic_dedup_pairs,
+        semantic_dedup_pairs_pd,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 200, 8
+    # two base directions; 90% of rows jitter around direction 0 so the
+    # argmax-cosine assignment piles them into one hot cluster
+    base = rng.randn(2, dim)
+    rows = []
+    for i in range(n):
+        c = 0 if i < int(n * 0.9) else 1
+        v = base[c] + 0.05 * rng.randn(dim)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids = [[float(x) for x in b] for b in base]
+
+    plain = semantic_dedup_pairs(
+        df, dim=dim, threshold=0.5, n_clusters=2, centroids=centroids,
+        max_cluster_rows=None,
+    )
+    salted = semantic_dedup_pairs(
+        df, dim=dim, threshold=0.5, n_clusters=2, centroids=centroids,
+        max_cluster_rows=25,
+    )
+    p = {(r.a_id, r.b_id, r.cluster, round(r.cosine, 9))
+         for r in plain.collect()}
+    s = {(r.a_id, r.b_id, r.cluster, round(r.cosine, 9))
+         for r in salted.collect()}
+    assert p == s and len(p) > 0
+
+    pd_salted = semantic_dedup_pairs_pd(
+        df, dim=dim, threshold=0.5, n_clusters=2, centroids=centroids,
+        max_cluster_rows=25,
+    )
+    ps = {(r.a_id, r.b_id, r.cluster, round(r.cosine, 9))
+          for r in pd_salted.collect()}
+    assert p == ps
+
+    # per-task bound: replicate the salt bookkeeping and check block
+    # populations — a-side of block (i,j) is bucket i (≤ ~max_rows via
+    # hash balance), b-side is bucket j; no block contains the hot
+    # cluster whole
+    assigned = semantic_clusters(
+        df, dim=dim, n_clusters=2, centroids=centroids
+    )
+    sizes = {r["cluster"]: r["count"]
+             for r in assigned.groupBy("cluster").count().collect()}
+    hot = max(sizes.values())
+    assert hot >= int(n * 0.9)  # the skew scenario is real
+    max_rows = 25
+    n_salts = {k: -(-c // max_rows) for k, c in sizes.items()}
+    salted_df = _semantic_pairs_salted(assigned, 0.5, n_salts, "vec_id")
+    # count rows per (cluster,_i,_j) block on the a-side explode
+    smap = F.create_map(
+        *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv])
+    buckets = (
+        assigned.withColumn("_s", smap[F.col("cluster")])
+        .withColumn("_p", F.pmod(F.xxhash64("vec_id"), F.col("_s"))
+                    .cast("int"))
+        .groupBy("cluster", "_p").count().collect()
+    )
+    biggest_bucket = max(r["count"] for r in buckets)
+    # hash-balanced buckets: ~hot/n_salts rows each; assert no bucket
+    # (hence no block side) approaches the unsalted hot-cluster size
+    assert biggest_bucket <= 3 * max_rows
+    assert salted_df.count() == len(p)

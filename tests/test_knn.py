@@ -116,3 +116,45 @@ def test_knn_l2_strategies_agree(spark, sf_dir):
         tuple(r) for r in knn_l2(q, d, 10, strategy="partial_topk").collect()
     )
     assert a == b and len(a) == 40
+
+
+def test_range_search_broadcast_guard_fallback(spark, sf_dir, monkeypatch):
+    """The broadcast bound is enforced: above RANGE_BROADCAST_MAX_QUERIES
+    the plan must switch to the partitioned cartesian (no broadcast of
+    the query batch) and return IDENTICAL results."""
+    import clinical_vector_search_spark.operators.knn as knn_mod
+    from clinical_vector_search_spark.functions import vector as V
+
+    vecs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", V.l2_normalize("embedding").alias("embedding"))
+    )
+    q = vecs.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    base = {
+        (r.query_id, r.vec_id, round(r.score, 9))
+        for r in knn_mod.range_search(
+            q, vecs, 0.2, doc_id="vec_id"
+        ).collect()
+    }
+    monkeypatch.setattr(knn_mod, "RANGE_BROADCAST_MAX_QUERIES", 2)
+    # at test scale Catalyst would still auto-broadcast the tiny query
+    # frame; disable that to see the plan a >10MB query batch would get
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb = knn_mod.range_search(q, vecs, 0.2, doc_id="vec_id")
+        plan = fb._sc._jvm.PythonSQLUtils.explainString(
+            fb._jdf.queryExecution(), "formatted"
+        )
+        assert "BroadcastNestedLoopJoin" not in plan  # fallback taken
+        assert "CartesianProduct" in plan
+        got = {
+            (r.query_id, r.vec_id, round(r.score, 9))
+            for r in fb.collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == base and len(base) > 0

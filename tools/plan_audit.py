@@ -511,6 +511,57 @@ def main() -> int:
         and "BroadcastNestedLoop" not in plan,
     )
 
+    # 24. kNN auto-dispatch BOTH ways (the dispatch constant must not
+    # rot: every sf's testdata is below AUTO_WINDOW_MAX_BYTES, so
+    # without these the declared 100 TB path would only ever run when
+    # called explicitly).
+    import clinical_vector_search_spark.operators.knn as knn_mod
+
+    plan = formatted(
+        knn_mod.knn(q, vecs, 10, doc_vec="embedding", strategy="auto")
+    )
+    check(
+        "knn auto @sf0.01: dispatches to the window plan "
+        "(broadcast cross join, zero Python workers)",
+        "BroadcastNestedLoopJoin" in plan
+        and "MapInPandas" not in plan
+        and "WindowGroupLimit" in plan,
+    )
+    saved_thresh = knn_mod.AUTO_WINDOW_MAX_BYTES
+    try:
+        knn_mod.AUTO_WINDOW_MAX_BYTES = 0  # every input now "big"
+        plan = formatted(
+            knn_mod.knn(q, vecs, 10, doc_vec="embedding", strategy="auto")
+        )
+    finally:
+        knn_mod.AUTO_WINDOW_MAX_BYTES = saved_thresh
+    check(
+        "knn auto above threshold: dispatches to partial_topk "
+        "(MapInPandas per-partition heap, no all-pairs cross join)",
+        "MapInPandas" in plan and "BroadcastNestedLoopJoin" not in plan
+        # rescore joins are hash joins on doc/query ids
+        and "CartesianProduct" not in plan,
+    )
+
+    # 25. semantic dedup hot-cluster guard: the salted block self-join
+    # stays a hash equi-join on (cluster,_i,_j) — per-task pair count
+    # bounded, still no cartesian anywhere
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup_pairs as _sdp,
+    )
+
+    plan = formatted(
+        _sdp(emb_sd, dim=64, threshold=0.35, n_clusters=8,
+             max_cluster_rows=10)
+    )
+    check(
+        "semantic_dedup salted: block equi-join on (cluster,_i,_j), "
+        "no CartesianProduct",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan
+        and "_i" in plan and "_j" in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
