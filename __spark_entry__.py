@@ -1472,6 +1472,26 @@ def q_events_streaming_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_streaming_interval_join(spark, sf_dir, max_delta_sec=3600)
 
 
+def q_events_streaming_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """REAL watermarked stream-stream LEFT OUTER interval join: view-less
+    clicks must still emit (null view columns), which Structured
+    Streaming can only do once the watermark proves no match can
+    arrive — the classic outer-join correctness trap. AvailableNow
+    replay with typed flush sentinels (streaming/events.py
+    run_streaming_interval_join_outer); rollup hash-matches the batch
+    LEFT JOIN SQL."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_interval_join_outer,
+    )
+
+    _events(spark, sf_dir)  # sets the nanosAsLong session conf
+    return run_streaming_interval_join_outer(
+        spark, sf_dir, max_delta_sec=3600
+    )
+
+
 def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.6): customers with no URGENT-priority orders,
     counted per segment."""
@@ -2611,6 +2631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   4. entries green in the r6 window — freshest, demoted last.
     return {
         # -- 1: new in r7 (inserted as built) --
+        "events_streaming_outer_join": q_events_streaming_outer_join,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3811,6 +3832,22 @@ def oracle_sql() -> dict[str, str]:
         FROM c JOIN v ON v.user_id = c.user_id
                      AND v.view_us <= c.click_us
                      AND v.view_us >= c.click_us - 3600000000
+        GROUP BY c.click_id
+    """
+
+    s["events_streaming_outer_join"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                          event_type, value FROM events),
+        c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+              FROM e WHERE event_type = 'click'),
+        v AS (SELECT user_id, ts_us AS view_us, value
+              FROM e WHERE event_type = 'view')
+        SELECT c.click_id,
+               count(v.view_us) AS n_views,
+               round(sum(v.value), 6) AS sum_view_value
+        FROM c LEFT JOIN v ON v.user_id = c.user_id
+                          AND v.view_us <= c.click_us
+                          AND v.view_us >= c.click_us - 3600000000
         GROUP BY c.click_id
     """
 

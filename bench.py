@@ -21,10 +21,31 @@ def materialize(df) -> int:
     return 0
 
 
+def loadavg() -> list[float] | None:
+    """1/5/15-minute host load — the sentinel that lets a reader tell a
+    code regression from a loaded shared host (BENCH_r06 was uniformly
+    1.2-3x inflated by driver-host contention and the artifact alone
+    couldn't show it; see README 'Reading a noisy round')."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except Exception:  # noqa: BLE001 — non-Linux host
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    # Read the sentinel BEFORE the SparkSession exists: from here on
+    # loadavg mostly measures our own executors; the pre-session value
+    # is foreign load. >25% of cores already busy → flag the round
+    # noisy and add a 4th timing sweep so per-query mins get one more
+    # chance to land outside a contention window.
+    n_cpus = os.cpu_count() or int(cpus)
+    load_start = loadavg()
+    noisy_host = bool(load_start) and load_start[0] > 0.25 * n_cpus
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -316,7 +337,10 @@ def main() -> None:
     # serving-layer and 100TB-relevant number the total reports).
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for _sweep in range(3):
+    load_sweeps: list[list[float] | None] = []
+    n_sweeps = 4 if noisy_host else 3
+    for _sweep in range(n_sweeps):
+        load_sweeps.append(loadavg())
         for name, fn in benches.items():
             if times.get(name, 0.0) < 0:
                 continue  # failed in an earlier sweep
@@ -336,6 +360,78 @@ def main() -> None:
                 times[name] = -1.0
                 cold.setdefault(name, -1.0)
 
+    # ANN recall sidecar (VERDICT r6 task 7): the approximate operators
+    # have recall pytest contracts at sf0.001 but the benched sf had no
+    # tracked number — a silent recall collapse would pass every timing
+    # gate. recall@10 vs exact kNN, same parameters as the queries()
+    # entries (IVF additionally benched with TRAINED centroids — the
+    # configuration the scale story recommends — with a 0.5 floor).
+    ann_recall: dict[str, float] = {}
+    ann_ok = True
+    try:
+        from clinical_vector_search_spark.operators.knn import (
+            kmeans_centroids,
+            knn,
+            knn_ivf,
+            knn_lsh,
+        )
+        from clinical_vector_search_spark.operators.pq import (
+            knn_ivfpq,
+            pq_codebooks_lcg,
+        )
+
+        v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize("embedding").alias("embedding"),
+        )
+        qr = v.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+
+        def topsets(df) -> dict:
+            out: dict = {}
+            for r in df.collect():
+                out.setdefault(r["query_id"], set()).add(r["doc_id"])
+            return out
+
+        exact = topsets(knn(qr, v, 10, strategy="window"))
+
+        def recall(df) -> float:
+            got = topsets(df)
+            return round(
+                sum(
+                    len(got.get(q, set()) & e) / len(e)
+                    for q, e in exact.items()
+                ) / len(exact),
+                4,
+            )
+
+        trained = kmeans_centroids(v, 64, n_centroids=16)
+        ann_recall["knn_ivf_trained"] = recall(
+            knn_ivf(qr, v, 10, dim=64, n_centroids=16, n_probe=4,
+                    centroids=trained)
+        )
+        ann_recall["knn_ivf"] = recall(
+            knn_ivf(qr, v, 10, dim=64, n_centroids=16, n_probe=4)
+        )
+        ann_recall["knn_lsh"] = recall(knn_lsh(qr, v, 10, dim=64, n_planes=4))
+        books = pq_codebooks_lcg(64, 8, 16)
+        ann_recall["knn_ivfpq"] = recall(
+            knn_ivfpq(qr, v, 10, 64, books, n_centroids=8, n_probe=4)
+        )
+        # floor: trained IVF at the benched nprobe must hold ≥ 0.5
+        ann_ok = ann_recall["knn_ivf_trained"] >= 0.5
+        if not ann_ok:
+            print(
+                "ANN RECALL FLOOR VIOLATED: knn_ivf_trained "
+                f"{ann_recall['knn_ivf_trained']} < 0.5",
+                file=sys.stderr,
+            )
+    except Exception as ex:  # noqa: BLE001
+        print(f"ann recall sidecar failed: {ex}", file=sys.stderr)
+        ann_ok = False
+
     total = round(sum(t for t in times.values() if t >= 0), 3)
     total_cold = round(sum(t for t in cold.values() if t >= 0), 3)
     print(json.dumps({
@@ -346,6 +442,17 @@ def main() -> None:
         "queries_cold": cold,
         "value_cold": total_cold,
         "sf": sf,
+        "host_load": {
+            "cpus": n_cpus,
+            "loadavg_start": load_start,
+            "loadavg_sweeps": load_sweeps,
+            "loadavg_end": loadavg(),
+            "noisy_host": noisy_host,
+            "n_sweeps": n_sweeps,
+        },
+        "ann_recall": ann_recall,
+        "ann_recall_floor": {"knn_ivf_trained": 0.5},
+        "ann_recall_ok": ann_ok,
     }))
 
 

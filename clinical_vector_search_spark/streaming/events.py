@@ -191,6 +191,159 @@ def run_streaming_interval_join(
     )
 
 
+def run_streaming_interval_join_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    max_delta_sec: int = 3600,
+    watermark_sec: int = 60,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the classic
+    streaming correctness trap the inner variant sidesteps: a click with
+    NO preceding same-user view must still emit (with null view
+    columns), and Structured Streaming can only emit that null row once
+    the watermark proves no matching view can still arrive. Null rows
+    therefore surface in the micro-batch AFTER the watermark passes the
+    click, not when the click is read.
+
+    Bounded-replay protocol (what makes this hash-comparable to a batch
+    LEFT JOIN oracle): the events table is replayed through a temp
+    directory with TWO future 'flush' sentinel files appended
+    (event_type='flush', joins nothing, filtered from the output) and
+    ``maxFilesPerTrigger=1``. Batch 1 reads the data (watermark still
+    at zero — matches emit, no nulls); batch 2's sentinel advances the
+    watermark past every click, so its state-eviction pass emits the
+    null rows; batch 3's sentinel covers clicks inside the final
+    watermark-delay tail. Without the sentinels an availableNow replay
+    TERMINATES with unmatched clicks still held in state — silently
+    dropping exactly the rows the outer join exists to keep (that
+    near-miss is pinned by a pytest).
+
+    Output: per-click rollup (click_id, n_views, sum_view_value) with
+    n_views=0 / sum NULL for view-less clicks — identical shape to the
+    batch LEFT JOIN + GROUP BY oracle."""
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    src = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(src)
+    max_ts_ns = _with_ts_ns(static).agg(F.max("ts_ns")).collect()[0][0]
+
+    tmp = tempfile.mkdtemp(prefix="ssjoin_outer_")
+    try:
+        # ONE file for the data batch: multiple part files would split
+        # the data across micro-batches, and any event ordered after a
+        # near-max-ts file would arrive BEHIND the advanced watermark
+        # and be dropped as late (observed: one view-less click lost).
+        # An unbounded production stream replays in event order from a
+        # checkpointed source; this replay harness reproduces that by
+        # keeping all data ahead of the first watermark advance.
+        static.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f0")
+        for i in (1, 2):
+            flush_ns = max_ts_ns + i * (max_delta_sec + watermark_sec + 3600) * NS
+            # Sentinels must carry the REAL event types: the watermark
+            # columns live BEHIND the click/view filters, so a
+            # 'flush'-typed row would be filtered out before the
+            # EventTimeWatermark node and advance nothing (observed:
+            # the last click of the table — the one whose click_ts IS
+            # the click-side max — never got its null row because the
+            # min-of-both-sides global watermark stalled 60s short of
+            # it). user_id=-1 keeps them from ever joining; the rollup
+            # drops their negative ids.
+            sent = spark.createDataFrame(
+                [
+                    (-1000 - i, -1, "click", 0.0, "{}"),
+                    (-2000 - i, -1, "view", 0.0, "{}"),
+                ],
+                "event_id long, user_id long, event_type string, "
+                "value double, props string",
+            ).withColumn(
+                "ts", F.timestamp_micros(F.lit(flush_ns // 1000))
+            )
+            # match the static file's ts dtype so one streaming schema
+            # covers all files
+            sent = sent.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in static.schema.fields
+                ]
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f{i}")
+        # file mod-time orders the micro-batches: pin it explicitly
+        # (sleeping between writes is slower and fs-resolution-fragile)
+        now = _time.time()
+        for i in (0, 1, 2):
+            d = f"{tmp}/f{i}"
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (now + 10 * i, now + 10 * i))
+
+        stream = _with_ts_ns(
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/*")
+        )
+        wm = f"{watermark_sec} seconds"
+        clicks = (
+            stream.filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                "user_id",
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", wm)
+        )
+        views = (
+            stream.filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user_id"),
+                F.col("ts").alias("view_ts"),
+                "value",
+            )
+            .withWatermark("view_ts", wm)
+        )
+        pairs = clicks.join(
+            views,
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("view_ts") <= F.col("click_ts"))
+            & (
+                F.col("view_ts")
+                >= F.col("click_ts")
+                - F.expr(f"INTERVAL {max_delta_sec} SECONDS")
+            ),
+            "left_outer",
+        )
+        name = f"ssjoin_outer_{uuid.uuid4().hex[:12]}"
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming outer join {name!r} did not terminate within "
+                f"{timeout_sec}s; partial results discarded"
+            )
+        # memory sink holds the rows; safe to drop the replay dir after
+        return (
+            spark.table(name)
+            .filter(F.col("click_id") >= 0)  # drop flush sentinels
+            .groupBy("click_id")
+            .agg(
+                F.count("view_id").alias("n_views"),
+                F.round(F.sum("value"), 6).alias("sum_view_value"),
+            )
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_streaming_dedup(
     spark: SparkSession,
     sf_dir: str,

@@ -628,3 +628,53 @@ def test_streaming_user_totals_tws(spark, sf_dir, tmp_path):
               .agg(F.count("*").alias("n"), F.sum("value").alias("s"))
               .collect()}
     assert got == expect
+
+
+def test_streaming_outer_join_parity_and_trap(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join vs the batch LEFT JOIN:
+    exact set parity, explicitly including the trap rows — view-less
+    clicks emit null-view rows ONLY on watermark advance, and the
+    view-less click at the click-side MAX event time is the one a
+    replay without watermark-advancing sentinels silently drops (its
+    null row needs the watermark to pass it, which the data alone never
+    achieves under the min-of-both-sides global watermark)."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        run_streaming_interval_join_outer,
+    )
+
+    got = {
+        tuple(r)
+        for r in run_streaming_interval_join_outer(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_ns").alias("c_ns"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts_ns").alias("v_ns"), "value",
+    )
+    j = c.join(
+        v,
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("v_ns") <= F.col("c_ns"))
+        & (F.col("v_ns") >= F.col("c_ns") - 3600 * 10**9),
+        "left",
+    )
+    exp = {
+        tuple(r)
+        for r in j.groupBy("click_id")
+        .agg(
+            F.count("view_id").alias("n_views"),
+            F.round(F.sum("value"), 6).alias("sum_view_value"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # the trap case really exists in this data: the LAST click is
+    # view-less, and its null row is present
+    last_click = c.orderBy(F.desc("c_ns")).first()
+    assert (last_click.click_id, 0, None) in got

@@ -1,0 +1,170 @@
+"""10x scale probe for the auto-dispatching operators (VERDICT r6 task 8).
+
+Converts the "survives 100x" story from plan-reading to measured data
+points: unions the sf0.1 tables with themselves x10 (events 100k -> 1M
+rows, embeddings 2k -> 20k vectors; ids shifted per replica so key
+cardinality scales with the data instead of stacking duplicates) and
+records:
+
+  * sessionize auto-dispatch: strategy choice + wall time at 1x and 10x
+    (uniform data must stay on the PLAIN plan at both scales);
+  * funnel (auto histogram dispatch) wall-time growth;
+  * semantic_dedup growth two ways: n_clusters FIXED (work is
+    sum(|c|^2) -> expect ~quadratic growth, the documented trade-off)
+    and n_clusters SCALED 10x so E[|c|] is constant (the operator's
+    prescribed usage -> expect ~linear);
+  * exact-kNN window vs partial_topk wall times at both scales (the
+    measured side of the AUTO_WINDOW_MAX_BYTES dispatch constant).
+
+Embedding replicas are perturbed with the deterministic LCG noise
+expression (ids differ per replica, so noise differs) to keep near-dup
+pair density realistic — exact duplicates would quadratically inflate
+OUTPUT rows and measure result-writing, not comparison work.
+
+Usage: python tools/scale_probe.py  (~2-4 min; one JSON line at the end,
+plus human-readable progress on stderr). Results are summarized in
+README "10x scale probe".
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from functools import reduce
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.1")
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr)
+
+
+def timed(fn) -> float:
+    t0 = time.time()
+    df = fn()
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    from pyspark.sql import DataFrame, SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.dedup import semantic_dedup
+    from clinical_vector_search_spark.operators.knn import knn
+    from clinical_vector_search_spark.streaming.events import (
+        choose_sessionize_strategy,
+        funnel,
+        read_events,
+        sessionize,
+    )
+
+    out: dict = {"sf_dir": SF_DIR, "factor": 10}
+
+    def replicate(df: DataFrame, n: int, shifts: dict[str, int]) -> DataFrame:
+        reps = []
+        for i in range(n):
+            r = df
+            for col, step in shifts.items():
+                r = r.withColumn(col, F.col(col) + F.lit(i * step))
+            reps.append(r)
+        return reduce(DataFrame.unionByName, reps)
+
+    ev1 = read_events(spark, SF_DIR)
+    # user ids 0-1499; shift by 10k per replica -> 10x users, same
+    # per-user density (the uniform-data regime the dispatcher probes)
+    ev10 = replicate(
+        ev1, 10, {"user_id": 10_000, "event_id": 1_000_000}
+    ).cache()
+    n10 = ev10.count()
+    out["events_rows_10x"] = n10
+    log(f"events 10x materialized: {n10} rows")
+
+    # --- sessionize auto-dispatch -------------------------------------
+    out["sessionize_strategy_1x"] = choose_sessionize_strategy(ev1)
+    out["sessionize_strategy_10x"] = choose_sessionize_strategy(ev10)
+    out["sessionize_auto_1x_sec"] = timed(
+        lambda: sessionize(ev1, 1800, strategy="auto")
+    )
+    out["sessionize_auto_10x_sec"] = timed(
+        lambda: sessionize(ev10, 1800, strategy="auto")
+    )
+    log(f"sessionize: {out['sessionize_strategy_1x']} "
+        f"{out['sessionize_auto_1x_sec']}s -> "
+        f"{out['sessionize_strategy_10x']} {out['sessionize_auto_10x_sec']}s")
+
+    # --- funnel -------------------------------------------------------
+    steps = ["view", "click", "purchase"]
+    out["funnel_1x_sec"] = timed(lambda: funnel(ev1, steps))
+    out["funnel_10x_sec"] = timed(lambda: funnel(ev10, steps))
+    log(f"funnel: {out['funnel_1x_sec']}s -> {out['funnel_10x_sec']}s")
+
+    # --- semantic dedup ----------------------------------------------
+    emb1 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    emb10 = (
+        replicate(emb1, 10, {"vec_id": 1_000_000})
+        .select(
+            "vec_id",
+            V.add_noise("embedding", "vec_id", 0.05, 64).alias("embedding"),
+        )
+        .cache()
+    )
+    out["emb_rows_10x"] = emb10.count()
+    out["semdedup_1x_c64_sec"] = timed(
+        lambda: semantic_dedup(emb1, dim=64, threshold=0.35, n_clusters=64)
+    )
+    # fixed cluster count: per-cluster size grows 10x, sum(|c|^2) 100x
+    out["semdedup_10x_c64_sec"] = timed(
+        lambda: semantic_dedup(emb10, dim=64, threshold=0.35, n_clusters=64)
+    )
+    # scaled cluster count (the prescribed usage): E[|c|] constant
+    out["semdedup_10x_c640_sec"] = timed(
+        lambda: semantic_dedup(emb10, dim=64, threshold=0.35, n_clusters=640)
+    )
+    log(f"semantic_dedup: 1x/c64 {out['semdedup_1x_c64_sec']}s, "
+        f"10x/c64 {out['semdedup_10x_c64_sec']}s, "
+        f"10x/c640 {out['semdedup_10x_c640_sec']}s")
+
+    # --- kNN window vs partial_topk crossover -------------------------
+    def vecs_norm(df):
+        return df.select(
+            F.col("vec_id").alias("doc_id"),
+            V.l2_normalize("embedding").alias("embedding"),
+        )
+
+    for label, emb in (("1x", emb1), ("10x", emb10)):
+        v = vecs_norm(emb)
+        q = v.filter(F.col("doc_id") < 10).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        out[f"knn_window_{label}_sec"] = timed(
+            lambda: knn(q, v, 10, strategy="window")
+        )
+        out[f"knn_partial_topk_{label}_sec"] = timed(
+            lambda: knn(q, v, 10, strategy="partial_topk")
+        )
+        log(f"knn {label}: window {out[f'knn_window_{label}_sec']}s, "
+            f"partial_topk {out[f'knn_partial_topk_{label}_sec']}s")
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
