@@ -1492,6 +1492,25 @@ def q_events_streaming_outer_join(
     )
 
 
+def q_events_streaming_full_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the certified
+    join matrix (inner/left/full): view-less clicks AND click-less
+    orphan views both emit on watermark advance
+    (streaming/events.py run_streaming_interval_join_full_outer).
+    Hash-matches the batch FULL-join oracle (click rollup UNION
+    orphan-view rows)."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_interval_join_full_outer,
+    )
+
+    _events(spark, sf_dir)  # sets the nanosAsLong session conf
+    return run_streaming_interval_join_full_outer(
+        spark, sf_dir, max_delta_sec=3600
+    )
+
+
 def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.6): customers with no URGENT-priority orders,
     counted per segment."""
@@ -1969,63 +1988,31 @@ def q_doc_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     its keep/drop decision and the FIRST failing rule (lang → quality →
     exact-dup → contaminated), instead of just the survivor set — the
     artifact a data-governance review actually reads ("why was this doc
-    dropped?"). Rules and fragments identical to doc_prep_pipeline; one
-    extra doc-granularity join per signal, all flags computed in one
-    lazy plan."""
-    from clinical_vector_search_spark.functions import text as TXT
+    dropped?"). Rules are provably the pipeline's own: both entries
+    compose from the ONE rule builder in pipeline/documents.py
+    (prep_scored/prep_passing/prep_dup_losers/prep_bench_grams/
+    prep_contaminated_ids/prep_decision), so threshold or fragment
+    drift between pipeline and audit is structurally impossible. One
+    extra doc-granularity join per signal, all flags in one lazy
+    plan."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        prep_bench_grams,
+        prep_contaminated_ids,
+        prep_decision,
+        prep_dup_losers,
+        prep_passing,
+        prep_scored,
+    )
 
-    docs = _docs(spark, sf_dir)
-    cleaned = docs.select(
-        "doc_id", "lang", TXT.clean_text("text").alias("ctext")
-    )
-    scored = cleaned.withColumn(
-        "quality", F.round(TXT.quality_score("ctext"), 6)
-    )
-    # exact-dup losers: same md5 group, not the min doc_id (among docs
-    # passing the earlier rules, matching the pipeline's stage order)
-    passing = scored.filter(
-        (F.col("lang") == "en") & (F.col("quality") >= 0.6)
-    )
-    winners = passing.groupBy(F.md5("ctext").alias("_h")).agg(
-        F.min("doc_id").alias("_keep_id")
-    )
-    dup_loser = (
-        passing.select("doc_id", F.md5("ctext").alias("_h"))
-        .join(winners, "_h")
-        .select(
-            "doc_id", (F.col("doc_id") != F.col("_keep_id")).alias("is_dup")
-        )
-    )
-    bench_grams = (
-        cleaned.filter(F.col("doc_id") < DECON_BENCH)
-        .select(
-            F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g")
-        )
-        .distinct()
-    )
-    contaminated = (
-        cleaned.select(
-            "doc_id",
-            F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g"),
-        )
-        .join(F.broadcast(bench_grams), "g")
-        .select("doc_id")
-        .distinct()
-        .withColumn("is_contam", F.lit(True))
-    )
+    scored = prep_scored(_docs(spark, sf_dir))
+    dup_loser = prep_dup_losers(prep_passing(scored))
+    contaminated = prep_contaminated_ids(
+        scored, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N
+    ).withColumn("is_contam", F.lit(True))
     return (
         scored.join(dup_loser, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
-        .select(
-            "doc_id",
-            "quality",
-            F.when(F.col("lang") != "en", F.lit("lang"))
-            .when(F.col("quality") < 0.6, F.lit("quality"))
-            .when(F.coalesce("is_dup", F.lit(False)), F.lit("duplicate"))
-            .when(F.coalesce("is_contam", F.lit(False)), F.lit("contaminated"))
-            .otherwise(F.lit("keep"))
-            .alias("decision"),
-        )
+        .select("doc_id", "quality", prep_decision().alias("decision"))
     )
 
 
@@ -2513,49 +2500,27 @@ def q_doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: clean/filter/score are map-side expressions; dedup is one
     md5-key shuffle; decontamination broadcasts only benchmark grams;
     no stage collects. The composed plan is what Catalyst optimizes
-    jointly — filters push below the dedup shuffle."""
+    jointly — filters push below the dedup shuffle. Every rule fragment
+    comes from the shared builder in pipeline/documents.py, the same
+    one q_doc_filter_audit reads — pipeline and audit cannot drift."""
     from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.pipeline.documents import (
+        prep_bench_grams,
+        prep_contaminated_ids,
+        prep_dedup_keep,
+        prep_passing,
+        prep_scored,
+    )
 
-    docs = _docs(spark, sf_dir)
-    cleaned = docs.select(
-        "doc_id", "lang", TXT.clean_text("text").alias("ctext")
+    scored = prep_scored(_docs(spark, sf_dir))
+    deduped = prep_dedup_keep(prep_passing(scored))
+    contaminated = prep_contaminated_ids(
+        deduped, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N
     )
-    kept = (
-        cleaned.filter(F.col("lang") == "en")
-        .withColumn("quality", F.round(TXT.quality_score("ctext"), 6))
-        .filter(F.col("quality") >= 0.6)
-    )
-    deduped = (
-        kept.groupBy(F.md5("ctext").alias("_h"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.min("ctext").alias("ctext"),  # identical within an md5 group
-            F.min("quality").alias("quality"),
-        )
-    )
-    bench_grams = (
-        cleaned.filter(F.col("doc_id") < DECON_BENCH)
-        .select(
-            F.explode(
-                TXT.shingles(TXT.tokenize("ctext"), DECON_N)
-            ).alias("g")
-        )
-        .distinct()
-    )
-    doc_grams = deduped.select(
+    return deduped.join(contaminated, "doc_id", "left_anti").select(
         "doc_id",
-        F.explode(TXT.shingles(TXT.tokenize("ctext"), DECON_N)).alias("g"),
-    )
-    contaminated = doc_grams.join(F.broadcast(bench_grams), "g").select(
-        "doc_id"
-    ).distinct()
-    return (
-        deduped.join(contaminated, "doc_id", "left_anti")
-        .select(
-            "doc_id",
-            TXT.bpe_token_count("ctext").alias("n_tokens"),
-            "quality",
-        )
+        TXT.bpe_token_count("ctext").alias("n_tokens"),
+        "quality",
     )
 
 
@@ -2617,6 +2582,21 @@ def q_dedup_semantic_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup survivors via the full BLAS path (accel='pd':
+    semantic_clusters_pd mapInPandas X@C^T assignment +
+    semantic_dedup_pairs_pd per-cluster matmuls with canonical
+    rescore) — bit-identical to the expression path by contract, so it
+    shares dedup_semantic's oracle SQL. The scale-probe-measured 4.8x
+    win at 640 clusters (README '10x scale probe')."""
+    from clinical_vector_search_spark.operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        _vecs(spark, sf_dir), dim=64, threshold=0.35, n_clusters=8,
+        accel="pd",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
@@ -2632,6 +2612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 1: new in r7 (inserted as built) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
+        "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
+        "dedup_semantic_pd": q_dedup_semantic_pd,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3851,6 +3833,28 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY c.click_id
     """
 
+    s["events_streaming_full_outer_join"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+                          event_type, value FROM events),
+        c AS (SELECT event_id AS click_id, user_id, ts_us AS click_us
+              FROM e WHERE event_type = 'click'),
+        v AS (SELECT event_id AS view_id, user_id, ts_us AS view_us, value
+              FROM e WHERE event_type = 'view')
+        SELECT 'click' AS side, c.click_id AS id,
+               count(v.view_us) AS n_matched,
+               round(sum(v.value), 6) AS sum_value
+        FROM c LEFT JOIN v ON v.user_id = c.user_id
+                          AND v.view_us <= c.click_us
+                          AND v.view_us >= c.click_us - 3600000000
+        GROUP BY c.click_id
+        UNION ALL
+        SELECT 'view_orphan', v.view_id, 0, round(v.value, 6)
+        FROM v WHERE NOT EXISTS (
+            SELECT 1 FROM c WHERE v.user_id = c.user_id
+                              AND v.view_us <= c.click_us
+                              AND v.view_us >= c.click_us - 3600000000)
+    """
+
     s["rel_cust_no_orders"] = """
         SELECT c_mktsegment,
                count(*) AS n_customers,
@@ -4453,6 +4457,8 @@ def oracle_sql() -> dict[str, str]:
         WHERE asg.vec_id NOT IN (SELECT b_id FROM p)
     """
     )
+    # the BLAS path is bit-identical by contract — same oracle
+    s["dedup_semantic_pd"] = s["dedup_semantic"]
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio
     s["text_bigram_lm"] = f"""

@@ -266,3 +266,112 @@ def split_assign(
     last = F.lit(splits[-1][0])
     out = last if expr is None else expr.otherwise(last)
     return df.withColumn("split", out)
+
+
+# ---------------------------------------------------------------------------
+# Prep-pipeline rule set (shared by the pipeline and its audit trail)
+# ---------------------------------------------------------------------------
+# The survivor pipeline (q_doc_prep_pipeline) and the per-doc audit
+# trail (q_doc_filter_audit) MUST agree on every rule fragment — a
+# governance review reading "why was this doc dropped?" against a
+# pipeline applying subtly different thresholds would be worse than no
+# audit. One builder defines the fragments; both entries compose from
+# it, so drift is structurally impossible.
+
+PREP_LANG = "en"
+PREP_MIN_QUALITY = 0.6
+# the first-failing-rule order the audit reports; the pipeline applies
+# the same rules as successive filters in this order
+PREP_RULE_ORDER = ("lang", "quality", "duplicate", "contaminated")
+
+
+def prep_scored(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, ctext, quality): the cleaned+scored base both the
+    pipeline and the audit start from. quality is rounded to 6dp HERE so
+    the filter threshold and the audited value are the same number."""
+    return docs.select(
+        "doc_id", "lang", TXT.clean_text("text").alias("ctext")
+    ).withColumn("quality", F.round(TXT.quality_score("ctext"), 6))
+
+
+def prep_rule_lang() -> F.Column:
+    return F.col("lang") == PREP_LANG
+
+
+def prep_rule_quality() -> F.Column:
+    return F.col("quality") >= PREP_MIN_QUALITY
+
+
+def prep_passing(scored: DataFrame) -> DataFrame:
+    """Docs surviving the row-local rules (lang, quality) — the
+    population the dedup stage runs over."""
+    return scored.filter(prep_rule_lang() & prep_rule_quality())
+
+
+def prep_dedup_keep(passing: DataFrame) -> DataFrame:
+    """Pipeline-shape exact dedup: ONE md5-key shuffle keeping the
+    min-doc_id row per group (ctext identical within a group, so
+    min-aggregation == winner-row selection)."""
+    return passing.groupBy(F.md5("ctext").alias("_h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("ctext").alias("ctext"),
+        F.min("quality").alias("quality"),
+    )
+
+
+def prep_dup_losers(passing: DataFrame) -> DataFrame:
+    """Audit-shape exact dedup: (doc_id, is_dup) for every passing doc —
+    same md5 key and min-doc_id winner rule as prep_dedup_keep."""
+    winners = passing.groupBy(F.md5("ctext").alias("_h")).agg(
+        F.min("doc_id").alias("_keep_id")
+    )
+    return (
+        passing.select("doc_id", F.md5("ctext").alias("_h"))
+        .join(winners, "_h")
+        .select(
+            "doc_id", (F.col("doc_id") != F.col("_keep_id")).alias("is_dup")
+        )
+    )
+
+
+def prep_bench_grams(
+    scored: DataFrame, bench_max_id: int, ngram: int
+) -> DataFrame:
+    """Distinct benchmark shingles (the held-out set is doc_id <
+    bench_max_id), over CLEANED text — the one definition of what
+    'contaminating n-gram' means."""
+    return (
+        scored.filter(F.col("doc_id") < bench_max_id)
+        .select(
+            F.explode(TXT.shingles(TXT.tokenize("ctext"), ngram)).alias("g")
+        )
+        .distinct()
+    )
+
+
+def prep_contaminated_ids(
+    frame: DataFrame, bench_grams: DataFrame, ngram: int
+) -> DataFrame:
+    """doc_ids of frame rows sharing >= 1 n-gram with the benchmark
+    (broadcast the gram set). ``frame`` differs by caller on purpose:
+    the pipeline decontaminates the DEDUPED survivors (cheaper), the
+    audit flags every scored doc (labels must exist for all)."""
+    grams = frame.select(
+        "doc_id",
+        F.explode(TXT.shingles(TXT.tokenize("ctext"), ngram)).alias("g"),
+    )
+    return (
+        grams.join(F.broadcast(bench_grams), "g").select("doc_id").distinct()
+    )
+
+
+def prep_decision() -> F.Column:
+    """The audit's first-failing-rule column, in PREP_RULE_ORDER, over
+    the flag columns (lang, quality, is_dup, is_contam)."""
+    return (
+        F.when(~prep_rule_lang(), F.lit("lang"))
+        .when(~prep_rule_quality(), F.lit("quality"))
+        .when(F.coalesce("is_dup", F.lit(False)), F.lit("duplicate"))
+        .when(F.coalesce("is_contam", F.lit(False)), F.lit("contaminated"))
+        .otherwise(F.lit("keep"))
+    )

@@ -191,37 +191,18 @@ def run_streaming_interval_join(
     )
 
 
-def run_streaming_interval_join_outer(
+def _interval_join_replay_pairs(
     spark: SparkSession,
     sf_dir: str,
-    max_delta_sec: int = 3600,
-    watermark_sec: int = 60,
-    timeout_sec: int = 300,
+    join_type: str,
+    max_delta_sec: int,
+    watermark_sec: int,
+    timeout_sec: int,
 ) -> DataFrame:
-    """LEFT OUTER watermarked stream-stream interval join — the classic
-    streaming correctness trap the inner variant sidesteps: a click with
-    NO preceding same-user view must still emit (with null view
-    columns), and Structured Streaming can only emit that null row once
-    the watermark proves no matching view can still arrive. Null rows
-    therefore surface in the micro-batch AFTER the watermark passes the
-    click, not when the click is read.
-
-    Bounded-replay protocol (what makes this hash-comparable to a batch
-    LEFT JOIN oracle): the events table is replayed through a temp
-    directory with TWO future 'flush' sentinel files appended
-    (event_type='flush', joins nothing, filtered from the output) and
-    ``maxFilesPerTrigger=1``. Batch 1 reads the data (watermark still
-    at zero — matches emit, no nulls); batch 2's sentinel advances the
-    watermark past every click, so its state-eviction pass emits the
-    null rows; batch 3's sentinel covers clicks inside the final
-    watermark-delay tail. Without the sentinels an availableNow replay
-    TERMINATES with unmatched clicks still held in state — silently
-    dropping exactly the rows the outer join exists to keep (that
-    near-miss is pinned by a pytest).
-
-    Output: per-click rollup (click_id, n_views, sum_view_value) with
-    n_views=0 / sum NULL for view-less clicks — identical shape to the
-    batch LEFT JOIN + GROUP BY oracle."""
+    """Shared bounded-replay harness for the outer interval-join family
+    (see run_streaming_interval_join_outer for the full protocol
+    rationale). Returns the raw pair rows from the memory sink —
+    sentinel rows (negative ids) still included, callers filter."""
     import os as _os
     import shutil
     import tempfile
@@ -314,9 +295,9 @@ def run_streaming_interval_join_outer(
                 >= F.col("click_ts")
                 - F.expr(f"INTERVAL {max_delta_sec} SECONDS")
             ),
-            "left_outer",
+            join_type,
         )
-        name = f"ssjoin_outer_{uuid.uuid4().hex[:12]}"
+        name = f"ssjoin_{join_type}_{uuid.uuid4().hex[:12]}"
         q = (
             pairs.writeStream.format("memory")
             .queryName(name)
@@ -327,21 +308,109 @@ def run_streaming_interval_join_outer(
         if not q.awaitTermination(timeout_sec):
             q.stop()
             raise TimeoutError(
-                f"streaming outer join {name!r} did not terminate within "
-                f"{timeout_sec}s; partial results discarded"
+                f"streaming {join_type} join {name!r} did not terminate "
+                f"within {timeout_sec}s; partial results discarded"
             )
         # memory sink holds the rows; safe to drop the replay dir after
-        return (
-            spark.table(name)
-            .filter(F.col("click_id") >= 0)  # drop flush sentinels
-            .groupBy("click_id")
-            .agg(
-                F.count("view_id").alias("n_views"),
-                F.round(F.sum("value"), 6).alias("sum_view_value"),
-            )
-        )
+        return spark.table(name)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def run_streaming_interval_join_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    max_delta_sec: int = 3600,
+    watermark_sec: int = 60,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream interval join — the classic
+    streaming correctness trap the inner variant sidesteps: a click with
+    NO preceding same-user view must still emit (with null view
+    columns), and Structured Streaming can only emit that null row once
+    the watermark proves no matching view can still arrive. Null rows
+    therefore surface in the micro-batch AFTER the watermark passes the
+    click, not when the click is read.
+
+    Bounded-replay protocol (what makes this hash-comparable to a batch
+    LEFT JOIN oracle): the events table is replayed through a temp
+    directory with TWO future flush sentinel files appended and
+    ``maxFilesPerTrigger=1``. Batch 1 reads ALL the data as one file
+    (watermark still at zero — matches emit, no nulls; multiple data
+    files would put late-ordered events behind the advanced watermark
+    and silently drop them as late). Batch 2's sentinel advances the
+    watermark past every click, so its state-eviction pass emits the
+    null rows; batch 3's sentinel covers clicks inside the final
+    watermark-delay tail. Sentinels carry the REAL event types
+    ('click'/'view', negative ids, user_id=-1): the watermark columns
+    live BEHIND the type filters, so an unmatched type would advance
+    nothing — and the global watermark is the MIN across both sides,
+    so BOTH sides need one (observed otherwise: the click at click-side
+    max event time never got its null row). Without sentinels an
+    availableNow replay TERMINATES with unmatched clicks still in
+    state — dropping exactly the rows the outer join exists to keep
+    (pinned by a pytest).
+
+    Output: per-click rollup (click_id, n_views, sum_view_value) with
+    n_views=0 / sum NULL for view-less clicks — identical shape to the
+    batch LEFT JOIN + GROUP BY oracle."""
+    raw = _interval_join_replay_pairs(
+        spark, sf_dir, "left_outer", max_delta_sec, watermark_sec,
+        timeout_sec,
+    )
+    return (
+        raw.filter(F.col("click_id") >= 0)  # drop flush sentinels
+        .groupBy("click_id")
+        .agg(
+            F.count("view_id").alias("n_views"),
+            F.round(F.sum("value"), 6).alias("sum_view_value"),
+        )
+    )
+
+
+def run_streaming_interval_join_full_outer(
+    spark: SparkSession,
+    sf_dir: str,
+    max_delta_sec: int = 3600,
+    watermark_sec: int = 60,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """FULL OUTER completion of the interval-join matrix (inner +
+    left certified separately): view-less clicks AND click-less views
+    both emit on watermark advance. Two-sided output over one replay:
+    ('click', click_id, n_matched, sum_value) per click — its matched
+    views' count/sum, nulls when none — plus ('view_orphan', view_id,
+    0, own value) for every view no click ever picked up within
+    ``max_delta_sec`` after it. The orphan-view side is what a
+    lost-attribution audit reads: impressions that never converted
+    inside the window."""
+    raw = _interval_join_replay_pairs(
+        spark, sf_dir, "full_outer", max_delta_sec, watermark_sec,
+        timeout_sec,
+    )
+    clicks_side = (
+        raw.filter(F.col("click_id") >= 0)
+        .groupBy("click_id")
+        .agg(
+            F.count("view_id").alias("n_matched"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.lit("click").alias("side"),
+            F.col("click_id").alias("id"),
+            "n_matched",
+            "sum_value",
+        )
+    )
+    orphan_views = raw.filter(
+        F.col("click_id").isNull() & (F.col("view_id") >= 0)
+    ).select(
+        F.lit("view_orphan").alias("side"),
+        F.col("view_id").alias("id"),
+        F.lit(0).cast("long").alias("n_matched"),
+        F.round(F.col("value"), 6).alias("sum_value"),
+    )
+    return clicks_side.unionByName(orphan_views)
 
 
 def run_streaming_dedup(

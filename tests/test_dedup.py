@@ -601,3 +601,25 @@ def test_semantic_hot_cluster_guard_exact_and_bounded(spark):
     # (hence no block side) approaches the unsalted hot-cluster size
     assert biggest_bucket <= 3 * max_rows
     assert salted_df.count() == len(p)
+
+
+def test_semantic_clusters_pd_bit_parity(spark, sf_dir):
+    """BLAS argmax assignment must match the expression twin exactly —
+    including the passthrough _nv (Arrow fp64 roundtrip is lossless),
+    so downstream canonical dots stay bit-identical."""
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_clusters,
+        semantic_clusters_pd,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = {(r["vec_id"], r["cluster"], tuple(r["_nv"]))
+         for r in semantic_clusters(emb, 64, 4).collect()}
+    b = {(r["vec_id"], r["cluster"], tuple(r["_nv"]))
+         for r in semantic_clusters_pd(emb, 64, 4).collect()}
+    assert a == b and len(a) > 0
+    sa = {r.vec_id for r in semantic_dedup(emb, 64, 0.3, 4).collect()}
+    sb = {r.vec_id
+          for r in semantic_dedup(emb, 64, 0.3, 4, accel="pd").collect()}
+    assert sa == sb

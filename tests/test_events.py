@@ -678,3 +678,51 @@ def test_streaming_outer_join_parity_and_trap(spark, sf_dir):
     # view-less, and its null row is present
     last_click = c.orderBy(F.desc("c_ns")).first()
     assert (last_click.click_id, 0, None) in got
+
+
+def test_streaming_full_outer_join_parity(spark, sf_dir):
+    """FULL OUTER replay vs batch: click rollup + orphan views, both
+    null sides emitted via watermark advance."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        run_streaming_interval_join_full_outer,
+    )
+
+    got = {
+        tuple(r)
+        for r in run_streaming_interval_join_full_outer(
+            spark, sf_dir
+        ).collect()
+    }
+    ev = read_events(spark, sf_dir)
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        F.col("ts_ns").alias("c_ns"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("vu"),
+        F.col("ts_ns").alias("v_ns"), "value",
+    )
+    cond = (
+        (F.col("user_id") == F.col("vu"))
+        & (F.col("v_ns") <= F.col("c_ns"))
+        & (F.col("v_ns") >= F.col("c_ns") - 3600 * 10**9)
+    )
+    cl = (
+        c.join(v, cond, "left")
+        .groupBy("click_id")
+        .agg(F.count("view_id").alias("n"),
+             F.round(F.sum("value"), 6).alias("s"))
+        .select(F.lit("click").alias("side"),
+                F.col("click_id").alias("id"), "n", "s")
+    )
+    ov = v.join(c, cond, "left_anti").select(
+        F.lit("view_orphan").alias("side"),
+        F.col("view_id").alias("id"),
+        F.lit(0).cast("long").alias("n"),
+        F.round("value", 6).alias("s"),
+    )
+    exp = {tuple(r) for r in cl.unionByName(ov).collect()}
+    assert got == exp and len(got) > 0
+    assert any(r[0] == "view_orphan" for r in got)  # both sides present

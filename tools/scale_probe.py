@@ -137,9 +137,17 @@ def main() -> None:
     out["semdedup_10x_c640_sec"] = timed(
         lambda: semantic_dedup(emb10, dim=64, threshold=0.35, n_clusters=640)
     )
+    # BLAS path: accel='pd' runs assignment as X @ C^T (the r7 probe
+    # found the interpreted assignment dominating at 640 clusters)
+    out["semdedup_10x_c640_pd_sec"] = timed(
+        lambda: semantic_dedup(
+            emb10, dim=64, threshold=0.35, n_clusters=640, accel="pd"
+        )
+    )
     log(f"semantic_dedup: 1x/c64 {out['semdedup_1x_c64_sec']}s, "
         f"10x/c64 {out['semdedup_10x_c64_sec']}s, "
-        f"10x/c640 {out['semdedup_10x_c640_sec']}s")
+        f"10x/c640 {out['semdedup_10x_c640_sec']}s, "
+        f"10x/c640/pd {out['semdedup_10x_c640_pd_sec']}s")
 
     # --- kNN window vs partial_topk crossover -------------------------
     def vecs_norm(df):
