@@ -1511,6 +1511,62 @@ def q_events_streaming_full_outer_join(
     )
 
 
+def q_events_resample_gapfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-user hourly resample with dense-grid gap fill + forward fill
+    (streaming/events.py resample_gapfill): the sequence+explode grid
+    from group-granularity (min,max) aggregates, missing buckets as
+    n_events=0 / v_sum NULL, v_ffill carrying the last non-null sum."""
+    from clinical_vector_search_spark.streaming.events import (
+        resample_gapfill,
+    )
+
+    return resample_gapfill(_events(spark, sf_dir), 3600)
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution (streaming/events.py
+    attribution_linear): each purchase splits one credit unit across
+    the user's view/click touches in the preceding 24h — user-key
+    range join, per-conversion window 1/n, touch_type rollup."""
+    from clinical_vector_search_spark.streaming.events import (
+        attribution_linear,
+    )
+
+    return attribution_linear(
+        _events(spark, sf_dir), ["view", "click"], "purchase", 86400
+    )
+
+
+TFIDF_QUERY_SET = [
+    ("q1", ["spark", "table"]),
+    ("q2", ["query", "scan", "merge"]),
+    ("q3", ["window", "sort"]),
+]
+
+
+def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse tf-idf cosine top-10 over posting lists
+    (operators/sparse.py tfidf_index + tfidf_cosine_topk): the
+    inverted-index twin of dense kNN — scoring touches only the terms
+    the queries mention (term equi-join), never a dense per-doc vector.
+    Rounded-before-rank scores (cross-engine cut stability)."""
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_cosine_topk,
+        tfidf_index,
+    )
+
+    idx = tfidf_index(_docs(spark, sf_dir))
+    rows = [
+        (qid, t, 1.0) for qid, terms in TFIDF_QUERY_SET for t in terms
+    ]
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, qtf double"
+    )
+    return tfidf_cosine_topk(idx, qdf, 10)
+
+
 def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.6): customers with no URGENT-priority orders,
     counted per segment."""
@@ -2614,6 +2670,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
         "dedup_semantic_pd": q_dedup_semantic_pd,
+        "events_resample_gapfill": q_events_resample_gapfill,
+        "events_attribution": q_events_attribution,
+        "retrieval_tfidf": q_retrieval_tfidf,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3853,6 +3912,73 @@ def oracle_sql() -> dict[str, str]:
             SELECT 1 FROM c WHERE v.user_id = c.user_id
                               AND v.view_us <= c.click_us
                               AND v.view_us >= c.click_us - 3600000000)
+    """
+
+    s["events_resample_gapfill"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        b AS (SELECT user_id, ts_ns // 3600000000000 AS bucket,
+                     count(*) AS n_events, round(sum(value),6) AS v_sum
+              FROM e GROUP BY 1,2),
+        r AS (SELECT user_id, min(bucket) mn, max(bucket) mx FROM b GROUP BY 1),
+        g AS (SELECT user_id, unnest(range(mn, mx+1)) AS bucket FROM r)
+        SELECT g.user_id, g.bucket*3600 AS bucket_start,
+               coalesce(b.n_events,0) AS n_events, b.v_sum,
+               last_value(b.v_sum IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS v_ffill
+        FROM g LEFT JOIN b ON g.user_id=b.user_id AND g.bucket=b.bucket
+    """
+
+    s["events_attribution"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+                          event_type FROM events),
+        c AS (SELECT event_id conv_id, user_id, ts_ns c_ns FROM e
+              WHERE event_type='purchase'),
+        t AS (SELECT user_id, event_type touch_type, ts_ns t_ns FROM e
+              WHERE event_type IN ('view','click')),
+        p AS (SELECT t.touch_type, c.conv_id FROM t JOIN c
+              ON t.user_id=c.user_id AND t.t_ns<=c.c_ns
+                 AND t.t_ns > c.c_ns - 86400000000000),
+        w AS (SELECT touch_type,
+                     1.0/count(*) OVER (PARTITION BY conv_id) AS credit
+              FROM p)
+        SELECT touch_type, count(*) AS n_touches,
+               round(sum(credit),6) AS credit
+        FROM w GROUP BY 1
+    """
+
+    tfidf_q_sql = ", ".join(
+        f"('{qid}', '{t}', 1.0)"
+        for qid, terms in TFIDF_QUERY_SET
+        for t in terms
+    )
+    s["retrieval_tfidf"] = f"""
+        WITH toks AS ({_TOKS}),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+        idf AS (SELECT term, ln((SELECT n_docs FROM n)/df) AS idf FROM dfreq),
+        w AS (SELECT doc_id, tf.term, tf*idf AS w
+              FROM tf JOIN idf USING(term)),
+        nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+        q(query_id, term, qtf) AS (VALUES {tfidf_q_sql}),
+        qw AS (SELECT query_id, q.term, qtf*idf AS qw
+               FROM q JOIN idf USING(term)),
+        qn AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnrm
+               FROM qw GROUP BY 1),
+        s AS (SELECT query_id, doc_id, sum(w*qw) AS dot
+              FROM w JOIN qw USING(term) GROUP BY 1,2),
+        scored AS (SELECT s.query_id, s.doc_id,
+                          round(dot/(nrm*qnrm), 6) AS score
+                   FROM s JOIN nrm USING(doc_id) JOIN qn USING(query_id)
+                   WHERE nrm > 0 AND qnrm > 0),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rnk FROM scored)
+        SELECT query_id, rnk AS rank, doc_id, score
+        FROM ranked WHERE rnk <= 10
     """
 
     s["rel_cust_no_orders"] = """

@@ -1224,3 +1224,108 @@ def streaming_user_totals_tws(events_stream: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def resample_gapfill(
+    events: DataFrame,
+    interval_sec: int = 3600,
+    group_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group time-series resample with gap filling — the
+    dense-grid shape every downstream forecaster/chart needs: aggregate
+    events into fixed ``interval_sec`` buckets, then EMIT EVERY bucket
+    between each group's first and last event (missing buckets get
+    n_events=0, v_sum NULL) plus a forward-filled value column
+    (last non-null v_sum so far — the "carry the meter reading" rule).
+
+    Output: (group, bucket_start epoch-sec, n_events, v_sum, v_ffill).
+
+    Scale shape: one shuffle for the bucket aggregate (map-side
+    combined); the grid is generated by sequence+explode FROM the
+    per-group (min,max) aggregate — group-granularity input, never a
+    driver loop or a cross join; the grid→agg join and the ffill window
+    share the group key, so AQE can keep them in one exchange. Grid
+    size is bounded by time-span/interval per group — pick the interval
+    for the span you densify (a year of hourly buckets is 8.8k rows per
+    group; a year of SECONDS is 31M — that's a caller bug, not an
+    operator regime).
+    """
+    bucket = (F.col("ts_ns") / F.lit(interval_sec * NS)).cast("long")
+    agg = events.groupBy(
+        F.col(group_col), bucket.alias("_b")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("v_sum"),
+    )
+    grid = (
+        agg.groupBy(group_col)
+        .agg(F.min("_b").alias("_mn"), F.max("_b").alias("_mx"))
+        .select(
+            group_col,
+            F.explode(F.sequence(F.col("_mn"), F.col("_mx"))).alias("_b"),
+        )
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, [group_col, "_b"], "left")
+        .select(
+            group_col,
+            (F.col("_b") * interval_sec).alias("bucket_start"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            "v_sum",
+            F.last("v_sum", ignorenulls=True).over(w).alias("v_ffill"),
+        )
+    )
+
+
+def attribution_linear(
+    events: DataFrame,
+    touch_types: list[str],
+    conversion_type: str = "purchase",
+    window_sec: int = 86400,
+) -> DataFrame:
+    """Linear multi-touch attribution: every conversion splits one unit
+    of credit equally across the same user's touch events in the
+    preceding ``window_sec`` (view/click before a purchase). Output is
+    the marketing-report rollup (touch_type, n_touches,
+    credit = Σ 1/n_touches_of_that_conversion, rounded 6dp);
+    conversions with zero preceding touches contribute nothing (their
+    credit is unattributable by definition).
+
+    Scale shape: one user-key equi-join with a time-range predicate
+    (same bucketed pattern as the as-of/interval family — the range
+    filter rides the user-key shuffle), a per-conversion window count
+    for the 1/n split, then a tiny touch_type rollup. No cartesian,
+    no collect."""
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_user"),
+        F.col("ts_ns").alias("c_ns"),
+    )
+    touches = events.filter(
+        F.col("event_type").isin(list(touch_types))
+    ).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts_ns").alias("t_ns"),
+    )
+    pairs = touches.join(
+        conv,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("t_ns") <= F.col("c_ns"))
+        & (F.col("t_ns") > F.col("c_ns") - F.lit(window_sec * NS)),
+    )
+    w = Window.partitionBy("conv_id")
+    credited = pairs.withColumn(
+        "credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+    )
+    return credited.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit"), 6).alias("credit"),
+    )

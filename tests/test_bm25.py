@@ -91,3 +91,45 @@ def test_zero_overlap_scores_zero(docs):
     got = bm25_score(docs, ["nonexistent_term"]).collect()
     assert all(r.bm25 == 0.0 for r in got)
     assert len(got) == len(CORPUS)  # zero-score docs kept
+
+
+def test_tfidf_cosine_topk_hand_check(spark):
+    """Tiny-corpus hand check of the sparse tf-idf cosine: doc sharing
+    the rarer query term outranks the doc sharing a common one; OOV
+    query terms contribute nothing (including to the query norm)."""
+    import math
+
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_cosine_topk,
+        tfidf_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana"),
+            (2, "apple cherry"),
+            (3, "apple apple"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = tfidf_index(docs)
+    # idf: apple ln(3/3)=0, banana ln(3/1), cherry ln(3/1)
+    q = spark.createDataFrame(
+        [("q", "banana", 1.0), ("q", "apple", 1.0), ("q", "zzz_oov", 1.0)],
+        "query_id string, term string, qtf double",
+    )
+    got = [
+        (r.rank, r.doc_id, r.score)
+        for r in tfidf_cosine_topk(idx, q, 10)
+        .orderBy("rank")
+        .collect()
+    ]
+    # doc 1: shares banana (idf ln3) -> cosine 1.0 (its vector is
+    # exactly the banana axis after apple's idf-0 zeroes out; query
+    # likewise; the OOV term contributes nothing to the query norm).
+    # doc 2: only apple overlap (weight 0) -> dot 0, score 0.
+    # doc 3 ("apple apple"): norm 0 -> undefined direction, EXCLUDED
+    # (the zero-norm guard; ANSI division would otherwise raise).
+    assert got[0][:2] == (1, 1) and abs(got[0][2] - 1.0) < 1e-9
+    assert [g[1] for g in got] == [1, 2]
+    assert got[1][2] == 0.0

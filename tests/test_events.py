@@ -726,3 +726,123 @@ def test_streaming_full_outer_join_parity(spark, sf_dir):
     exp = {tuple(r) for r in cl.unionByName(ov).collect()}
     assert got == exp and len(got) > 0
     assert any(r[0] == "view_orphan" for r in got)  # both sides present
+
+
+def test_drop_duplicates_within_watermark_horizon(spark, tmp_path):
+    """dropDuplicatesWithinWatermark vs plain dropDuplicates: the
+    within-horizon duplicate is dropped, but once the watermark passes
+    first-seen + delay the key's state is EVICTED and a later duplicate
+    re-emits as a fresh first — bounded dedup state, the property that
+    makes streaming dedup viable on unbounded key cardinality. Pinned
+    with a 3-file replay (one micro-batch each): state eviction only
+    happens at batch boundaries after the watermark advances."""
+    import time as _time
+
+    src = tmp_path / "ddww_src"
+    src.mkdir()
+    t0 = 1_700_000_000
+
+    def write(name, rows):
+        df = spark.createDataFrame(
+            rows, "user_id long, event_type string, ts_ns long"
+        ).withColumn("ts", F.timestamp_micros(F.expr("ts_ns div 1000")))
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        _time.sleep(1.1)
+
+    # f1: first A; f2: dup A inside horizon (+30min) + watermark pusher
+    # (+3h => wm becomes +2h, past A's expiry at +1h); f3: state
+    # CLEANUP batch — eviction runs at END of a micro-batch, so a
+    # same-batch duplicate would still be dropped; f4: A again at +4h —
+    # state was evicted in f3's cleanup, so it re-emits as a new first
+    write("f1", [(1, "a", t0 * NS)])
+    write("f2", [(1, "a", (t0 + 1800) * NS), (99, "z", (t0 + 3 * 3600) * NS)])
+    write("f3", [(98, "y", (t0 + 3 * 3600 + 60) * NS)])
+    write("f4", [(1, "a", (t0 + 4 * 3600) * NS)])
+
+    schema = spark.read.parquet(str(src / "f1")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    dd = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "ts_ns")
+    )
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("ddww_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r.user_id, r.event_type, r.ts_ns)
+           for r in spark.table("ddww_test").collect()}
+    a_rows = sorted(ts for u, e, ts in got if (u, e) == (1, "a"))
+    # first emitted, +30min dup dropped, +4h re-emitted after eviction
+    assert a_rows == [t0 * NS, (t0 + 4 * 3600) * NS]
+    assert (99, "z", (t0 + 3 * 3600) * NS) in got
+
+
+def test_resample_gapfill_semantics(spark):
+    """Dense grid + ffill on a hand-built series: user 1 has events in
+    buckets 0 and 3 (of a 0..3 span) — buckets 1,2 must appear with
+    n_events=0, v_sum NULL, and v_ffill carrying bucket 0's sum."""
+    from clinical_vector_search_spark.streaming.events import (
+        NS,
+        resample_gapfill,
+    )
+
+    ev = spark.createDataFrame(
+        [
+            (1, 10 * NS, 2.0),
+            (1, 20 * NS, 3.0),        # same bucket 0 (interval 60)
+            (1, 200 * NS, 7.0),       # bucket 3
+            (2, 70 * NS, 1.0),        # user 2: single bucket — no gaps
+        ],
+        "user_id long, ts_ns long, value double",
+    )
+    got = {
+        (r.user_id, r.bucket_start, r.n_events, r.v_sum, r.v_ffill)
+        for r in resample_gapfill(ev, 60).collect()
+    }
+    assert got == {
+        (1, 0, 2, 5.0, 5.0),
+        (1, 60, 0, None, 5.0),
+        (1, 120, 0, None, 5.0),
+        (1, 180, 1, 7.0, 7.0),
+        (2, 60, 1, 1.0, 1.0),
+    }
+
+
+def test_attribution_linear_semantics(spark):
+    """One purchase with two in-window touches (0.5 credit each), one
+    touch outside the window (no credit), one touch after the purchase
+    (no credit), and a touch-less purchase (contributes nothing)."""
+    from clinical_vector_search_spark.streaming.events import (
+        NS,
+        attribution_linear,
+    )
+
+    t0 = 1_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "view", (t0 - 100) * NS, 0.0),
+            (2, 10, "click", (t0 - 50) * NS, 0.0),
+            (3, 10, "view", (t0 - 100_000) * NS, 0.0),   # outside 1h
+            (4, 10, "view", (t0 + 10) * NS, 0.0),        # after purchase
+            (5, 10, "purchase", t0 * NS, 9.0),
+            (6, 11, "purchase", t0 * NS, 1.0),           # touch-less
+        ],
+        "event_id long, user_id long, event_type string, ts_ns long,"
+        " value double",
+    )
+    got = {
+        (r.touch_type, r.n_touches, r.credit)
+        for r in attribution_linear(
+            ev, ["view", "click"], "purchase", 3600
+        ).collect()
+    }
+    assert got == {("view", 1, 0.5), ("click", 1, 0.5)}

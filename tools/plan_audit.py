@@ -562,6 +562,40 @@ def main() -> int:
         and "_i" in plan and "_j" in plan,
     )
 
+    # 26. sparse tf-idf retrieval: posting-list equi-join with the query
+    # side broadcast; no cartesian anywhere in the scoring plan
+    plan = formatted(E.q_retrieval_tfidf(spark, SF_DIR))
+    # the only nested-loop joins allowed are the broadcast 1-row stats
+    # crossJoins (n_docs — same shape bm25_index uses); scoring joins
+    # are hash joins and nothing is a CartesianProduct
+    check(
+        "retrieval_tfidf: term equi-join scoring, only 1-row-stats "
+        "broadcast crossJoins, no cartesian",
+        "CartesianProduct" not in plan
+        and "BroadcastHashJoin" in plan,
+    )
+
+    # 27. gap-fill grid: generated by sequence+explode from the
+    # group-granularity (min,max) aggregate — grid-to-agg is a hash
+    # equi-join on (group, bucket), never a cartesian/range join
+    plan = formatted(E.q_events_resample_gapfill(spark, SF_DIR))
+    check(
+        "resample_gapfill: exploded grid hash-joins aggregate, "
+        "no cartesian",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan
+        and n_nodes(plan, "Generate") >= 1,
+    )
+
+    # 28. attribution: user-key equi-join carrying the time-range
+    # predicate (the as-of family shape), no cartesian
+    plan = formatted(E.q_events_attribution(spark, SF_DIR))
+    check(
+        "events_attribution: user-key range join, no cartesian",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoop" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
