@@ -2653,6 +2653,54 @@ def q_dedup_semantic_pd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level PMI co-occurrence over frequent terms
+    (functions/text.py pmi_cooccurrence): the collocation-mining
+    primitive; vocabulary min-count cut bounds the per-doc pair
+    explosion, doc_id-key self-join, no cartesian."""
+    from clinical_vector_search_spark.functions.text import (
+        pmi_cooccurrence,
+    )
+
+    return pmi_cooccurrence(_docs(spark, sf_dir), min_count=10)
+
+
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining (streaming/events.py session_paths):
+    top event-type sequences per inactivity-gap session — funnel
+    DISCOVERY (funnel() checks a given sequence; this surfaces which
+    exist). Deterministic via (ts_ns, event_id) struct sort."""
+    from clinical_vector_search_spark.streaming.events import (
+        session_paths,
+    )
+
+    return session_paths(
+        _events(spark, sf_dir), gap_sec=1800, max_len=10, min_sessions=2
+    )
+
+
+def q_dedup_semantic_pairs_salted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hot-cluster guard's salted block self-join, driver-checked:
+    max_cluster_rows=32 forces every sf0.01 cluster through
+    _semantic_pairs_salted (operators/dedup.py) — per-task pair count
+    bounded at ~32², output EXACTLY the plain path's pairs (the block
+    decomposition covers each unordered pair once), so it shares
+    dedup_semantic_pairs' oracle."""
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup_pairs,
+    )
+
+    r = semantic_dedup_pairs(
+        _vecs(spark, sf_dir), dim=64, threshold=0.35, n_clusters=8,
+        max_cluster_rows=32,
+    )
+    return r.select(
+        "a_id", "b_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
@@ -2673,6 +2721,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample_gapfill": q_events_resample_gapfill,
         "events_attribution": q_events_attribution,
         "retrieval_tfidf": q_retrieval_tfidf,
+        "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
+        "text_pmi_pairs": q_text_pmi_pairs,
+        "events_session_paths": q_events_session_paths,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3981,6 +4032,47 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rnk <= 10
     """
 
+    s["text_pmi_pairs"] = f"""
+        WITH toks AS ({_TOKS}),
+        dt0 AS (SELECT DISTINCT doc_id, unnest(tokens) AS term
+                FROM (SELECT doc_id, tokens FROM toks)),
+        vocab AS (SELECT term, count(*) AS n_term FROM dt0
+                  GROUP BY 1 HAVING count(*) >= 10),
+        dt AS (SELECT dt0.doc_id, dt0.term, vocab.n_term
+               FROM dt0 JOIN vocab USING(term)),
+        n AS (SELECT count(distinct doc_id)::DOUBLE AS n_docs
+              FROM documents),
+        p AS (SELECT a.term AS term_a, b.term AS term_b,
+                     a.n_term AS n_a, b.n_term AS n_b, count(*) AS n_ab
+              FROM dt a JOIN dt b ON a.doc_id=b.doc_id AND a.term < b.term
+              GROUP BY 1,2,3,4 HAVING count(*) >= 10)
+        SELECT term_a, term_b, n_ab,
+               round(ln(n_ab * (SELECT n_docs FROM n) / (n_a * n_b)), 6)
+                   AS pmi
+        FROM p
+    """
+
+    s["events_session_paths"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+                          event_type FROM events),
+        x AS (SELECT *, CASE WHEN lag(ts_ns) OVER w IS NULL
+                               OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+                             THEN 1 ELSE 0 END AS ns
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_ns, event_id)),
+        y AS (SELECT *, sum(ns) OVER (PARTITION BY user_id
+                ORDER BY ts_ns, event_id ROWS UNBOUNDED PRECEDING) AS seq
+              FROM x),
+        z AS (SELECT *, row_number() OVER (PARTITION BY user_id, seq
+                ORDER BY ts_ns, event_id) AS rn FROM y),
+        p AS (SELECT user_id, seq,
+                     string_agg(event_type, '>' ORDER BY ts_ns, event_id)
+                         AS path
+              FROM z WHERE rn <= 10 GROUP BY 1,2)
+        SELECT path, count(*) AS n_sessions FROM p
+        GROUP BY 1 HAVING count(*) >= 2
+    """
+
     s["rel_cust_no_orders"] = """
         SELECT c_mktsegment,
                count(*) AS n_customers,
@@ -4585,6 +4677,8 @@ def oracle_sql() -> dict[str, str]:
     )
     # the BLAS path is bit-identical by contract — same oracle
     s["dedup_semantic_pd"] = s["dedup_semantic"]
+    # the salted block self-join is exact — same pairs oracle
+    s["dedup_semantic_pairs_salted"] = s["dedup_semantic_pairs"]
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio
     s["text_bigram_lm"] = f"""

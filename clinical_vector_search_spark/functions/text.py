@@ -644,3 +644,67 @@ def cdc_chunk_rows(
         md5_long("chunk_text").alias("chunk_hash"),
         F.size(tokenize("chunk_text")).alias("n_tokens"),
     )
+
+
+def pmi_cooccurrence(
+    docs: DataFrame,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-level PMI co-occurrence: for every pair of frequent
+    terms (each appearing in ≥ ``min_count`` docs), pointwise mutual
+    information of their co-occurrence —
+    pmi = ln(n_ab · N / (n_a · n_b)) over document frequencies. The
+    collocation/phrase-mining primitive (word2vec-era SGNS is implicit
+    PMI factorization): positive pmi = terms appear together more than
+    chance.
+
+    Output: (term_a < term_b, n_ab, pmi rounded 6dp), only pairs
+    actually co-occurring in ≥ ``min_count`` docs (keeps the output —
+    and the cross-engine hash — stable; singleton pairs are noise at
+    any scale).
+
+    Scale shape: the vocabulary filter is the explosion bound — pairs
+    are generated by a doc_id-key self-join over per-doc DISTINCT
+    frequent terms, so per-task work is Σ m_d² with m_d = frequent
+    terms in doc d (bounded by doc length and the min_count cut; raise
+    min_count at larger corpora exactly like SemDeDup raises
+    n_clusters). Joins: one broadcast of the filtered vocabulary, one
+    doc_id-key shuffle, one (a,b)-key count — no cartesian."""
+    toks = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(tokenize(text_col))).alias("term"),
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_term"))
+        .filter(F.col("n_term") >= min_count)
+    )
+    dt = toks.join(F.broadcast(vocab), "term")
+    # lazy 1-row N (broadcast crossJoin — same shape as bm25/tfidf
+    # stats; no plan-build action)
+    n_docs = docs.agg(
+        F.count_distinct(F.col(id_col)).cast("double").alias("n_docs")
+    )
+    a = dt.select(
+        "doc", F.col("term").alias("term_a"), F.col("n_term").alias("n_a")
+    )
+    b = dt.select(
+        "doc", F.col("term").alias("term_b"), F.col("n_term").alias("n_b")
+    )
+    pairs = (
+        a.join(b, "doc")
+        .filter(F.col("term_a") < F.col("term_b"))
+        .groupBy("term_a", "term_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+        .crossJoin(F.broadcast(n_docs))
+    )
+    pmi = F.log(
+        (F.col("n_ab") * F.col("n_docs"))
+        / (F.col("n_a") * F.col("n_b"))
+    )
+    return pairs.select(
+        "term_a", "term_b", "n_ab", F.round(pmi, 6).alias("pmi")
+    )

@@ -1329,3 +1329,58 @@ def attribution_linear(
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("credit"), 6).alias("credit"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    max_len: int = 10,
+    min_sessions: int = 2,
+) -> DataFrame:
+    """Session path mining: the top event-type SEQUENCES users walk
+    through a session ("view>click>purchase") — the navigation-pattern
+    rollup behind funnel discovery (funnel() checks a GIVEN sequence;
+    this surfaces which sequences exist). Sessions use the same
+    inactivity-gap rule as sessionize(); a path is the first
+    ``max_len`` events of a session in (ts, event_id) order, joined
+    with '>'. Output: (path, n_sessions) for paths seen in ≥
+    ``min_sessions`` sessions — the support cut keeps output (and the
+    cross-engine hash) stable.
+
+    Scale shape: one user-key shuffle carries the lag/cumsum session
+    assignment AND the per-session collect (session granularity, path
+    capped at max_len types — state per group is bounded); the final
+    path count is a tiny aggregate. Deterministic: paths are built from
+    sort_array over (ts_ns, event_id, type) structs — unique event ids
+    break timestamp ties identically in any engine."""
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    new_s = F.when(
+        F.lag("ts_ns").over(w).isNull()
+        | (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_sec * NS),
+        1,
+    ).otherwise(0)
+    assigned = events.select(
+        "user_id", "event_id", "ts_ns", "event_type"
+    ).withColumn(
+        "_seq",
+        F.sum(new_s).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = assigned.groupBy("user_id", "_seq").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts_ns", "event_id", "event_type"))
+        ).alias("_evs")
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.slice("_evs", 1, max_len), lambda x: x["event_type"]
+        ),
+    )
+    return (
+        sessions.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_sessions)
+    )

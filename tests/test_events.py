@@ -846,3 +846,30 @@ def test_attribution_linear_semantics(spark):
         ).collect()
     }
     assert got == {("view", 1, 0.5), ("click", 1, 0.5)}
+
+
+def test_session_paths_hand_check(spark):
+    """Two users walk view>click twice (support 2); a singleton path is
+    cut by min_sessions; the gap splits sessions."""
+    from clinical_vector_search_spark.streaming.events import (
+        NS,
+        session_paths,
+    )
+
+    t0 = 1_000_000
+    ev = spark.createDataFrame(
+        [
+            (1, 1, (t0 + 0) * NS, "view"),
+            (2, 1, (t0 + 60) * NS, "click"),
+            # new session for user 1 after a 2h gap: singleton path
+            (3, 1, (t0 + 8000) * NS, "purchase"),
+            (4, 2, (t0 + 0) * NS, "view"),
+            (5, 2, (t0 + 30) * NS, "click"),
+        ],
+        "event_id long, user_id long, ts_ns long, event_type string",
+    )
+    got = {
+        (r.path, r.n_sessions)
+        for r in session_paths(ev, 1800, 10, 2).collect()
+    }
+    assert got == {("view>click", 2)}

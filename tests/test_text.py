@@ -373,3 +373,24 @@ def test_histogram_exact_bins_and_overflow(spark):
     assert got[0] == (0.0, 0.5, 2)    # [0, 0.5): 0.0, 0.49
     assert got[1] == (0.5, 1.0, 2)    # [0.5, 1): 0.5, 0.99
     assert got[2][2] == 2             # >= hi: 1.0, 3.5; NULL dropped
+
+
+def test_pmi_cooccurrence_hand_check(spark):
+    """4-doc corpus: (a,b) co-occur in 2 docs; a in 3 docs, b in 2 ->
+    pmi = ln(2*4/(3*2)) = ln(4/3) > 0; all other pairs fall under the
+    min_count support cut (x/y/c/d are singletons)."""
+    import math
+
+    from clinical_vector_search_spark.functions.text import (
+        pmi_cooccurrence,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b x"), (2, "a b y"), (3, "a c"), (4, "d")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.term_a, r.term_b): (r.n_ab, r.pmi)
+        for r in pmi_cooccurrence(docs, min_count=2).collect()
+    }
+    assert got == {("a", "b"): (2, round(math.log(4 / 3), 6))}
