@@ -274,6 +274,13 @@ def main() -> None:
 
         return E.q_doc_prep_pipeline(spark, sf_dir)
 
+    def bench_tfidf_queryset():
+        # sparse tf-idf cosine retrieval: posting-list equi-join scoring
+        # (operators/sparse.py) — index built once, 3-query set in one plan
+        import __spark_entry__ as E
+
+        return E.q_retrieval_tfidf(spark, sf_dir)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -303,6 +310,7 @@ def main() -> None:
         "semantic_dedup": bench_semantic_dedup,
         "cdc_chunks": bench_cdc_chunks,
         "prep_pipeline": bench_prep_pipeline,
+        "tfidf_queryset3": bench_tfidf_queryset,
         "rel_pricing_summary": bench_pricing,
     }
 
