@@ -1950,6 +1950,25 @@ def q_events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram(_events(spark, sf_dir), "value", -5.0, 15.0, 20)
 
 
+def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI drift between the 'view' and 'purchase' value distributions
+    (operators/sketch.py psi_drift): shared histogram bins incl.
+    overflow, eps-floored fractions, per-bin psi terms — the
+    retrain-gate drift report, two map-side histograms + one tiny
+    full-outer bin join."""
+    from clinical_vector_search_spark.operators.sketch import psi_drift
+
+    ev = _events(spark, sf_dir)
+    return psi_drift(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+        -5.0,
+        15.0,
+        20,
+    )
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram LM scoring (functions/text.py
     bigram_lm_score — the count-based CCNet-style perplexity filter):
@@ -2724,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
         "text_pmi_pairs": q_text_pmi_pairs,
         "events_session_paths": q_events_session_paths,
+        "events_psi_drift": q_events_psi_drift,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4166,6 +4186,36 @@ def oracle_sql() -> dict[str, str]:
                round(-5.0 + (bin + 1) * 1.0, 6) AS bin_hi,
                count(*)::BIGINT AS n
         FROM b GROUP BY bin
+    """
+
+    s["events_psi_drift"] = """
+        WITH base AS (SELECT value FROM events
+                      WHERE event_type='view' AND value IS NOT NULL),
+        cur AS (SELECT value FROM events
+                WHERE event_type='purchase' AND value IS NOT NULL),
+        hb AS (SELECT CASE WHEN value < -5.0 THEN -1
+                           WHEN value >= 15.0 THEN 20
+                           ELSE least(floor((value - (-5.0)) / 20.0 * 20.0),
+                                      19)::BIGINT END AS bin,
+                      count(*) AS n_base
+               FROM base GROUP BY 1),
+        hc AS (SELECT CASE WHEN value < -5.0 THEN -1
+                           WHEN value >= 15.0 THEN 20
+                           ELSE least(floor((value - (-5.0)) / 20.0 * 20.0),
+                                      19)::BIGINT END AS bin,
+                      count(*) AS n_cur
+               FROM cur GROUP BY 1),
+        t AS (SELECT (SELECT count(*) FROM base)::DOUBLE AS tb,
+                     (SELECT count(*) FROM cur)::DOUBLE AS tc),
+        j AS (SELECT coalesce(hb.bin, hc.bin) AS bin,
+                     greatest(coalesce(n_base, 0) / (SELECT tb FROM t),
+                              0.000001) AS p_base,
+                     greatest(coalesce(n_cur, 0) / (SELECT tc FROM t),
+                              0.000001) AS p_cur
+              FROM hb FULL OUTER JOIN hc ON hb.bin = hc.bin)
+        SELECT bin, round(p_base, 6) AS p_base, round(p_cur, 6) AS p_cur,
+               round((p_cur - p_base) * ln(p_cur / p_base), 6) AS psi_term
+        FROM j
     """
 
     # lang-ID confusion matrix: reuse the marker-hit CASE from text_lang_id

@@ -242,3 +242,56 @@ def hll_rollup(
     return grouped.select(
         *rollup_cols, F.hll_sketch_estimate("_u").alias(estimate_col)
     )
+
+
+def psi_drift(
+    base: DataFrame,
+    current: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the drift gate a training-data pipeline runs before
+    retraining: psi = Σ (p_cur − p_base)·ln(p_cur / p_base) over shared
+    histogram bins (the :func:`histogram` binning, including the
+    explicit overflow bins, so out-of-range drift is VISIBLE as mass in
+    bins -1/n_bins rather than silently clamped). Empty-bin fractions
+    are floored at ``eps`` — the standard PSI smoothing; it keeps the
+    ln finite and makes appear/disappear drift large-but-bounded.
+
+    Returns one row per bin (bin, p_base, p_cur, psi_term rounded 6dp)
+    plus the conventional read: psi < 0.1 stable, 0.1–0.25 moderate,
+    > 0.25 drifted — the caller sums psi_term (kept per-bin so the
+    report shows WHERE the drift lives).
+
+    Scale shape: two independent map-side histogram aggregates (each ≤
+    n_bins+2 rows), one tiny full-outer join on bin — the raw tables
+    are scanned once each and never joined row-to-row."""
+    hb = histogram(base, value_col, lo, hi, n_bins).select(
+        "bin", F.col("n").alias("n_base")
+    )
+    hc = histogram(current, value_col, lo, hi, n_bins).select(
+        "bin", F.col("n").alias("n_cur")
+    )
+    tb = base.filter(F.col(value_col).isNotNull()).count()
+    tc = current.filter(F.col(value_col).isNotNull()).count()
+    if tb == 0 or tc == 0:
+        raise ValueError("both snapshots need non-null rows for PSI")
+    joined = hb.join(hc, "bin", "full_outer")
+    p_base = F.greatest(
+        F.coalesce("n_base", F.lit(0)) / F.lit(float(tb)), F.lit(eps)
+    )
+    p_cur = F.greatest(
+        F.coalesce("n_cur", F.lit(0)) / F.lit(float(tc)), F.lit(eps)
+    )
+    return joined.select(
+        "bin",
+        F.round(p_base, 6).alias("p_base"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_base) * F.log(p_cur / p_base), 6).alias(
+            "psi_term"
+        ),
+    )

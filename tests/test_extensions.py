@@ -650,3 +650,27 @@ def test_pandas_udaf_matches_expression_twin(spark):
     ).distinct().collect()}
     assert sc[1.0] == 0.5 and sc[None] is None
     assert all(s is None or -1 < s < 1 for s in sc.values())
+
+
+def test_psi_drift_semantics(spark):
+    """PSI hand check: identical snapshots sum to ~0; a shifted current
+    distribution produces positive total PSI concentrated in the bins
+    that gained/lost mass; an all-out-of-range current shows its mass
+    in the overflow bin rather than being clamped away."""
+    from clinical_vector_search_spark.operators.sketch import psi_drift
+
+    base = spark.createDataFrame(
+        [(float(v),) for v in [1, 1, 2, 2, 3, 3]], "value double"
+    )
+    same = psi_drift(base, base, "value", 0.0, 4.0, 4).collect()
+    assert abs(sum(r.psi_term for r in same)) < 1e-9
+
+    shifted = spark.createDataFrame(
+        [(float(v),) for v in [3, 3, 3, 3, 3, 3]], "value double"
+    )
+    drift = psi_drift(base, shifted, "value", 0.0, 4.0, 4).collect()
+    assert sum(r.psi_term for r in drift) > 0.25  # "drifted" read
+
+    oor = spark.createDataFrame([(99.0,), (98.0,)], "value double")
+    got = {r.bin: r for r in psi_drift(base, oor, "value", 0.0, 4.0, 4).collect()}
+    assert got[4].p_cur == 1.0  # overflow bin carries the mass
