@@ -428,6 +428,16 @@ def main() -> None:
         ann_recall["knn_ivfpq"] = recall(
             knn_ivfpq(qr, v, 10, 64, books, n_centroids=8, n_probe=4)
         )
+        from clinical_vector_search_spark.operators.pq import (
+            pq_codebooks_trained,
+        )
+
+        tbooks = pq_codebooks_trained(v, 64, 8, 16, n_iter=5)
+        coarse8 = kmeans_centroids(v, 64, n_centroids=8)
+        ann_recall["knn_ivfpq_trained"] = recall(
+            knn_ivfpq(qr, v, 10, 64, tbooks, n_centroids=8, n_probe=4,
+                      centroids=coarse8)
+        )
         # floor: trained IVF at the benched nprobe must hold ≥ 0.5
         ann_ok = ann_recall["knn_ivf_trained"] >= 0.5
         if not ann_ok:

@@ -1028,6 +1028,26 @@ def semantic_dedup_pairs(
     )
 
 
+def _with_salt_counts(
+    assigned: DataFrame, n_salts: dict[int, int]
+) -> DataFrame:
+    """Attach the per-cluster salt count ``_s``: a literal map (zero
+    extra operators, stays inside codegen) while the cluster count is
+    small; past 1000 clusters a broadcast join on a tiny (cluster, _s)
+    frame — a 50k-entry ``create_map`` literal would bloat the codegen
+    expression tree far past what a hash join costs."""
+    if len(n_salts) <= 1000:
+        smap = F.create_map(
+            *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv]
+        )
+        return assigned.withColumn("_s", smap[F.col("cluster")])
+    sdf = assigned.sparkSession.createDataFrame(
+        sorted((int(k), int(v)) for k, v in n_salts.items()),
+        "cluster int, _s int",
+    )
+    return assigned.join(F.broadcast(sdf), "cluster")
+
+
 def _semantic_pairs_salted(
     assigned: DataFrame,
     threshold: float,
@@ -1053,13 +1073,11 @@ def _semantic_pairs_salted(
     normalized with least/greatest instead.
 
     ``n_salts`` maps cluster → s (from the caller's size probe),
-    inlined as a literal map so the salt stage is pure map-side."""
-    smap = F.create_map(
-        *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv]
-    )
-    base = assigned.withColumn(
-        "_s", smap[F.col("cluster")]
-    ).withColumn(
+    attached via :func:`_with_salt_counts` — a literal map (pure
+    map-side) for small cluster counts, a broadcast join past 1000
+    clusters (a 50k-entry literal map would blow up the codegen
+    expression tree)."""
+    base = _with_salt_counts(assigned, n_salts).withColumn(
         "_p", F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int")
     )
     a = base.select(
@@ -1302,12 +1320,7 @@ def semantic_dedup_pairs_pd(
         # (cluster, i, j) task runs ONE matmul — a triangle on the
         # a-side rows when i == j, an A@Bᵀ cross-block otherwise.
         # Per-task memory drops from |c|² to ~max_cluster_rows².
-        smap = F.create_map(
-            *[F.lit(int(x)) for kv in sorted(n_salts.items()) for x in kv]
-        )
-        base = assigned.withColumn(
-            "_s", smap[F.col("cluster")]
-        ).withColumn(
+        base = _with_salt_counts(assigned, n_salts).withColumn(
             "_p",
             F.pmod(F.xxhash64(F.col(id_col)), F.col("_s")).cast("int"),
         )
