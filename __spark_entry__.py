@@ -1975,6 +1975,22 @@ def q_events_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_streaming_scd2_enrich(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Point-in-time-correct stream-static enrichment: each streamed
+    event joins the SCD2 dimension version valid AT ITS OWN TIMESTAMP
+    (streaming/events.py run_streaming_scd2_enrich) — the
+    leakage-free temporal lookup, certified by an availableNow replay
+    vs the batch SQL twin."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_scd2_enrich,
+    )
+
+    _events(spark, sf_dir)  # sets the nanosAsLong session conf
+    return run_streaming_scd2_enrich(spark, sf_dir)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram LM scoring (functions/text.py
     bigram_lm_score — the count-based CCNet-style perplexity filter):
@@ -2750,6 +2766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_pmi_pairs": q_text_pmi_pairs,
         "events_session_paths": q_events_session_paths,
         "events_psi_drift": q_events_psi_drift,
+        "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4801,6 +4818,33 @@ def oracle_sql() -> dict[str, str]:
     # (closed versions pass through; the open version re-sequences with
     # the second batch exactly where the one-shot lag/lead would put it)
     s["events_scd2_merge"] = s["events_scd2"]
+
+    # point-in-time join: reuse the SCD2 CTE as the dimension, join each
+    # event to the version valid at its own ts, roll up
+    s["events_streaming_scd2_enrich"] = """
+        WITH upd AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+                     FROM events WHERE user_id < 50
+                       AND event_type IN ('signup', 'purchase')),
+        seq AS (SELECT *, lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+                   row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+                FROM upd),
+        chg AS (SELECT user_id, event_type, ts FROM seq
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        d AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_type) AS valid_to
+              FROM chg),
+        e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts, value
+              FROM events WHERE user_id < 50)
+        SELECT d.state, e.event_type,
+               count(*) AS n_events, round(sum(e.value), 2) AS sum_value
+        FROM e JOIN d ON e.user_id = d.user_id
+                     AND e.ts >= d.valid_from
+                     AND (d.valid_to IS NULL OR e.ts < d.valid_to)
+        GROUP BY 1, 2
+    """
 
     # auto dispatch on uniform data must produce the PLAIN plan's result,
     # re-shaped to the skew-style 1-based session_num

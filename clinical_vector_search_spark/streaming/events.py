@@ -1384,3 +1384,77 @@ def session_paths(
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .filter(F.col("n_sessions") >= min_sessions)
     )
+
+
+def run_streaming_scd2_enrich(
+    spark: SparkSession,
+    sf_dir: str,
+    max_user: int = 50,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Stream-static TEMPORAL enrichment: each event joins the SCD2
+    dimension VERSION that was valid at the event's own timestamp
+    (user key + ``valid_from <= ts < valid_to`` with an open-ended
+    current version) — the point-in-time-correct lookup every
+    feature-store/training pipeline needs (joining the CURRENT version
+    instead silently leaks future state into past events).
+
+    The range predicate rides the user-key equi-join on a broadcast
+    static side; the stream stays stateless (no watermark needed —
+    Spark re-plans the static side per micro-batch, which is also how
+    dimension updates get picked up). Output: per (state-at-event-time,
+    event_type) rollup, hash-comparable to the batch SQL twin."""
+    import uuid
+
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+
+    ev_b = read_events(spark, sf_dir).filter(F.col("user_id") < max_user)
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    # the dimension tracks only the signup/purchase lifecycle states, so
+    # the enriched (state, event_type) rollup is a real matrix — with a
+    # dimension built from ALL events, state == event_type trivially and
+    # a range-predicate bug would be invisible
+    dim = scd2_merge(
+        empty,
+        ev_b.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts_ns"),
+        "user_id", ["event_type"],
+    ).select(
+        F.col("user_id").alias("_d_user"),
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+    )
+    stream = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("user_id") < max_user)
+        .select("user_id", "event_type", "ts_ns", "value")
+    )
+    joined = stream.join(
+        F.broadcast(dim),
+        (F.col("user_id") == F.col("_d_user"))
+        & (F.col("ts_ns") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts_ns") < F.col("valid_to"))),
+    )
+    agg = joined.groupBy("state", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    name = f"scd2enrich_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"streaming scd2 enrich {name!r} did not terminate within "
+            f"{timeout_sec}s; partial results discarded"
+        )
+    return spark.table(name)

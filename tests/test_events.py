@@ -873,3 +873,54 @@ def test_session_paths_hand_check(spark):
         for r in session_paths(ev, 1800, 10, 2).collect()
     }
     assert got == {("view>click", 2)}
+
+
+def test_streaming_scd2_enrich_point_in_time(spark, sf_dir):
+    """Temporal stream-static enrichment must match the batch
+    point-in-time join — and must NOT equal a join against each user's
+    CURRENT state (the leakage bug this operator exists to avoid)."""
+    from clinical_vector_search_spark.operators.temporal import scd2_merge
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        run_streaming_scd2_enrich,
+    )
+
+    got = {
+        tuple(r) for r in run_streaming_scd2_enrich(spark, sf_dir).collect()
+    }
+    ev = read_events(spark, sf_dir).filter(F.col("user_id") < 50)
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    dim = scd2_merge(
+        empty,
+        ev.filter(F.col("event_type").isin("signup", "purchase"))
+        .select("user_id", "event_type", "ts_ns"),
+        "user_id", ["event_type"],
+    ).select(
+        F.col("user_id").alias("_du"),
+        F.col("event_type").alias("state"), "valid_from", "valid_to",
+    )
+    pit = (
+        ev.join(
+            dim,
+            (F.col("user_id") == F.col("_du"))
+            & (F.col("ts_ns") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull()
+               | (F.col("ts_ns") < F.col("valid_to"))),
+        )
+        .groupBy("state", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("s"))
+    )
+    assert got == {tuple(r) for r in pit.collect()} and len(got) > 0
+    # current-state join (valid_to IS NULL) gives a DIFFERENT rollup
+    cur = (
+        ev.join(dim.filter(F.col("valid_to").isNull()),
+                F.col("user_id") == F.col("_du"))
+        .groupBy("state", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("s"))
+    )
+    assert got != {tuple(r) for r in cur.collect()}
