@@ -1160,6 +1160,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered EXACT Jaccard join
+    (operators/dedup.py jaccard_prefix_pairs): candidates come from a
+    self-join of each doc's (1-τ)·|d|+1 rarest shingles only (global
+    (df, shingle) order + length filter), then exact verification —
+    identical output to the full postings join, ~τ²-fraction of the
+    join input. Run at τ=0.5 (vs the full-join entry's 0.2) so the two
+    entries exercise different prune regimes; oracle is the plain
+    all-pairs SQL at the same threshold."""
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    p = jaccard_prefix_pairs(
+        _docs(spark, sf_dir), shingle_size=SHINGLE_N, threshold=0.5
+    )
+    return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact quadratic path — oracle side)."""
     from clinical_vector_search_spark.operators.dedup import embedding_neardup_pairs
@@ -1536,6 +1555,56 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return attribution_linear(
         _events(spark, sf_dir), ["view", "click"], "purchase", 86400
+    )
+
+
+def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted mean of value per user (streaming/events.py
+    time_weighted_avg): each observation weighted by its holding
+    duration (gap to the user's next event) — the irregular-time-series
+    mean. One user-key window + one agg; integer-ns arithmetic until
+    the final division; zero-span users excluded (undefined)."""
+    from clinical_vector_search_spark.streaming.events import (
+        time_weighted_avg,
+    )
+
+    return time_weighted_avg(_events(spark, sf_dir))
+
+
+def q_rel_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority monthly-revenue regression (built-in regr_slope /
+    regr_intercept / regr_r2 over a two-level agg): month index x =
+    (year-1992)·12 + month, y = monthly revenue rounded to cents BEFORE
+    the regression so both engines regress identical inputs. The first
+    agg is the only fact-table shuffle; the regression runs over
+    |priorities|×|months| rows."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    m = o.groupBy(
+        "o_orderpriority",
+        (
+            (F.year("o_orderdate") - F.lit(1992)) * 12
+            + F.month("o_orderdate")
+        ).alias("m"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    return m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.round(F.regr_slope("rev", "m"), 3).alias("slope"),
+        F.round(F.regr_intercept("rev", "m"), 2).alias("intercept"),
+        F.round(F.regr_r2("rev", "m"), 6).alias("r2"),
+    )
+
+
+def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinctive terms by Dunning's signed G² log-likelihood
+    ratio (functions/text.py distinctive_terms): document-frequency
+    inside the slice vs the rest of the corpus under a shared-rate null,
+    min_df support cut, rounded-before-rank top-5 per source."""
+    from clinical_vector_search_spark.functions.text import (
+        distinctive_terms,
+    )
+
+    return distinctive_terms(
+        _docs(spark, sf_dir), group_col="source", topk=5, min_df=20
     )
 
 
@@ -2767,6 +2836,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_paths": q_events_session_paths,
         "events_psi_drift": q_events_psi_drift,
         "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_time_weighted": q_events_time_weighted,
+        "rel_order_trend": q_rel_order_trend,
+        "text_distinctive_terms": q_text_distinctive_terms,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -5012,6 +5085,84 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN sizes sa ON sa.doc_id = a_id
                     JOIN sizes sb ON sb.doc_id = b_id
         WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THR}
+    """
+
+    # dedup_jaccard_prefix: the prefix-filtered Spark plan is an exact
+    # algorithm, so the oracle is the SAME all-pairs formulation at its
+    # threshold (0.5) — the filter is a physical optimization, not a
+    # semantic one.
+    s["dedup_jaccard_prefix"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*)::DOUBLE AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id)
+        SELECT a_id, b_id,
+               round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+        FROM common JOIN sizes sa ON sa.doc_id = a_id
+                    JOIN sizes sb ON sb.doc_id = b_id
+        WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.5
+    """
+
+    s["events_time_weighted"] = """
+        WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
+                   FROM events),
+        g AS (SELECT user_id, value,
+                     (lead(ts_ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id)
+                      - ts_ns)::DOUBLE AS gap
+              FROM e)
+        SELECT user_id, count(*) AS n_events, sum(gap)::BIGINT AS span_ns,
+               round(sum(value * gap) / sum(gap), 6) AS twa
+        FROM g GROUP BY 1 HAVING sum(gap) > 0
+    """
+
+    s["rel_order_trend"] = """
+        WITH m AS (SELECT o_orderpriority,
+                          (year(o_orderdate) - 1992) * 12
+                              + month(o_orderdate) AS m,
+                          round(sum(o_totalprice), 2) AS rev
+                   FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, count(*) AS n_months,
+               round(regr_slope(rev, m), 3) AS slope,
+               round(regr_intercept(rev, m), 2) AS intercept,
+               round(regr_r2(rev, m), 6) AS r2
+        FROM m GROUP BY 1
+    """
+
+    s["text_distinctive_terms"] = f"""
+        WITH toks AS ({_TOKS}),
+        dt AS (SELECT DISTINCT t.doc_id, d.source AS grp,
+                               unnest(t.tokens) AS term
+               FROM toks t JOIN documents d USING (doc_id)),
+        vocab AS (SELECT term, count(*) AS n_t FROM dt
+                  GROUP BY 1 HAVING count(*) >= 20),
+        aa AS (SELECT grp, dt.term, count(*) AS a, max(n_t) AS n_t
+               FROM dt JOIN vocab USING (term) GROUP BY 1, 2),
+        ns AS (SELECT source AS grp, count(*) AS n1 FROM documents
+               GROUP BY 1),
+        c AS (SELECT grp, term, a::DOUBLE AS a, (n_t - a)::DOUBLE AS b,
+                     n1::DOUBLE AS n1,
+                     (SELECT count(*)::DOUBLE FROM documents) - n1 AS n2
+              FROM aa JOIN ns USING (grp)),
+        g AS (SELECT grp, term, a::BIGINT AS n_in, b::BIGINT AS n_out,
+                     round((CASE WHEN a / n1 >= b / n2 THEN 1 ELSE -1 END)
+                           * 2 * (
+                       CASE WHEN a > 0
+                            THEN a * ln(a / (n1 * (a + b) / (n1 + n2)))
+                            ELSE 0 END
+                     + CASE WHEN b > 0
+                            THEN b * ln(b / (n2 * (a + b) / (n1 + n2)))
+                            ELSE 0 END), 6) AS g2
+              FROM c),
+        r AS (SELECT *, row_number() OVER (
+                  PARTITION BY grp ORDER BY g2 DESC, term) AS term_rank
+              FROM g)
+        SELECT grp AS source, term_rank, term, n_in, n_out, g2
+        FROM r WHERE term_rank <= 5
     """
 
     # dedup_groups: same Jaccard pair derivation as dedup_ngram_jaccard,

@@ -708,3 +708,98 @@ def pmi_cooccurrence(
     return pairs.select(
         "term_a", "term_b", "n_ab", F.round(pmi, 6).alias("pmi")
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    group_col: str = "source",
+    topk: int = 5,
+    min_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``topk`` distinctive terms per ``group_col`` slice by Dunning's
+    log-likelihood ratio (G²) — the corpus-comparison statistic keyword
+    extractors use where raw tf-idf over-rewards rare typos: G² compares a
+    term's document frequency INSIDE a slice against the REST of the
+    corpus under a shared-rate null.
+
+    For term t and slice s with a = df(t, in s), b = df(t, elsewhere),
+    n1 = docs in s, n2 = docs elsewhere:
+        e1 = n1·(a+b)/(n1+n2),  e2 = n2·(a+b)/(n1+n2)
+        G² = 2·(a·ln(a/e1) + b·ln(b/e2))   (x·ln(x/e) ≡ 0 at x = 0)
+    Document-level presence counts (distinct doc-term), mirroring the PMI
+    operator; terms below ``min_df`` corpus-wide are cut first — the same
+    support cut that bounds every sketch here. Signed: G² is negated when
+    a/n1 < b/n2 so present-but-UNDERREPRESENTED terms rank below the
+    positives, not among them. Terms wholly absent from a slice (a = 0)
+    emit no row at all — the slice's (grp, term) pair never exists in the
+    posting join, and materializing the vocab×slices complement is
+    exactly the dense cross join this plan avoids.
+
+    Scale shape: one (doc, term)-distinct shuffle, a term-keyed agg (map-
+    side combined), the per-slice doc counts broadcast (|slices| rows),
+    and one per-slice window for the top-k. Rounded-before-rank (G² to 6)
+    so a last-ulp ln() difference cannot flip the cut.
+
+    Returns (group_col, term_rank, term, n_in, n_out, g2)."""
+    docs = df.select(
+        F.col(id_col).alias("_doc"),
+        F.col(group_col).alias("grp"),
+        tokenize(text_col).alias("_toks"),
+    )
+    dt = docs.select("_doc", "grp", F.explode("_toks").alias("term")).dropDuplicates(
+        ["_doc", "term"]
+    )
+    vocab = dt.groupBy("term").agg(F.count(F.lit(1)).alias("n_t")).filter(
+        F.col("n_t") >= min_df
+    )
+    in_slice = dt.join(vocab, "term").groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("a"), F.first("n_t").alias("n_t")
+    )
+    slice_sizes = docs.groupBy("grp").agg(
+        F.countDistinct("_doc").alias("n1")
+    )
+    n_total = docs.agg(F.countDistinct("_doc").alias("n")).select("n")
+    counts = (
+        in_slice.join(F.broadcast(slice_sizes), "grp")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "grp",
+            "term",
+            F.col("a").cast("double").alias("a"),
+            (F.col("n_t") - F.col("a")).cast("double").alias("b"),
+            F.col("n1").cast("double").alias("n1"),
+            (F.col("n") - F.col("n1")).cast("double").alias("n2"),
+        )
+    )
+
+    def _xlx(x, e):  # x·ln(x/e), continuous 0 at x = 0
+        return F.when(x > 0, x * F.log(x / e)).otherwise(F.lit(0.0))
+
+    e1 = F.col("n1") * (F.col("a") + F.col("b")) / (F.col("n1") + F.col("n2"))
+    e2 = F.col("n2") * (F.col("a") + F.col("b")) / (F.col("n1") + F.col("n2"))
+    g2 = F.lit(2.0) * (_xlx(F.col("a"), e1) + _xlx(F.col("b"), e2))
+    signed = F.when(
+        F.col("a") / F.col("n1") >= F.col("b") / F.col("n2"), g2
+    ).otherwise(-g2)
+    scored = counts.select(
+        "grp",
+        "term",
+        F.col("a").cast("long").alias("n_in"),
+        F.col("b").cast("long").alias("n_out"),
+        F.round(signed, 6).alias("g2"),
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("g2"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= topk)
+        .select(
+            F.col("grp").alias(group_col),
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "term",
+            "n_in",
+            "n_out",
+            "g2",
+        )
+    )

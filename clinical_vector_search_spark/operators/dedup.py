@@ -1392,3 +1392,112 @@ def semantic_dedup_pairs_pd(
         )
         .filter(F.col("cosine") >= F.lit(float(threshold)))
     )
+
+
+def jaccard_prefix_pairs(
+    df: DataFrame,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via PPJoin-style prefix filtering —
+    same output contract as :func:`ngram_jaccard_pairs` (every pair with
+    J ≥ ``threshold``, no misses, no extras) but candidate generation
+    joins only each doc's PREFIX postings instead of all of them.
+
+    Generalizes the reference's exact text dedup
+    (src/pipeline/pipeline.py:67) to similarity-threshold joins that
+    stay exact at scale (the MinHash path trades recall for speed; this
+    one trades nothing and still avoids the full postings self-join).
+
+    Why this is the 100 TB shape: ``ngram_jaccard_pairs`` self-joins the
+    FULL posting list, so a corpus-universal shingle contributes
+    df² candidate rows (df_cap drops such shingles — changing the
+    semantics). Here every doc keeps only its
+    ``|d| - ceil(τ·|d|) + 1`` rarest shingles (global order =
+    (document-frequency asc, shingle asc)); the classic prefix-filter
+    lemma guarantees any pair with J ≥ τ shares its globally-smallest
+    common shingle within BOTH prefixes, so the prefix×prefix equi-join
+    loses nothing. At τ=0.8 that is ~20% of postings on each side — a
+    25× smaller join — and the rarest-first order means the surviving
+    join keys are precisely the low-frequency ones. A length filter
+    (min(|a|,|b|) ≥ ceil(τ·max(|a|,|b|)), necessary since
+    common ≤ min and common ≥ τ·union ≥ τ·max) prunes candidates
+    before verification. Verification is exact: candidates re-join the
+    full postings to count the true intersection.
+
+    Plan: tokenize/shingle map-side → one shingle-key shuffle for df →
+    one doc-key window for prefix positions → prefix self-join →
+    verify joins at candidate granularity. No CartesianProduct
+    (plan-audited), no driver collects.
+    """
+    from pyspark.sql import Window
+
+    from clinical_vector_search_spark.plan_cache import tracked_cache
+
+    tau = float(threshold)
+    sh = tracked_cache(
+        TXT.shingle_rows(
+            df, shingle_size, text_col, id_col, distinct=True
+        ).withColumnRenamed(id_col, "doc")
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("sdf"))
+    w = Window.partitionBy("doc").orderBy(F.asc("sdf"), F.asc("shingle"))
+    pref = (
+        sh.join(dfreq, "shingle")
+        .withColumn("_pos", F.row_number().over(w))
+        .join(sizes, "doc")
+        .filter(
+            F.col("_pos")
+            <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1
+        )
+        .select("doc", "n_sh", "shingle")
+    )
+    a = pref.select(
+        F.col("doc").alias("a_id"), F.col("n_sh").alias("na"), "shingle"
+    )
+    b = pref.select(
+        F.col("doc").alias("b_id"), F.col("n_sh").alias("nb"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (
+                F.least("na", "nb")
+                >= F.ceil(F.lit(tau) * F.greatest("na", "nb"))
+            )
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    common = (
+        cand.join(sh.select(F.col("doc").alias("a_id"), "shingle"), "a_id")
+        .join(
+            sh.select(F.col("doc").alias("b_id"), "shingle"),
+            ["b_id", "shingle"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.select(F.col("doc").alias("a_id"), F.col("n_sh").alias("na")),
+            "a_id",
+        )
+        .join(
+            sizes.select(F.col("doc").alias("b_id"), F.col("n_sh").alias("nb")),
+            "b_id",
+        )
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= tau)
+    )

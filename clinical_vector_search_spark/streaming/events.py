@@ -1458,3 +1458,54 @@ def run_streaming_scd2_enrich(
             f"{timeout_sec}s; partial results discarded"
         )
     return spark.table(name)
+
+
+def time_weighted_avg(
+    events: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-weighted mean of ``value_col`` per group: each observation is
+    weighted by how long it was the CURRENT value (the gap to the group's
+    next event), the standard irregular-time-series mean (a tumbling bar
+    averages ticks equally; a sensor emitting on-change needs the
+    holding-duration weight or rare-but-long-lived states vanish).
+
+    twa = Σ value_i · (t_{i+1} − t_i) / (t_last − t_first), over events
+    ordered by (ts_ns, event_id); the last event holds no interval and
+    contributes only its timestamp. Groups whose span is zero (a single
+    event, or all events on one timestamp) have no defined holding time
+    and are excluded rather than divided by zero.
+
+    Scale shape: one lag/lead window per group key — the same single
+    group-key shuffle as sessionize; no self-join, no driver state. The
+    arithmetic is integer-ns (exact) until the final division.
+
+    Output: (group, n_events, span_ns, twa DOUBLE rounded 6).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc("ts_ns"), F.asc("event_id")
+    )
+    gap = (F.lead("ts_ns").over(w) - F.col("ts_ns")).cast("double")
+    stepped = events.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("_v"),
+        gap.alias("_gap"),
+    )
+    return (
+        stepped.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("_gap").cast("long").alias("span_ns"),
+            (F.sum(F.col("_v") * F.col("_gap")) / F.sum("_gap")).alias("_twa"),
+        )
+        .filter(F.col("span_ns") > 0)
+        .select(
+            F.col("grp").alias(group_col),
+            "n_events",
+            "span_ns",
+            F.round("_twa", 6).alias("twa"),
+        )
+    )

@@ -623,3 +623,51 @@ def test_semantic_clusters_pd_bit_parity(spark, sf_dir):
     sb = {r.vec_id
           for r in semantic_dedup(emb, 64, 0.3, 4, accel="pd").collect()}
     assert sa == sb
+
+
+def test_jaccard_prefix_parity_small(docs):
+    """Prefix-filtered exact join == full postings join at every
+    threshold (the prefix-filter lemma: no misses, verification kills
+    extras)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    for tau in (0.2, 0.5, 0.8):
+        full = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(
+                docs, shingle_size=3, threshold=tau
+            ).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_prefix_pairs(
+                docs, shingle_size=3, threshold=tau
+            ).collect()
+        }
+        assert pref == full, f"tau={tau}"
+
+
+def test_jaccard_prefix_parity_corpus(spark, sf_dir):
+    """Full-corpus parity at the test scale factor — the prefix path is
+    the same operator, just with a bounded candidate join."""
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            docs, shingle_size=3, threshold=0.2
+        ).collect()
+    }
+    pref = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_prefix_pairs(
+            docs, shingle_size=3, threshold=0.2
+        ).collect()
+    }
+    assert pref == full
+    assert full  # non-vacuous: the corpus does contain near-dup pairs

@@ -924,3 +924,28 @@ def test_streaming_scd2_enrich_point_in_time(spark, sf_dir):
              F.round(F.sum("value"), 2).alias("s"))
     )
     assert got != {tuple(r) for r in cur.collect()}
+
+
+def test_time_weighted_avg_golden(spark):
+    """Hand-checked TWA; single-event and zero-span groups excluded."""
+    from clinical_vector_search_spark.streaming.events import (
+        time_weighted_avg,
+    )
+
+    rows = [
+        # user 1: v=10 held 10s, v=20 held 20s -> (100+400)/30
+        (1, 1, 0, 10.0),
+        (2, 1, 10_000_000_000, 20.0),
+        (3, 1, 30_000_000_000, 99.0),  # last event: no holding interval
+        (4, 2, 5_000_000_000, 7.0),  # single event -> excluded
+        (5, 3, 1_000_000_000, 1.0),  # zero span -> excluded
+        (6, 3, 1_000_000_000, 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    got = {r.user_id: r for r in time_weighted_avg(df).collect()}
+    assert set(got) == {1}
+    assert got[1].n_events == 3
+    assert got[1].span_ns == 30_000_000_000
+    assert abs(got[1].twa - round((100 + 400) / 30, 6)) < 1e-9

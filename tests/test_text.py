@@ -394,3 +394,42 @@ def test_pmi_cooccurrence_hand_check(spark):
         for r in pmi_cooccurrence(docs, min_count=2).collect()
     }
     assert got == {("a", "b"): (2, round(math.log(4 / 3), 6))}
+
+
+def test_distinctive_terms_golden(spark):
+    """Dunning G² hand-check: the slice-exclusive term tops its slice,
+    ubiquitous terms score ~0, signed ranking puts 'distinctively
+    absent' terms last."""
+    import math
+
+    from clinical_vector_search_spark.functions.text import (
+        distinctive_terms,
+    )
+
+    rows = []
+    for i in range(10):
+        # gamma present in 9 of A's docs...
+        rows.append((i, "common alpha" + (" gamma" if i < 9 else ""), "A"))
+    for i in range(10, 20):
+        # ...and 1 of B's: present-but-underrepresented in B
+        rows.append((i, "common beta" + (" gamma" if i == 10 else ""), "B"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = distinctive_terms(df, group_col="source", topk=4, min_df=5)
+    got = {(r.source, r.term): r for r in out.collect()}
+
+    # exact G² for alpha-in-A: a=10,b=0,n1=n2=10 -> 2*10*ln(2)
+    expect = round(2 * 10 * math.log(2.0), 6)
+    assert abs(got[("A", "alpha")].g2 - expect) < 1e-9
+    assert got[("A", "alpha")].n_in == 10 and got[("A", "alpha")].n_out == 0
+    assert got[("A", "alpha")].term_rank == 1
+    assert abs(got[("B", "beta")].g2 - expect) < 1e-9
+    # 'common' is everywhere: G² exactly 0 (a/n1 == b/n2, both terms ln(1))
+    assert got[("A", "common")].g2 == 0.0
+    # gamma: 9-of-10 in A (positive), 1-of-10 in B (signed NEGATIVE:
+    # distinctively underrepresented), G² magnitude equal by symmetry
+    g_gamma = round(2 * (1 * math.log(1 / 5) + 9 * math.log(9 / 5)), 6)
+    assert abs(got[("A", "gamma")].g2 - g_gamma) < 1e-9
+    assert abs(got[("B", "gamma")].g2 + g_gamma) < 1e-9
+    assert got[("B", "gamma")].term_rank > got[("B", "common")].term_rank
+    # slice-ABSENT terms emit no row (a = 0 is unscored, not -inf)
+    assert ("B", "alpha") not in got

@@ -268,9 +268,14 @@ def main() -> int:
         ngram_jaccard_pairs,
     )
 
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
     for name, df in (
         ("minhash_candidate_pairs", minhash_candidate_pairs(docs)),
         ("ngram_jaccard_pairs", ngram_jaccard_pairs(docs)),
+        ("jaccard_prefix_pairs", jaccard_prefix_pairs(docs, threshold=0.5)),
     ):
         plan = formatted(df)
         check(f"{name}: no CartesianProduct", "CartesianProduct" not in plan)
