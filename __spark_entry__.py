@@ -338,6 +338,72 @@ def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution
+    (functions/text.py zipf_fit): OLS of ln(freq) on ln(rank), ranks via
+    dense_row_ids (no single-task global sort), min_count=5 support cut.
+    One (n_terms, slope, intercept, r2) row — the vocabulary-level
+    corpus-quality drift signal."""
+    from clinical_vector_search_spark.functions.text import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir), min_count=5)
+
+
+def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction (operators/skew.py bloom_filtered_join):
+    lineitem is probed map-side against a Bloom filter of the high-value
+    order keys BEFORE the join shuffle — the explicit engine-portable
+    form of runtime filter pushdown for dimensions too big to broadcast
+    as hash tables. Exact: FPs pass the probe, die in the join; result
+    equals the plain join (the oracle)."""
+    from clinical_vector_search_spark.operators.skew import (
+        bloom_filtered_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"),
+        "l_returnflag",
+        "l_extendedprice",
+        "l_discount",
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 350000)
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    j = bloom_filtered_join(li, o, "okey", m=1 << 16, k=4)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+SHARD_COLS = ["doc_id", "source", "text", "n_chars"]
+
+
+def q_io_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard publisher roundtrip (io/tables.py
+    publish_shards): documents frozen into 16 content-addressed shards
+    (shard = md5(key) pmod 16 — engine-independent, repartition-stable)
+    written Hive-partitioned, plus a per-shard manifest of
+    (n_rows, order-invariant XOR content hash, key range). The entry
+    returns the manifest READ BACK from the published directory, so the
+    oracle checks the artifact, not the plan."""
+    from clinical_vector_search_spark.io.tables import publish_shards
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch_dir("cvs_shards", tag)
+    return publish_shards(
+        _docs(spark, sf_dir).select(*SHARD_COLS),
+        path,
+        16,
+        "doc_id",
+        hash_cols=SHARD_COLS,
+    )
+
+
 def q_rel_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.6 pivot: order counts per customer-nation × order status. Pivot
     compiles to conditional aggregates (one shuffle), which is also how
@@ -2840,6 +2906,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_weighted": q_events_time_weighted,
         "rel_order_trend": q_rel_order_trend,
         "text_distinctive_terms": q_text_distinctive_terms,
+        "io_shard_manifest": q_io_shard_manifest,
+        "rel_bloom_join": q_rel_bloom_join,
+        "text_zipf_fit": q_text_zipf_fit,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -4977,6 +5046,48 @@ def oracle_sql() -> dict[str, str]:
                bit_xor(('0x' || substr(md5(concat_ws('|', {_fp_cols})),
                    1, 15))::BIGINT) AS content_hash
         FROM documents
+    """
+
+    s["text_zipf_fit"] = f"""
+        WITH toks AS ({_TOKS}),
+        t AS (SELECT unnest(tokens) AS term FROM toks),
+        f AS (SELECT term, count(*) AS cnt FROM t
+              GROUP BY 1 HAVING count(*) >= 5),
+        r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term)
+                  AS rank FROM f)
+        SELECT count(*) AS n_terms,
+               round(regr_slope(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6)
+                   AS slope,
+               round(regr_intercept(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6)
+                   AS intercept,
+               round(regr_r2(ln(cnt::DOUBLE), ln(rank::DOUBLE)), 6) AS r2
+        FROM r
+    """
+
+    # rel_bloom_join: the Bloom probe is a physical reduction, not a
+    # semantic one — the oracle is the plain join.
+    s["rel_bloom_join"] = """
+        SELECT o_orderpriority, count(*) AS n_items,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_totalprice > 350000
+        GROUP BY 1
+    """
+
+    # io_shard_manifest: the roundtrip wrote shard = md5(doc_id) pmod 16
+    # and an XOR-of-row-hashes manifest; the oracle re-derives both from
+    # the SOURCE table — matching proves the published artifact carries
+    # exactly the source rows, correctly assigned.
+    s["io_shard_manifest"] = f"""
+        WITH s AS (SELECT doc_id, source, text, n_chars,
+                          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT
+                              % 16 AS shard
+                   FROM documents)
+        SELECT shard, count(*) AS n_rows,
+               bit_xor(('0x' || substr(md5(concat_ws('|', {_fp_cols})),
+                   1, 15))::BIGINT) AS content_hash,
+               min(doc_id) AS min_key, max(doc_id) AS max_key
+        FROM s GROUP BY 1
     """
 
     # span-level dedup: first-occurrence winners via row_number (the

@@ -138,7 +138,12 @@ def bloom_probe(c: Column | str, words: list[int], m: int, k: int) -> Column:
     Entirely map-side — the bitmap rides the plan as a constant array
     (whole-stage-codegen'd), so probing a corpus costs zero shuffles
     until whatever aggregation consumes the flag."""
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    # ONE array Literal (not CreateArray of m/32 literal nodes): the
+    # bitmap appears in k element_at contexts, and a CreateArray copy in
+    # each made the expression tree O(k·m/32) nodes — measured ~2x on
+    # the probe-heavy entries. A Literal is a single node holding the
+    # ArrayData by reference however often it is referenced.
+    arr = F.lit([int(w) for w in words]).cast("array<long>")
     checks = []
     for j in range(k):
         pos = salted_md5_long(c, j) % F.lit(m)

@@ -803,3 +803,48 @@ def distinctive_terms(
             "g2",
         )
     )
+
+
+def zipf_fit(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Zipf's-law fit of the corpus term-frequency distribution: OLS of
+    ln(freq) on ln(rank) over terms with ≥ ``min_count`` occurrences.
+    Natural corpora run slope ≈ −1; a corpus whose slope drifts far from
+    its baseline (template spam flattens it, boilerplate floods steepen
+    the head) is the cheapest whole-corpus quality smell the pipeline
+    can track per snapshot (the vocabulary-level companion of psi_drift).
+
+    Ranking |V| terms globally by frequency is the scale trap here —
+    a row_number over one partition funnels the vocabulary through one
+    task. Ranks come from ``functions.ids.dense_row_ids`` instead
+    (range-exchange + per-partition windows + broadcast offsets), the
+    same primitive text_ppl_buckets uses; ties broken by term so the
+    rank — and therefore the fit — is deterministic cross-engine.
+
+    Returns ONE row: (n_terms, slope, intercept, r2), rounded to 6.
+    """
+    from clinical_vector_search_spark.functions.ids import dense_row_ids
+
+    toks = df.select(F.explode(tokenize(text_col)).alias("term"))
+    freq = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+    ranked = dense_row_ids(
+        freq.withColumn("_negf", -F.col("cnt")),
+        ["_negf", "term"],
+        id_col="rank",
+    )
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("cnt").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )

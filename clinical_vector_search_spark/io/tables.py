@@ -324,3 +324,117 @@ def compact_parquet(
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def publish_shards(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    key_col: str,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic content-addressed shard publisher — the final stage
+    of a training-data pipeline: freeze a prepared corpus into
+    ``n_shards`` reproducible shards plus a verifiable manifest.
+
+    Shard assignment is ``md5(key) pmod n_shards`` — a pure function of
+    the KEY, so it is stable across runs, partitioning, cluster size,
+    and engine (NOT Spark's internal hashpartitioning, which is
+    implementation-defined); re-publishing the same rows always yields
+    byte-identical shard membership, and a trainer can locate any key's
+    shard with one hash. Data is written Hive-partitioned by ``shard``
+    (each shard prunable independently; downstream loaders read
+    ``shard=K`` directories in parallel).
+
+    The manifest is one row per shard: (shard, n_rows, content_hash,
+    min_key, max_key) where content_hash is the order-invariant XOR of
+    per-row md5-longs over ``hash_cols`` (defaults to ``[key_col]``) —
+    the same injective netstring rendering as ``dataset_fingerprint``,
+    so a consumer can re-derive and verify any shard without trusting
+    the publisher. Entirely map-side until the |shards|-row combine.
+
+    Returns the manifest as read back from ``path``/_manifest (the
+    roundtrip proves the published artifact, not the in-memory plan).
+    """
+    from clinical_vector_search_spark.functions.hashing import md5_long
+
+    hash_cols = hash_cols or [key_col]
+
+    def frame(c: str) -> F.Column:
+        tagged = F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(c).cast("string"))
+        )
+        return F.concat(F.length(tagged).cast("string"), F.lit(":"), tagged)
+
+    rendered = F.concat_ws("|", *[frame(c) for c in hash_cols])
+    sharded = df.withColumn(
+        "shard",
+        F.pmod(md5_long(F.col(key_col).cast("string")), F.lit(n_shards)),
+    )
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(
+        f"{path}/data"
+    )
+    manifest = (
+        sharded.withColumn("_h", md5_long(rendered))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("content_hash"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+    )
+    manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
+    spark = df.sparkSession
+    return spark.read.parquet(f"{path}/_manifest")
+
+
+def verify_shard_manifest(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    hash_cols: list[str] | None = None,
+) -> DataFrame:
+    """Consumer-side verification of a ``publish_shards`` artifact:
+    re-derives each shard's (n_rows, content_hash) from the published
+    DATA and full-outer-compares against the manifest. Returns the
+    mismatching shards — empty means the artifact verifies. The caller
+    passes the same (key_col, hash_cols) contract the publisher used;
+    nothing else is trusted. Runs entirely from the directory (a
+    partition-pruned scan per shard at most — here one full scan with a
+    map-side combine)."""
+    from clinical_vector_search_spark.functions.hashing import md5_long
+
+    hash_cols = hash_cols or [key_col]
+
+    def frame(c: str) -> F.Column:
+        tagged = F.when(F.col(c).isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.col(c).cast("string"))
+        )
+        return F.concat(F.length(tagged).cast("string"), F.lit(":"), tagged)
+
+    rendered = F.concat_ws("|", *[frame(c) for c in hash_cols])
+    derived = (
+        spark.read.parquet(f"{path}/data")
+        .withColumn("_h", md5_long(rendered))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("content_hash"),
+        )
+    )
+    man = spark.read.parquet(f"{path}/_manifest").select(
+        "shard",
+        F.col("n_rows").alias("m_rows"),
+        F.col("content_hash").alias("m_hash"),
+    )
+    return (
+        derived.join(man, "shard", "full_outer")
+        .filter(
+            ~(
+                F.col("n_rows").eqNullSafe(F.col("m_rows"))
+                & F.col("content_hash").eqNullSafe(F.col("m_hash"))
+            )
+        )
+        .select("shard", "n_rows", "m_rows", "content_hash", "m_hash")
+    )

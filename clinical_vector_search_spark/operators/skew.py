@@ -162,3 +162,53 @@ def topk_per_group(
         src.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
     )
+
+
+def bloom_filtered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    m: int = 1 << 20,
+    k: int = 5,
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction: probe the BIG side against a Bloom filter of
+    the small side's keys BEFORE the join shuffle, so rows that cannot
+    match never enter the exchange.
+
+    This is the classic distributed-join optimization for the regime
+    between "broadcast the small side" and "shuffle everything": at
+    100 TB a 10⁸-key dimension is too big for a broadcast HASH TABLE
+    (keys + values + object overhead) but its Bloom filter at ~10
+    bits/key is ~125 MB — shippable to every scan task as a literal.
+    With a 1% selective dimension the fact-side exchange shrinks ~100×,
+    which is usually the whole job. Catalyst's own runtime row-group
+    filters help only below thresholds and only for some plan shapes;
+    this operator makes the reduction explicit and engine-portable.
+
+    EXACT for ``inner`` and ``left_semi`` (the only allowed ``how``):
+    Bloom false positives pass the probe but are dropped by the real
+    join; false negatives cannot exist, so no matching row is lost.
+    (Outer/anti joins are rejected — the probe removes non-matching big
+    rows that an outer join must keep.)
+
+    Keys are rendered as strings (cross-type, engine-portable md5). The
+    driver materializes m/32 longs (2 MiB per 2²³ bits) — same bound as
+    ``decontaminate_bloom``.
+    """
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join is exact only for inner/left_semi, got {how!r}"
+        )
+    from clinical_vector_search_spark.functions.hashing import (
+        bloom_build,
+        bloom_probe,
+        bloom_words_array,
+    )
+
+    keys = small.select(F.col(key).cast("string").alias("_k")).distinct()
+    words = bloom_words_array(bloom_build(keys, "_k", m, k), m)
+    probed = big.filter(
+        bloom_probe(F.col(key).cast("string"), words, m, k)
+    )
+    return probed.join(small, key, how)

@@ -674,3 +674,34 @@ def test_psi_drift_semantics(spark):
     oor = spark.createDataFrame([(99.0,), (98.0,)], "value double")
     got = {r.bin: r for r in psi_drift(base, oor, "value", 0.0, 4.0, 4).collect()}
     assert got[4].p_cur == 1.0  # overflow bin carries the mass
+
+
+def test_bloom_filtered_join_exact_and_guarded(spark, sf_dir):
+    """Bloom semi-join reduction returns exactly the plain join (FPs die
+    in the join, no FNs exist); outer joins are rejected."""
+    from clinical_vector_search_spark.operators.skew import (
+        bloom_filtered_join,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("okey"), "l_extendedprice"
+    )
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_orderkey").alias("okey"), "o_orderpriority")
+    )
+    got = sorted(
+        tuple(r)
+        for r in bloom_filtered_join(li, o, "okey", m=1 << 14, k=3).collect()
+    )
+    want = sorted(tuple(r) for r in li.join(o, "okey").collect())
+    assert got == want and want  # exact and non-vacuous
+    # tiny filter (high FP rate) still exact — FPs are join-dropped
+    got_fp = sorted(
+        tuple(r)
+        for r in bloom_filtered_join(li, o, "okey", m=256, k=2).collect()
+    )
+    assert got_fp == want
+    with pytest.raises(ValueError, match="inner/left_semi"):
+        bloom_filtered_join(li, o, "okey", how="left")

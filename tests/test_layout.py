@@ -138,3 +138,52 @@ def test_python_datasource_deterministic_and_partition_independent(spark):
         toks = t.split()
         assert 5 <= len(toks) <= 10
         assert all(tok.startswith("w") for tok in toks)
+
+
+def test_publish_and_verify_shards(spark, sf_dir, tmp_path):
+    """Publish → verify roundtrip: manifest matches the data, shard
+    assignment is a pure function of the key (stable across
+    repartitioning), and tampering is detected."""
+    from clinical_vector_search_spark.io.tables import (
+        publish_shards,
+        verify_shard_manifest,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "shards")
+    man = publish_shards(docs, path, 8, "doc_id", ["doc_id", "text"])
+    rows = man.collect()
+    assert sum(r.n_rows for r in rows) == docs.count()
+    assert {r.shard for r in rows} <= set(range(8))
+
+    # clean artifact verifies
+    bad = verify_shard_manifest(spark, path, "doc_id", ["doc_id", "text"])
+    assert bad.count() == 0
+
+    # determinism: republishing from a shuffled layout -> identical manifest
+    path2 = str(tmp_path / "shards2")
+    man2 = publish_shards(
+        docs.repartition(7), path2, 8, "doc_id", ["doc_id", "text"]
+    )
+    key = ["shard", "n_rows", "content_hash", "min_key", "max_key"]
+    assert sorted(tuple(r[k] for k in key) for r in rows) == sorted(
+        tuple(r[k] for k in key) for r in man2.collect()
+    )
+
+    # tamper: drop one row from a shard's data -> that shard mismatches
+    data = spark.read.parquet(f"{path}/data")
+    some_id = data.limit(1).collect()[0].doc_id
+    tampered = str(tmp_path / "tampered")
+    data.filter(F.col("doc_id") != some_id).write.partitionBy(
+        "shard"
+    ).parquet(f"{tampered}/data")
+    spark.read.parquet(f"{path}/_manifest").write.parquet(
+        f"{tampered}/_manifest"
+    )
+    bad = verify_shard_manifest(
+        spark, tampered, "doc_id", ["doc_id", "text"]
+    ).collect()
+    assert len(bad) == 1
+    assert bad[0].n_rows == bad[0].m_rows - 1

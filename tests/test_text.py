@@ -433,3 +433,25 @@ def test_distinctive_terms_golden(spark):
     assert got[("B", "gamma")].term_rank > got[("B", "common")].term_rank
     # slice-ABSENT terms emit no row (a = 0 is unscored, not -inf)
     assert ("B", "alpha") not in got
+
+
+def test_zipf_fit_matches_numpy_ols(spark):
+    """zipf_fit == NumPy least-squares on the same (rank, freq) points."""
+    import numpy as np
+
+    from clinical_vector_search_spark.functions.text import zipf_fit
+
+    # freqs 8/4/2/1 by construction: a ×8, b ×4, c ×2, d ×1
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    row = zipf_fit(df, min_count=1).collect()[0]
+    assert row.n_terms == 4
+
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(row.slope - round(slope, 6)) < 1e-6
+    assert abs(row.intercept - round(intercept, 6)) < 1e-6
+    ss_res = ((y - (slope * x + intercept)) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    assert abs(row.r2 - round(1 - ss_res / ss_tot, 6)) < 1e-6

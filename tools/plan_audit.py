@@ -280,6 +280,35 @@ def main() -> int:
         plan = formatted(df)
         check(f"{name}: no CartesianProduct", "CartesianProduct" not in plan)
 
+    # 8b. bloom-filtered join: with broadcast disabled (the regime the
+    # operator exists for), the literal-bitmap probe must sit in the big
+    # side's SCAN stage — i.e. the plan is a shuffle join whose big-side
+    # Filter carries the bit-test (shiftright) BEFORE any Exchange.
+    from clinical_vector_search_spark.operators.skew import (
+        bloom_filtered_join,
+    )
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("okey"), "l_extendedprice"
+        )
+        o = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .filter(F.col("o_totalprice") > 350000)
+            .select(F.col("o_orderkey").alias("okey"))
+        )
+        plan = formatted(bloom_filtered_join(li, o, "okey", m=1 << 16, k=3))
+        check(
+            "bloom_filtered_join: shuffle join, map-side bitmap probe",
+            ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan)
+            and "shiftright" in plan
+            and "CartesianProduct" not in plan,
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
     # 9. incremental dedup: corpus-index probe is a semi join, no cartesian
     from clinical_vector_search_spark.operators.dedup import (
         dedup_incremental,
