@@ -338,6 +338,16 @@ def q_io_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per event_type (streaming/events.py
+    ohlc_bars): open/close via min_by/max_by on a zero-padded
+    (ts_ns, event_id) composite — ONE map-side-combinable aggregation,
+    no per-row window."""
+    from clinical_vector_search_spark.streaming.events import ohlc_bars
+
+    return ohlc_bars(_events(spark, sf_dir), 3600)
+
+
 def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus term-frequency distribution
     (functions/text.py zipf_fit): OLS of ln(freq) on ln(rank), ranks via
@@ -1054,6 +1064,32 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     codes = pq_encode(emb, books).withColumnRenamed("vec_id", "doc_id")
     return knn_pq_adc(queries, codes, books, KNN_K)
+
+
+PQ_REFINE_COARSE = 50
+
+
+def q_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage compressed search (operators/pq.py knn_pq_refine): ADC
+    over PQ codes cuts the corpus to 50 candidates/query, then exact-L2
+    rescoring of ONLY those candidates (doc-id equi-join, never
+    corpus-sized) ranks the final top-k — the FAISS IndexRefineFlat
+    architecture."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_refine,
+        pq_codebooks_lcg,
+    )
+
+    emb = _vecs(spark, sf_dir)
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    return knn_pq_refine(
+        queries, docs, books, KNN_K, k_coarse=PQ_REFINE_COARSE
+    )
 
 
 def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2126,6 +2162,23 @@ def q_events_streaming_scd2_enrich(
     return run_streaming_scd2_enrich(spark, sf_dir)
 
 
+def q_events_streaming_chained_agg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TWO stateful operators in ONE streaming query (streaming/events.py
+    run_streaming_chained_agg): watermarked 5-min tumbling counts whose
+    finalized windows feed an hourly windowed re-aggregation — the
+    streaming pre-aggregate→rollup cascade, certified by a REAL
+    availableNow replay (double sentinel advance so the watermark flush
+    propagates through both operators) vs the batch SQL twin."""
+    from clinical_vector_search_spark.streaming.events import (
+        run_streaming_chained_agg,
+    )
+
+    _events(spark, sf_dir)  # sets the nanosAsLong session conf
+    return run_streaming_chained_agg(spark, sf_dir)
+
+
 def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-self-trained bigram LM scoring (functions/text.py
     bigram_lm_score — the count-based CCNet-style perplexity filter):
@@ -2909,6 +2962,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_shard_manifest": q_io_shard_manifest,
         "rel_bloom_join": q_rel_bloom_join,
         "text_zipf_fit": q_text_zipf_fit,
+        "events_ohlc": q_events_ohlc,
+        "knn_pq_refine": q_knn_pq_refine,
+        "events_streaming_chained_agg": q_events_streaming_chained_agg,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -3680,6 +3736,36 @@ def oracle_sql() -> dict[str, str]:
     """
 
     s["knn_ivfpq_fullprobe"] = s["knn_pq_adc"]
+
+    # knn_pq_refine: ADC coarse cut (same fragments) then exact-L2
+    # rescore of the candidates only; final rank by the exact distance
+    # (same d-order fold as knn_exact_l2 so raw doubles bit-match).
+    s["knn_pq_refine"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        c AS (SELECT vec_id AS doc_id, {_pq_codes} AS codes FROM d),
+        q AS (SELECT vec_id AS query_id, v FROM d WHERE vec_id < {KNN_NQ}),
+        tabs AS (SELECT query_id, {_pq_qtab} AS tab FROM q),
+        sc AS (SELECT query_id, doc_id,
+                 list_sum([tab[sub + 1][codes[sub + 1] + 1]
+                           FOR sub IN range(0, {PQ_M})]) AS adc
+               FROM tabs CROSS JOIN c),
+        r AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, doc_id) AS rank FROM sc),
+        cand AS (SELECT query_id, doc_id FROM r WHERE rank <= {PQ_REFINE_COARSE}),
+        res AS (SELECT cand.query_id, cand.doc_id,
+                  list_sum([ (qq.qv[i + 1] - dd.v[i + 1]) ^ 2
+                             FOR i IN range(0, 64)]) AS l2
+                FROM cand
+                JOIN (SELECT vec_id AS doc_id, v FROM d) dd USING (doc_id)
+                JOIN (SELECT vec_id AS query_id, v AS qv FROM d
+                      WHERE vec_id < {KNN_NQ}) qq USING (query_id)),
+        rr AS (SELECT query_id, doc_id, l2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2, doc_id) AS rank FROM res)
+        SELECT query_id, rank, doc_id, round(l2, 6) AS l2_dist
+        FROM rr WHERE rank <= {KNN_K}
+    """
 
     # L2 kNN: d-order summation of squared diffs matches the fold order
     s["knn_exact_l2"] = f"""
@@ -5046,6 +5132,33 @@ def oracle_sql() -> dict[str, str]:
                bit_xor(('0x' || substr(md5(concat_ws('|', {_fp_cols})),
                    1, 15))::BIGINT) AS content_hash
         FROM documents
+    """
+
+    s["events_streaming_chained_agg"] = """
+        WITH e AS (SELECT event_type, value, epoch_ns(ts) AS ts_ns
+                   FROM events),
+        i AS (SELECT (ts_ns // 300000000000) * 300 AS b_in, event_type,
+                     count(*) AS n_ev, sum(value) AS s_v
+              FROM e GROUP BY 1, 2)
+        SELECT (b_in // 3600) * 3600 AS window_start, event_type,
+               count(*) AS n_inner, sum(n_ev)::BIGINT AS n_events,
+               max(n_ev) AS max_inner, round(sum(s_v), 6) AS sum_value
+        FROM i GROUP BY 1, 2
+    """
+
+    s["events_ohlc"] = """
+        WITH e AS (SELECT event_id, event_type, value, epoch_ns(ts) AS ts_ns
+                   FROM events),
+        k AS (SELECT *, (ts_ns // 3600000000000) * 3600 AS window_start,
+                     lpad(ts_ns::VARCHAR, 19, '0') || ':' ||
+                         lpad(event_id::VARCHAR, 10, '0') AS okey
+              FROM e)
+        SELECT window_start, event_type AS grp,
+               min_by(value, okey) AS open,
+               max(value) AS high, min(value) AS low,
+               max_by(value, okey) AS close,
+               count(*) AS n_events, round(sum(value), 6) AS volume
+        FROM k GROUP BY 1, 2
     """
 
     s["text_zipf_fit"] = f"""

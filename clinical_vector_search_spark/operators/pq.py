@@ -474,3 +474,57 @@ def residual_vectors(
     return docs.select(id_col, vec_col).mapInPandas(
         fn, f"{id_col} long, {out_col} array<double>"
     )
+
+
+def knn_pq_refine(
+    queries: DataFrame,
+    docs: DataFrame,
+    books: list,
+    k: int,
+    k_coarse: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage compressed search (the FAISS IndexRefineFlat
+    architecture, generalizing reference pipeline.py:126-136's
+    single-stage index): ADC over the PQ codes prunes the corpus to
+    ``k_coarse`` candidates per query, then ONLY those candidates'
+    raw vectors are fetched (doc-id equi-join at candidate granularity
+    — Q·k_coarse rows, never corpus-sized) and rescored with the exact
+    L2 distance; the final top-``k`` ranks by the exact score.
+
+    Why this is the 100 TB serving shape: the scan stage touches the
+    codes table (m bytes/doc, ~d·4/m× smaller than the vectors); the
+    raw vectors are read point-wise through a join that a bucketed or
+    z-ordered layout turns into a pruned fetch. Recall ≥ plain ADC at
+    equal k (refinement can only fix quantization-induced inversions
+    inside the candidate set — tests assert both), and the result is
+    EXACT whenever the true top-k survives the coarse cut.
+
+    Returns (query_id, rank, doc_id, l2_dist ascending, ties by doc id).
+    """
+    from clinical_vector_search_spark.functions import vector as V
+
+    codes = pq_encode(
+        docs.select(F.col(doc_id), F.col(vec_col)), books,
+        id_col=doc_id, vec_col=vec_col,
+    )
+    cand = knn_pq_adc(
+        queries, codes, books, k_coarse,
+        query_id=query_id, query_vec=query_vec, doc_id=doc_id,
+    ).select(query_id, doc_id)
+    rescored = (
+        cand.join(
+            docs.select(F.col(doc_id), F.col(vec_col).alias("_dv")), doc_id
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_id), F.col(query_vec).alias("_qv"))
+            ),
+            query_id,
+        )
+        .select(query_id, doc_id, V.l2_sq("_qv", "_dv").alias("l2_dist"))
+    )
+    return _ranked_asc(rescored, query_id, doc_id, k, "l2_dist")

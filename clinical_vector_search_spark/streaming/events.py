@@ -1509,3 +1509,190 @@ def time_weighted_avg(
             F.round("_twa", 6).alias("twa"),
         )
     )
+
+
+def ohlc_bars(
+    events: DataFrame,
+    window_sec: int = 3600,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """OHLC candle aggregation: per (group, tumbling window) the Open
+    (first value by time), High, Low, Close (last value by time) plus
+    volume — the time-series summarization finance/telemetry pipelines
+    run as their first rollup.
+
+    Open/close use ``min_by``/``max_by`` on a composite (ts_ns, event_id)
+    order key so concurrent-timestamp ties break deterministically — the
+    whole thing stays ONE map-side-combinable aggregation (first_value
+    over a window would shuffle rows, then scan them again; min_by
+    partials combine associatively, the 100 TB shape).
+
+    The composite key is a zero-padded string ``ts_ns:event_id`` —
+    lexicographic == numeric for non-negative fixed-width renders, and
+    scalar-typed so it is portable (SQL engines' min_by commonly lack
+    struct-ordered keys; a packed int64 would overflow at ns scale).
+
+    Output: (window_start epoch-sec, group, open, high, low, close,
+    n_events, volume)."""
+    bucket = (
+        F.expr(f"ts_ns div {NS * window_sec}") * F.lit(window_sec)
+    ).alias("window_start")
+    okey = F.concat(
+        F.lpad(F.col("ts_ns").cast("string"), 19, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+    )
+    return events.groupBy(bucket, F.col(group_col).alias("grp")).agg(
+        F.min_by(value_col, okey).alias("open"),
+        F.max(value_col).alias("high"),
+        F.min(value_col).alias("low"),
+        F.max_by(value_col, okey).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(value_col), 6).alias("volume"),
+    )
+
+
+def chained_agg_batch(
+    events: DataFrame, inner_sec: int = 300, outer_sec: int = 3600
+) -> DataFrame:
+    """Batch twin of :func:`run_streaming_chained_agg`: inner tumbling
+    (inner_sec) counts/sums per event_type, re-aggregated into outer_sec
+    windows (start-aligned — ``inner_sec`` must divide ``outer_sec``).
+    Output: (window_start epoch-sec, event_type, n_inner, n_events,
+    max_inner, sum_value rounded 6)."""
+    if outer_sec % inner_sec:
+        raise ValueError("inner windows must tile the outer window")
+    b5 = (F.expr(f"ts_ns div {NS * inner_sec}") * F.lit(inner_sec)).alias(
+        "b_in"
+    )
+    inner = events.groupBy(b5, "event_type").agg(
+        F.count(F.lit(1)).alias("n_ev"), F.sum("value").alias("s_v")
+    )
+    b_out = (
+        F.expr(f"b_in div {outer_sec}") * F.lit(outer_sec)
+    ).alias("window_start")
+    return inner.groupBy(b_out, "event_type").agg(
+        F.count(F.lit(1)).alias("n_inner"),
+        F.sum("n_ev").alias("n_events"),
+        F.max("n_ev").alias("max_inner"),
+        F.round(F.sum("s_v"), 6).alias("sum_value"),
+    )
+
+
+def run_streaming_chained_agg(
+    spark: SparkSession,
+    sf_dir: str,
+    inner_sec: int = 300,
+    outer_sec: int = 3600,
+    watermark_sec: int = 60,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """TWO stateful operators in ONE streaming query (multi-stateful
+    pipelines, Spark 3.5+): a watermarked inner_sec tumbling aggregation
+    whose FINALIZED windows feed a second, outer_sec windowed
+    aggregation over the window struct — the streaming form of the
+    pre-aggregate→rollup cascade every metrics pipeline runs, without
+    landing the intermediate in a sink.
+
+    Bounded replay protocol (same harness family as the outer interval
+    join): the events table replays as ONE file so nothing lands behind
+    the watermark, then two far-future sentinel batches advance the
+    watermark TWICE — once to flush the inner windows into the outer
+    aggregation, once more to flush the outer windows to the sink
+    (append mode emits a window only when the watermark passes it; a
+    chained agg needs the advance to propagate through both operators).
+    Sentinels carry a reserved event_type and land in their own
+    far-future windows, excluded by the window_start ≤ max-real-ts cut.
+
+    Returns the same shape as :func:`chained_agg_batch`, directly
+    comparable to it / the SQL oracle.
+    """
+    import os as _os
+    import shutil
+    import tempfile
+    import time as _time
+    import uuid
+
+    src = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(src)
+    max_ts_ns = _with_ts_ns(static).agg(F.max("ts_ns")).collect()[0][0]
+
+    tmp = tempfile.mkdtemp(prefix="sschain_")
+    try:
+        static.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f0")
+        for i in (1, 2):
+            flush_ns = max_ts_ns + i * (outer_sec + watermark_sec + 3600) * NS
+            sent = spark.createDataFrame(
+                [(-1000 - i, -1, "____flush", 0.0, "{}")],
+                "event_id long, user_id long, event_type string, "
+                "value double, props string",
+            ).withColumn("ts", F.timestamp_micros(F.lit(flush_ns // 1000)))
+            sent = sent.select(
+                *[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in static.schema.fields
+                ]
+            )
+            sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/f{i}")
+        now = _time.time()
+        for i in (0, 1, 2):
+            d = f"{tmp}/f{i}"
+            for fn in _os.listdir(d):
+                _os.utime(f"{d}/{fn}", (now + 10 * i, now + 10 * i))
+
+        stream = _with_ts_ns(
+            spark.readStream.schema(static.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(f"{tmp}/*")
+        )
+        inner = (
+            stream.withWatermark("ts", f"{watermark_sec} seconds")
+            .groupBy(
+                F.window("ts", f"{inner_sec} seconds"), "event_type"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_ev"),
+                F.sum("value").alias("s_v"),
+            )
+        )
+        outer = inner.groupBy(
+            F.window(F.col("window"), f"{outer_sec} seconds"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_inner"),
+            F.sum("n_ev").alias("n_events"),
+            F.max("n_ev").alias("max_inner"),
+            F.round(F.sum("s_v"), 6).alias("sum_value"),
+        )
+        name = f"sschain_{uuid.uuid4().hex[:12]}"
+        q = (
+            outer.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming chained agg {name!r} did not terminate within "
+                f"{timeout_sec}s; partial results discarded"
+            )
+        max_real_sec = max_ts_ns // NS
+        return (
+            spark.table(name)
+            .select(
+                F.unix_timestamp(F.col("window.start")).alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_inner",
+                "n_events",
+                "max_inner",
+                "sum_value",
+            )
+            .filter(F.col("window_start") <= F.lit(max_real_sec))
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -949,3 +949,61 @@ def test_time_weighted_avg_golden(spark):
     assert got[1].n_events == 3
     assert got[1].span_ns == 30_000_000_000
     assert abs(got[1].twa - round((100 + 400) / 30, 6)) < 1e-9
+
+
+def test_ohlc_bars_golden(spark):
+    """Open/close follow (ts, event_id) order incl. same-ts ties."""
+    from clinical_vector_search_spark.streaming.events import ohlc_bars
+
+    ns = 1_000_000_000
+    rows = [
+        # one hourly bucket, type A: ties on ts -> event_id breaks
+        (2, "A", 100 * ns, 5.0),   # same ts as event 1, higher id
+        (1, "A", 100 * ns, 3.0),   # open (ts tie, lower id)
+        (3, "A", 200 * ns, 9.0),   # high
+        (4, "A", 300 * ns, 1.0),   # low + close
+        # next hourly bucket
+        (5, "A", 3700 * ns, 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_ns long, value double"
+    )
+    got = {
+        (r.window_start, r.grp): r for r in ohlc_bars(df, 3600).collect()
+    }
+    b0 = got[(0, "A")]
+    assert (b0.open, b0.high, b0.low, b0.close) == (3.0, 9.0, 1.0, 1.0)
+    assert b0.n_events == 4 and b0.volume == 18.0
+    b1 = got[(3600, "A")]
+    assert (b1.open, b1.close, b1.n_events) == (7.0, 7.0, 1)
+
+
+def test_streaming_chained_agg_matches_batch(spark, sf_dir):
+    """Multi-stateful pipeline: real availableNow replay of tumbling →
+    hourly rollup equals the one-pass batch twin exactly."""
+    from clinical_vector_search_spark.streaming.events import (
+        chained_agg_batch,
+        read_events,
+        run_streaming_chained_agg,
+    )
+
+    got = {
+        tuple(r) for r in run_streaming_chained_agg(spark, sf_dir).collect()
+    }
+    want = {
+        tuple(r)
+        for r in chained_agg_batch(read_events(spark, sf_dir)).collect()
+    }
+    assert got == want and got
+
+
+def test_chained_agg_batch_rejects_untiled_windows(spark, sf_dir):
+    import pytest as _p
+
+    from clinical_vector_search_spark.streaming.events import (
+        chained_agg_batch,
+        read_events,
+    )
+
+    with _p.raises(ValueError, match="tile"):
+        chained_agg_batch(read_events(spark, sf_dir), 700, 3600)

@@ -261,3 +261,47 @@ def test_ivfpq_residual_fullprobe_matches_numpy_reference(spark, sf_dir):
     n_docs = docs.count()
     assert r_res > 3 * 10.0 / n_docs, (r_res, n_docs)
     assert r_res >= r_plain, (r_res, r_plain)
+
+
+def test_pq_refine_recall_geq_adc(spark, sf_dir):
+    """Exact rescoring of the ADC candidate set can only fix
+    quantization inversions: recall@k vs exact L2 must be >= plain ADC,
+    and with k_coarse = N the result IS the exact top-k."""
+    from clinical_vector_search_spark.operators.knn import knn_l2
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_adc,
+        knn_pq_refine,
+        pq_codebooks_lcg,
+        pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    books = pq_codebooks_lcg(64, 8, 16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.doc_id)
+        return out
+
+    exact = topsets(knn_l2(queries, docs, 10))
+
+    def recall(df):
+        got = topsets(df)
+        return sum(
+            len(got.get(q, set()) & e) / len(e) for q, e in exact.items()
+        ) / len(exact)
+
+    codes = pq_encode(docs, books, id_col="doc_id")
+    r_adc = recall(knn_pq_adc(queries, codes, books, 10))
+    r_ref = recall(knn_pq_refine(queries, docs, books, 10, k_coarse=50))
+    assert r_ref >= r_adc
+    # full-width coarse cut degenerates to the exact search
+    full = topsets(knn_pq_refine(queries, docs, books, 10, k_coarse=n))
+    assert full == exact
