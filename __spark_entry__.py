@@ -390,6 +390,61 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot diff (operators/audit.py snapshot_diff — the
+    derived change-data-feed): documents vs a deterministically perturbed
+    successor (every 13th id removed, every 7th n_chars bumped, every
+    17th re-added under a shifted id) classified added/removed/changed
+    via one null-safe full-outer join; identical rows cost no output."""
+    from clinical_vector_search_spark.operators.audit import snapshot_diff
+
+    base = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    survivors = base.filter(F.col("doc_id") % 13 != 0).withColumn(
+        "n_chars",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.col("n_chars") + 1
+        ).otherwise(F.col("n_chars")),
+    )
+    added = base.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "lang", "n_chars"
+    )
+    new = survivors.unionByName(added)
+    return snapshot_diff(base, new, ["doc_id"], ["lang", "n_chars"])
+
+
+def q_io_python_datasink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python Data SINK (io/pysource.py JsonlSinkDataSource — the writer
+    half of the Spark 4 DataSource API): documents written through the
+    custom sink's two-phase manifest commit, read back manifest-gated,
+    re-aggregated. The oracle derives the same aggregate from the source
+    table — matching proves the sink persisted exactly the rows."""
+    from clinical_vector_search_spark.io.pysource import (
+        read_jsonl_sink,
+        register_sink,
+    )
+
+    register_sink(spark)
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch_dir("cvs_pysink", tag)
+    (
+        _docs(spark, sf_dir)
+        .select("doc_id", "lang", "n_chars")
+        .repartition(4, "doc_id")
+        .write.format("jsonl_sink")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    return (
+        read_jsonl_sink(spark, path)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 SHARD_COLS = ["doc_id", "source", "text", "n_chars"]
 
 
@@ -2965,6 +3020,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ohlc": q_events_ohlc,
         "knn_pq_refine": q_knn_pq_refine,
         "events_streaming_chained_agg": q_events_streaming_chained_agg,
+        "io_python_datasink": q_io_python_datasink,
+        "io_snapshot_diff": q_io_snapshot_diff,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -5185,6 +5242,33 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    s["io_snapshot_diff"] = """
+        WITH base AS (SELECT doc_id, lang, n_chars FROM documents),
+        nw AS (
+            SELECT doc_id, lang,
+                   CASE WHEN doc_id % 7 = 0 THEN n_chars + 1
+                        ELSE n_chars END AS n_chars
+            FROM base WHERE doc_id % 13 <> 0
+            UNION ALL
+            SELECT doc_id + 1000000, lang, n_chars FROM base
+            WHERE doc_id % 17 = 0
+        ),
+        d AS (SELECT coalesce(n.doc_id, b.doc_id) AS doc_id,
+                     CASE WHEN b.doc_id IS NULL THEN 'added'
+                          WHEN n.doc_id IS NULL THEN 'removed'
+                          WHEN b.lang IS DISTINCT FROM n.lang
+                            OR b.n_chars IS DISTINCT FROM n.n_chars
+                              THEN 'changed'
+                     END AS change_type
+              FROM base b FULL OUTER JOIN nw n ON b.doc_id = n.doc_id)
+        SELECT doc_id, change_type FROM d WHERE change_type IS NOT NULL
+    """
+
+    s["io_python_datasink"] = """
+        SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+        FROM documents GROUP BY 1
     """
 
     # io_shard_manifest: the roundtrip wrote shard = md5(doc_id) pmod 16

@@ -19,7 +19,13 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 
 def _md5_60(s: str) -> int:
@@ -75,3 +81,106 @@ class SyntheticDocsDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the source with a session."""
     spark.dataSource.register(SyntheticDocsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# Python Data SINK (the writer half of the Spark 4 DataSource API)
+# ---------------------------------------------------------------------------
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, filename: str, n_rows: int):
+        self.filename = filename
+        self.n_rows = n_rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-task JSONL writer with a two-phase commit: tasks write
+    ``.inprogress`` part files and return (filename, row-count) commit
+    messages; the DRIVER's ``commit`` renames the parts and writes a
+    ``_MANIFEST`` listing exactly the committed files (+ row counts) —
+    readers that go through the manifest never see output from failed,
+    speculative, or aborted task attempts. ``abort`` deletes the
+    orphans. This is the same visibility contract Spark's own file
+    committers provide, expressed through the Python API."""
+
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        fn = f"part-{pid:05d}-{uuid.uuid4().hex[:12]}.jsonl"
+        n = 0
+        with open(f"{self.path}/{fn}.inprogress", "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+                n += 1
+        return _JsonlCommit(fn, n)
+
+    def commit(self, messages):
+        import os
+
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".jsonl") or old == "_MANIFEST":
+                    os.remove(f"{self.path}/{old}")
+        lines = []
+        for m in messages:
+            if m is None:
+                continue
+            os.rename(
+                f"{self.path}/{m.filename}.inprogress",
+                f"{self.path}/{m.filename}",
+            )
+            lines.append(f"{m.filename}\t{m.n_rows}\n")
+        with open(f"{self.path}/_MANIFEST", "w") as f:
+            f.writelines(sorted(lines))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(f"{self.path}/{m.filename}.inprogress")
+            except FileNotFoundError:
+                pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("jsonl_sink").option("path", p).mode("overwrite")``
+    — a Python-implemented sink with manifest-gated atomic visibility."""
+
+    @classmethod
+    def name(cls):
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlSinkWriter(self.options, overwrite)
+
+
+def read_jsonl_sink(spark, path: str):
+    """Manifest-gated read-back of a :class:`JsonlSinkDataSource`
+    directory: only files the committed ``_MANIFEST`` lists are read —
+    stray ``.inprogress`` or orphaned parts are invisible, completing
+    the sink's exactly-the-committed-rows contract."""
+    with open(f"{path}/_MANIFEST") as f:
+        files = [
+            f"{path}/{line.split(chr(9))[0]}" for line in f if line.strip()
+        ]
+    return spark.read.json(files)
+
+
+def register_sink(spark) -> None:
+    """Idempotent registration of the sink with a session."""
+    spark.dataSource.register(JsonlSinkDataSource)

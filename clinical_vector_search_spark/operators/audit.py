@@ -61,3 +61,59 @@ def referential_audit(
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two dataset snapshots — the change-data-feed
+    a pipeline derives when the source has none: every key classified as
+    ``added`` (key only in new), ``removed`` (only in old), ``changed``
+    (both, but any compare column differs) or dropped from the output if
+    identical (the overwhelmingly common case, and the one that must not
+    cost output rows at 100 TB).
+
+    Comparison is null-safe per column (``eqNullSafe`` — NULL→value and
+    value→NULL are changes, NULL→NULL is not). The plan is one full-outer
+    join on the key — both sides shuffle once on the same key; with both
+    snapshots bucketed/sorted by key (io.tables.write_bucketed) the
+    exchange disappears entirely. Output:
+    (key_cols..., change_type string).
+    """
+    o = old.select(
+        *[F.col(c).alias(f"_o_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_ov_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_old"),
+    )
+    n = new.select(
+        *[F.col(c).alias(f"_n_{c}") for c in key_cols],
+        *[F.col(c).alias(f"_nv_{c}") for c in compare_cols],
+        F.lit(1).alias("_in_new"),
+    )
+    cond = None
+    for c in key_cols:
+        eq = F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        cond = eq if cond is None else cond & eq
+    joined = o.join(n, cond, "full_outer")
+    same = None
+    for c in compare_cols:
+        eq = F.col(f"_ov_{c}").eqNullSafe(F.col(f"_nv_{c}"))
+        same = eq if same is None else same & eq
+    change = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(~same, F.lit("changed"))
+    )  # identical rows: change is NULL -> filtered
+    return (
+        joined.select(
+            *[
+                F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c)
+                for c in key_cols
+            ],
+            change.alias("change_type"),
+        )
+        .filter(F.col("change_type").isNotNull())
+    )

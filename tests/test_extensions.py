@@ -705,3 +705,28 @@ def test_bloom_filtered_join_exact_and_guarded(spark, sf_dir):
     assert got_fp == want
     with pytest.raises(ValueError, match="inner/left_semi"):
         bloom_filtered_join(li, o, "okey", how="left")
+
+
+def test_snapshot_diff_golden(spark):
+    """added/removed/changed classification incl. null-safe transitions;
+    identical rows emit nothing."""
+    from clinical_vector_search_spark.operators.audit import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, None, 30), (4, "d", 40),
+         (5, "e", None)],
+        "k long, s string, v int",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10),        # identical -> absent
+         (2, "b", 21),        # changed value
+         (3, "c", 30),        # NULL -> value: changed
+         (5, "e", None),      # NULL == NULL: identical -> absent
+         (6, "f", 60)],       # added; 4 removed
+        "k long, s string, v int",
+    )
+    got = {
+        r.k: r.change_type
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {2: "changed", 3: "changed", 4: "removed", 6: "added"}

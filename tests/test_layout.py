@@ -187,3 +187,38 @@ def test_publish_and_verify_shards(spark, sf_dir, tmp_path):
     ).collect()
     assert len(bad) == 1
     assert bad[0].n_rows == bad[0].m_rows - 1
+
+
+def test_jsonl_sink_roundtrip_and_manifest_gating(spark, sf_dir, tmp_path):
+    """Custom Python sink: rows survive the write→manifest→read
+    roundtrip exactly; files absent from the manifest are invisible;
+    overwrite replaces prior committed output."""
+    from clinical_vector_search_spark.io.pysource import (
+        read_jsonl_sink,
+        register_sink,
+    )
+
+    register_sink(spark)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "n_chars"
+    )
+    path = str(tmp_path / "sink")
+    docs.repartition(3).write.format("jsonl_sink").option(
+        "path", path
+    ).mode("overwrite").save()
+
+    back = read_jsonl_sink(spark, path)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in docs.collect()
+    )
+
+    # stray un-manifested file: invisible through the gated reader
+    with open(f"{path}/part-99999-dead.jsonl", "w") as f:
+        f.write('{"doc_id": -1, "n_chars": -1}\n')
+    assert read_jsonl_sink(spark, path).filter("doc_id = -1").count() == 0
+
+    # overwrite: previous committed parts are replaced, not appended
+    docs.limit(10).repartition(2).write.format("jsonl_sink").option(
+        "path", path
+    ).mode("overwrite").save()
+    assert read_jsonl_sink(spark, path).count() == 10
