@@ -390,6 +390,24 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit perceptual average-hash per media row
+    (multimodal/binary_ops.py perceptual_hash): integer-exact mean test,
+    emitted as two 32-bit halves so overflow-checked SQL engines can
+    rebuild it — the image twin of SimHash. Fake-decode branch here
+    (no codec in this container) ⇒ full md5-arithmetic oracle; the
+    banded Hamming pair search is pinned separately in pytest."""
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        perceptual_hash,
+    )
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    return perceptual_hash(media)
+
+
 def q_io_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot diff (operators/audit.py snapshot_diff — the
     derived change-data-feed): documents vs a deterministically perturbed
@@ -3022,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_chained_agg": q_events_streaming_chained_agg,
         "io_python_datasink": q_io_python_datasink,
         "io_snapshot_diff": q_io_snapshot_diff,
+        "multimodal_phash": q_multimodal_phash,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -5242,6 +5261,26 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    # multimodal_phash: fake pixels p_i = (md5_byte[i%16]*31+i) % 256,
+    # bit set iff 64*p_i > sum(p) (integer-exact), halves rebuilt with
+    # shifts <= 31 only (DuckDB overflow-checks 1<<63).
+    s["multimodal_phash"] = """
+        WITH m AS (SELECT doc_id AS media_id, md5(text) AS h FROM documents),
+        p AS (SELECT media_id,
+                [((('0x' || substr(h, (i % 16) * 2 + 1, 2))::BIGINT * 31 + i)
+                  % 256) FOR i IN range(0, 64)] AS px
+              FROM m),
+        s AS (SELECT media_id, px, list_sum(px) AS sm FROM p)
+        SELECT media_id,
+               list_sum([CASE WHEN 64 * px[i + 1] > sm
+                              THEN (1::BIGINT << (i - 32)) ELSE 0 END
+                         FOR i IN range(32, 64)])::BIGINT AS phash_hi,
+               list_sum([CASE WHEN 64 * px[i + 1] > sm
+                              THEN (1::BIGINT << i) ELSE 0 END
+                         FOR i IN range(0, 32)])::BIGINT AS phash_lo
+        FROM s
     """
 
     s["io_snapshot_diff"] = """

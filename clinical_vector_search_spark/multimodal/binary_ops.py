@@ -168,3 +168,140 @@ def frame_sample_plan(
             )
         ).alias("frame_ts_ms"),
     )
+
+
+def _fake_pixels(content: bytes) -> list[int]:
+    """Deterministic 8×8 'pixel' grid from the content digest — the
+    codec-free stand-in (same digest arithmetic family as
+    ``_fake_feature``, so it has a full SQL oracle)."""
+    h = hashlib.md5(content or b"").digest()
+    return [(h[i % 16] * 31 + i) % 256 for i in range(64)]
+
+
+def _image_pixels(content: bytes) -> list[int] | None:
+    """Real decode branch: 8×8 grayscale downsample → 64 luminance
+    values. None when the bytes do not decode (caller takes the fake)."""
+    import io
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            return list(im.convert("L").resize((8, 8)).getdata())
+    except Exception:  # noqa: BLE001 — undecodable bytes
+        return None
+
+
+def perceptual_hash(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """64-bit average-hash (aHash) per media row: bit i is set iff pixel i
+    is above the 8×8 grid's mean — near-identical images differ in a few
+    bits, so near-dup detection becomes a Hamming problem
+    (:func:`phash_candidate_pairs`), the image twin of SimHash for text.
+
+    The mean test is INTEGER-exact (``64·p_i > Σp`` instead of a float
+    mean) so the hash is bit-reproducible across engines. Emitted as two
+    unsigned 32-bit halves (phash_hi = bits 32..63, phash_lo = 0..31):
+    SQL engines with overflow-checked shifts can rebuild both halves
+    (1<<63 would raise), and Hamming distance is
+    bit_count(xor(hi)) + bit_count(xor(lo)) either way.
+
+    Arrow-batched mapInPandas; real PIL decode per row when available,
+    digest-derived fake otherwise — identical plumbing (same contract as
+    ``extract_features``)."""
+    schema = f"{id_col} long, phash_hi long, phash_lo long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, his, los = [], [], []
+            for mid, raw in zip(pdf[id_col], pdf[content_col]):
+                content = bytes(raw) if raw is not None else b""
+                px = _image_pixels(content) or _fake_pixels(content)
+                s = sum(px)
+                hi = lo = 0
+                for i, p in enumerate(px):
+                    if 64 * p > s:
+                        if i < 32:
+                            lo |= 1 << i
+                        else:
+                            hi |= 1 << (i - 32)
+                ids.append(mid)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {id_col: ids, "phash_hi": his, "phash_lo": los}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def phash_candidate_pairs(
+    hashes: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup media pairs from :func:`perceptual_hash` output: the
+    64-bit hash splits into four 16-bit bands; pairs sharing ANY band
+    value are candidates (band-bucket equi-join — never all-pairs),
+    then the exact Hamming distance filters to ≤ ``max_hamming``.
+
+    Pigeonhole guarantee: with 4 bands, every pair within Hamming
+    distance ≤ 3 shares at least one untouched band — recall is EXACT
+    for ``max_hamming < 4``; above that the band join is a recall
+    tradeoff (same contract as the SimHash band path for text).
+
+    Output: (a_id, b_id, hamming)."""
+    bands = hashes.select(
+        F.col(id_col),
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    (F.col("phash_lo") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.shiftright(F.col("phash_lo"), 16).alias("val"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    (F.col("phash_hi") % 65536).alias("val"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.shiftright(F.col("phash_hi"), 16).alias("val"),
+                ),
+            )
+        ).alias("b"),
+    ).select(id_col, "phash_hi", "phash_lo", "b.band", "b.val")
+    a = bands.select(
+        F.col(id_col).alias("a_id"),
+        F.col("phash_hi").alias("a_hi"),
+        F.col("phash_lo").alias("a_lo"),
+        "band",
+        "val",
+    )
+    b = bands.select(
+        F.col(id_col).alias("b_id"),
+        F.col("phash_hi").alias("b_hi"),
+        F.col("phash_lo").alias("b_lo"),
+        "band",
+        "val",
+    )
+    ham = F.bit_count(
+        F.col("a_hi").bitwiseXOR(F.col("b_hi"))
+    ) + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    return (
+        a.join(b, ["band", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

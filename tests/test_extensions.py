@@ -730,3 +730,37 @@ def test_snapshot_diff_golden(spark):
         for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
     }
     assert got == {2: "changed", 3: "changed", 4: "removed", 6: "added"}
+
+
+def test_perceptual_hash_and_band_pairs(spark):
+    """aHash bit semantics + banded Hamming search: identical content →
+    identical hash; pairs within the pigeonhole radius are found via
+    band buckets; far hashes are excluded."""
+    from clinical_vector_search_spark.multimodal.binary_ops import (
+        perceptual_hash,
+        phash_candidate_pairs,
+    )
+
+    media = spark.createDataFrame(
+        [(1, bytearray(b"same-bytes")), (2, bytearray(b"same-bytes")),
+         (3, bytearray(b"other-bytes"))],
+        "media_id long, content binary",
+    )
+    h = {r.media_id: (r.phash_hi, r.phash_lo)
+         for r in perceptual_hash(media).collect()}
+    assert h[1] == h[2]
+    assert all(0 <= v < (1 << 32) for pair in h.values() for v in pair)
+
+    # synthetic hash table: 10 and 11 differ in 2 bits of one band;
+    # 12 differs everywhere
+    rows = [
+        (10, 0x12345678, 0x0000FFFF),
+        (11, 0x12345678, 0x0003FFFF),  # 2 extra low bits
+        (12, 0x7654321A, 0x55550000),
+    ]
+    hdf = spark.createDataFrame(rows, "media_id long, phash_hi long, phash_lo long")
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in phash_candidate_pairs(hdf, max_hamming=3).collect()
+    }
+    assert pairs == {(10, 11): 2}
