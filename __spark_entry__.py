@@ -390,6 +390,120 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITER = 5
+PAGERANK_DAMP = 0.85
+
+
+def q_dedup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the n-gram-Jaccard near-dup graph
+    (operators/graph.py pagerank): 5 fixed Pregel-style iterations with
+    dangling-mass redistribution — ranks near-dup clusters by
+    centrality (canonical-survivor selection signal). The oracle unrolls
+    the identical iterations in SQL; ranks rounded to 9."""
+    from clinical_vector_search_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    from clinical_vector_search_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=SHINGLE_N, threshold=JACCARD_THR
+    ).select("a_id", "b_id")
+    edges = pairs.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    )
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    r = pagerank(
+        nodes, edges, n_iter=PAGERANK_ITER, damping=PAGERANK_DAMP
+    )
+    return r.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+    )
+
+
+def q_rel_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 distribution-window completeness: percent_rank, cume_dist and
+    ntile(4) of customer account balance WITHIN each market segment (the
+    window is per-group — no SinglePartition funnel; the global-rank
+    regime uses dense_row_ids instead, see text_ppl_buckets). Top-5 per
+    segment by (balance, custkey) keeps the output bounded."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_mktsegment").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    ranked = c.select(
+        "c_mktsegment",
+        "c_custkey",
+        "c_acctbal",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    top = W.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        ranked.withColumn("_rn", F.row_number().over(top))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+
+
+def q_rel_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 GROUPING SETS (the general form rollup/cube specialize):
+    order counts/revenue by (priority, status), (priority) and () in one
+    pass, with grouping_id disambiguating real NULLs from subtotal rows
+    — expressed through the SQL front-end like rel_sql_interface."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping_id() AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+        """
+    )
+
+
+def q_rel_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 unpivot (wide→long melt, the inverse of rel_pivot): per-nation
+    lineitem measure columns (sum qty / base price / discount-weighted
+    revenue) melted into (nation, measure, value) rows via DataFrame
+    unpivot — compiles to a generator expand, one scan, no shuffle
+    beyond the aggregation's."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    wide = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("sum_disc"),
+        )
+    )
+    return wide.unpivot(
+        ["n_name"],
+        ["sum_qty", "sum_base", "sum_disc"],
+        "measure",
+        "value",
+    )
+
+
 def q_multimodal_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit perceptual average-hash per media row
     (multimodal/binary_ops.py perceptual_hash): integer-exact mean test,
@@ -3041,6 +3155,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_python_datasink": q_io_python_datasink,
         "io_snapshot_diff": q_io_snapshot_diff,
         "multimodal_phash": q_multimodal_phash,
+        "rel_window_distribution": q_rel_window_distribution,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_unpivot": q_rel_unpivot,
+        "dedup_pagerank": q_dedup_pagerank,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -5261,6 +5379,93 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    # dedup_pagerank: unroll the SAME 5 iterations the Spark operator
+    # runs; float literals use Python repr so (1-d)/N matches Spark's
+    # arithmetic bit-for-bit before the round-9.
+    _pr_base = f"1.0 - {PAGERANK_DAMP!r}"
+    _pr_stages = ""
+    _prev = "r0"
+    for _k in range(PAGERANK_ITER):
+        _pr_stages += f"""
+        c{_k} AS (SELECT e.dst AS node, sum({_prev}.rank / deg._deg) AS c
+                 FROM pr_edges e JOIN {_prev} ON e.src = {_prev}.node
+                              JOIN deg ON deg.node = e.src
+                 GROUP BY 1),
+        d{_k} AS (SELECT coalesce(sum(rank), 0) AS m FROM {_prev}
+                 WHERE node NOT IN (SELECT node FROM deg)),
+        r{_k + 1} AS (SELECT an.node,
+                     ({_pr_base}) / (SELECT n_n FROM nn)
+                     + {PAGERANK_DAMP!r} * (coalesce(c{_k}.c, 0)
+                         + (SELECT m FROM d{_k}) / (SELECT n_n FROM nn))
+                         AS rank
+                   FROM allnodes an LEFT JOIN c{_k} USING (node)),"""
+        _prev = f"r{_k + 1}"
+    s["dedup_pagerank"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh
+                  GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*)::DOUBLE AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT a_id, b_id
+              FROM common JOIN sizes sa ON sa.doc_id = a_id
+                          JOIN sizes sb ON sb.doc_id = b_id
+              WHERE common / (sa.n_sh + sb.n_sh - common)
+                  >= {JACCARD_THR}),
+        pr_edges AS (SELECT a_id AS src, b_id AS dst FROM p
+                     UNION ALL SELECT b_id, a_id FROM p),
+        allnodes AS (SELECT doc_id AS node FROM documents),
+        nn AS (SELECT count(*)::DOUBLE AS n_n FROM allnodes),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS _deg
+                FROM pr_edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT n_n FROM nn) AS rank
+               FROM allnodes),{_pr_stages}
+        fin AS (SELECT node, rank FROM {_prev})
+        SELECT node AS doc_id, round(rank, 9) AS rank FROM fin
+    """
+
+    s["rel_window_distribution"] = """
+        WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume,
+                ntile(4) OVER w AS quartile,
+                row_number() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY c_acctbal DESC, c_custkey) AS rn
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey))
+        SELECT c_mktsegment, c_custkey, c_acctbal, pct_rank, cume, quartile
+        FROM r WHERE rn <= 5
+    """
+
+    s["rel_grouping_sets"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               grouping(o_orderpriority, o_orderstatus) AS gid,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), ())
+    """
+
+    s["rel_unpivot"] = """
+        WITH wide AS (
+            SELECT n_name,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS sum_disc
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            GROUP BY 1)
+        SELECT n_name, measure, value FROM wide
+        UNPIVOT (value FOR measure IN (sum_qty, sum_base, sum_disc))
     """
 
     # multimodal_phash: fake pixels p_i = (md5_byte[i%16]*31+i) % 256,

@@ -1,0 +1,101 @@
+"""Iterative graph algorithms over edge-list DataFrames.
+
+Companion of the connected-components labeler in ``operators.dedup``
+(``dedup_groups``): the same iterate-join-aggregate shape, here for
+PageRank-style mass propagation. No reference analog — extension for
+duplicate-graph analytics (e.g. rank near-dup clusters by centrality to
+pick canonical survivors).
+
+Scale notes: every iteration is one edge-key equi-join plus one dst-key
+aggregation — the classic Pregel step expressed relationally. Ranks and
+degrees live at node granularity; iterations persist their frame and
+unpersist the previous one so the lineage (and executor storage) stays
+bounded. At 100 TB the edge list shuffles on src once per iteration;
+pre-partitioning edges and ranks on the join key (bucketed tables) makes
+the join exchange-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    r_{k+1}(v) = (1-d)/N + d·( Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N )
+
+    where dangling_k is the total rank mass sitting on nodes with no
+    out-edges (redistributed uniformly — without it the ranks leak mass
+    and no longer sum to 1; the invariant Σr = 1 is the pytest anchor).
+    Undirected similarity graphs pass each pair in both directions.
+
+    Fixed ``n_iter`` (not convergence-tested) keeps the computation a
+    deterministic, engine-reproducible expression — the SQL oracle
+    unrolls the same iterations. N and the dangling mass enter the plan
+    as 1-row broadcast frames, not driver constants, so the whole thing
+    is one lazy plan per iteration with exactly two driver actions total
+    (the iteration persist swaps).
+
+    Returns (node_col, rank DOUBLE) — unrounded; callers round.
+    """
+    n_frame = nodes.agg(
+        F.count(F.lit(1)).cast("double").alias("_n")
+    )
+    deg = edges.groupBy(F.col(src_col).alias(node_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    )
+    ranks = (
+        nodes.select(node_col)
+        .crossJoin(F.broadcast(n_frame))
+        .select(node_col, (F.lit(1.0) / F.col("_n")).alias("rank"))
+        .cache()
+    )
+    ranks.count()
+    for _ in range(n_iter):
+        with_deg = ranks.join(F.broadcast(deg), node_col, "left")
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("_deg").isNotNull()).select(
+                    F.col(node_col).alias(src_col),
+                    (F.col("rank") / F.col("_deg")).alias("_share"),
+                ),
+                src_col,
+            )
+            .groupBy(F.col(dst_col).alias(node_col))
+            .agg(F.sum("_share").alias("_c"))
+        )
+        new_ranks = (
+            nodes.select(node_col)
+            .join(contrib, node_col, "left")
+            .crossJoin(F.broadcast(n_frame))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node_col,
+                (
+                    F.lit(1.0 - damping) / F.col("_n")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dang") / F.col("_n")
+                    )
+                ).alias("rank"),
+            )
+            .cache()
+        )
+        new_ranks.count()  # materialize before dropping the parent
+        ranks.unpersist()
+        ranks = new_ranks
+    return ranks

@@ -671,3 +671,26 @@ def test_jaccard_prefix_parity_corpus(spark, sf_dir):
     }
     assert pref == full
     assert full  # non-vacuous: the corpus does contain near-dup pairs
+
+
+def test_pagerank_mass_and_golden(spark):
+    """Σrank == 1 (dangling mass redistributed), symmetric pair outranks
+    an isolated node, and the 1-iteration value matches the hand
+    formula."""
+    from clinical_vector_search_spark.operators.graph import pagerank
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "node long")
+    edges = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+
+    r1 = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=1).collect()}
+    # r0 = 1/3 each; dangling = 1/3; r(1) = 0.15/3 + 0.85*(1/3 + 1/9)
+    expect_linked = (1 - 0.85) / 3 + 0.85 * (1 / 3 + (1 / 3) / 3)
+    expect_isolated = (1 - 0.85) / 3 + 0.85 * ((1 / 3) / 3)
+    assert abs(r1[1] - expect_linked) < 1e-12
+    assert abs(r1[2] - expect_linked) < 1e-12
+    assert abs(r1[3] - expect_isolated) < 1e-12
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+
+    r5 = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=5).collect()}
+    assert abs(sum(r5.values()) - 1.0) < 1e-9
+    assert r5[1] == r5[2] > r5[3]
