@@ -390,6 +390,40 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training's core aggregation in oracle-checkable form
+    (operators/bpe.py adjacent_pair_counts over the initial character
+    symbols): corpus-weighted adjacent symbol-pair counts — the ⊕ anchor
+    for the iterative rows-only text_bpe_train twin."""
+    from clinical_vector_search_spark.operators.bpe import (
+        adjacent_pair_counts,
+        word_symbol_frame,
+    )
+
+    v = word_symbol_frame(_docs(spark, sf_dir))
+    return adjacent_pair_counts(v).select(
+        F.col("left").alias("lsym"),
+        F.col("right").alias("rsym"),
+        "pair_count",
+    )
+
+
+def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-training (operators/bpe.py bpe_train): 20
+    merge iterations over the word-frequency dictionary — each is one
+    pair-count aggregation + a pure-expression leftmost-first fold.
+    Rows-only by design (each iteration's pick depends on the previous
+    merge — not reasonably SQL-expressible); anchored by the ⊕
+    text_bpe_pair_counts twin and exact pytest parity with an
+    independent single-node BPE."""
+    from clinical_vector_search_spark.operators.bpe import (
+        bpe_merges_df,
+        bpe_train,
+    )
+
+    return bpe_merges_df(spark, bpe_train(_docs(spark, sf_dir), n_merges=20))
+
+
 PAGERANK_ITER = 5
 PAGERANK_DAMP = 0.85
 
@@ -3159,6 +3193,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_grouping_sets": q_rel_grouping_sets,
         "rel_unpivot": q_rel_unpivot,
         "dedup_pagerank": q_dedup_pagerank,
+        "text_bpe_pair_counts": q_text_bpe_pair_counts,
+        "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
@@ -5379,6 +5415,22 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    s["text_bpe_pair_counts"] = f"""
+        WITH toks AS ({_TOKS}),
+        w AS (SELECT unnest(tokens) AS word FROM toks),
+        wc AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+        sym AS (SELECT n,
+                  list_concat([substr(word, i, 1)
+                               FOR i IN range(1, length(word) + 1)],
+                              ['▁']) AS s
+                FROM wc),
+        pp AS (SELECT n, unnest([{{'l': s[i], 'r': s[i + 1]}}
+                                 FOR i IN range(1, len(s))]) AS pr
+               FROM sym)
+        SELECT pr.l AS lsym, pr.r AS rsym, sum(n)::BIGINT AS pair_count
+        FROM pp GROUP BY 1, 2
     """
 
     # dedup_pagerank: unroll the SAME 5 iterations the Spark operator

@@ -455,3 +455,69 @@ def test_zipf_fit_matches_numpy_ols(spark):
     ss_res = ((y - (slope * x + intercept)) ** 2).sum()
     ss_tot = ((y - y.mean()) ** 2).sum()
     assert abs(row.r2 - round(1 - ss_res / ss_tot, 6)) < 1e-6
+
+
+def _ref_bpe(texts, n_merges, min_count=2):
+    """Independent single-node BPE (dict/Counter) with the same
+    tie-break and leftmost-first merge semantics."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        words.update(t.lower().split())
+    vocab = {}
+    for w, c in words.items():
+        vocab[tuple(list(w) + ["▁"])] = vocab.get(tuple(list(w) + ["▁"]), 0) + c
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for sym, c in vocab.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < min_count:
+            break
+        merges.append((rank, a, b, cnt))
+        nv = {}
+        for sym, c in vocab.items():
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nv[tuple(out)] = nv.get(tuple(out), 0) + c
+        vocab = nv
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_dir):
+    """Distributed BPE == independent single-node BPE on the real
+    corpus slice: same merges, same order, same counts (ties included)."""
+    from clinical_vector_search_spark.operators.bpe import bpe_train
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 60"
+    )
+    texts = [r.text for r in docs.select("text").collect() if r.text]
+    want = _ref_bpe(texts, 12)
+    got = bpe_train(docs, n_merges=12)
+    assert got == want and len(got) == 12
+
+
+def test_bpe_merge_fold_overlap_semantics(spark):
+    """Leftmost-first non-overlap: 'aaa' under (a,a) -> [aa, a, EOW]."""
+    from clinical_vector_search_spark.operators.bpe import bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "aaa aaa"), (2, "aaa")], "doc_id long, text string"
+    )
+    merges = bpe_train(df, n_merges=2, min_pair_count=1)
+    # iteration 1: pairs (a,a)x2-per-word... the top merge must be (a,a)
+    assert (merges[0][1], merges[0][2]) == ("a", "a")
+    ref = _ref_bpe(["aaa aaa", "aaa"], 2, min_count=1)
+    assert merges == ref
