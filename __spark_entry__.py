@@ -390,6 +390,28 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path over the JSON props column: parse_json →
+    variant_get with a typed cast — the modern (binary-encoded,
+    schema-on-read) twin of the string-scraping get_json_object entry
+    (events_json_extract). At scale VARIANT parses once into a binary
+    column instead of re-tokenizing the JSON string per extraction."""
+    e = _events(spark, sf_dir)
+    v = e.select(
+        "event_type",
+        F.try_variant_get(
+            F.parse_json(F.col("props")), "$.k", "int"
+        ).alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+    )
+
+
 def q_text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training's core aggregation in oracle-checkable form
     (operators/bpe.py adjacent_pair_counts over the initial character
@@ -422,6 +444,23 @@ def q_text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return bpe_merges_df(spark, bpe_train(_docs(spark, sf_dir), n_merges=20))
+
+
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with a corpus-trained BPE merge table
+    (operators/bpe.py bpe_train → bpe_encode): per-doc whitespace vs
+    BPE token counts — the compression-ratio artifact. Rows-only by
+    design (iterative train + apply); pinned by exact pytest parity
+    with an independent single-node implementation and anchored by the
+    ⊕ text_bpe_pair_counts twin."""
+    from clinical_vector_search_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    merges = bpe_train(docs, n_merges=10)
+    return bpe_encode(docs, merges)
 
 
 PAGERANK_ITER = 5
@@ -3194,6 +3233,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_unpivot": q_rel_unpivot,
         "dedup_pagerank": q_dedup_pagerank,
         "text_bpe_pair_counts": q_text_bpe_pair_counts,
+        "events_variant_extract": q_events_variant_extract,
+        "text_bpe_encode": q_text_bpe_encode,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
@@ -5415,6 +5456,15 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    s["events_variant_extract"] = """
+        WITH v AS (SELECT event_type,
+                          json_extract(props, '$.k')::INT AS k
+                   FROM events)
+        SELECT event_type, count(*) AS n_events, count(k) AS n_with_k,
+               sum(k)::BIGINT AS sum_k, min(k) AS min_k, max(k) AS max_k
+        FROM v GROUP BY 1
     """
 
     s["text_bpe_pair_counts"] = f"""

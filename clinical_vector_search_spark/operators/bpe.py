@@ -142,3 +142,58 @@ def bpe_merges_df(spark, merges: list) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank long, left string, right string, pair_count long"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge table: per-document token counts under the
+    BPE vocabulary vs plain whitespace tokens — the compression-ratio
+    signal that tells you whether a tokenizer fits a corpus (and the
+    budget input for pack_sequences).
+
+    Arrow-batched mapInPandas; the merge table rides the closure (it is
+    n_merges rows — nothing to broadcast), and a per-task word memo
+    collapses the work to vocabulary size, mirroring training.
+    Whitespace tokenization matches ``functions.text.tokenize``
+    (lower + split). Returns (id_col, n_tokens_ws, n_tokens_bpe).
+    """
+    import pandas as pd
+
+    merge_list = [(m[1], m[2]) for m in merges]
+    schema = f"{id_col} long, n_tokens_ws long, n_tokens_bpe long"
+
+    def kernel(batches):
+        memo: dict = {}
+
+        def enc_len(word: str) -> int:
+            n = memo.get(word)
+            if n is not None:
+                return n
+            sym = list(word) + [EOW]
+            for left, right in merge_list:
+                out: list = []
+                for s in sym:
+                    if out and out[-1] == left and s == right:
+                        out[-1] = left + right
+                    else:
+                        out.append(s)
+                sym = out
+            memo[word] = len(sym)
+            return memo[word]
+
+        for pdf in batches:
+            ids, ws, bp = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                toks = (text or "").lower().split()
+                ids.append(did)
+                ws.append(len(toks))
+                bp.append(sum(enc_len(w) for w in toks))
+            yield pd.DataFrame(
+                {id_col: ids, "n_tokens_ws": ws, "n_tokens_bpe": bp}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema)

@@ -521,3 +521,37 @@ def test_bpe_merge_fold_overlap_semantics(spark):
     assert (merges[0][1], merges[0][2]) == ("a", "a")
     ref = _ref_bpe(["aaa aaa", "aaa"], 2, min_count=1)
     assert merges == ref
+
+
+def test_bpe_encode_matches_reference(spark, sf_dir):
+    """Distributed encode with a learned merge table == single-node
+    greedy application, word by word."""
+    from clinical_vector_search_spark.operators.bpe import (
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id < 40"
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    merges = bpe_train(docs, n_merges=8)
+    assert merges == _ref_bpe(list(texts.values()), 8)
+
+    def ref_len(word):
+        sym = list(word) + ["▁"]
+        for _, a, b, _c in merges:
+            out = []
+            for s in sym:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            sym = out
+        return len(sym)
+
+    got = {r.doc_id: (r.n_tokens_ws, r.n_tokens_bpe)
+           for r in bpe_encode(docs, merges).collect()}
+    for did, text in texts.items():
+        toks = (text or "").lower().split()
+        assert got[did] == (len(toks), sum(ref_len(w) for w in toks))
