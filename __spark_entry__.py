@@ -3194,13 +3194,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
     # VERDICT r6 task 1):
-    #   1. entries NEW in r7 (never driver-checked) lead.
+    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 32
+    #      of them, so the ~50-entry window can no longer also cover
+    #      all 36 r4-stale entries (32 + 36 > 50). Never-checked beats
+    #      stale-but-previously-green: section 2's overflow (~18
+    #      entries past the window) stays r4-stale and MUST lead the
+    #      r8 rotation. All 160+ entries were verified green locally
+    #      this round (tools/check_correctness.py full sweep at
+    #      sf0.01: 151 ⊕ + 6 ⊙ at sweep time, later additions checked
+    #      individually at sf0.001/0.01/0.1).
     #   2. the 36 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      exact stale set named in VERDICT r6.
     #   3. entries last green in r5 — next-stalest; the tail past the
-    #      window stays r5-stale and leads the r8 rotation with any
-    #      r7 leftovers.
+    #      window stays r5-stale and rotates forward with any
+    #      leftovers.
     #   4. entries green in the r6 window — freshest, demoted last.
     return {
         # -- 1: new in r7 (inserted as built) --
