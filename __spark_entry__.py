@@ -390,6 +390,21 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap CI for the per-type mean value
+    (operators/sketch.py poisson_bootstrap_ci): 50 replicas drawn
+    map-side from seeded md5 uniforms through a shared Poisson(1)
+    inverse-CDF ladder — the distributable form of the resample loop.
+    Fully deterministic ⇒ the whole CI hash-checks against SQL."""
+    from clinical_vector_search_spark.operators.sketch import (
+        poisson_bootstrap_ci,
+    )
+
+    return poisson_bootstrap_ci(
+        _events(spark, sf_dir), "value", ["event_type"], n_replicas=50
+    )
+
+
 def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT path over the JSON props column: parse_json →
     variant_get with a typed cast — the modern (binary-encoded,
@@ -3243,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_pair_counts": q_text_bpe_pair_counts,
         "events_variant_extract": q_events_variant_extract,
         "text_bpe_encode": q_text_bpe_encode,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
@@ -5464,6 +5480,35 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    from clinical_vector_search_spark.operators.sketch import POISSON1_CUM
+
+    _pois_w = "CASE " + " ".join(
+        f"WHEN u < {c!r} THEN {k}" for k, c in enumerate(POISSON1_CUM)
+    ) + " ELSE 5 END"
+    s["events_bootstrap_ci"] = f"""
+        WITH f AS (SELECT event_type, event_id, value, unnest(range(0, 50))
+                       AS b
+                   FROM events),
+        u AS (SELECT event_type, b, value,
+                     ('0x' || substr(md5(b::VARCHAR || ':' ||
+                          event_id::VARCHAR), 1, 15))::BIGINT
+                         / {float(1 << 60)!r} AS u
+              FROM f),
+        w AS (SELECT event_type, b, value, {_pois_w} AS w FROM u),
+        rep AS (SELECT event_type, b,
+                       round(sum(w * value) / sum(w), 6) AS rm
+                FROM w GROUP BY 1, 2 HAVING sum(w) > 0),
+        ci AS (SELECT event_type,
+                      round(quantile_cont(rm, 0.05), 6) AS ci_lo,
+                      round(quantile_cont(rm, 0.95), 6) AS ci_hi
+               FROM rep GROUP BY 1),
+        base AS (SELECT event_type, count(*) AS n_rows,
+                        round(avg(value), 6) AS mean
+                 FROM events GROUP BY 1)
+        SELECT base.event_type, n_rows, mean, ci_lo, ci_hi
+        FROM base JOIN ci USING (event_type)
     """
 
     s["events_variant_extract"] = """

@@ -295,3 +295,89 @@ def psi_drift(
             "psi_term"
         ),
     )
+
+
+# Poisson(1) inverse-CDF thresholds (cumulative pmf), capped at 5 — the
+# cap truncates < 0.4% of the mass and keeps the ladder finite. Shared
+# verbatim (Python float repr) with the SQL oracle so both engines draw
+# IDENTICAL weights from the same md5 uniforms.
+POISSON1_CUM = (
+    0.36787944117144233,  # P(X<=0)
+    0.7357588823428847,
+    0.9196986029286055,
+    0.9810118431238462,
+    0.9963401531726563,
+)
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    n_replicas: int = 50,
+    id_col: str = "event_id",
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Bootstrap confidence interval for the per-group mean in ONE pass —
+    the Poisson bootstrap: resampling-with-replacement's per-row count
+    for a replica is Binomial(n, 1/n) ≈ Poisson(1), which needs no
+    global coordination, so each row independently draws its weight for
+    every replica from a seeded hash (md5(replica:id) → uniform →
+    inverse CDF). That is what makes the bootstrap distributable: the
+    classic resample loop reads the data B times; this reads it once
+    and fans out B weights map-side.
+
+    Deterministic end to end (hash uniforms, shared threshold ladder,
+    replica means rounded to 6 before the percentile — the house
+    rounded-before-rank rule), so the full CI is oracle-checkable.
+
+    Output: (group_cols..., n_rows, mean, ci_lo, ci_hi) with the CI =
+    [lo, hi] percentiles (linear interpolation) of the replica means.
+    """
+    u = H.md5_long(
+        F.concat_ws(
+            ":", F.col("_b").cast("string"), F.col(id_col).cast("string")
+        )
+    ) / F.lit(float(1 << 60))
+    w = F.lit(5)
+    for k in range(len(POISSON1_CUM) - 1, -1, -1):
+        w = F.when(u < F.lit(POISSON1_CUM[k]), F.lit(k)).otherwise(w)
+    fanned = df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(value_col).alias("_v"),
+        F.explode(
+            F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))
+        ).alias("_b"),
+    ).select(*group_cols, "_b", "_v", w.alias("_w"))
+    # all-zero-weight replicas (probability 0.37^n — impossible for any
+    # real group, reachable in toy tests) are excluded rather than
+    # divided: engines disagree on 0/0 (null vs nan)
+    rep = (
+        fanned.groupBy(*group_cols, "_b")
+        .agg(
+            F.sum(F.col("_w") * F.col("_v")).alias("_s"),
+            F.sum("_w").alias("_sw"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select(
+            *group_cols,
+            F.round(F.col("_s") / F.col("_sw"), 6).alias("_rm"),
+        )
+    )
+    cis = rep.groupBy(*group_cols).agg(
+        F.round(
+            F.expr(f"percentile(_rm, {lo!r})"), 6
+        ).alias("ci_lo"),
+        F.round(
+            F.expr(f"percentile(_rm, {hi!r})"), 6
+        ).alias("ci_hi"),
+    )
+    base = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg(value_col), 6).alias("mean"),
+    )
+    return base.join(cis, group_cols).select(
+        *group_cols, "n_rows", "mean", "ci_lo", "ci_hi"
+    )

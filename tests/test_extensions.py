@@ -764,3 +764,51 @@ def test_perceptual_hash_and_band_pairs(spark):
         for r in phash_candidate_pairs(hdf, max_hamming=3).collect()
     }
     assert pairs == {(10, 11): 2}
+
+
+def test_poisson_bootstrap_ci_semantics(spark, sf_dir):
+    """CI brackets the point estimate with positive width, is invariant
+    to partitioning (hash-seeded, not RNG-seeded), and narrows with
+    sample size (basic bootstrap sanity)."""
+    from clinical_vector_search_spark.operators.sketch import (
+        poisson_bootstrap_ci,
+    )
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    r = {
+        row.event_type: row
+        for row in poisson_bootstrap_ci(
+            ev, "value", ["event_type"], n_replicas=40
+        ).collect()
+    }
+    assert r
+    for row in r.values():
+        assert row.ci_lo <= row.mean <= row.ci_hi
+        assert row.ci_hi > row.ci_lo
+
+    r2 = {
+        row.event_type: (row.ci_lo, row.ci_hi)
+        for row in poisson_bootstrap_ci(
+            ev.repartition(7), "value", ["event_type"], n_replicas=40
+        ).collect()
+    }
+    assert r2 == {k: (v.ci_lo, v.ci_hi) for k, v in r.items()}
+
+    # 10x the data (ids shifted so weights differ per replica) -> CI width
+    # shrinks for every group
+    import pyspark.sql.functions as SF
+
+    big = ev
+    for i in range(1, 10):
+        big = big.unionByName(
+            ev.withColumn("event_id", SF.col("event_id") + 1_000_000 * i)
+        )
+    rbig = {
+        row.event_type: row.ci_hi - row.ci_lo
+        for row in poisson_bootstrap_ci(
+            big, "value", ["event_type"], n_replicas=40
+        ).collect()
+    }
+    for k, row in r.items():
+        assert rbig[k] < (row.ci_hi - row.ci_lo)
