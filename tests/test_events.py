@@ -1007,3 +1007,90 @@ def test_chained_agg_batch_rejects_untiled_windows(spark, sf_dir):
 
     with _p.raises(ValueError, match="tile"):
         chained_agg_batch(read_events(spark, sf_dir), 700, 3600)
+
+
+def test_streaming_late_rows_dropped_and_accounted(spark, sf_dir, tmp_path):
+    """Rows replayed BEHIND the advanced watermark must (a) not alter
+    the windowed aggregate — exactly-once semantics under late
+    duplicates — and (b) be visible in numRowsDroppedByWatermark, the
+    operational metric a production pipeline alarms on."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as SF
+
+    from clinical_vector_search_spark.streaming.events import (
+        _with_ts_ns,
+        NS,
+    )
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    subset = _with_ts_ns(static).orderBy("event_id").limit(200).cache()
+    max_ts_ns = subset.agg(SF.max("ts_ns")).collect()[0][0]
+    raw = subset.select(*[f.name for f in static.schema.fields])
+
+    base = str(tmp_path / "late")
+    raw.coalesce(1).write.parquet(f"{base}/f0")
+    # TWO sentinel batches: the effective watermark for batch N derives
+    # from batch N-2's max event time (one batch to record it, one to
+    # apply it) — the same double-advance the interval-join harness uses
+    for i in (1, 2):
+        sent_ns = max_ts_ns + i * 7200 * NS
+        spark.createDataFrame(
+            [(-i, -1, "flush", 0.0, "{}")],
+            "event_id long, user_id long, event_type string, value double, props string",
+        ).withColumn("ts", SF.timestamp_micros(SF.lit(sent_ns // 1000))).select(
+            *[SF.col(f.name).cast(f.dataType).alias(f.name) for f in static.schema.fields]
+        ).coalesce(1).write.parquet(f"{base}/f{i}")
+    raw.coalesce(1).write.parquet(f"{base}/f3")  # late replays of f0
+    now = _time.time()
+    for i in (0, 1, 2, 3):
+        for fn in os.listdir(f"{base}/f{i}"):
+            os.utime(f"{base}/f{i}/{fn}", (now + 10 * i, now + 10 * i))
+
+    stream = _with_ts_ns(
+        spark.readStream.schema(static.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "60 seconds")
+        .groupBy(SF.window("ts", "3600 seconds"), "event_type")
+        .agg(SF.count(SF.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_acct")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in q.recentProgress
+        for op in p["stateOperators"]
+    )
+    # the metric counts rows REACHING THE STATE STORE, i.e. after the
+    # map-side partial aggregation collapses late rows into
+    # (window, type) partial groups — so it is bounded by, not equal
+    # to, the raw late-row count. Non-zero is the alarm signal.
+    assert 0 < dropped <= 200
+
+    got = {
+        (r["window"].start, r.event_type): r.n
+        for r in spark.table("late_acct").collect()
+        if r["window"].start.timestamp() <= max_ts_ns / NS
+    }
+    want = {
+        ((r.window_start), r.event_type): r.n
+        for r in subset.groupBy(
+            (SF.expr(f"ts_ns div {NS * 3600}") * 3600).alias("window_start"),
+            "event_type",
+        )
+        .agg(SF.count(SF.lit(1)).alias("n"))
+        .collect()
+    }
+    got_keys = {(int(k[0].timestamp()), k[1]): v for k, v in got.items()}
+    assert got_keys == {(int(k[0]), k[1]): v for k, v in want.items()}
+    subset.unpersist()
