@@ -390,6 +390,37 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-maintainable aggregate update (operators/audit.py
+    incremental_agg_update): the per-priority order count/revenue rollup
+    maintained from a change feed (every 13th order removed, every 17th
+    re-added at 1.1× price) WITHOUT rescanning the base table — the
+    oracle recomputes the perturbed table from scratch; matching proves
+    the delta identity."""
+    from clinical_vector_search_spark.operators.audit import (
+        incremental_agg_update,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base_agg = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_totalprice").alias("revenue"),
+    )
+    removed = o.filter(F.col("o_orderkey") % 13 == 0).select(
+        "o_orderpriority", F.col("o_totalprice").alias("revenue")
+    )
+    added = o.filter(F.col("o_orderkey") % 17 == 0).select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 1.1).alias("revenue"),
+    )
+    upd = incremental_agg_update(
+        base_agg, added, removed, ["o_orderpriority"], ["revenue"]
+    )
+    return upd.select(
+        "o_orderpriority", "n_rows", F.round("revenue", 2).alias("revenue")
+    )
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Poisson-bootstrap CI for the per-type mean value
     (operators/sketch.py poisson_bootstrap_ci): 50 replicas drawn
@@ -3259,6 +3290,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_variant_extract": q_events_variant_extract,
         "text_bpe_encode": q_text_bpe_encode,
         "events_bootstrap_ci": q_events_bootstrap_ci,
+        "rel_incremental_agg": q_rel_incremental_agg,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
@@ -5480,6 +5512,23 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    # rel_incremental_agg: the oracle is the from-scratch recompute of
+    # the perturbed table — the delta identity must land on it exactly
+    # (counts are exact ints; revenue rounds to cents far above the
+    # subtraction's last-ulp drift).
+    s["rel_incremental_agg"] = """
+        WITH nw AS (
+            SELECT o_orderpriority, o_totalprice FROM orders
+            WHERE o_orderkey % 13 <> 0
+            UNION ALL
+            SELECT o_orderpriority, o_totalprice * 1.1 FROM orders
+            WHERE o_orderkey % 17 = 0
+        )
+        SELECT o_orderpriority, count(*) AS n_rows,
+               round(sum(o_totalprice), 2) AS revenue
+        FROM nw GROUP BY 1
     """
 
     from clinical_vector_search_spark.operators.sketch import POISSON1_CUM

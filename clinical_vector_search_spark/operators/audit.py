@@ -117,3 +117,53 @@ def snapshot_diff(
         )
         .filter(F.col("change_type").isNotNull())
     )
+
+
+def incremental_agg_update(
+    base_agg: DataFrame,
+    added: DataFrame,
+    removed: DataFrame,
+    group_cols: list[str],
+    sum_cols: list[str],
+    count_col: str = "n_rows",
+) -> DataFrame:
+    """Maintain a grouped count/sum aggregate under a change feed
+    WITHOUT touching the base data: new_agg = base_agg + Σ(added) −
+    Σ(removed) per group. This is the recompute-avoidance identity that
+    makes a 100 TB nightly rollup affordable when 0.1% of rows changed
+    — the delta frames are change-feed-sized (e.g. from
+    :func:`snapshot_diff` joined back to the rows), and the base
+    aggregate is |groups| rows; the base TABLE is never scanned.
+
+    Only works for self-maintainable aggregates (count/sum — and avg as
+    sum/count downstream); min/max are NOT maintainable under removal
+    (a removed max needs a rescan) and are deliberately absent. An
+    updated row is modeled as removed(old) + added(new). Groups whose
+    count reaches zero are dropped (matching a fresh recompute, which
+    never emits empty groups).
+
+    Output schema == ``base_agg``: (group_cols..., count_col, sum_cols...).
+    """
+
+    def delta(df: DataFrame, sign: int) -> DataFrame:
+        return df.groupBy(*group_cols).agg(
+            (F.lit(sign) * F.count(F.lit(1))).alias(count_col),
+            *[
+                (F.lit(sign) * F.sum(c)).alias(c)
+                for c in sum_cols
+            ],
+        )
+
+    combined = (
+        base_agg.select(*group_cols, count_col, *sum_cols)
+        .unionByName(delta(added, 1))
+        .unionByName(delta(removed, -1))
+    )
+    return (
+        combined.groupBy(*group_cols)
+        .agg(
+            F.sum(count_col).alias(count_col),
+            *[F.sum(c).alias(c) for c in sum_cols],
+        )
+        .filter(F.col(count_col) > 0)
+    )

@@ -812,3 +812,31 @@ def test_poisson_bootstrap_ci_semantics(spark, sf_dir):
     }
     for k, row in r.items():
         assert rbig[k] < (row.ci_hi - row.ci_lo)
+
+
+def test_incremental_agg_update_equals_recompute(spark):
+    """Delta maintenance == from-scratch recompute, including a group
+    emptied by removals (dropped, like a fresh recompute would)."""
+    from clinical_vector_search_spark.operators.audit import (
+        incremental_agg_update,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)], "g string, v double"
+    )
+    base_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    added = spark.createDataFrame(
+        [("a", 10.0), ("d", 1.5)], "g string, v double"
+    )
+    removed = spark.createDataFrame(
+        [("a", 1.0), ("c", 7.0)], "g string, v double"  # c emptied
+    )
+    got = {
+        r.g: (r.n_rows, round(r.v, 9))
+        for r in incremental_agg_update(
+            base_agg, added, removed, ["g"], ["v"]
+        ).collect()
+    }
+    assert got == {"a": (2, 12.0), "b": (1, 5.0), "d": (1, 1.5)}
