@@ -390,6 +390,37 @@ def q_rel_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish roundtrip (io/tables.py write_audit_publish):
+    documents published through a single-pass Observation quality gate
+    (metrics ride the write job — no audit rescan); the entry returns
+    the gate's realized metrics read back from the PUBLISHED artifact,
+    which the oracle re-derives from the source table."""
+    from clinical_vector_search_spark.io.tables import write_audit_publish
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch_dir("cvs_wap", tag)
+    docs = _docs(spark, sf_dir).select("doc_id", "lang", "text", "n_chars")
+    write_audit_publish(
+        docs,
+        f"{path}/docs",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_text": F.count_if(F.col("text").isNull()),
+            "sum_chars": F.sum("n_chars"),
+        },
+        lambda m: m["n_rows"] > 0 and m["n_null_text"] == 0,
+    )
+    pub = spark.read.parquet(f"{path}/docs")
+    return pub.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("text").isNull()).alias("n_null_text"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
 def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Self-maintainable aggregate update (operators/audit.py
     incremental_agg_update): the per-priority order count/revenue rollup
@@ -3291,6 +3322,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "rel_incremental_agg": q_rel_incremental_agg,
+        "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
         "events_tumbling": q_events_tumbling,
@@ -5512,6 +5544,14 @@ def oracle_sql() -> dict[str, str]:
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE o_totalprice > 350000
         GROUP BY 1
+    """
+
+    s["io_wap_publish"] = """
+        SELECT count(*) AS n_rows,
+               count(*) FILTER (WHERE text IS NULL) AS n_null_text,
+               sum(n_chars)::BIGINT AS sum_chars,
+               min(doc_id) AS min_id, max(doc_id) AS max_id
+        FROM documents
     """
 
     # rel_incremental_agg: the oracle is the from-scratch recompute of

@@ -438,3 +438,49 @@ def verify_shard_manifest(
         )
         .select("shard", "n_rows", "m_rows", "content_hash", "m_hash")
     )
+
+
+def write_audit_publish(
+    df: DataFrame,
+    path: str,
+    metrics: dict,
+    check,
+) -> dict:
+    """Write-audit-publish with a SINGLE data pass: the quality metrics
+    ride the write job as an ``Observation`` (zero extra scans — a
+    separate audit query would rescan what was just written, which at
+    100 TB doubles the job), the gate ``check(metrics_dict) -> bool``
+    runs on the driver, and only a passing write is atomically renamed
+    from the staging directory to ``path``. A failing gate removes the
+    staged output and raises — downstream readers can never observe a
+    bad publish.
+
+    ``metrics`` maps metric name → aggregate Column (count/sum/avg/...);
+    the realized values are returned. Same single-writer swap caveat as
+    ``upsert_vector_index``/``compact_parquet``.
+    """
+    import shutil
+    import uuid
+
+    from pyspark.sql import Observation
+
+    staged = f"{path}__staged_{uuid.uuid4().hex[:12]}"
+    obs = Observation("wap_gate")
+    try:
+        df.observe(
+            obs, *[c.alias(k) for k, c in metrics.items()]
+        ).write.mode("overwrite").parquet(staged)
+        got = dict(obs.get)
+        if not check(got):
+            raise ValueError(
+                f"write_audit_publish gate failed for {path!r}: {got}"
+            )
+    except Exception:
+        shutil.rmtree(staged, ignore_errors=True)
+        raise
+    old = f"{path}__old_{uuid.uuid4().hex[:12]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return got

@@ -222,3 +222,39 @@ def test_jsonl_sink_roundtrip_and_manifest_gating(spark, sf_dir, tmp_path):
         "path", path
     ).mode("overwrite").save()
     assert read_jsonl_sink(spark, path).count() == 10
+
+
+def test_write_audit_publish_gate(spark, sf_dir, tmp_path):
+    """Single-pass WAP: a passing gate publishes atomically; a failing
+    gate raises, leaves NO staged garbage, and preserves the previous
+    publish."""
+    import os
+
+    import pytest as _p
+
+    from clinical_vector_search_spark.io.tables import write_audit_publish
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    path = str(tmp_path / "wap")
+    m = write_audit_publish(
+        docs,
+        path,
+        {"n_rows": F.count(F.lit(1))},
+        lambda mm: mm["n_rows"] > 0,
+    )
+    assert m["n_rows"] == docs.count()
+    assert spark.read.parquet(path).count() == m["n_rows"]
+
+    # failing gate: previous publish survives, nothing staged remains
+    with _p.raises(ValueError, match="gate failed"):
+        write_audit_publish(
+            docs.limit(5),
+            path,
+            {"n_rows": F.count(F.lit(1))},
+            lambda mm: mm["n_rows"] > 10,
+        )
+    assert spark.read.parquet(path).count() == m["n_rows"]
+    parent = os.path.dirname(path)
+    assert not [d for d in os.listdir(parent) if "__staged_" in d]
