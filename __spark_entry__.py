@@ -5510,7 +5510,7 @@ def oracle_sql() -> dict[str, str]:
                    FROM events),
         k AS (SELECT *, (ts_ns // 3600000000000) * 3600 AS window_start,
                      lpad(ts_ns::VARCHAR, 19, '0') || ':' ||
-                         lpad(event_id::VARCHAR, 10, '0') AS okey
+                         lpad(event_id::VARCHAR, 19, '0') AS okey
               FROM e)
         SELECT window_start, event_type AS grp,
                min_by(value, okey) AS open,

@@ -101,7 +101,14 @@ class JsonlSinkWriter(DataSourceWriter):
     readers that go through the manifest never see output from failed,
     speculative, or aborted task attempts. ``abort`` deletes the
     orphans. This is the same visibility contract Spark's own file
-    committers provide, expressed through the Python API."""
+    committers provide, expressed through the Python API.
+
+    Filesystem contract: tasks write with ``open()`` on the EXECUTOR
+    and the driver renames — correct only when ``path`` is a filesystem
+    both sides share (local mode, NFS, a fuse-mounted object store). On
+    a multi-node cluster with node-local disks the writes land on the
+    wrong machines; point ``path`` at shared storage there (exactly the
+    assumption Spark's own ``file://`` sinks make)."""
 
     def __init__(self, options, overwrite: bool):
         self.path = options.get("path")

@@ -1450,6 +1450,18 @@ def jaccard_prefix_pairs(
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
     tau = float(threshold)
+    # Conservative float guard on every ⌈τ·n⌉: binary τ (0.8 is
+    # 0.8000…0444) inflates τ·n past the exact integer (0.8·15 →
+    # 12.000000000000002 → ceil 13), which SHORTENS the prefix below
+    # the lemma's bound and over-tightens the length filter — both
+    # directions MISS valid pairs (regression-tested with an exact
+    # J = 12/15 = 0.8 pair). Subtracting an epsilon only ever makes
+    # the prefix longer / the filter looser: correctness is one-sided.
+    EPS = 1e-9
+
+    def _ceil_tau(n):
+        return F.ceil(F.lit(tau) * n - F.lit(EPS))
+
     sh = tracked_cache(
         TXT.shingle_rows(
             df, shingle_size, text_col, id_col, distinct=True
@@ -1463,8 +1475,7 @@ def jaccard_prefix_pairs(
         .withColumn("_pos", F.row_number().over(w))
         .join(sizes, "doc")
         .filter(
-            F.col("_pos")
-            <= F.col("n_sh") - F.ceil(F.lit(tau) * F.col("n_sh")) + 1
+            F.col("_pos") <= F.col("n_sh") - _ceil_tau(F.col("n_sh")) + 1
         )
         .select("doc", "n_sh", "shingle")
     )
@@ -1480,7 +1491,7 @@ def jaccard_prefix_pairs(
             (F.col("a_id") < F.col("b_id"))
             & (
                 F.least("na", "nb")
-                >= F.ceil(F.lit(tau) * F.greatest("na", "nb"))
+                >= _ceil_tau(F.greatest("na", "nb"))
             )
         )
         .select("a_id", "b_id")

@@ -1541,7 +1541,7 @@ def ohlc_bars(
     okey = F.concat(
         F.lpad(F.col("ts_ns").cast("string"), 19, "0"),
         F.lit(":"),
-        F.lpad(F.col("event_id").cast("string"), 10, "0"),
+        F.lpad(F.col("event_id").cast("string"), 19, "0"),
     )
     return events.groupBy(bucket, F.col(group_col).alias("grp")).agg(
         F.min_by(value_col, okey).alias("open"),

@@ -694,3 +694,36 @@ def test_pagerank_mass_and_golden(spark):
     r5 = {r.node: r.rank for r in pagerank(nodes, edges, n_iter=5).collect()}
     assert abs(sum(r5.values()) - 1.0) < 1e-9
     assert r5[1] == r5[2] > r5[3]
+
+
+def test_jaccard_prefix_exact_boundary_no_float_miss(spark):
+    """Adversarial float-boundary case: J = 12/15 = 0.8 exactly at
+    τ = 0.8, with the 3 non-shared tokens rarest (df=1) so they fill
+    the whole prefix if ⌈τ·n⌉ is inflated by one (0.8·15 floats to
+    12.000000000000002). The un-guarded ceil missed this pair BOTH via
+    the shortened prefix and the length filter (12 ≥ 13 false)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+    )
+
+    shared = [f"s{i:02d}" for i in range(12)]
+    uniq = ["aa1", "aa2", "aa3"]  # sort before s* on the tie-break too
+    rows = [
+        (1, " ".join(uniq + shared)),  # |A| = 15 unigram shingles
+        (2, " ".join(shared)),         # |B| = 12, all shared
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in jaccard_prefix_pairs(
+            docs, shingle_size=1, threshold=0.8
+        ).collect()
+    }
+    full = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in ngram_jaccard_pairs(
+            docs, shingle_size=1, threshold=0.8
+        ).collect()
+    }
+    assert full == {(1, 2): 0.8}  # the pair really is exactly at τ
+    assert got == full
