@@ -42,9 +42,8 @@ def pagerank(
     Fixed ``n_iter`` (not convergence-tested) keeps the computation a
     deterministic, engine-reproducible expression — the SQL oracle
     unrolls the same iterations. N and the dangling mass enter the plan
-    as 1-row broadcast frames, not driver constants, so the whole thing
-    is one lazy plan per iteration with exactly two driver actions total
-    (the iteration persist swaps).
+    as 1-row broadcast frames, not driver constants, so each iteration is
+    one lazy plan materialized by its localCheckpoint.
 
     Returns (node_col, rank DOUBLE) — unrounded; callers round.
     """
@@ -54,13 +53,19 @@ def pagerank(
     deg = edges.groupBy(F.col(src_col).alias(node_col)).agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
     )
+    # localCheckpoint, not cache: (a) each iteration's plan stays one
+    # step deep — n_iter chained join-aggs otherwise make plan
+    # stringification itself a driver-heap risk (observed on the BPE
+    # loop); (b) cache would hand the caller a frame whose handle
+    # nobody owns for unpersist (the r6-ADVICE leak class) — a
+    # checkpointed RDD is reclaimed by the ContextCleaner when the
+    # frame goes out of scope.
     ranks = (
         nodes.select(node_col)
         .crossJoin(F.broadcast(n_frame))
         .select(node_col, (F.lit(1.0) / F.col("_n")).alias("rank"))
-        .cache()
+        .localCheckpoint()
     )
-    ranks.count()
     for _ in range(n_iter):
         with_deg = ranks.join(F.broadcast(deg), node_col, "left")
         dangling = with_deg.filter(F.col("_deg").isNull()).agg(
@@ -77,7 +82,7 @@ def pagerank(
             .groupBy(F.col(dst_col).alias(node_col))
             .agg(F.sum("_share").alias("_c"))
         )
-        new_ranks = (
+        ranks = (
             nodes.select(node_col)
             .join(contrib, node_col, "left")
             .crossJoin(F.broadcast(n_frame))
@@ -93,9 +98,6 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .cache()
+            .localCheckpoint()
         )
-        new_ranks.count()  # materialize before dropping the parent
-        ranks.unpersist()
-        ranks = new_ranks
     return ranks
