@@ -29,6 +29,7 @@ def pagerank(
     node_col: str = "node",
     src_col: str = "src",
     dst_col: str = "dst",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -46,6 +47,10 @@ def pagerank(
     one lazy plan materialized by its localCheckpoint.
 
     Returns (node_col, rank DOUBLE) — unrounded; callers round.
+    ``checkpoint=False`` skips the per-iteration localCheckpoint and
+    returns the fully-composed lazy plan — ONLY for plan inspection /
+    audits (a real run at any depth needs the truncation; see the
+    module docstring).
     """
     n_frame = nodes.agg(
         F.count(F.lit(1)).cast("double").alias("_n")
@@ -64,8 +69,9 @@ def pagerank(
         nodes.select(node_col)
         .crossJoin(F.broadcast(n_frame))
         .select(node_col, (F.lit(1.0) / F.col("_n")).alias("rank"))
-        .localCheckpoint()
     )
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
     for _ in range(n_iter):
         with_deg = ranks.join(F.broadcast(deg), node_col, "left")
         dangling = with_deg.filter(F.col("_deg").isNull()).agg(
@@ -98,6 +104,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
     return ranks

@@ -630,6 +630,56 @@ def main() -> int:
         and "BroadcastNestedLoop" not in plan,
     )
 
+    # 29. OHLC candles: ONE map-side-combinable aggregation — min_by/
+    # max_by partials, zero Window nodes, one exchange
+    from clinical_vector_search_spark.streaming.events import (
+        ohlc_bars,
+        read_events,
+    )
+
+    plan = formatted(ohlc_bars(read_events(spark, SF_DIR), 3600))
+    check(
+        "ohlc_bars: single agg, no Window, one exchange",
+        n_nodes(plan, "Window") == 0
+        and n_nodes(plan, "Exchange") == 1
+        and "CartesianProduct" not in plan,
+    )
+
+    # 30. Poisson bootstrap: replica weights fan out map-side (Generate
+    # below the aggs), no Window, no cartesian
+    plan = formatted(E.q_events_bootstrap_ci(spark, SF_DIR))
+    check(
+        "bootstrap_ci: map-side replica fan-out, no Window/cartesian",
+        n_nodes(plan, "Generate") >= 1
+        and n_nodes(plan, "Window") == 0
+        and "CartesianProduct" not in plan,
+    )
+
+    # 31. one PageRank iteration (checkpoint=False exposes the lazy
+    # plan; checkpointed runs truncate to a LogicalRDD): the degree
+    # frame joins ranks as a BROADCAST, no cartesian beyond the 1-row
+    # scalar crossJoins (BNLJ on literally-1-row frames)
+    from clinical_vector_search_spark.operators.graph import pagerank
+
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        ((F.col("doc_id") + 1) % 500).alias("dst"),
+    )
+    plan = formatted(pagerank(nodes, edges, n_iter=1, checkpoint=False))
+    check(
+        "pagerank iteration: broadcast degree join, no CartesianProduct",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
+
+    # 32. incremental agg maintenance: union of deltas -> ONE final
+    # group-key aggregation, no join back to the base data
+    plan = formatted(E.q_rel_incremental_agg(spark, SF_DIR))
+    check(
+        "incremental_agg: union+agg shape, no cartesian",
+        n_nodes(plan, "Union") >= 1 and "CartesianProduct" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
