@@ -452,6 +452,43 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record routing for JSON ingestion: every 7th event's
+    props is deterministically mangled (LEADING garbage — Spark's JSON
+    parsers silently accept trailing garbage, so a trailing mangle
+    would classify differently across engines; documented trap),
+    try_parse_json(props) IS NULL routes rows to the dead-letter count
+    while valid rows aggregate normally — the
+    split-don't-drop ingestion contract."""
+    e = _events(spark, sf_dir)
+    mangled = e.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("corrupt:"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    v = F.try_parse_json(F.col("props"))
+    bad = F.col("props").isNotNull() & v.isNull()
+    return mangled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(bad.cast("long")).alias("n_corrupt"),
+        F.sum(
+            F.when(~bad, F.try_variant_get(v, "$.k", "int"))
+        ).alias("sum_k_valid"),
+    )
+
+
+def q_events_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust MAD outlier counts per event_type (operators/sketch.py
+    mad_outliers): median/MAD flagging where z-scores self-destruct
+    (outliers inflate their own σ); rounded-before-compare boundary,
+    exact-percentile form mirrored by the oracle."""
+    from clinical_vector_search_spark.operators.sketch import mad_outliers
+
+    return mad_outliers(_events(spark, sf_dir), "value", ["event_type"], 3.0)
+
+
 def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass Poisson-bootstrap CI for the per-type mean value
     (operators/sketch.py poisson_bootstrap_ci): 50 replicas drawn
@@ -3322,6 +3359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_encode": q_text_bpe_encode,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "rel_incremental_agg": q_rel_incremental_agg,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_json_deadletter": q_events_json_deadletter,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -5569,6 +5608,41 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderpriority, count(*) AS n_rows,
                round(sum(o_totalprice), 2) AS revenue
         FROM nw GROUP BY 1
+    """
+
+    s["events_json_deadletter"] = """
+        WITH m AS (SELECT event_type, event_id,
+                          CASE WHEN event_id % 7 = 0
+                               THEN 'corrupt:' || props ELSE props END
+                              AS props
+                   FROM events),
+        c AS (SELECT event_type, props,
+                     (props IS NOT NULL AND NOT json_valid(props)) AS bad
+              FROM m)
+        SELECT event_type, count(*) AS n_rows,
+               sum(bad::INT)::BIGINT AS n_corrupt,
+               sum(CASE WHEN NOT bad
+                        THEN json_extract(props, '$.k')::INT END)::BIGINT
+                   AS sum_k_valid
+        FROM c GROUP BY 1
+    """
+
+    s["events_mad_outliers"] = """
+        WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                     FROM events GROUP BY 1),
+        j AS (SELECT e.event_type, e.value, med.m
+              FROM events e JOIN med USING (event_type)),
+        mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d
+                FROM j GROUP BY 1),
+        x AS (SELECT j.event_type, j.value, j.m, mad.d
+              FROM j JOIN mad USING (event_type))
+        SELECT event_type, count(*) AS n_rows,
+               round(max(m), 6) AS med, round(max(d), 6) AS mad,
+               sum(CASE WHEN (d > 0 AND
+                              round(abs(value - m) / (1.4826 * d), 6) > 3.0)
+                          OR (d = 0 AND abs(value - m) > 0)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM x GROUP BY 1
     """
 
     from clinical_vector_search_spark.operators.sketch import POISSON1_CUM

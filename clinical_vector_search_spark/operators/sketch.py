@@ -381,3 +381,55 @@ def poisson_bootstrap_ci(
     return base.join(cis, group_cols).select(
         *group_cols, "n_rows", "mean", "ci_lo", "ci_hi"
     )
+
+
+def mad_outliers(
+    events: DataFrame,
+    value_col: str = "value",
+    group_cols: list[str] | None = None,
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flagging by median absolute deviation — the
+    median/MAD twin of :func:`zscore_outliers` for the case z-scores
+    silently fail: mean and stddev are themselves dragged by the
+    outliers they are supposed to expose (one 10⁶× spike inflates σ
+    until nothing else flags), while the median breaks down only past
+    50% contamination.
+
+    Flags rows with |v − median| > k · 1.4826 · MAD (1.4826 scales MAD
+    to σ under normality, so ``k`` reads like a z-threshold). Two
+    group-granularity aggregations (median, then MAD of residuals) and
+    one join back — the exact-percentile form mirrored by the oracle;
+    at 100 TB swap ``percentile`` for ``percentile_approx`` the same
+    way events_quantiles twins do. Zero-MAD groups (≥50% identical
+    values) flag only exact deviants (any |v−med| > 0).
+
+    Output: per-group (group_cols..., n_rows, med, mad, n_outliers).
+    """
+    group_cols = group_cols or ["event_type"]
+    med = events.groupBy(*group_cols).agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = events.join(med, group_cols)
+    mad = with_med.groupBy(*group_cols).agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    joined = with_med.join(mad, group_cols)
+    dev = F.abs(F.col(value_col) - F.col("_med"))
+    # rounded-before-compare boundary (same contract as zscore_outliers'
+    # round_dp): the exact medians may differ by an interpolation ulp
+    # across engines, and a raw float compare could flip a row sitting
+    # on the threshold
+    is_out = F.when(
+        F.col("_mad") > 0,
+        F.round(dev / (F.lit(1.4826) * F.col("_mad")), 6) > F.lit(float(k)),
+    ).otherwise(dev > 0)
+    return (
+        joined.groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.first("_med"), 6).alias("med"),
+            F.round(F.first("_mad"), 6).alias("mad"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+        )
+    )

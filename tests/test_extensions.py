@@ -840,3 +840,30 @@ def test_incremental_agg_update_equals_recompute(spark):
         ).collect()
     }
     assert got == {"a": (2, 12.0), "b": (1, 5.0), "d": (1, 1.5)}
+
+
+def test_mad_outliers_robustness_vs_zscore(spark):
+    """The case MAD exists for: one extreme spike inflates sigma until
+    z-scores flag nothing, while the median/MAD boundary still flags
+    exactly the spike. Zero-MAD groups flag only exact deviants."""
+    from clinical_vector_search_spark.operators.sketch import (
+        mad_outliers,
+        zscore_outliers,
+    )
+
+    rows = [(i, "a", float(v)) for i, v in enumerate(
+        [10, 11, 9, 10, 12, 10, 11, 9, 10, 1_000_000]
+    )] + [(100 + i, "b", 5.0) for i in range(9)] + [(199, "b", 7.0)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+
+    mad = {r.event_type: r for r in mad_outliers(
+        df, "value", ["event_type"], 3.0).collect()}
+    assert mad["a"].n_outliers == 1       # the spike, and only the spike
+    assert mad["a"].med == 10.0
+    # z-score on the same group: sigma ~ 3e5, spike z ~ 3.0 -> borderline,
+    # every normal point z ~ 0.0003 -> the statistic has collapsed
+    z = zscore_outliers(df.filter("event_type = 'a'"),
+                        "value", ["event_type"], 5.0)
+    assert z.filter("is_outlier").count() == 0  # sigma self-inflation
+    # group b: MAD = 0 (>=50% identical) -> only the exact deviant flags
+    assert mad["b"].mad == 0.0 and mad["b"].n_outliers == 1
