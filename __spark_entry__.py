@@ -452,6 +452,70 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncated retrieval: slice the leading
+    16 of 64 dims, re-normalize, exact top-k — the adaptive-dimension
+    serving pattern (coarse cheap pass on a prefix of the embedding;
+    MRL-trained models make the prefix meaningful, and the engine-side
+    plumbing — slice, renorm, same kNN plan — is identical either way).
+    Full oracle: slicing is list arithmetic in SQL too."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn
+
+    emb = _vecs(spark, sf_dir).select(
+        "vec_id",
+        V.l2_normalize(F.slice("embedding", 1, 16)).alias("embedding"),
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    queries = emb.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    r = knn(queries, docs, KNN_K, strategy="window")
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    )
+
+
+def q_retrieval_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training hard-negative mining: for each anchor, the
+    top-5 most-similar docs that are neither the anchor itself nor
+    near-duplicates (cosine ≥ 0.95 — a near-dup labeled 'negative'
+    poisons the loss). One kNN pass over-fetches k+dup-budget, then the
+    band filter + re-rank trims — the standard mining recipe as a plan."""
+    from pyspark.sql import Window as W
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn
+
+    emb = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize("embedding").alias("embedding"),
+    )
+    queries = emb.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    cand = knn(queries, emb, 25, strategy="window")
+    kept = cand.filter(
+        (F.col("doc_id") != F.col("query_id")) & (F.col("score") < 0.95)
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        kept.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 5)
+        .select(
+            "query_id",
+            F.col("neg_rank").cast("long").alias("neg_rank"),
+            "doc_id",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
 def q_events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corrupt-record routing for JSON ingestion: every 7th event's
     props is deterministically mangled (LEADING garbage — Spark's JSON
@@ -3361,6 +3425,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_incremental_agg": q_rel_incremental_agg,
         "events_mad_outliers": q_events_mad_outliers,
         "events_json_deadletter": q_events_json_deadletter,
+        "knn_matryoshka": q_knn_matryoshka,
+        "retrieval_hard_negatives": q_retrieval_hard_negatives,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -3813,6 +3879,47 @@ def oracle_sql() -> dict[str, str]:
     s["knn_exact"] = _knn_sql
     s["knn_window"] = _knn_sql
     s["knn_ivf_fullprobe"] = _knn_sql
+
+    # matryoshka: identical kNN shape over the re-normalized 16-dim prefix
+    s["knn_matryoshka"] = f"""
+        WITH d AS (SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+                   FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        q AS (SELECT doc_id AS query_id, nv AS qv FROM n
+              WHERE doc_id < {KNN_NQ}),
+        sc AS (SELECT query_id, doc_id, list_dot_product(qv, nv) AS score
+               FROM q CROSS JOIN n),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc)
+        SELECT query_id, rank, doc_id, round(score, 6) AS score
+        FROM r WHERE rank <= {KNN_K}
+    """
+
+    # hard negatives: over-fetched kNN minus self minus the >= 0.95
+    # near-dup band, re-ranked
+    s["retrieval_hard_negatives"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id AS doc_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        q AS (SELECT doc_id AS query_id, nv AS qv FROM n
+              WHERE doc_id < {KNN_NQ}),
+        sc AS (SELECT query_id, doc_id, list_dot_product(qv, nv) AS score
+               FROM q CROSS JOIN n),
+        r AS (SELECT query_id, doc_id, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM sc),
+        cand AS (SELECT * FROM r WHERE rank <= 25),
+        kept AS (SELECT query_id, doc_id, score,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY score DESC, doc_id)
+                            AS neg_rank
+                 FROM cand
+                 WHERE doc_id <> query_id AND score < 0.95)
+        SELECT query_id, neg_rank, doc_id, round(score, 6) AS score
+        FROM kept WHERE neg_rank <= 5
+    """
 
     # MMR λ=1 ≡ relevance order: exact-kNN ranking without the score col
     s["mmr_lambda1"] = f"""
