@@ -452,6 +452,74 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_evaluation_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label↔cluster agreement (A1–A5 family extension): assign each
+    embedding to its argmax-centroid cluster (the semantic-dedup
+    quantizer), predict each row as its cluster's MAJORITY label
+    (ties → smallest label), and score purity (= accuracy vs majority)
+    plus chance-corrected Cohen's κ — the metric that exposes
+    'accurate' clusterings that merely echo the label marginals. One
+    row: (n_rows, n_clusters_used, purity, kappa)."""
+    from pyspark.sql import Window as W
+
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_clusters,
+    )
+
+    emb = _vecs(spark, sf_dir)
+    asg = semantic_clusters(emb, dim=64, n_clusters=8).select(
+        "vec_id", "cluster"
+    )
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    j = asg.join(lab, "vec_id")
+    maj = (
+        j.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "_r",
+            F.row_number().over(
+                W.partitionBy("cluster").orderBy(
+                    F.desc("cnt"), F.asc("label")
+                )
+            ),
+        )
+        .filter(F.col("_r") == 1)
+        .select("cluster", F.col("label").alias("pred"))
+    )
+    scored = j.join(maj, "cluster")
+    # one lazy plan: the three scalar frames (agreement counts, marginal
+    # product, clusters-used) meet in 1-row crossJoins — no driver
+    # actions inside the entry
+    agree = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.count_if(F.col("label") == F.col("pred")).alias("_hits"),
+    )
+    marg = (
+        scored.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_l"))
+        .join(
+            scored.groupBy(F.col("pred").alias("label")).agg(
+                F.count(F.lit(1)).alias("n_p")
+            ),
+            "label",
+        )
+        .agg(F.coalesce(F.sum(F.col("n_l") * F.col("n_p")), F.lit(0)).alias("_s"))
+    )
+    ncl = maj.agg(F.count(F.lit(1)).alias("_ncl"))
+    po = F.col("_hits") / F.col("_n")
+    pe = F.col("_s") / (F.col("_n") * F.col("_n"))
+    return (
+        agree.crossJoin(F.broadcast(marg))
+        .crossJoin(F.broadcast(ncl))
+        .select(
+            F.col("_n").alias("n_rows"),
+            F.col("_ncl").alias("n_clusters_used"),
+            F.round(po, 6).alias("purity"),
+            F.round((po - pe) / (1 - pe), 6).alias("kappa"),
+        )
+    )
+
+
 def q_knn_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Matryoshka-style dimension-truncated retrieval: slice the leading
     16 of 64 dims, re-normalize, exact top-k — the adaptive-dimension
@@ -3427,6 +3495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_deadletter": q_events_json_deadletter,
         "knn_matryoshka": q_knn_matryoshka,
         "retrieval_hard_negatives": q_retrieval_hard_negatives,
+        "evaluation_kappa": q_evaluation_kappa,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -5470,6 +5539,45 @@ def oracle_sql() -> dict[str, str]:
                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
               WHERE list_dot_product(a.nv, b.nv) >= 0.35)
     """
+    # evaluation_kappa: same argmax-centroid assignment fragment, then
+    # majority-label prediction + purity/kappa arithmetic on int ratios
+    s["evaluation_kappa"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+                   FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv, label FROM d),
+        cents AS (SELECT * FROM (VALUES {_cents_sql}) AS c(cid, w)),
+        dots AS (SELECT vec_id, label, cid, list_dot_product(nv, w) AS dot
+                 FROM n CROSS JOIN cents),
+        asg AS (SELECT vec_id, label::BIGINT AS label, cid AS cluster FROM
+                  (SELECT vec_id, label, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY dot DESC, cid) AS rn
+                   FROM dots)
+                WHERE rn = 1),
+        maj AS (SELECT cluster, label AS pred FROM
+                  (SELECT cluster, label, count(*) AS cnt,
+                          row_number() OVER (PARTITION BY cluster
+                                             ORDER BY count(*) DESC, label)
+                              AS r
+                   FROM asg GROUP BY 1, 2)
+                WHERE r = 1),
+        sc AS (SELECT asg.label, maj.pred FROM asg
+               JOIN maj ON asg.cluster = maj.cluster),
+        agg AS (SELECT count(*)::BIGINT AS n,
+                       count(*) FILTER (WHERE label = pred)::BIGINT AS hits
+                FROM sc),
+        mg AS (SELECT coalesce(sum(n_l * n_p), 0)::BIGINT AS s FROM
+                 (SELECT label, count(*) AS n_l FROM sc GROUP BY 1) a
+                 JOIN (SELECT pred AS label, count(*) AS n_p FROM sc
+                       GROUP BY 1) b USING (label)),
+        nc AS (SELECT count(*)::BIGINT AS ncl FROM maj)
+        SELECT n AS n_rows, ncl AS n_clusters_used,
+               round(hits / n::DOUBLE, 6) AS purity,
+               round((hits / n::DOUBLE - s / (n::DOUBLE * n::DOUBLE))
+                     / (1 - s / (n::DOUBLE * n::DOUBLE)), 6) AS kappa
+        FROM agg, mg, nc
+    """
+
     s["dedup_semantic_pairs"] = (
         _semdedup_base
         + "SELECT a_id, b_id, cluster, round(cosine, 6) AS cosine FROM p"

@@ -75,3 +75,50 @@ def test_multi_query_grouping(spark):
     other = results_df(spark, [(1, 1, 1), (1, 2, 2), (2, 1, 9), (2, 2, 10)])
     rows = {r.query_id: r for r in evaluate_against_baseline(base, other, 2).collect()}
     assert rows[1].recall == 1.0 and rows[2].recall == 0.0
+
+
+def test_cohens_kappa_entry_semantics(spark):
+    """κ hand-check through the entry's arithmetic: perfect agreement →
+    κ = 1; agreement at exactly chance level → κ = 0."""
+    # po == 1 ⇒ kappa == 1 regardless of marginals: every vector in its
+    # own cluster-majority class. Build po/pe directly: (hits=n) case.
+    # Validate on the formula level via tiny frames mirroring the plan.
+    from pyspark.sql import functions as SF
+
+    sc = spark.createDataFrame(
+        [(0, 0), (1, 1), (0, 0), (1, 1)], "label long, pred long"
+    )
+    agree = sc.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.count_if(SF.col("label") == SF.col("pred")).alias("hits"),
+    ).collect()[0]
+    s = (
+        sc.groupBy("label").agg(SF.count(SF.lit(1)).alias("n_l"))
+        .join(sc.groupBy(SF.col("pred").alias("label")).agg(
+            SF.count(SF.lit(1)).alias("n_p")), "label")
+        .agg(SF.sum(SF.col("n_l") * SF.col("n_p")).alias("s"))
+        .collect()[0]["s"]
+    )
+    po = agree["hits"] / agree["n"]
+    pe = s / (agree["n"] ** 2)
+    assert po == 1.0 and abs((po - pe) / (1 - pe) - 1.0) < 1e-12
+
+    # chance-level: pred constant 0, labels half 0 half 1 -> po = 0.5,
+    # pe = 0.5 * 1.0 = 0.5 -> kappa = 0
+    sc2 = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 0), (1, 0)], "label long, pred long"
+    )
+    a2 = sc2.agg(
+        SF.count(SF.lit(1)).alias("n"),
+        SF.count_if(SF.col("label") == SF.col("pred")).alias("hits"),
+    ).collect()[0]
+    s2 = (
+        sc2.groupBy("label").agg(SF.count(SF.lit(1)).alias("n_l"))
+        .join(sc2.groupBy(SF.col("pred").alias("label")).agg(
+            SF.count(SF.lit(1)).alias("n_p")), "label")
+        .agg(SF.sum(SF.col("n_l") * SF.col("n_p")).alias("s"))
+        .collect()[0]["s"]
+    )
+    po2, pe2 = a2["hits"] / a2["n"], s2 / (a2["n"] ** 2)
+    assert po2 == 0.5 and pe2 == 0.5
+    assert abs((po2 - pe2) / (1 - pe2)) < 1e-12
