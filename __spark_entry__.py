@@ -452,6 +452,88 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash estimator quality, measured where it matters: for every
+    true near-dup pair (exact Jaccard ≥ 0.2), the signature-agreement
+    estimate (matching components / num_hashes) against the exact
+    Jaccard, with the absolute error — the sketch-calibration table a
+    pipeline consults before trusting banded MinHash recall at a new
+    threshold. MINHASH_HASHES-component signatures; all three frames
+    reuse the oracle-certified derivations."""
+    from clinical_vector_search_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pairs = ngram_jaccard_pairs(
+        docs, shingle_size=SHINGLE_N, threshold=JACCARD_THR
+    ).select("a_id", "b_id", "jaccard")
+    sigs = minhash_signatures(
+        docs, num_hashes=MINHASH_HASHES, shingle_size=SHINGLE_N
+    )
+    est = (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("a_id"), "hash_idx",
+                F.col("sig").alias("_sa"),
+            ),
+            "a_id",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("b_id"), "hash_idx",
+                F.col("sig").alias("_sb"),
+            ),
+            ["b_id", "hash_idx"],
+        )
+        .groupBy("a_id", "b_id")
+        .agg(
+            (
+                F.count_if(F.col("_sa") == F.col("_sb"))
+                / F.lit(float(MINHASH_HASHES))
+            ).alias("_est"),
+            F.first("jaccard").alias("_j"),
+        )
+    )
+    return est.select(
+        "a_id",
+        "b_id",
+        F.round("_j", 6).alias("jaccard"),
+        F.round("_est", 6).alias("est"),
+        F.round(F.abs(F.col("_est") - F.col("_j")), 6).alias("abs_err"),
+    )
+
+
+def q_events_value_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (§2.7 pattern completeness): per user, the
+    longest CONSECUTIVE run of events with value > 50 — runs identified
+    by the classic row_number-difference trick (seq − seq_within_flag is
+    constant inside an island), all inside per-user windows (no global
+    sort). Output bounded to users whose longest run ≥ 5."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir).select(
+        "user_id", "event_id", "ts_ns", (F.col("value") > 50).alias("hot")
+    )
+    w_all = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    w_hot = W.partitionBy("user_id", "hot").orderBy("ts_ns", "event_id")
+    runs = (
+        e.withColumn("_grp", F.row_number().over(w_all) - F.row_number().over(w_hot))
+        .filter(F.col("hot"))
+        .groupBy("user_id", "_grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.max("run_len").alias("longest_run"),
+        )
+        .filter(F.col("longest_run") >= 5)
+    )
+
+
 def q_evaluation_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label↔cluster agreement (A1–A5 family extension): assign each
     embedding to its argmax-centroid cluster (the semantic-dedup
@@ -3496,6 +3578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_matryoshka": q_knn_matryoshka,
         "retrieval_hard_negatives": q_retrieval_hard_negatives,
         "evaluation_kappa": q_evaluation_kappa,
+        "events_value_runs": q_events_value_runs,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -4950,6 +5034,44 @@ def oracle_sql() -> dict[str, str]:
         FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx
     """
 
+    # estimator calibration: exact-pair Jaccard vs signature agreement,
+    # reusing the sig family and the all-pairs derivation verbatim
+    s["dedup_minhash_estimate"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id, count(*)::DOUBLE AS n_sh FROM sh
+                  GROUP BY doc_id),
+        common AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                          count(*)::DOUBLE AS common
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                      AND a.doc_id < b.doc_id
+                   GROUP BY a.doc_id, b.doc_id),
+        p AS (SELECT a_id, b_id,
+                     common / (sa.n_sh + sb.n_sh - common) AS j
+              FROM common JOIN sizes sa ON sa.doc_id = a_id
+                          JOIN sizes sb ON sb.doc_id = b_id
+              WHERE common / (sa.n_sh + sb.n_sh - common)
+                  >= {JACCARD_THR}),
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values})
+                    AS f(hash_idx, a, b)),
+        sig AS (SELECT doc_id, hash_idx,
+                       min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+                FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx),
+        m AS (SELECT p.a_id, p.b_id, p.j,
+                     count(*) FILTER (WHERE sa.sig = sb.sig)
+                         / {float(MINHASH_HASHES)!r} AS est
+              FROM p JOIN sig sa ON sa.doc_id = p.a_id
+                     JOIN sig sb ON sb.doc_id = p.b_id
+                                AND sb.hash_idx = sa.hash_idx
+              GROUP BY 1, 2, 3)
+        SELECT a_id, b_id, round(j, 6) AS jaccard, round(est, 6) AS est,
+               round(abs(est - j), 6) AS abs_err
+        FROM m
+    """
+
     # mixture rebalancing: thresholds derived in SQL from the same
     # observed counts and double arithmetic as the Spark side
     s["doc_mixture_sample"] = """
@@ -5840,6 +5962,22 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract(props, '$.k')::INT END)::BIGINT
                    AS sum_k_valid
         FROM c GROUP BY 1
+    """
+
+    s["events_value_runs"] = """
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns,
+                          value > 50 AS hot
+                   FROM events),
+        g AS (SELECT user_id, hot,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id)
+                     - row_number() OVER (PARTITION BY user_id, hot
+                                          ORDER BY ts_ns, event_id) AS grp
+              FROM e),
+        runs AS (SELECT user_id, grp, count(*) AS run_len
+                 FROM g WHERE hot GROUP BY 1, 2)
+        SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_run
+        FROM runs GROUP BY 1 HAVING max(run_len) >= 5
     """
 
     s["events_mad_outliers"] = """
