@@ -452,6 +452,16 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word-dropout augmentation (functions/text.py
+    token_dropout): ~10% of tokens dropped by md5(doc:1-based-position),
+    reproducible across epochs/engines/retries; zero-shuffle indexed-
+    lambda expressions, digest output for hash-checkability."""
+    from clinical_vector_search_spark.functions.text import token_dropout
+
+    return token_dropout(_docs(spark, sf_dir), drop_mod=10)
+
+
 def q_dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash estimator quality, measured where it matters: for every
     true near-dup pair (exact Jaccard ≥ 0.2), the signature-agreement
@@ -3580,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "evaluation_kappa": q_evaluation_kappa,
         "events_value_runs": q_events_value_runs,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "text_token_dropout": q_text_token_dropout,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -5962,6 +5973,19 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract(props, '$.k')::INT END)::BIGINT
                    AS sum_k_valid
         FROM c GROUP BY 1
+    """
+
+    s["text_token_dropout"] = f"""
+        WITH toks AS ({_TOKS})
+        SELECT doc_id, len(tokens)::BIGINT AS n_tokens,
+               len(kept)::BIGINT AS n_kept,
+               md5(array_to_string(kept, ' ')) AS kept_md5
+        FROM (SELECT doc_id, tokens,
+                     list_filter(tokens, (t, i) ->
+                         {_MD5L.format(
+                             x="doc_id::VARCHAR || ':' || i::VARCHAR"
+                         )} % 10 <> 0) AS kept
+              FROM toks)
     """
 
     s["events_value_runs"] = """

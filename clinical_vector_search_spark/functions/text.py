@@ -848,3 +848,48 @@ def zipf_fit(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.regr_r2(y, x), 6).alias("r2"),
     )
+
+
+def token_dropout(
+    df: DataFrame,
+    drop_mod: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic word-dropout augmentation: the token at 1-based
+    position p of doc d is DROPPED iff md5(d:p) % drop_mod == 0 (≈1/drop_mod
+    of tokens) — the text-augmentation primitive contrastive/denoising
+    training uses, made reproducible by hashing (doc, position) instead of
+    RNG state, so every epoch, engine, and retry sees the same corruption.
+
+    Pure map-side higher-order expressions — an indexed lambda filter, no
+    shuffle, no UDF. Cross-engine index caveat (pinned by the oracle):
+    Spark's filter lambda index is 0-based, SQL engines' is 1-based — the
+    hash input uses the 1-based position on both sides.
+
+    Returns (id_col, n_tokens, n_kept, kept_md5) — the digest stands in
+    for the corrupted text so the contract is hash-checkable without
+    hauling full strings."""
+    from clinical_vector_search_spark.functions import hashing as H
+
+    toks = tokenize(text_col)
+    kept = F.filter(
+        toks,
+        lambda t, i: F.pmod(
+            H.md5_long(
+                F.concat_ws(
+                    ":",
+                    F.col(id_col).cast("string"),
+                    (i + F.lit(1)).cast("string"),
+                )
+            ),
+            F.lit(drop_mod),
+        )
+        != 0,
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("kept_md5"),
+    )

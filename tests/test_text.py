@@ -555,3 +555,32 @@ def test_bpe_encode_matches_reference(spark, sf_dir):
     for did, text in texts.items():
         toks = (text or "").lower().split()
         assert got[did] == (len(toks), sum(ref_len(w) for w in toks))
+
+
+def test_token_dropout_deterministic_and_bounded(spark):
+    """Same corruption every run/partitioning; drop rate near 1/drop_mod;
+    kept tokens are an ordered subsequence (digest of doc 0 recomputable
+    from the same hash rule)."""
+    import hashlib
+
+    from clinical_vector_search_spark.functions.text import token_dropout
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(50))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    a = {r.doc_id: (r.n_tokens, r.n_kept, r.kept_md5)
+         for r in token_dropout(docs, 10).collect()}
+    b = {r.doc_id: (r.n_tokens, r.n_kept, r.kept_md5)
+         for r in token_dropout(docs.repartition(7), 10).collect()}
+    assert a == b
+    total = sum(v[0] for v in a.values())
+    kept = sum(v[1] for v in a.values())
+    assert 0.8 < kept / total < 0.98  # ~10% dropout
+
+    # independent recomputation of doc 0's kept set
+    def md5_60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    kept0 = [f"w{j}" for j in range(50) if md5_60(f"0:{j + 1}") % 10 != 0]
+    assert a[0][2] == hashlib.md5(" ".join(kept0).encode()).hexdigest()
