@@ -452,6 +452,35 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level distribution summary composed on sessionize: one
+    row of (n_sessions, p50/p90 duration seconds, mean events/session,
+    bounce rate = single-event fraction) — the engagement dashboard's
+    first query. Exact percentiles here (scalar output; the
+    percentile_approx scale twin is the events_quantiles convention)."""
+    from clinical_vector_search_spark.streaming.events import sessionize
+
+    s = sessionize(_events(spark, sf_dir), SESSION_GAP_SEC)
+    # µs-truncate BEFORE the subtraction (integer-exact), then one double
+    # division — the same op order as the oracle
+    dur = (
+        (
+            F.expr("session_end_ns div 1000")
+            - F.expr("session_start_ns div 1000")
+        )
+        / F.lit(1_000_000.0)
+    ).alias("_dur")
+    return s.select(dur, "n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.expr("percentile(_dur, 0.5)"), 6).alias("p50_dur_sec"),
+        F.round(F.expr("percentile(_dur, 0.9)"), 6).alias("p90_dur_sec"),
+        F.round(F.avg("n_events"), 6).alias("mean_events"),
+        F.round(
+            F.avg((F.col("n_events") == 1).cast("double")), 6
+        ).alias("bounce_rate"),
+    )
+
+
 def q_text_token_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic word-dropout augmentation (functions/text.py
     token_dropout): ~10% of tokens dropped by md5(doc:1-based-position),
@@ -3591,6 +3620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_runs": q_events_value_runs,
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "text_token_dropout": q_text_token_dropout,
+        "events_session_stats": q_events_session_stats,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -4742,6 +4772,28 @@ def oracle_sql() -> dict[str, str]:
                max(ts_ns) // 1000 AS session_end_us,
                round(sum(value), 6) AS sum_value
         FROM st GROUP BY user_id, session_seq
+    """
+
+    s["events_session_stats"] = f"""
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, value FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER
+                                  (PARTITION BY user_id ORDER BY ts_ns)
+                                  > {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session FROM e),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                             ORDER BY ts_ns ROWS UNBOUNDED PRECEDING)
+                             AS session_seq FROM l),
+        sess AS (SELECT user_id, session_seq, count(*) AS n_events,
+                        (max(ts_ns) // 1000 - min(ts_ns) // 1000)
+                            / 1000000.0 AS dur
+                 FROM st GROUP BY 1, 2)
+        SELECT count(*) AS n_sessions,
+               round(quantile_cont(dur, 0.5), 6) AS p50_dur_sec,
+               round(quantile_cont(dur, 0.9), 6) AS p90_dur_sec,
+               round(avg(n_events), 6) AS mean_events,
+               round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6)
+                   AS bounce_rate
+        FROM sess
     """
 
     s["events_streaming_user_totals"] = """
