@@ -549,3 +549,127 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs):
     got_surv = {r.vec_id: r.cluster
                 for r in semantic_dedup(df, dim, thr, k).collect()}
     assert got_surv == want_surv
+
+
+def test_incremental_agg_update_random_matches_recompute(spark):
+    """Randomized (seeded) change feeds: delta maintenance must equal a
+    from-scratch recompute of old − removed + added, for any mix of
+    touched/untouched/emptied/new groups."""
+    import random
+
+    from clinical_vector_search_spark.operators.audit import (
+        incremental_agg_update,
+    )
+
+    rng = random.Random(42)
+    groups = [f"g{i}" for i in range(12)]
+    old = [(rng.choice(groups), float(rng.randint(-50, 50)))
+           for _ in range(300)]
+    removed = rng.sample(old, 80)              # true subset of old rows
+    added = [(rng.choice(groups + ["brand_new"]),
+              float(rng.randint(-50, 50))) for _ in range(60)]
+
+    base = spark.createDataFrame(old, "g string, v double")
+    base_agg = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    got = {
+        r.g: (r.n_rows, round(r.v, 6))
+        for r in incremental_agg_update(
+            base_agg,
+            spark.createDataFrame(added, "g string, v double"),
+            spark.createDataFrame(removed, "g string, v double"),
+            ["g"],
+            ["v"],
+        ).collect()
+    }
+
+    from collections import Counter, defaultdict
+
+    cnt: Counter = Counter()
+    sm: dict = defaultdict(float)
+    for g, v in old + added:
+        cnt[g] += 1
+        sm[g] += v
+    for g, v in removed:
+        cnt[g] -= 1
+        sm[g] -= v
+    want = {g: (n, round(sm[g], 6)) for g, n in cnt.items() if n > 0}
+    assert got == want
+
+
+def test_time_weighted_avg_random_matches_bruteforce(spark):
+    """Seeded random irregular series: TWA equals the O(n) single-node
+    reference per group (ties on ts included)."""
+    import random
+
+    from clinical_vector_search_spark.streaming.events import (
+        time_weighted_avg,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    eid = 0
+    for u in range(15):
+        n = rng.randint(1, 30)
+        ts = 0
+        for _ in range(n):
+            ts += rng.choice([0, 1, 5, 60]) * 1_000_000_000
+            rows.append((eid, u, ts, float(rng.randint(-10, 10))))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    got = {r.user_id: (r.n_events, r.span_ns, r.twa)
+           for r in time_weighted_avg(df).collect()}
+
+    from collections import defaultdict
+
+    per: dict = defaultdict(list)
+    for e, u, t, v in rows:
+        per[u].append((t, e, v))
+    want = {}
+    for u, evs in per.items():
+        evs.sort()
+        span = evs[-1][0] - evs[0][0]
+        if span <= 0:
+            continue
+        num = sum(v * (evs[i + 1][0] - t)
+                  for i, (t, _e, v) in enumerate(evs[:-1]))
+        want[u] = (len(evs), span, round(num / span, 6))
+    assert got == want
+
+
+def test_jaccard_prefix_random_heavy_hitters(spark):
+    """Seeded random corpora WITH corpus-universal tokens (the regime the
+    prefix filter exists for): prefix path == full postings join at
+    thresholds around the float-fragile values."""
+    import random
+
+    from clinical_vector_search_spark.operators.dedup import (
+        jaccard_prefix_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(99)
+    boiler = [f"b{i}" for i in range(5)]
+    docs = []
+    for i in range(60):
+        toks = list(boiler) + [
+            f"t{rng.randint(0, 40)}" for _ in range(rng.randint(3, 12))
+        ]
+        rng.shuffle(toks)
+        docs.append((i, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for tau in (0.4, 0.5, 0.8):
+        full = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in ngram_jaccard_pairs(df, 1, tau).collect()
+        }
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_prefix_pairs(df, 1, tau).collect()
+        }
+        assert pref == full, f"tau={tau}"
+        if tau == 0.4:
+            assert full  # heavy boilerplate guarantees low-tau pairs
