@@ -452,6 +452,80 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU actives with stickiness: rolling 7-day distinct users
+    cannot ride a plain window (distinct doesn't decompose), so each
+    (user, day) row fans out to the 7 trailing report days BEFORE the
+    distinct — a bounded ×7 map-side explode on day-granularity rows
+    (user-day distinct first, so the fan-out input is already tiny
+    relative to events). Report days restricted to those with actual
+    activity; stickiness = dau/wau rounded 6."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    )
+    wau = (
+        fan.join(dau.select("day"), "day")  # only real activity days
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty in ingestion (doc_id) order: the fraction
+    of a doc's distinct shingles whose FIRST occurrence is this doc —
+    the curve curation teams watch to see a crawl go stale (novelty
+    decaying toward 0 means new documents repeat the old corpus).
+    First-owner is one shingle-key min-aggregation — no ordered scan,
+    no window over the corpus. Docs with no shingles drop (no
+    denominator). Bounded output: per source × novelty-decile counts."""
+    from clinical_vector_search_spark.functions import text as TXT
+
+    docs = _docs(spark, sf_dir)
+    sh = TXT.shingle_rows(docs, SHINGLE_N, "text", "doc_id", distinct=True)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("_first"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.count_if(F.col("_first") == F.col("doc_id")).alias("n_new"),
+        )
+        .select(
+            "doc_id",
+            (
+                F.floor(
+                    F.col("n_new") * 10 / F.col("n_sh")
+                ).cast("long")
+            ).alias("decile"),
+        )
+        .withColumn(
+            "decile", F.least(F.col("decile"), F.lit(9))
+        )  # novelty 1.0 joins the top decile
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level distribution summary composed on sessionize: one
     row of (n_sessions, p50/p90 duration seconds, mean events/session,
@@ -3621,6 +3695,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": q_dedup_minhash_estimate,
         "text_token_dropout": q_text_token_dropout,
         "events_session_stats": q_events_session_stats,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "events_dau_wau": q_events_dau_wau,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -6025,6 +6101,36 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract(props, '$.k')::INT END)::BIGINT
                    AS sum_k_valid
         FROM c GROUP BY 1
+    """
+
+    s["events_dau_wau"] = """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           epoch_ns(ts) // 86400000000000 AS day
+                    FROM events),
+        dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud
+                GROUP BY 1),
+        fan AS (SELECT user_id, day + o AS day
+                FROM ud, unnest(range(0, 7)) AS t(o)),
+        wau AS (SELECT f.day, count(DISTINCT f.user_id) AS wau
+                FROM fan f JOIN dau USING (day) GROUP BY 1)
+        SELECT day, dau, wau, round(dau / wau::DOUBLE, 6) AS stickiness
+        FROM dau JOIN wau USING (day)
+    """
+
+    # integer decile arithmetic (n_new * 10 // n_sh) — no float ratio
+    s["doc_ngram_novelty"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        first AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY 1),
+        pd AS (SELECT sh.doc_id, count(*) AS n_sh,
+                      count(*) FILTER (WHERE f = sh.doc_id) AS n_new
+               FROM sh JOIN first USING (shingle) GROUP BY 1),
+        dec AS (SELECT doc_id,
+                       least((n_new * 10) // n_sh, 9) AS decile
+                FROM pd)
+        SELECT d.source, dec.decile, count(*) AS n_docs
+        FROM dec JOIN documents d USING (doc_id)
+        GROUP BY 1, 2
     """
 
     s["text_token_dropout"] = f"""
