@@ -3635,12 +3635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
     # VERDICT r6 task 1):
-    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 40
+    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 46
     #      of them, so the ~50-entry window can no longer also cover
-    #      all 36 r4-stale entries (40 + 36 > 50). Never-checked beats
-    #      stale-but-previously-green: section 2's overflow (~26
+    #      all 36 r4-stale entries (46 + 36 > 50). Never-checked beats
+    #      stale-but-previously-green: section 2's overflow (~32
     #      entries past the window) stays r4-stale and MUST lead the
-    #      r8 rotation. All 176 entries were verified green locally
+    #      r8 rotation. All 182 entries were verified green locally
     #      this round (tools/check_correctness.py full sweeps at
     #      sf0.01 — latest 163 ⊕ + 8 ⊙ / 0 fail mid-additions — with
     #      every later addition checked at sf0.001/0.01/0.1).
