@@ -452,6 +452,61 @@ def q_rel_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type) from consecutive event pairs (lead
+    window per user, ties by event_id) — the sequence-model prior
+    session_paths' path strings summarize. One user-key window + one
+    (from, to)-key agg; probabilities rounded 6."""
+    from pyspark.sql import Window as W
+
+    e = _events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = pairs.groupBy("from_type").agg(F.sum("n").alias("_t"))
+    return pairs.join(tot, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_t"), 6).alias("p"),
+    )
+
+
+def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration of activity: users at or above the p99
+    event-count threshold and the share of ALL events they produce —
+    the skew headline number behind salting decisions. Exact percentile
+    on the user-granularity counts (bounded frame); one row."""
+    e = _events(spark, sf_dir)
+    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    thr = per_user.agg(
+        F.expr("percentile(n, 0.99)").alias("_thr"),
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_users"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_power_users"),
+            F.first("_users").alias("n_users"),
+            F.round(F.first("_thr"), 6).alias("p99_threshold"),
+            F.round(F.sum("n") / F.first("_total"), 6).alias(
+                "event_share"
+            ),
+        )
+    )
+
+
 def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DAU/WAU actives with stickiness: rolling 7-day distinct users
     cannot ride a plain window (distinct doesn't decompose), so each
@@ -3635,12 +3690,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round —
     # VERDICT r6 task 1):
-    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 46
+    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 48
     #      of them, so the ~50-entry window can no longer also cover
-    #      all 36 r4-stale entries (46 + 36 > 50). Never-checked beats
-    #      stale-but-previously-green: section 2's overflow (~32
+    #      all 36 r4-stale entries (48 + 36 > 50). Never-checked beats
+    #      stale-but-previously-green: section 2's overflow (~34
     #      entries past the window) stays r4-stale and MUST lead the
-    #      r8 rotation. All 182 entries were verified green locally
+    #      r8 rotation. All 184 entries were verified green locally
     #      this round (tools/check_correctness.py full sweeps at
     #      sf0.01 — latest 163 ⊕ + 8 ⊙ / 0 fail mid-additions — with
     #      every later addition checked at sf0.001/0.01/0.1).
@@ -3697,6 +3752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_stats": q_events_session_stats,
         "doc_ngram_novelty": q_doc_ngram_novelty,
         "events_dau_wau": q_events_dau_wau,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_power_users": q_events_power_users,
         "io_wap_publish": q_io_wap_publish,
         "text_bpe_train": q_text_bpe_train,
         # -- 2: last driver row r4 (lead the r7 window) --
@@ -6101,6 +6158,35 @@ def oracle_sql() -> dict[str, str]:
                         THEN json_extract(props, '$.k')::INT END)::BIGINT
                    AS sum_k_valid
         FROM c GROUP BY 1
+    """
+
+    s["events_markov_transitions"] = """
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_ns(ts) AS ts_ns FROM events),
+        p AS (SELECT event_type AS from_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts_ns, event_id)
+                         AS to_type
+              FROM e),
+        c AS (SELECT from_type, to_type, count(*) AS n FROM p
+              WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1)
+        SELECT c.from_type, c.to_type, c.n,
+               round(c.n / tt::DOUBLE, 6) AS p
+        FROM c JOIN t USING (from_type)
+    """
+
+    s["events_power_users"] = """
+        WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        s AS (SELECT quantile_cont(n, 0.99) AS thr, sum(n) AS total,
+                     count(*) AS users
+              FROM pu)
+        SELECT count(*) AS n_power_users,
+               (SELECT users FROM s) AS n_users,
+               round((SELECT thr FROM s), 6) AS p99_threshold,
+               round(sum(n) / (SELECT total FROM s)::DOUBLE, 6)
+                   AS event_share
+        FROM pu WHERE n >= (SELECT thr FROM s)
     """
 
     s["events_dau_wau"] = """
