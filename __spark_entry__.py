@@ -485,11 +485,16 @@ def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration of activity: users at or above the p99
     event-count threshold and the share of ALL events they produce —
     the skew headline number behind salting decisions. Exact percentile
-    on the user-granularity counts (bounded frame); one row."""
+    on the user-granularity counts (bounded frame); one row. The
+    threshold is rounded to 6 before the >= membership test on BOTH
+    engines — an ulp-level cross-engine difference at an integer-valued
+    interpolated quantile would otherwise flip membership (the repo's
+    round-before-compare rule). Scale twin: power_user_stats(approx=True)
+    swaps percentile → percentile_approx (closeness pytest)."""
     e = _events(spark, sf_dir)
     per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     thr = per_user.agg(
-        F.expr("percentile(n, 0.99)").alias("_thr"),
+        F.round(F.expr("percentile(n, 0.99)"), 6).alias("_thr"),
         F.sum("n").alias("_total"),
         F.count(F.lit(1)).alias("_users"),
     )
@@ -6178,8 +6183,8 @@ def oracle_sql() -> dict[str, str]:
 
     s["events_power_users"] = """
         WITH pu AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
-        s AS (SELECT quantile_cont(n, 0.99) AS thr, sum(n) AS total,
-                     count(*) AS users
+        s AS (SELECT round(quantile_cont(n, 0.99), 6) AS thr,
+                     sum(n) AS total, count(*) AS users
               FROM pu)
         SELECT count(*) AS n_power_users,
                (SELECT users FROM s) AS n_users,
@@ -6602,12 +6607,12 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value
                    FROM events),
         g AS (SELECT user_id, value,
-                     (lead(ts_ns) OVER (PARTITION BY user_id
-                                        ORDER BY ts_ns, event_id)
-                      - ts_ns)::DOUBLE AS gap
+                     lead(ts_ns) OVER (PARTITION BY user_id
+                                       ORDER BY ts_ns, event_id)
+                      - ts_ns AS gap
               FROM e)
         SELECT user_id, count(*) AS n_events, sum(gap)::BIGINT AS span_ns,
-               round(sum(value * gap) / sum(gap), 6) AS twa
+               round(sum(value * gap::DOUBLE) / sum(gap)::DOUBLE, 6) AS twa
         FROM g GROUP BY 1 HAVING sum(gap) > 0
     """
 

@@ -134,12 +134,21 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(fn, n)
 
     def commit(self, messages):
+        """Publish order is chosen so a concurrent manifest-gated reader
+        never sees a missing or half-written ``_MANIFEST``: (1) rename
+        the new parts into place (uuid names — no collision with old
+        parts), (2) write the new manifest to a temp name and
+        ``os.replace`` it over ``_MANIFEST`` (atomic on POSIX — readers
+        see the complete old listing or the complete new one, never a
+        mix), (3) only then garbage-collect old parts the new manifest
+        doesn't list. Single concurrent WRITER is still assumed (two
+        simultaneous overwrites race on the GC step); a reader that
+        loaded the OLD manifest just before the swap can lose its parts
+        to step 3 — the usual snapshot-GC window every manifest-swap
+        table format has."""
         import os
 
-        if self.overwrite:
-            for old in os.listdir(self.path):
-                if old.endswith(".jsonl") or old == "_MANIFEST":
-                    os.remove(f"{self.path}/{old}")
+        committed = set()
         lines = []
         for m in messages:
             if m is None:
@@ -148,9 +157,16 @@ class JsonlSinkWriter(DataSourceWriter):
                 f"{self.path}/{m.filename}.inprogress",
                 f"{self.path}/{m.filename}",
             )
+            committed.add(m.filename)
             lines.append(f"{m.filename}\t{m.n_rows}\n")
-        with open(f"{self.path}/_MANIFEST", "w") as f:
+        tmp = f"{self.path}/_MANIFEST.inprogress"
+        with open(tmp, "w") as f:
             f.writelines(sorted(lines))
+        os.replace(tmp, f"{self.path}/_MANIFEST")
+        if self.overwrite:
+            for old in os.listdir(self.path):
+                if old.endswith(".jsonl") and old not in committed:
+                    os.remove(f"{self.path}/{old}")
 
     def abort(self, messages):
         import os

@@ -353,8 +353,13 @@ def publish_shards(
     so a consumer can re-derive and verify any shard without trusting
     the publisher. Entirely map-side until the |shards|-row combine.
 
-    Returns the manifest as read back from ``path``/_manifest (the
-    roundtrip proves the published artifact, not the in-memory plan).
+    The manifest is derived from ``spark.read.parquet(path + "/data")``
+    — the WRITTEN files, not a re-evaluation of the input lineage — so
+    even a nondeterministic input frame cannot publish data and a
+    manifest that disagree (the manifest describes what a consumer will
+    actually read, and the roundtrip proves the published artifact
+    end-to-end). Returns the manifest as read back from
+    ``path``/_manifest.
     """
     from clinical_vector_search_spark.functions.hashing import md5_long
 
@@ -374,8 +379,12 @@ def publish_shards(
     sharded.write.mode("overwrite").partitionBy("shard").parquet(
         f"{path}/data"
     )
+    spark = df.sparkSession
+    written = spark.read.parquet(f"{path}/data").withColumn(
+        "shard", F.col("shard").cast("long")
+    )
     manifest = (
-        sharded.withColumn("_h", md5_long(rendered))
+        written.withColumn("_h", md5_long(rendered))
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
@@ -385,7 +394,6 @@ def publish_shards(
         )
     )
     manifest.write.mode("overwrite").parquet(f"{path}/_manifest")
-    spark = df.sparkSession
     return spark.read.parquet(f"{path}/_manifest")
 
 

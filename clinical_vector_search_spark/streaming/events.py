@@ -1478,8 +1478,10 @@ def time_weighted_avg(
     and are excluded rather than divided by zero.
 
     Scale shape: one lag/lead window per group key — the same single
-    group-key shuffle as sessionize; no self-join, no driver state. The
-    arithmetic is integer-ns (exact) until the final division.
+    group-key shuffle as sessionize; no self-join, no driver state.
+    ``span_ns`` is a LONG sum of LONG gaps — integer-exact regardless of
+    group span (a double sum loses ns past 2^53 ≈ 104 days·ns-scale);
+    only the weighted numerator and the final division are double.
 
     Output: (group, n_events, span_ns, twa DOUBLE rounded 6).
     """
@@ -1488,7 +1490,7 @@ def time_weighted_avg(
     w = Window.partitionBy(group_col).orderBy(
         F.asc("ts_ns"), F.asc("event_id")
     )
-    gap = (F.lead("ts_ns").over(w) - F.col("ts_ns")).cast("double")
+    gap = F.lead("ts_ns").over(w) - F.col("ts_ns")
     stepped = events.select(
         F.col(group_col).alias("grp"),
         F.col(value_col).alias("_v"),
@@ -1498,8 +1500,11 @@ def time_weighted_avg(
         stepped.groupBy("grp")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("_gap").cast("long").alias("span_ns"),
-            (F.sum(F.col("_v") * F.col("_gap")) / F.sum("_gap")).alias("_twa"),
+            F.sum("_gap").alias("span_ns"),
+            (
+                F.sum(F.col("_v") * F.col("_gap").cast("double"))
+                / F.sum("_gap").cast("double")
+            ).alias("_twa"),
         )
         .filter(F.col("span_ns") > 0)
         .select(
