@@ -491,25 +491,11 @@ def q_events_power_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated quantile would otherwise flip membership (the repo's
     round-before-compare rule). Scale twin: power_user_stats(approx=True)
     swaps percentile → percentile_approx (closeness pytest)."""
-    e = _events(spark, sf_dir)
-    per_user = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
-    thr = per_user.agg(
-        F.round(F.expr("percentile(n, 0.99)"), 6).alias("_thr"),
-        F.sum("n").alias("_total"),
-        F.count(F.lit(1)).alias("_users"),
+    from clinical_vector_search_spark.streaming.events import (
+        power_user_stats,
     )
-    return (
-        per_user.crossJoin(F.broadcast(thr))
-        .filter(F.col("n") >= F.col("_thr"))
-        .agg(
-            F.count(F.lit(1)).alias("n_power_users"),
-            F.first("_users").alias("n_users"),
-            F.round(F.first("_thr"), 6).alias("p99_threshold"),
-            F.round(F.sum("n") / F.first("_total"), 6).alias(
-                "event_share"
-            ),
-        )
-    )
+
+    return power_user_stats(_events(spark, sf_dir), pct=0.99, approx=False)
 
 
 def q_events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -590,28 +576,13 @@ def q_events_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-level distribution summary composed on sessionize: one
     row of (n_sessions, p50/p90 duration seconds, mean events/session,
     bounce rate = single-event fraction) — the engagement dashboard's
-    first query. Exact percentiles here (scalar output; the
-    percentile_approx scale twin is the events_quantiles convention)."""
-    from clinical_vector_search_spark.streaming.events import sessionize
+    first query. Exact percentiles here (scalar output, oracle anchor);
+    session_stats(approx=True) is the percentile_approx scale twin per
+    the events_quantiles convention (closeness pytest)."""
+    from clinical_vector_search_spark.streaming.events import session_stats
 
-    s = sessionize(_events(spark, sf_dir), SESSION_GAP_SEC)
-    # µs-truncate BEFORE the subtraction (integer-exact), then one double
-    # division — the same op order as the oracle
-    dur = (
-        (
-            F.expr("session_end_ns div 1000")
-            - F.expr("session_start_ns div 1000")
-        )
-        / F.lit(1_000_000.0)
-    ).alias("_dur")
-    return s.select(dur, "n_events").agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.expr("percentile(_dur, 0.5)"), 6).alias("p50_dur_sec"),
-        F.round(F.expr("percentile(_dur, 0.9)"), 6).alias("p90_dur_sec"),
-        F.round(F.avg("n_events"), 6).alias("mean_events"),
-        F.round(
-            F.avg((F.col("n_events") == 1).cast("double")), 6
-        ).alias("bounce_rate"),
+    return session_stats(
+        _events(spark, sf_dir), SESSION_GAP_SEC, approx=False
     )
 
 

@@ -1516,6 +1516,92 @@ def time_weighted_avg(
     )
 
 
+def power_user_stats(
+    events: DataFrame,
+    pct: float = 0.99,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Pareto concentration of activity: users at or above the ``pct``
+    event-count quantile and the share of ALL events they produce — the
+    skew headline number behind salting decisions.
+
+    ``approx=False`` (default, the oracle anchor) uses exact
+    ``percentile`` — it accumulates every per-user count into one
+    reducer, fine at user granularity here but a single-task memory
+    cliff at 10⁹ users. ``approx=True`` is the scale spelling:
+    ``percentile_approx`` (Greenwald-Khanna, bounded sketch that merges
+    map-side), the same exact/approx twin convention as
+    ``events_quantiles``. The threshold is rounded to 6 BEFORE the >=
+    membership test either way (round-before-compare: an ulp at an
+    integer-valued interpolated quantile flips membership).
+
+    Output: one row (n_power_users, n_users, p99_threshold,
+    event_share)."""
+    per_user = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        f"percentile_approx(n, {pct}, {accuracy})"
+        if approx
+        else f"percentile(n, {pct})"
+    )
+    thr = per_user.agg(
+        F.round(F.expr(q), 6).alias("_thr"),
+        F.sum("n").alias("_total"),
+        F.count(F.lit(1)).alias("_users"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_power_users"),
+            F.first("_users").alias("n_users"),
+            F.round(F.first("_thr"), 6).alias("p99_threshold"),
+            F.round(F.sum("n") / F.first("_total"), 6).alias("event_share"),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_sec: int = 1800,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Session-level engagement summary composed on :func:`sessionize`:
+    one row of (n_sessions, p50/p90 duration seconds, mean
+    events/session, bounce rate = single-event fraction).
+
+    ``approx=False`` (default, the oracle anchor) uses exact
+    ``percentile`` over session durations — one reducer holds every
+    session's duration, fine at session granularity at test SF but not
+    at 10⁹ sessions. ``approx=True`` swaps in ``percentile_approx``
+    (mergeable GK sketch) — the ``events_quantiles`` twin convention.
+    Durations are µs-truncated BEFORE the subtraction (integer-exact),
+    then one double division, the same op order as the oracle."""
+    s = sessionize(events, gap_sec)
+    dur = (
+        (
+            F.expr("session_end_ns div 1000")
+            - F.expr("session_start_ns div 1000")
+        )
+        / F.lit(1_000_000.0)
+    ).alias("_dur")
+    if approx:
+        p50 = f"percentile_approx(_dur, 0.5, {accuracy})"
+        p90 = f"percentile_approx(_dur, 0.9, {accuracy})"
+    else:
+        p50, p90 = "percentile(_dur, 0.5)", "percentile(_dur, 0.9)"
+    return s.select(dur, "n_events").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.expr(p50), 6).alias("p50_dur_sec"),
+        F.round(F.expr(p90), 6).alias("p90_dur_sec"),
+        F.round(F.avg("n_events"), 6).alias("mean_events"),
+        F.round(
+            F.avg((F.col("n_events") == 1).cast("double")), 6
+        ).alias("bounce_rate"),
+    )
+
+
 def ohlc_bars(
     events: DataFrame,
     window_sec: int = 3600,

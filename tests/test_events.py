@@ -951,6 +951,63 @@ def test_time_weighted_avg_golden(spark):
     assert abs(got[1].twa - round((100 + 400) / 30, 6)) < 1e-9
 
 
+def test_power_user_stats_approx_twin(spark, sf_dir):
+    """percentile_approx scale twin tracks the exact oracle anchor:
+    count-independent columns match exactly; the approx threshold is an
+    actual order statistic within one integer step of the interpolated
+    exact quantile, so membership can shift only by the boundary band."""
+    from clinical_vector_search_spark.streaming.events import (
+        power_user_stats,
+        read_events,
+    )
+
+    e = read_events(spark, sf_dir)
+    exact = power_user_stats(e, approx=False).first()
+    approx = power_user_stats(e, approx=True).first()
+    assert approx.n_users == exact.n_users
+    # the approx threshold is an actual order statistic; the exact one
+    # interpolates between two — derive the admissible bracket (one
+    # rank of slack each side) from the data rather than guessing gaps
+    counts = sorted(
+        r.n
+        for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    idx = (len(counts) - 1) * 0.99
+    lo = counts[max(int(idx) - 1, 0)]
+    hi = counts[min(int(idx) + 2, len(counts) - 1)]
+    assert lo <= approx.p99_threshold <= hi, (
+        lo, approx.p99_threshold, exact.p99_threshold, hi,
+    )
+    assert exact.n_power_users > 0
+    assert (
+        abs(approx.n_power_users - exact.n_power_users)
+        / exact.n_power_users
+        <= 0.5
+    )
+    assert abs(approx.event_share - exact.event_share) <= 0.05
+
+
+def test_session_stats_approx_twin(spark, sf_dir):
+    """Session-stats approx twin: sketch-free columns exact-equal;
+    GK-sketch percentiles within 5% relative of the interpolated exact
+    ones (accuracy=10000 makes the sketch near-exact at test SF)."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        session_stats,
+    )
+
+    e = read_events(spark, sf_dir)
+    exact = session_stats(e, 1800, approx=False).first()
+    approx = session_stats(e, 1800, approx=True).first()
+    assert approx.n_sessions == exact.n_sessions
+    assert approx.mean_events == exact.mean_events
+    assert approx.bounce_rate == exact.bounce_rate
+    for col in ("p50_dur_sec", "p90_dur_sec"):
+        ev, av = getattr(exact, col), getattr(approx, col)
+        assert abs(av - ev) <= 0.05 * max(abs(ev), 1.0), (col, ev, av)
+
+
 def test_ohlc_bars_golden(spark):
     """Open/close follow (ts, event_id) order incl. same-ts ties."""
     from clinical_vector_search_spark.streaming.events import ohlc_bars
