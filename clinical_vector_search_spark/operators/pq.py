@@ -335,7 +335,12 @@ def knn_ivfpq(
     table per (query, probed cell) over (q − centroid) — residuals are
     tighter around zero than raw vectors, so the same codebook budget
     quantizes them with less error. The per-(query, cell) tables are
-    nq × n_centroids × m × ksub scalars — still driver-tiny.
+    nq × n_centroids × m × ksub scalars — still driver-tiny. Caveat
+    (measured in the r8 tuning sweep): ``pq_codebooks_trained`` trains on
+    RAW vectors, so pairing it with ``residual=True`` mismatches codebook
+    and input distribution and LOWERS recall (0.54 → 0.36 at
+    m=16/ksub=256, sf0.1); use residual only with residual-trained
+    books (or the LCG books, which favor neither).
 
     Composition of the two audited parts: coarse assignment/probing from
     operators.knn (argmax-dot centroids, knn.py:302-356) and ADC scoring
@@ -486,6 +491,7 @@ def knn_pq_refine(
     query_vec: str = "query_vec",
     doc_id: str = "doc_id",
     vec_col: str = "embedding",
+    accel: str = "expr",
 ) -> DataFrame:
     """Two-stage compressed search (the FAISS IndexRefineFlat
     architecture, generalizing reference pipeline.py:126-136's
@@ -503,15 +509,27 @@ def knn_pq_refine(
     inside the candidate set — tests assert both), and the result is
     EXACT whenever the true top-k survives the coarse cut.
 
+    ``accel``: "expr" (default) runs encode + ADC as pure expressions —
+    the oracle-parity path, fine at small ksub; "pd" swaps in the
+    bit-parity NumPy twins (:func:`pq_encode_pd` / :func:`knn_pq_adc_pd`)
+    — at the recall-tuned m=16/ksub=256 configuration the expression
+    encoder is O(m·ksub·dsub) interpreted work PER ROW (16k terms) and
+    measures 33 s where the Arrow path takes ~2 s at sf0.1; same codes,
+    same candidates (twin parity tests in tests/test_pq.py).
+
     Returns (query_id, rank, doc_id, l2_dist ascending, ties by doc id).
     """
     from clinical_vector_search_spark.functions import vector as V
 
-    codes = pq_encode(
+    if accel not in ("expr", "pd"):
+        raise ValueError(f"unknown accel: {accel!r}")
+    enc = pq_encode if accel == "expr" else pq_encode_pd
+    adc = knn_pq_adc if accel == "expr" else knn_pq_adc_pd
+    codes = enc(
         docs.select(F.col(doc_id), F.col(vec_col)), books,
         id_col=doc_id, vec_col=vec_col,
     )
-    cand = knn_pq_adc(
+    cand = adc(
         queries, codes, books, k_coarse,
         query_id=query_id, query_vec=query_vec, doc_id=doc_id,
     ).select(query_id, doc_id)

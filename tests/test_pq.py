@@ -4,6 +4,7 @@ and ADC recall against exact kNN."""
 from __future__ import annotations
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -305,3 +306,33 @@ def test_pq_refine_recall_geq_adc(spark, sf_dir):
     # full-width coarse cut degenerates to the exact search
     full = topsets(knn_pq_refine(queries, docs, books, 10, k_coarse=n))
     assert full == exact
+
+
+def test_pq_refine_accel_pd_parity(spark, sf_dir):
+    """accel="pd" (Arrow encode + ADC twins) returns the identical
+    ranked rows as the expression path — same codes, same candidate
+    set, same exact rescore. This is the path the tuned m=16/ksub=256
+    configuration requires (expression encode is 16k terms/row there)."""
+    from clinical_vector_search_spark.operators.pq import (
+        knn_pq_refine,
+        pq_codebooks_lcg,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks_lcg(64, 8, 16)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    docs = emb.select(F.col("vec_id").alias("doc_id"), "embedding")
+    a = sorted(
+        map(tuple, knn_pq_refine(queries, docs, books, 10,
+                                 k_coarse=50).collect())
+    )
+    b = sorted(
+        map(tuple, knn_pq_refine(queries, docs, books, 10, k_coarse=50,
+                                 accel="pd").collect())
+    )
+    assert a == b and len(a) == 50
+    with pytest.raises(ValueError):
+        knn_pq_refine(queries, docs, books, 10, accel="nope")
