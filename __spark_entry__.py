@@ -815,9 +815,18 @@ def q_events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
     props is deterministically mangled (LEADING garbage — Spark's JSON
     parsers silently accept trailing garbage, so a trailing mangle
     would classify differently across engines; documented trap),
-    try_parse_json(props) IS NULL routes rows to the dead-letter count
-    while valid rows aggregate normally — the
-    split-don't-drop ingestion contract."""
+    try_parse_json(props) IS NULL routes rows to a dead-letter
+    partition (io/tables.py route_dead_letters: ONE write job,
+    partitionBy(_dead) split, counts metered by an Observation riding
+    the write — no second scan) while valid rows aggregate normally —
+    the split-don't-drop ingestion contract. The entry drives the real
+    sink end-to-end: aggregates are computed from the PUBLISHED
+    artifact, and the Observation-vs-aggregation equality is pinned in
+    tests/test_layout.py."""
+    from clinical_vector_search_spark.io.tables import route_dead_letters
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    path = _scratch_dir("cvs_deadletter", tag)
     e = _events(spark, sf_dir)
     mangled = e.withColumn(
         "props",
@@ -826,13 +835,19 @@ def q_events_json_deadletter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("corrupt:"), F.col("props")),
         ).otherwise(F.col("props")),
     )
+    bad = (
+        F.col("props").isNotNull()
+        & F.try_parse_json(F.col("props")).isNull()
+    )
+    route_dead_letters(mangled.select("event_id", "event_type", "props"),
+                       f"{path}/events", bad)
+    back = spark.read.parquet(f"{path}/events")
     v = F.try_parse_json(F.col("props"))
-    bad = F.col("props").isNotNull() & v.isNull()
-    return mangled.groupBy("event_type").agg(
+    return back.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(bad.cast("long")).alias("n_corrupt"),
+        F.sum(F.col("_dead").cast("long")).alias("n_corrupt"),
         F.sum(
-            F.when(~bad, F.try_variant_get(v, "$.k", "int"))
+            F.when(F.col("_dead") == 0, F.try_variant_get(v, "$.k", "int"))
         ).alias("sum_k_valid"),
     )
 

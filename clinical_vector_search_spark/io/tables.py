@@ -448,6 +448,44 @@ def verify_shard_manifest(
     )
 
 
+def route_dead_letters(
+    df: DataFrame,
+    path: str,
+    bad,
+    meter_name: str = "dead_letter_meter",
+) -> dict:
+    """Split-don't-drop ingestion sink with ONE data pass: rows where
+    ``bad`` (a boolean Column) holds are routed to a dead-letter
+    partition instead of being silently dropped, and the quality meter
+    (total rows, dead rows) rides the SAME write job as an
+    ``Observation`` — the same zero-extra-scan pattern as
+    :func:`write_audit_publish`; a separate counting aggregation would
+    rescan the batch, which at 100 TB doubles ingestion cost.
+
+    The split is ``partitionBy(_dead)`` on an int 0/1 flag (int, not
+    boolean, so partition-value inference round-trips the type), so ONE
+    write job produces both outputs and downstream readers get the main
+    data with a pruned scan of ``_dead=0`` — no second pass, no
+    corrupt-rows-in-band. Returns the observed ``{"n_rows", "n_dead"}``
+    (pytest asserts these equal the aggregated counts).
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(meter_name)
+    (
+        df.withColumn("_dead", bad.cast("boolean").cast("int"))
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("_dead").alias("n_dead"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("_dead")
+        .parquet(path)
+    )
+    return dict(obs.get)
+
+
 def write_audit_publish(
     df: DataFrame,
     path: str,

@@ -258,3 +258,45 @@ def test_write_audit_publish_gate(spark, sf_dir, tmp_path):
     assert spark.read.parquet(path).count() == m["n_rows"]
     parent = os.path.dirname(path)
     assert not [d for d in os.listdir(parent) if "__staged_" in d]
+
+
+def test_route_dead_letters_observation_equals_aggregation(
+    spark, sf_dir, tmp_path
+):
+    """The Observation riding the single write job reports exactly the
+    counts a separate aggregation pass computes, and the partitioned
+    split preserves every row: main ∪ dead == input, disjoint."""
+    from clinical_vector_search_spark.io.tables import route_dead_letters
+
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "props"
+    )
+    mangled = e.withColumn(
+        "props",
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit("corrupt:"), F.col("props")),
+        ).otherwise(F.col("props")),
+    )
+    bad = (
+        F.col("props").isNotNull()
+        & F.try_parse_json(F.col("props")).isNull()
+    )
+    path = str(tmp_path / "routed")
+    got = route_dead_letters(mangled, path, bad)
+
+    # the second-pass aggregation the Observation replaces
+    agg = mangled.agg(
+        F.count(F.lit(1)).alias("n"), F.sum(bad.cast("long")).alias("d")
+    ).first()
+    assert got["n_rows"] == agg.n
+    assert got["n_dead"] == agg.d > 0
+
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("_dead") == 1).count() == got["n_dead"]
+    assert back.count() == got["n_rows"]
+    # routed rows are exactly the mangled ones (event_id % 7)
+    assert (
+        back.filter((F.col("_dead") == 1) & (F.col("event_id") % 7 != 0))
+        .count() == 0
+    )
