@@ -3015,6 +3015,68 @@ def q_events_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_scd2_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join — the temporal composition
+    users build from these parts (VERDICT r7 task 9): an event stream
+    joined AS-OF against the SCD2 dimension history maintained by
+    scd2_merge, so every event sees the dimension version that was live
+    AT ITS OWN timestamp (no leakage from future versions — the
+    train-serving-skew bug this shape exists to prevent).
+
+    History: the same two-step merge as events_scd2_merge (seed below
+    the (min+max)/2 ts cut, merge the rest — closed-passthrough + open
+    re-sequence both exercised). Composition identity checked by the
+    oracle: a backward as-of on valid_from over the contiguous non-zero-
+    width version history ≡ the interval-containment join
+    (valid_from <= ts < valid_to) — tests/test_temporal.py pins the same
+    identity engine-internally. Zero-width versions (two updates at one
+    ts — valid_to == valid_from) are droppable from BOTH spellings
+    without changing any match. One user-key shuffle for the history
+    windows + the asof union-window — no row-by-row probing."""
+    from clinical_vector_search_spark.operators.temporal import (
+        asof_join,
+        scd2_merge,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    upd = ev.select("user_id", "event_type", "ts_ns")
+    lo, hi = upd.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cut = (lo + hi) // 2
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    current = scd2_merge(
+        empty, upd.filter(F.col("ts_ns") < cut), "user_id", ["event_type"]
+    )
+    hist = scd2_merge(
+        current, upd.filter(F.col("ts_ns") >= cut), "user_id", ["event_type"]
+    )
+    live = hist.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    probes = ev.select("event_id", "user_id", "ts_ns")
+    out = asof_join(
+        probes,
+        live.select(
+            "user_id",
+            F.col("valid_from").alias("ts_ns"),
+            F.col("event_type").alias("state"),
+        ),
+        on="user_id",
+        right_cols=("state",),
+        prefix="dim_",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        F.col("dim_state"),
+        F.col("dim_ts").alias("dim_since"),
+    )
+
+
 def q_doc_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document AUDIT TRAIL of the prep pipeline: every doc with
     its keep/drop decision and the FIRST failing rule (lang → quality →
@@ -3698,6 +3760,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      leftovers.
     #   4. entries green in the r6 window — freshest, demoted last.
     return {
+        # -- 0: new in r8 (never driver-checked — lead the window) --
+        "events_scd2_asof_features": q_events_scd2_asof_features,
         # -- 1: new in r7 (inserted as built) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
@@ -5968,6 +6032,36 @@ def oracle_sql() -> dict[str, str]:
     # (closed versions pass through; the open version re-sequences with
     # the second batch exactly where the one-shot lag/lead would put it)
     s["events_scd2_merge"] = s["events_scd2"]
+
+    # composition identity: backward as-of on valid_from over the
+    # contiguous non-zero-width history ≡ interval containment
+    # (valid_from <= ts < valid_to) — the oracle spells the containment
+    # side, the Spark entry the as-of side
+    s["events_scd2_asof_features"] = """
+        WITH upd AS (SELECT user_id, event_type, epoch_ns(ts) AS ts
+                     FROM events WHERE user_id < 50),
+        seq AS (SELECT *, lag(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS prev,
+                   row_number() OVER
+                    (PARTITION BY user_id ORDER BY ts, event_type) AS rn
+                FROM upd),
+        chg AS (SELECT user_id, event_type, ts FROM seq
+                WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        d AS (SELECT user_id, event_type AS state, ts AS valid_from,
+                     lead(ts) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_type) AS valid_to
+              FROM chg),
+        live AS (SELECT * FROM d
+                 WHERE valid_to IS NULL OR valid_to > valid_from),
+        e AS (SELECT event_id, user_id, epoch_ns(ts) AS ts_ns
+              FROM events WHERE user_id < 50)
+        SELECT e.event_id, e.user_id, e.ts_ns,
+               l.state AS dim_state, l.valid_from AS dim_since
+        FROM e JOIN live l
+          ON e.user_id = l.user_id
+         AND l.valid_from <= e.ts_ns
+         AND (l.valid_to IS NULL OR e.ts_ns < l.valid_to)
+    """
 
     # point-in-time join: reuse the SCD2 CTE as the dimension, join each
     # event to the version valid at its own ts, roll up

@@ -220,3 +220,65 @@ def test_scd2_merge_versions_and_passthrough(spark):
         (3, "bronze", 300): 400,
         (3, "gold", 400): None,
     }
+
+
+def test_scd2_asof_composition_equals_interval_containment(spark, sf_dir):
+    """The point-in-time feature join's structural identity: a backward
+    as-of on valid_from over the contiguous non-zero-width SCD2 history
+    returns exactly the rows of the interval-containment join
+    (valid_from <= ts < valid_to) — pinned engine-internally so the
+    entry's oracle equivalence isn't carrying the whole proof."""
+    from clinical_vector_search_spark.operators.temporal import (
+        asof_join,
+        scd2_merge,
+    )
+
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    ev = (
+        read_events(spark, sf_dir)
+        .select("event_id", "user_id", "ts_ns", "event_type")
+        .filter(F.col("user_id") < 30)
+    )
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    hist = scd2_merge(empty, ev, "user_id", ["event_type"])
+    live = hist.filter(
+        F.col("valid_to").isNull()
+        | (F.col("valid_to") > F.col("valid_from"))
+    )
+    probes = ev.select("event_id", "user_id", "ts_ns")
+    via_asof = asof_join(
+        probes,
+        live.select(
+            "user_id",
+            F.col("valid_from").alias("ts_ns"),
+            F.col("event_type").alias("state"),
+        ),
+        on="user_id",
+        right_cols=("state",),
+        prefix="dim_",
+    ).select("event_id", "dim_state", F.col("dim_ts").alias("dim_since"))
+    via_containment = (
+        probes.alias("e")
+        .join(
+            live.alias("h"),
+            (F.col("e.user_id") == F.col("h.user_id"))
+            & (F.col("h.valid_from") <= F.col("e.ts_ns"))
+            & (
+                F.col("h.valid_to").isNull()
+                | (F.col("e.ts_ns") < F.col("h.valid_to"))
+            ),
+        )
+        .select(
+            "event_id",
+            F.col("h.event_type").alias("dim_state"),
+            F.col("h.valid_from").alias("dim_since"),
+        )
+    )
+    a = sorted(map(tuple, via_asof.collect()))
+    b = sorted(map(tuple, via_containment.collect()))
+    assert a == b and len(a) == probes.count()
+    assert all(r[1] is not None for r in a)  # every event has a version

@@ -680,6 +680,18 @@ def main() -> int:
         n_nodes(plan, "Union") >= 1 and "CartesianProduct" not in plan,
     )
 
+    # 33. SCD2 + as-of composition: the point-in-time feature join
+    # stays on user_id-key exchanges end to end — no row-wise probe
+    # join, no cartesian; the as-of union-window is the only extra
+    # stage on top of the history windows
+    plan = formatted(E.q_events_scd2_asof_features(spark, SF_DIR))
+    check(
+        "scd2_asof_features: windowed composition, no cartesian",
+        n_nodes(plan, "Window") >= 2
+        and "CartesianProduct" not in plan
+        and n_nodes(plan, "SortMergeJoin") == 0,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
