@@ -630,6 +630,33 @@ def test_streaming_user_totals_tws(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_streaming_tws_plan_constructs_without_protobuf(
+    spark, sf_dir, tmp_path
+):
+    """The transformWithStateInPandas operator BUILDS (analyzed
+    streaming plan, correct output schema) in this container — the
+    protobuf gate is confined to the runner import at query START
+    (pyspark/sql/streaming/proto/StateMessage_pb2 → google.protobuf),
+    which the gated end-to-end test above exercises wherever the dep
+    exists. This pins that our side of the TWS surface is sound and
+    the only missing piece is the environment dependency."""
+    from clinical_vector_search_spark.streaming.events import (
+        streaming_user_totals_tws,
+    )
+
+    src = str(tmp_path / "tws_plan_src")
+    ev = read_events(spark, sf_dir).select("user_id", "value").limit(100)
+    ev.write.mode("overwrite").parquet(src)
+    stream_in = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = streaming_user_totals_tws(stream_in)
+    assert out.isStreaming
+    assert out.schema.simpleString() == (
+        "struct<user_id:bigint,n_events:bigint,sum_value:double>"
+    )
+
+
 def test_streaming_outer_join_parity_and_trap(spark, sf_dir):
     """LEFT OUTER stream-stream interval join vs the batch LEFT JOIN:
     exact set parity, explicitly including the trap rows — view-less
