@@ -171,6 +171,96 @@ def main() -> None:
         log(f"knn {label}: window {out[f'knn_window_{label}_sec']}s, "
             f"partial_topk {out[f'knn_partial_topk_{label}_sec']}s")
 
+    # --- tf-idf retrieval growth (VERDICT r7 task 7) ------------------
+    # 10x docs with a SHARED vocabulary (replicas keep their text — the
+    # natural-corpus regime: vocabulary saturates while postings grow
+    # linearly with docs), so this measures exactly the claim at stake:
+    # query cost grows with the POSTINGS of the query terms (~10x),
+    # not with vocabulary or with all-pairs anything. The norms join
+    # placement claim (AFTER the (query,doc) aggregation) is re-measured
+    # at 10x against the postings-wide BEFORE variant.
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_cosine_topk,
+        tfidf_doc_norms,
+        tfidf_index,
+    )
+    from pyspark.sql import Window
+
+    docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    docs10 = replicate(docs1, 10, {"doc_id": 1_000_000})
+    qterms = spark.createDataFrame(
+        [
+            (i, t, 1)
+            for i, pair in enumerate(
+                [
+                    ("patient", "history"), ("blood", "pressure"),
+                    ("chest", "pain"), ("left", "right"),
+                    ("normal", "exam"), ("pain", "history"),
+                    ("procedure", "performed"), ("time", "well"),
+                    ("prior", "disease"), ("noted", "present"),
+                ]
+            )
+            for t in pair
+        ],
+        "query_id long, term string, qtf long",
+    )
+
+    def timed2(fn) -> float:
+        # best-of-2: the first run of a query family pays one-time JIT/
+        # codegen costs that at these sizes dwarf the data work and
+        # would corrupt the 1x-vs-10x growth read
+        return min(timed(fn), timed(fn))
+
+    for label, d in (("1x", docs1), ("10x", docs10)):
+        t0 = time.time()
+        idx = tfidf_index(d).cache()
+        n_postings = idx.count()  # materializes the cached index
+        out[f"tfidf_index_build_{label}_sec"] = round(time.time() - t0, 3)
+        out[f"tfidf_postings_{label}"] = n_postings
+        out[f"tfidf_query_{label}_sec"] = timed2(
+            lambda: tfidf_cosine_topk(idx, qterms, 10)
+        )
+        if label == "10x":
+            # norms-BEFORE-agg strawman: join doc norms onto every
+            # surviving posting row, then aggregate — the shuffle the
+            # index docstring says to avoid
+            def norms_before():
+                qt = qterms.select("term").distinct()
+                vi = (idx.join(F.broadcast(qt), "term")
+                         .select("term", "idf").distinct())
+                qw = qterms.join(F.broadcast(vi), "term").select(
+                    "query_id", "term",
+                    (F.col("qtf") * F.col("idf")).alias("qw"))
+                qn = qw.groupBy("query_id").agg(
+                    F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qnorm"))
+                qs = F.broadcast(qw.join(qn, "query_id")
+                                   .filter(F.col("qnorm") > 0))
+                wide = (idx.join(tfidf_doc_norms(idx), "doc")
+                           .join(qs, "term"))
+                dots = wide.groupBy("query_id", "doc").agg(
+                    F.sum(F.col("w") * F.col("qw")).alias("_dot"),
+                    F.first("qnorm").alias("qnorm"),
+                    F.first("norm").alias("norm"))
+                scored = dots.filter(F.col("norm") > 0).select(
+                    "query_id", "doc",
+                    F.round(F.col("_dot")
+                            / (F.col("norm") * F.col("qnorm")), 6)
+                    .alias("score"))
+                win = Window.partitionBy("query_id").orderBy(
+                    F.desc("score"), F.asc("doc"))
+                return (scored.withColumn(
+                            "rank", F.row_number().over(win))
+                        .filter(F.col("rank") <= 10))
+
+            out["tfidf_query_10x_norms_before_sec"] = timed2(norms_before)
+        idx.unpersist()
+        log(f"tfidf {label}: build "
+            f"{out[f'tfidf_index_build_{label}_sec']}s, "
+            f"{out[f'tfidf_postings_{label}']} postings, query "
+            f"{out[f'tfidf_query_{label}_sec']}s")
+
     print(json.dumps(out))
 
 
