@@ -396,6 +396,11 @@ def main() -> None:
     # entries (IVF additionally benched with TRAINED centroids — the
     # configuration the scale story recommends — with a 0.5 floor).
     ann_recall: dict[str, float] = {}
+    floors = {
+        "knn_ivf_trained": 0.5,
+        "knn_ivfpq_trained": 0.3,
+        "knn_pq_refine_trained": 0.5,
+    }
     ann_ok = True
     try:
         from clinical_vector_search_spark.operators.knn import (
@@ -484,12 +489,6 @@ def main() -> None:
         )
         # floors: a silent recall collapse in any trained path must
         # fail the bench, not just read low in the sidecar
-        floors = {
-            "knn_ivf_trained": 0.5,
-            "knn_ivfpq_trained": 0.3,
-            "knn_pq_refine_trained": 0.5,
-        }
-        ann_ok = True
         for name, floor in floors.items():
             if ann_recall[name] < floor:
                 ann_ok = False
@@ -521,7 +520,7 @@ def main() -> None:
             "n_sweeps": n_sweeps,
         },
         "ann_recall": ann_recall,
-        "ann_recall_floor": {"knn_ivf_trained": 0.5},
+        "ann_recall_floor": floors,
         "ann_recall_ok": ann_ok,
     }))
 
