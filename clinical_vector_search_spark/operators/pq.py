@@ -84,16 +84,30 @@ def pq_codebooks_trained(
     ksub: int = 16,
     n_iter: int = 5,
     doc_vec: str = "embedding",
+    centroids: list | None = None,
 ) -> list:
     """Per-subspace k-means codebooks. Each iteration: one mapInPandas pass
     computes per-(subspace, cluster) (count, sum) partials in NumPy; the
     driver combines partitions×m×ksub tiny rows. LCG-initialized, so runs
-    are reproducible; empty clusters keep their previous centroid."""
+    are reproducible; empty clusters keep their previous centroid.
+
+    ``centroids``: when given (a coarse-quantizer centroid matrix),
+    training runs on RESIDUALS x − c(x) instead of raw vectors — the
+    input distribution ``knn_ivfpq(residual=True)`` actually encodes
+    (true FAISS IVFADC trains exactly this way). The r8 sweep measured
+    the mismatch this fixes: raw-trained books + residual encoding
+    LOWERS recall (0.54 → 0.36 at m=16/ksub=256) because the codebooks
+    quantize a distribution the encoder never feeds them."""
     import numpy as np
 
     assert dim % m == 0
     dsub = dim // m
     books = np.array(pq_codebooks_lcg(dim, m, ksub), dtype="float64")
+    C = (
+        np.array(centroids, dtype="float64")
+        if centroids is not None
+        else None
+    )
     data = docs.select(doc_vec)
     schema = "sub int, cluster int, n long, vsum array<double>"
     for _ in range(n_iter):
@@ -106,6 +120,9 @@ def pq_codebooks_trained(
                 if len(pdf) == 0:
                     continue
                 mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
+                if C is not None:
+                    # same argmax-dot coarse assignment as the encoder
+                    mat = mat - C[np.argmax(mat @ C.T, axis=1)]
                 segs = mat.reshape(len(mat), m, dsub)
                 for sub in range(m):
                     # L2 argmin via ||x||² - 2x·c + ||c||² (x-term constant)
@@ -335,12 +352,17 @@ def knn_ivfpq(
     table per (query, probed cell) over (q − centroid) — residuals are
     tighter around zero than raw vectors, so the same codebook budget
     quantizes them with less error. The per-(query, cell) tables are
-    nq × n_centroids × m × ksub scalars — still driver-tiny. Caveat
-    (measured in the r8 tuning sweep): ``pq_codebooks_trained`` trains on
-    RAW vectors, so pairing it with ``residual=True`` mismatches codebook
-    and input distribution and LOWERS recall (0.54 → 0.36 at
-    m=16/ksub=256, sf0.1); use residual only with residual-trained
-    books (or the LCG books, which favor neither).
+    nq × n_centroids × m × ksub scalars — still driver-tiny. Caveats
+    (measured in the r8 tuning sweep at m=16/ksub=256, sf0.1):
+    ``residual=True`` needs RESIDUAL-trained books —
+    ``pq_codebooks_trained(..., centroids=cents)`` — or codebook and
+    input distribution mismatch and recall drops (raw-trained books:
+    0.36; residual-trained: 0.43). And on L2-normalized corpora with
+    few coarse cells the residuals are NOT much smaller than the raw
+    vectors (residual norm ≈ the angular spread within a cell), so
+    plain raw encoding measured BETTER still (0.54) — IVFADC's edge
+    appears when cells are tight relative to the vector scale, i.e.
+    many centroids at real corpus sizes.
 
     Composition of the two audited parts: coarse assignment/probing from
     operators.knn (argmax-dot centroids, knn.py:302-356) and ADC scoring

@@ -336,3 +336,58 @@ def test_pq_refine_accel_pd_parity(spark, sf_dir):
     assert a == b and len(a) == 50
     with pytest.raises(ValueError):
         knn_pq_refine(queries, docs, books, 10, accel="nope")
+
+
+def test_residual_training_matches_residual_encoding(spark, sf_dir):
+    """Train-on-what-you-encode: with residual=True, residual-trained
+    codebooks (pq_codebooks_trained(centroids=...)) must not lose to
+    raw-trained ones — the distribution-mismatch regression the r8
+    sweep measured (0.36 vs 0.43 at sf0.1). Small-SF smoke of the same
+    ordering; ties allowed (tiny corpora can saturate)."""
+    from clinical_vector_search_spark.operators.knn import (
+        kmeans_centroids,
+        knn,
+    )
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        pq_codebooks_trained,
+    )
+    from clinical_vector_search_spark.functions import vector as V
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize("embedding").alias("embedding"),
+    ).cache()
+    q = v.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def topsets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.doc_id)
+        return out
+
+    exact = topsets(knn(q, v, 10, strategy="window"))
+
+    def recall(df):
+        got = topsets(df)
+        return sum(
+            len(got.get(k, set()) & e) / len(e) for k, e in exact.items()
+        ) / len(exact)
+
+    cents = kmeans_centroids(v, 64, n_centroids=4)
+    raw_books = pq_codebooks_trained(v, 64, 8, 32, n_iter=3)
+    res_books = pq_codebooks_trained(
+        v, 64, 8, 32, n_iter=3, centroids=cents
+    )
+    r_raw = recall(
+        knn_ivfpq(q, v, 10, 64, raw_books, n_centroids=4, n_probe=2,
+                  centroids=cents, residual=True)
+    )
+    r_res = recall(
+        knn_ivfpq(q, v, 10, 64, res_books, n_centroids=4, n_probe=2,
+                  centroids=cents, residual=True)
+    )
+    assert r_res >= r_raw - 1e-9, (r_res, r_raw)
