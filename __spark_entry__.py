@@ -3077,6 +3077,49 @@ def q_events_scd2_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL dedup (functions/text.py canonicalize_url): the
+    same resource crawled as http/https, with/without www, with
+    per-click tracking params (utm_*, ref, fbclid, ...), in any param
+    order, with fragments, must land in ONE group before content ever
+    downloads — the cheapest dedup a crawl pipeline runs. Synthetic
+    URLs derive deterministically from (source, doc_id) with mixed
+    case, default port, a tracking pair, and a fragment, so every
+    normalization rule is load-bearing; doc_ids collide on
+    (source, doc_id%500, doc_id%7) after canonicalization. Pure
+    expression chain (no UDF), groups value-hash checked; dup groups
+    only (n_docs > 1), min-id survivor."""
+    from clinical_vector_search_spark.functions.text import (
+        canonicalize_url,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    url = F.concat(
+        F.lit("HTTPS://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/Docs/"),
+        (F.col("doc_id") % 500).cast("string"),
+        F.lit("/?utm_source=feed&ref="),
+        F.col("doc_id").cast("string"),
+        F.lit("&q="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#sec"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    c = docs.select(
+        "doc_id", canonicalize_url(url).alias("canonical_url")
+    )
+    return (
+        c.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keep_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
 def q_doc_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-document AUDIT TRAIL of the prep pipeline: every doc with
     its keep/drop decision and the FIRST failing rule (lang → quality →
@@ -3762,6 +3805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- 0: new in r8 (never driver-checked — lead the window) --
         "events_scd2_asof_features": q_events_scd2_asof_features,
+        "doc_url_dedup": q_doc_url_dedup,
         # -- 1: new in r7 (inserted as built) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
@@ -6032,6 +6076,49 @@ def oracle_sql() -> dict[str, str]:
     # (closed versions pass through; the open version re-sequences with
     # the second batch exactly where the one-shot lag/lead would put it)
     s["events_scd2_merge"] = s["events_scd2"]
+
+    # URL canonicalization mirrored step-for-step: fragment cut, scheme
+    # cut, host lower/www/port strip, trailing-slash strip, tracking-
+    # param filter (starts_with avoids LIKE's '_' wildcard trap), sort,
+    # rejoin
+    s["doc_url_dedup"] = """
+        WITH raw AS (SELECT doc_id,
+               'HTTPS://WWW.' || source || '.Example.COM:443/Docs/'
+               || (doc_id % 500) || '/?utm_source=feed&ref=' || doc_id
+               || '&q=' || (doc_id % 7) || '#sec' || (doc_id % 3) AS url
+             FROM documents),
+        s1 AS (SELECT doc_id,
+                 regexp_replace(split_part(url, '#', 1),
+                                '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS u
+               FROM raw),
+        parts AS (SELECT doc_id,
+                 regexp_replace(regexp_replace(
+                     lower(split_part(u, '/', 1)), '^www\\.', ''),
+                     ':(80|443)$', '') AS host,
+                 CASE WHEN position('/' IN u) > 0
+                      THEN substr(u, position('/' IN u)) ELSE '' END AS rest
+               FROM s1),
+        pq AS (SELECT doc_id, host,
+                 regexp_replace(split_part(rest, '?', 1), '/$', '') AS path,
+                 CASE WHEN position('?' IN rest) > 0
+                      THEN substr(rest, position('?' IN rest) + 1)
+                      ELSE '' END AS query
+               FROM parts),
+        canon AS (SELECT doc_id, host || path ||
+                 CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                     AS canonical_url
+               FROM (SELECT doc_id, host, path,
+                       array_to_string(list_sort(list_filter(
+                           string_split(query, '&'),
+                           p -> NOT (starts_with(p, 'utm_') OR
+                                     regexp_matches(p,
+                                       '^(ref|fbclid|gclid|mc_cid|mc_eid)='
+                                     )))), '&') AS q
+                     FROM pq))
+        SELECT canonical_url, count(*) AS n_docs,
+               min(doc_id) AS keep_id, max(doc_id) AS max_id
+        FROM canon GROUP BY 1 HAVING count(*) > 1
+    """
 
     # composition identity: backward as-of on valid_from over the
     # contiguous non-zero-width history ≡ interval containment

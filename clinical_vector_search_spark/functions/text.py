@@ -227,6 +227,67 @@ def token_count(c: Column | str) -> Column:
     return F.size(tokenize(c))
 
 
+# query params that identify a click, not a resource — dropped by
+# canonicalize_url (utm_* handled as a prefix class)
+TRACKING_PARAM_RE = "^(ref|fbclid|gclid|mc_cid|mc_eid)="
+
+
+def canonicalize_url(c: Column | str) -> Column:
+    """Canonical form of a URL for web-corpus dedup — the normalize step
+    every crawl pipeline runs before grouping (the same resource is
+    crawled as http/https, with/without www, with per-click tracking
+    params, in any param order, with fragments):
+
+      1. drop the ``#fragment`` (client-side only),
+      2. drop the scheme, lowercase the host, strip leading ``www.``
+         and the default ports ``:80``/``:443`` (path case is KEPT —
+         paths are case-sensitive, hosts are not),
+      3. strip one trailing ``/`` from the path,
+      4. drop tracking params (``utm_*`` prefix class +
+         :data:`TRACKING_PARAM_RE`), sort the survivors so param order
+         cannot split a group, and re-join.
+
+    Pure expression chain (regexp_replace / substring_index / filter /
+    array_sort) — codegen-friendly, no UDF, and exactly mirrorable in
+    ANSI SQL so the dedup groups are value-hash checkable. Returns
+    ``host + path [+ '?' + query]``."""
+    u = F.substring_index(_col(c), "#", 1)
+    u = F.regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    host = F.lower(F.substring_index(u, "/", 1))
+    host = F.regexp_replace(host, "^www\\.", "")
+    host = F.regexp_replace(host, ":(80|443)$", "")
+    # rest of the URL from the first '/' (empty when there is no path)
+    rest = F.when(
+        F.instr(u, "/") > 0,
+        F.substring(u, F.instr(u, "/").cast("int"), F.lit(1 << 30)),
+    ).otherwise(F.lit(""))
+    path = F.regexp_replace(F.substring_index(rest, "?", 1), "/$", "")
+    query = F.when(
+        F.instr(rest, "?") > 0,
+        F.substring(
+            rest, (F.instr(rest, "?") + 1).cast("int"), F.lit(1 << 30)
+        ),
+    ).otherwise(F.lit(""))
+    kept = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(query, "&"),
+                lambda p: ~(
+                    p.startswith("utm_") | p.rlike(TRACKING_PARAM_RE)
+                ),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        host,
+        path,
+        F.when(F.length(kept) > 0, F.concat(F.lit("?"), kept)).otherwise(
+            F.lit("")
+        ),
+    )
+
+
 # BPE-style pre-tokenizer classes (GPT-2-ish, ASCII subset so Spark's Java
 # regex and RE2-based SQL engines agree): word runs, digit runs, or a
 # single non-space-non-alnum symbol.

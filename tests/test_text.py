@@ -584,3 +584,36 @@ def test_token_dropout_deterministic_and_bounded(spark):
 
     kept0 = [f"w{j}" for j in range(50) if md5_60(f"0:{j + 1}") % 10 != 0]
     assert a[0][2] == hashlib.md5(" ".join(kept0).encode()).hexdigest()
+
+
+def test_canonicalize_url_goldens(spark):
+    """Every normalization rule load-bearing: scheme, host case, www,
+    default ports, trailing slash, fragment, tracking params, param
+    order — all eight spellings of the same two resources collapse."""
+    cases = [
+        # resource A in six disguises
+        "HTTPS://WWW.Example.COM:443/Docs/12/?utm_source=feed&ref=9&q=3#s",
+        "http://example.com/Docs/12?q=3",
+        "https://example.com:80/Docs/12?q=3&utm_medium=x",
+        "example.com/Docs/12/?q=3",
+        # resource B in two param orders (+ a tracking param)
+        "https://example.com/a/b?z=1&a=2&fbclid=xyz",
+        "https://example.com/a/b?a=2&z=1",
+        # bare hosts
+        "https://www.example.com",
+        "https://example.com/?utm_source=a",
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r.id: r.c
+        for r in df.select(
+            "id", TXT.canonicalize_url("url").alias("c")
+        ).collect()
+    }
+    assert got[0] == got[1] == got[2] == got[3] == "example.com/Docs/12?q=3"
+    assert got[4] == got[5] == "example.com/a/b?a=2&z=1"
+    assert got[6] == got[7] == "example.com"
+    # path case is KEPT (paths are case-sensitive, hosts are not)
+    assert "Docs" in got[0]
