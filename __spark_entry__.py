@@ -3563,6 +3563,33 @@ def q_doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_events_user_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-leakage-safe train/val/test split: events assigned by the
+    salted md5 bucket of their USER, not their row — every event of a
+    user lands in exactly one split BY CONSTRUCTION (the assignment is
+    a pure function of user_id), which is the property row-level
+    randomSplit violates: a user straddling train and test leaks
+    behavioral signal across the boundary, the canonical evaluation bug
+    in user-modeling pipelines. Same split_assign expression as
+    doc_split_assign (pipeline/documents.py:226) with id_col=user_id;
+    the per-split rollup shows event AND user proportions (events skew
+    from 80/10/10 exactly when heavy users concentrate — the visible
+    cost of group-safety the summary exists to show). Zero-leakage
+    pinned in tests/test_pipeline.py."""
+    from clinical_vector_search_spark.pipeline.documents import split_assign
+
+    s = split_assign(
+        _events(spark, sf_dir),
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        id_col="user_id",
+        salt="usersplit",
+    )
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
 def q_rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK→PK referential audit over the TPC-H graph (operators/audit.py
     referential_audit): orphan + null-fk counts per relationship, each a
@@ -3806,6 +3833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 0: new in r8 (never driver-checked — lead the window) --
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
+        "events_user_split": q_events_user_split,
         # -- 1: new in r7 (inserted as built) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
@@ -5704,6 +5732,21 @@ def oracle_sql() -> dict[str, str]:
                                          1, 8))::BIGINT < {_t2} THEN 'val'
                     ELSE 'test' END AS split
         FROM documents
+    """
+
+    # group-safe split: the SAME md5 CASE as doc_split_assign keyed on
+    # user_id with salt 'usersplit', rolled up per split
+    s["events_user_split"] = f"""
+        WITH a AS (SELECT user_id,
+               CASE WHEN ('0x' || substr(md5('usersplit:' || user_id::VARCHAR),
+                                         1, 8))::BIGINT < {_t1} THEN 'train'
+                    WHEN ('0x' || substr(md5('usersplit:' || user_id::VARCHAR),
+                                         1, 8))::BIGINT < {_t2} THEN 'val'
+                    ELSE 'test' END AS split
+             FROM events)
+        SELECT split, count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
+        FROM a GROUP BY 1
     """
 
     # referential audit: per-relationship orphan/null counts, UNION ALL

@@ -503,3 +503,27 @@ def test_plan_cache_eviction_unpersists_subframes(spark, sf_dir):
         m._PLAN_CACHE_MAX = old_max
         m._PLAN_CACHE.clear()
         m._PLAN_CACHE.update(old_cache)
+
+
+def test_user_split_has_zero_group_leakage(spark, sf_dir):
+    """Group-safe split contract: every user's events land in exactly
+    one split (assignment is a pure function of user_id), splits are
+    exhaustive, and USER proportions track 80/10/10 far better than a
+    row-level split of skewed users would guarantee for events."""
+    from clinical_vector_search_spark.pipeline.documents import split_assign
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    e = read_events(spark, sf_dir)
+    s = split_assign(
+        e,
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)],
+        id_col="user_id",
+        salt="usersplit",
+    )
+    # zero leakage: (user, split) pairs == distinct users
+    n_users = s.select("user_id").distinct().count()
+    n_pairs = s.select("user_id", "split").distinct().count()
+    assert n_pairs == n_users
+    # exhaustive: every row assigned
+    assert s.filter(F.col("split").isNull()).count() == 0
+    assert s.count() == e.count()
