@@ -3077,6 +3077,24 @@ def q_events_scd2_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance log-weights (operators/importance.py, Xie et al.
+    NeurIPS 2023): every doc scored by Σ log(p_target[b]/q_corpus[b])
+    over md5-hashed token buckets, target = the English subset — the
+    cheap domain-similarity weighting that feeds importance RESAMPLING
+    (composes with doc_weighted_sample for the draw). Two ≤K-row
+    bucket-count aggs + one K-row broadcast + one per-doc agg; fully
+    deterministic (md5 buckets, add-one smoothing) so the weights
+    value-hash against SQL."""
+    from clinical_vector_search_spark.operators.importance import (
+        dsir_logweights,
+    )
+
+    return dsir_logweights(
+        _docs(spark, sf_dir), F.col("lang") == F.lit("en"), 1024
+    )
+
+
 def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL dedup (functions/text.py canonicalize_url): the
     same resource crawled as http/https, with/without www, with
@@ -3834,6 +3852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
+        "doc_dsir_weights": q_doc_dsir_weights,
         # -- 1: new in r7 (inserted as built) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
@@ -6119,6 +6138,29 @@ def oracle_sql() -> dict[str, str]:
     # (closed versions pass through; the open version re-sequences with
     # the second batch exactly where the one-shot lag/lead would put it)
     s["events_scd2_merge"] = s["events_scd2"]
+
+    # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;
+    # '%' is pmod here because md5_long is non-negative by construction
+    s["doc_dsir_weights"] = """
+        WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+                 unnest(list_filter(
+                     regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     x -> x <> '')) AS tok
+               FROM documents),
+        bk AS (SELECT doc_id, t,
+                 ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT
+                     % 1024 AS b
+               FROM toks),
+        c AS (SELECT b, count(*) AS cc,
+                 sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc
+               FROM bk GROUP BY 1),
+        tot AS (SELECT sum(cc) AS nc, sum(tc) AS nt FROM c),
+        r AS (SELECT b, ln((tc + 1) / (nt + 1024)::DOUBLE)
+                      - ln((cc + 1) / (nc + 1024)::DOUBLE) AS lr
+              FROM c, tot)
+        SELECT doc_id, count(*) AS n_toks, round(sum(lr), 6) AS logw
+        FROM bk JOIN r USING (b) GROUP BY 1
+    """
 
     # URL canonicalization mirrored step-for-step: fragment cut, scheme
     # cut, host lower/www/port strip, trailing-slash strip, tracking-

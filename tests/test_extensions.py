@@ -867,3 +867,27 @@ def test_mad_outliers_robustness_vs_zscore(spark):
     assert z.filter("is_outlier").count() == 0  # sigma self-inflation
     # group b: MAD = 0 (>=50% identical) -> only the exact deviant flags
     assert mad["b"].mad == 0.0 and mad["b"].n_outliers == 1
+
+
+def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
+    """DSIR sanity on real data: the mean log importance weight of
+    target-language (en) docs must exceed the non-target mean — the
+    separation the resampler exists to exploit — and weights must be
+    finite for every doc with tokens."""
+    from clinical_vector_search_spark.operators.importance import (
+        dsir_logweights,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w = dsir_logweights(docs, F.col("lang") == F.lit("en"), 1024)
+    j = w.join(docs.select("doc_id", "lang"), "doc_id")
+    means = {
+        r.t: r.m
+        for r in j.groupBy((F.col("lang") == "en").alias("t"))
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    }
+    assert means[True] > means[False], means
+    assert j.filter(F.col("logw").isNull()).count() == 0
+    # every doc with at least one token is scored
+    assert w.count() == docs.filter(F.length(F.trim("text")) > 0).count()
