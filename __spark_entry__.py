@@ -3829,82 +3829,28 @@ def q_dedup_semantic_pairs_salted(
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
-    # freshness rotation (established r5; re-rotated each round —
-    # VERDICT r6 task 1):
-    #   1. entries NEW in r7 (never driver-checked) lead. r7 added 48
-    #      of them, so the ~50-entry window can no longer also cover
-    #      all 36 r4-stale entries (48 + 36 > 50). Never-checked beats
-    #      stale-but-previously-green: section 2's overflow (~34
-    #      entries past the window) stays r4-stale and MUST lead the
-    #      r8 rotation. All 184 entries were verified green locally
-    #      this round (tools/check_correctness.py full sweeps at
-    #      sf0.01 — latest 163 ⊕ + 8 ⊙ / 0 fail mid-additions — with
-    #      every later addition checked at sf0.001/0.01/0.1).
-    #   2. the 36 entries whose last driver row is r4 (streaming
+    # freshness rotation (established r5; re-rotated each round — the
+    # r7 VERDICT's task 1 names this exact r8 order):
+    #   1. entries NEW in r8 (never driver-checked) lead;
+    #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
-    #      exact stale set named in VERDICT r6.
+    #      overflow the r7 window could not also cover (48 new + 36
+    #      stale > 50); every one verified green locally this round;
     #   3. entries last green in r5 — next-stalest; the tail past the
-    #      window stays r5-stale and rotates forward with any
-    #      leftovers.
-    #   4. entries green in the r6 window — freshest, demoted last.
+    #      window stays r5 and MUST lead r9 together with any r8
+    #      leftovers;
+    #   4. entries green in the r6 window;
+    #   5. entries green in the r7 window — freshest, demoted last
+    #      (includes events_tumbling/events_sliding, checked as rows
+    #      49-50 of the r7 window).
+
     return {
-        # -- 0: new in r8 (never driver-checked — lead the window) --
+        # -- 1: new in r8 (never driver-checked — lead the window) --
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
         "doc_dsir_weights": q_doc_dsir_weights,
-        # -- 1: new in r7 (inserted as built) --
-        "events_streaming_outer_join": q_events_streaming_outer_join,
-        "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
-        "dedup_semantic_pd": q_dedup_semantic_pd,
-        "events_resample_gapfill": q_events_resample_gapfill,
-        "events_attribution": q_events_attribution,
-        "retrieval_tfidf": q_retrieval_tfidf,
-        "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
-        "text_pmi_pairs": q_text_pmi_pairs,
-        "events_session_paths": q_events_session_paths,
-        "events_psi_drift": q_events_psi_drift,
-        "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "events_time_weighted": q_events_time_weighted,
-        "rel_order_trend": q_rel_order_trend,
-        "text_distinctive_terms": q_text_distinctive_terms,
-        "io_shard_manifest": q_io_shard_manifest,
-        "rel_bloom_join": q_rel_bloom_join,
-        "text_zipf_fit": q_text_zipf_fit,
-        "events_ohlc": q_events_ohlc,
-        "knn_pq_refine": q_knn_pq_refine,
-        "events_streaming_chained_agg": q_events_streaming_chained_agg,
-        "io_python_datasink": q_io_python_datasink,
-        "io_snapshot_diff": q_io_snapshot_diff,
-        "multimodal_phash": q_multimodal_phash,
-        "rel_window_distribution": q_rel_window_distribution,
-        "rel_grouping_sets": q_rel_grouping_sets,
-        "rel_unpivot": q_rel_unpivot,
-        "dedup_pagerank": q_dedup_pagerank,
-        "text_bpe_pair_counts": q_text_bpe_pair_counts,
-        "events_variant_extract": q_events_variant_extract,
-        "text_bpe_encode": q_text_bpe_encode,
-        "events_bootstrap_ci": q_events_bootstrap_ci,
-        "rel_incremental_agg": q_rel_incremental_agg,
-        "events_mad_outliers": q_events_mad_outliers,
-        "events_json_deadletter": q_events_json_deadletter,
-        "knn_matryoshka": q_knn_matryoshka,
-        "retrieval_hard_negatives": q_retrieval_hard_negatives,
-        "evaluation_kappa": q_evaluation_kappa,
-        "events_value_runs": q_events_value_runs,
-        "dedup_minhash_estimate": q_dedup_minhash_estimate,
-        "text_token_dropout": q_text_token_dropout,
-        "events_session_stats": q_events_session_stats,
-        "doc_ngram_novelty": q_doc_ngram_novelty,
-        "events_dau_wau": q_events_dau_wau,
-        "events_markov_transitions": q_events_markov_transitions,
-        "events_power_users": q_events_power_users,
-        "io_wap_publish": q_io_wap_publish,
-        "text_bpe_train": q_text_bpe_train,
-        # -- 2: last driver row r4 (lead the r7 window) --
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
+        # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
         "events_distinct_users": q_events_distinct_users,
@@ -3990,7 +3936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- 4: green in r6 window (freshest) --
+        # -- 4: green in the r6 window --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -4041,6 +3987,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_union_candidates": q_rag_union_candidates,
         "doc_pipeline": q_doc_pipeline,
         "events_asof_join": q_events_asof_join,
+        # -- 5: green in the r7 window (freshest, demoted) --
+        "events_streaming_outer_join": q_events_streaming_outer_join,
+        "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
+        "dedup_semantic_pd": q_dedup_semantic_pd,
+        "events_resample_gapfill": q_events_resample_gapfill,
+        "events_attribution": q_events_attribution,
+        "retrieval_tfidf": q_retrieval_tfidf,
+        "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
+        "text_pmi_pairs": q_text_pmi_pairs,
+        "events_session_paths": q_events_session_paths,
+        "events_psi_drift": q_events_psi_drift,
+        "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_time_weighted": q_events_time_weighted,
+        "rel_order_trend": q_rel_order_trend,
+        "text_distinctive_terms": q_text_distinctive_terms,
+        "io_shard_manifest": q_io_shard_manifest,
+        "rel_bloom_join": q_rel_bloom_join,
+        "text_zipf_fit": q_text_zipf_fit,
+        "events_ohlc": q_events_ohlc,
+        "knn_pq_refine": q_knn_pq_refine,
+        "events_streaming_chained_agg": q_events_streaming_chained_agg,
+        "io_python_datasink": q_io_python_datasink,
+        "io_snapshot_diff": q_io_snapshot_diff,
+        "multimodal_phash": q_multimodal_phash,
+        "rel_window_distribution": q_rel_window_distribution,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_unpivot": q_rel_unpivot,
+        "dedup_pagerank": q_dedup_pagerank,
+        "text_bpe_pair_counts": q_text_bpe_pair_counts,
+        "events_variant_extract": q_events_variant_extract,
+        "text_bpe_encode": q_text_bpe_encode,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
+        "rel_incremental_agg": q_rel_incremental_agg,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_json_deadletter": q_events_json_deadletter,
+        "knn_matryoshka": q_knn_matryoshka,
+        "retrieval_hard_negatives": q_retrieval_hard_negatives,
+        "evaluation_kappa": q_evaluation_kappa,
+        "events_value_runs": q_events_value_runs,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "text_token_dropout": q_text_token_dropout,
+        "events_session_stats": q_events_session_stats,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "events_dau_wau": q_events_dau_wau,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_power_users": q_events_power_users,
+        "io_wap_publish": q_io_wap_publish,
+        "text_bpe_train": q_text_bpe_train,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
     }
 
 # ---------------------------------------------------------------------------
