@@ -3077,6 +3077,47 @@ def q_events_scd2_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (operators/logreg.py):
+    a language classifier (label lang=='en') over the pipeline's own
+    text-statistics features (token count, punct ratio, stopword
+    ratio), trained by full-batch GD where each iteration is ONE
+    map-side-combinable d+1-column gradient aggregate — model fitting
+    in the repo's iterative-agg shape (BPE, PageRank). Returns the
+    trained weights as (term, weight) rows; the oracle UNROLLS the
+    same five standardized-GD iterations in SQL, so the training loop
+    itself is value-hash checked; the pytest checks each weight's sign
+    against the data's own target-vs-rest feature direction (on this
+    synthetic corpus 'non-English' docs carry slightly MORE English
+    stopwords, so that weight is legitimately negative). Features:
+    token count, mean token
+    length (chars/token — language-discriminative), stopword ratio;
+    punct_ratio is identically 0 on this synthetic corpus and
+    logreg_train rejects zero-variance features by contract."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import logreg_train
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        (F.col("lang") == F.lit("en")).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    w = logreg_train(
+        feats,
+        ["n_tokens", "mean_tok_len", "stopword_ratio"],
+        F.col("is_en"),
+        lr=1.0,
+        n_iter=5,
+    )
+    return spark.createDataFrame(w, "term string, weight double")
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every doc scored by Σ log(p_target[b]/q_corpus[b])
@@ -3850,6 +3891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
         "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_quality_logreg": q_doc_quality_logreg,
         # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -6135,6 +6177,64 @@ def oracle_sql() -> dict[str, str]:
     # (closed versions pass through; the open version re-sequences with
     # the second batch exactly where the one-shot lag/lead would put it)
     s["events_scd2_merge"] = s["events_scd2"]
+
+    # logistic-regression training unrolled: the same five standardized
+    # full-batch GD iterations the Spark loop runs, each a 1-row
+    # gradient CTE + a 1-row weight CTE (the dedup_pagerank unroll
+    # precedent applied to model fitting); z accumulates bias-first in
+    # feature order to mirror the expression association exactly
+    _lr_feats = ["a", "b", "c"]  # z0=n_tokens, z1=punct, z2=stop
+    _lr_z = "(w0 + wa*z0 + wb*z1 + wc*z2)"
+    _lr_iters = []
+    prev_w = None
+    for _it in range(1, 6):
+        if prev_w is None:
+            _sig = "1.0/(1.0 + exp(-(0.0)))"
+            _g = (f"g{_it} AS (SELECT avg({_sig} - y) AS g0, "
+                  + ", ".join(
+                      f"avg(({_sig} - y) * z{j}) AS g{f}"
+                      for j, f in enumerate(_lr_feats))
+                  + " FROM f)")
+            _w = (f"w{_it} AS (SELECT 0.0 - 1.0*g0 AS w0, "
+                  + ", ".join(
+                      f"0.0 - 1.0*g{f} AS w{f}" for f in _lr_feats)
+                  + f" FROM g{_it})")
+        else:
+            _sig = f"1.0/(1.0 + exp(-{_lr_z}))"
+            _g = (f"g{_it} AS (SELECT avg({_sig} - y) AS g0, "
+                  + ", ".join(
+                      f"avg(({_sig} - y) * z{j}) AS g{f}"
+                      for j, f in enumerate(_lr_feats))
+                  + f" FROM f, {prev_w})")
+            _w = (f"w{_it} AS (SELECT w0 - 1.0*g0 AS w0, "
+                  + ", ".join(
+                      f"w{f} - 1.0*g{f} AS w{f}" for f in _lr_feats)
+                  + f" FROM g{_it}, {prev_w})")
+        _lr_iters.append(_g)
+        _lr_iters.append(_w)
+        prev_w = f"w{_it}"
+    _lr_unrolled = ",\n        ".join(_lr_iters)
+    s["doc_quality_logreg"] = f"""
+        WITH toks AS ({_TOKS}),
+        f0 AS (SELECT CASE WHEN d.lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                 len(t.tokens)::DOUBLE AS x0,
+                 d.n_chars::DOUBLE
+                     / greatest(len(t.tokens)::DOUBLE, 1.0) AS x1,
+                 len(list_filter(t.tokens,
+                                 x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                     / greatest(len(t.tokens), 1) AS x2
+               FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+        st AS (SELECT avg(x0) AS m0, stddev_pop(x0) AS s0,
+                      avg(x1) AS m1, stddev_pop(x1) AS s1,
+                      avg(x2) AS m2, stddev_pop(x2) AS s2 FROM f0),
+        f AS (SELECT y, (x0 - m0)/s0 AS z0, (x1 - m1)/s1 AS z1,
+                     (x2 - m2)/s2 AS z2 FROM f0, st),
+        {_lr_unrolled}
+        SELECT 'bias' AS term, round(w0, 6) AS weight FROM w5
+        UNION ALL SELECT 'n_tokens', round(wa, 6) FROM w5
+        UNION ALL SELECT 'mean_tok_len', round(wb, 6) FROM w5
+        UNION ALL SELECT 'stopword_ratio', round(wc, 6) FROM w5
+    """
 
     # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;
     # '%' is pmod here because md5_long is non-negative by construction

@@ -1,0 +1,135 @@
+"""Distributed logistic-regression training as one aggregation per
+iteration — model fitting in the same shape as the repo's other
+iterative operators (BPE merge-training, PageRank): per-row expression
+math, a d+1-column map-side-combinable gradient aggregate, a driver-side
+scalar update, repeat.
+
+Why this shape matters at 100 TB: full-batch gradient descent's ONLY
+cluster-wide operation is `avg` over d+1 products — partials combine
+associatively, nothing shuffles but the d+1 sums, and the model state
+(d+1 doubles) rides into the next iteration's plan as literals. That is
+the entire distributed-ML story for linear models; no MLlib, no
+parameter server, and every step is deterministic expression arithmetic,
+so the TRAINED WEIGHTS value-hash against an ANSI-SQL oracle that
+unrolls the same iterations (the dedup_pagerank precedent).
+
+Beyond-reference extension (the reference has no trainable surface);
+the canonical use here is a cheap quality/language classifier over the
+text-statistics features the pipeline already computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def logreg_train(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: Column,
+    lr: float = 1.0,
+    n_iter: int = 5,
+    round_to: int = 6,
+) -> list[tuple[str, float]]:
+    """Full-batch GD on standardized features; returns
+    ``[("bias", w0), (feature, w) ...]`` with weights rounded.
+
+    Features are z-scored with population stats computed ONCE (one extra
+    aggregate; required — raw scales like n_chars vs ratios make a
+    shared learning rate diverge). The per-iteration gradient is
+    ``avg((sigmoid(z) − y) · x_j)`` with ``z`` accumulated bias-first in
+    ``feature_cols`` order — the oracle mirrors the exact association
+    order so cross-engine drift stays at summation-noise level (round 6
+    absorbs it). Standardized-stats columns must have nonzero variance
+    (a constant feature has no z-score; drop it upstream).
+    """
+    d = len(feature_cols)
+    base = df.select(
+        label.cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    stats = base.agg(
+        *[F.avg(f"_x{j}").alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(f"_x{j}").alias(f"s{j}") for j in range(d)],
+    ).first()
+    dead = [c for j, c in enumerate(feature_cols) if stats[f"s{j}"] == 0]
+    if dead:
+        raise ValueError(
+            f"zero-variance features (no z-score exists): {dead}"
+        )
+    feats = base.select(
+        "_y",
+        *[
+            (
+                (F.col(f"_x{j}") - F.lit(float(stats[f"m{j}"])))
+                / F.lit(float(stats[f"s{j}"]))
+            ).alias(f"_z{j}")
+            for j in range(d)
+        ],
+    ).cache()
+
+    w = [0.0] * (d + 1)  # bias first
+    for _ in range(n_iter):
+        z = F.lit(w[0])
+        for j in range(d):
+            z = z + F.lit(w[j + 1]) * F.col(f"_z{j}")
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("_y")
+        g = feats.agg(
+            F.avg(err).alias("g0"),
+            *[
+                F.avg(err * F.col(f"_z{j}")).alias(f"g{j + 1}")
+                for j in range(d)
+            ],
+        ).first()
+        w = [w[j] - lr * g[f"g{j}"] for j in range(d + 1)]
+    feats.unpersist()
+    names = ["bias"] + list(feature_cols)
+    return [(n, round(x, round_to)) for n, x in zip(names, w)]
+
+
+def logreg_eval(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: Column,
+    weights: list[tuple[str, float]],
+    round_to: int = 6,
+) -> DataFrame:
+    """One distributed pass with frozen weights: (n_rows, accuracy,
+    log_loss). Prediction thresholds on ``z > 0`` (exact — no sigmoid
+    at the decision boundary); the standardization stats are recomputed
+    from ``df`` (train-set evaluation, the oracle-mirrorable choice)."""
+    d = len(feature_cols)
+    base = df.select(
+        label.cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    stats = base.agg(
+        *[F.avg(f"_x{j}").alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(f"_x{j}").alias(f"s{j}") for j in range(d)],
+    ).first()
+    w = [x for _, x in weights]
+    z = F.lit(w[0])
+    for j in range(d):
+        z = z + F.lit(w[j + 1]) * (
+            (F.col(f"_x{j}") - F.lit(float(stats[f"m{j}"])))
+            / F.lit(float(stats[f"s{j}"]))
+        )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    y = F.col("_y")
+    return base.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(
+            F.avg(((z > 0).cast("double") == y).cast("double")), round_to
+        ).alias("accuracy"),
+        F.round(
+            F.avg(-(y * F.log(p) + (1 - y) * F.log(1 - p))), round_to
+        ).alias("log_loss"),
+    )

@@ -891,3 +891,48 @@ def test_dsir_weights_separate_target_from_rest(spark, sf_dir):
     assert j.filter(F.col("logw").isNull()).count() == 0
     # every doc with at least one token is scored
     assert w.count() == docs.filter(F.length(F.trim("text")) > 0).count()
+
+
+def test_logreg_learns_language_from_text_stats(spark, sf_dir):
+    """Five GD iterations must actually learn: log-loss drops below the
+    zero-weight model's ln(2), each learned weight's sign matches the
+    target-vs-rest direction of its feature in the DATA (no priors —
+    this synthetic corpus gives 'non-English' docs slightly MORE
+    English stopwords, so the stopword weight is legitimately
+    negative), and a zero-variance feature is rejected with a clear
+    error instead of a DIVIDE_BY_ZERO deep in the plan."""
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_eval,
+        logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        (F.col("lang") == "en").alias("is_en"),
+        ntok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.greatest(ntok, F.lit(1.0)))
+        .alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), n_iter=5)
+    wd = dict(w)
+    # each weight's sign follows the data's target-vs-rest direction
+    diffs = feats.groupBy("is_en").agg(
+        *[F.avg(c).alias(c) for c in cols]
+    ).collect()
+    mu = {r.is_en: r for r in diffs}
+    for c in cols:
+        direction = mu[True][c] - mu[False][c]
+        assert direction * wd[c] > 0, (c, direction, wd[c])
+    ev = logreg_eval(feats, cols, F.col("is_en"), w).first()
+    assert ev.log_loss < 0.6931, ev.log_loss  # better than ln(2) at w=0
+    assert 0.0 <= ev.accuracy <= 1.0
+
+    with pytest.raises(ValueError, match="zero-variance"):
+        logreg_train(
+            feats.withColumn("flat", F.lit(1.0)),
+            cols + ["flat"],
+            F.col("is_en"),
+        )
