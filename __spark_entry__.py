@@ -42,6 +42,7 @@ CHUNK_SIZE = 32
 CHUNK_OVERLAP = 8
 TFIDF_TOPK = 5
 WEIGHTED_SAMPLE_N = 100
+DSIR_SAMPLE_N = 50
 PACK_MAX_TOKENS = 128
 PACK_MAX_OPEN = 64
 DECAY_HALF_LIFE_SEC = 600
@@ -3136,6 +3137,35 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end importance RESAMPLING — the actual DSIR selection
+    step: per-doc log importance weights (operators/importance.py)
+    exponentiated into A-Res sampling weights (clamped to ±50 before
+    exp so extreme ratios can't overflow/underflow the priority) and
+    drawn without replacement by weighted_hash_sample — high
+    target-likelihood docs oversampled in proportion. Output is the
+    SELECTED docs' (doc_id, n_toks, logw): logw is bit-stable (rounded
+    inside dsir_logweights), and the log-priority ranks rounded at 9
+    (the ln() ulp-guard the sampler already carries)."""
+    from clinical_vector_search_spark.operators.importance import (
+        dsir_logweights,
+    )
+    from clinical_vector_search_spark.pipeline.documents import (
+        weighted_hash_sample,
+    )
+
+    w = dsir_logweights(
+        _docs(spark, sf_dir), F.col("lang") == F.lit("en"), 1024
+    )
+    iw = w.withColumn(
+        "_w",
+        F.exp(F.least(F.greatest(F.col("logw"), F.lit(-50.0)), F.lit(50.0))),
+    )
+    return weighted_hash_sample(
+        iw, DSIR_SAMPLE_N, "_w", round_to=9
+    ).select("doc_id", "n_toks", "logw")
+
+
 def q_doc_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus URL dedup (functions/text.py canonicalize_url): the
     same resource crawled as http/https, with/without www, with
@@ -3892,6 +3922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_split": q_events_user_split,
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_quality_logreg": q_doc_quality_logreg,
+        "doc_dsir_resample": q_doc_dsir_resample,
         # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -6237,9 +6268,10 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;
-    # '%' is pmod here because md5_long is non-negative by construction
-    s["doc_dsir_weights"] = """
-        WITH toks AS (SELECT doc_id, lang = 'en' AS t,
+    # '%' is pmod here because md5_long is non-negative by construction.
+    # Shared as a CTE fragment: doc_dsir_weights returns it directly,
+    # doc_dsir_resample composes it with the A-Res sampler.
+    _DSIR_CTES = """toks AS (SELECT doc_id, lang = 'en' AS t,
                  unnest(list_filter(
                      regexp_split_to_array(lower(trim(text)), '\\s+'),
                      x -> x <> '')) AS tok
@@ -6254,9 +6286,29 @@ def oracle_sql() -> dict[str, str]:
         tot AS (SELECT sum(cc) AS nc, sum(tc) AS nt FROM c),
         r AS (SELECT b, ln((tc + 1) / (nt + 1024)::DOUBLE)
                       - ln((cc + 1) / (nc + 1024)::DOUBLE) AS lr
-              FROM c, tot)
-        SELECT doc_id, count(*) AS n_toks, round(sum(lr), 6) AS logw
-        FROM bk JOIN r USING (b) GROUP BY 1
+              FROM c, tot),
+        dsir AS (SELECT doc_id, count(*) AS n_toks,
+                        round(sum(lr), 6) AS logw
+                 FROM bk JOIN r USING (b) GROUP BY 1)"""
+    s["doc_dsir_weights"] = f"""
+        WITH {_DSIR_CTES}
+        SELECT doc_id, n_toks, logw FROM dsir
+    """
+
+    # DSIR resampling: clamp the (already-rounded) log-weight, exp to an
+    # A-Res weight, rank on the rounded log-priority — the same ln()
+    # ulp-guard as doc_weighted_sample
+    s["doc_dsir_resample"] = f"""
+        WITH {_DSIR_CTES},
+        iw AS (SELECT doc_id, n_toks, logw,
+                 exp(least(greatest(logw, -50.0), 50.0)) AS w
+               FROM dsir),
+        pri AS (SELECT doc_id, n_toks, logw,
+                 round(ln(({_MD5L.format(x="doc_id::VARCHAR")} + 1.0)
+                          / {float((1 << 60) + 1)!r}) / w, 9) AS lp
+               FROM iw)
+        SELECT doc_id, n_toks, logw FROM pri
+        ORDER BY lp DESC, doc_id ASC LIMIT {DSIR_SAMPLE_N}
     """
 
     # URL canonicalization mirrored step-for-step: fragment cut, scheme
