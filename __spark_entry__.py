@@ -3119,6 +3119,35 @@ def q_doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(w, "term string, weight double")
 
 
+def q_doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-weights scoring pass for the trained classifier
+    (operators/logreg.py logreg_eval): one distributed aggregate over
+    the training frame producing (n_rows, accuracy, log_loss) —
+    prediction thresholds on z > 0 (exact; no sigmoid evaluated at the
+    decision boundary). The oracle unrolls training AND evaluation, so
+    the full train→score loop value-hashes."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_eval,
+        logreg_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        (F.col("lang") == F.lit("en")).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), lr=1.0, n_iter=5)
+    return logreg_eval(feats, cols, F.col("is_en"), w)
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every doc scored by Σ log(p_target[b]/q_corpus[b])
@@ -3923,6 +3952,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": q_doc_dsir_weights,
         "doc_quality_logreg": q_doc_quality_logreg,
         "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
         # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -6265,6 +6295,26 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT 'n_tokens', round(wa, 6) FROM w5
         UNION ALL SELECT 'mean_tok_len', round(wb, 6) FROM w5
         UNION ALL SELECT 'stopword_ratio', round(wc, 6) FROM w5
+    """
+
+    # eval rides the same unroll with the ROUNDED final weights (the
+    # Spark side scores with logreg_train's rounded return, so both
+    # engines freeze bit-identical weights); threshold on z > 0
+    _lr_head = s["doc_quality_logreg"].split("SELECT 'bias'")[0].rstrip()
+    s["doc_quality_logreg_eval"] = f"""{_lr_head},
+        wr AS (
+            SELECT round(w0, 6) AS w0, round(wa, 6) AS wa,
+                   round(wb, 6) AS wb, round(wc, 6) AS wc FROM w5),
+        scored AS (SELECT y,
+                 (w0 + wa*z0 + wb*z1 + wc*z2) AS z,
+                 1.0/(1.0 + exp(-(w0 + wa*z0 + wb*z1 + wc*z2))) AS p
+               FROM f, wr)
+        SELECT count(*) AS n_rows,
+               round(avg(CASE WHEN (CASE WHEN z > 0 THEN 1.0 ELSE 0.0 END)
+                              = y THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+               round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)
+                   AS log_loss
+        FROM scored
     """
 
     # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;
