@@ -300,6 +300,13 @@ def main() -> None:
 
         return E.q_retrieval_tfidf(spark, sf_dir)
 
+    def bench_dsir():
+        # DSIR curation weighting (r8): two corpus tokenization aggs +
+        # a K-row broadcast — the new importance-weighting surface
+        import __spark_entry__ as E
+
+        return E.q_doc_dsir_weights(spark, sf_dir)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -333,6 +340,7 @@ def main() -> None:
         "events_gapfill": bench_gapfill,
         "events_session_paths": bench_session_paths,
         "rel_pricing_summary": bench_pricing,
+        "dsir_weights": bench_dsir,
     }
 
     # Throwaway end-to-end run of the flagship query before ANY timing

@@ -692,6 +692,33 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") == 0,
     )
 
+    # 34. DSIR: the K-row log-ratio table joins the token stream as a
+    # BROADCAST (never a corpus-side shuffle for a 1024-row dimension);
+    # no cartesian beyond the 1-row totals crossJoin (broadcast-NL)
+    plan = formatted(E.q_doc_dsir_weights(spark, SF_DIR))
+    check(
+        "dsir_weights: broadcast ratio join, no CartesianProduct",
+        "BroadcastHashJoin" in plan and "CartesianProduct" not in plan,
+    )
+
+    # 35. URL dedup: one expression chain into ONE aggregation — no
+    # joins at all, and the single exchange is the group-by
+    plan = formatted(E.q_doc_url_dedup(spark, SF_DIR))
+    check(
+        "url_dedup: join-free single-agg plan",
+        n_nodes(plan, "Join") == 0
+        and n_nodes(plan, "Exchange") <= 2
+        and "CartesianProduct" not in plan,
+    )
+
+    # 36. user split: pure map-side assignment + one rollup exchange —
+    # the split itself must not shuffle
+    plan = formatted(E.q_events_user_split(spark, SF_DIR))
+    check(
+        "events_user_split: map-side assign, single rollup shuffle",
+        n_nodes(plan, "Join") == 0 and "CartesianProduct" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
