@@ -6330,16 +6330,19 @@ def oracle_sql() -> dict[str, str]:
                  ('0x' || substr(md5('dsir:' || tok), 1, 15))::BIGINT
                      % 1024 AS b
                FROM toks),
-        c AS (SELECT b, count(*) AS cc,
-                 sum(CASE WHEN t THEN 1 ELSE 0 END) AS tc
-               FROM bk GROUP BY 1),
-        tot AS (SELECT sum(cc) AS nc, sum(tc) AS nt FROM c),
+        db AS (SELECT doc_id, t, b, count(*) AS n
+               FROM bk GROUP BY 1, 2, 3),
+        c AS (SELECT b, sum(n)::BIGINT AS cc,
+                 sum(CASE WHEN t THEN n ELSE 0 END)::BIGINT AS tc
+               FROM db GROUP BY 1),
+        tot AS (SELECT sum(cc)::BIGINT AS nc, sum(tc)::BIGINT AS nt
+                FROM c),
         r AS (SELECT b, ln((tc + 1) / (nt + 1024)::DOUBLE)
                       - ln((cc + 1) / (nc + 1024)::DOUBLE) AS lr
               FROM c, tot),
-        dsir AS (SELECT doc_id, count(*) AS n_toks,
-                        round(sum(lr), 6) AS logw
-                 FROM bk JOIN r USING (b) GROUP BY 1)"""
+        dsir AS (SELECT doc_id, sum(n)::BIGINT AS n_toks,
+                        round(sum(n::DOUBLE * lr), 6) AS logw
+                 FROM db JOIN r USING (b) GROUP BY 1)"""
     s["doc_dsir_weights"] = f"""
         WITH {_DSIR_CTES}
         SELECT doc_id, n_toks, logw FROM dsir

@@ -40,6 +40,7 @@ def dsir_logweights(
     text_col: str = "text",
     id_col: str = "doc_id",
     round_to: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document DSIR importance log-weight against the ``is_target``
     subset (a boolean Column over ``docs``; the target must be part of
@@ -52,9 +53,24 @@ def dsir_logweights(
     buckets penalize rather than zero out (log of the Laplace ratio).
     Docs with no tokens drop (no defined weight).
 
-    Output: (id_col, n_toks, logw) with ``logw`` rounded — a group-sum
-    of ~unit-magnitude doubles, reassociation-safe at 1e-6 (the repo's
-    round-before-compare rule).
+    One-tokenization shape: the token stream collapses IMMEDIATELY to
+    (doc, bucket, n) granularity — at most docs × K rows, typically
+    ~1000× smaller than the tokens — and everything downstream (bucket
+    totals AND per-doc sums) derives from that frame with n-weighted
+    arithmetic. ``materialize=True`` (default) pins it with an eager
+    ``localCheckpoint`` so the tokenize/explode/md5 pass runs ONCE per
+    action instead of once per branch — at sf0.1 the operator is
+    scheduling-bound either way (~1.8 s warm, unchanged), but at real
+    corpus scale the duplicated branch is a second full corpus scan
+    and the checkpoint is the difference between 1× and 2× ingest
+    cost; pass False to keep the full lazy lineage (plan inspection,
+    resumable callers). No ``.cache()`` handle escapes, so there is
+    nothing for a caller to leak.
+
+    Output: (id_col, n_toks, logw) with ``logw`` rounded — an
+    n-weighted group-sum of ~unit-magnitude doubles,
+    reassociation-safe at 1e-6 (the repo's round-before-compare rule;
+    the oracle mirrors the n·lr association exactly).
     """
     toks = docs.select(
         F.col(id_col),
@@ -68,9 +84,16 @@ def dsir_logweights(
             F.lit(k_buckets),
         ).alias("_b"),
     )
-    corpus = toks.groupBy("_b").agg(
-        F.count(F.lit(1)).alias("_cc"),
-        F.sum(F.col("_t").cast("long")).alias("_tc"),
+    db = toks.groupBy(id_col, "_t", "_b").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    if materialize:
+        db = db.localCheckpoint(eager=True)
+    corpus = db.groupBy("_b").agg(
+        F.sum("_n").alias("_cc"),
+        F.sum(
+            F.when(F.col("_t"), F.col("_n")).otherwise(F.lit(0))
+        ).alias("_tc"),
     )
     totals = corpus.agg(
         F.sum("_cc").alias("_nc"), F.sum("_tc").alias("_nt")
@@ -83,10 +106,12 @@ def dsir_logweights(
         ).alias("_lr"),
     )
     return (
-        toks.join(F.broadcast(ratio), "_b")
+        db.join(F.broadcast(ratio), "_b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_toks"),
-            F.round(F.sum("_lr"), round_to).alias("logw"),
+            F.sum("_n").alias("n_toks"),
+            F.round(
+                F.sum(F.col("_n").cast("double") * F.col("_lr")), round_to
+            ).alias("logw"),
         )
     )
