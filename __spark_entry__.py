@@ -3101,7 +3101,7 @@ def q_doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ntok = TXT.token_count("text").cast("double")
     feats = docs.select(
-        (F.col("lang") == F.lit("en")).alias("is_en"),
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
         ntok.alias("n_tokens"),
         (
             F.col("n_chars").cast("double")
@@ -3135,7 +3135,7 @@ def q_doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     ntok = TXT.token_count("text").cast("double")
     feats = docs.select(
-        (F.col("lang") == F.lit("en")).alias("is_en"),
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
         ntok.alias("n_tokens"),
         (
             F.col("n_chars").cast("double")
