@@ -3153,10 +3153,12 @@ def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     NeurIPS 2023): every doc scored by Σ log(p_target[b]/q_corpus[b])
     over md5-hashed token buckets, target = the English subset — the
     cheap domain-similarity weighting that feeds importance RESAMPLING
-    (composes with doc_weighted_sample for the draw). Two ≤K-row
-    bucket-count aggs + one K-row broadcast + one per-doc agg; fully
-    deterministic (md5 buckets, add-one smoothing) so the weights
-    value-hash against SQL."""
+    (composes with doc_weighted_sample for the draw). One tokenization
+    collapsing straight to a checkpointed (doc, bucket, n) frame;
+    bucket totals and per-doc n-weighted sums both derive from it, the
+    K-row log-ratio table broadcasts back. Fully deterministic (md5
+    buckets, add-one smoothing) so the weights value-hash against
+    SQL."""
     from clinical_vector_search_spark.operators.importance import (
         dsir_logweights,
     )

@@ -261,6 +261,29 @@ def main() -> None:
             f"{out[f'tfidf_postings_{label}']} postings, query "
             f"{out[f'tfidf_query_{label}_sec']}s")
 
+    # --- DSIR importance weighting growth (r8) ------------------------
+    # 10x docs, shared vocabulary: the (doc, bucket, n) collapse keeps
+    # every downstream frame bounded by docs x K, so growth must track
+    # docs (~linear), not tokens^2 or vocabulary
+    from clinical_vector_search_spark.operators.importance import (
+        dsir_logweights,
+    )
+
+    docs1l = docs1.join(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+            "doc_id", "lang"
+        ),
+        "doc_id",
+    )
+    docs10l = replicate(docs1l, 10, {"doc_id": 1_000_000})
+    for label, d in (("1x", docs1l), ("10x", docs10l)):
+        out[f"dsir_{label}_sec"] = timed2(
+            lambda: dsir_logweights(
+                d, F.col("lang") == F.lit("en"), 1024
+            )
+        )
+    log(f"dsir: {out['dsir_1x_sec']}s -> {out['dsir_10x_sec']}s")
+
     print(json.dumps(out))
 
 
