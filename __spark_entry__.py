@@ -3148,6 +3148,38 @@ def q_doc_quality_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_eval(feats, cols, F.col("is_en"), w)
 
 
+def q_doc_quality_logreg_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Reliability table for the trained classifier
+    (operators/logreg.py logreg_calibration): predicted probabilities
+    decile-binned with per-bin (n, mean p, actual rate, brier) — the
+    check that scores can be USED as probabilities. One bin-granularity
+    aggregate; p rounded before binning so an exp()-ulp can't flip a
+    bin across engines. Oracle extends the unrolled-GD SQL with the
+    identical rounded-freeze scoring and bin arithmetic."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_calibration,
+        logreg_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), lr=1.0, n_iter=5)
+    return logreg_calibration(feats, cols, F.col("is_en"), w, n_bins=10)
+
+
 def q_doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance log-weights (operators/importance.py, Xie et al.
     NeurIPS 2023): every doc scored by Σ log(p_target[b]/q_corpus[b])
@@ -3955,6 +3987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_logreg": q_doc_quality_logreg,
         "doc_dsir_resample": q_doc_dsir_resample,
         "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
+        "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
         # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -6317,6 +6350,25 @@ def oracle_sql() -> dict[str, str]:
                round(avg(-(y * ln(p) + (1 - y) * ln(1 - p))), 6)
                    AS log_loss
         FROM scored
+    """
+
+    # calibration: same unroll + rounded-freeze; p rounded BEFORE the
+    # decile binning (round-before-compare applied to the bin key)
+    s["doc_quality_logreg_calibration"] = f"""{_lr_head},
+        wr AS (
+            SELECT round(w0, 6) AS w0, round(wa, 6) AS wa,
+                   round(wb, 6) AS wb, round(wc, 6) AS wc FROM w5),
+        scored AS (SELECT y,
+                 round(1.0/(1.0 + exp(-(w0 + wa*z0 + wb*z1 + wc*z2))), 6)
+                     AS p
+               FROM f, wr),
+        binned AS (SELECT y, p,
+                 least(floor(p * 10)::BIGINT, 9) AS bin FROM scored)
+        SELECT bin, count(*) AS n,
+               round(avg(p), 6) AS mean_p,
+               round(avg(y), 6) AS actual_rate,
+               round(avg((p - y) * (p - y)), 6) AS brier
+        FROM binned GROUP BY 1
     """
 
     # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;

@@ -133,3 +133,67 @@ def logreg_eval(
             F.avg(-(y * F.log(p) + (1 - y) * F.log(1 - p))), round_to
         ).alias("log_loss"),
     )
+
+
+def logreg_calibration(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: Column,
+    weights: list[tuple[str, float]],
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Calibration table + Brier decomposition inputs for a trained
+    model: predicted probabilities bucketed into ``n_bins`` equal-width
+    bins, each reporting (n, mean predicted p, actual positive rate,
+    brier contribution) — the reliability-diagram table every deployed
+    classifier needs before its scores are used as probabilities (an
+    uncalibrated 0.9 that hits 60% poisons any downstream thresholding).
+
+    One distributed aggregate at bin granularity (≤ n_bins rows out);
+    bin = least(floor(p·n_bins), n_bins−1) so p=1.0 joins the top bin.
+    ``p`` is ROUNDED to ``round_to`` BEFORE binning (and before the
+    mean/brier sums): a raw probability sitting an exp()-ulp either
+    side of a bin edge would bin differently across engines — the
+    round-before-compare rule applied to the bin key. Deterministic
+    frozen-weights scoring (same z-ordering as :func:`logreg_eval`),
+    so the whole table value-hashes."""
+    d = len(feature_cols)
+    base = df.select(
+        label.cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    stats = base.agg(
+        *[F.avg(f"_x{j}").alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(f"_x{j}").alias(f"s{j}") for j in range(d)],
+    ).first()
+    w = [x for _, x in weights]
+    z = F.lit(w[0])
+    for j in range(d):
+        z = z + F.lit(w[j + 1]) * (
+            (F.col(f"_x{j}") - F.lit(float(stats[f"m{j}"])))
+            / F.lit(float(stats[f"s{j}"]))
+        )
+    p = F.round(
+        F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to
+    )
+    b = F.least(
+        F.floor(p * n_bins).cast("long"), F.lit(n_bins - 1)
+    )
+    return (
+        base.select(p.alias("_p"), "_y", b.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("_p"), round_to).alias("mean_p"),
+            F.round(F.avg("_y"), round_to).alias("actual_rate"),
+            F.round(
+                F.avg((F.col("_p") - F.col("_y"))
+                      * (F.col("_p") - F.col("_y"))),
+                round_to,
+            ).alias("brier"),
+        )
+    )

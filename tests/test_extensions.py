@@ -936,3 +936,35 @@ def test_logreg_learns_language_from_text_stats(spark, sf_dir):
             cols + ["flat"],
             F.col("is_en"),
         )
+
+
+def test_logreg_calibration_table_consistency(spark, sf_dir):
+    """The calibration table partitions every scored row: bin counts
+    sum to the corpus, each bin's mean predicted p lies inside its own
+    decile bounds, and the n-weighted actual rates recompose the
+    overall positive rate."""
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_calibration,
+        logreg_train,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        F.col("lang").eqNullSafe(F.lit("en")).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (F.col("n_chars").cast("double") / F.greatest(ntok, F.lit(1.0)))
+        .alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), n_iter=5)
+    cal = logreg_calibration(feats, cols, F.col("is_en"), w, 10).collect()
+    n_docs = docs.count()
+    assert sum(r.n for r in cal) == n_docs
+    for r in cal:
+        assert 0 <= r.bin <= 9
+        assert r.bin / 10 - 1e-6 <= r.mean_p <= (r.bin + 1) / 10 + 1e-6, r
+    pos = feats.agg(F.avg(F.col("is_en").cast("double"))).first()[0]
+    recomposed = sum(r.n * r.actual_rate for r in cal) / n_docs
+    assert abs(recomposed - pos) < 1e-6, (recomposed, pos)
