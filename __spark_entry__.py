@@ -3742,6 +3742,29 @@ def q_events_user_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward temporal split with a 1-day embargo
+    (streaming/events.py time_embargo_split): train before the 80%
+    time cut, a discarded embargo day absorbing trailing-window
+    feature leakage, test after — the purged walk-forward evaluation
+    split. Cut is exact integer-ns arithmetic (no float quantile), so
+    assignment is bit-identical across engines; per-split rollup of
+    events, users, and time bounds. Complements events_user_split
+    (temporal-leakage vs group-leakage safety; the user-overlap
+    contrast is pytest-pinned)."""
+    from clinical_vector_search_spark.streaming.events import (
+        time_embargo_split,
+    )
+
+    s = time_embargo_split(_events(spark, sf_dir))
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts_ns").alias("min_ts"),
+        F.max("ts_ns").alias("max_ts"),
+    )
+
+
 def q_rel_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FK→PK referential audit over the TPC-H graph (operators/audit.py
     referential_audit): orphan + null-fk counts per relationship, each a
@@ -3988,6 +4011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_resample": q_doc_dsir_resample,
         "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
         "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
+        "events_time_split": q_events_time_split,
         # -- 2: last driver row r4 (the named 34 — refresh this round) --
         "events_sessionize": q_events_sessionize,
         "events_quantiles": q_events_quantiles,
@@ -5900,6 +5924,22 @@ def oracle_sql() -> dict[str, str]:
              FROM events)
         SELECT split, count(*) AS n_events,
                count(DISTINCT user_id) AS n_users
+        FROM a GROUP BY 1
+    """
+
+    # purged walk-forward: integer-ns cut arithmetic mirrored exactly
+    # ('//' == Spark's div on BIGINT)
+    s["events_time_split"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+        b AS (SELECT min(ts_ns) AS lo, max(ts_ns) AS hi FROM e),
+        a AS (SELECT user_id, ts_ns,
+                 lo + ((hi - lo) * 8) // 10 AS cut FROM e, b)
+        SELECT CASE WHEN ts_ns < cut THEN 'train'
+                    WHEN ts_ns < cut + 86400000000000 THEN 'embargo'
+                    ELSE 'test' END AS split,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               min(ts_ns) AS min_ts, max(ts_ns) AS max_ts
         FROM a GROUP BY 1
     """
 

@@ -1602,6 +1602,51 @@ def session_stats(
     )
 
 
+def time_embargo_split(
+    events: DataFrame,
+    train_tenths: int = 8,
+    embargo_ns: int = 86_400_000_000_000,
+) -> DataFrame:
+    """Walk-forward temporal split with an embargo gap: rows before the
+    cut train, rows inside ``embargo_ns`` after it are DISCARDED from
+    both sides (the embargo), the rest test. This is the
+    evaluation-hygiene split for anything with temporal structure —
+    features computed over trailing windows leak across a bare
+    train/test boundary, and the embargo band absorbs exactly that
+    window (de Prado's purged walk-forward, the time-series complement
+    of the group-safe :func:`power_user_stats`-style user split).
+
+    The cut is EXACT integer-ns arithmetic — ``lo + (hi−lo)·k div 10``
+    — no float quantile, so the assignment is bit-identical across
+    engines and re-runs (same contract as split_assign's md5 buckets).
+    One bounded (min,max) aggregate broadcast back over the stream;
+    the assignment itself is map-side. Unlike the user split, the SAME
+    user may appear in train and test — that overlap is the point
+    (models serve known users on future data); callers wanting both
+    guarantees compose this with the user split.
+
+    Returns the input rows + ``split`` ∈ {train, embargo, test}.
+    """
+    if not 0 < train_tenths < 10:
+        raise ValueError("train_tenths must be in 1..9")
+    b = events.agg(
+        F.min("ts_ns").alias("_lo"), F.max("ts_ns").alias("_hi")
+    )
+    cut = F.col("_lo") + F.expr(
+        f"((_hi - _lo) * {train_tenths}) div 10"
+    )
+    return (
+        events.crossJoin(F.broadcast(b))
+        .withColumn(
+            "split",
+            F.when(F.col("ts_ns") < cut, F.lit("train"))
+            .when(F.col("ts_ns") < cut + F.lit(embargo_ns), F.lit("embargo"))
+            .otherwise(F.lit("test")),
+        )
+        .drop("_lo", "_hi")
+    )
+
+
 def ohlc_bars(
     events: DataFrame,
     window_sec: int = 3600,

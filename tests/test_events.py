@@ -1178,3 +1178,46 @@ def test_streaming_late_rows_dropped_and_accounted(spark, sf_dir, tmp_path):
     got_keys = {(int(k[0].timestamp()), k[1]): v for k, v in got.items()}
     assert got_keys == {(int(k[0]), k[1]): v for k, v in want.items()}
     subset.unpersist()
+
+
+def test_time_embargo_split_semantics(spark, sf_dir):
+    """Purged walk-forward invariants: the three bands tile time in
+    order (train < embargo < test with the exact integer cut), the
+    embargo spans at most its configured width, rows are conserved,
+    and — the contrast with the user split — users DO overlap across
+    train and test (serving known users on future data is the point)."""
+    from clinical_vector_search_spark.streaming.events import (
+        read_events,
+        time_embargo_split,
+    )
+
+    e = read_events(spark, sf_dir)
+    s = time_embargo_split(e).cache()
+    assert s.count() == e.count()
+    lo, hi = e.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cut = lo + ((hi - lo) * 8) // 10
+    bands = {
+        r.split: (r.mn, r.mx)
+        for r in s.groupBy("split")
+        .agg(F.min("ts_ns").alias("mn"), F.max("ts_ns").alias("mx"))
+        .collect()
+    }
+    assert bands["train"][1] < cut <= bands["test"][0] or "embargo" in bands
+    if "embargo" in bands:
+        emn, emx = bands["embargo"]
+        assert cut <= emn and emx < cut + 86_400_000_000_000
+        assert bands["train"][1] < emn and emx < bands["test"][0]
+    # temporal split deliberately allows user overlap across the cut
+    tr = {r.user_id for r in s.filter("split = 'train'")
+          .select("user_id").distinct().collect()}
+    te = {r.user_id for r in s.filter("split = 'test'")
+          .select("user_id").distinct().collect()}
+    assert tr & te, "expected user overlap across the temporal cut"
+    s.unpersist()
+    from clinical_vector_search_spark.streaming.events import (
+        time_embargo_split as tes,
+    )
+    import pytest as _p
+
+    with _p.raises(ValueError, match="train_tenths"):
+        tes(e, train_tenths=10)
