@@ -3988,13 +3988,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 7 entries NEW in r8 (never driver-checked) lead;
+    #   1. the 9 entries NEW in r8 (never driver-checked) lead;
     #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      overflow the r7 window could not also cover (48 new + 36
     #      stale > 50); every one verified green locally this round;
-    #   3. entries last green in r5 — next-stalest; 7 + 34 + the first
-    #      9 of these fill the 50-window, the ~41-entry tail stays r5
+    #   3. entries last green in r5 — next-stalest; 9 + 34 + the first
+    #      7 of these fill the 50-window, the ~43-entry tail stays r5
     #      and MUST lead r9 together with any r8 leftovers;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
