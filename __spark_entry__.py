@@ -3984,17 +3984,67 @@ def q_dedup_semantic_pairs_salted(
     )
 
 
+def q_vec_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (1-bit sign) quantization of the 64-d embedding into two
+    32-bit words (functions/vector.py sign_pack): a 32× scan/shuffle cut
+    for the Hamming candidate stage of knn_hamming_rerank. Integer
+    checkpoints: both packed words + total popcount — exact BIGINT math
+    in both engines (32-bit words never touch the 64-bit sign bit)."""
+    from clinical_vector_search_spark.functions import vector as V
+
+    v = _vecs(spark, sf_dir)
+    code = V.sign_pack("embedding", 64)
+    return v.select(
+        "vec_id",
+        F.element_at(code, 1).alias("word0"),
+        F.element_at(code, 2).alias("word1"),
+        F.aggregate(
+            F.transform(code, lambda x: F.bit_count(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("n_bits_set"),
+    )
+
+
+def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage binary ANN (operators/knn.py hamming_rerank): Hamming
+    top-60 over packed sign codes — codes-only scan, broadcast query
+    codes, corpus never shuffles — then exact cosine rerank at candidate
+    granularity. Deterministic (integer Hamming, doc-id ties) so the
+    DuckDB oracle replays both stages exactly. Recall contract vs
+    knn_exact is floored in tests (sign codes keep direction only)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import hamming_rerank
+
+    v = _vecs(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        V.l2_normalize("embedding").alias("embedding"),
+    )
+    q = v.filter(F.col("doc_id") < KNN_NQ).select(
+        F.col("doc_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = hamming_rerank(q, v, k=KNN_K, dim=64, n_candidates=60)
+    return r.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        "hamming",
+        F.round("score", 6).alias("score"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 9 entries NEW in r8 (never driver-checked) lead;
+    #   1. the 11 entries NEW in r8 (never driver-checked) lead
+    #      (vec_binary_sign/knn_hamming_rerank landed late-r8);
     #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      overflow the r7 window could not also cover (48 new + 36
     #      stale > 50); every one verified green locally this round;
-    #   3. entries last green in r5 — next-stalest; 9 + 34 + the first
-    #      7 of these fill the 50-window, the ~43-entry tail stays r5
+    #   3. entries last green in r5 — next-stalest; 11 + 34 + the first
+    #      5 of these fill the 50-window, the ~45-entry tail stays r5
     #      and MUST lead r9 together with any r8 leftovers;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
@@ -4003,6 +4053,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # -- 1: new in r8 (never driver-checked — lead the window) --
+        "vec_binary_sign": q_vec_binary_sign,
+        "knn_hamming_rerank": q_knn_hamming_rerank,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -4237,8 +4289,64 @@ def _lang_markers_sql(lang: str) -> str:
     return "[" + ", ".join(f"'{w}'" for w in LANG_MARKERS[lang]) + "]"
 
 
+def _sign_word_sql(w: int, vec: str = "v", word_bits: int = 32) -> str:
+    """DuckDB twin of functions/vector.py sign_pack for one word: the MSB-
+    first fold acc*2+bit unrolled as a sum of power-of-two CASE terms —
+    exact BIGINT math, identical to Spark's long fold for 32-bit words."""
+    terms = " + ".join(
+        f"CASE WHEN {vec}[{w * word_bits + j + 1}] > 0"
+        f" THEN {1 << (word_bits - 1 - j)} ELSE 0 END"
+        for j in range(word_bits)
+    )
+    return f"({terms})::BIGINT"
+
+
 def oracle_sql() -> dict[str, str]:
     s: dict[str, str] = {}
+
+    s["vec_binary_sign"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        p AS (SELECT vec_id,
+                     {_sign_word_sql(0)} AS word0,
+                     {_sign_word_sql(1)} AS word1
+              FROM d)
+        SELECT vec_id, word0, word1,
+               (bit_count(word0) + bit_count(word1))::BIGINT AS n_bits_set
+        FROM p
+    """
+
+    _norm_v = _NORMALIZE.format(v="v")
+    s["knn_hamming_rerank"] = f"""
+        WITH d AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        n AS (SELECT doc_id, {_norm_v} AS nv FROM d),
+        c AS (SELECT doc_id,
+                     {_sign_word_sql(0)} AS c0,
+                     {_sign_word_sql(1)} AS c1
+              FROM d),
+        q AS (SELECT doc_id AS query_id, c0 AS q0, c1 AS q1 FROM c
+              WHERE doc_id < {KNN_NQ}),
+        h AS (SELECT query_id, c.doc_id,
+                     (bit_count(xor(c0, q0)) + bit_count(xor(c1, q1)))::BIGINT
+                         AS hamming
+              FROM c CROSS JOIN q),
+        cand AS (SELECT query_id, doc_id, hamming,
+                        row_number() OVER (PARTITION BY query_id
+                                           ORDER BY hamming, doc_id) AS crank
+                 FROM h),
+        resc AS (SELECT cand.query_id, cand.doc_id, cand.hamming,
+                        list_dot_product(qn.nv, dn.nv) AS score
+                 FROM cand
+                 JOIN n dn ON dn.doc_id = cand.doc_id
+                 JOIN n qn ON qn.doc_id = cand.query_id
+                 WHERE cand.crank <= 60),
+        r AS (SELECT query_id, doc_id, hamming, score,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id) AS rank
+              FROM resc)
+        SELECT query_id, rank, doc_id, hamming, round(score, 6) AS score
+        FROM r WHERE rank <= {KNN_K}
+    """
 
     s["rel_pricing_summary"] = """
         SELECT l_returnflag, l_linestatus,

@@ -372,3 +372,60 @@ def mean_pool(
             F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
         ).alias(out_col),
     )
+
+
+def sign_pack(vec: Column | str, dim: int, word_bits: int = 32) -> Column:
+    """Binary (1-bit sign) quantization: pack ``x > 0`` bits into an
+    array<long> of ``ceil(dim/word_bits)`` words, MSB-first within a word
+    (element ``w*word_bits+1`` lands on bit ``word_bits-1`` of word ``w``).
+
+    The 100 TB rationale: a 384-d fp32 embedding is 1536 bytes; its sign
+    code is 48 — a 32× cut in scan/shuffle volume for the candidate
+    stage of :func:`~..operators.knn.hamming_rerank`, with exact cosine
+    rescoring at candidate granularity only. Pure JVM fold expressions
+    (``acc*2 + bit``), no Python in the hot path; 32-bit words keep every
+    intermediate < 2^32 so the same math is exact BIGINT in any ANSI
+    engine (no 64-bit sign-wrap divergence between engines).
+
+    Mirrors the reference's quantization appetite (int8 scalar quant is
+    the certified sibling, reference src/pipeline/pipeline.py embedding
+    layout); binary+rerank is the standard scale path the reference's
+    FAISS dependency ships as IndexBinaryFlat.
+    """
+    v = _col(vec)
+    n_words = (dim + word_bits - 1) // word_bits
+
+    def _word(base: int):
+        # closure factory (NOT a default arg — pyspark counts lambda params
+        # to pick the higher-order-function arity, so acc,j only)
+        def fold(acc, j):
+            idx = (F.lit(base) + j + 1).cast("int")
+            bit = (
+                F.when(
+                    (F.lit(base) + j + 1 <= F.lit(dim)) & (F.element_at(v, idx) > 0),
+                    F.lit(1),
+                )
+                .otherwise(F.lit(0))
+                .cast("long")
+            )
+            return acc * F.lit(2) + bit
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(word_bits - 1)), F.lit(0).cast("long"), fold
+        )
+
+    return F.array(*[_word(w * word_bits) for w in range(n_words)])
+
+
+def hamming(a: Column | str, b: Column | str) -> Column:
+    """Hamming distance between two packed sign codes (arrays of words from
+    :func:`sign_pack`): sum of popcount(xor) per word. Exact integer math —
+    ``bit_count``/``xor`` are ANSI-portable, so the DuckDB oracle computes
+    the identical value."""
+    return F.aggregate(
+        F.zip_with(
+            _col(a), _col(b), lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long")
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )

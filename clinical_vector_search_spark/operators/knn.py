@@ -559,3 +559,66 @@ def range_search(
         )
         .filter(F.col("score") >= F.lit(float(min_score)))
     )
+
+
+def hamming_rerank(
+    queries: DataFrame,
+    docs: DataFrame,
+    k: int,
+    dim: int,
+    n_candidates: int = 50,
+    word_bits: int = 32,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    doc_vec: str = "embedding",
+) -> DataFrame:
+    """Binary-quantized two-stage ANN: Hamming top-``n_candidates`` over
+    packed sign codes (:func:`~..functions.vector.sign_pack`), then exact
+    cosine rerank of the candidates only (the FAISS
+    IndexBinaryFlat + rescore shape; reference metric parity per
+    src/pipeline/pipeline.py:126-159).
+
+    100 TB shape: the candidate stage touches ONLY the packed codes —
+    dim/8 bytes per row vs 4·dim fp32, a 32× scan/shuffle cut (in
+    production the codes are a persisted sidecar table, the same
+    lifecycle as ``pq_encode``'s codes). The fp32 corpus is read again
+    only at candidate granularity (``n_queries × n_candidates`` rows)
+    through the join-back, and the query code frame is broadcast — the
+    corpus never shuffles. Exact integer Hamming ties broken by doc id,
+    so the candidate set is deterministic and oracle-checkable; the
+    rescore reuses the certified fp64 dot.
+
+    Contract: recall-vs-exact (like LSH/IVF/PQ, SURVEY §7a) — sign
+    quantization keeps direction only, so recall rises with
+    ``n_candidates`` (n_candidates ≥ corpus ⇒ exact top-k).
+    """
+    d = docs.select(doc_id, doc_vec)
+    codes = d.select(doc_id, V.sign_pack(doc_vec, dim, word_bits).alias("code"))
+    qc = queries.select(
+        F.col(query_id),
+        F.col(query_vec),
+        V.sign_pack(query_vec, dim, word_bits).alias("qcode"),
+    )
+
+    cand = codes.crossJoin(F.broadcast(qc.select(query_id, "qcode"))).select(
+        query_id, doc_id, V.hamming("code", "qcode").alias("hamming")
+    )
+    wc = Window.partitionBy(query_id).orderBy(F.asc("hamming"), F.asc(doc_id))
+    cand = (
+        cand.withColumn("crank", F.row_number().over(wc))
+        .filter(F.col("crank") <= n_candidates)
+        .drop("crank")
+    )
+
+    rescored = (
+        cand.join(d, doc_id)
+        .join(F.broadcast(qc.select(query_id, query_vec)), query_id)
+        .select(query_id, doc_id, "hamming", V.dot(query_vec, doc_vec).alias("score"))
+    )
+    wr = Window.partitionBy(query_id).orderBy(F.desc("score"), F.asc(doc_id))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select(query_id, "rank", doc_id, "hamming", "score")
+    )

@@ -968,3 +968,63 @@ def test_logreg_calibration_table_consistency(spark, sf_dir):
     pos = feats.agg(F.avg(F.col("is_en").cast("double"))).first()[0]
     recomposed = sum(r.n * r.actual_rate for r in cal) / n_docs
     assert abs(recomposed - pos) < 1e-6, (recomposed, pos)
+
+
+def test_sign_pack_padding_and_hamming(spark):
+    """dim not a multiple of word_bits: tail bits are zero-padded; hamming
+    counts only real sign disagreements."""
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.1, -0.9]), (2, [-0.5, 0.2, 0.1, 0.9])],
+        "id long, v array<double>",
+    )
+    out = {
+        r.id: r.code
+        for r in df.select(
+            "id", V.sign_pack("v", 4, word_bits=3).alias("code")
+        ).collect()
+    }
+    # signs [1,0,1,0] → MSB-first word0=101b=5, word1=0xx padded → 0
+    assert out[1] == [5, 0]
+    # signs [0,1,1,1] → word0=011b=3, word1=1(pad,pad) → 4
+    assert out[2] == [3, 4]
+    codes = df.select("id", V.sign_pack("v", 4, word_bits=3).alias("code"))
+    h = (
+        codes.alias("a")
+        .crossJoin(codes.alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(V.hamming("a.code", "b.code").alias("h"))
+        .collect()[0]
+        .h
+    )
+    assert h == 3  # elements 1, 2, 4 disagree in sign
+
+
+def test_hamming_rerank_recall_floor_and_exact_at_full_candidates(
+    corpus, queries
+):
+    from clinical_vector_search_spark.operators.knn import hamming_rerank
+
+    k = 10
+    exact = {(r.query_id, r.doc_id) for r in knn(queries, corpus, k).collect()}
+    approx = {
+        (r.query_id, r.doc_id)
+        for r in hamming_rerank(
+            queries, corpus, k=k, dim=64, n_candidates=60
+        ).collect()
+    }
+    # self-match survives (query == doc → hamming 0, cosine 1)
+    assert {(i, i) for i in range(5)} <= approx
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"hamming-rerank recall@10 collapsed: {recall}"
+
+    n = corpus.count()
+    full = sorted(
+        (r.query_id, r.rank, r.doc_id)
+        for r in hamming_rerank(
+            queries, corpus, k=k, dim=64, n_candidates=n
+        ).collect()
+    )
+    ex = sorted(
+        (r.query_id, r.rank, r.doc_id) for r in knn(queries, corpus, k).collect()
+    )
+    assert full == ex  # candidates ≥ corpus ⇒ exact top-k

@@ -127,6 +127,21 @@ def main() -> int:
         "WindowGroupLimit" in plan,
     )
 
+    # 4b. binary hamming rerank: the candidate stage's only cross join is
+    # the broadcast of the tiny query-code frame (codes-only corpus scan);
+    # the rescore join-backs are hash joins, never a CartesianProduct
+    from clinical_vector_search_spark.operators.knn import hamming_rerank
+
+    plan = formatted(hamming_rerank(q, vecs, k=10, dim=64, n_candidates=60))
+    check(
+        "hamming rerank: query codes broadcast (BNLJ), no CartesianProduct",
+        "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan,
+    )
+    check(
+        "hamming rerank: candidate join-backs are broadcast hash joins",
+        n_nodes(plan, "BroadcastHashJoin") >= 2,
+    )
+
     # 5. as-of join: single exchange (one shuffle on the key)
     from clinical_vector_search_spark.operators.temporal import asof_join
     from clinical_vector_search_spark.streaming.events import read_events
