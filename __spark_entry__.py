@@ -4006,6 +4006,28 @@ def q_vec_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5, spelled sqrt for IEEE-exact
+    cross-engine parity) domain mixture weights over documents.source
+    (pipeline/documents.py domain_temperature_weights): one corpus-sized
+    agg, #domains-row normalizing window. The derived mix_weight feeds
+    mixture_sample's targets; effective_epochs > 1 flags upsampled
+    domains under a one-epoch token budget."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        domain_temperature_weights,
+    )
+
+    d = _docs(spark, sf_dir)
+    r = domain_temperature_weights(d, alpha=0.5)
+    return r.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        F.round("effective_epochs", 6).alias("effective_epochs"),
+    )
+
+
 def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage binary ANN (operators/knn.py hamming_rerank): Hamming
     top-60 over packed sign codes — codes-only scan, broadcast query
@@ -4055,6 +4077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 1: new in r8 (never driver-checked — lead the window) --
         "vec_binary_sign": q_vec_binary_sign,
         "knn_hamming_rerank": q_knn_hamming_rerank,
+        "doc_domain_mixture": q_doc_domain_mixture,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -4313,6 +4336,25 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, word0, word1,
                (bit_count(word0) + bit_count(word1))::BIGINT AS n_bits_set
         FROM p
+    """
+
+    s["doc_domain_mixture"] = r"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len(list_filter(
+                       regexp_split_to_array(lower(trim(text)), '\s+'),
+                       t -> t <> '')))::BIGINT AS n_tokens
+            FROM documents GROUP BY source
+        ),
+        w AS (SELECT source, n_docs, n_tokens,
+                     sqrt(n_tokens::DOUBLE) AS w_raw
+              FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(w_raw / sum(w_raw) OVER (), 6) AS mix_weight,
+               round((w_raw / sum(w_raw) OVER ())
+                     * (sum(n_tokens) OVER ())::DOUBLE / n_tokens, 6)
+                   AS effective_epochs
+        FROM w
     """
 
     _norm_v = _NORMALIZE.format(v="v")

@@ -375,3 +375,47 @@ def prep_decision() -> F.Column:
         .when(F.coalesce("is_contam", F.lit(False)), F.lit("contaminated"))
         .otherwise(F.lit("keep"))
     )
+
+
+def domain_temperature_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the mT5/UNIMAX
+    multilingual-sampling rule): ``p_d ∝ n_tokens_d ^ alpha``, flattening
+    the natural distribution toward uniform as alpha → 0 so low-resource
+    domains are not drowned at training time. The derived weights are the
+    principled input to :func:`mixture_sample`'s targets.
+
+    Output per domain: ``n_docs``, ``n_tokens`` (BM25 whitespace
+    tokenizer — one corpus pass, map-side combined), raw ``mix_weight``
+    ``p_d``, and ``effective_epochs`` — how many times the domain's own
+    tokens are (re)seen under a one-total-epoch token budget
+    (``p_d · T / n_tokens_d``; > 1 means upsampling/repetition).
+
+    Scale shape: ONE corpus-sized aggregation; the normalizing window
+    then runs over #domains post-agg rows (bounded like the k-means
+    partials), never the corpus. ``alpha=0.5`` is spelled ``sqrt`` —
+    IEEE-754 correctly rounded in every engine, so the oracle is
+    bit-identical; other alphas use ``pow`` (cross-engine last-ulp
+    caveat documented here rather than hidden).
+    """
+    per = df.groupBy(domain_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TXT.tokenize(text_col))).alias("n_tokens"),
+    )
+    nt = F.col("n_tokens").cast("double")
+    w_raw = F.sqrt(nt) if alpha == 0.5 else F.pow(nt, F.lit(float(alpha)))
+    per = per.withColumn("w_raw", w_raw)
+    tot = Window.partitionBy()
+    p = F.col("w_raw") / F.sum("w_raw").over(tot)
+    total_tokens = F.sum("n_tokens").over(tot).cast("double")
+    return per.select(
+        F.col(domain_col),
+        "n_docs",
+        "n_tokens",
+        p.alias("mix_weight"),
+        (p * total_tokens / F.col("n_tokens")).alias("effective_epochs"),
+    )

@@ -527,3 +527,39 @@ def test_user_split_has_zero_group_leakage(spark, sf_dir):
     # exhaustive: every row assigned
     assert s.filter(F.col("split").isNull()).count() == 0
     assert s.count() == e.count()
+
+
+def test_domain_temperature_weights_flatten(spark):
+    """alpha=1 reproduces token proportions; alpha→0 flattens toward
+    uniform; weights always sum to 1 and effective_epochs inverts scarcity
+    (the scarce domain is upsampled hardest)."""
+    from clinical_vector_search_spark.pipeline.documents import (
+        domain_temperature_weights,
+    )
+
+    rows = [
+        (0, "a " * 99, "big"),     # ~99 tokens
+        (1, "b", "small"),         # 1 token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def weights(alpha):
+        return {
+            r.source: (r.mix_weight, r.effective_epochs)
+            for r in domain_temperature_weights(df, alpha=alpha).collect()
+        }
+
+    w1 = weights(1.0)
+    assert abs(w1["big"][0] - 0.99) < 1e-9 and abs(w1["small"][0] - 0.01) < 1e-9
+    # alpha=1 ⇒ natural distribution ⇒ every domain seen exactly once
+    assert abs(w1["big"][1] - 1.0) < 1e-9 and abs(w1["small"][1] - 1.0) < 1e-9
+
+    w5 = weights(0.5)
+    assert sum(v[0] for v in w5.values()) == pytest.approx(1.0)
+    # flattened: small's share rises above natural, big's falls
+    assert 0.01 < w5["small"][0] < 0.5 < w5["big"][0] < 0.99
+    # scarce domain upsampled (> 1 epoch), big downsampled (< 1)
+    assert w5["small"][1] > 1.0 > w5["big"][1]
+
+    w0 = weights(0.0)
+    assert w0["big"][0] == pytest.approx(0.5) and w0["small"][0] == pytest.approx(0.5)
