@@ -2509,6 +2509,79 @@ def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (§2.6): part⋈lineitem under an OR-of-ANDs
+    predicate mixing both sides' columns. The scale property: Catalyst
+    extracts the part-only disjunction (brand/size bands) and pushes it
+    to the part scan, so the broadcast side is pre-filtered and the OR
+    never forces a full-dimension read — plan-audited. Revenue per
+    matching brand band."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    band = (
+        (
+            (F.col("p_brand") == "Brand#5")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#15")
+            & F.col("p_size").between(1, 20)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#25")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(band)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+    )
+
+
+def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (§2.6): customers above the average POSITIVE
+    account balance (scalar-subquery threshold, computed once and
+    broadcast as a 1-row stat frame) with no order since 2000-10-01
+    (dormant — the anti join's probe side is date-pruned at the scan),
+    grouped by nation. The threshold is rounded to 2 decimals BEFORE
+    the > membership test on both engines — the repo's
+    rounded-before-compare rule for float thresholds (cross-engine avg
+    differs in the last ulp). Q22's literal never-ordered predicate is
+    vacuous on this testdata (every customer has orders at sf≤0.01)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderdate") >= F.lit("2000-10-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
 def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped 3-way join: revenue of undelivered BUILDING-segment
     orders, top 10. The customer dim is broadcast (no shuffle of the fact
@@ -4059,15 +4132,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 11 entries NEW in r8 (never driver-checked) lead
-    #      (vec_binary_sign/knn_hamming_rerank landed late-r8);
+    #   1. the 14 entries NEW in r8 (never driver-checked) lead
+    #      (vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
+    #      rel_disjunctive_join/rel_idle_customers landed late-r8);
     #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      overflow the r7 window could not also cover (48 new + 36
     #      stale > 50); every one verified green locally this round;
-    #   3. entries last green in r5 — next-stalest; 11 + 34 + the first
-    #      5 of these fill the 50-window, the ~45-entry tail stays r5
-    #      and MUST lead r9 together with any r8 leftovers;
+    #   3. entries last green in r5 — next-stalest; 14 + 34 = 48 fill
+    #      the 50-window with the first 2 of these; the ~48-entry tail
+    #      stays r5 and MUST lead r9 together with any r8 leftovers;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
     #      (includes events_tumbling/events_sliding, checked as rows
@@ -4078,6 +4152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vec_binary_sign": q_vec_binary_sign,
         "knn_hamming_rerank": q_knn_hamming_rerank,
         "doc_domain_mixture": q_doc_domain_mixture,
+        "rel_disjunctive_join": q_rel_disjunctive_join,
+        "rel_idle_customers": q_rel_idle_customers,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -4336,6 +4412,33 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, word0, word1,
                (bit_count(word0) + bit_count(word1))::BIGINT AS n_bits_set
         FROM p
+    """
+
+    s["rel_disjunctive_join"] = """
+        SELECT p_brand, count(*) AS n_lines,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#5' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20
+               AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 20 AND 35)
+        GROUP BY p_brand
+    """
+
+    s["rel_idle_customers"] = """
+        WITH t AS (SELECT round(avg(c_acctbal), 2) AS avg_bal
+                   FROM customer WHERE c_acctbal > 0)
+        SELECT n_name, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM customer, t
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > t.avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '2000-10-01')
+        GROUP BY n_name
     """
 
     s["doc_domain_mixture"] = r"""

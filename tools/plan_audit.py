@@ -106,6 +106,27 @@ def main() -> int:
         "PushedFilters: [IsNotNull(o_orderpriority), EqualTo(o_orderpriority" in plan,
     )
 
+    # 3b. Q19-shaped OR-of-ANDs: Catalyst extracts each side's disjunction
+    # and pushes it to that side's scan — the OR never forces a full read
+    plan = formatted(E.q_rel_disjunctive_join(spark, SF_DIR))
+    check(
+        "disjunctive join: part-side OR pushed to the part scan",
+        "Or(Or(And(EqualTo(p_brand," in plan,
+    )
+    check(
+        "disjunctive join: lineitem-side quantity OR pushed to the fact scan",
+        "Or(Or(And(GreaterThanOrEqual(l_quantity," in plan,
+    )
+
+    # 3c. Q22-shaped dormant customers: anti join probe side date-pruned
+    plan = formatted(E.q_rel_idle_customers(spark, SF_DIR))
+    check(
+        "idle customers: anti join with date filter pushed to orders scan",
+        "LeftAnti" in plan
+        and "PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"
+        in plan,
+    )
+
     # 4. kNN window strategy: exactly the one intended broadcast cross join
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import _knn_window
