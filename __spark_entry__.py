@@ -2582,6 +2582,165 @@ def q_rel_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape (§2.6): lost revenue from small-quantity orders of
+    one brand's parts — the classic correlated AVG subquery
+    (l_quantity < 0.2 * avg(qty) for THAT part), decorrelated the way a
+    100 TB plan must be: the brand filter is applied FIRST via a broadcast
+    of the pre-filtered part dim, so the per-part average aggregates only
+    the ~1/25 of lineitem that can ever qualify, never the full fact
+    table. The per-part threshold frame (≤ brand-part-count rows) joins
+    back by broadcast — zero shuffles of lineitem beyond the one
+    brand-restricted agg. Threshold rounded to 6dp BEFORE the < compare
+    on both engines (rounded-before-compare rule)."""
+    p = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter(F.col("p_brand") == "Brand#5")
+        .select("p_partkey")
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    lp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thr = lp.groupBy("l_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thr")
+    )
+    small = lp.join(F.broadcast(thr), "l_partkey").filter(
+        F.col("l_quantity") < F.col("qty_thr")
+    )
+    return small.agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+def q_rel_blame_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (§2.6) reshaped to this schema (no commit/receipt
+    dates): suppliers solely responsible for a returned order — orders
+    with ≥2 distinct suppliers where EXACTLY ONE supplier had an
+    'R'-returned line, credited to that supplier. Q21's correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (another supplier
+    also late/returned) pair is decorrelated into ONE per-order
+    aggregation (count distinct suppliers / distinct returned suppliers)
+    instead of two self-joins of the fact table — the shape that survives
+    100 TB. The blamed supplier rides the same agg as a conditional
+    max (the only returned suppkey when n_ret_supp = 1), so lineitem is
+    shuffled ONCE on orderkey; supplier and nation are broadcast."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret_supp"),
+        F.max(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("blamed_suppkey"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1)
+    )
+    return (
+        blamed.join(
+            F.broadcast(s), blamed.blamed_suppkey == s.s_suppkey
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .filter(F.col("numwait") >= 1)
+    )
+
+
+def q_rel_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (§2.6): the supplier(s) with maximum revenue over
+    one quarter — the scalar-subquery-on-an-aggregate pattern
+    (rev = max(rev)). The quarter filter is pushed to the lineitem scan;
+    per-supplier revenue is ONE map-side-combinable agg (≤ supplier-count
+    rows); the max rides a 1-row broadcast stat frame and the tie-safe
+    equality compares revenues ROUNDED to cents on both engines, so an
+    ulp-level cross-engine sum difference cannot flip the argmax."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = l.groupBy("l_suppkey").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1.0 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    return top.join(F.broadcast(s), top.l_suppkey == s.s_suppkey).select(
+        F.col("s_suppkey").cast("long").alias("s_suppkey"),
+        "s_name",
+        "total_revenue",
+    )
+
+
+def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (§2.6): shipping volume between two nations by year
+    — the 6-table snowflake (lineitem⋈orders⋈customer⋈nation ×
+    supplier⋈nation) with a symmetric nation-pair predicate. Scale shape:
+    lineitem⋈orders is the ONLY fact-fact shuffle (on orderkey); supplier,
+    customer, and both nation arms are broadcast, and the nation filters
+    are pushed INTO the broadcast sides so each dim arrives pre-filtered
+    (customer/supplier rows of the two nations only) — the pair predicate
+    then prunes at the broadcast probe, never a post-join filter over the
+    full fact."""
+    pair = ("NATION_1", "NATION_2")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").filter(
+        F.col("n_name").isin(*pair)
+    )
+    c = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    s = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+                ),
+                2,
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+    )
+
+
 def q_rel_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-shaped 3-way join: revenue of undelivered BUILDING-segment
     orders, top 10. The customer dim is broadcast (no shuffle of the fact
@@ -4154,6 +4313,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_mixture": q_doc_domain_mixture,
         "rel_disjunctive_join": q_rel_disjunctive_join,
         "rel_idle_customers": q_rel_idle_customers,
+        "rel_small_qty_revenue": q_rel_small_qty_revenue,
+        "rel_blame_suppliers": q_rel_blame_suppliers,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_volume_shipping": q_rel_volume_shipping,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -4439,6 +4602,75 @@ def oracle_sql() -> dict[str, str]:
                           WHERE o_custkey = c_custkey
                             AND o_orderdate >= TIMESTAMP '2000-10-01')
         GROUP BY n_name
+    """
+
+    s["rel_small_qty_revenue"] = """
+        WITH lp AS (
+            SELECT l_partkey, l_quantity, l_extendedprice
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_brand = 'Brand#5'
+        ),
+        t AS (
+            SELECT l_partkey, round(0.2 * avg(l_quantity), 6) AS qty_thr
+            FROM lp GROUP BY l_partkey
+        )
+        SELECT count(*)::BIGINT AS n_lines,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lp JOIN t USING (l_partkey)
+        WHERE l_quantity < qty_thr
+    """
+
+    s["rel_blame_suppliers"] = """
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   count(DISTINCT l_suppkey) AS n_supp,
+                   count(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS n_ret_supp,
+                   max(CASE WHEN l_returnflag = 'R'
+                            THEN l_suppkey END) AS blamed_suppkey
+            FROM lineitem GROUP BY l_orderkey
+        )
+        SELECT s_name, n_name, count(*)::BIGINT AS numwait
+        FROM per_order
+        JOIN supplier ON blamed_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_supp >= 2 AND n_ret_supp = 1
+        GROUP BY s_name, n_name
+        HAVING count(*) >= 1
+    """
+
+    s["rel_top_supplier"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey::BIGINT AS s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+    """
+
+    s["rel_volume_shipping"] = """
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               year(l_shipdate)::BIGINT AS l_year,
+               round(sum(l_extendedprice * (1.0 - l_discount)), 2)
+                   AS revenue,
+               count(*)::BIGINT AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+          AND cn.n_name IN ('NATION_1', 'NATION_2')
+          AND sn.n_name <> cn.n_name
+        GROUP BY 1, 2, 3
     """
 
     s["doc_domain_mixture"] = r"""
