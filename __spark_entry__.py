@@ -2421,6 +2421,52 @@ def q_events_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_weighted_avg(_events(spark, sf_dir))
 
 
+def q_events_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week multiplicative seasonal index per event type
+    (streaming/events.py seasonal_index): phase mean / overall mean from
+    ONE (type, dow)-granularity agg; group totals are a rollup of that
+    aggregate (no second data pass) joined back by broadcast."""
+    from clinical_vector_search_spark.streaming.events import seasonal_index
+
+    return seasonal_index(_events(spark, sf_dir), period="dow")
+
+
+def q_events_seasonal_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted daily anomalies (streaming/events.py
+    seasonal_outliers): daily totals deflated by their dow index before
+    the within-type z-score, so weekly periodicity is not flagged as
+    anomaly. z rounded to 6dp before the > 2.5 compare on both engines;
+    day-granularity shuffle only, stat frames broadcast."""
+    from clinical_vector_search_spark.streaming.events import (
+        seasonal_outliers,
+    )
+
+    r = seasonal_outliers(_events(spark, sf_dir), z_thresh=2.5)
+    return r.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "day_total",
+        "adjusted",
+        "z",
+    )
+
+
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA per user (streaming/events.py ewma_bounded):
+    weights (1-a)^age over the last 8 observations, normalized by each
+    row's own finite weight sum — pandas ewm(adjust=True) truncated to a
+    k-tail, the distributed-safe spelling of the sequential recursive
+    EWMA (truncation error ≤ (1-a)^k of the mass). One user-key window,
+    zero joins; the weighted fold is a higher-order expression."""
+    from clinical_vector_search_spark.streaming.events import ewma_bounded
+
+    r = ewma_bounded(_events(spark, sf_dir), alpha=0.25, k=8)
+    return r.select(
+        "user_id", "event_id", "ts_ns", F.round("value", 6).alias("value"),
+        "ewma",
+    )
+
+
 def q_rel_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority monthly-revenue regression (built-in regr_slope /
     regr_intercept / regr_r2 over a two-level agg): month index x =
@@ -2738,6 +2784,63 @@ def q_rel_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue"),
             F.count("*").cast("long").alias("n_lines"),
         )
+    )
+
+
+def q_rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining (operators/basket.py
+    cooccurrence_lift): brand pairs co-ordered within the same order with
+    support and lift — the Apriori first-two-passes as one declarative
+    plan. Scale shape: the basket-key self-join runs on per-order
+    DISTINCT items (fan-out ≤ basket size², never corpus²), supports and
+    the basket count are map-side-combinable aggs joined back by
+    broadcast. Lift rounded to 6dp."""
+    from clinical_vector_search_spark.operators.basket import (
+        cooccurrence_lift,
+    )
+
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    lb = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    return cooccurrence_lift(
+        lb, "l_orderkey", "p_brand", min_pair_support=20
+    ).select(
+        "item_a", "item_b", "pair_n", "supp_a", "supp_b", "lift"
+    )
+
+
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (operators/graph.py triangle_count) on the
+    co-order part graph (edges: part pairs sharing ≥2 orders): per-node
+    triangle participation via degree-ordered orientation — wedges are
+    generated at the LOW-degree endpoint only (out-degree ≤ O(√m)), so a
+    hub of degree d costs O(m) not O(d²), and each triangle closes by one
+    equi-join probe. The oracle spells the same count as the naive
+    id-ordered 3-way self-join — tractable at sf0.01, which is exactly
+    why the oriented plan (not the naive one) is the shipped operator."""
+    from clinical_vector_search_spark.operators.graph import triangle_count
+
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("src", "dst")
+    )
+    return triangle_count(edges).select(
+        F.col("node").cast("long").alias("node"), "n_triangles"
     )
 
 
@@ -4291,16 +4394,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 14 entries NEW in r8 (never driver-checked) lead
+    #   1. the 23 entries NEW in r8 (never driver-checked) lead
     #      (vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
-    #      rel_disjunctive_join/rel_idle_customers landed late-r8);
+    #      rel_disjunctive_join/rel_idle_customers, then the late-r8
+    #      batch: Q17/Q21/Q15/Q7 shapes, basket pairs, triangles,
+    #      seasonal index/outliers, bounded EWMA);
     #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — the
     #      overflow the r7 window could not also cover (48 new + 36
     #      stale > 50); every one verified green locally this round;
-    #   3. entries last green in r5 — next-stalest; 14 + 34 = 48 fill
-    #      the 50-window with the first 2 of these; the ~48-entry tail
-    #      stays r5 and MUST lead r9 together with any r8 leftovers;
+    #      23 + 34 > 50, so the trailing r4 entries past the window
+    #      (io_partitioned_roundtrip onward) MUST lead r9;
+    #   3. entries last green in r5 — next-stalest;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
     #      (includes events_tumbling/events_sliding, checked as rows
@@ -4317,6 +4422,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_blame_suppliers": q_rel_blame_suppliers,
         "rel_top_supplier": q_rel_top_supplier,
         "rel_volume_shipping": q_rel_volume_shipping,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "graph_triangles": q_graph_triangles,
+        "events_seasonal_index": q_events_seasonal_index,
+        "events_seasonal_outliers": q_events_seasonal_outliers,
+        "events_ewma": q_events_ewma,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -4671,6 +4781,57 @@ def oracle_sql() -> dict[str, str]:
           AND cn.n_name IN ('NATION_1', 'NATION_2')
           AND sn.n_name <> cn.n_name
         GROUP BY 1, 2, 3
+    """
+
+    s["rel_basket_pairs"] = """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ),
+        supp AS (SELECT item, count(*)::BIGINT AS supp
+                 FROM ob GROUP BY item),
+        nb AS (SELECT count(DISTINCT basket)::BIGINT AS n_baskets FROM ob),
+        pairs AS (
+            SELECT a.item AS item_a, b.item AS item_b,
+                   count(*)::BIGINT AS pair_n
+            FROM ob a JOIN ob b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= 20
+        )
+        SELECT item_a, item_b, pair_n,
+               sa.supp AS supp_a, sb.supp AS supp_b,
+               round(pair_n * n_baskets
+                     / (sa.supp * sb.supp)::DOUBLE, 6) AS lift
+        FROM pairs
+        JOIN supp sa ON sa.item = item_a
+        JOIN supp sb ON sb.item = item_b
+        CROSS JOIN nb
+    """
+
+    s["graph_triangles"] = """
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e AS (
+            SELECT a.p AS u, b.p AS v
+            FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        tri AS (
+            SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM e e1
+            JOIN e e2 ON e2.u = e1.u AND e1.v < e2.v
+            JOIN e e3 ON e3.u = e1.v AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        SELECT node::BIGINT AS node, count(*)::BIGINT AS n_triangles
+        FROM corners GROUP BY node
     """
 
     s["doc_domain_mixture"] = r"""
@@ -7647,6 +7808,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT user_id, count(*) AS n_events, sum(gap)::BIGINT AS span_ns,
                round(sum(value * gap::DOUBLE) / sum(gap)::DOUBLE, 6) AS twa
         FROM g GROUP BY 1 HAVING sum(gap) > 0
+    """
+
+    # DuckDB dayofweek is 0-based Sunday; Spark's is 1-based — the +1
+    # below aligns them
+    s["events_seasonal_index"] = """
+        WITH per AS (
+            SELECT event_type, (dayofweek(ts) + 1)::BIGINT AS phase,
+                   count(value)::BIGINT AS n_events, sum(value) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (SELECT event_type, sum(n_events) AS tn, sum(s) AS tsum
+                FROM per GROUP BY 1)
+        SELECT event_type, phase, n_events,
+               round(s / n_events, 6) AS phase_mean,
+               round((s / n_events) / (tsum / tn), 6) AS seasonal_index
+        FROM per JOIN tot USING (event_type)
+    """
+
+    s["events_seasonal_outliers"] = """
+        WITH daily AS (
+            SELECT event_type, ts::DATE AS day, sum(value) AS day_total
+            FROM events GROUP BY 1, 2
+        ),
+        pd AS (
+            SELECT event_type, (dayofweek(day) + 1) AS phase,
+                   count(*) AS n, sum(day_total) AS s
+            FROM daily GROUP BY 1, 2
+        ),
+        tot AS (SELECT event_type, sum(n) AS tn, sum(s) AS tsum
+                FROM pd GROUP BY 1),
+        idx AS (
+            SELECT event_type, phase, (s / n) / (tsum / tn) AS i
+            FROM pd JOIN tot USING (event_type)
+        ),
+        adj AS (
+            SELECT d.event_type, d.day, d.day_total,
+                   d.day_total / i.i AS a
+            FROM daily d
+            JOIN idx i ON d.event_type = i.event_type
+                      AND (dayofweek(d.day) + 1) = i.phase
+        ),
+        st AS (SELECT event_type, avg(a) AS m, stddev_pop(a) AS sd
+               FROM adj GROUP BY 1)
+        SELECT adj.event_type, strftime(adj.day, '%Y-%m-%d') AS day,
+               round(adj.day_total, 6) AS day_total,
+               round(adj.a, 6) AS adjusted,
+               round(abs(adj.a - m) / sd, 6) AS z
+        FROM adj JOIN st USING (event_type)
+        WHERE sd > 0 AND round(abs(adj.a - m) / sd, 6) > 2.5
+    """
+
+    s["events_ewma"] = """
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns, value
+                   FROM events WHERE value IS NOT NULL),
+        t AS (
+            SELECT user_id, event_id, ts_ns, value,
+                   list(value) OVER (
+                       PARTITION BY user_id ORDER BY ts_ns, event_id
+                       ROWS BETWEEN 7 PRECEDING AND CURRENT ROW
+                   ) AS tail
+            FROM e
+        )
+        SELECT user_id, event_id, ts_ns, round(value, 6) AS value,
+               round(
+                   list_sum(list_transform(
+                       tail, (x, i) -> x * pow(0.75, len(tail) - i)))
+                   / list_sum(list_transform(
+                       tail, (x, i) -> pow(0.75, len(tail) - i))), 6
+               ) AS ewma
+        FROM t
     """
 
     s["rel_order_trend"] = """

@@ -1832,3 +1832,214 @@ def run_streaming_chained_agg(
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def seasonal_index(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    period: str = "dow",
+) -> DataFrame:
+    """Multiplicative seasonal index per (group, phase): the phase's mean
+    value divided by the group's overall mean (index > 1: that weekday /
+    hour runs hot). ``period`` is ``dow`` (1=Sunday..7, Spark/DuckDB
+    agree on the 1-based Sunday origin via dayofweek) or ``hour``.
+
+    Scale shape: ONE (group, phase)-granularity partial-aggregating
+    shuffle over the events; the group totals are a rollup OF THAT
+    aggregate (never a second pass over the data) and join back by
+    broadcast at (group)-granularity. NULL values are excluded from both
+    numerator and denominator (count(value), not count(*)).
+
+    Output: (group, phase, n_events, phase_mean, seasonal_index) with
+    doubles rounded to 6.
+    """
+    phase = (
+        F.dayofweek("ts") if period == "dow" else F.hour("ts")
+    ).cast("long")
+    per = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            phase.alias("phase"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("grp", "phase")
+        .agg(
+            F.count("_v").cast("long").alias("n_events"),
+            F.sum("_v").alias("_sum"),
+        )
+    )
+    tot = per.groupBy("grp").agg(
+        F.sum("n_events").alias("_tn"), F.sum("_sum").alias("_ts")
+    )
+    return (
+        per.join(F.broadcast(tot), "grp")
+        .select(
+            F.col("grp").alias(group_col),
+            "phase",
+            "n_events",
+            F.round(F.col("_sum") / F.col("n_events"), 6).alias(
+                "phase_mean"
+            ),
+            F.round(
+                (F.col("_sum") / F.col("n_events"))
+                / (F.col("_ts") / F.col("_tn")),
+                6,
+            ).alias("seasonal_index"),
+        )
+    )
+
+
+def seasonal_outliers(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    z_thresh: float = 3.0,
+) -> DataFrame:
+    """Seasonally-adjusted daily anomalies: daily value totals per group,
+    deflated by that day-of-week's seasonal index (so a quiet-Sunday dip
+    or busy-Monday spike is NOT an anomaly), then z-scored within the
+    group. A raw daily z-score flags every weekend of a weekly-periodic
+    metric; dividing by the dow index first removes the expected
+    component — the additive-decomposition anomaly detector's
+    multiplicative cousin.
+
+    The dow index here is computed over DAILY totals (7 rows per group),
+    not raw events — the seasonality of the series being scored. Days
+    with a zero or negative group std (constant adjusted series) flag
+    nothing. The z is ROUNDED to 6dp before the > threshold compare on
+    both engines (rounded-before-compare rule).
+
+    Scale shape: day-granularity aggregation (the only events-sized
+    shuffle), then 7-row and 1-row-per-group stat frames joined back by
+    broadcast. Output: flagged (group, day, day_total, adjusted, z).
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.to_date("ts").alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.sum("_v").alias("day_total"))
+    )
+    dow = F.dayofweek(F.col("day")).cast("long")
+    per_dow = (
+        daily.select("grp", dow.alias("phase"), "day_total")
+        .groupBy("grp", "phase")
+        .agg(F.count("*").alias("_n"), F.sum("day_total").alias("_s"))
+    )
+    tot = per_dow.groupBy("grp").agg(
+        F.sum("_n").alias("_tn"), F.sum("_s").alias("_ts")
+    )
+    idx = per_dow.join(F.broadcast(tot), "grp").select(
+        "grp",
+        "phase",
+        (
+            (F.col("_s") / F.col("_n")) / (F.col("_ts") / F.col("_tn"))
+        ).alias("_idx"),
+    )
+    adj = (
+        daily.withColumn("phase", dow)
+        .join(F.broadcast(idx), ["grp", "phase"])
+        .select(
+            "grp",
+            "day",
+            "day_total",
+            (F.col("day_total") / F.col("_idx")).alias("_adj"),
+        )
+    )
+    st = adj.groupBy("grp").agg(
+        F.avg("_adj").alias("_m"), F.stddev_pop("_adj").alias("_sd")
+    )
+    return (
+        adj.join(F.broadcast(st), "grp")
+        .filter(
+            (F.col("_sd") > 0)
+            & (
+                F.round(
+                    F.abs(F.col("_adj") - F.col("_m")) / F.col("_sd"), 6
+                )
+                > z_thresh
+            )
+        )
+        .select(
+            F.col("grp").alias(group_col),
+            "day",
+            F.round("day_total", 6).alias("day_total"),
+            F.round("_adj", 6).alias("adjusted"),
+            F.round(
+                F.abs(F.col("_adj") - F.col("_m")) / F.col("_sd"), 6
+            ).alias("z"),
+        )
+    )
+
+
+def ewma_bounded(
+    events: DataFrame,
+    group_col: str = "user_id",
+    value_col: str = "value",
+    alpha: float = 0.25,
+    k: int = 8,
+) -> DataFrame:
+    """Bounded-window exponentially-weighted moving average per group:
+    for each event, ewma over the last ``k`` observations (inclusive)
+    with weights (1-α)^age, normalized by the FINITE weight sum (pandas
+    ``ewm(adjust=True)`` over a length-k tail). The recursive infinite-
+    memory EWMA is a sequential scan — not expressible as a distributed
+    window without carrying state row-to-row; the k-bounded form is the
+    scale-correct spelling: per-row work is O(k), the frame never leaves
+    the group's window, and truncation error is bounded by (1-α)^k
+    (≈ 10% of mass at α=.25, k=8; pick k for the tolerance you need).
+
+    Determinism: frame ordered by (ts_ns, event_id) — collect_list over
+    a running ROWS frame preserves frame order on both engines. The
+    normalizer uses each row's OWN frame length n ≤ k (early rows have
+    shorter tails), so the first event's ewma equals its value exactly.
+
+    Scale shape: one group-key window shuffle, zero joins, zero UDFs —
+    the weighted fold is a higher-order expression (transform+aggregate).
+    NULL observations are dropped up front (a NULL inside the fold would
+    poison the whole frame's sum, not skip one term).
+
+    Output: (group, event_id, ts_ns, value, ewma rounded 6).
+    """
+    events = events.filter(F.col(value_col).isNotNull())
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.asc("ts_ns"), F.asc("event_id"))
+        .rowsBetween(-(k - 1), 0)
+    )
+    tail = F.collect_list(F.col(value_col)).over(w)
+    decay = 1.0 - alpha
+    df = events.select(
+        F.col(group_col),
+        "event_id",
+        "ts_ns",
+        F.col(value_col).alias("value"),
+        tail.alias("_tail"),
+    )
+    n = F.size("_tail")
+    num = F.aggregate(
+        F.transform(
+            "_tail",
+            lambda x, i: x * F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    den = F.aggregate(
+        F.transform(
+            "_tail",
+            lambda x, i: F.pow(F.lit(decay), (n - 1 - i).cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        group_col,
+        "event_id",
+        "ts_ns",
+        "value",
+        F.round(num / den, 6).alias("ewma"),
+    )

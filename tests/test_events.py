@@ -1221,3 +1221,106 @@ def test_time_embargo_split_semantics(spark, sf_dir):
 
     with _p.raises(ValueError, match="train_tenths"):
         tes(e, train_tenths=10)
+
+
+def test_seasonal_index_golden(spark):
+    """Two phases with means 1 and 3 -> overall mean 2, indices 0.5/1.5.
+
+    ts values: 2026-08-16 is a Sunday (dayofweek 1), 2026-08-17 a Monday
+    (dayofweek 2).
+    """
+    from clinical_vector_search_spark.streaming.events import seasonal_index
+
+    sun = "2026-08-16 12:00:00"
+    mon = "2026-08-17 12:00:00"
+    rows = [
+        (1, sun, "a", 1.0),
+        (2, sun, "a", 1.0),
+        (3, mon, "a", 3.0),
+        (4, mon, "a", 3.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.phase: r for r in seasonal_index(df, period="dow").collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1].phase_mean == 1.0 and got[1].seasonal_index == 0.5
+    assert got[2].phase_mean == 3.0 and got[2].seasonal_index == 1.5
+    assert got[1].n_events == 2
+
+
+def test_seasonal_outliers_deflates_weekly_periodicity(spark):
+    """A metric that doubles every Sunday is NOT anomalous once deflated;
+    one genuinely-broken day is the only flag. Raw z over the same days
+    would flag Sundays too (shown by the adjusted values being flat)."""
+    from clinical_vector_search_spark.streaming.events import (
+        seasonal_outliers,
+    )
+
+    # 8 weeks of daily events: weekdays value 10, Sundays 20 (periodic),
+    # plus one Wednesday spiked to 60 (true anomaly).
+    import datetime
+
+    start = datetime.date(2026, 3, 1)  # a Sunday
+    rows = []
+    eid = 0
+    for d in range(56):
+        day = start + datetime.timedelta(days=d)
+        v = 20.0 if day.weekday() == 6 else 10.0
+        if d == 31:  # a Wednesday
+            v = 60.0
+        rows.append((eid, f"{day} 09:00:00", "m", v))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = seasonal_outliers(df, z_thresh=2.5).collect()
+    assert len(out) == 1
+    assert str(out[0].day) == "2026-04-01"
+    assert out[0].day_total == 60.0
+
+
+def test_ewma_bounded_matches_pandas_adjust_true(spark):
+    """With k >= series length the bounded EWMA equals pandas
+    ewm(adjust=True).mean(); first row equals its own value exactly."""
+    import pandas as pd
+
+    from clinical_vector_search_spark.streaming.events import ewma_bounded
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0]
+    rows = [(i, 1, i * 10**9, v) for i, v in enumerate(vals)]
+    rows.append((99, 2, 0, 7.0))  # singleton group
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    got = {
+        (r.user_id, r.event_id): r.ewma
+        for r in ewma_bounded(df, alpha=0.25, k=10).collect()
+    }
+    exp = pd.Series(vals).ewm(alpha=0.25, adjust=True).mean()
+    for i in range(len(vals)):
+        assert abs(got[(1, i)] - round(exp[i], 6)) < 1e-6
+    assert got[(2, 99)] == 7.0
+
+
+def test_ewma_bounded_truncates_to_k_tail(spark):
+    """With k=2 only the last two observations matter: weights 1, 0.75."""
+    from clinical_vector_search_spark.streaming.events import ewma_bounded
+
+    rows = [(0, 1, 0, 100.0), (1, 1, 10**9, 2.0), (2, 1, 2 * 10**9, 4.0)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_ns long, value double"
+    )
+    got = {r.event_id: r.ewma for r in ewma_bounded(df, alpha=0.25, k=2).collect()}
+    # row 2: (4*1 + 2*0.75) / (1 + 0.75) — the 100 two steps back is gone
+    assert abs(got[2] - round((4 + 1.5) / 1.75, 6)) < 1e-6
+    # NULL value rows are dropped, not poisoning the frame
+    rows2 = rows + [(3, 1, 3 * 10**9, None)]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts_ns long, value double"
+    )
+    assert sorted(
+        r.event_id for r in ewma_bounded(df2, alpha=0.25, k=2).collect()
+    ) == [0, 1, 2]

@@ -1028,3 +1028,74 @@ def test_hamming_rerank_recall_floor_and_exact_at_full_candidates(
         (r.query_id, r.rank, r.doc_id) for r in knn(queries, corpus, k).collect()
     )
     assert full == ex  # candidates ≥ corpus ⇒ exact top-k
+
+
+def test_cooccurrence_lift_golden(spark):
+    # 4 baskets: {a,b} x3, {a,c} x1 — a in 4, b in 3, c in 1
+    # (a,b): pair 3, lift = 3*4/(4*3) = 1.0
+    # (a,c): pair 1, lift = 1*4/(4*1) = 1.0
+    # duplicate item rows in a basket must count once (distinct-first)
+    from clinical_vector_search_spark.operators.basket import (
+        cooccurrence_lift,
+    )
+
+    rows = [
+        (1, "a"), (1, "b"), (1, "b"),
+        (2, "a"), (2, "b"),
+        (3, "a"), (3, "b"),
+        (4, "a"), (4, "c"),
+    ]
+    df = spark.createDataFrame(rows, "basket long, item string")
+    out = {
+        (r.item_a, r.item_b): r
+        for r in cooccurrence_lift(df, "basket", "item").collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c")}
+    ab = out[("a", "b")]
+    assert (ab.pair_n, ab.supp_a, ab.supp_b) == (3, 4, 3)
+    assert abs(ab.lift - 1.0) < 1e-9
+    # item support cut prunes c before the self-join
+    cut = cooccurrence_lift(df, "basket", "item", min_item_support=2)
+    assert {(r.item_a, r.item_b) for r in cut.collect()} == {("a", "b")}
+    # anti-correlated pair: lift < 1
+    rows2 = rows + [(5, "b"), (5, "c"), (6, "a"), (7, "a")]
+    df2 = spark.createDataFrame(rows2, "basket long, item string")
+    out2 = {
+        (r.item_a, r.item_b): r.lift
+        for r in cooccurrence_lift(df2, "basket", "item").collect()
+    }
+    # a in 6 of 7 baskets, b in 4, ab in 3: lift = 3*7/(6*4) < 1
+    assert abs(out2[("a", "b")] - round(21 / 24, 6)) < 1e-9
+
+
+def test_triangle_count_golden(spark):
+    # K4 on {1,2,3,4} (4 triangles, every node in 3) plus a pendant edge
+    # 4-5 (no triangle) and a duplicate/reversed edge to exercise
+    # canonicalization; node 5 must be absent from the output
+    from clinical_vector_search_spark.operators.graph import triangle_count
+
+    k4 = [(u, v) for u in range(1, 5) for v in range(u + 1, 5)]
+    edges = k4 + [(4, 5), (2, 1), (1, 2), (3, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+    # global count = sum/3
+    assert sum(out.values()) // 3 == 4
+    # triangle-free graph (a path) -> empty result
+    path = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    assert triangle_count(path).count() == 0
+
+
+def test_triangle_count_star_has_none_and_hub_bound(spark):
+    # star K1,5: hub degree 5 but zero triangles; adding one rim edge
+    # creates exactly one triangle — counted once, not six times
+    from clinical_vector_search_spark.operators.graph import triangle_count
+
+    star = [(0, i) for i in range(1, 6)]
+    df = spark.createDataFrame(star, "src long, dst long")
+    assert triangle_count(df).count() == 0
+    df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
+    out = {r.node: r.n_triangles for r in triangle_count(df2).collect()}
+    assert out == {0: 1, 1: 1, 2: 1}
