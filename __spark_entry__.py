@@ -2467,6 +2467,175 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (§2.6) on this schema (no partsupp): part types
+    whose revenue exceeds a FRACTION of total revenue — the
+    HAVING-sum-greater-than-scalar-subquery pattern. The global total is
+    a rollup OF the per-type aggregate (6 rows), never a second pass
+    over lineitem, and rides a 1-row broadcast stat frame; share rounded
+    to 6dp BEFORE the > 0.15 compare on both engines."""
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    per = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+            ).alias("_rev")
+        )
+    )
+    tot = per.agg(F.sum("_rev").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "p_type",
+            F.round("_rev", 2).alias("revenue"),
+            F.round(F.col("_rev") / F.col("_tot"), 6).alias("share"),
+        )
+        .filter(F.col("share") > 0.15)
+    )
+
+
+def q_rel_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation Gini coefficient of customer revenue — the inequality
+    companion of events_power_users' Pareto share. Customer revenue is
+    one custkey agg (customers without orders enter at 0 via a left
+    join); the rank-weighted identity
+        G = 2·Σ r_i·x_i / (n·Σx) − (n+1)/n   (x ascending, r = 1..n)
+    needs only a PER-NATION window (row_number ordered by revenue with
+    custkey tie-break — any ordering of equal values yields the same G),
+    so there is no SinglePartition global sort anywhere. Zero-revenue
+    nations are excluded (G undefined)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("_rev")
+    )
+    cr = (
+        c.join(rev, c.c_custkey == rev.o_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.coalesce(F.col("_rev"), F.lit(0.0)).alias("x"),
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy(F.asc("x"), F.asc("c_custkey"))
+    ranked = cr.select(
+        "n_name", "x", F.row_number().over(w).cast("long").alias("r")
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count("*").cast("long").alias("n_customers"),
+            F.round(F.sum("x"), 2).alias("total_rev"),
+            F.round(
+                2.0
+                * F.sum(F.col("r") * F.col("x"))
+                / (F.count("*") * F.sum("x"))
+                - (F.count("*") + 1.0) / F.count("*"),
+                6,
+            ).alias("gini"),
+        )
+        .filter(F.col("total_rev") > 0)
+    )
+
+
+def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint summary per doc (functions/text.py
+    winnowing_fingerprints — Schleimer et al. SIGMOD 2003, the MOSS
+    plagiarism fingerprint): rightmost-min-per-window selection run as
+    ONE window-min via the (hash·2^21 + inverted-pos) packed key, exact
+    int64 on both engines. Summarized per doc (count, hash sum, min/max)
+    so the compare covers every selected fingerprint without shipping
+    raw fingerprint rows."""
+    from clinical_vector_search_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    fp = winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+    return fp.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_fp"),
+        F.sum("fp_hash").alias("fp_hash_sum"),
+        F.min("fp_hash").alias("fp_hash_min"),
+        F.sum("fp_pos").alias("fp_pos_sum"),
+    )
+
+
+def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs by shared winnowing fingerprints: docs
+    sharing ≥ 5 selected fingerprint HASHES (position-independent — the
+    winnowing guarantee makes any shared run of ≥ w+k-1 words surface
+    here). The join runs on fingerprint-hash postings at selected
+    (≈ 2/(w+1)) density, ~60% fewer join rows than full-shingle
+    postings; the support cut keeps only pairs with real overlap."""
+    from clinical_vector_search_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    fp = (
+        winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+        .select("doc_id", "fp_hash")
+        .distinct()
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "fp_hash")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "fp_hash")
+    return (
+        a.join(b, "fp_hash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 5)
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle-containment pairs (operators/dedup.py
+    containment_pairs — Broder's containment, the superset-dup detector
+    Jaccard misses): C(A,B) = |A∩B|/|A| ≥ 0.5 over 3-gram shingles.
+    Same postings equi-join skeleton as ngram Jaccard; each undirected
+    overlap yields up to two directed judgements."""
+    from clinical_vector_search_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    return containment_pairs(
+        _docs(spark, sf_dir), shingle_size=SHINGLE_N, threshold=0.5
+    )
+
+
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point alarms over daily means per event type
+    (streaming/events.py cusum_changepoints): the sequential
+    S_t = max(0, S_{t-1} + y_t) recursion run distributively via its
+    closed form S = cumsum − running-min (two window functions, one
+    group-key shuffle at day granularity). Burn-in reference stats
+    (first 28 days) broadcast back; h = 2σ — tight on purpose: the
+    synthetic series is stationary, so only a tight threshold exercises
+    the alarm path. Statistics and threshold rounded to 6dp before the
+    > compare."""
+    from clinical_vector_search_spark.streaming.events import (
+        cusum_changepoints,
+    )
+
+    r = cusum_changepoints(_events(spark, sf_dir), h_sigma=2.0)
+    return r.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "x",
+        "s_up",
+        "s_dn",
+        "alarm_up",
+        "alarm_dn",
+    )
+
+
 def q_rel_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-priority monthly-revenue regression (built-in regr_slope /
     regr_intercept / regr_r2 over a two-level agg): month index x =
@@ -4427,6 +4596,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_seasonal_index": q_events_seasonal_index,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
+        "events_cusum": q_events_cusum,
+        "rel_revenue_concentration": q_rel_revenue_concentration,
+        "rel_gini": q_rel_gini,
+        "text_winnowing": q_text_winnowing,
+        "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
+        "dedup_containment": q_dedup_containment,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -7878,6 +8053,184 @@ def oracle_sql() -> dict[str, str]:
                        tail, (x, i) -> pow(0.75, len(tail) - i))), 6
                ) AS ewma
         FROM t
+    """
+
+    s["rel_revenue_concentration"] = """
+        WITH per AS (
+            SELECT p_type,
+                   sum(l_extendedprice * (1.0 - l_discount)) AS rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY 1
+        ),
+        tot AS (SELECT sum(rev) AS t FROM per)
+        SELECT p_type, round(rev, 2) AS revenue,
+               round(rev / t, 6) AS share
+        FROM per CROSS JOIN tot
+        WHERE round(rev / t, 6) > 0.15
+    """
+
+    s["rel_gini"] = """
+        WITH rev AS (
+            SELECT o_custkey, round(sum(o_totalprice), 2) AS r
+            FROM orders GROUP BY 1
+        ),
+        cr AS (
+            SELECT n_name, c_custkey, coalesce(rev.r, 0.0) AS x
+            FROM customer
+            LEFT JOIN rev ON c_custkey = o_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+        ),
+        ranked AS (
+            SELECT n_name, x,
+                   row_number() OVER (
+                       PARTITION BY n_name ORDER BY x, c_custkey
+                   )::BIGINT AS rk
+            FROM cr
+        )
+        SELECT n_name, count(*)::BIGINT AS n_customers,
+               round(sum(x), 2) AS total_rev,
+               round(2.0 * sum(rk * x) / (count(*) * sum(x))
+                     - (count(*) + 1.0) / count(*), 6) AS gini
+        FROM ranked GROUP BY 1
+        HAVING round(sum(x), 2) > 0
+    """
+
+    _WINNOW_SEL = f"""
+        toks AS ({_TOKS}),
+        flat AS (
+            SELECT doc_id, unnest(tokens) AS tok,
+                   unnest(range(len(tokens))) AS pos
+            FROM toks
+        ),
+        g AS (
+            SELECT doc_id, pos, tok,
+                   lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS t1,
+                   lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+            FROM flat
+        ),
+        keyed AS (
+            SELECT doc_id, pos,
+                   ({_MD5L.format(x="tok || ' ' || t1 || ' ' || t2")}
+                    % 2147483648) * 2097152
+                   + (2097151 - pos) AS key
+            FROM g WHERE t2 IS NOT NULL AND pos < 2097152
+        ),
+        win AS (
+            SELECT doc_id, pos,
+                   min(key) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS wmin,
+                   count(*) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING
+                   ) AS cnt,
+                   count(*) OVER (PARTITION BY doc_id) AS n
+            FROM keyed
+        ),
+        sel AS (
+            SELECT DISTINCT doc_id,
+                   (2097151 - (wmin & 2097151))::BIGINT AS fp_pos,
+                   (wmin >> 21)::BIGINT AS fp_hash
+            FROM win WHERE cnt = 4 OR (pos = 0 AND n < 4)
+        )
+    """
+
+    s["text_winnowing"] = f"""
+        WITH {_WINNOW_SEL}
+        SELECT doc_id, count(*)::BIGINT AS n_fp,
+               sum(fp_hash)::BIGINT AS fp_hash_sum,
+               min(fp_hash)::BIGINT AS fp_hash_min,
+               sum(fp_pos)::BIGINT AS fp_pos_sum
+        FROM sel GROUP BY doc_id
+    """
+
+    s["dedup_winnowing_pairs"] = f"""
+        WITH {_WINNOW_SEL},
+        fp AS (SELECT DISTINCT doc_id, fp_hash FROM sel)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               count(*)::BIGINT AS n_shared
+        FROM fp a JOIN fp b
+          ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 5
+    """
+
+    s["dedup_containment"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        sizes AS (SELECT doc_id AS doc, count(*) AS n_sh
+                  FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT a_id, b_id, sa.n_sh AS na, sb.n_sh AS nb, common
+            FROM common
+            JOIN sizes sa ON sa.doc = a_id
+            JOIN sizes sb ON sb.doc = b_id
+        ),
+        directed AS (
+            SELECT a_id AS small_id, b_id AS big_id,
+                   na AS n_small, nb AS n_big, common,
+                   round(common / na::DOUBLE, 6) AS containment
+            FROM sized
+            UNION ALL
+            SELECT b_id, a_id, nb, na, common,
+                   round(common / nb::DOUBLE, 6)
+            FROM sized
+        )
+        SELECT small_id, big_id, n_small::BIGINT AS n_small,
+               n_big::BIGINT AS n_big, common::BIGINT AS common,
+               containment
+        FROM directed WHERE containment >= 0.5
+    """
+
+    s["events_cusum"] = """
+        WITH daily AS (
+            SELECT event_type AS grp, ts::DATE AS day, avg(value) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        d0 AS (SELECT grp, min(day) AS day0 FROM daily GROUP BY 1),
+        burn AS (
+            SELECT d.grp, avg(x) AS mu, stddev_pop(x) AS sd
+            FROM daily d JOIN d0 USING (grp)
+            WHERE d.day < day0 + INTERVAL 28 DAY
+            GROUP BY 1 HAVING stddev_pop(x) > 0
+        ),
+        cum AS (
+            SELECT d.grp, d.day, d.x, b.sd,
+                   sum(d.x - (b.mu + 0.5 * b.sd)) OVER (
+                       PARTITION BY d.grp ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS u,
+                   sum((b.mu - 0.5 * b.sd) - d.x) OVER (
+                       PARTITION BY d.grp ORDER BY d.day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS dn
+            FROM daily d JOIN burn b USING (grp)
+        ),
+        scored AS (
+            SELECT grp, day, round(x, 6) AS x,
+                   round(u - min(u) OVER (
+                       PARTITION BY grp ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS s_up,
+                   round(dn - min(dn) OVER (
+                       PARTITION BY grp ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 6) AS s_dn,
+                   round(2.0 * sd, 6) AS thr
+            FROM cum
+        )
+        SELECT grp AS event_type, strftime(day, '%Y-%m-%d') AS day, x,
+               s_up, s_dn,
+               s_up > thr AS alarm_up, s_dn > thr AS alarm_dn
+        FROM scored
+        WHERE s_up > thr OR s_dn > thr
     """
 
     s["rel_order_trend"] = """

@@ -954,3 +954,81 @@ def token_dropout(
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.array_join(kept, " ")).alias("kept_md5"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive hashes, and in each window select the
+    minimum hash, ties to the RIGHTMOST occurrence. Guarantees: any
+    shared substring of ≥ w+k-1 words yields at least one shared
+    fingerprint (no false negatives above the noise threshold), at an
+    expected density of 2/(w+1) — position-robust local sampling, unlike
+    a fixed stride.
+
+    The sequential "rightmost minimum per window" rule is run as ONE
+    window-min by packing (hash, position) into a single BIGINT key:
+        key = hash·2^21 + (2^21 − 1 − pos)
+    so the numeric minimum is exactly (min hash, max pos). hash < 2^31
+    (md5-derived), pos < 2^21 → key < 2^52, exact in int64 on any
+    engine. Docs with fewer than w k-grams contribute their global
+    minimum (one fingerprint) instead of vanishing.
+
+    Scale shape: posexplode + lead() k-gram assembly (whole-stage
+    codegen, same as shingle_rows), two window passes over the SAME
+    (id, pos) ordering — one shuffle total — then a distinct at
+    fingerprint granularity. No UDFs, no driver state.
+
+    Output: (id_col, fp_pos, fp_hash) — distinct selected fingerprints;
+    fp_pos is the 0-based k-gram index.
+    """
+    from clinical_vector_search_spark.functions.hashing import md5_long
+
+    POSCAP = 1 << 21
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokenize(text_col)).alias("pos", "tok")
+    )
+    wl = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("tok")] + [F.lead("tok", j).over(wl) for j in range(1, k)]
+    grams = (
+        toks.select(
+            F.col(id_col),
+            F.col("pos"),
+            F.concat_ws(" ", *parts).alias("gram"),
+            parts[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull() & (F.col("pos") < POSCAP))
+        .select(
+            id_col,
+            "pos",
+            (md5_long(F.col("gram")) % F.lit(1 << 31)).alias("khash"),
+        )
+    )
+    key = F.col("khash") * POSCAP + (F.lit(POSCAP - 1) - F.col("pos"))
+    wf = Window.partitionBy(id_col).orderBy("pos").rowsBetween(0, w - 1)
+    wp = Window.partitionBy(id_col)
+    windowed = grams.select(
+        F.col(id_col),
+        F.min(key).over(wf).alias("_wmin"),
+        F.count("*").over(wf).alias("_cnt"),
+        F.count("*").over(wp).alias("_n"),
+        "pos",
+    )
+    sel = windowed.filter(
+        (F.col("_cnt") == w) | ((F.col("pos") == 0) & (F.col("_n") < w))
+    )
+    # POSCAP is 2^21, so unpack with exact integer bit ops (shift/mask),
+    # never float division
+    return sel.select(
+        F.col(id_col),
+        (
+            F.lit(POSCAP - 1) - F.col("_wmin").bitwiseAND(F.lit(POSCAP - 1))
+        ).alias("fp_pos"),
+        F.shiftright(F.col("_wmin"), 21).alias("fp_hash"),
+    ).distinct()

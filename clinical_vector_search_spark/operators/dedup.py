@@ -1525,3 +1525,78 @@ def jaccard_prefix_pairs(
         )
         .filter(F.col("jaccard") >= tau)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    shingle_size: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment C(A,B) = |A∩B| / |A| for every doc pair
+    sharing ≥1 shingle — the superset-duplicate detector Jaccard misses:
+    an article quoted whole inside a much longer page has tiny Jaccard
+    (union is huge) but containment ≈ 1, which is exactly the
+    wrapped-boilerplate / quoted-retraction shape in web corpora
+    (Broder's "containment", the other half of the resemblance paper
+    that gave us shingle Jaccard).
+
+    Same postings-join skeleton as ngram_jaccard_pairs (one shingle
+    equi-join, sizes joined back at pair granularity — never all-pairs);
+    emits DIRECTED rows (a contained-in b AND b contained-in a are
+    separate judgements), keeping only sides that clear ``threshold``.
+    The symmetric max-containment dedup rule is a trivial consumer.
+    ``df_cap`` is the same stopword-shingle skew guard.
+
+    Output: (small_id, big_id, n_small, n_big, common, containment) with
+    containment = common / n_small rounded to 6.
+    """
+    sh = TXT.shingle_rows(
+        df, shingle_size, text_col, id_col, distinct=True
+    ).withColumnRenamed(id_col, "doc")
+    if df_cap is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+        sh = sh.join(freq.filter(F.col("sdf") <= df_cap), "shingle").select(
+            "doc", "shingle"
+        )
+    sh = sh.cache()
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc").alias("a_id"), "shingle")
+    b = sh.select(F.col("doc").alias("b_id"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count("*").alias("common"))
+    )
+    sized = common.join(
+        sizes.withColumnRenamed("doc", "a_id").withColumnRenamed(
+            "n_sh", "na"
+        ),
+        "a_id",
+    ).join(
+        sizes.withColumnRenamed("doc", "b_id").withColumnRenamed(
+            "n_sh", "nb"
+        ),
+        "b_id",
+    )
+    # one undirected pair row -> up to two directed containment rows
+    fwd = sized.select(
+        F.col("a_id").alias("small_id"),
+        F.col("b_id").alias("big_id"),
+        F.col("na").alias("n_small"),
+        F.col("nb").alias("n_big"),
+        "common",
+        F.round(F.col("common") / F.col("na"), 6).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("b_id").alias("small_id"),
+        F.col("a_id").alias("big_id"),
+        F.col("nb").alias("n_small"),
+        F.col("na").alias("n_big"),
+        "common",
+        F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)

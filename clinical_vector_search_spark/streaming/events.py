@@ -2043,3 +2043,98 @@ def ewma_bounded(
         "value",
         F.round(num / den, 6).alias("ewma"),
     )
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    burn_in_days: int = 28,
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+) -> DataFrame:
+    """Two-sided CUSUM change-point detection over each group's daily
+    mean series (Page 1954): flag days where the cumulative evidence of
+    a mean shift exceeds h·σ, with slack k·σ absorbing noise.
+
+    The textbook recursion S_t = max(0, S_{t-1} + (x_t − μ − kσ)) looks
+    sequential, but has a closed form the distributed engine can run:
+        S_t = U_t − min_{j ≤ t} U_j,   U = prefix-sum of (x − μ − kσ)
+    — a running sum minus a running minimum, BOTH plain window
+    functions over the group's day order. The lower side mirrors it with
+    y = (μ − kσ) − x. No recursion, no state carried row-to-row, no UDF.
+
+    Reference μ/σ come from each group's first ``burn_in_days`` days
+    (estimating them over the full series would let the shifted regime
+    contaminate its own baseline and mute the alarm). Groups whose
+    burn-in std is 0 are excluded (no noise scale to calibrate against).
+
+    Both statistics and the threshold are rounded to 6dp before the >
+    compare (rounded-before-compare rule).
+
+    Scale shape: one day-granularity aggregation over the events, then
+    per-group windows (cumsum + running min) at day granularity and
+    broadcast burn-in stat frames — nothing above |groups|·|days| rows
+    after the first agg.
+
+    Output: alarm rows (group, day, x, s_up, s_dn, alarm_up, alarm_dn).
+    """
+    daily = (
+        events.select(
+            F.col(group_col).alias("grp"),
+            F.to_date("ts").alias("day"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("grp", "day")
+        .agg(F.avg("_v").alias("x"))
+    )
+    first = daily.groupBy("grp").agg(F.min("day").alias("_d0"))
+    burn = (
+        daily.join(F.broadcast(first), "grp")
+        .filter(
+            F.col("day") < F.date_add(F.col("_d0"), burn_in_days)
+        )
+        .groupBy("grp")
+        .agg(
+            F.avg("x").alias("_mu"),
+            F.stddev_pop("x").alias("_sd"),
+        )
+        .filter(F.col("_sd") > 0)
+    )
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_stats = daily.join(F.broadcast(burn), "grp")
+    y_up = F.col("x") - (F.col("_mu") + k_sigma * F.col("_sd"))
+    y_dn = (F.col("_mu") - k_sigma * F.col("_sd")) - F.col("x")
+    cum = with_stats.select(
+        "grp",
+        "day",
+        "x",
+        "_sd",
+        F.sum(y_up).over(w).alias("_u"),
+        F.sum(y_dn).over(w).alias("_d"),
+    )
+    s_up = F.col("_u") - F.min("_u").over(w)
+    s_dn = F.col("_d") - F.min("_d").over(w)
+    thr = F.round(F.lit(h_sigma) * F.col("_sd"), 6)
+    scored = cum.select(
+        "grp",
+        "day",
+        F.round("x", 6).alias("x"),
+        F.round(s_up, 6).alias("s_up"),
+        F.round(s_dn, 6).alias("s_dn"),
+        (F.round(s_up, 6) > thr).alias("alarm_up"),
+        (F.round(s_dn, 6) > thr).alias("alarm_dn"),
+    )
+    return scored.filter(F.col("alarm_up") | F.col("alarm_dn")).select(
+        F.col("grp").alias(group_col),
+        "day",
+        "x",
+        "s_up",
+        "s_dn",
+        "alarm_up",
+        "alarm_dn",
+    )

@@ -727,3 +727,30 @@ def test_jaccard_prefix_exact_boundary_no_float_miss(spark):
     }
     assert full == {(1, 2): 0.8}  # the pair really is exactly at τ
     assert got == full
+
+
+def test_containment_catches_superset_dup_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer page: containment of
+    the short side ~1.0 while Jaccard stays far below any dedup
+    threshold — the directed judgement is what finds it."""
+    from clinical_vector_search_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i}" for i in range(80))
+    rows = [(1, quote), (2, filler + " " + quote + " " + filler[::-1].lower())]
+    # make doc2's filler tokens distinct words, not reversed garbage
+    rows[1] = (2, filler + " " + quote + " " + " ".join(
+        f"tail{i}" for i in range(80)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cp = {
+        (r.small_id, r.big_id): r
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert (1, 2) in cp
+    assert cp[(1, 2)].containment == 1.0  # every shingle of 1 is in 2
+    assert (2, 1) not in cp  # the long side is NOT contained in the short
+    jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
+    assert jac == []  # jaccard misses the superset dup at any sane cut

@@ -1324,3 +1324,45 @@ def test_ewma_bounded_truncates_to_k_tail(spark):
     assert sorted(
         r.event_id for r in ewma_bounded(df2, alpha=0.25, k=2).collect()
     ) == [0, 1, 2]
+
+
+def test_cusum_closed_form_matches_recursion_and_detects_shift(spark):
+    """The window-function CUSUM (cumsum - running min) must equal the
+    sequential S_t = max(0, S_{t-1} + y_t) recursion exactly, and a mean
+    shift after a stationary burn-in must raise the upper alarm at or
+    after the true change day, never before."""
+    import numpy as np
+
+    from clinical_vector_search_spark.streaming.events import (
+        cusum_changepoints,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(10.0, 1.0, 40)
+    shifted = rng.normal(13.0, 1.0, 20)  # +3 sigma shift at day 40
+    series = np.concatenate([base, shifted])
+    import datetime
+
+    start = datetime.date(2026, 1, 1)
+    rows = [
+        (i, f"{start + datetime.timedelta(days=i)} 12:00:00", "m", float(v))
+        for i, v in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, event_type string, value double"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = cusum_changepoints(
+        df, burn_in_days=28, k_sigma=0.5, h_sigma=5.0
+    ).collect()
+    alarm_days = sorted(str(r.day) for r in out if r.alarm_up)
+    assert alarm_days, "shift never detected"
+    assert alarm_days[0] >= str(start + datetime.timedelta(days=40))
+    # closed form == recursion, on the full scored series (alarmed rows)
+    mu = series[:28].mean()
+    sd = series[:28].std()
+    s, seq = 0.0, {}
+    for i, v in enumerate(series):
+        s = max(0.0, s + (v - (mu + 0.5 * sd)))
+        seq[str(start + datetime.timedelta(days=i))] = round(s, 6)
+    for r in out:
+        assert abs(r.s_up - seq[str(r.day)]) < 1e-6

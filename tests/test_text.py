@@ -617,3 +617,65 @@ def test_canonicalize_url_goldens(spark):
     assert got[6] == got[7] == "example.com"
     # path case is KEPT (paths are case-sensitive, hosts are not)
     assert "Docs" in got[0]
+
+
+def test_winnowing_matches_sequential_reference(spark):
+    """The packed-key window-min selection must equal the sequential
+    'min per window, ties rightmost' rule of Schleimer et al. 2003."""
+    import hashlib
+
+    from clinical_vector_search_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog the quick brown cat"
+    k, w = 3, 4
+    toks = text.lower().split()
+    grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+    def h(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:15], 16) % (1 << 31)
+
+    hs = [h(g) for g in grams]
+    expected = set()
+    for i in range(len(hs) - w + 1):
+        window = hs[i : i + w]
+        m = min(window)
+        # rightmost occurrence of the min
+        j = max(idx for idx, v in enumerate(window) if v == m)
+        expected.add((i + j, m))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = {
+        (r.fp_pos, r.fp_hash)
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    assert got == expected
+    # short doc (< w k-grams): exactly its global min survives
+    short = "alpha beta gamma delta"  # 2 k-grams < w
+    df2 = spark.createDataFrame([(2, short)], "doc_id long, text string")
+    out2 = winnowing_fingerprints(df2, k=k, w=w).collect()
+    g2 = [" ".join(short.split()[i : i + k]) for i in range(2)]
+    h2 = [h(x) for x in g2]
+    m = min(h2)
+    j = max(i for i, v in enumerate(h2) if v == m)
+    assert {(r.fp_pos, r.fp_hash) for r in out2} == {(j, m)}
+
+
+def test_winnowing_shared_run_guarantee(spark):
+    """Two docs sharing a run of >= w+k-1 words must share >= 1
+    fingerprint hash (the paper's no-false-negative threshold)."""
+    from clinical_vector_search_spark.functions.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 3, 4
+    shared = "one two three four five six"  # 6 = w+k-1 words
+    d1 = "aaa bbb ccc " + shared + " ddd eee"
+    d2 = "zzz yyy " + shared + " xxx www vvv"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    fp = winnowing_fingerprints(df, k=k, w=w).collect()
+    h1 = {r.fp_hash for r in fp if r.doc_id == 1}
+    h2 = {r.fp_hash for r in fp if r.doc_id == 2}
+    assert h1 & h2, "shared run produced no shared fingerprint"

@@ -846,6 +846,26 @@ def main() -> int:
         and "BatchEvalPython" not in plan,
     )
 
+    # 44. CUSUM: day-granularity agg + per-group windows + broadcast
+    # burn-in stats — join-free of shuffle joins, expression-only
+    plan = formatted(E.q_events_cusum(spark, SF_DIR))
+    check(
+        "cusum: broadcast stats, windowed closed form, no python eval",
+        n_nodes(plan, "SortMergeJoin") == 0
+        and "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan
+        and "CartesianProduct" not in plan,
+    )
+
+    # 45. winnowing: the two window passes share ONE (doc_id, pos)
+    # ordering — a single hash exchange on doc_id feeds lead(), the
+    # frame-min, and the partition counts; no joins at all
+    plan = formatted(E.q_text_winnowing(spark, SF_DIR))
+    check(
+        "winnowing: join-free, single doc-key exchange chain",
+        n_any_join(plan) == 0 and "CartesianProduct" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
