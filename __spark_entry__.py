@@ -2595,6 +2595,29 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-overlap of user-days across event types via a
+    DETERMINISTIC md5-derived HyperLogLog (operators/sketch.py
+    hll_md5_registers/hll_overlap): |A∩B| ≈ est(A)+est(B)−est(A∪B),
+    union = per-bucket register max. Unlike the built-in DataSketches
+    binary (events_distinct_hll, rows-only by design), every register,
+    estimate, and union here is bit-reproducible in ANY engine with md5
+    + integer ops — so the WHOLE sketch algebra is oracle-checked, and
+    the exact overlap rides along as the calibration column. Registers
+    are ≤4096 rows/group: the pair algebra never touches raw events."""
+    from clinical_vector_search_spark.operators.sketch import hll_overlap
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.concat_ws(
+            ":",
+            F.col("user_id").cast("string"),
+            F.date_format(F.to_date("ts"), "yyyy-MM-dd"),
+        ).alias("user_day"),
+    )
+    return hll_overlap(ev, "event_type", "user_day")
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed shingle-containment pairs (operators/dedup.py
     containment_pairs — Broder's containment, the superset-dup detector
@@ -4602,6 +4625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_winnowing": q_text_winnowing,
         "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
         "dedup_containment": q_dedup_containment,
+        "events_hll_overlap": q_events_hll_overlap,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -8154,6 +8178,79 @@ def oracle_sql() -> dict[str, str]:
           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 5
+    """
+
+    # deterministic HLL twin: identical md5 register math in SQL.
+    # DuckDB bin() strips leading zeros exactly like Spark conv(.,10,2),
+    # so bit-length == string length on both engines.
+    _HLL_EST = """
+        SELECT {keys}, round(
+            CASE WHEN e_raw <= 2.5 * 4096.0 AND (4096 - v) > 0
+                 THEN 4096.0 * ln(4096.0 / (4096 - v))
+                 ELSE e_raw END, 4) AS {out}
+        FROM (
+            SELECT {keys}, v,
+                   ((0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0)
+                   / (sp + (4096 - v)) AS e_raw
+            FROM (SELECT {keys}, count(*) AS v,
+                         sum(pow(2.0, -m)) AS sp
+                  FROM {regs} GROUP BY {keys}) t
+        ) t2
+    """
+
+    s["events_hll_overlap"] = f"""
+        WITH e AS (
+            SELECT event_type AS grp,
+                   user_id::VARCHAR || ':' || strftime(ts::DATE, '%Y-%m-%d')
+                       AS v
+            FROM events
+        ),
+        h AS (SELECT grp, {_MD5L.format(x="v")} AS hv FROM e),
+        regs AS (
+            SELECT grp, hv % 4096 AS bucket,
+                   max(CASE WHEN (hv // 4096) = 0 THEN 49
+                            ELSE 48 - length(bin(hv // 4096)) + 1
+                       END)::BIGINT AS m
+            FROM h GROUP BY 1, 2
+        ),
+        est AS ({_HLL_EST.format(keys="grp", out="est_g", regs="regs")}),
+        pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b
+            FROM (SELECT DISTINCT grp FROM regs) a
+            JOIN (SELECT DISTINCT grp FROM regs) b ON a.grp < b.grp
+        ),
+        uregs AS (
+            SELECT grp_a, grp_b, bucket, max(m) AS m
+            FROM (
+                SELECT p.grp_a, p.grp_b, r.bucket, r.m
+                FROM pairs p JOIN regs r ON r.grp = p.grp_a
+                UNION ALL
+                SELECT p.grp_a, p.grp_b, r.bucket, r.m
+                FROM pairs p JOIN regs r ON r.grp = p.grp_b
+            ) t GROUP BY 1, 2, 3
+        ),
+        estu AS ({_HLL_EST.format(
+            keys="grp_a, grp_b", out="est_union", regs="uregs")}),
+        dv AS (SELECT DISTINCT grp, v FROM e),
+        sizes AS (SELECT grp, count(*)::BIGINT AS n FROM dv GROUP BY 1),
+        exact AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   count(*)::BIGINT AS exact_overlap
+            FROM dv a JOIN dv b ON a.v = b.v AND a.grp < b.grp
+            GROUP BY 1, 2
+        )
+        SELECT u.grp_a, u.grp_b,
+               sa.n AS exact_a, sb.n AS exact_b,
+               coalesce(x.exact_overlap, 0)::BIGINT AS exact_overlap,
+               round(ea.est_g + eb.est_g - u.est_union, 4) AS est_overlap,
+               round(abs(ea.est_g + eb.est_g - u.est_union
+                         - coalesce(x.exact_overlap, 0)), 4) AS abs_err
+        FROM estu u
+        JOIN est ea ON ea.grp = u.grp_a
+        JOIN est eb ON eb.grp = u.grp_b
+        LEFT JOIN exact x ON x.grp_a = u.grp_a AND x.grp_b = u.grp_b
+        JOIN sizes sa ON sa.grp = u.grp_a
+        JOIN sizes sb ON sb.grp = u.grp_b
     """
 
     s["dedup_containment"] = f"""

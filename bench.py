@@ -307,6 +307,27 @@ def main() -> None:
 
         return E.q_doc_dsir_weights(spark, sf_dir)
 
+    def bench_winnowing():
+        # winnowing fingerprint digest (r8): posexplode + two window
+        # passes over one doc-key exchange — the MOSS selection rule
+        import __spark_entry__ as E
+
+        return E.q_text_winnowing(spark, sf_dir)
+
+    def bench_basket():
+        # market-basket lift (r8): distinct-bounded basket self-join +
+        # broadcast support joins
+        import __spark_entry__ as E
+
+        return E.q_rel_basket_pairs(spark, sf_dir)
+
+    def bench_cusum():
+        # CUSUM change points (r8): day-granularity agg + windowed
+        # closed-form recursion
+        import __spark_entry__ as E
+
+        return E.q_events_cusum(spark, sf_dir)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -341,6 +362,9 @@ def main() -> None:
         "events_session_paths": bench_session_paths,
         "rel_pricing_summary": bench_pricing,
         "dsir_weights": bench_dsir,
+        "winnowing_fp": bench_winnowing,
+        "basket_pairs": bench_basket,
+        "events_cusum": bench_cusum,
     }
 
     # Throwaway end-to-end run of the flagship query before ANY timing

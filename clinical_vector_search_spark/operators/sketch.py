@@ -433,3 +433,181 @@ def mad_outliers(
             F.sum(is_out.cast("long")).alias("n_outliers"),
         )
     )
+
+
+# --- deterministic (md5-derived) HyperLogLog -------------------------------
+# The built-in hll_sketch_agg above is the production path but its binary
+# is engine-specific (rows-only checkable). This variant derives buckets
+# and leading-zero ranks from md5 arithmetic, so registers, estimates, and
+# set-algebra (union via per-bucket max) are bit-identical in any engine
+# with md5 + integer ops — the cross-engine-auditable sketch.
+
+HLL_P = 12  # 2^12 = 4096 registers; md5_long leaves 48 rank bits
+
+
+def hll_md5_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """Per-group deterministic HLL registers: (group..., bucket, m) with
+    m = max over values of rho(value), rho = leading-zero count + 1 of
+    the 48-bit hash window. bucket = low 12 bits of md5_long; the rank
+    window is the remaining 48 bits, its bit-length read off the binary
+    string (integer-exact, no float log2). Registers are mergeable by
+    per-bucket max — the HLL union identity.
+
+    Scale shape: one (group, bucket)-granularity agg — ≤ 4096 rows per
+    group regardless of cardinality, map-side combinable.
+    """
+    from clinical_vector_search_spark.functions.hashing import md5_long
+
+    m = 1 << HLL_P
+    h = md5_long(F.col(value_col).cast("string"))
+    bucket = (h % m).cast("long")
+    w = F.shiftright(h, HLL_P)  # 48 usable bits
+    # bit length via binary-string length: floor(log2(w)) + 1, exact
+    rho = F.when(w == 0, F.lit(48 + 1)).otherwise(
+        F.lit(48) - F.length(F.conv(w, 10, 2)) + 1
+    )
+    return (
+        df.select(*group_cols, bucket.alias("bucket"), rho.alias("_rho"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("_rho").cast("long").alias("m"))
+    )
+
+
+def hll_md5_estimate(
+    registers: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Cardinality estimate from deterministic registers (Flajolet et al.
+    2007, with the small-range linear-counting correction): per group,
+        S = Σ_j 2^-M_j  (absent buckets count as 2^0 = 1),
+        E = α_m·m²/S;  if E ≤ 2.5m and zeros Z > 0: E = m·ln(m/Z).
+    Estimates rounded to 4 decimals (double transcendentals are the only
+    cross-engine risk; round-before-compare).
+    """
+    m = 1 << HLL_P
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    per = registers.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("_v"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("_s_present"),
+    )
+    s = F.col("_s_present") + (F.lit(m) - F.col("_v"))
+    e_raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("_v")
+    e = F.when(
+        (e_raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros),
+    ).otherwise(e_raw)
+    return per.select(
+        *group_cols, F.round(e, 4).alias("n_distinct_est")
+    )
+
+
+def hll_overlap(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Pairwise distinct-overlap estimates via sketch algebra:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union sketch is the
+    per-bucket MAX of the two register sets (exact HLL union — sketches
+    never touch raw data again). Returns the calibration table against
+    the exact overlap so the estimator's error is measurable:
+    (grp_a, grp_b, exact_a, exact_b, exact_overlap, est_overlap,
+    abs_err).
+
+    Scale shape: registers are ≤ 4096 rows per group, so the pair join
+    runs at |groups|²·4096 granularity — independent of corpus size; the
+    exact side (for calibration only) is one (value, grp) dedup plus a
+    value-key self-join.
+    """
+    regs = hll_md5_registers(df, [group_col], value_col).withColumnRenamed(
+        group_col, "grp"
+    )
+    est = hll_md5_estimate(regs, ["grp"])
+    ra = regs.select(
+        F.col("grp").alias("grp_a"), "bucket", F.col("m").alias("ma")
+    )
+    rb = regs.select(
+        F.col("grp").alias("grp_b"), "bucket", F.col("m").alias("mb")
+    )
+    pairs = (
+        regs.select("grp").distinct().alias("ga")
+        .crossJoin(regs.select("grp").distinct().alias("gb"))
+        .select(
+            F.col("ga.grp").alias("grp_a"), F.col("gb.grp").alias("grp_b")
+        )
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    # a per-pair full-outer register join is awkward relationally;
+    # union-all then per-bucket max is the clean mergeable spelling
+    u = (
+        pairs.join(ra, "grp_a")
+        .select("grp_a", "grp_b", "bucket", F.col("ma").alias("m"))
+        .unionAll(
+            pairs.join(rb, "grp_b").select(
+                "grp_a", "grp_b", "bucket", F.col("mb").alias("m")
+            )
+        )
+        .groupBy("grp_a", "grp_b", "bucket")
+        .agg(F.max("m").alias("m"))
+    )
+    est_u = hll_md5_estimate(u, ["grp_a", "grp_b"]).withColumnRenamed(
+        "n_distinct_est", "est_union"
+    )
+    ea = est.select(
+        F.col("grp").alias("grp_a"), F.col("n_distinct_est").alias("est_a")
+    )
+    eb = est.select(
+        F.col("grp").alias("grp_b"), F.col("n_distinct_est").alias("est_b")
+    )
+    # exact overlap for calibration
+    dv = df.select(
+        F.col(group_col).alias("grp"), F.col(value_col).alias("v")
+    ).distinct()
+    xa = dv.select(F.col("grp").alias("grp_a"), "v")
+    xb = dv.select(F.col("grp").alias("grp_b"), "v")
+    exact = (
+        xa.join(xb, "v")
+        .filter(F.col("grp_a") < F.col("grp_b"))
+        .groupBy("grp_a", "grp_b")
+        .agg(F.count("*").cast("long").alias("exact_overlap"))
+    )
+    ex_sizes = dv.groupBy("grp").agg(F.count("*").cast("long").alias("n"))
+    exa = ex_sizes.select(
+        F.col("grp").alias("grp_a"), F.col("n").alias("exact_a")
+    )
+    exb = ex_sizes.select(
+        F.col("grp").alias("grp_b"), F.col("n").alias("exact_b")
+    )
+    return (
+        est_u.join(F.broadcast(ea), "grp_a")
+        .join(F.broadcast(eb), "grp_b")
+        .join(F.broadcast(exact), ["grp_a", "grp_b"], "left")
+        .join(F.broadcast(exa), "grp_a")
+        .join(F.broadcast(exb), "grp_b")
+        .select(
+            "grp_a",
+            "grp_b",
+            "exact_a",
+            "exact_b",
+            F.coalesce(F.col("exact_overlap"), F.lit(0)).alias(
+                "exact_overlap"
+            ),
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 4
+            ).alias("est_overlap"),
+            F.round(
+                F.abs(
+                    F.col("est_a")
+                    + F.col("est_b")
+                    - F.col("est_union")
+                    - F.coalesce(F.col("exact_overlap"), F.lit(0))
+                ),
+                4,
+            ).alias("abs_err"),
+        )
+    )

@@ -1099,3 +1099,62 @@ def test_triangle_count_star_has_none_and_hub_bound(spark):
     df2 = spark.createDataFrame(star + [(1, 2)], "src long, dst long")
     out = {r.node: r.n_triangles for r in triangle_count(df2).collect()}
     assert out == {0: 1, 1: 1, 2: 1}
+
+
+def test_hll_md5_estimate_accuracy_and_union_identity(spark):
+    """The deterministic md5 HLL: estimate within 5% at three
+    cardinalities, and sketch-of-union == per-bucket-max of sketches
+    (the algebra hll_overlap relies on)."""
+    from clinical_vector_search_spark.operators.sketch import (
+        hll_md5_estimate,
+        hll_md5_registers,
+    )
+
+    for n in (100, 2000, 20000):
+        df = spark.range(n).select(
+            F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+        )
+        regs = hll_md5_registers(df, ["g"], "v")
+        est = hll_md5_estimate(regs, ["g"]).collect()[0].n_distinct_est
+        assert abs(est - n) / n < 0.05, (n, est)
+    # union identity: A = 0..999, B = 500..1499
+    a = spark.range(0, 1000).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(500, 1500).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    both = a.unionAll(b)
+    regs = hll_md5_registers(both, ["g"], "v")
+    merged = (
+        regs.groupBy("bucket")
+        .agg(F.max("m").alias("m"))
+        .withColumn("g", F.lit("u"))
+    )
+    direct = hll_md5_registers(
+        both.select(F.lit("u").alias("g"), "v"), ["g"], "v"
+    )
+    m1 = {r.bucket: r.m for r in merged.collect()}
+    m2 = {r.bucket: r.m for r in direct.collect()}
+    assert m1 == m2
+    est_u = hll_md5_estimate(direct, ["g"]).collect()[0].n_distinct_est
+    assert abs(est_u - 1500) / 1500 < 0.05
+
+
+def test_hll_overlap_calibration(spark):
+    """Inclusion-exclusion overlap estimate lands within ~6% of the true
+    intersection for half-overlapping kilosets."""
+    from clinical_vector_search_spark.operators.sketch import hll_overlap
+
+    a = spark.range(0, 1000).select(
+        F.lit("a").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    b = spark.range(500, 1500).select(
+        F.lit("b").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    out = hll_overlap(a.unionAll(b), "g", "v").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.exact_a, r.exact_b, r.exact_overlap) == (1000, 1000, 500)
+    assert abs(r.est_overlap - 500) < 60
+    assert abs(r.abs_err - abs(r.est_overlap - 500)) < 1e-6
