@@ -2595,6 +2595,81 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit across (source × lang) corpus
+    slices (functions/text.py heaps_fit): OLS of ln(V) on ln(N), one
+    (tokens, distinct-terms) agg per slice — the scaling companion of
+    zipf_fit's frequency-distribution read. One row out."""
+    from clinical_vector_search_spark.functions.text import heaps_fit
+
+    d = _docs(spark, sf_dir).withColumn(
+        "slice_key",
+        F.concat(
+            F.coalesce(F.col("source"), F.lit("?")),
+            F.lit("|"),
+            F.coalesce(F.col("lang"), F.lit("?")),
+        ),
+    )
+    return heaps_fit(d, group_col="slice_key")
+
+
+def q_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-based query expansion feeding BM25, all in ONE plan: each
+    query term is expanded with its top-2 PMI collocates (mined from the
+    corpus itself — pseudo-thesaurus expansion) at half weight, and the
+    expanded (query_id, term, qw) frame drives bm25_topk_set_df — no
+    collect between mining and retrieval. PMI is rounded BEFORE the
+    top-2 rank (tie → term asc); scores rounded before the top-10 cut.
+    Scale shape: PMI's doc-key self-join is support-cut-bounded; the
+    expansion table is vocabulary-sized and the query frame broadcast —
+    retrieval stays the single-exchange BM25 plan."""
+    from clinical_vector_search_spark.functions.text import pmi_cooccurrence
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set_df,
+    )
+
+    docs = _docs(spark, sf_dir)
+    pmi = pmi_cooccurrence(docs, min_count=10)
+    qterms = spark.createDataFrame(
+        [(t,) for t in BM25_TERMS], ["qterm"]
+    )
+    cand = (
+        pmi.join(F.broadcast(qterms), pmi.term_a == F.col("qterm"))
+        .select("qterm", F.col("term_b").alias("exp"), "pmi")
+        .unionAll(
+            pmi.join(F.broadcast(qterms), pmi.term_b == F.col("qterm"))
+            .select("qterm", F.col("term_a").alias("exp"), "pmi")
+        )
+    )
+    w = Window.partitionBy("qterm").orderBy(F.desc("pmi"), F.asc("exp"))
+    expansions = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            F.col("qterm").alias("query_id"),
+            F.col("exp").alias("term"),
+            F.lit(0.5).alias("qw"),
+        )
+    )
+    originals = qterms.select(
+        F.col("qterm").alias("query_id"),
+        F.col("qterm").alias("term"),
+        F.lit(1.0).alias("qw"),
+    )
+    qdf = (
+        originals.unionAll(expansions)
+        .groupBy("query_id", "term")
+        .agg(F.max("qw").alias("qw"))
+    )
+    res = bm25_topk_set_df(
+        bm25_index(docs), qdf, topk=10, round_to=6
+    )
+    return res.select(
+        "query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def q_events_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise distinct-overlap of user-days across event types via a
     DETERMINISTIC md5-derived HyperLogLog (operators/sketch.py
@@ -4626,6 +4701,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
         "dedup_containment": q_dedup_containment,
         "events_hll_overlap": q_events_hll_overlap,
+        "rag_query_expansion": q_rag_query_expansion,
+        "text_heaps_fit": q_text_heaps_fit,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -8178,6 +8255,100 @@ def oracle_sql() -> dict[str, str]:
           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 5
+    """
+
+    s["text_heaps_fit"] = r"""
+        WITH per AS (
+            SELECT coalesce(source, '?') || '|' || coalesce(lang, '?')
+                       AS slice_key,
+                   count(*) AS n_tokens,
+                   count(DISTINCT term) AS n_vocab
+            FROM (
+                SELECT source, lang, unnest(list_filter(
+                    regexp_split_to_array(lower(trim(text)), '\s+'),
+                    t -> t <> '')) AS term
+                FROM documents
+            ) t
+            GROUP BY 1 HAVING count(*) >= 1
+        )
+        SELECT count(*)::BIGINT AS n_slices,
+               round(regr_slope(ln(n_vocab::DOUBLE),
+                                ln(n_tokens::DOUBLE)), 6) AS beta,
+               round(exp(regr_intercept(ln(n_vocab::DOUBLE),
+                                        ln(n_tokens::DOUBLE))), 6) AS k,
+               round(regr_r2(ln(n_vocab::DOUBLE),
+                             ln(n_tokens::DOUBLE)), 6) AS r2
+        FROM per HAVING count(*) >= 3
+    """
+
+    s["rag_query_expansion"] = f"""
+        WITH toks AS ({_TOKS}),
+        dt0 AS (SELECT DISTINCT doc_id, unnest(tokens) AS term
+                FROM (SELECT doc_id, tokens FROM toks)),
+        vocab AS (SELECT term, count(*) AS n_term FROM dt0
+                  GROUP BY 1 HAVING count(*) >= 10),
+        dt AS (SELECT dt0.doc_id, dt0.term, vocab.n_term
+               FROM dt0 JOIN vocab USING(term)),
+        nn AS (SELECT count(distinct doc_id)::DOUBLE AS n_docs
+               FROM documents),
+        p AS (SELECT a.term AS term_a, b.term AS term_b,
+                     a.n_term AS n_a, b.n_term AS n_b, count(*) AS n_ab
+              FROM dt a JOIN dt b ON a.doc_id=b.doc_id AND a.term < b.term
+              GROUP BY 1,2,3,4 HAVING count(*) >= 10),
+        pmi AS (SELECT term_a, term_b,
+                       round(ln(n_ab * (SELECT n_docs FROM nn)
+                                / (n_a * n_b)), 6) AS pmi
+                FROM p),
+        qt AS (SELECT * FROM (VALUES ('spark'), ('table'), ('query'))
+               AS t(qterm)),
+        cand AS (
+            SELECT qterm, term_b AS exp, pmi
+            FROM pmi JOIN qt ON term_a = qterm
+            UNION ALL
+            SELECT qterm, term_a, pmi
+            FROM pmi JOIN qt ON term_b = qterm
+        ),
+        expn AS (
+            SELECT qterm AS query_id, exp AS term, 0.5 AS qw
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY qterm ORDER BY pmi DESC, exp) AS rn
+                  FROM cand) t
+            WHERE rn <= 2
+        ),
+        q AS (
+            SELECT query_id, term, max(qw) AS qw FROM (
+                SELECT qterm AS query_id, qterm AS term, 1.0 AS qw FROM qt
+                UNION ALL SELECT * FROM expn
+            ) t GROUP BY 1, 2
+        ),
+        dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM toks),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM terms GROUP BY 1, 2),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf
+                  GROUP BY term),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl
+                  FROM dl),
+        idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5))
+                     AS raw_idf
+                 FROM dfreq CROSS JOIN stats),
+        aidf AS (SELECT avg(raw_idf) AS avg_idf FROM idf0),
+        idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf
+                                  ELSE raw_idf END AS idf
+                FROM idf0 CROSS JOIN aidf),
+        sc AS (SELECT q.query_id, tf.doc_id,
+                      round(sum(q.qw * idf.idf * tf.tf * 2.5
+                                / (tf.tf + 1.5 * (0.25
+                                   + 0.75 * dl.dl / stats.avgdl))), 6)
+                          AS bm25
+               FROM tf JOIN q USING (term) JOIN idf USING (term)
+                       JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY 1, 2)
+        SELECT query_id, doc_id, bm25, rn::BIGINT AS rank FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rn
+            FROM sc) t
+        WHERE rn <= 10
     """
 
     # deterministic HLL twin: identical md5 register math in SQL.

@@ -1032,3 +1032,53 @@ def winnowing_fingerprints(
         ).alias("fp_pos"),
         F.shiftright(F.col("_wmin"), 21).alias("fp_hash"),
     ).distinct()
+
+
+def heaps_fit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Heaps'-law fit of vocabulary growth: V ≈ K·N^β, estimated by OLS
+    of ln(V) on ln(N) across corpus slices (one (N tokens, V distinct
+    terms) point per ``group_col`` value) — the companion of
+    ``zipf_fit``: Zipf reads the frequency DISTRIBUTION, Heaps reads how
+    vocabulary SCALES with corpus size (natural text: β ≈ 0.4–0.6;
+    β drifting toward 1 means near-disjoint vocabularies — OCR noise or
+    unmerged languages; toward 0, template/boilerplate floods).
+
+    A cumulative-growth curve would need an ordered sequential scan over
+    the corpus; the per-slice formulation is the distributed-safe
+    spelling (each point is one agg) and is how the law is used for
+    QUALITY drift — comparing slices, not tracing one curve.
+
+    Returns ONE row: (n_slices, beta, k, r2), rounded to 6; K is
+    exp(intercept). Slices need N ≥ 1 and the fit ≥ 3 points.
+    """
+    per = (
+        df.select(
+            F.col(group_col).alias("slice"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        .groupBy("slice")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("term").alias("n_vocab"),
+        )
+        .filter(F.col("n_tokens") >= 1)
+    )
+    x = F.log(F.col("n_tokens").cast("double"))
+    y = F.log(F.col("n_vocab").cast("double"))
+    fit = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_slices"),
+        F.regr_slope(y, x).alias("_beta"),
+        F.regr_intercept(y, x).alias("_icpt"),
+        F.regr_r2(y, x).alias("_r2"),
+    )
+    return fit.filter(F.col("n_slices") >= 3).select(
+        "n_slices",
+        F.round("_beta", 6).alias("beta"),
+        F.round(F.exp("_icpt"), 6).alias("k"),
+        F.round("_r2", 6).alias("r2"),
+    )

@@ -133,3 +133,42 @@ def test_tfidf_cosine_topk_hand_check(spark):
     assert got[0][:2] == (1, 1) and abs(got[0][2] - 1.0) < 1e-9
     assert [g[1] for g in got] == [1, 2]
     assert got[1][2] == 0.0
+
+
+def test_query_expansion_broadens_retrieval(spark):
+    """PMI expansion must add terms to the query frame and pull in docs a
+    plain single-term query cannot reach (docs containing only the
+    collocate, not the original term)."""
+    from clinical_vector_search_spark.functions.text import pmi_cooccurrence
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_topk_set_df,
+    )
+
+    # 30 docs: 'alpha' and 'bravo' co-occur strongly; 5 docs have ONLY
+    # 'bravo' — reachable solely through expansion
+    rows = [(i, "alpha bravo filler%d" % i) for i in range(25)]
+    rows += [(100 + i, "bravo lonely%d" % i) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pmi = pmi_cooccurrence(df, min_count=5)
+    pairs = {(r.term_a, r.term_b) for r in pmi.collect()}
+    assert ("alpha", "bravo") in pairs
+    idx = bm25_index(df)
+    plain = spark.createDataFrame(
+        [("q", "alpha", 1.0)], ["query_id", "term", "qw"]
+    )
+    expanded = spark.createDataFrame(
+        [("q", "alpha", 1.0), ("q", "bravo", 0.5)],
+        ["query_id", "term", "qw"],
+    )
+    got_plain = {
+        r.doc_id
+        for r in bm25_topk_set_df(idx, plain, 30, round_to=6).collect()
+    }
+    got_exp = {
+        r.doc_id
+        for r in bm25_topk_set_df(idx, expanded, 30, round_to=6).collect()
+    }
+    only = {100 + i for i in range(5)}
+    assert not (only & got_plain)
+    assert only <= got_exp

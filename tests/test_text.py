@@ -679,3 +679,32 @@ def test_winnowing_shared_run_guarantee(spark):
     h1 = {r.fp_hash for r in fp if r.doc_id == 1}
     h2 = {r.fp_hash for r in fp if r.doc_id == 2}
     assert h1 & h2, "shared run produced no shared fingerprint"
+
+
+def test_heaps_fit_numpy_parity_and_beta_range(spark):
+    """OLS parity with NumPy on synthetic slices obeying V = 3*N^0.5."""
+    import numpy as np
+
+    from clinical_vector_search_spark.functions.text import heaps_fit
+
+    # build slices whose (n_tokens, n_vocab) hit exact Heaps points:
+    # slice i has n distinct words repeated to n_tokens total
+    rows = []
+    pts = []
+    for i, n_tokens in enumerate([100, 400, 1600, 6400]):
+        n_vocab = int(3 * n_tokens**0.5)
+        words = [f"s{i}w{j}" for j in range(n_vocab)]
+        text = " ".join(words[j % n_vocab] for j in range(n_tokens))
+        rows.append((i, f"src{i}", text))
+        pts.append((n_tokens, n_vocab))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = heaps_fit(df, group_col="source").collect()
+    assert len(out) == 1
+    r = out[0]
+    x = np.log([p[0] for p in pts])
+    y = np.log([p[1] for p in pts])
+    beta, icpt = np.polyfit(x, y, 1)
+    assert abs(r.beta - round(beta, 6)) < 1e-6
+    assert abs(r.k - round(float(np.exp(icpt)), 6)) < 1e-4
+    assert 0.45 < r.beta < 0.55  # int() floors keep it near 0.5
+    assert r.r2 > 0.999
