@@ -2595,6 +2595,34 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-order part graph (operators/graph.py kcore):
+    4 fixed peeling iterations (degree agg + two semi-joins each,
+    localCheckpoint-pinned — the PageRank iterative discipline; the
+    oracle unrolls the identical 4 peels). Output: surviving nodes with
+    their in-core degree."""
+    from clinical_vector_search_spark.operators.graph import kcore
+
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("src", "dst")
+    )
+    return kcore(edges, k=3, n_iter=4).select(
+        F.col("node").cast("long").alias("node"), "core_deg"
+    )
+
+
 def q_text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heaps'-law vocabulary-growth fit across (source × lang) corpus
     slices (functions/text.py heaps_fit): OLS of ln(V) on ln(N), one
@@ -4703,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hll_overlap": q_events_hll_overlap,
         "rag_query_expansion": q_rag_query_expansion,
         "text_heaps_fit": q_text_heaps_fit,
+        "graph_kcore": q_graph_kcore,
         "events_scd2_asof_features": q_events_scd2_asof_features,
         "doc_url_dedup": q_doc_url_dedup,
         "events_user_split": q_events_user_split,
@@ -8255,6 +8284,42 @@ def oracle_sql() -> dict[str, str]:
           ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
         GROUP BY 1, 2
         HAVING count(*) >= 5
+    """
+
+    # k-core: unroll the SAME 4 fixed peeling iterations the Spark side
+    # runs (kcore n_iter=4, k=3) — iteration parity is the contract
+    _kcore_iters = []
+    prev = "e0"
+    for i in range(1, 5):
+        _kcore_iters.append(
+            f"""d{i} AS MATERIALIZED (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT u AS node FROM {prev}
+                    UNION ALL SELECT v FROM {prev}
+                ) t GROUP BY node
+            ),
+            k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= 3),
+            e{i} AS MATERIALIZED (
+                SELECT u, v FROM {prev}
+                WHERE u IN (SELECT node FROM k{i})
+                  AND v IN (SELECT node FROM k{i})
+            )"""
+        )
+        prev = f"e{i}"
+    s["graph_kcore"] = f"""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS u, b.p AS v
+            FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        {", ".join(_kcore_iters)}
+        SELECT node::BIGINT AS node, count(*)::BIGINT AS core_deg FROM (
+            SELECT u AS node FROM e4 UNION ALL SELECT v FROM e4
+        ) t GROUP BY node
     """
 
     s["text_heaps_fit"] = r"""

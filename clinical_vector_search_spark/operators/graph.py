@@ -178,3 +178,57 @@ def triangle_count(
         .agg(F.count("*").cast("long").alias("n_triangles"))
     )
     return tri_nodes
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    n_iter: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core peeling: repeatedly delete nodes of degree < k until the
+    k-core remains (every surviving node has ≥ k neighbors INSIDE the
+    core) — the dense-subgraph extractor behind spam-cluster mining and
+    community seeds; the iterative cousin of ``triangle_count``'s static
+    density read.
+
+    Fixed ``n_iter`` peels (the PageRank/BPE iterative-agg discipline:
+    a deterministic iteration count keeps the plan — and any SQL oracle
+    that unrolls it — exactly reproducible; real peeling converges in a
+    handful of rounds on power-law graphs because each round removes a
+    degree-layer, and the remaining frame shrinks monotonically). Each
+    iteration is ONE degree aggregation + TWO endpoint semi-joins on the
+    surviving node set, localCheckpoint-pinned so lineage stays flat.
+
+    Output: (node, core_deg) — the subgraph degree of each surviving
+    node after the final peel (core_deg ≥ k iff converged; callers can
+    assert min(core_deg) ≥ k as the convergence check).
+    """
+    cur = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("u"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    for _ in range(n_iter):
+        deg = (
+            cur.select(F.col("u").alias("node"))
+            .unionAll(cur.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node")
+        cur = (
+            cur.join(
+                keep.withColumnRenamed("node", "u"), "u", "left_semi"
+            ).join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+        ).localCheckpoint()
+    return (
+        cur.select(F.col("u").alias("node"))
+        .unionAll(cur.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("core_deg"))
+    )

@@ -754,3 +754,22 @@ def test_containment_catches_superset_dup_jaccard_misses(spark):
     assert (2, 1) not in cp  # the long side is NOT contained in the short
     jac = ngram_jaccard_pairs(df, threshold=0.5).collect()
     assert jac == []  # jaccard misses the superset dup at any sane cut
+
+
+def test_kcore_peels_to_dense_core(spark):
+    """K5 plus a chain of pendants: the 3-core is exactly the K5 (every
+    K5 node has in-core degree 4); pendant/chain nodes peel away even
+    though the chain's middle node starts at degree 2 < 3 and the
+    tail attaches to the core."""
+    from clinical_vector_search_spark.operators.graph import kcore
+
+    k5 = [(u, v) for u in range(5) for v in range(u + 1, 5)]
+    # chain 4-10-11-12 hanging off core node 4, plus a triangle pendant
+    extra = [(4, 10), (10, 11), (11, 12), (10, 13), (11, 13)]
+    df = spark.createDataFrame(k5 + extra, "src long, dst long")
+    out = {r.node: r.core_deg for r in kcore(df, k=3, n_iter=4).collect()}
+    assert out == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4}
+    # k=2: the pendant triangle {10,11,13} survives with the chain gone
+    out2 = {r.node: r.core_deg for r in kcore(df, k=2, n_iter=4).collect()}
+    assert set(out2) == {0, 1, 2, 3, 4, 10, 11, 13}
+    assert all(d >= 2 for d in out2.values())
