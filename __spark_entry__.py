@@ -4689,17 +4689,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 23 entries NEW in r8 (never driver-checked) lead
+    #   1. the 33 entries NEW in r8 (never driver-checked) lead
     #      (vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
     #      rel_disjunctive_join/rel_idle_customers, then the late-r8
-    #      batch: Q17/Q21/Q15/Q7 shapes, basket pairs, triangles,
-    #      seasonal index/outliers, bounded EWMA);
+    #      batches: Q17/Q21/Q15/Q7/Q11 shapes, basket pairs, triangles
+    #      + k-core, seasonal index/outliers, bounded EWMA, CUSUM,
+    #      Gini, winnowing ×2, containment, md5-HLL overlap, query
+    #      expansion, Heaps fit);
     #   2. the 34 entries whose last driver row is r4 (streaming
-    #      replays, IVF-PQ family, rel_* windows, samplers) — the
-    #      overflow the r7 window could not also cover (48 new + 36
-    #      stale > 50); every one verified green locally this round;
-    #      23 + 34 > 50, so the trailing r4 entries past the window
-    #      (io_partitioned_roundtrip onward) MUST lead r9;
+    #      replays, IVF-PQ family, rel_* windows, samplers) — every one
+    #      verified green locally this round; 33 + 34 > 50, so the
+    #      ~17 r4 entries past the window (events_sessionize_skew /
+    #      knn_pq_adc onward) MUST lead r9 with any r8 leftovers;
     #   3. entries last green in r5 — next-stalest;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
