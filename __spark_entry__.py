@@ -4685,12 +4685,101 @@ def q_knn_hamming_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over user lifetimes in elapsed hours
+    (operators/stats.py kaplan_meier): exact integer-ns floor-div
+    lifetimes, right-censored at a 72-hour horizon before the corpus
+    max timestamp, S(t) as exp(window-cumsum of ln(1 − d/n)) — the
+    sequential product run as two window passes at distinct-lifetime
+    granularity. The only fact-table shuffle is the per-user agg."""
+    from clinical_vector_search_spark.operators.stats import kaplan_meier
+
+    return kaplan_meier(_events(spark, sf_dir))
+
+
+def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..10 (operators/stats.py acf_daily): the fact table reduces to day
+    granularity once; lag alignment is a broadcast self-join of the
+    tiny day series, so the ACF costs O(days × lags) whatever the
+    corpus size."""
+    from clinical_vector_search_spark.operators.stats import acf_daily
+
+    return acf_daily(_events(spark, sf_dir), max_lag=10)
+
+
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test + Wilson 95% intervals over an md5-nibble
+    variant split (operators/stats.py ab_test_proportions): conversion
+    = user emitted >= 1 purchase event. All statistics are closed
+    forms of four exact counts; floats appear only after the counts
+    are final (z NULL when pooled variance is 0)."""
+    from clinical_vector_search_spark.operators.stats import (
+        ab_test_proportions,
+    )
+
+    return ab_test_proportions(_events(spark, sf_dir))
+
+
+def q_rel_ols_normal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS via normal equations on EXACT integer moments
+    (operators/stats.py ols_normal): o_totalprice (cents) ~ month
+    index + high-priority flag. One map-side-combinable agg emits nine
+    BIGINT sums of products — bit-identical across engines because
+    integer addition is associative — then Cramer's rule solves the
+    3×3 system; only the final divisions are floating point."""
+    from clinical_vector_search_spark.operators.stats import ols_normal
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return ols_normal(
+        o,
+        F.round(F.col("o_totalprice") * 100, 0),
+        (F.year("o_orderdate") - F.lit(1992)) * 12 + F.month("o_orderdate"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0),
+    )
+
+
+def q_rel_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit of order totals
+    (operators/stats.py benford_digits): observed digit shares vs
+    log10(1 + 1/d) with per-digit chi-square contributions — the
+    fabricated-data / corrupted-feed screen, one map-side digit
+    extraction + a 9-group agg. (TPC-H prices are uniform-ish, so the
+    chi-square contributions are large — that mismatch IS the audit
+    signal the entry checks.)"""
+    from clinical_vector_search_spark.operators.stats import benford_digits
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_digits(o, "o_totalprice")
+
+
+def q_doc_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value of document length vs the
+    English label over n_chars deciles (operators/stats.py woe_iv):
+    the classic supervised feature-screening table. The ntile runs
+    over the total order (n_chars, doc_id) so both engines bin ties
+    identically; label is null-safe (NULL lang → 0)."""
+    from clinical_vector_search_spark.operators.stats import woe_iv
+
+    return woe_iv(
+        _docs(spark, sf_dir),
+        "n_chars",
+        F.when(F.col("lang") == "en", 1).otherwise(0),
+        "doc_id",
+        n_bins=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 33 entries NEW in r8 (never driver-checked) lead
-    #      (vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
+    #   1. the 39 entries NEW in r8 (never driver-checked) lead
+    #      (the stats family: Kaplan-Meier, ACF, A/B z-test, OLS
+    #      normal equations, Benford, WOE/IV; then
+    #      vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
     #      rel_disjunctive_join/rel_idle_customers, then the late-r8
     #      batches: Q17/Q21/Q15/Q7/Q11 shapes, basket pairs, triangles
     #      + k-core, seasonal index/outliers, bounded EWMA, CUSUM,
@@ -4698,9 +4787,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      expansion, Heaps fit);
     #   2. the 34 entries whose last driver row is r4 (streaming
     #      replays, IVF-PQ family, rel_* windows, samplers) — every one
-    #      verified green locally this round; 33 + 34 > 50, so the
-    #      ~17 r4 entries past the window (events_sessionize_skew /
-    #      knn_pq_adc onward) MUST lead r9 with any r8 leftovers;
+    #      verified green locally this round; 39 + 34 > 50, so the
+    #      ~23 r4 entries past the window (vec_pca onward) MUST lead
+    #      r9 with any r8 leftovers;
     #   3. entries last green in r5 — next-stalest;
     #   4. entries green in the r6 window;
     #   5. entries green in the r7 window — freshest, demoted last
@@ -4709,6 +4798,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     return {
         # -- 1: new in r8 (never driver-checked — lead the window) --
+        "events_kaplan_meier": q_events_kaplan_meier,
+        "events_acf": q_events_acf,
+        "events_ab_test": q_events_ab_test,
+        "rel_ols_normal": q_rel_ols_normal,
+        "rel_benford": q_rel_benford,
+        "doc_woe_iv": q_doc_woe_iv,
         "vec_binary_sign": q_vec_binary_sign,
         "knn_hamming_rerank": q_knn_hamming_rerank,
         "doc_domain_mixture": q_doc_domain_mixture,
@@ -9036,6 +9131,175 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_chars,
                row_number() OVER (ORDER BY n_chars, doc_id) AS row_id
         FROM documents
+    """
+
+    # Kaplan-Meier: the sequential survival product as exp(cumsum(ln)),
+    # mirrored window-for-window; counts cast to BIGINT (DuckDB sum is
+    # HUGEINT), survival rounded 6dp on both sides.
+    s["events_kaplan_meier"] = """
+        WITH pu AS (SELECT user_id,
+                           (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+                               // 3600000000000 AS lifetime,
+                           max(epoch_ns(ts)) AS last_ns
+                    FROM events GROUP BY user_id),
+        mx AS (SELECT max(epoch_ns(ts)) AS corpus_max_ns FROM events),
+        fl AS (SELECT lifetime,
+                      CASE WHEN corpus_max_ns - last_ns
+                                < 72 * 3600000000000
+                           THEN 0 ELSE 1 END AS death
+               FROM pu, mx),
+        bt AS (SELECT lifetime AS t,
+                      sum(death)::BIGINT AS deaths,
+                      sum(1 - death)::BIGINT AS censored,
+                      count(*)::BIGINT AS ending
+               FROM fl GROUP BY lifetime),
+        ar AS (SELECT *,
+                      sum(ending) OVER (ORDER BY t
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                      )::BIGINT AS n_at_risk
+               FROM bt)
+        SELECT t, n_at_risk, deaths, censored,
+               round(exp(sum(ln(1 - deaths::DOUBLE / n_at_risk))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)), 6) AS survival
+        FROM ar
+    """
+
+    # ACF: day series from one agg, lag alignment via a range() frame
+    s["events_acf"] = """
+        WITH daily AS (SELECT CAST(ts AS DATE) AS day, count(*) AS y
+                       FROM events GROUP BY 1),
+        base AS (SELECT date_diff('day', (SELECT min(day) FROM daily),
+                                  day) AS idx, y
+                 FROM daily),
+        lags AS (SELECT unnest(range(1, 11))::INT AS lag)
+        SELECT lag, count(*)::BIGINT AS n_pairs,
+               round(corr(a.y, b.y), 6) AS acf
+        FROM lags, base a JOIN base b ON a.idx = b.idx + lag
+        GROUP BY lag
+    """
+
+    # two-proportion z-test: same md5-nibble split, closed forms of the
+    # four counts; z NULL when the pooled variance is 0
+    s["events_ab_test"] = """
+        WITH pu AS (SELECT user_id,
+                           max(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS converted
+                    FROM events GROUP BY user_id),
+        av AS (SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 1)
+                           AS INT) % 2 AS variant, converted
+               FROM pu),
+        c AS (SELECT
+                sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+                sum(CASE WHEN variant = 0 THEN converted ELSE 0
+                    END)::BIGINT AS conv_a,
+                sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b,
+                sum(CASE WHEN variant = 1 THEN converted ELSE 0
+                    END)::BIGINT AS conv_b
+              FROM av)
+        SELECT n_a, conv_a, round(conv_a / n_a::DOUBLE, 6) AS rate_a,
+               n_b, conv_b, round(conv_b / n_b::DOUBLE, 6) AS rate_b,
+               round((conv_a + conv_b) / (n_a + n_b)::DOUBLE, 6)
+                   AS pooled_rate,
+               round(CASE WHEN se > 0 THEN (p_a - p_b) / se END, 6)
+                   AS z_stat,
+               round((p_a + zc*zc/(2*n_a)
+                      - zc*sqrt(p_a*(1-p_a)/n_a + zc*zc/(4*n_a*n_a)))
+                     / (1 + zc*zc/n_a), 6) AS wilson_a_lo,
+               round((p_a + zc*zc/(2*n_a)
+                      + zc*sqrt(p_a*(1-p_a)/n_a + zc*zc/(4*n_a*n_a)))
+                     / (1 + zc*zc/n_a), 6) AS wilson_a_hi,
+               round((p_b + zc*zc/(2*n_b)
+                      - zc*sqrt(p_b*(1-p_b)/n_b + zc*zc/(4*n_b*n_b)))
+                     / (1 + zc*zc/n_b), 6) AS wilson_b_lo,
+               round((p_b + zc*zc/(2*n_b)
+                      + zc*sqrt(p_b*(1-p_b)/n_b + zc*zc/(4*n_b*n_b)))
+                     / (1 + zc*zc/n_b), 6) AS wilson_b_hi
+        FROM (SELECT *,
+                     conv_a / n_a::DOUBLE AS p_a,
+                     conv_b / n_b::DOUBLE AS p_b,
+                     sqrt(((conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                          * (1 - (conv_a + conv_b) / (n_a + n_b)::DOUBLE)
+                          * (1.0/n_a + 1.0/n_b)) AS se,
+                     1.959963984540054 AS zc
+              FROM c)
+    """
+
+    # OLS normal equations: the nine BIGINT moments are exact in both
+    # engines, so the Cramer solve sees identical inputs
+    s["rel_ols_normal"] = """
+        WITH q AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS y,
+                          CAST((year(o_orderdate) - 1992) * 12
+                               + month(o_orderdate) AS BIGINT) AS x1,
+                          CASE WHEN o_orderpriority
+                                    IN ('1-URGENT', '2-HIGH')
+                               THEN 1::BIGINT ELSE 0::BIGINT END AS x2
+                   FROM orders),
+        m AS (SELECT count(*)::BIGINT AS n,
+                     sum(x1)::BIGINT AS s1, sum(x2)::BIGINT AS s2,
+                     sum(x1*x1)::BIGINT AS s11, sum(x1*x2)::BIGINT AS s12,
+                     sum(x2*x2)::BIGINT AS s22, sum(y)::BIGINT AS sy,
+                     sum(x1*y)::BIGINT AS s1y, sum(x2*y)::BIGINT AS s2y
+              FROM q),
+        d AS (SELECT n,
+                     n::DOUBLE AS dn, s1::DOUBLE AS d1, s2::DOUBLE AS d2,
+                     s11::DOUBLE AS d11, s12::DOUBLE AS d12,
+                     s22::DOUBLE AS d22, sy::DOUBLE AS dy,
+                     s1y::DOUBLE AS d1y, s2y::DOUBLE AS d2y
+              FROM m)
+        SELECT n,
+               round((dy*(d11*d22 - d12*d12) - d1*(d1y*d22 - d12*d2y)
+                      + d2*(d1y*d12 - d11*d2y))
+                     / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+                        + d2*(d1*d12 - d11*d2)), 6) AS beta0,
+               round((dn*(d1y*d22 - d12*d2y) - dy*(d1*d22 - d12*d2)
+                      + d2*(d1*d2y - d1y*d2))
+                     / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+                        + d2*(d1*d12 - d11*d2)), 6) AS beta1,
+               round((dn*(d11*d2y - d1y*d12) - d1*(d1*d2y - d1y*d2)
+                      + dy*(d1*d12 - d11*d2))
+                     / (dn*(d11*d22 - d12*d12) - d1*(d1*d22 - d12*d2)
+                        + d2*(d1*d12 - d11*d2)), 6) AS beta2
+        FROM d
+    """
+
+    # Benford: same decimal(18,2)-string digit extraction
+    s["rel_benford"] = """
+        WITH pd AS (SELECT CAST(substr(CAST(CAST(o_totalprice
+                                    AS DECIMAL(18,2)) AS VARCHAR), 1, 1)
+                         AS INT) AS digit,
+                           count(*)::BIGINT AS n
+                    FROM orders WHERE o_totalprice >= 1
+                    GROUP BY 1),
+        t AS (SELECT sum(n)::DOUBLE AS tot FROM pd)
+        SELECT digit, n,
+               round(n / tot, 6) AS obs_share,
+               round(log10(1 + 1.0/digit), 6) AS benford_share,
+               round(tot * (n/tot - log10(1 + 1.0/digit))
+                         * (n/tot - log10(1 + 1.0/digit))
+                     / log10(1 + 1.0/digit), 6) AS chi2_contrib
+        FROM pd, t
+    """
+
+    # WOE/IV: ntile over the identical (n_chars, doc_id) total order;
+    # +0.5 Laplace on shares
+    s["doc_woe_iv"] = """
+        WITH b AS (SELECT ntile(10) OVER (ORDER BY n_chars, doc_id) AS bin,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS good
+                   FROM documents),
+        pb AS (SELECT bin, count(*)::BIGINT AS n,
+                      sum(good)::BIGINT AS goods,
+                      sum(1 - good)::BIGINT AS bads
+               FROM b GROUP BY bin),
+        t AS (SELECT sum(goods)::DOUBLE AS g, sum(bads)::DOUBLE AS bd
+              FROM pb)
+        SELECT bin, n, goods, bads,
+               round(ln(((goods + 0.5)/(g + 0.5))
+                        / ((bads + 0.5)/(bd + 0.5))), 6) AS woe,
+               round(((goods + 0.5)/(g + 0.5) - (bads + 0.5)/(bd + 0.5))
+                     * ln(((goods + 0.5)/(g + 0.5))
+                          / ((bads + 0.5)/(bd + 0.5))), 6) AS iv_contrib
+        FROM pb, t
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

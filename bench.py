@@ -501,7 +501,14 @@ def main() -> None:
         # 8-centroid/probe-4 coarse-pruning ceiling (plain trained IVF:
         # 0.56). m=8/ksub=256 gave 0.27; probe 4→6 changed nothing at
         # m=16; residual=True LOWERED it (books are raw-trained — see
-        # knn_ivfpq docstring).
+        # knn_ivfpq docstring). OPQ-lite was also measured (r8): a full
+        # PCA rotation before PQ (0.710 → 0.704 recall@10 at sf0.1,
+        # m=16/ksub=256) and PCA + round-robin eigen-dim balancing
+        # (→ 0.721). Noise-level deltas both ways — this testdata's
+        # embeddings are near-isotropic, so a rotation has no variance
+        # imbalance to fix; not wired as a path. On real anisotropic
+        # model embeddings the same composition (pca_fit(k=dim) →
+        # pca_transform → pq_codebooks_trained) is the OPQ recipe.
         tbooks = pq_codebooks_trained(v, 64, 16, 256, n_iter=5)
         coarse8 = kmeans_centroids(v, 64, n_centroids=8)
         ann_recall["knn_ivfpq_trained"] = recall(

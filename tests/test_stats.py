@@ -1,0 +1,166 @@
+"""operators/stats.py: Kaplan-Meier, ACF, A/B z-test, OLS normal
+equations, Benford digits, WOE/IV — each checked against an
+independent NumPy / closed-form reference on hand-built frames."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from clinical_vector_search_spark.operators.stats import (
+    ab_test_proportions,
+    acf_daily,
+    benford_digits,
+    kaplan_meier,
+    ols_normal,
+    woe_iv,
+)
+
+HOUR = 3_600_000_000_000
+
+
+def test_kaplan_meier_matches_hand_computation(spark):
+    # users with lifetimes (hours): 2 dies, 2 dies, 5 dies, 5 censored,
+    # 8 censored. Censor horizon 1h: last event at corpus max → censored.
+    rows = []
+    cmax = 1_000 * HOUR
+
+    def user(uid, start, end):
+        rows.append((uid, start))
+        rows.append((uid, end))
+
+    user("u1", 0, 2 * HOUR)
+    user("u2", 10 * HOUR, 12 * HOUR)
+    user("u3", 0, 5 * HOUR)
+    user("u4", cmax - 5 * HOUR, cmax)       # lifetime 5, censored
+    user("u5", cmax - 8 * HOUR, cmax)       # lifetime 8, censored
+    df = spark.createDataFrame(rows, "user_id string, ts_ns long")
+    out = {
+        r["t"]: r
+        for r in kaplan_meier(
+            df, censor_horizon_units=1
+        ).collect()
+    }
+    # t=2: n=5, d=2 → S=0.6 ; t=5: n=3, d=1, c=1 → S=0.6*(2/3)=0.4
+    # t=8: n=1, d=0, c=1 → S stays 0.4
+    assert out[2]["n_at_risk"] == 5 and out[2]["deaths"] == 2
+    assert out[2]["survival"] == pytest.approx(0.6)
+    assert out[5]["n_at_risk"] == 3 and out[5]["deaths"] == 1
+    assert out[5]["censored"] == 1
+    assert out[5]["survival"] == pytest.approx(0.4)
+    assert out[8]["n_at_risk"] == 1 and out[8]["deaths"] == 0
+    assert out[8]["survival"] == pytest.approx(0.4)
+
+
+def test_kaplan_meier_survival_monotone_on_testdata(spark, sf_dir):
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    km = kaplan_meier(read_events(spark, sf_dir)).collect()
+    surv = [r["survival"] for r in sorted(km, key=lambda r: r["t"])]
+    assert all(a >= b for a, b in zip(surv, surv[1:]))
+    assert all(0.0 <= s <= 1.0 for s in surv)
+
+
+def test_acf_matches_numpy(spark):
+    rng = np.random.default_rng(11)
+    days = 40
+    # one event per (day, i) — counts y = 1 + poisson
+    counts = 1 + rng.poisson(5.0, days)
+    rows = []
+    for d in range(days):
+        for i in range(counts[d]):
+            rows.append((f"e{d}_{i}", d * 86_400_000_000_000 + i, "u"))
+    df = spark.createDataFrame(rows, "event_id string, ts_ns long, user_id string")
+    ev = df.withColumn("ts", F.timestamp_micros((F.col("ts_ns") / 1000).cast("long")))
+    out = {r["lag"]: r["acf"] for r in acf_daily(ev, max_lag=4).collect()}
+    y = counts.astype("float64")
+    for k in range(1, 5):
+        ref = np.corrcoef(y[k:], y[:-k])[0, 1]
+        assert out[k] == pytest.approx(ref, abs=1e-6)
+
+
+def test_ab_test_closed_form(spark, sf_dir):
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    ev = read_events(spark, sf_dir)
+    row = ab_test_proportions(ev).collect()[0]
+    n_a, conv_a, n_b, conv_b = (
+        row["n_a"], row["conv_a"], row["n_b"], row["conv_b"],
+    )
+    assert n_a + n_b == ev.select("user_id").distinct().count()
+    p_a, p_b = conv_a / n_a, conv_b / n_b
+    pool = (conv_a + conv_b) / (n_a + n_b)
+    se = math.sqrt(pool * (1 - pool) * (1 / n_a + 1 / n_b))
+    if se > 0:
+        assert row["z_stat"] == pytest.approx((p_a - p_b) / se, abs=1e-6)
+    else:
+        assert row["z_stat"] is None
+    # Wilson interval brackets the point estimate
+    assert row["wilson_a_lo"] <= round(p_a, 6) <= row["wilson_a_hi"]
+    assert row["wilson_b_lo"] <= round(p_b, 6) <= row["wilson_b_hi"]
+
+
+def test_ols_normal_matches_numpy_lstsq(spark):
+    rng = np.random.default_rng(3)
+    n = 400
+    x1 = rng.integers(0, 50, n)
+    x2 = rng.integers(0, 2, n)
+    y = (1000 + 13 * x1 - 250 * x2 + rng.integers(-40, 41, n)).astype(
+        "int64"
+    )
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(x1, x2, y)],
+        "x1 long, x2 long, y long",
+    )
+    out = ols_normal(
+        df, F.col("y"), F.col("x1"), F.col("x2")
+    ).collect()[0]
+    X = np.column_stack([np.ones(n), x1, x2])
+    beta = np.linalg.lstsq(X, y.astype("float64"), rcond=None)[0]
+    assert out["beta0"] == pytest.approx(beta[0], abs=1e-4)
+    assert out["beta1"] == pytest.approx(beta[1], abs=1e-4)
+    assert out["beta2"] == pytest.approx(beta[2], abs=1e-4)
+
+
+def test_benford_shares_and_chi2(spark):
+    amounts = [float(x) for x in [1.5, 12, 19.99, 25, 31, 111, 950, 88, 14, 0.5]]
+    df = spark.createDataFrame([(a,) for a in amounts], "amt double")
+    rows = benford_digits(df, "amt").collect()
+    # 0.5 excluded (< 1); 9 amounts remain
+    total = sum(r["n"] for r in rows)
+    assert total == 9
+    by_digit = {r["digit"]: r for r in rows}
+    # 1.5, 12, 19.99, 111, 14 start with digit 1
+    assert by_digit[1]["n"] == 5
+    assert by_digit[2]["n"] == 1 and by_digit[9]["n"] == 1
+    for r in rows:
+        assert r["obs_share"] == pytest.approx(r["n"] / total, abs=1e-6)
+        exp = math.log10(1 + 1 / r["digit"])
+        assert r["benford_share"] == pytest.approx(exp, abs=1e-6)
+        chi = total * (r["n"] / total - exp) ** 2 / exp
+        assert r["chi2_contrib"] == pytest.approx(chi, abs=1e-5)
+
+
+def test_woe_iv_reference(spark):
+    # 2 bins of 4: bin1 3 goods/1 bad, bin2 1 good/3 bads
+    rows = [
+        ("a", 1, 1), ("b", 2, 1), ("c", 3, 1), ("d", 4, 0),
+        ("e", 5, 0), ("f", 6, 0), ("g", 7, 0), ("h", 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "id string, feat int, label int")
+    out = {
+        r["bin"]: r
+        for r in woe_iv(df, "feat", F.col("label"), "id", n_bins=2).collect()
+    }
+    G, B = 4, 4
+    for b, goods, bads in [(1, 3, 1), (2, 1, 3)]:
+        gs = (goods + 0.5) / (G + 0.5)
+        bs = (bads + 0.5) / (B + 0.5)
+        assert out[b]["goods"] == goods and out[b]["bads"] == bads
+        assert out[b]["woe"] == pytest.approx(math.log(gs / bs), abs=1e-6)
+        assert out[b]["iv_contrib"] == pytest.approx(
+            (gs - bs) * math.log(gs / bs), abs=1e-6
+        )

@@ -866,6 +866,48 @@ def main() -> int:
         n_any_join(plan) == 0 and "CartesianProduct" not in plan,
     )
 
+    # 46. Kaplan-Meier: per-user agg is the only fact-sized shuffle;
+    # the corpus-max stat joins back by broadcast nested loop (1 row),
+    # all KM math windows at lifetime granularity, expression-only
+    plan = formatted(E.q_events_kaplan_meier(spark, SF_DIR))
+    check(
+        "kaplan_meier: one user shuffle, broadcast stat, no python eval",
+        n_nodes(plan, "SortMergeJoin") == 0
+        and "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan
+        and "CartesianProduct" not in plan,
+    )
+
+    # 47. ACF: the fact table collapses to day granularity before any
+    # join; lag alignment joins the tiny series via broadcast
+    plan = formatted(E.q_events_acf(spark, SF_DIR))
+    check(
+        "acf: day-granularity agg first, broadcast lag join",
+        n_nodes(plan, "SortMergeJoin") == 0
+        and "CartesianProduct" not in plan
+        and n_nodes(plan, "HashAggregate") >= 2,
+    )
+
+    # 48. OLS normal equations: ONE partial+final aggregate pair over
+    # the fact scan, zero joins, zero windows, expression-only
+    plan = formatted(E.q_rel_ols_normal(spark, SF_DIR))
+    check(
+        "ols_normal: single agg pass, join-free, expression-only",
+        n_any_join(plan) == 0
+        and n_nodes(plan, "Window") == 0
+        and "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan,
+    )
+
+    # 49. A/B test: per-user agg then a global 1-row agg — join-free
+    plan = formatted(E.q_events_ab_test(spark, SF_DIR))
+    check(
+        "ab_test: two-level agg, join-free, expression-only",
+        n_any_join(plan) == 0
+        and "ArrowEvalPython" not in plan
+        and "BatchEvalPython" not in plan,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
