@@ -142,6 +142,53 @@ def main() -> int:
         in plan,
     )
 
+    # 3d. Q4-shaped EXISTS: semi join stays hash-based and the returnflag
+    # predicate reaches the lineitem scan (the fact side is pre-filtered
+    # before the exchange)
+    plan = formatted(E.q_rel_priority_waiting(spark, SF_DIR))
+    check(
+        "priority waiting: LeftSemi hash join, no nested loop",
+        "LeftSemi" in plan and "NestedLoop" not in plan,
+    )
+    check(
+        "priority waiting: returnflag filter pushed to lineitem scan",
+        "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan,
+    )
+
+    # 3e. Q9-shaped profit rollup: every dimension chain broadcasts; the
+    # only non-broadcast join is the lineitem⋈orders fact equi-join
+    plan = formatted(E.q_rel_nation_profit(spark, SF_DIR))
+    check(
+        "nation profit: dims broadcast, one fact-fact join",
+        n_nodes(plan, "BroadcastHashJoin") >= 3
+        and n_any_join(plan) - n_nodes(plan, "BroadcastHashJoin") <= 1,
+        f"bhj={n_nodes(plan, 'BroadcastHashJoin')} joins={n_any_join(plan)}",
+    )
+    check(
+        "nation profit: p_type filter pushed to part scan",
+        "EqualTo(p_type,ECONOMY)" in plan,
+    )
+
+    # 3f. Q20-shaped nested aggregate: ONE lineitem scan computes both the
+    # recent and total sums (the IN-subquery rewrite never self-joins the
+    # fact table) — exactly 4 scans: lineitem, part, supplier, nation
+    plan = formatted(E.q_rel_excess_suppliers(spark, SF_DIR))
+    check(
+        "excess suppliers: single pass over lineitem (4 scans total)",
+        n_nodes(plan, "Scan parquet") == 4,
+        f"scans={n_nodes(plan, 'Scan parquet')}",
+    )
+
+    # 3g. Q2-shaped correlated min: the rank-1 filter is pushed into the
+    # window sort (WindowGroupLimit) and nothing degenerates to a cross join
+    plan = formatted(E.q_rel_min_cost_supplier(spark, SF_DIR))
+    check(
+        "min-cost supplier: rank filter pushed (WindowGroupLimit), no NL join",
+        "WindowGroupLimit" in plan
+        and "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+    )
+
     # 4. kNN window strategy: exactly the one intended broadcast cross join
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import _knn_window
