@@ -5082,6 +5082,106 @@ def q_rel_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test (operators/stats.py mann_whitney_u):
+    do purchase event values stochastically dominate view values? The
+    nonparametric complement of events_ab_test for continuous metrics.
+    Values bin to 2dp first (round-before-compare on the rank key, and
+    the distinct-value frame stays bounded); average tie ranks from ONE
+    cumulative window at distinct-value granularity, so U is an exact
+    half-integer in both engines; only z is float."""
+    from clinical_vector_search_spark.operators.stats import mann_whitney_u
+
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return mann_whitney_u(
+        e, "value", (F.col("event_type") == "purchase").cast("int")
+    )
+
+
+def q_events_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event_type × day-of-week
+    (operators/stats.py chi_square_independence): is traffic mix stable
+    across the week? ONE (type, dow) agg over the fact table; row/col/
+    grand totals and dof are window sums at CELL granularity (35 rows),
+    never a second fact pass. Cells are exact integer counts; expected/
+    contributions rounded 6dp."""
+    from clinical_vector_search_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    e = _events(spark, sf_dir)
+    return chi_square_independence(
+        e, F.col("event_type"), F.dayofweek("ts").cast("int")
+    )
+
+
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distances from the smallest node of the co-order part
+    graph, 4 hops (operators/graph.py bfs_levels): per hop ONE
+    frontier⋈edges join + min-dist dedup, settled nodes never
+    re-expanded, localCheckpoint-pinned (the kcore/PageRank iterative
+    discipline — the oracle unrolls the identical 4 expansions with
+    MATERIALIZED per-level frontiers, not a path-enumerating recursive
+    CTE). Integer distances — exact in any engine."""
+    from clinical_vector_search_spark.operators.graph import bfs_levels
+
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .select("src", "dst")
+    )
+    # pa < pb on every edge, so the globally smallest node in the graph
+    # always appears on the src side — min(src) IS the min node
+    source = edges.agg(F.min("src").alias("node"))
+    return bfs_levels(edges, source, max_hops=4).select(
+        F.col("node").cast("long").alias("node"),
+        F.col("dist").cast("int").alias("dist"),
+    )
+
+
+def q_events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry preference strengths over event types
+    (operators/stats.py bradley_terry) — the reward-model fit from
+    pairwise preference data. Comparisons: within each (user, day), type
+    A beats type B when A's total value is larger, decided on EXACT
+    integer cents (a double-sum ulp can't flip a winner); the self-join
+    fan-out is bounded by 5² per user-day. The MM fit then runs 3 fixed
+    rounds at PAIR granularity (25 rows), per-round strengths rounded to
+    12dp so the trajectory is engine-reproducible — the oracle unrolls
+    the identical 3 updates."""
+    from clinical_vector_search_spark.operators.stats import bradley_terry
+
+    e = _events(spark, sf_dir)
+    per = e.groupBy(
+        F.to_date("ts").alias("day"), "user_id", "event_type"
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    )
+    a = per.select("day", "user_id", F.col("event_type").alias("ta"),
+                   F.col("cents").alias("ca"))
+    b = per.select("day", "user_id", F.col("event_type").alias("tb"),
+                   F.col("cents").alias("cb"))
+    comp = (
+        a.join(b, ["day", "user_id"])
+        .filter((F.col("ta") != F.col("tb")) & (F.col("ca") > F.col("cb")))
+        .groupBy(F.col("ta").alias("winner"), F.col("tb").alias("loser"))
+        .agg(F.count("*").alias("n"))
+    )
+    return bradley_terry(comp, n_iter=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5195,6 +5295,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_excess_suppliers": q_rel_excess_suppliers,
         "rel_min_cost_supplier": q_rel_min_cost_supplier,
         "rel_market_share": q_rel_market_share,
+        "events_mann_whitney": q_events_mann_whitney,
+        "events_chi_square": q_events_chi_square,
+        "graph_bfs": q_graph_bfs,
+        "events_bradley_terry": q_events_bradley_terry,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -9758,6 +9862,174 @@ def oracle_sql() -> dict[str, str]:
             JOIN region ON cn.n_regionkey = r_regionkey
             WHERE r_name = 'ASIA')
         GROUP BY o_year
+    """
+
+    s["events_mann_whitney"] = """
+        WITH b AS (
+            SELECT round(value, 2) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+            FROM events
+            WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        by_val AS (
+            SELECT v, count(*) AS n_v, sum(g1) AS n1_v FROM b GROUP BY v),
+        ranked AS (
+            SELECT *, coalesce(sum(n_v) OVER (
+                ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS below
+            FROM by_val),
+        agg AS (
+            SELECT sum(n1_v)::BIGINT AS n1,
+                   sum(n_v - n1_v)::BIGINT AS n2,
+                   sum(n1_v * (below + (n_v + 1.0) / 2.0)) AS r1,
+                   sum(n_v::DOUBLE * n_v * n_v - n_v) AS tie_term
+            FROM ranked),
+        u AS (
+            SELECT n1, n2,
+                   r1 - n1 * (n1 + 1.0) / 2.0 AS u1,
+                   n1::DOUBLE * n2 AS n1n2,
+                   n1 + n2 AS nt,
+                   tie_term
+            FROM agg),
+        z AS (
+            SELECT *,
+                   sqrt(n1n2 / 12.0 * ((nt + 1.0)
+                        - tie_term / (nt::DOUBLE * (nt - 1.0)))) AS sigma
+            FROM u)
+        SELECT n1, n2,
+               round(u1, 1) AS u1,
+               round(n1n2 - u1, 1) AS u2,
+               round(CASE WHEN sigma > 0
+                          THEN (u1 - n1n2 / 2.0) / sigma END, 6) AS z_stat
+        FROM z
+    """
+
+    s["events_chi_square"] = """
+        WITH cells AS (
+            SELECT event_type AS a,
+                   (dayofweek(ts::TIMESTAMP) + 1)::INT AS b,
+                   count(*) AS observed
+            FROM events GROUP BY 1, 2),
+        tot AS (SELECT count(DISTINCT a) AS n_rows,
+                       count(DISTINCT b) AS n_cols,
+                       sum(observed) AS grand
+                FROM cells),
+        rt AS (SELECT a, sum(observed) AS row_tot FROM cells GROUP BY a),
+        ct AS (SELECT b, sum(observed) AS col_tot FROM cells GROUP BY b),
+        y AS (
+            SELECT a, b, observed::BIGINT AS observed,
+                   row_tot::DOUBLE * col_tot / grand AS expected,
+                   (observed - row_tot::DOUBLE * col_tot / grand)
+                   * (observed - row_tot::DOUBLE * col_tot / grand)
+                   / (row_tot::DOUBLE * col_tot / grand) AS contrib
+            FROM cells JOIN rt USING(a) JOIN ct USING(b), tot)
+        SELECT a, b, observed,
+               round(expected, 6) AS expected,
+               round(contrib, 6) AS chi2_contrib,
+               round((SELECT sum(contrib) FROM y), 6) AS chi2_total,
+               (SELECT (n_rows - 1) * (n_cols - 1)
+                FROM tot)::BIGINT AS dof
+        FROM y
+    """
+
+    # unrolled 4-hop BFS mirroring bfs_levels' loop exactly: per-level
+    # MATERIALIZED frontier (first-reached nodes only) — a recursive CTE
+    # would enumerate PATHS, exponential on a dense co-order graph
+    _bfs_levels_sql = []
+    _prev_d = "d0"
+    _prev_f = "d0"
+    for _hop in (1, 2, 3, 4):
+        _bfs_levels_sql.append(
+            f"""f{_hop} AS MATERIALIZED (
+                SELECT DISTINCT sym.b AS node, {_hop} AS dist
+                FROM {_prev_f} JOIN sym ON {_prev_f}.node = sym.a
+                WHERE sym.b NOT IN (SELECT node FROM {_prev_d})),
+            d{_hop} AS MATERIALIZED (
+                SELECT node, dist FROM {_prev_d}
+                UNION ALL SELECT node, dist FROM f{_hop})"""
+        )
+        _prev_d = f"d{_hop}"
+        _prev_f = f"f{_hop}"
+    s["graph_bfs"] = f"""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS u, b.p AS v
+            FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        sym AS MATERIALIZED (
+            SELECT u AS a, v AS b FROM e0
+            UNION ALL SELECT v, u FROM e0
+        ),
+        d0 AS MATERIALIZED (
+            SELECT min(u) AS node, 0 AS dist FROM e0
+        ),
+        {", ".join(_bfs_levels_sql)}
+        SELECT node::BIGINT AS node, dist::INT AS dist FROM d4
+    """
+
+    # unrolled 3-round Bradley-Terry MM fit mirroring bradley_terry's
+    # loop: p_i <- W_i / SUM_j n_ij/(p_i+p_j), mean-normalized and
+    # rounded to 12dp each round (the iteration-granularity
+    # round-before-compare that pins the trajectory across engines)
+    _bt_iters = []
+    _prev_p = "p0"
+    for _it in (1, 2, 3):
+        _bt_iters.append(
+            f"""d{_it} AS (
+                SELECT i AS item,
+                       sum(n_ij / (pi.p + pj.p)) AS d
+                FROM mir
+                JOIN {_prev_p} pi ON mir.i = pi.item
+                JOIN {_prev_p} pj ON mir.j = pj.item
+                GROUP BY i),
+            r{_it} AS (
+                SELECT w.item,
+                       CASE WHEN d IS NOT NULL AND w.wins > 0
+                            THEN w.wins / d ELSE 1e-9 END AS p_raw
+                FROM wins w LEFT JOIN d{_it} USING(item)),
+            p{_it} AS (
+                SELECT item,
+                       round(p_raw / (SELECT avg(p_raw) FROM r{_it}),
+                             12) AS p
+                FROM r{_it})"""
+        )
+        _prev_p = f"p{_it}"
+    s["events_bradley_terry"] = f"""
+        WITH per AS (
+            SELECT ts::DATE AS day, user_id, event_type,
+                   sum(round(value * 100)::BIGINT) AS cents
+            FROM events GROUP BY 1, 2, 3),
+        comp AS (
+            SELECT a.event_type AS wi, b.event_type AS li,
+                   count(*)::DOUBLE AS n_wl
+            FROM per a
+            JOIN per b ON a.day = b.day AND a.user_id = b.user_id
+                      AND a.event_type <> b.event_type
+                      AND a.cents > b.cents
+            GROUP BY 1, 2),
+        items AS (
+            SELECT DISTINCT item FROM (
+                SELECT wi AS item FROM comp
+                UNION ALL SELECT li FROM comp) t),
+        wins AS (
+            SELECT item,
+                   coalesce((SELECT sum(n_wl) FROM comp
+                             WHERE wi = item), 0.0) AS wins
+            FROM items),
+        und AS (
+            SELECT least(wi, li) AS u, greatest(wi, li) AS v,
+                   sum(n_wl) AS n_ij
+            FROM comp GROUP BY 1, 2),
+        mir AS (
+            SELECT u AS i, v AS j, n_ij FROM und
+            UNION ALL SELECT v, u, n_ij FROM und),
+        p0 AS (SELECT item, 1.0 AS p FROM items),
+        {", ".join(_bt_iters)}
+        SELECT p3.item, wins::BIGINT AS wins, round(p, 6) AS strength
+        FROM p3 JOIN wins USING(item)
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

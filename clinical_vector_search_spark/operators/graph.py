@@ -180,6 +180,53 @@ def triangle_count(
     return tri_nodes
 
 
+def bfs_levels(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Single/multi-source BFS hop distance over an undirected edge
+    list, bounded at ``max_hops`` — the reachability primitive behind
+    link-graph crawl-depth audits and near-dup cluster diameter checks.
+
+    Fixed iteration count (the PageRank/kcore discipline): a SQL oracle
+    unrolls the identical expansions with a recursive CTE capped at the
+    same depth. Each hop is ONE frontier⋈edges equi-join + a min-dist
+    aggregation, localCheckpoint-pinned so lineage stays flat. The
+    frontier for hop i+1 is only the nodes FIRST reached at hop i
+    (dist == i), so settled nodes are never re-expanded — per-hop work
+    is O(edges incident to the frontier), the relational spelling of
+    textbook BFS.
+
+    Output: (node, dist) for every node within ``max_hops`` of any
+    source (sources themselves at dist 0). Integer distances — exact in
+    any engine.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    )
+    dist = sources.select(
+        F.col(node_col).alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint()
+    frontier = dist
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(sym, frontier.node == sym.a)
+            .select(F.col("b").alias("node"), F.lit(hop).alias("dist"))
+            .join(dist.select("node"), "node", "left_anti")
+            .distinct()
+            .localCheckpoint()
+        )
+        dist = dist.unionAll(reached).localCheckpoint()
+        frontier = reached
+    return dist
+
+
 def kcore(
     edges: DataFrame,
     k: int = 3,

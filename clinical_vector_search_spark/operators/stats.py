@@ -404,3 +404,251 @@ def woe_iv(
         F.round(woe, 6).alias("woe"),
         F.round((g_share - b_share) * woe, 6).alias("iv_contrib"),
     ).orderBy("bin")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_flag,
+    precision: int = 2,
+) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test between two samples: does
+    ``value_col`` stochastically dominate in group A (``group_flag`` = 1)
+    vs group B (= 0)? The nonparametric complement of
+    ``ab_test_proportions`` for continuous metrics.
+
+    Values are binned to ``precision`` decimals FIRST (round-before-
+    compare on the rank key — equal doubles group identically in any
+    engine, and the distinct-value frame stays bounded at
+    10^precision · range rows rather than one row per observation).
+    Average ranks for ties come from one cumulative-count window at
+    distinct-value granularity: avg_rank(v) = (# strictly below) +
+    (n_v + 1)/2 — an integer plus an exact .5 step, so R1, U1 and U2
+    are EXACT halves whatever the summation order. The normal
+    approximation uses the tie-corrected variance
+    n1·n2/12 · ((N+1) − Σ(t³−t)/(N(N−1))); no continuity correction
+    (documented so the oracle matches closed-form).
+
+    Scale shape: one value-granularity agg (the only big shuffle), then
+    window math over distinct bins — the kaplan_meier discipline.
+    Emits ONE row: n1, n2, u1, u2, z_stat (6dp).
+    """
+    v = F.round(F.col(value_col).cast("double"), precision)
+    by_val = (
+        df.select(v.alias("v"), group_flag.cast("long").alias("g1"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.count(F.lit(1)).alias("n_v"),
+            F.sum("g1").alias("n1_v"),
+        )
+    )
+    w = Window.orderBy("v")
+    ranked = by_val.withColumn(
+        "below",
+        F.coalesce(
+            F.sum("n_v").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).withColumn(
+        "avg_rank",
+        F.col("below").cast("double")
+        + (F.col("n_v").cast("double") + 1.0) / 2.0,
+    )
+    agg = ranked.agg(
+        F.sum("n1_v").alias("n1"),
+        F.sum(F.col("n_v") - F.col("n1_v")).alias("n2"),
+        F.sum(F.col("n1_v") * F.col("avg_rank")).alias("r1"),
+        F.sum(
+            F.col("n_v").cast("double") * F.col("n_v") * F.col("n_v")
+            - F.col("n_v")
+        ).alias("tie_term"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    n_tot = n1 + n2
+    u1 = F.col("r1") - n1 * (n1 + 1.0) / 2.0
+    u2 = n1 * n2 - u1
+    sigma = F.sqrt(
+        n1 * n2 / 12.0
+        * ((n_tot + 1.0) - F.col("tie_term") / (n_tot * (n_tot - 1.0)))
+    )
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(u2, 1).alias("u2"),
+        F.round(
+            F.when(sigma > 0, (u1 - n1 * n2 / 2.0) / sigma), 6
+        ).alias("z_stat"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a,
+    col_b,
+) -> DataFrame:
+    """Chi-square test of independence between two categoricals: the
+    r×c contingency table with expected counts row_total·col_total/N
+    and per-cell contributions (obs − exp)²/exp, plus the table-level
+    chi2 total and degrees of freedom repeated on every row (so one
+    hash-checked frame carries both the cells and the verdict).
+
+    Scale shape: ONE (a, b) aggregation over the fact table (the only
+    big shuffle — cells are integer counts, exact in any engine); the
+    row/column/grand totals and df are window sums AT CELL GRANULARITY
+    (r·c rows), never a second pass. Floats appear only in the final
+    expected/contribution arithmetic, rounded to 6dp.
+    """
+    cells = df.groupBy(
+        col_a.alias("a") if not isinstance(col_a, str) else F.col(col_a).alias("a"),
+        col_b.alias("b") if not isinstance(col_b, str) else F.col(col_b).alias("b"),
+    ).agg(F.count(F.lit(1)).alias("observed"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_row = Window.partitionBy("a").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_col = Window.partitionBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    with_tot = cells.select(
+        "a",
+        "b",
+        "observed",
+        F.sum("observed").over(w_row).alias("row_tot"),
+        F.sum("observed").over(w_col).alias("col_tot"),
+        F.sum("observed").over(w_all).alias("grand"),
+        F.count(F.lit(1)).over(w_all).alias("n_cells"),
+        F.size(F.collect_set("a").over(w_all)).alias("n_rows"),
+        F.size(F.collect_set("b").over(w_all)).alias("n_cols"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot")
+        / F.col("grand")
+    )
+    contrib = (
+        (F.col("observed") - expected) * (F.col("observed") - expected)
+        / expected
+    )
+    return with_tot.select(
+        "a",
+        "b",
+        "observed",
+        F.round(expected, 6).alias("expected"),
+        F.round(contrib, 6).alias("chi2_contrib"),
+        F.round(F.sum(contrib).over(w_all), 6).alias("chi2_total"),
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1))
+        .cast("long")
+        .alias("dof"),
+    )
+
+
+def bradley_terry(
+    comparisons: DataFrame,
+    n_iter: int = 3,
+    winner_col: str = "winner",
+    loser_col: str = "loser",
+    n_col: str = "n",
+    iter_round: int = 12,
+) -> DataFrame:
+    """Bradley-Terry preference-strength fit over aggregated pairwise
+    comparisons — the model behind reward-model / preference-data
+    curation (which response, labeler, or variant is stronger given
+    only win/loss counts). Input: one row per ordered (winner, loser)
+    pair with its count; output: one strength per item.
+
+    Uses the classic MM update (Hunter 2004), ``n_iter`` fixed rounds:
+
+        p_i ← W_i / Σ_{j≠i} n_ij / (p_i + p_j)
+
+    then normalized to mean 1 each round. Every round runs at PAIR
+    granularity (items², already aggregated — trivially small next to
+    the fact table that produced the comparisons), joined back at item
+    granularity; fixed iterations + rounding each round's strengths to
+    ``iter_round`` dp keep the trajectory bit-reproducible across
+    engines (the PageRank/kcore oracle-unrolling discipline — ulp drift
+    in a float sum would otherwise compound through later rounds).
+
+    Scale shape: callers aggregate raw preferences to (winner, loser, n)
+    first (one pair-key shuffle over the fact table); the fit itself
+    never touches fact-table volume.
+    """
+    pairs = comparisons.select(
+        F.col(winner_col).alias("wi"),
+        F.col(loser_col).alias("li"),
+        F.col(n_col).cast("double").alias("n_wl"),
+    )
+    items = (
+        pairs.select(F.col("wi").alias("item"))
+        .unionAll(pairs.select(F.col("li").alias("item")))
+        .distinct()
+    )
+    wins = (
+        items.join(
+            pairs.groupBy(F.col("wi").alias("item")).agg(
+                F.sum("n_wl").alias("w")
+            ),
+            "item",
+            "left",
+        ).select("item", F.coalesce("w", F.lit(0.0)).alias("wins"))
+    ).localCheckpoint()
+    # undirected pair totals n_ij (both orders summed), kept once per
+    # unordered pair then mirrored — each MM denominator term needs the
+    # TOTAL games between i and j
+    und = (
+        pairs.select(
+            F.least("wi", "li").alias("u"),
+            F.greatest("wi", "li").alias("v"),
+            "n_wl",
+        )
+        .groupBy("u", "v")
+        .agg(F.sum("n_wl").alias("n_ij"))
+    )
+    mirrored = und.select(
+        F.col("u").alias("i"), F.col("v").alias("j"), "n_ij"
+    ).unionAll(
+        und.select(F.col("v").alias("i"), F.col("u").alias("j"), "n_ij")
+    ).localCheckpoint()
+    p = items.select("item", F.lit(1.0).alias("p")).localCheckpoint()
+    for _ in range(n_iter):
+        pj = p.select(F.col("item").alias("j"), F.col("p").alias("p_j"))
+        pi = p.select(F.col("item").alias("i"), F.col("p").alias("p_i"))
+        denom = (
+            mirrored.join(pi, "i")
+            .join(pj, "j")
+            .groupBy(F.col("i").alias("item"))
+            .agg(
+                F.sum(
+                    F.col("n_ij") / (F.col("p_i") + F.col("p_j"))
+                ).alias("d")
+            )
+        )
+        raw = wins.join(denom, "item", "left").select(
+            "item",
+            F.when(
+                F.col("d").isNotNull() & (F.col("wins") > 0),
+                F.col("wins") / F.col("d"),
+            )
+            .otherwise(F.lit(1e-9))
+            .alias("p_raw"),
+        )
+        mean = raw.agg(F.avg("p_raw").alias("m"))
+        p = (
+            raw.crossJoin(F.broadcast(mean))
+            .select(
+                "item",
+                F.round(F.col("p_raw") / F.col("m"), iter_round).alias("p"),
+            )
+            .localCheckpoint()
+        )
+    return p.join(wins, "item").select(
+        "item",
+        F.col("wins").cast("long").alias("wins"),
+        F.round("p", 6).alias("strength"),
+    )

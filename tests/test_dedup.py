@@ -773,3 +773,22 @@ def test_kcore_peels_to_dense_core(spark):
     out2 = {r.node: r.core_deg for r in kcore(df, k=2, n_iter=4).collect()}
     assert set(out2) == {0, 1, 2, 3, 4, 10, 11, 13}
     assert all(d >= 2 for d in out2.values())
+
+
+def test_bfs_levels_path_with_branch(spark):
+    # path 1-2-3-4-5-6 plus branch 3-7; source {1}, 3 hops:
+    # dist: 1->0, 2->1, 3->2, 4->3, 7->3; 5 and 6 unreached
+    from clinical_vector_search_spark.operators.graph import bfs_levels
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7)],
+        "src int, dst int",
+    )
+    src = spark.createDataFrame([(1,)], "node int")
+    out = {r.node: r.dist for r in bfs_levels(edges, src, 3).collect()}
+    assert out == {1: 0, 2: 1, 3: 2, 4: 3, 7: 3}
+    # settled nodes keep their FIRST distance even when re-reachable
+    # via a longer path (cycle 1-2-3-1)
+    cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
+    out2 = {r.node: r.dist for r in bfs_levels(cyc, src, 4).collect()}
+    assert out2 == {1: 0, 2: 1, 3: 1}

@@ -11,6 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.operators.stats import (
+    bradley_terry,
+    chi_square_independence,
+    mann_whitney_u,
     ab_test_proportions,
     acf_daily,
     benford_digits,
@@ -164,3 +167,114 @@ def test_woe_iv_reference(spark):
         assert out[b]["iv_contrib"] == pytest.approx(
             (gs - bs) * math.log(gs / bs), abs=1e-6
         )
+
+
+def test_mann_whitney_matches_numpy_reference(spark):
+    a = [1.0, 2.0, 3.0, 3.0, 5.0]
+    b = [2.0, 3.0, 4.0, 6.0]
+    rows = [(v, 1) for v in a] + [(v, 0) for v in b]
+    df = spark.createDataFrame(rows, "value double, g int")
+    out = mann_whitney_u(df, "value", F.col("g")).collect()[0]
+
+    # independent reference: average ranks with ties, tie-corrected z
+    allv = np.array(a + b)
+    order = np.argsort(allv, kind="stable")
+    ranks = np.empty(len(allv))
+    sorted_v = allv[order]
+    i = 0
+    while i < len(sorted_v):
+        j = i
+        while j < len(sorted_v) and sorted_v[j] == sorted_v[i]:
+            j += 1
+        ranks[order[i:j]] = (i + 1 + j) / 2.0
+        i = j
+    n1, n2 = len(a), len(b)
+    r1 = ranks[: n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    n_tot = n1 + n2
+    _, counts = np.unique(allv, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    sigma = math.sqrt(
+        n1 * n2 / 12.0 * ((n_tot + 1) - tie / (n_tot * (n_tot - 1)))
+    )
+    assert out["n1"] == n1 and out["n2"] == n2
+    assert out["u1"] == pytest.approx(u1, abs=1e-9)
+    assert out["u2"] == pytest.approx(n1 * n2 - u1, abs=1e-9)
+    assert out["z_stat"] == pytest.approx(
+        (u1 - n1 * n2 / 2.0) / sigma, abs=1e-5
+    )
+
+
+def test_mann_whitney_all_one_group_null_z(spark):
+    df = spark.createDataFrame([(1.0, 1), (2.0, 1)], "value double, g int")
+    out = mann_whitney_u(df, "value", F.col("g")).collect()[0]
+    assert out["n2"] == 0 and out["z_stat"] is None
+
+
+def test_chi_square_2x2_closed_form(spark):
+    # obs [[10,20],[30,40]]: chi2 = N(ad-bc)^2 / (r1 r2 c1 c2)
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 30 + [("y", "q")] * 40
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    out = chi_square_independence(df, F.col("a"), F.col("b")).collect()
+    assert len(out) == 4
+    n = 100.0
+    expected_chi2 = n * (10 * 40 - 20 * 30) ** 2 / (30 * 70 * 40 * 60)
+    cells = {(r["a"], r["b"]): r for r in out}
+    assert cells[("x", "p")]["observed"] == 10
+    assert cells[("x", "p")]["expected"] == pytest.approx(
+        30 * 40 / n, abs=1e-6
+    )
+    for r in out:
+        assert r["dof"] == 1
+        assert r["chi2_total"] == pytest.approx(expected_chi2, abs=1e-5)
+
+
+def test_bradley_terry_two_items_fixed_point(spark):
+    # a beats b 3x, b beats a 1x: MM fixed point at mean-1 norm is
+    # p_a=1.5, p_b=0.5 (reached after one round, stable thereafter)
+    comp = spark.createDataFrame(
+        [("a", "b", 3), ("b", "a", 1)], "winner string, loser string, n int"
+    )
+    out = {r["item"]: r for r in bradley_terry(comp, n_iter=3).collect()}
+    assert out["a"]["wins"] == 3 and out["b"]["wins"] == 1
+    assert out["a"]["strength"] == pytest.approx(1.5, abs=1e-6)
+    assert out["b"]["strength"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_bradley_terry_matches_sequential_mm(spark):
+    comps = [
+        ("a", "b", 3.0), ("b", "a", 1.0), ("b", "c", 2.0),
+        ("c", "b", 2.0), ("a", "c", 1.0), ("c", "a", 1.0),
+    ]
+    comp = spark.createDataFrame(
+        comps, "winner string, loser string, n double"
+    )
+    out = {
+        r["item"]: r["strength"]
+        for r in bradley_terry(comp, n_iter=3).collect()
+    }
+
+    # sequential reference replicating the op (incl. per-round 12dp round)
+    items = ["a", "b", "c"]
+    wins = {i: sum(n for w, _, n in comps if w == i) for i in items}
+    n_ij = {}
+    for w, l, n in comps:
+        k = tuple(sorted((w, l)))
+        n_ij[k] = n_ij.get(k, 0.0) + n
+    p = {i: 1.0 for i in items}
+    for _ in range(3):
+        raw = {}
+        for i in items:
+            d = sum(
+                n / (p[i] + p[j])
+                for (x, y), n in n_ij.items()
+                for j in ((y,) if x == i else (x,) if y == i else ())
+            )
+            raw[i] = wins[i] / d if d > 0 and wins[i] > 0 else 1e-9
+        m = sum(raw.values()) / len(items)
+        p = {i: round(raw[i] / m, 12) for i in items}
+    for i in items:
+        assert out[i] == pytest.approx(round(p[i], 6), abs=1e-6)

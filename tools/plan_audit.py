@@ -189,6 +189,21 @@ def main() -> int:
         and "BroadcastNestedLoopJoin" not in plan,
     )
 
+    # 3h. rank/contingency stats: ONE fact-table aggregation each, then
+    # window math at distinct-value / cell granularity — join-free plans
+    plan = formatted(E.q_events_mann_whitney(spark, SF_DIR))
+    check(
+        "mann-whitney: join-free (one agg + windows)",
+        n_any_join(plan) == 0 and "CartesianProduct" not in plan,
+        f"joins={n_any_join(plan)}",
+    )
+    plan = formatted(E.q_events_chi_square(spark, SF_DIR))
+    check(
+        "chi-square: join-free (one agg + cell-granularity windows)",
+        n_any_join(plan) == 0 and "CartesianProduct" not in plan,
+        f"joins={n_any_join(plan)}",
+    )
+
     # 4. kNN window strategy: exactly the one intended broadcast cross join
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import _knn_window
