@@ -5182,6 +5182,36 @@ def q_events_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bradley_terry(comp, n_iter=3)
 
 
+def q_doc_quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of the trained quality classifier (operators/logreg.py
+    logreg_auc): the threshold-free companion of the eval/calibration
+    passes, via the rank-sum identity AUC = (R1 − n1(n1+1)/2)/(n1·n2)
+    with average tie ranks — never materializing the ROC curve. Scores
+    round to 6dp before ranking (round-before-compare on the rank key);
+    the oracle unrolls training AND the rank-sum, so the full
+    train→score→rank loop value-hashes."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_auc,
+        logreg_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), lr=1.0, n_iter=5)
+    return logreg_auc(feats, cols, F.col("is_en"), w)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5299,6 +5329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_chi_square": q_events_chi_square,
         "graph_bfs": q_graph_bfs,
         "events_bradley_terry": q_events_bradley_terry,
+        "doc_quality_logreg_auc": q_doc_quality_logreg_auc,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7883,6 +7914,37 @@ def oracle_sql() -> dict[str, str]:
                round(avg(y), 6) AS actual_rate,
                round(avg((p - y) * (p - y)), 6) AS brier
         FROM binned GROUP BY 1
+    """
+
+    # AUC: same unroll + rounded-freeze; z rounded BEFORE the rank-sum
+    # (round-before-compare on the rank key), average tie ranks from one
+    # cumulative window at distinct-score granularity
+    s["doc_quality_logreg_auc"] = f"""{_lr_head},
+        wr AS (
+            SELECT round(w0, 6) AS w0, round(wa, 6) AS wa,
+                   round(wb, 6) AS wb, round(wc, 6) AS wc FROM w5),
+        scored AS (SELECT y,
+                 round(w0 + wa*z0 + wb*z1 + wc*z2, 6) AS score
+               FROM f, wr),
+        by_val AS (
+            SELECT score, count(*) AS n_v,
+                   sum(y)::BIGINT AS n1_v
+            FROM scored GROUP BY score),
+        ranked AS (
+            SELECT *, coalesce(sum(n_v) OVER (
+                ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND 1 PRECEDING), 0) AS below
+            FROM by_val),
+        agg AS (
+            SELECT sum(n1_v)::BIGINT AS n_pos,
+                   sum(n_v - n1_v)::BIGINT AS n_neg,
+                   sum(n1_v * (below + (n_v + 1.0) / 2.0)) AS r1
+            FROM ranked)
+        SELECT n_pos, n_neg,
+               round(CASE WHEN n_pos > 0 AND n_neg > 0
+                          THEN (r1 - n_pos * (n_pos + 1.0) / 2.0)
+                               / (n_pos::DOUBLE * n_neg) END, 6) AS auc
+        FROM agg
     """
 
     # DSIR: bucket counts → smoothed log-ratio table → per-doc sum;

@@ -197,3 +197,91 @@ def logreg_calibration(
             ).alias("brier"),
         )
     )
+
+
+def logreg_auc(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: Column,
+    weights: list[tuple[str, float]],
+    round_to: int = 6,
+) -> DataFrame:
+    """ROC AUC of the frozen-weight scores via the rank-sum identity
+    AUC = (R1 − n1(n1+1)/2) / (n1·n2) — the threshold-free metric the
+    accuracy/log-loss pass (:func:`logreg_eval`) can't see, computed
+    WITHOUT materializing the n-point ROC curve.
+
+    Scores are ROUNDED to ``round_to`` before ranking (round-before-
+    compare on the rank key — an exp()-ulp either side of a rank
+    boundary would order differently across engines) and ties get
+    average ranks from ONE cumulative window at distinct-score
+    granularity — the ``mann_whitney_u`` discipline; AUC and U are the
+    same statistic up to normalization. Emits one row:
+    (n_pos, n_neg, auc).
+
+    Scale shape: one score-granularity aggregation over the fact table,
+    then window math over distinct rounded scores (≤ 2·10^round_to
+    rows for sigmoid-bounded z)."""
+    d = len(feature_cols)
+    base = df.select(
+        label.cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    stats = base.agg(
+        *[F.avg(f"_x{j}").alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(f"_x{j}").alias(f"s{j}") for j in range(d)],
+    ).first()
+    w = [x for _, x in weights]
+    z = F.lit(w[0])
+    for j in range(d):
+        z = z + F.lit(w[j + 1]) * (
+            (F.col(f"_x{j}") - F.lit(float(stats[f"m{j}"])))
+            / F.lit(float(stats[f"s{j}"]))
+        )
+    from pyspark.sql import Window
+
+    by_val = (
+        base.select(F.round(z, round_to).alias("score"), "_y")
+        .groupBy("score")
+        .agg(
+            F.count(F.lit(1)).alias("n_v"),
+            F.sum("_y").cast("long").alias("n1_v"),
+        )
+    )
+    win = Window.orderBy("score")
+    ranked = by_val.withColumn(
+        "below",
+        F.coalesce(
+            F.sum("n_v").over(
+                win.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    agg = ranked.agg(
+        F.sum("n1_v").alias("n_pos"),
+        F.sum(F.col("n_v") - F.col("n1_v")).alias("n_neg"),
+        F.sum(
+            F.col("n1_v")
+            * (
+                F.col("below").cast("double")
+                + (F.col("n_v").cast("double") + 1.0) / 2.0
+            )
+        ).alias("r1"),
+    )
+    n1 = F.col("n_pos").cast("double")
+    n2 = F.col("n_neg").cast("double")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            F.when(
+                (n1 > 0) & (n2 > 0),
+                (F.col("r1") - n1 * (n1 + 1.0) / 2.0) / (n1 * n2),
+            ),
+            round_to,
+        ).alias("auc"),
+    )

@@ -278,3 +278,34 @@ def test_bradley_terry_matches_sequential_mm(spark):
         p = {i: round(raw[i] / m, 12) for i in items}
     for i in items:
         assert out[i] == pytest.approx(round(p[i], 6), abs=1e-6)
+
+
+def test_logreg_auc_rank_sum_identity(spark):
+    # AUC is invariant under the monotone standardization, so a single
+    # feature scored with weight 1 gives the raw feature's AUC.
+    # pos scores [3, 2], neg [1, 2] -> avg ranks 1, 2.5, 2.5, 4:
+    # R1 = 6.5, U1 = 3.5, AUC = 3.5/4 = 0.875
+    from clinical_vector_search_spark.operators.logreg import logreg_auc
+
+    df = spark.createDataFrame(
+        [(3.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)], "s double, y int"
+    )
+    out = logreg_auc(
+        df, ["s"], F.col("y"), [("bias", 0.0), ("s", 1.0)]
+    ).collect()[0]
+    assert out["n_pos"] == 2 and out["n_neg"] == 2
+    assert out["auc"] == pytest.approx(0.875, abs=1e-9)
+    # perfect separation -> AUC 1; degenerate single-class -> NULL
+    sep = spark.createDataFrame(
+        [(5.0, 1), (4.0, 1), (1.0, 0)], "s double, y int"
+    )
+    assert logreg_auc(
+        sep, ["s"], F.col("y"), [("bias", 0.0), ("s", 1.0)]
+    ).collect()[0]["auc"] == pytest.approx(1.0)
+    one = spark.createDataFrame([(1.0, 1), (2.0, 1)], "s double, y int")
+    assert (
+        logreg_auc(
+            one, ["s"], F.col("y"), [("bias", 0.0), ("s", 1.0)]
+        ).collect()[0]["auc"]
+        is None
+    )
