@@ -5212,6 +5212,105 @@ def q_doc_quality_logreg_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_auc(feats, cols, F.col("is_en"), w)
 
 
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease / Flesch-Kincaid grade per document
+    (functions/text.py readability): the published quality formula over
+    three exact integer counts (whitespace words, terminal-punctuation
+    sentence runs, vowel-group syllable runs) — pure map-side regexp
+    expressions, zero joins/shuffles; scores rounded 4dp (two divisions
+    of exact integers + literals)."""
+    from clinical_vector_search_spark.functions.text import readability
+
+    docs = _docs(spark, sf_dir)
+    r = readability(F.col("text"))
+    return docs.select(
+        "doc_id",
+        r["n_words"].alias("n_words"),
+        r["n_sents"].alias("n_sents"),
+        r["n_syll"].alias("n_syll"),
+        F.round(r["flesch_ease"], 4).alias("flesch_ease"),
+        F.round(r["fk_grade"], 4).alias("fk_grade"),
+    )
+
+
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph — bigram edges from the raw token
+    stream (expression-level slice/zip, no position self-join), content
+    words only (len ≥ 3, non-stopword), support-cut ≥ 3 so the graph is
+    vocabulary-sized; then the SAME 5-iteration dangling-mass PageRank
+    as dedup_pagerank (operators/graph.py) and a rounded-before-rank
+    top-30. The oracle reuses the identical iteration unroll."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.graph import pagerank
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(TXT.tokenize("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    stop = F.array(*[F.lit(w) for w in TXT.STOPWORDS])
+    content = (
+        (F.length("a") >= 3)
+        & (F.length("b") >= 3)
+        & ~F.array_contains(stop, F.col("a"))
+        & ~F.array_contains(stop, F.col("b"))
+        & (F.col("a") != F.col("b"))
+    )
+    und = (
+        bi.filter(content)
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 3)
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    pr = pagerank(
+        nodes, edges, n_iter=PAGERANK_ITER, damping=PAGERANK_DAMP
+    )
+    w = Window.orderBy(F.desc("rank"), "node")
+    return (
+        pr.select("node", F.round("rank", 9).alias("rank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 30)
+        .select(F.col("node").alias("term"), "rank", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def q_rel_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood ER candidates over customer names
+    (operators/dedup.py sorted_neighborhood_pairs): sort by name within
+    id-band partitions, compare each record with the next 2 via window
+    leads — expression-level, ONE shuffle, no self-join; Levenshtein
+    JVM-side. The blocking complement of rel_name_match (prefix blocks);
+    boundary pairs are the documented multi-pass recall contract."""
+    from clinical_vector_search_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("doc_id"), "c_name"
+    )
+    return sorted_neighborhood_pairs(
+        c,
+        "c_name",
+        F.substring("c_name", 10, 4),
+        window_size=3,
+        max_distance=2,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5330,6 +5429,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_bfs": q_graph_bfs,
         "events_bradley_terry": q_events_bradley_terry,
         "doc_quality_logreg_auc": q_doc_quality_logreg_auc,
+        "text_readability": q_text_readability,
+        "text_textrank": q_text_textrank,
+        "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10092,6 +10194,83 @@ def oracle_sql() -> dict[str, str]:
         {", ".join(_bt_iters)}
         SELECT p3.item, wins::BIGINT AS wins, round(p, 6) AS strength
         FROM p3 JOIN wins USING(item)
+    """
+
+    s["text_readability"] = """
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(lower(trim(text)),
+                                                     '\\s+'),
+                               t -> t <> ''))::BIGINT AS n_words,
+               greatest(len(regexp_extract_all(text, '[.!?]+')),
+                        1)::BIGINT AS n_sents,
+               len(regexp_extract_all(lower(text),
+                                      '[aeiouy]+'))::BIGINT AS n_syll,
+               round(206.835
+                     - 1.015 * (greatest(n_words, 1)::DOUBLE / n_sents)
+                     - 84.6 * (n_syll::DOUBLE / greatest(n_words, 1)),
+                     4) AS flesch_ease,
+               round(0.39 * (greatest(n_words, 1)::DOUBLE / n_sents)
+                     + 11.8 * (n_syll::DOUBLE / greatest(n_words, 1))
+                     - 15.59, 4) AS fk_grade
+        FROM documents
+    """
+
+    # TextRank: bigram adjacency from the raw token stream, content-word
+    # + support cuts, then the SAME PageRank unroll as dedup_pagerank
+    # (CTE names match _pr_stages' references), rounded-before-rank top-30
+    s["text_textrank"] = f"""
+        WITH toks AS ({_TOKS}),
+        bg AS (SELECT unnest(
+                 CASE WHEN len(tokens) >= 2
+                      THEN [array_to_string(tokens[i:i+1], ' ')
+                            FOR i IN range(1, len(tokens))]
+                      ELSE []::VARCHAR[] END) AS gram
+               FROM toks),
+        ab AS (SELECT split_part(gram, ' ', 1) AS a,
+                      split_part(gram, ' ', 2) AS b
+               FROM bg),
+        cw AS (SELECT a, b FROM ab
+               WHERE length(a) >= 3 AND length(b) >= 3
+                 AND NOT list_contains({_STOP_SQL}, a)
+                 AND NOT list_contains({_STOP_SQL}, b)
+                 AND a <> b),
+        und AS (SELECT least(a, b) AS u, greatest(a, b) AS v
+                FROM cw GROUP BY 1, 2 HAVING count(*) >= 3),
+        pr_edges AS (SELECT u AS src, v AS dst FROM und
+                     UNION ALL SELECT v, u FROM und),
+        allnodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+        nn AS (SELECT count(*)::DOUBLE AS n_n FROM allnodes),
+        deg AS (SELECT src AS node, count(*)::DOUBLE AS _deg
+                FROM pr_edges GROUP BY 1),
+        r0 AS (SELECT node, 1.0 / (SELECT n_n FROM nn) AS rank
+               FROM allnodes),{_pr_stages}
+        fin AS (SELECT node, round(rank, 9) AS rank FROM {_prev}),
+        rk AS (SELECT node, rank,
+                      row_number() OVER (ORDER BY rank DESC, node) AS rn
+               FROM fin)
+        SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["rel_sorted_neighborhood"] = """
+        WITH b AS (
+            SELECT c_custkey AS a_id, c_name AS a_key,
+                   substr(c_name, 10, 4) AS p
+            FROM customer),
+        l AS (
+            SELECT a_id, a_key,
+                   lead(a_id, 1) OVER w AS id1,
+                   lead(a_key, 1) OVER w AS k1,
+                   lead(a_id, 2) OVER w AS id2,
+                   lead(a_key, 2) OVER w AS k2
+            FROM b WINDOW w AS (PARTITION BY p ORDER BY a_key, a_id)),
+        u AS (
+            SELECT a_id, a_key, id1 AS b_id, k1 AS b_key, 1 AS off
+            FROM l WHERE id1 IS NOT NULL
+            UNION ALL
+            SELECT a_id, a_key, id2, k2, 2 FROM l WHERE id2 IS NOT NULL)
+        SELECT a_id, b_id, a_key, b_key, off::INT AS offset,
+               levenshtein(a_key, b_key)::INT AS distance
+        FROM u WHERE levenshtein(a_key, b_key) <= 2
     """
 
     # evaluation_table, rag_hybrid_mmr: intentionally omitted — wall-clock

@@ -1082,3 +1082,47 @@ def heaps_fit(
         F.round(F.exp("_icpt"), 6).alias("k"),
         F.round("_r2", 6).alias("r2"),
     )
+
+
+def sentence_count(c: Column | str) -> Column:
+    """Sentence count as terminal-punctuation runs ([.!?]+), floored at
+    1 — the denominator convention readability formulas need (a doc with
+    no terminal punctuation is one long sentence, not zero)."""
+    return F.greatest(
+        F.regexp_count(_col(c), F.lit(r"[.!?]+")), F.lit(1)
+    )
+
+
+def syllable_count(c: Column | str) -> Column:
+    """Syllable estimate: vowel-group runs ([aeiouy]+) over the
+    lowercased text — the classic cheap estimator (whole-text count
+    equals the per-word sum because tokens are separated by
+    non-letters). Exact integer, engine-portable regex."""
+    return F.regexp_count(F.lower(_col(c)), F.lit(r"[aeiouy]+"))
+
+
+def readability(text: Column | str) -> dict:
+    """Flesch reading-ease and Flesch-Kincaid grade from the three
+    exact integer counts (words, sentences, syllable runs):
+
+        ease  = 206.835 − 1.015·(W/S) − 84.6·(Y/W)
+        grade = 0.39·(W/S) + 11.8·(Y/W) − 15.59
+
+    Returns named Columns (counts exact; scores are two divisions +
+    literals, rounded by the caller). The quality-scoring companion of
+    ``quality_score`` with a published, cross-engine-checkable formula
+    (Kincaid et al. 1975). Division guards: W floored at 1."""
+    text = _col(text)
+    w = token_count(text).cast("double")
+    s = sentence_count(text).cast("double")
+    y = syllable_count(text).cast("double")
+    w1 = F.greatest(w, F.lit(1.0))
+    wps = w1 / s
+    ypw = y / w1
+    return {
+        "n_words": w.cast("long"),
+        "n_sents": s.cast("long"),
+        "n_syll": y.cast("long"),
+        "flesch_ease": F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * ypw,
+        "fk_grade": F.lit(0.39) * wps + F.lit(11.8) * ypw - F.lit(15.59),
+    }

@@ -22,7 +22,7 @@ Scale design notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.functions import hashing as H
@@ -1600,3 +1600,73 @@ def containment_pairs(
         F.round(F.col("common") / F.col("nb"), 6).alias("containment"),
     )
     return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    key_col: str,
+    partition_expr: Column,
+    window_size: int = 3,
+    max_distance: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo 1995):
+    sort records by the match key and compare each record only with the
+    next ``window_size − 1`` records — the OTHER classic blocking
+    pattern, catching near-sorted-adjacent dups that a prefix block
+    splits (``blocked_fuzzy_pairs``'s complement; production linkage
+    runs both passes and unions candidates).
+
+    The sort runs WITHIN ``partition_expr`` groups (e.g. first letter),
+    not globally — a global window would serialize on one task (the
+    rel_gini discipline). Pairs that straddle a partition boundary are
+    missed, the documented multi-pass-SNM recall contract: vary the
+    key/partition across passes to recover them.
+
+    Scale shape: ONE shuffle on the partition key, window ``lead``s are
+    expression-level (no self-join, no fan-out beyond w−1 rows per
+    record), Levenshtein JVM-side. Ordering is total on
+    (key, id) so candidate sets are engine-reproducible. Returns
+    (a_id, b_id, a_key, b_key, offset, distance ≤ max_distance).
+    """
+    base = df.select(
+        F.col(id_col).alias("a_id"),
+        F.col(key_col).alias("a_key"),
+        partition_expr.alias("_p"),
+    )
+    w = Window.partitionBy("_p").orderBy("a_key", "a_id")
+    leads = base.select(
+        "a_id",
+        "a_key",
+        *[
+            F.lead("a_id", j).over(w).alias(f"_id{j}")
+            for j in range(1, window_size)
+        ],
+        *[
+            F.lead("a_key", j).over(w).alias(f"_k{j}")
+            for j in range(1, window_size)
+        ],
+    )
+    pairs = leads.select(
+        "a_id",
+        "a_key",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.col(f"_id{j}") for j in range(1, window_size)]),
+                F.array(*[F.col(f"_k{j}") for j in range(1, window_size)]),
+                F.array(*[F.lit(j) for j in range(1, window_size)]),
+            )
+        ).alias("p"),
+    ).select(
+        "a_id",
+        "a_key",
+        F.col("p.0").alias("b_id"),
+        F.col("p.1").alias("b_key"),
+        F.col("p.2").alias("offset"),
+    )
+    return (
+        pairs.filter(F.col("b_id").isNotNull())
+        .withColumn("distance", F.levenshtein("a_key", "b_key"))
+        .filter(F.col("distance") <= max_distance)
+        .select("a_id", "b_id", "a_key", "b_key", "offset", "distance")
+    )

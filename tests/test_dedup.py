@@ -792,3 +792,36 @@ def test_bfs_levels_path_with_branch(spark):
     cyc = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src int, dst int")
     out2 = {r.node: r.dist for r in bfs_levels(cyc, src, 4).collect()}
     assert out2 == {1: 0, 2: 1, 3: 1}
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    from clinical_vector_search_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+    from pyspark.sql import functions as SF
+
+    rows = [
+        (1, "smith"), (2, "smyth"), (3, "smith"), (4, "zzzzz"),
+        (5, "bmith"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, name string")
+    out = sorted_neighborhood_pairs(
+        df, "name", SF.lit("all"), window_size=3, max_distance=1
+    ).collect()
+    got = {(r.a_id, r.b_id, r.offset, r.distance) for r in out}
+    # sort order (name, id): bmith(5), smith(1), smith(3), smyth(2), zzzzz(4)
+    # w=3 candidates: (5,1),(5,3),(1,3),(1,2),(3,2),(2,4)
+    assert got == {
+        (5, 1, 1, 1),   # bmith->smith
+        (5, 3, 2, 1),
+        (1, 3, 1, 0),   # exact dup adjacent
+        (1, 2, 2, 1),
+        (3, 2, 1, 1),
+        # (2,4) zzzzz distance 5 filtered
+    }
+    # partition boundary: splitting 'b*' from 's*' drops the cross pairs
+    out2 = sorted_neighborhood_pairs(
+        df, "name", SF.substring("name", 1, 1), window_size=3, max_distance=1
+    ).collect()
+    got2 = {(r.a_id, r.b_id) for r in out2}
+    assert got2 == {(1, 3), (1, 2), (3, 2)}

@@ -708,3 +708,27 @@ def test_heaps_fit_numpy_parity_and_beta_range(spark):
     assert abs(r.k - round(float(np.exp(icpt)), 6)) < 1e-4
     assert 0.45 < r.beta < 0.55  # int() floors keep it near 0.5
     assert r.r2 > 0.999
+
+
+def test_readability_hand_counts(spark):
+    from clinical_vector_search_spark.functions.text import readability
+
+    txt = "The cat sat. The dog ran! Was it fun?"
+    # words=9, sentence runs=3, vowel groups: e,a,a,e,o,a,a,i,u -> 9
+    df = spark.createDataFrame([(1, txt)], "doc_id int, text string")
+    r = readability(F.col("text"))
+    out = df.select(
+        r["n_words"].alias("w"),
+        r["n_sents"].alias("s"),
+        r["n_syll"].alias("y"),
+        F.round(r["flesch_ease"], 4).alias("ease"),
+        F.round(r["fk_grade"], 4).alias("grade"),
+    ).collect()[0]
+    assert out["w"] == 9 and out["s"] == 3 and out["y"] == 9
+    ease = 206.835 - 1.015 * (9 / 3) - 84.6 * (9 / 9)
+    grade = 0.39 * (9 / 3) + 11.8 * (9 / 9) - 15.59
+    assert out["ease"] == pytest.approx(ease, abs=1e-3)
+    assert out["grade"] == pytest.approx(grade, abs=1e-3)
+    # no terminal punctuation -> one sentence, not div-by-zero
+    df2 = spark.createDataFrame([(2, "just words here")], "doc_id int, text string")
+    assert df2.select(r["n_sents"].alias("s")).collect()[0]["s"] == 1
