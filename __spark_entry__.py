@@ -5311,6 +5311,30 @@ def q_rel_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (§2.7 — the frame type ROWS can't express):
+    per-user trailing-1-hour event count and value sum, frame bounds on
+    the integer-ns order key so peers (equal timestamps) enter the frame
+    identically in every engine. The sum accumulates EXACT integer cents
+    (a double sum's order drift can't leak into the hash); one user-key
+    shuffle, no joins."""
+    e = _events(spark, sf_dir)
+    hour_ns = 3_600_000_000_000
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns")
+        .rangeBetween(-hour_ns, 0)
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts_ns",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        (F.sum(cents).over(w) / F.lit(100.0)).alias("sum_1h"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5432,6 +5456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": q_text_readability,
         "text_textrank": q_text_textrank,
         "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
+        "events_range_window": q_events_range_window,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10249,6 +10274,16 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY rank DESC, node) AS rn
                FROM fin)
         SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["events_range_window"] = """
+        SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
+               count(*) OVER w AS n_1h,
+               sum(round(value * 100)::BIGINT) OVER w / 100.0 AS sum_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts)
+                     RANGE BETWEEN 3600000000000 PRECEDING
+                               AND CURRENT ROW)
     """
 
     s["rel_sorted_neighborhood"] = """
