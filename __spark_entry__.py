@@ -5335,6 +5335,35 @@ def q_events_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto-frontier preference query (operators/skyline.py
+    skyline_2d, Börzsönyi ICDE'01): suppliers not dominated on
+    (total revenue, account balance). The Spark path is TWO window
+    maxima over ONE sort at supplier granularity — O(n log n), zero
+    joins — while the oracle runs the textbook O(n²) NOT-EXISTS self
+    join; both must emit the identical frontier. Revenue is summed as
+    exact integer cents so the strict-greater RANGE frame is never an
+    ulp lottery."""
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("rev_cents")
+    )
+    cand = s.join(
+        F.broadcast(rev), s.s_suppkey == rev.l_suppkey
+    ).select("s_suppkey", "s_name", "rev_cents", "s_acctbal")
+    return skyline_2d(cand, "rev_cents", "s_acctbal").select(
+        "s_suppkey",
+        "s_name",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5459,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_textrank": q_text_textrank,
         "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
         "events_range_window": q_events_range_window,
+        "rel_skyline": q_rel_skyline,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10276,6 +10306,26 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY rank DESC, node) AS rn
                FROM fin)
         SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["rel_skyline"] = """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(round(l_extendedprice * 100)::BIGINT) AS rev_cents
+            FROM lineitem GROUP BY 1),
+        cand AS (
+            SELECT s_suppkey, s_name, rev_cents, s_acctbal
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey)
+        SELECT s_suppkey, s_name,
+               rev_cents / 100.0 AS revenue,
+               round(s_acctbal, 2) AS s_acctbal
+        FROM cand q
+        WHERE NOT EXISTS (
+            SELECT 1 FROM cand p
+            WHERE p.rev_cents >= q.rev_cents
+              AND p.s_acctbal >= q.s_acctbal
+              AND (p.rev_cents > q.rev_cents
+                   OR p.s_acctbal > q.s_acctbal))
     """
 
     s["events_range_window"] = """

@@ -1158,3 +1158,30 @@ def test_hll_overlap_calibration(spark):
     assert (r.exact_a, r.exact_b, r.exact_overlap) == (1000, 1000, 500)
     assert abs(r.est_overlap - 500) < 60
     assert abs(r.abs_err - abs(r.est_overlap - 500)) < 1e-6
+
+
+def test_skyline_2d_matches_quadratic_reference(spark):
+    import itertools
+
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    pts = [
+        (1, 10, 1.0), (2, 9, 5.0), (3, 9, 5.0), (4, 8, 9.0),
+        (5, 10, 0.5), (6, 7, 9.0), (7, 10, 1.0), (8, 1, 1.0),
+    ]
+    df = spark.createDataFrame(pts, "id int, x long, y double")
+    got = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+
+    def dominated(q):
+        return any(
+            p[1] >= q[1] and p[2] >= q[2]
+            and (p[1] > q[1] or p[2] > q[2])
+            for p in pts if p[0] != q[0]
+            # exact duplicates dominate neither
+            and not (p[1] == q[1] and p[2] == q[2])
+        )
+
+    want = sorted(q[0] for q in pts if not dominated(q))
+    assert got == want
+    # duplicates (1,7) both survive; (5) dominated by them; (8) dominated
+    assert 1 in got and 7 in got and 5 not in got and 8 not in got
