@@ -5364,6 +5364,34 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cumulative_uniques(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """New-user growth curve: per first-seen day, new users and the
+    running cumulative unique-user count — the growth metric every
+    ops dashboard opens with, and the window-COUNT-DISTINCT pattern
+    (not supported natively as a window) done right: distinct is
+    resolved ONCE at user granularity (min first day per user), so the
+    running sum is a plain window cumsum at day granularity, exact
+    integers. One user-key shuffle total; the DAU/WAU entry's
+    cumulative complement."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.expr("ts_ns div 86400000000000")).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("new_users"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5489,6 +5517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
         "events_range_window": q_events_range_window,
         "rel_skyline": q_rel_skyline,
+        "events_cumulative_uniques": q_events_cumulative_uniques,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10306,6 +10335,20 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY rank DESC, node) AS rn
                FROM fin)
         SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["events_cumulative_uniques"] = """
+        WITH fd AS (
+            SELECT user_id,
+                   min(epoch_ns(ts) // 86400000000000) AS day
+            FROM events GROUP BY user_id),
+        daily AS (
+            SELECT day, count(*) AS new_users FROM fd GROUP BY day)
+        SELECT day, new_users,
+               sum(new_users) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW)::BIGINT AS cum_users
+        FROM daily
     """
 
     s["rel_skyline"] = """
