@@ -5239,52 +5239,19 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream (expression-level slice/zip, no position self-join), content
     words only (len ≥ 3, non-stopword), support-cut ≥ 3 so the graph is
     vocabulary-sized; then the SAME 5-iteration dangling-mass PageRank
-    as dedup_pagerank (operators/graph.py) and a rounded-before-rank
-    top-30. The oracle reuses the identical iteration unroll."""
-    from clinical_vector_search_spark.functions import text as TXT
-    from clinical_vector_search_spark.operators.graph import pagerank
+    as dedup_pagerank (operators/graph.py textrank_keywords) and a
+    rounded-before-rank top-30. The oracle reuses the identical
+    iteration unroll."""
+    from clinical_vector_search_spark.operators.graph import (
+        textrank_keywords,
+    )
 
-    docs = _docs(spark, sf_dir)
-    toks = docs.select(TXT.tokenize("text").alias("t")).filter(
-        F.size("t") >= 2
-    )
-    bi = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.expr("slice(t, 1, size(t) - 1)"),
-                F.expr("slice(t, 2, size(t) - 1)"),
-            )
-        ).alias("p")
-    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-    stop = F.array(*[F.lit(w) for w in TXT.STOPWORDS])
-    content = (
-        (F.length("a") >= 3)
-        & (F.length("b") >= 3)
-        & ~F.array_contains(stop, F.col("a"))
-        & ~F.array_contains(stop, F.col("b"))
-        & (F.col("a") != F.col("b"))
-    )
-    und = (
-        bi.filter(content)
-        .groupBy(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-        .agg(F.count("*").alias("n"))
-        .filter(F.col("n") >= 3)
-    )
-    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
-        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    pr = pagerank(
-        nodes, edges, n_iter=PAGERANK_ITER, damping=PAGERANK_DAMP
-    )
-    w = Window.orderBy(F.desc("rank"), "node")
-    return (
-        pr.select("node", F.round("rank", 9).alias("rank"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 30)
-        .select(F.col("node").alias("term"), "rank", F.col("rn").cast("int").alias("rn"))
+    return textrank_keywords(
+        _docs(spark, sf_dir),
+        min_support=3,
+        top_k=30,
+        n_iter=PAGERANK_ITER,
+        damping=PAGERANK_DAMP,
     )
 
 

@@ -279,3 +279,69 @@ def kcore(
         .groupBy("node")
         .agg(F.count("*").cast("long").alias("core_deg"))
     )
+
+
+def textrank_keywords(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_support: int = 3,
+    top_k: int = 30,
+    n_iter: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word-adjacency graph. Bigram edges come from the raw token
+    stream by expression-level slice/zip (no position self-join);
+    content words only (len ≥ 3, non-stopword); undirected support cut
+    at ``min_support`` bounds the graph to vocabulary size — so the
+    iterations run at VOCABULARY granularity no matter the corpus size,
+    and only the one bigram aggregation scales with tokens. Output:
+    (term, rank, rn) for the rounded-before-rank top ``top_k``.
+    """
+    from pyspark.sql import Window
+
+    from clinical_vector_search_spark.functions import text as TXT
+
+    toks = docs.select(TXT.tokenize(text_col).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bi = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.expr("slice(t, 1, size(t) - 1)"),
+                F.expr("slice(t, 2, size(t) - 1)"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    stop = F.array(*[F.lit(w) for w in TXT.STOPWORDS])
+    content = (
+        (F.length("a") >= 3)
+        & (F.length("b") >= 3)
+        & ~F.array_contains(stop, F.col("a"))
+        & ~F.array_contains(stop, F.col("b"))
+        & (F.col("a") != F.col("b"))
+    )
+    und = (
+        bi.filter(content)
+        .groupBy(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= min_support)
+    )
+    edges = und.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(und.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    pr = pagerank(nodes, edges, n_iter=n_iter, damping=damping)
+    w = Window.orderBy(F.desc("rank"), "node")
+    return (
+        pr.select("node", F.round("rank", 9).alias("rank"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .select(
+            F.col("node").alias("term"),
+            "rank",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )

@@ -284,6 +284,23 @@ def main() -> None:
         )
     log(f"dsir: {out['dsir_1x_sec']}s -> {out['dsir_10x_sec']}s")
 
+    # --- TextRank growth (r8) ------------------------------------------
+    # 10x docs with a SHARED vocabulary: distinct content-word bigrams
+    # (the graph) stay vocabulary-bound while supports grow 10x, so the
+    # pagerank iterations must cost ~the same at both scales and only
+    # the one bigram aggregation may track tokens (~linear) — the claim
+    # in textrank_keywords' docstring
+    from clinical_vector_search_spark.operators.graph import (
+        textrank_keywords,
+    )
+
+    for label, d in (("1x", docs1), ("10x", docs10)):
+        out[f"textrank_{label}_sec"] = timed2(
+            lambda: textrank_keywords(d, min_support=3, top_k=30)
+        )
+    log(f"textrank: {out['textrank_1x_sec']}s -> "
+        f"{out['textrank_10x_sec']}s")
+
     print(json.dumps(out))
 
 
