@@ -297,6 +297,12 @@ def textrank_keywords(
     iterations run at VOCABULARY granularity no matter the corpus size,
     and only the one bigram aggregation scales with tokens. Output:
     (term, rank, rn) for the rounded-before-rank top ``top_k``.
+
+    Scale rule (probe-measured, README §scale-probe): ``min_support``
+    must scale WITH the corpus — supports grow linearly in corpus size,
+    so a fixed cut admits ever more of the bigram tail and the graph
+    (hence the PageRank stages) grows with it; scaled proportionally,
+    the graph is size-invariant and only the bigram agg tracks tokens.
     """
     from pyspark.sql import Window
 
