@@ -5359,6 +5359,117 @@ def q_events_cumulative_uniques(
     )
 
 
+def q_events_churn_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-label generation — the supervised-dataset builder every
+    retention model starts from: features from the window BEFORE a
+    cutoff (7 days before corpus max), label = no activity after it.
+    The cutoff is a 1-row broadcast stat frame (never a driver
+    constant), features are exact integer counts / floor-div days in
+    ONE user-key aggregation pass, and the cohort excludes users with
+    no pre-cut history (no features to learn from). Leakage-safe by
+    construction: every feature reads strictly pre-cut events."""
+    e = _events(spark, sf_dir)
+    week_ns = 7 * 86_400 * 10**9
+    cut = e.agg((F.max("ts_ns") - F.lit(week_ns)).alias("cut_ns"))
+    before = F.col("ts_ns") < F.col("cut_ns")
+    per_user = (
+        e.crossJoin(F.broadcast(cut))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(before, 1).otherwise(0)).alias("n_before"),
+            F.sum(
+                F.when(
+                    before & (F.col("event_type") == "purchase"), 1
+                ).otherwise(0)
+            ).alias("n_purchases_before"),
+            F.countDistinct(
+                F.when(before, F.expr("ts_ns div 86400000000000"))
+            ).alias("days_active_before"),
+            F.max(F.when(before, F.col("ts_ns"))).alias("last_before"),
+            F.max(F.when(~before, 1).otherwise(0)).alias("active_after"),
+            F.max("cut_ns").alias("cut_ns"),
+        )
+    )
+    return per_user.filter(F.col("n_before") > 0).select(
+        "user_id",
+        "n_before",
+        "n_purchases_before",
+        "days_active_before",
+        F.expr("(cut_ns - last_before) div 86400000000000").alias(
+            "recency_days"
+        ),
+        (F.lit(1) - F.col("active_after")).cast("int").alias("churned"),
+    )
+
+
+def q_events_session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-session detection by Markov log-likelihood: sessions
+    whose event-type transition sequence is least probable under the
+    corpus-wide first-order transition model — the sequence-level
+    composition of events_sessionize and events_markov_transitions.
+    Transitions never cross a session boundary (lead guarded by the
+    session id); the 5×5 probability table broadcasts; per-session
+    score = mean ln p over its transitions, rounded before the
+    bottom-20 rank with a total (score, user, session) tie-break."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = SESSION_GAP_SEC * 1_000_000_000
+    st = e.select(
+        "user_id",
+        "event_id",
+        "ts_ns",
+        "event_type",
+        F.sum(
+            F.when(
+                F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns, 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    trans = st.select(
+        "user_id",
+        "session_seq",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+        F.lead("session_seq").over(w).alias("to_seq"),
+    ).filter(
+        F.col("to_type").isNotNull()
+        & (F.col("to_seq") == F.col("session_seq"))
+    )
+    counts = trans.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = Window.partitionBy("from_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    probs = counts.select(
+        "from_type",
+        "to_type",
+        (F.col("n").cast("double") / F.sum("n").over(tot)).alias("p"),
+    )
+    scored = (
+        trans.join(F.broadcast(probs), ["from_type", "to_type"])
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.round(F.avg(F.log("p")), 6).alias("avg_logp"),
+        )
+    )
+    wr = Window.orderBy("avg_logp", "user_id", "session_seq")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "user_id",
+            F.col("session_seq").cast("long").alias("session_seq"),
+            "n_trans",
+            "avg_logp",
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5485,6 +5596,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_window": q_events_range_window,
         "rel_skyline": q_rel_skyline,
         "events_cumulative_uniques": q_events_cumulative_uniques,
+        "events_churn_labels": q_events_churn_labels,
+        "events_session_anomaly": q_events_session_anomaly,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10302,6 +10415,72 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY rank DESC, node) AS rn
                FROM fin)
         SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["events_churn_labels"] = """
+        WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts_ns
+                   FROM events),
+        c AS (SELECT max(ts_ns) - 604800000000000 AS cut FROM e),
+        pu AS (
+            SELECT user_id,
+                   sum(CASE WHEN ts_ns < cut THEN 1 ELSE 0 END)::BIGINT
+                       AS n_before,
+                   sum(CASE WHEN ts_ns < cut AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS n_purchases_before,
+                   count(DISTINCT CASE WHEN ts_ns < cut
+                                       THEN ts_ns // 86400000000000
+                                  END)::BIGINT AS days_active_before,
+                   max(CASE WHEN ts_ns < cut THEN ts_ns END)
+                       AS last_before,
+                   max(CASE WHEN ts_ns >= cut THEN 1 ELSE 0 END)
+                       AS active_after,
+                   max(cut) AS cut2
+            FROM e, c GROUP BY user_id)
+        SELECT user_id, n_before, n_purchases_before, days_active_before,
+               ((cut2 - last_before) // 86400000000000)::BIGINT
+                   AS recency_days,
+               (1 - active_after)::INT AS churned
+        FROM pu WHERE n_before > 0
+    """
+
+    s["events_session_anomaly"] = f"""
+        WITH e AS (SELECT user_id, event_id, event_type,
+                          epoch_ns(ts) AS ts_ns FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER w
+                                  > {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_ns, event_id)),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                             ORDER BY ts_ns, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+               FROM l),
+        tr AS (SELECT user_id, session_seq,
+                      event_type AS from_type,
+                      lead(event_type) OVER w2 AS to_type,
+                      lead(session_seq) OVER w2 AS to_seq
+               FROM st WINDOW w2 AS (PARTITION BY user_id
+                                     ORDER BY ts_ns, event_id)),
+        tg AS (SELECT * FROM tr
+               WHERE to_type IS NOT NULL AND to_seq = session_seq),
+        cnt AS (SELECT from_type, to_type, count(*) AS n FROM tg
+                GROUP BY 1, 2),
+        tt AS (SELECT from_type, sum(n) AS tot FROM cnt GROUP BY 1),
+        pr AS (SELECT cnt.from_type, cnt.to_type,
+                      cnt.n / tot::DOUBLE AS p
+               FROM cnt JOIN tt USING (from_type)),
+        sc AS (SELECT user_id, session_seq,
+                      count(*)::BIGINT AS n_trans,
+                      round(avg(ln(p)), 6) AS avg_logp
+               FROM tg JOIN pr USING (from_type, to_type)
+               GROUP BY 1, 2),
+        rk AS (SELECT *, row_number() OVER (
+                   ORDER BY avg_logp, user_id, session_seq) AS rn
+               FROM sc)
+        SELECT user_id, session_seq::BIGINT AS session_seq, n_trans,
+               avg_logp, rn::INT AS rn
+        FROM rk WHERE rn <= 20
     """
 
     s["events_cumulative_uniques"] = """
