@@ -5470,6 +5470,59 @@ def q_events_session_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI MERGE INTO emulation (operators/temporal.py merge_upsert):
+    one deterministic changelog (updates %7, deletes %11, inserts %13
+    with offset keys) merged into customer in ONE full-outer join +
+    CASE routing — matched rows update, delete-flagged rows drop
+    (source-only deletes are no-ops, as SQL MERGE requires), source-only
+    rows insert, target-only rows pass through. The upsert surface OSS
+    Spark ships only with a lakehouse format, here as plain relational
+    algebra; the oracle spells the same MERGE as LEFT JOIN + anti-insert
+    branches."""
+    from clinical_vector_search_spark.operators.temporal import (
+        merge_upsert,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    k = F.col("c_custkey")
+    upd = c.filter((k % 7 == 0) & (k % 11 != 0)).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        (F.col("c_acctbal") + 10.0).alias("c_acctbal"),
+        "c_mktsegment",
+        F.lit(False).alias("is_del"),
+    )
+    dele = c.filter(k % 11 == 0).select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_acctbal",
+        "c_mktsegment",
+        F.lit(True).alias("is_del"),
+    )
+    ins = c.filter(k % 13 == 0).select(
+        (k + 10_000_000).alias("c_custkey"),
+        F.concat(F.lit("NEW#"), k.cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("NEW").alias("c_mktsegment"),
+        F.lit(False).alias("is_del"),
+    )
+    src = upd.unionByName(dele).unionByName(ins)
+    merged = merge_upsert(
+        c, src, ["c_custkey"], delete_condition=F.col("is_del")
+    )
+    return merged.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        F.round("c_acctbal", 2).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5598,6 +5651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cumulative_uniques": q_events_cumulative_uniques,
         "events_churn_labels": q_events_churn_labels,
         "events_session_anomaly": q_events_session_anomaly,
+        "rel_merge_upsert": q_rel_merge_upsert,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10415,6 +10469,48 @@ def oracle_sql() -> dict[str, str]:
                       row_number() OVER (ORDER BY rank DESC, node) AS rn
                FROM fin)
         SELECT node AS term, rank, rn::INT AS rn FROM rk WHERE rn <= 30
+    """
+
+    s["rel_merge_upsert"] = """
+        WITH src AS (
+            SELECT c_custkey, c_name, c_nationkey,
+                   c_acctbal + 10.0 AS c_acctbal, c_mktsegment,
+                   FALSE AS is_del
+            FROM customer
+            WHERE c_custkey % 7 = 0 AND c_custkey % 11 <> 0
+            UNION ALL
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal,
+                   c_mktsegment, TRUE
+            FROM customer WHERE c_custkey % 11 = 0
+            UNION ALL
+            SELECT c_custkey + 10000000,
+                   'NEW#' || c_custkey::VARCHAR, c_nationkey, 0.0,
+                   'NEW', FALSE
+            FROM customer WHERE c_custkey % 13 = 0),
+        kept AS (
+            SELECT t.c_custkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN s.c_name ELSE t.c_name END AS c_name,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN s.c_nationkey
+                        ELSE t.c_nationkey END AS c_nationkey,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN s.c_acctbal ELSE t.c_acctbal END AS c_acctbal,
+                   CASE WHEN s.c_custkey IS NOT NULL
+                        THEN s.c_mktsegment
+                        ELSE t.c_mktsegment END AS c_mktsegment
+            FROM customer t LEFT JOIN src s
+              ON t.c_custkey = s.c_custkey
+            WHERE coalesce(s.is_del, FALSE) = FALSE),
+        ins AS (
+            SELECT s.c_custkey, s.c_name, s.c_nationkey, s.c_acctbal,
+                   s.c_mktsegment
+            FROM src s LEFT JOIN customer t
+              ON s.c_custkey = t.c_custkey
+            WHERE t.c_custkey IS NULL AND NOT s.is_del)
+        SELECT c_custkey, c_name, c_nationkey,
+               round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+        FROM (SELECT * FROM kept UNION ALL SELECT * FROM ins) z
     """
 
     s["events_churn_labels"] = """

@@ -288,3 +288,79 @@ def scd2_merge(
     return closed.select(
         key_col, *tracked, "valid_from", "valid_to"
     ).unionByName(versions)
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    update_cols: list[str] | None = None,
+    delete_condition=None,
+) -> DataFrame:
+    """ANSI ``MERGE INTO`` emulation over plain DataFrames — the upsert
+    surface OSS Spark only ships with a lakehouse format, expressed as
+    ONE full-outer join + CASE routing (no second pass, no per-clause
+    scans):
+
+    - matched + ``delete_condition`` (on source columns) → row dropped;
+    - matched otherwise → target row with ``update_cols`` taken from
+      the source (WHEN MATCHED THEN UPDATE SET ...);
+    - source-only → inserted (WHEN NOT MATCHED THEN INSERT);
+    - target-only → kept unchanged.
+
+    ``update_cols`` defaults to every non-key column the frames share.
+    Keys must be non-null on both sides (null-keyed rows can't match —
+    the same contract as SQL MERGE). Returns the merged frame; callers
+    write it (or hand it to write_audit_publish for gated publishing).
+
+    Scale shape: one key shuffle on each side — exactly the cost of the
+    join a MERGE compiles to; with both sides bucketed on the key it is
+    exchange-free. Source must be deduplicated on the key first (SQL
+    MERGE raises on multi-match; here the caller owns that contract —
+    compose with the latest-wins dedup when the source is a changelog).
+    """
+    if update_cols is None:
+        shared = set(target.columns) & set(source.columns)
+        update_cols = [c for c in target.columns
+                       if c in shared and c not in key_cols]
+    t = target.select(
+        *[F.col(c).alias(f"_t_{c}") for c in target.columns]
+    )
+    # delete_condition is written against SOURCE column names; evaluate
+    # it before the rename so callers never see the join-side aliases
+    if delete_condition is not None:
+        source = source.withColumn("_merge_del", delete_condition)
+    s = source.select(
+        *[F.col(c).alias(f"_s_{c}") for c in source.columns]
+    )
+    cond = None
+    for k in key_cols:
+        c = F.col(f"_t_{k}") == F.col(f"_s_{k}")
+        cond = c if cond is None else (cond & c)
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"_s_{key_cols[0]}").isNotNull() & F.col(
+        f"_t_{key_cols[0]}"
+    ).isNotNull()
+    src_only = F.col(f"_t_{key_cols[0]}").isNull()
+    if delete_condition is not None:
+        # matched + del → row dropped; source-only + del → no-op (SQL
+        # MERGE never inserts a delete); target-only rows carry a NULL
+        # flag and are kept
+        joined = joined.filter(
+            ~F.coalesce(F.col("_s__merge_del"), F.lit(False))
+        )
+    out_cols = []
+    for c in target.columns:
+        if c in key_cols:
+            out_cols.append(
+                F.coalesce(F.col(f"_t_{c}"), F.col(f"_s_{c}")).alias(c)
+            )
+        elif c in update_cols:
+            out_cols.append(
+                F.when(matched | src_only, F.col(f"_s_{c}"))
+                .otherwise(F.col(f"_t_{c}"))
+                .alias(c)
+            )
+        else:
+            out_cols.append(F.col(f"_t_{c}").alias(c))
+    return joined.select(*out_cols)

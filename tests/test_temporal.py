@@ -282,3 +282,44 @@ def test_scd2_asof_composition_equals_interval_containment(spark, sf_dir):
     b = sorted(map(tuple, via_containment.collect()))
     assert a == b and len(a) == probes.count()
     assert all(r[1] is not None for r in a)  # every event has a version
+
+
+def test_merge_upsert_four_clauses(spark):
+    from pyspark.sql import functions as SF
+
+    from clinical_vector_search_spark.operators.temporal import merge_upsert
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, bal double",
+    )
+    source = spark.createDataFrame(
+        [
+            (2, "b2", 22.0, False),   # matched update
+            (3, "c", 30.0, True),     # matched delete
+            (4, "d", 40.0, False),    # not-matched insert
+            (5, "e", 50.0, True),     # source-only delete -> no-op
+        ],
+        "id long, name string, bal double, is_del boolean",
+    )
+    out = {
+        r.id: r
+        for r in merge_upsert(
+            target, source, ["id"], delete_condition=SF.col("is_del")
+        ).collect()
+    }
+    assert set(out) == {1, 2, 4}
+    assert out[1].name == "a" and out[1].bal == 10.0        # untouched
+    assert out[2].name == "b2" and out[2].bal == 22.0       # updated
+    assert out[4].name == "d" and out[4].bal == 40.0        # inserted
+    # explicit update_cols: only bal updates, name keeps target value
+    out2 = {
+        r.id: r
+        for r in merge_upsert(
+            target, source.filter(~SF.col("is_del")), ["id"],
+            update_cols=["bal"],
+        ).collect()
+    }
+    assert out2[2].name == "b" and out2[2].bal == 22.0
+    assert out2[4].name is None and out2[4].bal == 40.0     # INSERT sets
+    # only the named columns; the rest are NULL (SQL MERGE contract)
