@@ -5523,6 +5523,41 @@ def q_rel_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_io_python_streamsource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Python Data Source (Spark 4 SimpleDataSourceStreamReader,
+    io/pysource.py SyntheticDocsStreamReader): the md5-deterministic
+    corpus delivered as row-cursor micro-batches (200+200+100), run as a
+    REAL streaming query into a memory sink until the bounded source
+    idles. Offsets are pure row indices, so replay (and checkpoint
+    recovery via readBetweenOffsets) regenerates bit-identical rows —
+    even streaming-source plumbing gets a full value-hash oracle. The
+    result must equal the BATCH reader's 500 rows exactly: same
+    generator, exactly-once across batch boundaries."""
+    from clinical_vector_search_spark.io.pysource import register
+
+    register(spark)
+    name = "synth_stream_entry"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 500)
+        .option("batch_rows", 200)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # materialize BEFORE returning: the memory sink's table lives only
+    # while the session does, but the checker collects immediately
+    return spark.table(name).select("doc_id", "text")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5652,6 +5687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_churn_labels": q_events_churn_labels,
         "events_session_anomaly": q_events_session_anomaly,
         "rel_merge_upsert": q_rel_merge_upsert,
+        "io_python_streamsource": q_io_python_streamsource,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7568,6 +7604,11 @@ def oracle_sql() -> dict[str, str]:
                    ' ' ORDER BY j) AS text
         FROM tok GROUP BY i
     """
+
+    # streaming python datasource: identical generator to the batch
+    # source — the oracle is the SAME md5 row synthesis; hash equality
+    # across 3 micro-batch boundaries IS the exactly-once check
+    s["io_python_streamsource"] = s["io_python_datasource"]
 
     # pure-SQL surface twin
     s["rel_sql_interface"] = """

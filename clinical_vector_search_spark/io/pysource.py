@@ -24,6 +24,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -76,6 +77,51 @@ class SyntheticDocsDataSource(DataSource):
 
     def reader(self, schema):
         return SyntheticDocsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return SyntheticDocsStreamReader(self.options)
+
+
+class SyntheticDocsStreamReader(SimpleDataSourceStreamReader):
+    """STREAMING half of the Spark 4 Python DataSource API
+    (``spark.readStream.format("synthetic_docs")``): the same
+    md5-deterministic corpus, delivered as a bounded sequence of
+    micro-batches of ``batch_rows`` each. Offsets are ``{"i": n}`` row
+    cursors — a pure function of batch count, so ANY replay (including
+    after checkpoint recovery, via ``readBetweenOffsets``) regenerates
+    bit-identical rows: exactly-once without a log, because the source
+    is content-addressed by row index. When the cursor reaches
+    ``rows``, ``read`` returns an empty batch with an unchanged offset
+    and the stream idles — ``processAllAvailable()`` then returns,
+    which is what makes the entry a bounded, driver-checkable replay.
+
+    Scale note: the Simple reader variant reads on the DRIVER by
+    design (Spark buffers the batch to executors); it is the right
+    shape for control-plane-ish sources (APIs, queues) — a
+    data-volume stream belongs on the partition-parallel
+    ``DataSourceStreamReader`` instead, exactly like the batch reader
+    above.
+    """
+
+    def __init__(self, options):
+        self.total = int(options.get("rows", 500))
+        self.batch = int(options.get("batch_rows", 200))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.total)
+        return iter([synth_row(i) for i in range(lo, hi)]), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(
+            [synth_row(i) for i in range(int(start["i"]), int(end["i"]))]
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
 
 
 def register(spark) -> None:

@@ -1185,3 +1185,40 @@ def test_skyline_2d_matches_quadratic_reference(spark):
     assert got == want
     # duplicates (1,7) both survive; (5) dominated by them; (8) dominated
     assert 1 in got and 7 in got and 5 not in got and 8 not in got
+
+
+def test_python_streamsource_batches_and_parity(spark):
+    # the streaming python source must deliver the batch source's exact
+    # rows across micro-batch boundaries (200+200+100), exactly once
+    from clinical_vector_search_spark.io.pysource import register
+
+    register(spark)
+    name = "synth_stream_test"
+    q = (
+        spark.readStream.format("synthetic_docs")
+        .option("rows", 500)
+        .option("batch_rows", 200)
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        batches = [
+            p["numInputRows"] for p in q.recentProgress
+            if p["numInputRows"] > 0
+        ]
+    finally:
+        q.stop()
+    streamed = spark.table(name)
+    batch = (
+        spark.read.format("synthetic_docs")
+        .option("rows", 500)
+        .option("partitions", 8)
+        .load()
+    )
+    assert batches == [200, 200, 100]
+    assert streamed.count() == 500
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
