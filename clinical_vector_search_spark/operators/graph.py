@@ -351,3 +351,58 @@ def textrank_keywords(
             F.col("rn").cast("int").alias("rn"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iter: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    2007): every node adopts the most frequent label among its
+    neighbors each round, ties broken by the SMALLEST label — the total
+    tie-break that makes the sweep deterministic and therefore
+    SQL-oracle-unrollable (classic LPA breaks ties randomly; determinism
+    is this repo's contract). Fixed ``n_iter`` rounds, localCheckpoint-
+    pinned (the PageRank/kcore discipline). Communities are denser than
+    connected components (``dedup_groups``) — a bridge edge doesn't
+    merge two tightly-knit clusters.
+
+    Scale shape per round: one neighbor-label equi-join (edge-key
+    shuffle) + a (node, label) count aggregation + a window argmax at
+    (node, label) granularity. Labels start as node ids; isolated nodes
+    never appear (no edges → no rows), matching the SQL spelling.
+
+    Output: (node, label) after the final round.
+    """
+    from pyspark.sql import Window
+
+    sym = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionAll(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct().localCheckpoint()
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint()
+    for _ in range(n_iter):
+        nbr = sym.join(
+            labels.select(
+                F.col("node").alias("b"), F.col("label").alias("nbr_label")
+            ),
+            "b",
+        ).select(F.col("a").alias("node"), F.col("nbr_label"))
+        cnt = nbr.groupBy("node", "nbr_label").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("n"), F.asc("nbr_label")
+        )
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("nbr_label").alias("label"))
+            .localCheckpoint()
+        )
+    return labels

@@ -825,3 +825,22 @@ def test_sorted_neighborhood_window_semantics(spark):
     ).collect()
     got2 = {(r.a_id, r.b_id) for r in out2}
     assert got2 == {(1, 3), (1, 2), (3, 2)}
+
+
+def test_label_propagation_two_cliques_with_bridge(spark):
+    # two 4-cliques joined by one bridge edge: LPA keeps them as two
+    # communities (a connected-components labeler would merge them)
+    from clinical_vector_search_spark.operators.graph import (
+        label_propagation,
+    )
+
+    k1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    k2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    edges = spark.createDataFrame(
+        k1 + k2 + [(4, 11)], "src int, dst int"
+    )
+    out = {r.node: r.label for r in label_propagation(edges, 3).collect()}
+    assert {out[n] for n in (1, 2, 3)} == {1}
+    assert {out[n] for n in (12, 13, 14)} == {11}
+    # the bridge endpoints belong to their own clique's community
+    assert out[4] == 1 and out[11] == 11
