@@ -5591,6 +5591,26 @@ def q_graph_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram-indexed substring search (operators/sparse.py
+    trigram_postings + trigram_search, the pg_trgm pattern): find docs
+    containing 'merge batch' by intersecting the pattern's 9 trigram
+    posting lists (lossless pruning — a containing doc necessarily has
+    every trigram), then exact-verifying ONLY the candidates. The
+    IN-list lands on the postings scan; the corpus-wide contains() scan
+    this replaces never runs."""
+    from clinical_vector_search_spark.operators.sparse import (
+        trigram_postings,
+        trigram_search,
+    )
+
+    docs = _docs(spark, sf_dir)
+    postings = trigram_postings(docs)
+    return trigram_search(postings, docs, "merge batch").select(
+        "doc_id", "n_chars"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5722,6 +5742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_merge_upsert": q_rel_merge_upsert,
         "io_python_streamsource": q_io_python_streamsource,
         "graph_communities": q_graph_communities,
+        "text_trigram_search": q_text_trigram_search,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7637,6 +7658,30 @@ def oracle_sql() -> dict[str, str]:
                            % 997),
                    ' ' ORDER BY j) AS text
         FROM tok GROUP BY i
+    """
+
+    # trigram search: the oracle mirrors the index route (postings
+    # intersection then exact verify), pattern trigrams inlined as the
+    # same literal list the Spark side pushes down
+    _tg_pats = sorted(
+        {"merge batch"[i:i + 3] for i in range(len("merge batch") - 2)}
+    )
+    _tg_list = "[" + ", ".join(f"'{g}'" for g in _tg_pats) + "]"
+    s["text_trigram_search"] = f"""
+        WITH tg AS (
+            SELECT doc_id, unnest(list_distinct(
+                [substr(lower(text), i, 3)
+                 FOR i IN range(1, greatest(length(lower(text)) - 1, 1))]
+            )) AS trigram
+            FROM documents),
+        cand AS (
+            SELECT doc_id FROM tg
+            WHERE list_contains({_tg_list}, trigram)
+            GROUP BY doc_id
+            HAVING count(DISTINCT trigram) = {len(_tg_pats)})
+        SELECT d.doc_id, d.n_chars
+        FROM documents d JOIN cand USING (doc_id)
+        WHERE contains(lower(d.text), 'merge batch')
     """
 
     # streaming python datasource: identical generator to the batch

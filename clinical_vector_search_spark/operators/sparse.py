@@ -138,3 +138,58 @@ def tfidf_cosine_topk(
             "query_id", "rank", F.col("doc").alias("doc_id"), "score"
         )
     )
+
+
+def trigram_postings(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Character-trigram posting list (pg_trgm style): one row per
+    (doc, DISTINCT lowercase trigram). The index that turns substring /
+    fuzzy search from a full corpus scan into a posting intersection —
+    the character-level sibling of the tf-idf term postings above.
+    Expression-level (transform over an index sequence, no UDF); docs
+    shorter than 3 chars contribute nothing (CASE-guarded: Spark's
+    sequence(1, 0) would DESCEND, not return empty)."""
+    grams = F.expr(
+        f"CASE WHEN length(lower({text_col})) >= 3 THEN "
+        f"array_distinct(transform(sequence(1, length(lower({text_col})) - 2), "
+        f"i -> substring(lower({text_col}), i, 3))) "
+        "ELSE array() END"
+    )
+    return docs.select(F.col(id_col), F.explode(grams).alias("trigram"))
+
+
+def trigram_search(
+    postings: DataFrame,
+    docs: DataFrame,
+    pattern: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Substring search through the trigram index: candidates are docs
+    whose postings contain ALL of the pattern's trigrams (a doc
+    containing the substring necessarily contains every one — pruning
+    is lossless), verified with an exact ``contains`` on the candidate
+    set only.
+
+    Scale shape: the pattern's trigrams are a literal IN-list pushed to
+    the postings scan; the intersection is one count-distinct agg at
+    candidate granularity; the expensive exact contains touches ONLY
+    candidates (semi-join), never the corpus. Patterns shorter than 3
+    chars have no trigrams — callers fall back to a scan (raised)."""
+    p = pattern.lower()
+    pats = sorted({p[i:i + 3] for i in range(len(p) - 2)})
+    if not pats:
+        raise ValueError("pattern must be >= 3 chars for trigram search")
+    cand = (
+        postings.filter(F.col("trigram").isin(pats))
+        .groupBy(id_col)
+        .agg(F.countDistinct("trigram").alias("_m"))
+        .filter(F.col("_m") == len(pats))
+        .select(id_col)
+    )
+    return docs.join(cand, id_col, "left_semi").filter(
+        F.contains(F.lower(F.col(text_col)), F.lit(p))
+    )

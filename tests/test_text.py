@@ -732,3 +732,39 @@ def test_readability_hand_counts(spark):
     # no terminal punctuation -> one sentence, not div-by-zero
     df2 = spark.createDataFrame([(2, "just words here")], "doc_id int, text string")
     assert df2.select(r["n_sents"].alias("s")).collect()[0]["s"] == 1
+
+
+def test_trigram_search_lossless_pruning(spark):
+    from clinical_vector_search_spark.operators.sparse import (
+        trigram_postings,
+        trigram_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha merge batch gamma"),
+            (2, "merge then batch"),          # has all trigrams? no 'e b'
+            (3, "MERGE BATCH upper case"),    # case-folded hit
+            (4, "no match at all"),
+            (5, "xx"),                        # shorter than a trigram
+        ],
+        "doc_id int, text string",
+    )
+    postings = trigram_postings(docs)
+    hits = sorted(
+        r.doc_id
+        for r in trigram_search(postings, docs, "merge batch").collect()
+    )
+    assert hits == [1, 3]
+    # ground truth: exact scan agrees (pruning is lossless)
+    truth = sorted(
+        r.doc_id
+        for r in docs.filter(
+            F.contains(F.lower("text"), F.lit("merge batch"))
+        ).collect()
+    )
+    assert hits == truth
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        trigram_search(postings, docs, "ab")
