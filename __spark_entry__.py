@@ -5611,6 +5611,82 @@ def q_text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_forecast_backtest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Walk-forward backtest of the two standard forecasting baselines
+    (the yardsticks any real model must beat): naive (yesterday's
+    count) and seasonal-naive (same weekday last week) over the daily
+    event-count series. Strictly causal by construction — predictions
+    are window lags, so no future value can leak into its own forecast;
+    scored only where the lag exists. One day-granularity frame after
+    one fact agg; errors on exact integer counts, only the final
+    MAE/MAPE divisions are float (6dp)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "y",
+        F.lag("y", 1).over(w).alias("naive"),
+        F.lag("y", 7).over(w).alias("snaive"),
+    )
+
+    def scores(pred, name):
+        ok = F.col(pred).isNotNull()
+        err = F.abs(F.col("y") - F.col(pred))
+        return lagged.filter(ok).agg(
+            F.lit(name).alias("method"),
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(
+                F.avg(err / F.greatest(F.col("y"), F.lit(1))), 6
+            ).alias("mape"),
+        )
+
+    return scores("naive", "naive").unionByName(
+        scores("snaive", "seasonal_naive")
+    )
+
+
+def q_rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution — the multi-pass composition the ER
+    literature prescribes and the repo's parts were built for: candidate
+    pairs from BOTH blocking strategies (prefix blocks via
+    blocked_fuzzy_pairs, sort-order neighbors via
+    sorted_neighborhood_pairs — each misses pairs the other catches),
+    unioned and closed into entity ids by connected components
+    (dedup_groups min-label propagation; entity_id = min custkey in the
+    component). The oracle re-derives both pair sets and runs the
+    closure as a recursive CTE."""
+    from clinical_vector_search_spark.operators.dedup import (
+        blocked_fuzzy_pairs,
+        dedup_groups,
+        sorted_neighborhood_pairs,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").alias("doc_id"), "c_name"
+    )
+    p1 = blocked_fuzzy_pairs(
+        c, "c_name", F.substring("c_name", 1, 16), max_distance=1
+    ).select("a_id", "b_id")
+    p2 = sorted_neighborhood_pairs(
+        c,
+        "c_name",
+        F.substring("c_name", 10, 4),
+        window_size=3,
+        max_distance=2,
+    ).select("a_id", "b_id")
+    pairs = p1.unionByName(p2).distinct()
+    return dedup_groups(c.select("doc_id"), pairs, "doc_id").select(
+        F.col("doc_id").alias("c_custkey"),
+        F.col("group_id").alias("entity_id"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5743,6 +5819,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_python_streamsource": q_io_python_streamsource,
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
+        "events_forecast_backtest": q_events_forecast_backtest,
+        "rel_entity_resolution": q_rel_entity_resolution,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7658,6 +7736,66 @@ def oracle_sql() -> dict[str, str]:
                            % 997),
                    ' ' ORDER BY j) AS text
         FROM tok GROUP BY i
+    """
+
+    s["rel_entity_resolution"] = """
+        WITH RECURSIVE p1 AS (
+            SELECT a.c_custkey AS a_id, b.c_custkey AS b_id
+            FROM customer a JOIN customer b
+              ON substr(a.c_name, 1, 16) = substr(b.c_name, 1, 16)
+             AND a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1),
+        sn AS (
+            SELECT c_custkey AS a_id, c_name AS a_key,
+                   substr(c_name, 10, 4) AS p
+            FROM customer),
+        sl AS (
+            SELECT a_id, a_key,
+                   lead(a_id, 1) OVER w AS id1,
+                   lead(a_key, 1) OVER w AS k1,
+                   lead(a_id, 2) OVER w AS id2,
+                   lead(a_key, 2) OVER w AS k2
+            FROM sn WINDOW w AS (PARTITION BY p ORDER BY a_key, a_id)),
+        p2 AS (
+            SELECT a_id, id1 AS b_id FROM sl
+            WHERE id1 IS NOT NULL AND levenshtein(a_key, k1) <= 2
+            UNION ALL
+            SELECT a_id, id2 FROM sl
+            WHERE id2 IS NOT NULL AND levenshtein(a_key, k2) <= 2),
+        pairs AS (SELECT DISTINCT a_id, b_id FROM
+                  (SELECT a_id, b_id FROM p1
+                   UNION ALL SELECT a_id, b_id FROM p2) u),
+        e AS (SELECT a_id AS src, b_id AS dst FROM pairs
+              UNION ALL SELECT b_id, a_id FROM pairs),
+        reach AS (
+            SELECT c_custkey AS src, c_custkey AS dst FROM customer
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        )
+        SELECT src AS c_custkey, min(dst) AS entity_id
+        FROM reach GROUP BY src
+    """
+
+    s["events_forecast_backtest"] = """
+        WITH daily AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS day,
+                   count(*) AS y
+            FROM events GROUP BY 1),
+        lagged AS (
+            SELECT day, y,
+                   lag(y, 1) OVER (ORDER BY day) AS naive,
+                   lag(y, 7) OVER (ORDER BY day) AS snaive
+            FROM daily)
+        SELECT 'naive' AS method, count(*)::BIGINT AS n_days,
+               round(avg(abs(y - naive)), 6) AS mae,
+               round(avg(abs(y - naive)
+                         / greatest(y, 1)::DOUBLE), 6) AS mape
+        FROM lagged WHERE naive IS NOT NULL
+        UNION ALL
+        SELECT 'seasonal_naive', count(*)::BIGINT,
+               round(avg(abs(y - snaive)), 6),
+               round(avg(abs(y - snaive) / greatest(y, 1)::DOUBLE), 6)
+        FROM lagged WHERE snaive IS NOT NULL
     """
 
     # trigram search: the oracle mirrors the index route (postings
