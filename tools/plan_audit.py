@@ -204,6 +204,30 @@ def main() -> int:
         f"joins={n_any_join(plan)}",
     )
 
+    # 3i. late-r8 shapes: trigram IN-list reaches the scan filter;
+    # skyline is sort-only (zero joins); MERGE is ONE full-outer join
+    # over exactly two scans
+    plan = formatted(E.q_text_trigram_search(spark, SF_DIR))
+    check(
+        "trigram search: pattern IN-list filters the postings (In(trigram))",
+        "trigram#" in plan and " IN " in plan or "In(trigram" in plan,
+    )
+    plan = formatted(E.q_rel_skyline(spark, SF_DIR))
+    check(
+        "skyline: window-only frontier after the candidate agg "
+        "(1 broadcast join-back, no SMJ/NL)",
+        "SortMergeJoin" not in plan
+        and "NestedLoop" not in plan
+        and "CartesianProduct" not in plan,
+    )
+    plan = formatted(E.q_rel_merge_upsert(spark, SF_DIR))
+    check(
+        "merge upsert: exactly one join node (the FullOuter), "
+        "and it is the full-outer",
+        n_any_join(plan) == 1 and "FullOuter" in plan,
+        f"joins={n_any_join(plan)}",
+    )
+
     # 4. kNN window strategy: exactly the one intended broadcast cross join
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import _knn_window
