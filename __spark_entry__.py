@@ -5687,6 +5687,21 @@ def q_rel_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (operators/stats.py cuped_adjustment,
+    Deng 2013): per-variant experiment means adjusted by the pre-period
+    covariate, θ = cov/var from ONE pass of exact BIGINT moments (the
+    ols_normal convention), var(y*) by the closed form var(y) −
+    cov²/var(x) — no second pass. The experimentation-platform
+    companion of events_ab_test: same md5 variant split, dollars
+    restored only in the rounded outputs."""
+    from clinical_vector_search_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    return cuped_adjustment(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5821,6 +5836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
         "rel_entity_resolution": q_rel_entity_resolution,
+        "events_cuped": q_events_cuped,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7736,6 +7752,55 @@ def oracle_sql() -> dict[str, str]:
                            % 997),
                    ' ' ORDER BY j) AS text
         FROM tok GROUP BY i
+    """
+
+    s["events_cuped"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events),
+        m AS (SELECT ((min(ts_ns) + max(ts_ns)) / 2)::BIGINT AS mid
+              FROM e),
+        pu AS (SELECT user_id,
+                      sum(CASE WHEN ts_ns < mid THEN 1 ELSE 0
+                          END)::BIGINT AS x,
+                      sum(CASE WHEN ts_ns >= mid THEN cents ELSE 0
+                          END)::BIGINT AS y
+               FROM e, m GROUP BY user_id),
+        av AS (SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 1)
+                           AS INT) % 2 AS variant, x, y
+               FROM pu),
+        g AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                     sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+                     sum(x * x)::BIGINT AS sxx,
+                     sum(y * y)::BIGINT AS syy
+              FROM av),
+        st AS (SELECT
+                 CASE WHEN sxx / n::DOUBLE - (sx/n::DOUBLE)*(sx/n::DOUBLE)
+                          > 0
+                      THEN (sxy / n::DOUBLE - (sx/n::DOUBLE)*(sy/n::DOUBLE))
+                           / (sxx / n::DOUBLE
+                              - (sx/n::DOUBLE)*(sx/n::DOUBLE))
+                      ELSE 0.0 END AS theta,
+                 sx / n::DOUBLE AS gx,
+                 syy / n::DOUBLE - (sy/n::DOUBLE)*(sy/n::DOUBLE) AS var_y,
+                 sxy / n::DOUBLE - (sx/n::DOUBLE)*(sy/n::DOUBLE) AS cov,
+                 sxx / n::DOUBLE - (sx/n::DOUBLE)*(sx/n::DOUBLE) AS var_x
+               FROM g),
+        pv AS (SELECT variant, count(*)::BIGINT AS n,
+                      sum(x)::BIGINT AS sx_v, sum(y)::BIGINT AS sy_v
+               FROM av GROUP BY variant)
+        SELECT variant, n,
+               round(sy_v / n::DOUBLE / 100.0, 6) AS mean_y,
+               round((sy_v / n::DOUBLE
+                      - theta * (sx_v / n::DOUBLE - gx)) / 100.0, 6)
+                   AS mean_y_cuped,
+               round(theta / 100.0, 6) AS theta,
+               round(CASE WHEN var_y > 0
+                          THEN (CASE WHEN var_x > 0
+                                     THEN cov * cov / var_x
+                                     ELSE 0.0 END) / var_y
+                          ELSE 0.0 END, 6) AS var_reduction
+        FROM pv, st
     """
 
     s["rel_entity_resolution"] = """

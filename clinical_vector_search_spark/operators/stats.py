@@ -652,3 +652,122 @@ def bradley_terry(
         F.col("wins").cast("long").alias("wins"),
         F.round("p", 6).alias("strength"),
     )
+
+
+def cuped_adjustment(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+    value_col: str = "value",
+) -> DataFrame:
+    """CUPED variance reduction (Deng et al., WSDM 2013) — the standard
+    experimentation-platform technique: adjust each unit's experiment
+    metric with its PRE-period covariate, y* = y − θ(x − x̄), θ =
+    cov(x,y)/var(x), cutting metric variance by the squared correlation
+    without biasing the treatment contrast.
+
+    Deterministic distributed spelling: the corpus midpoint splits
+    pre/post periods (integer-ns arithmetic from a broadcast stat
+    frame); per user, x = pre-period event count and y = post-period
+    value in EXACT integer cents; θ and every variance come from one
+    pass of BIGINT moment sums (Sx, Sy, Sxy, Sxx, Syy — the ols_normal
+    convention: integer addition is associative, so the moments are
+    bit-identical across engines and partitionings). var(y*) needs no
+    second pass: var(y*) = var(y) − cov²/var(x) exactly. Variants are
+    the md5-nibble split shared with ab_test_proportions.
+
+    Output: one row per variant — n, mean_y, mean_y_cuped (the
+    treatment-effect-preserving adjusted mean, using pooled θ and the
+    GLOBAL x̄) — plus the pooled θ and variance-reduction share repeated
+    on both rows (6dp).
+
+    Scale note: moments can reach n·max(x)·max(y_cents); BIGINT holds
+    ~9.2e18 — beyond ~1e9 heavy users switch the moment sums to DOUBLE
+    (documented trade: last-ulp drift for headroom).
+    """
+    per_user = (
+        events.crossJoin(
+            F.broadcast(
+                events.agg(
+                    ((F.min(ts_ns_col) + F.max(ts_ns_col)) / 2)
+                    .cast("long")
+                    .alias("mid_ns")
+                )
+            )
+        )
+        .groupBy(user_col)
+        .agg(
+            F.sum(
+                F.when(F.col(ts_ns_col) < F.col("mid_ns"), 1).otherwise(0)
+            ).alias("x"),
+            F.sum(
+                F.when(
+                    F.col(ts_ns_col) >= F.col("mid_ns"),
+                    F.round(F.col(value_col) * 100, 0).cast("long"),
+                ).otherwise(0)
+            ).alias("y_cents"),
+        )
+    )
+    assigned = per_user.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col(user_col).cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+        "x",
+        "y_cents",
+    )
+    # global exact moments (pooled theta; global x-bar keeps the
+    # adjustment mean-preserving across variants)
+    g = assigned.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y_cents").alias("sy"),
+        F.sum(F.col("x") * F.col("y_cents")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y_cents") * F.col("y_cents")).alias("syy"),
+    )
+    per_variant = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_v"),
+        F.sum("x").alias("sx_v"),
+        F.sum("y_cents").alias("sy_v"),
+    )
+    n = F.col("n").cast("double")
+    mean_x = F.col("sx") / n
+    mean_y = F.col("sy") / n
+    var_x = F.col("sxx") / n - mean_x * mean_x
+    var_y = F.col("syy") / n - mean_y * mean_y
+    cov = F.col("sxy") / n - mean_x * mean_y
+    theta = F.when(var_x > 0, cov / var_x).otherwise(F.lit(0.0))
+    var_adj = var_y - F.when(var_x > 0, cov * cov / var_x).otherwise(
+        F.lit(0.0)
+    )
+    stats = g.select(
+        theta.alias("_theta"),
+        mean_x.alias("_gx"),
+        F.when(var_y > 0, (var_y - var_adj) / var_y)
+        .otherwise(F.lit(0.0))
+        .alias("_red"),
+    )
+    nv = F.col("n_v").cast("double")
+    return (
+        per_variant.crossJoin(F.broadcast(stats))
+        .select(
+            "variant",
+            F.col("n_v").alias("n"),
+            F.round(F.col("sy_v") / nv / 100.0, 6).alias("mean_y"),
+            F.round(
+                (
+                    F.col("sy_v") / nv
+                    - F.col("_theta") * (F.col("sx_v") / nv - F.col("_gx"))
+                )
+                / 100.0,
+                6,
+            ).alias("mean_y_cuped"),
+            F.round(F.col("_theta") / 100.0, 6).alias("theta"),
+            F.round(F.col("_red"), 6).alias("var_reduction"),
+        )
+    )

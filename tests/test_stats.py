@@ -309,3 +309,60 @@ def test_logreg_auc_rank_sum_identity(spark):
         ).collect()[0]["auc"]
         is None
     )
+
+
+def test_cuped_matches_numpy_closed_form(spark):
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    # users with correlated pre-count (x) and post-value (y)
+    SEC = 1_000_000_000
+    rows = []
+    for uid in range(40):
+        n_pre = 1 + (uid % 5)
+        for i in range(n_pre):
+            rows.append((uid, (i + 1) * SEC, 0.0, "view"))
+        # post value correlated with n_pre plus a uid wobble
+        val = round(10.0 * n_pre + (uid % 3), 2)
+        rows.append((uid, 10_000 * SEC, val, "purchase"))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_ns long, value double, event_type string"
+    )
+    out = {r.variant: r for r in cuped_adjustment(df).collect()}
+
+    # reference: same md5 split, same moments
+    import hashlib
+
+    mid = (SEC + 10_000 * SEC) // 2
+    per = {}
+    for uid, ts, val, _ in rows:
+        x, y = per.get(uid, (0, 0))
+        if ts < mid:
+            x += 1
+        else:
+            y += round(val * 100)
+        per[uid] = (x, y)
+    xs = np.array([v[0] for v in per.values()], dtype=float)
+    ys = np.array([v[1] for v in per.values()], dtype=float)
+    theta = ((xs * ys).mean() - xs.mean() * ys.mean()) / (
+        (xs * xs).mean() - xs.mean() ** 2
+    )
+    gx = xs.mean()
+    var = {
+        0: [], 1: [],
+    }
+    for uid, (x, y) in per.items():
+        v = int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+        var[v].append((x, y))
+    for v in (0, 1):
+        arr = np.array(var[v], dtype=float)
+        mean_y = arr[:, 1].mean() / 100.0
+        adj = (arr[:, 1].mean() - theta * (arr[:, 0].mean() - gx)) / 100.0
+        assert out[v].n == len(var[v])
+        assert out[v].mean_y == pytest.approx(mean_y, abs=1e-5)
+        assert out[v].mean_y_cuped == pytest.approx(adj, abs=1e-5)
+    # CUPED with a correlated covariate must reduce variance
+    assert out[0].var_reduction > 0.3
