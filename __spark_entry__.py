@@ -5702,6 +5702,54 @@ def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cuped_adjustment(_events(spark, sf_dir))
 
 
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/graph.py personalized_pagerank,
+    Haveliwala 2002): relevance field around the 10 smallest nodes of
+    the co-order part graph — the graph-native related-items primitive.
+    Teleport AND dangling mass flow back to the seeds, keeping the
+    field localized; weights normalize through a broadcast stat frame;
+    the oracle unrolls the identical 5 iterations. Rounded-before-rank
+    top-50."""
+    from clinical_vector_search_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    l = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = l.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = l.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy(F.col("pa").alias("u"), F.col("pb").alias("v"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    edges = und.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        nodes.orderBy("node").limit(10).select("node", F.lit(1.0).alias("weight"))
+    )
+    pr = personalized_pagerank(
+        nodes, edges, seeds, n_iter=PAGERANK_ITER, damping=PAGERANK_DAMP
+    )
+    w = Window.orderBy(F.desc("rank"), "node")
+    return (
+        pr.select(
+            F.col("node").cast("long").alias("node"),
+            F.round("rank", 9).alias("rank"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .select("node", "rank", F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5837,6 +5885,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_backtest": q_events_forecast_backtest,
         "rel_entity_resolution": q_rel_entity_resolution,
         "events_cuped": q_events_cuped,
+        "graph_ppr": q_graph_ppr,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -10636,6 +10685,65 @@ def oracle_sql() -> dict[str, str]:
                (SELECT (n_rows - 1) * (n_cols - 1)
                 FROM tot)::BIGINT AS dof
         FROM y
+    """
+
+    # unrolled 5-iteration PERSONALIZED pagerank: teleport and dangling
+    # mass flow to the seed weights w_v instead of 1/N
+    _ppr_base = f"1.0 - {PAGERANK_DAMP!r}"
+    _ppr_stages = ""
+    _ppr_prev = "pr0"
+    for _k in range(PAGERANK_ITER):
+        _ppr_stages += f"""
+        pc{_k} AS (SELECT e.dst AS node, sum({_ppr_prev}.rank / deg._deg)
+                       AS c
+                  FROM pr_edges e
+                  JOIN {_ppr_prev} ON e.src = {_ppr_prev}.node
+                  JOIN deg ON deg.node = e.src
+                  GROUP BY 1),
+        pd{_k} AS (SELECT coalesce(sum(rank), 0) AS m FROM {_ppr_prev}
+                  WHERE node NOT IN (SELECT node FROM deg)),
+        pr{_k + 1} AS (SELECT wt.node,
+                      ({_ppr_base}) * wt.w
+                      + {PAGERANK_DAMP!r} * (coalesce(pc{_k}.c, 0)
+                          + (SELECT m FROM pd{_k}) * wt.w) AS rank
+                    FROM wt LEFT JOIN pc{_k} USING (node)),"""
+        _ppr_prev = f"pr{_k + 1}"
+    s["graph_ppr"] = f"""
+        WITH ob AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ),
+        e0 AS MATERIALIZED (
+            SELECT a.p AS u, b.p AS v
+            FROM ob a JOIN ob b ON a.o = b.o AND a.p < b.p
+            GROUP BY 1, 2
+            HAVING count(*) >= 2
+        ),
+        pr_edges AS MATERIALIZED (
+            SELECT u AS src, v AS dst FROM e0
+            UNION ALL SELECT v, u FROM e0
+        ),
+        allnodes AS MATERIALIZED (
+            SELECT DISTINCT src AS node FROM pr_edges
+        ),
+        seeds AS (SELECT node FROM allnodes ORDER BY node LIMIT 10),
+        wt AS MATERIALIZED (
+            SELECT an.node,
+                   CASE WHEN s.node IS NOT NULL
+                        THEN 1.0 / (SELECT count(*) FROM seeds)
+                        ELSE 0.0 END AS w
+            FROM allnodes an LEFT JOIN seeds s ON an.node = s.node
+        ),
+        deg AS MATERIALIZED (
+            SELECT src AS node, count(*)::DOUBLE AS _deg
+            FROM pr_edges GROUP BY 1
+        ),
+        pr0 AS (SELECT node, w AS rank FROM wt),{_ppr_stages}
+        fin AS (SELECT node, round(rank, 9) AS rank FROM {_ppr_prev}),
+        rk AS (SELECT node, rank, row_number() OVER (
+                   ORDER BY rank DESC, node) AS rn
+               FROM fin)
+        SELECT node::BIGINT AS node, rank, rn::INT AS rn
+        FROM rk WHERE rn <= 50
     """
 
     # unrolled 3-round label propagation mirroring label_propagation's

@@ -406,3 +406,81 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def personalized_pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    restart: DataFrame,
+    n_iter: int = 5,
+    damping: float = 0.85,
+    node_col: str = "node",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Topic-sensitive / personalized PageRank (Haveliwala 2002): the
+    random surfer teleports to the RESTART distribution instead of
+    uniformly —
+
+        r_{k+1}(v) = (1−d)·w_v + d·( Σ_{u→v} r_k(u)/outdeg(u)
+                                     + dangling_k·w_v )
+
+    which makes the ranks a relevance field around the seed set: the
+    graph-native "related items" / graph-RAG primitive (``pagerank``
+    with w = 1/N is the global-importance special case; kept separate
+    so the uniform path stays bit-identical for its oracles).
+
+    ``restart`` is (node, weight ≥ 0); weights are normalized to sum 1
+    through a broadcast stat frame (never a driver constant). Nodes
+    outside the seed set have w = 0 — mass reaches them only through
+    edges, and dangling mass flows BACK to the seeds, exactly what
+    keeps the field localized. Same fixed-iteration + localCheckpoint
+    discipline as ``pagerank``; the oracle unrolls identically.
+    """
+    w_norm = restart.crossJoin(
+        F.broadcast(restart.agg(F.sum(weight_col).alias("_tot")))
+    ).select(
+        node_col, (F.col(weight_col) / F.col("_tot")).alias("_w")
+    )
+    weights = nodes.select(node_col).join(w_norm, node_col, "left").select(
+        node_col, F.coalesce("_w", F.lit(0.0)).alias("_w")
+    ).localCheckpoint()
+    deg = edges.groupBy(F.col(src_col).alias(node_col)).agg(
+        F.count(F.lit(1)).cast("double").alias("_deg")
+    )
+    ranks = weights.select(node_col, F.col("_w").alias("rank"))
+    ranks = ranks.localCheckpoint()
+    for _ in range(n_iter):
+        with_deg = ranks.join(F.broadcast(deg), node_col, "left")
+        dangling = with_deg.filter(F.col("_deg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang")
+        )
+        contrib = (
+            edges.join(
+                with_deg.filter(F.col("_deg").isNotNull()).select(
+                    F.col(node_col).alias(src_col),
+                    (F.col("rank") / F.col("_deg")).alias("_share"),
+                ),
+                src_col,
+            )
+            .groupBy(F.col(dst_col).alias(node_col))
+            .agg(F.sum("_share").alias("_c"))
+        )
+        ranks = (
+            weights.join(contrib, node_col, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                node_col,
+                (
+                    F.lit(1.0 - damping) * F.col("_w")
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_c"), F.lit(0.0))
+                        + F.col("_dang") * F.col("_w")
+                    )
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    return ranks

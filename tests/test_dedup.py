@@ -844,3 +844,27 @@ def test_label_propagation_two_cliques_with_bridge(spark):
     assert {out[n] for n in (12, 13, 14)} == {11}
     # the bridge endpoints belong to their own clique's community
     assert out[4] == 1 and out[11] == 11
+
+
+def test_personalized_pagerank_localizes_to_seed(spark):
+    # two 3-cliques joined by one bridge; seed in clique A -> every
+    # A-node outranks every B-node, and total mass stays 1
+    from clinical_vector_search_spark.operators.graph import (
+        personalized_pagerank,
+    )
+
+    ka = [(1, 2), (1, 3), (2, 3)]
+    kb = [(11, 12), (11, 13), (12, 13)]
+    und = ka + kb + [(3, 11)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src int, dst int"
+    )
+    nodes = edges.select("src").distinct().withColumnRenamed("src", "node")
+    seeds = spark.createDataFrame([(1, 1.0)], "node int, weight double")
+    out = {
+        r.node: r.rank
+        for r in personalized_pagerank(nodes, edges, seeds, 5).collect()
+    }
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    assert min(out[n] for n in (1, 2, 3)) > max(out[n] for n in (12, 13))
+    assert out[1] == max(out.values())
