@@ -5750,6 +5750,63 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences — the 2×2 causal baseline: per-user
+    value (exact cents) in pre/post periods split at the corpus
+    midpoint, md5 variant groups (the events_ab_test / events_cuped
+    split), DiD = (B_post − B_pre) − (A_post − A_pre) on per-user-period
+    means. One user-period aggregation, then a 4-cell closed form;
+    floats only in the final mean divisions (6dp). The CUPED entry's
+    causal companion — same decomposition, different estimand."""
+    e = _events(spark, sf_dir)
+    mid = e.agg(
+        ((F.min("ts_ns") + F.max("ts_ns")) / 2).cast("long").alias("mid_ns")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    per = (
+        e.crossJoin(F.broadcast(mid))
+        .groupBy(
+            "user_id",
+            (F.col("ts_ns") >= F.col("mid_ns")).cast("int").alias("post"),
+        )
+        .agg(F.sum(cents).alias("y_cents"))
+    )
+    cell = per.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+        "post",
+        "y_cents",
+    ).groupBy("variant", "post").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("y_cents").alias("sy"),
+    )
+    mean = F.col("sy") / F.col("n_users") / 100.0
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def pick(v, p):
+        return F.max(
+            F.when((F.col("variant") == v) & (F.col("post") == p), mean)
+        ).over(w)
+
+    return cell.select(
+        "variant",
+        "post",
+        "n_users",
+        F.round(mean, 6).alias("mean_value"),
+        F.round(
+            (pick(1, 1) - pick(1, 0)) - (pick(0, 1) - pick(0, 0)), 6
+        ).alias("did_estimate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5886,6 +5943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_entity_resolution": q_rel_entity_resolution,
         "events_cuped": q_events_cuped,
         "graph_ppr": q_graph_ppr,
+        "events_did": q_events_did,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7850,6 +7908,40 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_did"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events),
+        m AS (SELECT ((min(ts_ns) + max(ts_ns)) / 2)::BIGINT AS mid
+              FROM e),
+        per AS (SELECT user_id,
+                       CASE WHEN ts_ns >= mid THEN 1 ELSE 0 END AS post,
+                       sum(cents)::BIGINT AS y
+                FROM e, m GROUP BY 1, 2),
+        cell AS (SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 1)
+                             AS INT) % 2 AS variant,
+                        post, count(*)::BIGINT AS n_users,
+                        sum(y)::BIGINT AS sy
+                 FROM per GROUP BY 1, 2),
+        mm AS (SELECT variant, post, n_users,
+                      sy / n_users::DOUBLE / 100.0 AS mean_raw
+               FROM cell),
+        d AS (SELECT
+                (max(CASE WHEN variant = 1 AND post = 1
+                          THEN mean_raw END)
+                 - max(CASE WHEN variant = 1 AND post = 0
+                            THEN mean_raw END))
+                - (max(CASE WHEN variant = 0 AND post = 1
+                            THEN mean_raw END)
+                   - max(CASE WHEN variant = 0 AND post = 0
+                              THEN mean_raw END)) AS did
+              FROM mm)
+        SELECT variant, post, n_users,
+               round(mean_raw, 6) AS mean_value,
+               round((SELECT did FROM d), 6) AS did_estimate
+        FROM mm
     """
 
     s["rel_entity_resolution"] = """
