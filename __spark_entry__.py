@@ -5760,7 +5760,8 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     causal companion — same decomposition, different estimand."""
     e = _events(spark, sf_dir)
     mid = e.agg(
-        ((F.min("ts_ns") + F.max("ts_ns")) / 2).cast("long").alias("mid_ns")
+        # integer floor-div (cuped_adjustment's cast-direction note)
+        F.expr("(min(ts_ns) + max(ts_ns)) div 2").alias("mid_ns")
     )
     cents = F.round(F.col("value") * 100, 0).cast("long")
     per = (
@@ -7865,7 +7866,7 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
                           round(value * 100)::BIGINT AS cents
                    FROM events),
-        m AS (SELECT ((min(ts_ns) + max(ts_ns)) / 2)::BIGINT AS mid
+        m AS (SELECT (min(ts_ns) + max(ts_ns)) // 2 AS mid
               FROM e),
         pu AS (SELECT user_id,
                       sum(CASE WHEN ts_ns < mid THEN 1 ELSE 0
@@ -7914,7 +7915,7 @@ def oracle_sql() -> dict[str, str]:
         WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
                           round(value * 100)::BIGINT AS cents
                    FROM events),
-        m AS (SELECT ((min(ts_ns) + max(ts_ns)) / 2)::BIGINT AS mid
+        m AS (SELECT (min(ts_ns) + max(ts_ns)) // 2 AS mid
               FROM e),
         per AS (SELECT user_id,
                        CASE WHEN ts_ns >= mid THEN 1 ELSE 0 END AS post,

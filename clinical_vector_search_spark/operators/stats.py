@@ -689,9 +689,12 @@ def cuped_adjustment(
         events.crossJoin(
             F.broadcast(
                 events.agg(
-                    ((F.min(ts_ns_col) + F.max(ts_ns_col)) / 2)
-                    .cast("long")
-                    .alias("mid_ns")
+                    # integer floor-div, NOT /2-then-cast: Spark casts
+                    # double->long by truncation but DuckDB CAST rounds
+                    # to nearest, so an odd min+max would disagree by 1ns
+                    F.expr(
+                        f"(min({ts_ns_col}) + max({ts_ns_col})) div 2"
+                    ).alias("mid_ns")
                 )
             )
         )
