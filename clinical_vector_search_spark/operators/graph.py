@@ -431,8 +431,11 @@ def personalized_pagerank(
     with w = 1/N is the global-importance special case; kept separate
     so the uniform path stays bit-identical for its oracles).
 
-    ``restart`` is (node, weight ≥ 0); weights are normalized to sum 1
-    through a broadcast stat frame (never a driver constant). Nodes
+    ``restart`` is (node, weight ≥ 0) with at least one POSITIVE weight
+    — a zero/empty total has no distribution to normalize and yields
+    NULL ranks (caller contract, same class as woe_iv's nonzero-variance
+    requirement). Weights are normalized to sum 1 through a broadcast
+    stat frame (never a driver constant). Nodes
     outside the seed set have w = 0 — mass reaches them only through
     edges, and dangling mass flows BACK to the seeds, exactly what
     keeps the field localized. Same fixed-iteration + localCheckpoint
