@@ -5808,6 +5808,18 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank test (operators/stats.py log_rank_test, Mantel 1966):
+    do the two md5-split cohorts' survival curves differ? Same exact
+    integer-ns lifetime/censoring contract as events_kaplan_meier;
+    O−E and the hypergeometric variance accumulate over risk sets that
+    are window sums of integers at distinct-lifetime granularity —
+    the survival family's hypothesis test."""
+    from clinical_vector_search_spark.operators.stats import log_rank_test
+
+    return log_rank_test(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5949,6 +5961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cuped": q_events_cuped,
         "graph_ppr": q_graph_ppr,
         "events_did": q_events_did,
+        "events_log_rank": q_events_log_rank,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7913,6 +7926,53 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_log_rank"] = """
+        WITH pu AS (SELECT user_id,
+                           (max(epoch_ns(ts)) - min(epoch_ns(ts)))
+                               // 3600000000000 AS lifetime,
+                           max(epoch_ns(ts)) AS last_ns
+                    FROM events GROUP BY user_id),
+        mx AS (SELECT max(epoch_ns(ts)) AS corpus_max_ns FROM events),
+        fl AS (SELECT lifetime,
+                      CASE WHEN corpus_max_ns - last_ns
+                                < 72 * 3600000000000
+                           THEN 0 ELSE 1 END AS death,
+                      CAST('0x' || substr(md5(user_id::VARCHAR), 1, 1)
+                           AS INT) % 2 AS variant
+               FROM pu, mx),
+        bt AS (SELECT lifetime AS t,
+                      sum(CASE WHEN variant = 0 THEN death ELSE 0
+                          END)::BIGINT AS d_a,
+                      sum(death)::BIGINT AS d,
+                      sum(CASE WHEN variant = 0 THEN 1 ELSE 0
+                          END)::BIGINT AS end_a,
+                      count(*)::BIGINT AS end_all
+               FROM fl GROUP BY lifetime),
+        risk AS (SELECT t, d_a, d,
+                        sum(end_a) OVER wk::BIGINT AS n_a,
+                        sum(end_all) OVER wk::BIGINT AS n
+                 FROM bt
+                 WINDOW wk AS (ORDER BY t ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING)),
+        f AS (SELECT * FROM risk WHERE d > 0),
+        agg AS (SELECT sum(d_a)::BIGINT AS deaths_a,
+                       sum(d - d_a)::BIGINT AS deaths_b,
+                       sum(d_a - n_a::DOUBLE * d / n) AS o_minus_e,
+                       sum(CASE WHEN n > 1
+                                THEN d::DOUBLE * (n_a::DOUBLE / n)
+                                     * (1.0 - n_a::DOUBLE / n)
+                                     * (n - d) / (n - 1.0)
+                                ELSE 0.0 END) AS variance
+                FROM f)
+        SELECT deaths_a, deaths_b,
+               round(o_minus_e, 6) AS o_minus_e,
+               round(variance, 6) AS variance,
+               round(CASE WHEN variance > 0
+                          THEN o_minus_e / sqrt(variance) END, 6)
+                   AS z_stat
+        FROM agg
     """
 
     s["events_did"] = """

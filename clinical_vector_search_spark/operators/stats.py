@@ -774,3 +774,95 @@ def cuped_adjustment(
             F.round(F.col("_red"), 6).alias("var_reduction"),
         )
     )
+
+
+def log_rank_test(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_ns_col: str = "ts_ns",
+    unit_ns: int = 3_600_000_000_000,
+    censor_horizon_units: int = 72,
+) -> DataFrame:
+    """Log-rank test (Mantel 1966): do two cohorts' survival curves
+    differ? The hypothesis-test companion of :func:`kaplan_meier` —
+    same exact integer-ns lifetimes and censoring contract, cohorts
+    from the md5-nibble split shared with ``ab_test_proportions``.
+
+    At each distinct lifetime t with d(t) total deaths:
+    O−E accumulates d_A(t) − n_A(t)·d(t)/n(t), and the variance
+    accumulates d·(n_A/n)·(1−n_A/n)·(n−d)/(n−1) (hypergeometric);
+    z = (O−E)/√V. All risk-set counts are window sums of integers at
+    distinct-lifetime granularity (the KM discipline — one user-key
+    shuffle, then math on at most observation-span rows); floats only
+    in E, V and the final z (6dp).
+    """
+    span = F.max(ts_ns_col) - F.min(ts_ns_col)
+    per_user = events.groupBy(user_col).agg(
+        ((span - F.pmod(span, F.lit(unit_ns))) / F.lit(unit_ns))
+        .cast("long")
+        .alias("lifetime"),
+        F.max(ts_ns_col).alias("last_ns"),
+    )
+    max_ts = events.select(F.max(ts_ns_col).alias("corpus_max_ns"))
+    flagged = per_user.crossJoin(F.broadcast(max_ts)).select(
+        "lifetime",
+        F.when(
+            F.col("corpus_max_ns") - F.col("last_ns")
+            < F.lit(censor_horizon_units * unit_ns),
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("death"),
+        (
+            F.conv(
+                F.substring(F.md5(F.col(user_col).cast("string")), 1, 1),
+                16,
+                10,
+            ).cast("int")
+            % 2
+        ).alias("variant"),
+    )
+    a = F.col("variant") == 0
+    by_t = flagged.groupBy(F.col("lifetime").alias("t")).agg(
+        F.sum(F.when(a, F.col("death")).otherwise(0)).alias("d_a"),
+        F.sum("death").alias("d"),
+        F.sum(F.when(a, 1).otherwise(0)).alias("end_a"),
+        F.count(F.lit(1)).alias("end_all"),
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    risk = by_t.select(
+        "t",
+        "d_a",
+        "d",
+        F.sum("end_a").over(w).alias("n_a"),
+        F.sum("end_all").over(w).alias("n"),
+    ).filter(F.col("d") > 0)
+    n = F.col("n").cast("double")
+    n_a = F.col("n_a").cast("double")
+    d = F.col("d").cast("double")
+    e_a = n_a * d / n
+    v = F.when(
+        F.col("n") > 1,
+        d * (n_a / n) * (1.0 - n_a / n) * (n - d) / (n - 1.0),
+    ).otherwise(F.lit(0.0))
+    agg = risk.agg(
+        F.sum("d_a").alias("deaths_a"),
+        F.sum(F.col("d") - F.col("d_a")).alias("deaths_b"),
+        F.sum(F.col("d_a") - e_a).alias("o_minus_e"),
+        F.sum(v).alias("variance"),
+    )
+    return agg.select(
+        "deaths_a",
+        "deaths_b",
+        F.round("o_minus_e", 6).alias("o_minus_e"),
+        F.round("variance", 6).alias("variance"),
+        F.round(
+            F.when(
+                F.col("variance") > 0,
+                F.col("o_minus_e") / F.sqrt(F.col("variance")),
+            ),
+            6,
+        ).alias("z_stat"),
+    )

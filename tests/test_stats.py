@@ -366,3 +366,29 @@ def test_cuped_matches_numpy_closed_form(spark):
         assert out[v].mean_y_cuped == pytest.approx(adj, abs=1e-5)
     # CUPED with a correlated covariate must reduce variance
     assert out[0].var_reduction > 0.3
+
+
+def test_log_rank_identical_cohorts_zero_z(spark):
+    # construct MIRRORED cohorts: for every variant-0 user pick a
+    # variant-1 twin with identical lifetime/censoring -> O-E == 0
+    import hashlib
+
+    from clinical_vector_search_spark.operators.stats import log_rank_test
+
+    def variant(uid):
+        return int(hashlib.md5(str(uid).encode()).hexdigest()[0], 16) % 2
+
+    zeros = [u for u in range(200) if variant(u) == 0][:5]
+    ones = [u for u in range(200) if variant(u) == 1][:5]
+    HOUR = 3_600_000_000_000
+    rows = []
+    for pair, (u0, u1) in enumerate(zip(zeros, ones)):
+        life = (pair + 1) * 2 * HOUR
+        for u in (u0, u1):
+            rows.append((u, 0))
+            rows.append((u, life))
+    df = spark.createDataFrame(rows, "user_id long, ts_ns long")
+    out = log_rank_test(df, censor_horizon_units=1).collect()[0]
+    assert out["deaths_a"] == out["deaths_b"]
+    assert out["o_minus_e"] == pytest.approx(0.0, abs=1e-9)
+    assert out["z_stat"] is None or abs(out["z_stat"]) < 1e-6
