@@ -5820,6 +5820,48 @@ def q_events_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_rank_test(_events(spark, sf_dir))
 
 
+def q_rel_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance (operators/audit.py
+    incremental_join_update, the Blakeley delta rule): the stored
+    customer⋈orders view absorbs a customer batch (custkey %5 == 0) and
+    an orders batch (orderkey %7 == 0) through three delta joins whose
+    batch sides BROADCAST — maintenance cost ∝ batch, never |L|·|R|.
+    The oracle is the full recompute over the complete tables: hash
+    equality proves the three delta terms partition the new pairs
+    exactly. The join-side complement of rel_incremental_agg."""
+    from clinical_vector_search_spark.operators.audit import (
+        incremental_join_update,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    c0 = c.filter(F.col("c_custkey") % 5 != 0)
+    dc = c.filter(F.col("c_custkey") % 5 == 0)
+    o0 = o.filter(F.col("o_orderkey") % 7 != 0)
+    do = o.filter(F.col("o_orderkey") % 7 == 0)
+    # the pre-existing materialized view (in a real system: stored);
+    # localCheckpoint stands in for the storage boundary so the delta
+    # joins' plan never re-derives it
+    view0 = (
+        c0.join(o0, c0.c_custkey == o0.o_custkey)
+        .select("c_custkey", "c_mktsegment", "o_orderkey", "o_totalprice")
+        .localCheckpoint()
+    )
+    upd = incremental_join_update(
+        view0, c0, o0, dc, do, "c_custkey", "o_custkey"
+    )
+    return upd.select(
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -5962,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_ppr": q_graph_ppr,
         "events_did": q_events_did,
         "events_log_rank": q_events_log_rank,
+        "rel_incremental_join": q_rel_incremental_join,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7926,6 +7969,14 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    # incremental join view: the oracle is the FULL recompute — hash
+    # equality proves the three delta terms partition the new pairs
+    s["rel_incremental_join"] = """
+        SELECT c_custkey, c_mktsegment, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM customer JOIN orders ON c_custkey = o_custkey
     """
 
     s["events_log_rank"] = """

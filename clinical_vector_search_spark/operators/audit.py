@@ -167,3 +167,43 @@ def incremental_agg_update(
         )
         .filter(F.col(count_col) > 0)
     )
+
+
+def incremental_join_update(
+    view0: DataFrame,
+    left0: DataFrame,
+    right0: DataFrame,
+    delta_left: DataFrame,
+    delta_right: DataFrame,
+    left_key: str,
+    right_key: str,
+) -> DataFrame:
+    """Incremental view maintenance for an inner equi-join — the delta
+    rule (Blakeley 1986; insert-only form):
+
+        Δ(L ⋈ R) = ΔL ⋈ R₀  ∪  L₀ ⋈ ΔR  ∪  ΔL ⋈ ΔR
+
+    so a materialized join view absorbs a batch of inserts WITHOUT
+    re-joining the base tables: the three delta joins each have a
+    batch-sized side (broadcast at any base-table scale — the whole
+    point: maintenance cost ∝ |Δ|·matching-fanout, not |L|·|R|). The
+    three terms partition the NEW pairs exactly (each new pair has an
+    inserted row on the left, the right, or both — no overlap, no
+    misses), so view₀ ∪ Δ equals the full recompute row-for-row; the
+    entry's oracle IS that full recompute, making the equality the
+    checked contract. The join-side complement of
+    :func:`incremental_agg_update` (deletes compose the same way with
+    anti-terms; this operator covers the append-only ingest path).
+    """
+    cond1 = delta_left[left_key] == right0[right_key]
+    cond2 = left0[left_key] == delta_right[right_key]
+    cond3 = delta_left[left_key] == delta_right[right_key]
+    d1 = F.broadcast(delta_left).join(right0, cond1)
+    d2 = left0.join(F.broadcast(delta_right), cond2)
+    d3 = F.broadcast(delta_left).join(delta_right, cond3)
+    cols = view0.columns
+    return (
+        view0.unionByName(d1.select(*cols))
+        .unionByName(d2.select(*cols))
+        .unionByName(d3.select(*cols))
+    )

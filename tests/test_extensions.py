@@ -1222,3 +1222,33 @@ def test_python_streamsource_batches_and_parity(spark):
     assert streamed.count() == 500
     assert streamed.exceptAll(batch).count() == 0
     assert batch.exceptAll(streamed).count() == 0
+
+
+def test_incremental_join_partitions_new_pairs_exactly(spark):
+    from clinical_vector_search_spark.operators.audit import (
+        incremental_join_update,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k int, lv string"
+    )
+    right = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (3, 30), (4, 40)], "rk int, rv int"
+    )
+    l0, dl = left.filter("k != 2"), left.filter("k = 2")
+    r0, dr = right.filter("rv != 11"), right.filter("rv = 11")
+    view0 = l0.join(r0, l0.k == r0.rk).select("k", "lv", "rv")
+    upd = incremental_join_update(view0, l0, r0, dl, dr, "k", "rk")
+    got = sorted((r.k, r.lv, r.rv) for r in upd.collect())
+    full = sorted(
+        (r.k, r.lv, r.rv)
+        for r in left.join(right, left.k == right.rk)
+        .select("k", "lv", "rv")
+        .collect()
+    )
+    assert got == full
+    # delta-delta term matters: insert matching rows on BOTH sides
+    dl2 = spark.createDataFrame([(9, "z")], "k int, lv string")
+    dr2 = spark.createDataFrame([(9, 90)], "rk int, rv int")
+    upd2 = incremental_join_update(view0, l0, r0, dl2, dr2, "k", "rk")
+    assert (9, "z", 90) in {(r.k, r.lv, r.rv) for r in upd2.collect()}
