@@ -228,6 +228,25 @@ def main() -> int:
         f"joins={n_any_join(plan)}",
     )
 
+    # 3j. incremental join maintenance: the batch sides BROADCAST (the
+    # delta rule's whole point — maintenance ∝ |Δ|, not |L|·|R|)
+    plan = formatted(E.q_rel_incremental_join(spark, SF_DIR))
+    check(
+        "incremental join: delta joins broadcast (>=2 BHJ), no cartesian",
+        n_nodes(plan, "BroadcastHashJoin") >= 2
+        and "CartesianProduct" not in plan,
+        f"bhj={n_nodes(plan, 'BroadcastHashJoin')}",
+    )
+
+    # 3k. entity resolution: both blocking passes stay hash/window-based —
+    # no nested-loop pair generation anywhere in the composition
+    plan = formatted(E.q_rel_entity_resolution(spark, SF_DIR))
+    check(
+        "entity resolution: no NL/cartesian in either blocking pass",
+        "CartesianProduct" not in plan
+        and "BroadcastNestedLoopJoin" not in plan,
+    )
+
     # 4. kNN window strategy: exactly the one intended broadcast cross join
     from clinical_vector_search_spark.functions import vector as V
     from clinical_vector_search_spark.operators.knn import _knn_window
