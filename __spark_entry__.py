@@ -5862,6 +5862,43 @@ def q_rel_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman optimal allocation for stratified sampling (Neyman 1934):
+    sample strata ∝ N_h·σ_h, which minimizes the estimator variance at
+    fixed budget — the design table the stratified sampler
+    (doc_stratified_sample) should be fed instead of proportional
+    shares when strata differ in spread. Per-source strata over
+    n_chars: one pass of EXACT BIGINT moments (Σx, Σx²) per stratum,
+    σ_h from the closed form, shares normalized by a window total at
+    stratum granularity; floats only after the integer moments are
+    final (6dp). Emits the design, not a sample — allocation is
+    deterministic, integer rounding of final counts is the caller's
+    largest-remainder step."""
+    docs = _docs(spark, sf_dir)
+    by_s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("n_chars").alias("sx"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).alias("sxx"),
+    )
+    n = F.col("n_h").cast("double")
+    mean = F.col("sx") / n
+    var = F.col("sxx") / n - mean * mean
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return by_s.select(
+        "source",
+        "n_h",
+        F.round(mean, 6).alias("mean_chars"),
+        F.round(sigma, 6).alias("sigma_chars"),
+        F.round((n * sigma) / F.sum(n * sigma).over(w), 6).alias(
+            "neyman_share"
+        ),
+        F.round(n / F.sum(n).over(w), 6).alias("proportional_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6005,6 +6042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_did": q_events_did,
         "events_log_rank": q_events_log_rank,
         "rel_incremental_join": q_rel_incremental_join,
+        "doc_neyman_allocation": q_doc_neyman_allocation,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -7969,6 +8007,28 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["doc_neyman_allocation"] = """
+        WITH by_s AS (
+            SELECT source, count(*)::BIGINT AS n_h,
+                   sum(n_chars)::BIGINT AS sx,
+                   sum(n_chars * n_chars)::BIGINT AS sxx
+            FROM documents GROUP BY source),
+        x AS (SELECT source, n_h,
+                     sx / n_h::DOUBLE AS mean_chars,
+                     sqrt(greatest(sxx / n_h::DOUBLE
+                                   - (sx/n_h::DOUBLE)*(sx/n_h::DOUBLE),
+                                   0.0)) AS sigma
+              FROM by_s)
+        SELECT source, n_h,
+               round(mean_chars, 6) AS mean_chars,
+               round(sigma, 6) AS sigma_chars,
+               round(n_h * sigma / sum(n_h * sigma) OVER (), 6)
+                   AS neyman_share,
+               round(n_h / sum(n_h::DOUBLE) OVER (), 6)
+                   AS proportional_share
+        FROM x
     """
 
     # incremental join view: the oracle is the FULL recompute — hash
