@@ -5899,6 +5899,22 @@ def q_doc_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (operators/stats.py spearman_corr)
+    between document length and whitespace token count — the tie-exact
+    average-rank spelling (min-rank + (ties−1)/2, both engine-identical
+    windows), Pearson only on the bit-identical ranks. The monotone-
+    robust complement of the Pearson F.corr used across the rel_*
+    profiles."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.stats import spearman_corr
+
+    docs = _docs(spark, sf_dir)
+    return spearman_corr(
+        docs, F.col("n_chars"), TXT.token_count("text").cast("long")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6043,6 +6059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_log_rank": q_events_log_rank,
         "rel_incremental_join": q_rel_incremental_join,
         "doc_neyman_allocation": q_doc_neyman_allocation,
+        "text_spearman": q_text_spearman,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8007,6 +8024,22 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["text_spearman"] = f"""
+        WITH toks AS ({_TOKS}),
+        b AS (SELECT d.n_chars::BIGINT AS x,
+                     len(t.tokens)::BIGINT AS y
+              FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+              WHERE d.n_chars IS NOT NULL),
+        r AS (SELECT
+                rank() OVER (ORDER BY x)
+                    + (count(*) OVER (PARTITION BY x) - 1) / 2.0 AS rx,
+                rank() OVER (ORDER BY y)
+                    + (count(*) OVER (PARTITION BY y) - 1) / 2.0 AS ry
+              FROM b)
+        SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) AS rho
+        FROM r
     """
 
     s["doc_neyman_allocation"] = """

@@ -866,3 +866,58 @@ def log_rank_test(
             6,
         ).alias("z_stat"),
     )
+
+
+def spearman_corr(
+    df: DataFrame,
+    x_col,
+    y_col,
+    precision: int = 6,
+) -> DataFrame:
+    """Spearman rank correlation: Pearson correlation of AVERAGE ranks
+    (the tie-correct definition — the rank-based complement of
+    ``F.corr``'s Pearson, robust to monotone transforms and outliers).
+
+    Average rank spelled as min-rank + (ties−1)/2, both window
+    functions: ``rank() OVER (ORDER BY v)`` is engine-identical and the
+    tie count is a partition count — exact integers plus an exact .5
+    step, so the ranks are bit-identical in any engine; only the final
+    correlation is float (``precision`` dp).
+
+    Scale note: the rank windows are global (single partition) — right
+    at entity granularity after pre-aggregation (the woe_iv ntile
+    caveat); at fact-table scale substitute binned ranks from
+    approx_percentile boundaries, same downstream Pearson.
+    Emits one row: (n, rho).
+    """
+    x = x_col if not isinstance(x_col, str) else F.col(x_col)
+    y = y_col if not isinstance(y_col, str) else F.col(y_col)
+    base = df.select(x.alias("_x"), y.alias("_y")).where(
+        F.col("_x").isNotNull() & F.col("_y").isNotNull()
+    )
+
+    def avg_rank(c):
+        return (
+            F.rank().over(Window.orderBy(c)).cast("double")
+            + (
+                F.count(F.lit(1))
+                .over(
+                    Window.partitionBy(c).rowsBetween(
+                        Window.unboundedPreceding,
+                        Window.unboundedFollowing,
+                    )
+                )
+                .cast("double")
+                - 1.0
+            )
+            / 2.0
+        )
+
+    ranked = base.select(
+        avg_rank(F.col("_x")).alias("_rx"),
+        avg_rank(F.col("_y")).alias("_ry"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("_rx", "_ry"), precision).alias("rho"),
+    )

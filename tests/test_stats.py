@@ -392,3 +392,37 @@ def test_log_rank_identical_cohorts_zero_z(spark):
     assert out["deaths_a"] == out["deaths_b"]
     assert out["o_minus_e"] == pytest.approx(0.0, abs=1e-9)
     assert out["z_stat"] is None or abs(out["z_stat"]) < 1e-6
+
+
+def test_spearman_matches_scipy_free_reference(spark):
+    from clinical_vector_search_spark.operators.stats import spearman_corr
+
+    xs = [1.0, 2.0, 2.0, 4.0, 5.0, 9.0]
+    ys = [10.0, 8.0, 8.0, 3.0, 2.0, 1.0]   # monotone decreasing w/ ties
+    df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+    out = spearman_corr(df, "x", "y").collect()[0]
+
+    def avg_ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        ranks = [0.0] * len(v)
+        i = 0
+        while i < len(v):
+            j = i
+            while j < len(v) and v[order[j]] == v[order[i]]:
+                j += 1
+            for k in range(i, j):
+                ranks[order[k]] = (i + 1 + j) / 2.0
+            i = j
+        return np.array(ranks)
+
+    rx, ry = avg_ranks(xs), avg_ranks(ys)
+    ref = np.corrcoef(rx, ry)[0, 1]
+    assert out["n"] == 6
+    assert out["rho"] == pytest.approx(ref, abs=1e-6)
+    # perfect monotone (no ties) -> exactly 1
+    mono = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 8)], "x double, y double"
+    )
+    assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == pytest.approx(
+        1.0
+    )
