@@ -5915,6 +5915,22 @@ def q_text_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov (operators/stats.py ks_two_sample):
+    purchase vs view value distributions — the shape-drift test
+    completing events_mann_whitney's location test. CDFs are cumulative
+    INTEGER counts over 2dp bins, so D is an exact integer ratio; one
+    value-granularity agg, then window cumsums."""
+    from clinical_vector_search_spark.operators.stats import ks_two_sample
+
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return ks_two_sample(
+        e, "value", (F.col("event_type") == "purchase").cast("int")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6060,6 +6076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_incremental_join": q_rel_incremental_join,
         "doc_neyman_allocation": q_doc_neyman_allocation,
         "text_spearman": q_text_spearman,
+        "events_ks_test": q_events_ks_test,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8024,6 +8041,35 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_ks_test"] = """
+        WITH b AS (
+            SELECT round(value, 2) AS v,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS g1
+            FROM events
+            WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+        by_val AS (
+            SELECT v, sum(g1)::BIGINT AS n1_v,
+                   sum(1 - g1)::BIGINT AS n2_v
+            FROM b GROUP BY v),
+        cum AS (
+            SELECT sum(n1_v) OVER wc::BIGINT AS c1,
+                   sum(n2_v) OVER wc::BIGINT AS c2,
+                   sum(n1_v) OVER ()::BIGINT AS n1,
+                   sum(n2_v) OVER ()::BIGINT AS n2
+            FROM by_val
+            WINDOW wc AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)),
+        agg AS (
+            SELECT max(n1) AS n1, max(n2) AS n2,
+                   max(abs(c1::DOUBLE / n1 - c2::DOUBLE / n2)) AS d
+            FROM cum)
+        SELECT n1, n2, round(d, 6) AS d_stat,
+               round(CASE WHEN n1 > 0 AND n2 > 0
+                          THEN d * sqrt(n1::DOUBLE * n2 / (n1 + n2)) END,
+                     6) AS lambda_stat
+        FROM agg
     """
 
     s["text_spearman"] = f"""

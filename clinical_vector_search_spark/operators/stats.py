@@ -921,3 +921,67 @@ def spearman_corr(
         F.count(F.lit(1)).alias("n"),
         F.round(F.corr("_rx", "_ry"), precision).alias("rho"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_flag,
+    precision: int = 2,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov: D = sup|F₁(v) − F₂(v)| between
+    the empirical CDFs of two groups — the distribution-shape drift
+    test completing the family (``mann_whitney_u`` detects location
+    shift; KS sees ANY difference). Values bin to ``precision``
+    decimals first (rank-key round-before-compare, bounded distinct
+    frame — the MW discipline); each group's CDF is a cumulative
+    integer count over distinct bins, so D is an EXACT ratio of
+    integers and the engines can't disagree before the final division.
+    The asymptotic statistic λ = D·√(n₁n₂/(n₁+n₂)) is emitted for
+    p-value lookup (the Kolmogorov tail sum is caller-side — it is a
+    scalar series, not a data operation). One value-granularity agg,
+    then window cumsums. Emits (n1, n2, d_stat, lambda_stat).
+    """
+    v = F.round(F.col(value_col).cast("double"), precision)
+    by_val = (
+        df.select(v.alias("v"), group_flag.cast("long").alias("g1"))
+        .where(F.col("v").isNotNull())
+        .groupBy("v")
+        .agg(
+            F.sum("g1").alias("n1_v"),
+            F.sum(F.lit(1) - F.col("g1")).alias("n2_v"),
+        )
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_val.select(
+        F.sum("n1_v").over(w).alias("c1"),
+        F.sum("n2_v").over(w).alias("c2"),
+        F.sum("n1_v").over(wt).alias("n1"),
+        F.sum("n2_v").over(wt).alias("n2"),
+    )
+    gap = F.abs(
+        F.col("c1").cast("double") / F.col("n1")
+        - F.col("c2").cast("double") / F.col("n2")
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(gap).alias("d"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    return agg.select(
+        "n1",
+        "n2",
+        F.round(F.col("d"), 6).alias("d_stat"),
+        F.round(
+            F.when(
+                (n1 > 0) & (n2 > 0),
+                F.col("d") * F.sqrt(n1 * n2 / (n1 + n2)),
+            ),
+            6,
+        ).alias("lambda_stat"),
+    )

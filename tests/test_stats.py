@@ -426,3 +426,24 @@ def test_spearman_matches_scipy_free_reference(spark):
     assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == pytest.approx(
         1.0
     )
+
+
+def test_ks_two_sample_hand_computed(spark):
+    from clinical_vector_search_spark.operators.stats import ks_two_sample
+
+    # group1 = {1,2,3}, group2 = {3,4}: CDF gaps at v=1:1/3, v=2:2/3,
+    # v=3: |1 - 1/2| = 1/2, v=4: 0  -> D = 2/3
+    rows = [(1.0, 1), (2.0, 1), (3.0, 1), (3.0, 0), (4.0, 0)]
+    df = spark.createDataFrame(rows, "value double, g int")
+    out = ks_two_sample(df, "value", F.col("g")).collect()[0]
+    assert out["n1"] == 3 and out["n2"] == 2
+    assert out["d_stat"] == pytest.approx(2 / 3, abs=1e-6)
+    lam = (2 / 3) * math.sqrt(3 * 2 / 5)
+    assert out["lambda_stat"] == pytest.approx(lam, abs=1e-6)
+    # identical samples -> D = 0
+    same = spark.createDataFrame(
+        [(1.0, 1), (2.0, 1), (1.0, 0), (2.0, 0)], "value double, g int"
+    )
+    assert ks_two_sample(same, "value", F.col("g")).collect()[0][
+        "d_stat"
+    ] == pytest.approx(0.0)
