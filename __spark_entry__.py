@@ -5931,6 +5931,40 @@ def q_events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × day-of-week
+    association — the [0,1]-normalized companion of events_chi_square's
+    raw statistic (a huge-N chi-square is always 'significant'; V says
+    whether the association MATTERS): V = √(χ²/(N·min(r−1,c−1))). One
+    summary row derived from the same single (type, dow) aggregation."""
+    from clinical_vector_search_spark.operators.stats import (
+        chi_square_independence,
+    )
+
+    e = _events(spark, sf_dir)
+    cells = chi_square_independence(
+        e, F.col("event_type"), F.dayofweek("ts").cast("int")
+    )
+    agg = cells.agg(
+        F.sum("observed").alias("n"),
+        F.max("chi2_total").alias("chi2"),
+        F.max("dof").alias("dof"),
+        F.countDistinct("a").alias("r"),
+        F.countDistinct("b").alias("c"),
+    )
+    denom = F.col("n").cast("double") * F.least(
+        F.col("r") - 1, F.col("c") - 1
+    ).cast("double")
+    return agg.select(
+        "n",
+        "chi2",
+        "dof",
+        F.round(
+            F.when(denom > 0, F.sqrt(F.col("chi2") / denom)), 6
+        ).alias("cramers_v"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6077,6 +6111,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neyman_allocation": q_doc_neyman_allocation,
         "text_spearman": q_text_spearman,
         "events_ks_test": q_events_ks_test,
+        "events_cramers_v": q_events_cramers_v,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8041,6 +8076,38 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    # Cramér's V: same contingency derivation as events_chi_square; the
+    # V computation consumes the ROUNDED chi2_total (as the Spark side
+    # does, reading the cell frame's published column)
+    s["events_cramers_v"] = """
+        WITH cells AS (
+            SELECT event_type AS a,
+                   (dayofweek(ts::TIMESTAMP) + 1)::INT AS b,
+                   count(*) AS observed
+            FROM events GROUP BY 1, 2),
+        rt AS (SELECT a, sum(observed) AS row_tot FROM cells GROUP BY a),
+        ct AS (SELECT b, sum(observed) AS col_tot FROM cells GROUP BY b),
+        tot AS (SELECT sum(observed) AS grand FROM cells),
+        y AS (
+            SELECT a, b, observed,
+                   (observed - row_tot::DOUBLE * col_tot / grand)
+                   * (observed - row_tot::DOUBLE * col_tot / grand)
+                   / (row_tot::DOUBLE * col_tot / grand) AS contrib
+            FROM cells JOIN rt USING(a) JOIN ct USING(b), tot),
+        s2 AS (SELECT sum(observed)::BIGINT AS n,
+                      round(sum(contrib), 6) AS chi2,
+                      count(DISTINCT a) AS r,
+                      count(DISTINCT b) AS c
+               FROM y)
+        SELECT n, chi2,
+               ((r - 1) * (c - 1))::BIGINT AS dof,
+               round(CASE WHEN n > 0 AND least(r - 1, c - 1) > 0
+                          THEN sqrt(chi2 / (n::DOUBLE
+                                            * least(r - 1, c - 1))) END,
+                     6) AS cramers_v
+        FROM s2
     """
 
     s["events_ks_test"] = """
