@@ -5965,6 +5965,61 @@ def q_events_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-test of value across the five event types — the
+    k-group extension of the two-sample family (MW/KS compare two).
+    Sums of squares decompose from per-group EXACT integer-cent moments
+    (n, Σy, Σy² as BIGINT — the ols_normal convention): SSB = Σ n_g·
+    (ȳ_g − ȳ)², SSW = Σ(Σy²_g − n_g·ȳ_g²), F = (SSB/(k−1))/(SSW/(N−k)).
+    One fact aggregation, then a k-row closed form; floats only after
+    the integer moments are final (6dp)."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_g"),
+        F.sum(cents).alias("sy"),
+        F.sum(cents * cents).alias("syy"),
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot_n = F.sum("n_g").over(w).cast("double")
+    tot_sy = F.sum("sy").over(w).cast("double")
+    k = F.count(F.lit(1)).over(w).cast("double")
+    mean_g = F.col("sy").cast("double") / F.col("n_g")
+    grand = tot_sy / tot_n
+    ssb_term = F.col("n_g").cast("double") * (mean_g - grand) * (
+        mean_g - grand
+    )
+    ssw_term = F.col("syy").cast("double") - F.col("n_g") * mean_g * mean_g
+    x = g.select(
+        "event_type",
+        "n_g",
+        F.round(mean_g / 100.0, 6).alias("mean_value"),
+        F.sum(ssb_term).over(w).alias("_ssb"),
+        F.sum(ssw_term).over(w).alias("_ssw"),
+        tot_n.alias("_n"),
+        k.alias("_k"),
+    )
+    f_stat = (F.col("_ssb") / (F.col("_k") - 1.0)) / (
+        F.col("_ssw") / (F.col("_n") - F.col("_k"))
+    )
+    return x.select(
+        "event_type",
+        "n_g",
+        "mean_value",
+        F.round(
+            F.when(
+                (F.col("_k") > 1)
+                & (F.col("_n") > F.col("_k"))
+                & (F.col("_ssw") > 0),
+                f_stat,
+            ),
+            6,
+        ).alias("f_stat"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6112,6 +6167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_spearman": q_text_spearman,
         "events_ks_test": q_events_ks_test,
         "events_cramers_v": q_events_cramers_v,
+        "events_anova": q_events_anova,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8076,6 +8132,38 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_anova"] = """
+        WITH e AS (SELECT event_type,
+                          round(value * 100)::BIGINT AS c
+                   FROM events),
+        g AS (SELECT event_type, count(*)::BIGINT AS n_g,
+                     sum(c)::BIGINT AS sy, sum(c * c)::BIGINT AS syy
+              FROM e GROUP BY event_type),
+        t AS (SELECT sum(n_g)::DOUBLE AS n, sum(sy)::DOUBLE AS tsy,
+                     count(*)::DOUBLE AS k
+              FROM g),
+        x AS (SELECT event_type, n_g,
+                     sy / n_g::DOUBLE AS mean_g,
+                     syy::DOUBLE - n_g * (sy/n_g::DOUBLE)*(sy/n_g::DOUBLE)
+                         AS ssw_term,
+                     n_g * (sy/n_g::DOUBLE - tsy/n)
+                         * (sy/n_g::DOUBLE - tsy/n) AS ssb_term
+              FROM g, t),
+        s2 AS (SELECT sum(ssb_term) AS ssb, sum(ssw_term) AS ssw FROM x)
+        SELECT event_type, n_g,
+               round(mean_g / 100.0, 6) AS mean_value,
+               round(CASE WHEN (SELECT k FROM t) > 1
+                           AND (SELECT n FROM t) > (SELECT k FROM t)
+                           AND (SELECT ssw FROM s2) > 0
+                          THEN ((SELECT ssb FROM s2)
+                                / ((SELECT k FROM t) - 1.0))
+                               / ((SELECT ssw FROM s2)
+                                  / ((SELECT n FROM t)
+                                     - (SELECT k FROM t)))
+                     END, 6) AS f_stat
+        FROM x
     """
 
     # Cramér's V: same contingency derivation as events_chi_square; the

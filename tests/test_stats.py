@@ -447,3 +447,27 @@ def test_ks_two_sample_hand_computed(spark):
     assert ks_two_sample(same, "value", F.col("g")).collect()[0][
         "d_stat"
     ] == pytest.approx(0.0)
+
+
+def test_anova_entry_matches_numpy_f(spark, sf_dir):
+    import __spark_entry__ as E
+
+    out = E.q_events_anova(spark, sf_dir).collect()
+    f_vals = {r["f_stat"] for r in out}
+    assert len(f_vals) == 1
+    f_spark = f_vals.pop()
+
+    # independent reference on the same data
+    from clinical_vector_search_spark.streaming.events import read_events
+
+    rows = read_events(spark, sf_dir).select("event_type", "value").collect()
+    groups = {}
+    for r in rows:
+        groups.setdefault(r.event_type, []).append(round(r.value * 100))
+    ys = [np.array(v, dtype=float) for v in groups.values()]
+    grand = np.concatenate(ys).mean()
+    k, n = len(ys), sum(len(y) for y in ys)
+    ssb = sum(len(y) * (y.mean() - grand) ** 2 for y in ys)
+    ssw = sum(((y - y.mean()) ** 2).sum() for y in ys)
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    assert f_spark == pytest.approx(f_ref, rel=1e-5)
