@@ -6020,6 +6020,55 @@ def q_events_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test, purchase vs view values — the
+    parametric member of the two-sample ladder (MW ranks, KS shapes,
+    Welch means under heteroscedasticity, the default over Student's
+    pooled t). Everything derives from six exact integer-cent moments
+    (n, Σy, Σy² per group, BIGINT): sample variances, t, and the
+    Welch-Satterthwaite df — one fact aggregation, one output row,
+    floats only after the moments are final (6dp)."""
+    e = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("purchase", "view")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    is_p = F.col("event_type") == "purchase"
+    g = e.agg(
+        F.sum(F.when(is_p, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(is_p, cents).otherwise(0)).alias("s1"),
+        F.sum(F.when(is_p, cents * cents).otherwise(0)).alias("q1"),
+        F.sum(F.when(is_p, 0).otherwise(1)).alias("n2"),
+        F.sum(F.when(is_p, F.lit(0).cast("long")).otherwise(cents)).alias(
+            "s2"
+        ),
+        F.sum(
+            F.when(is_p, F.lit(0).cast("long")).otherwise(cents * cents)
+        ).alias("q2"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    m1 = F.col("s1") / n1
+    m2 = F.col("s2") / n2
+    # sample (n-1) variances from exact moments
+    v1 = (F.col("q1") - n1 * m1 * m1) / (n1 - 1.0)
+    v2 = (F.col("q2") - n2 * m2 * m2) / (n2 - 1.0)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / (
+        (v1 / n1) * (v1 / n1) / (n1 - 1.0)
+        + (v2 / n2) * (v2 / n2) / (n2 - 1.0)
+    )
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1) & (se2 > 0)
+    return g.select(
+        "n1",
+        "n2",
+        F.round(m1 / 100.0, 6).alias("mean_1"),
+        F.round(m2 / 100.0, 6).alias("mean_2"),
+        F.round(F.when(ok, t), 6).alias("t_stat"),
+        F.round(F.when(ok, df), 6).alias("welch_df"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6168,6 +6217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_ks_test": q_events_ks_test,
         "events_cramers_v": q_events_cramers_v,
         "events_anova": q_events_anova,
+        "events_welch_t": q_events_welch_t,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8132,6 +8182,41 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_welch_t"] = """
+        WITH e AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                   END AS p,
+                   round(value * 100)::BIGINT AS c
+            FROM events WHERE event_type IN ('purchase', 'view')),
+        g AS (SELECT
+                sum(p)::BIGINT AS n1,
+                sum(CASE WHEN p = 1 THEN c ELSE 0 END)::BIGINT AS s1,
+                sum(CASE WHEN p = 1 THEN c * c ELSE 0 END)::BIGINT AS q1,
+                sum(1 - p)::BIGINT AS n2,
+                sum(CASE WHEN p = 0 THEN c ELSE 0 END)::BIGINT AS s2,
+                sum(CASE WHEN p = 0 THEN c * c ELSE 0 END)::BIGINT AS q2
+              FROM e),
+        x AS (SELECT n1, n2,
+                     s1 / n1::DOUBLE AS m1, s2 / n2::DOUBLE AS m2,
+                     (q1 - n1 * (s1/n1::DOUBLE)*(s1/n1::DOUBLE))
+                         / (n1 - 1.0) AS v1,
+                     (q2 - n2 * (s2/n2::DOUBLE)*(s2/n2::DOUBLE))
+                         / (n2 - 1.0) AS v2
+              FROM g),
+        y AS (SELECT *, v1 / n1 + v2 / n2 AS se2 FROM x)
+        SELECT n1, n2,
+               round(m1 / 100.0, 6) AS mean_1,
+               round(m2 / 100.0, 6) AS mean_2,
+               round(CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                          THEN (m1 - m2) / sqrt(se2) END, 6) AS t_stat,
+               round(CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                          THEN se2 * se2
+                               / ((v1/n1)*(v1/n1)/(n1 - 1.0)
+                                  + (v2/n2)*(v2/n2)/(n2 - 1.0))
+                     END, 6) AS welch_df
+        FROM y
     """
 
     s["events_anova"] = """
