@@ -6069,6 +6069,73 @@ def q_events_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_logreg_fairness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Group-fairness audit of the trained classifier (operators/
+    logreg.py logreg_scores): per SOURCE group — positive-prediction
+    rate (z > 0, the exact threshold), TPR, FPR, and the disparate-
+    impact ratio vs the best group's rate (the four-fifths-rule
+    metric). The governance pass every deployed classifier needs next
+    to eval/calibration/AUC; groups with no positives/negatives emit
+    NULL rates (ANSI-safe), one group-granularity agg after the scoring
+    expressions."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_scores,
+        logreg_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        "source",
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), lr=1.0, n_iter=5)
+    scored = logreg_scores(
+        feats, cols, F.col("is_en"), w, extra_cols=["source"]
+    )
+    pred = (F.col("z") > 0).cast("long")
+    y = F.col("y")
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(pred).alias("n_pos_pred"),
+        F.sum(pred * y).alias("tp"),
+        F.sum(pred * (1.0 - y)).alias("fp"),
+        F.sum(y).alias("n_pos"),
+        F.sum(1.0 - y).alias("n_neg"),
+    )
+    rate = F.col("n_pos_pred").cast("double") / F.col("n")
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per.select(
+        "source",
+        "n",
+        F.round(rate, 6).alias("pos_pred_rate"),
+        F.round(
+            F.when(F.col("n_pos") > 0, F.col("tp") / F.col("n_pos")), 6
+        ).alias("tpr"),
+        F.round(
+            F.when(F.col("n_neg") > 0, F.col("fp") / F.col("n_neg")), 6
+        ).alias("fpr"),
+        # all-zero rates (a model that predicts no positives anywhere)
+        # have no reference group — NULL, not a 0/0
+        F.round(
+            F.when(F.max(rate).over(wt) > 0, rate / F.max(rate).over(wt)),
+            6,
+        ).alias("disparate_impact"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6218,6 +6285,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cramers_v": q_events_cramers_v,
         "events_anova": q_events_anova,
         "events_welch_t": q_events_welch_t,
+        "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -9195,6 +9263,43 @@ def oracle_sql() -> dict[str, str]:
                round(avg(y), 6) AS actual_rate,
                round(avg((p - y) * (p - y)), 6) AS brier
         FROM binned GROUP BY 1
+    """
+
+    # fairness: the same unroll with the SOURCE group threaded through
+    # the feature CTEs (two targeted rewrites of the shared head — the
+    # extra column is inert for the training moments)
+    _lr_head_grp = _lr_head.replace(
+        "f0 AS (SELECT CASE WHEN d.lang = 'en'",
+        "f0 AS (SELECT d.source AS grp, CASE WHEN d.lang = 'en'",
+    ).replace(
+        "f AS (SELECT y,",
+        "f AS (SELECT grp, y,",
+    )
+    s["doc_quality_logreg_fairness"] = f"""{_lr_head_grp},
+        wr AS (
+            SELECT round(w0, 6) AS w0, round(wa, 6) AS wa,
+                   round(wb, 6) AS wb, round(wc, 6) AS wc FROM w5),
+        scored AS (SELECT grp, y,
+                 (w0 + wa*z0 + wb*z1 + wc*z2) AS z
+               FROM f, wr),
+        per AS (SELECT grp AS source,
+                       count(*)::BIGINT AS n,
+                       sum(CASE WHEN z > 0 THEN 1 ELSE 0
+                           END)::BIGINT AS n_pos_pred,
+                       sum(CASE WHEN z > 0 THEN y ELSE 0 END) AS tp,
+                       sum(CASE WHEN z > 0 THEN 1 - y ELSE 0 END) AS fp,
+                       sum(y) AS n_pos, sum(1 - y) AS n_neg
+                FROM scored GROUP BY grp),
+        mx AS (SELECT max(n_pos_pred / n::DOUBLE) AS best FROM per)
+        SELECT source, n,
+               round(n_pos_pred / n::DOUBLE, 6) AS pos_pred_rate,
+               round(CASE WHEN n_pos > 0 THEN tp / n_pos END, 6) AS tpr,
+               round(CASE WHEN n_neg > 0 THEN fp / n_neg END, 6) AS fpr,
+               round(CASE WHEN (SELECT best FROM mx) > 0
+                          THEN (n_pos_pred / n::DOUBLE)
+                               / (SELECT best FROM mx) END,
+                     6) AS disparate_impact
+        FROM per
     """
 
     # AUC: same unroll + rounded-freeze; z rounded BEFORE the rank-sum

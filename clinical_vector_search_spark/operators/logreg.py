@@ -285,3 +285,40 @@ def logreg_auc(
             round_to,
         ).alias("auc"),
     )
+
+
+def logreg_scores(
+    df: DataFrame,
+    feature_cols: list[str],
+    label: Column,
+    weights: list[tuple[str, float]],
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-row frozen-weight scores: returns (extra_cols..., y, z) with
+    the same standardization/z-ordering as :func:`logreg_eval` — the
+    building block the aggregate passes (eval, calibration, AUC,
+    fairness) share when they need row-level scores alongside other
+    attributes. Deterministic: stats enter as literals, z is the same
+    bias-first accumulation everywhere."""
+    d = len(feature_cols)
+    extra = list(extra_cols or [])
+    base = df.select(
+        *extra,
+        label.cast("double").alias("_y"),
+        *[
+            F.col(c).cast("double").alias(f"_x{j}")
+            for j, c in enumerate(feature_cols)
+        ],
+    )
+    stats = base.agg(
+        *[F.avg(f"_x{j}").alias(f"m{j}") for j in range(d)],
+        *[F.stddev_pop(f"_x{j}").alias(f"s{j}") for j in range(d)],
+    ).first()
+    w = [x for _, x in weights]
+    z = F.lit(w[0])
+    for j in range(d):
+        z = z + F.lit(w[j + 1]) * (
+            (F.col(f"_x{j}") - F.lit(float(stats[f"m{j}"])))
+            / F.lit(float(stats[f"s{j}"]))
+        )
+    return base.select(*extra, F.col("_y").alias("y"), z.alias("z"))
