@@ -6136,6 +6136,21 @@ def q_doc_quality_logreg_fairness(
     )
 
 
+def q_events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test + Theil-Sen slope over daily
+    counts (operators/stats.py mann_kendall_trend): S is an exact
+    integer sign sum, variance tie-corrected closed form, slope the
+    median of pairwise slopes — the fact table collapses to day
+    granularity FIRST so the O(days²) pair join is over the tiny
+    series. The robust complement of rel_order_trend's least-squares
+    fit."""
+    from clinical_vector_search_spark.operators.stats import (
+        mann_kendall_trend,
+    )
+
+    return mann_kendall_trend(_events(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6286,6 +6301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_anova": q_events_anova,
         "events_welch_t": q_events_welch_t,
         "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
+        "events_trend_mk": q_events_trend_mk,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8250,6 +8266,36 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_trend_mk"] = """
+        WITH daily AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS day,
+                   count(*)::BIGINT AS y
+            FROM events GROUP BY 1),
+        p AS (SELECT a.y AS yi, b.y AS yj, a.day AS di, b.day AS dj
+              FROM daily a JOIN daily b ON a.day < b.day),
+        ps AS (SELECT sum(CASE WHEN yj > yi THEN 1
+                               WHEN yj < yi THEN -1 ELSE 0
+                          END)::BIGINT AS s_stat,
+                      quantile_cont((yj - yi)::DOUBLE / (dj - di), 0.5)
+                          AS theil_sen
+               FROM p),
+        nd AS (SELECT count(*)::BIGINT AS n_days FROM daily),
+        ties AS (SELECT coalesce(sum(t * (t - 1) * (2 * t + 5)), 0)
+                     AS tie_sum
+                 FROM (SELECT count(*) AS t FROM daily GROUP BY y) g),
+        v AS (SELECT (n_days::DOUBLE * (n_days - 1.0)
+                      * (2.0 * n_days + 5.0) - tie_sum) / 18.0 AS var_s,
+                     n_days, s_stat, theil_sen
+              FROM ps, nd, ties)
+        SELECT n_days, s_stat,
+               round(CASE WHEN var_s > 0 AND s_stat <> 0
+                          THEN (s_stat - sign(s_stat::DOUBLE))
+                               / sqrt(var_s)
+                          WHEN var_s > 0 THEN 0.0 END, 6) AS z_stat,
+               round(theil_sen, 6) AS theil_sen_slope
+        FROM v
     """
 
     s["events_welch_t"] = """

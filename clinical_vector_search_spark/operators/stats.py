@@ -985,3 +985,67 @@ def ks_two_sample(
             6,
         ).alias("lambda_stat"),
     )
+
+
+def mann_kendall_trend(
+    events: DataFrame,
+    ts_ns_col: str = "ts_ns",
+) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen slope over the daily count
+    series — the nonparametric is-this-metric-drifting pair (monotone
+    trend without assuming linearity; the robust complement of
+    ``rel_order_trend``'s least-squares regr_ family).
+
+    S = Σ_{i<j} sign(y_j − y_i) is an EXACT integer; its variance uses
+    the tie-corrected closed form n(n−1)(2n+5)/18 − Σt(t−1)(2t+5)/18;
+    z applies the ±1 continuity correction. The Theil-Sen slope is the
+    median of all pairwise slopes (exact integer differences divided —
+    identical doubles in any engine; the median interpolation follows
+    the events_quantiles percentile parity). The fact table collapses
+    to day granularity FIRST, so the O(days²) pair join is over the
+    tiny series — the acf_daily discipline. Emits one row:
+    (n_days, s_stat, z_stat, theil_sen_slope).
+    """
+    daily = events.groupBy(
+        F.expr(f"{ts_ns_col} div 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(F.col("day").alias("di"), F.col("y").alias("yi"))
+    b = daily.select(F.col("day").alias("dj"), F.col("y").alias("yj"))
+    pairs = a.join(b, F.col("di") < F.col("dj"))
+    sgn = F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("long")
+    slope = (F.col("yj") - F.col("yi")).cast("double") / (
+        F.col("dj") - F.col("di")
+    ).cast("double")
+    ps = pairs.agg(
+        F.sum(sgn).alias("s_stat"),
+        F.percentile(slope, F.lit(0.5)).alias("theil_sen"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.sum(
+                F.col("t")
+                * (F.col("t") - 1)
+                * (2 * F.col("t") + 5)
+            ).alias("tie_sum")
+        )
+    )
+    j = ps.crossJoin(F.broadcast(nd)).crossJoin(F.broadcast(ties))
+    n = F.col("n_days").cast("double")
+    var_s = (
+        n * (n - 1.0) * (2.0 * n + 5.0)
+        - F.col("tie_sum").cast("double")
+    ) / 18.0
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        (var_s > 0) & (F.col("s_stat") != 0),
+        (s - F.signum(s)) / F.sqrt(var_s),
+    ).otherwise(F.when(var_s > 0, F.lit(0.0)))
+    return j.select(
+        "n_days",
+        "s_stat",
+        F.round(z, 6).alias("z_stat"),
+        F.round("theil_sen", 6).alias("theil_sen_slope"),
+    )

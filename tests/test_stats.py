@@ -471,3 +471,31 @@ def test_anova_entry_matches_numpy_f(spark, sf_dir):
     ssw = sum(((y - y.mean()) ** 2).sum() for y in ys)
     f_ref = (ssb / (k - 1)) / (ssw / (n - k))
     assert f_spark == pytest.approx(f_ref, rel=1e-5)
+
+
+def test_mann_kendall_hand_computed(spark):
+    from clinical_vector_search_spark.operators.stats import (
+        mann_kendall_trend,
+    )
+
+    DAY = 86_400_000_000_000
+    # daily counts [1, 2, 2, 4] over days 0..3:
+    # S = sum of sign(yj-yi) over i<j = +1+1+1 +0+1 +1 = 5
+    counts = [1, 2, 2, 4]
+    rows = []
+    eid = 0
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, d * DAY + eid))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts_ns long")
+    out = mann_kendall_trend(df).collect()[0]
+    assert out["n_days"] == 4 and out["s_stat"] == 5
+    # var = [n(n-1)(2n+5) - sum t(t-1)(2t+5)]/18, tie group of 2 at y=2
+    var_s = (4 * 3 * 13 - 2 * 1 * 9) / 18.0
+    z = (5 - 1) / math.sqrt(var_s)
+    assert out["z_stat"] == pytest.approx(z, abs=1e-6)
+    # slopes: (2-1)/1,(2-1)/2,(4-1)/3, (2-2)/1,(4-2)/2, (4-2)/1
+    slopes = sorted([1.0, 0.5, 1.0, 0.0, 1.0, 2.0])
+    med = (slopes[2] + slopes[3]) / 2
+    assert out["theil_sen_slope"] == pytest.approx(med, abs=1e-6)
