@@ -19,10 +19,20 @@ granularity — the shapes that survive a 1000-executor 100 TB run:
 - ``woe_iv``: weight-of-evidence / information-value of a numeric
   feature vs a binary label over ntile bins (total-ordered so both
   engines bin identically).
+- ``mann_whitney_u`` / ``ks_two_sample`` / ``chi_square_independence``
+  / ``spearman_corr`` / ``mann_kendall_trend``: the nonparametric
+  family — rank sums, CDF gaps, contingency, rank correlation and
+  monotone trend, each with exact integer counts/ranks before any
+  float.
+- ``cuped_adjustment`` / ``log_rank_test`` / ``bradley_terry``: the
+  experimentation-and-preference family — variance reduction, survival
+  comparison, and MM preference strengths, all moment- or
+  iteration-exact.
 
-Extends the reference's evaluation surface (reference
-src/pipeline/evaluation.py computes batch metrics driver-side); here
-every statistic is a distributed aggregation.
+(The ANOVA F and Welch t closed forms live in their entries — pure
+conditional-moment aggregations.) Extends the reference's evaluation
+surface (reference src/pipeline/evaluation.py computes batch metrics
+driver-side); here every statistic is a distributed aggregation.
 """
 
 from __future__ import annotations
