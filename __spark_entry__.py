@@ -6151,6 +6151,51 @@ def q_events_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mann_kendall_trend(_events(spark, sf_dir))
 
 
+def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between the daily event count and daily revenue
+    (exact cents) — concordance as EXACT integer pair counts with the
+    tie-corrected denominator √((n₀−t_x)(n₀−t_y)); the ordinal third of
+    the correlation trio (Pearson F.corr, Spearman ranks, Kendall
+    pairs). Day-granularity collapse FIRST (the mann_kendall/acf
+    discipline), so the O(days²) pair join is over the tiny series and
+    every count is engine-exact; only the final ratio is float (6dp)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("di"), F.col("x").alias("xi"), F.col("y").alias("yi")
+    )
+    b = daily.select(
+        F.col("day").alias("dj"), F.col("x").alias("xj"), F.col("y").alias("yj")
+    )
+    p = a.join(b, F.col("di") < F.col("dj"))
+    sx = F.signum((F.col("xj") - F.col("xi")).cast("double")).cast("long")
+    sy = F.signum((F.col("yj") - F.col("yi")).cast("double")).cast("long")
+    agg = p.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(sx * sy).alias("s"),
+        F.sum(F.when(sx == 0, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(sy == 0, 1).otherwise(0)).alias("ty"),
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return agg.select(
+        "n0",
+        "s",
+        "tx",
+        "ty",
+        F.round(
+            F.when(denom > 0, F.col("s").cast("double") / denom), 6
+        ).alias("tau_b"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6302,6 +6347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_welch_t": q_events_welch_t,
         "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
         "events_trend_mk": q_events_trend_mk,
+        "events_kendall_tau": q_events_kendall_tau,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8266,6 +8312,29 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_kendall_tau"] = """
+        WITH daily AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS day,
+                   count(*)::BIGINT AS x,
+                   sum(round(value * 100)::BIGINT)::BIGINT AS y
+            FROM events GROUP BY 1),
+        p AS (SELECT sign((b.x - a.x)::DOUBLE)::BIGINT AS sx,
+                     sign((b.y - a.y)::DOUBLE)::BIGINT AS sy
+              FROM daily a JOIN daily b ON a.day < b.day),
+        agg AS (SELECT count(*)::BIGINT AS n0,
+                       sum(sx * sy)::BIGINT AS s,
+                       sum(CASE WHEN sx = 0 THEN 1 ELSE 0
+                           END)::BIGINT AS tx,
+                       sum(CASE WHEN sy = 0 THEN 1 ELSE 0
+                           END)::BIGINT AS ty
+                FROM p)
+        SELECT n0, s, tx, ty,
+               round(CASE WHEN (n0 - tx) > 0 AND (n0 - ty) > 0
+                          THEN s / sqrt((n0 - tx)::DOUBLE * (n0 - ty))
+                     END, 6) AS tau_b
+        FROM agg
     """
 
     s["events_trend_mk"] = """
