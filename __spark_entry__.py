@@ -6196,6 +6196,39 @@ def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002 / Machanavajjhala
+    2007) over the (lang, source) quasi-identifier: group sizes, the
+    distinct-sensitive-value count (n_chars decile standing in for the
+    sensitive attribute), and the k<5 / l<2 violation flags — the
+    privacy screen a release pipeline runs before publishing, and the
+    re-identification complement of text_redact_pii (PII removal
+    doesn't help if the quasi-identifier itself isolates a row). ONE
+    aggregation at equivalence-class granularity; every statistic an
+    exact integer."""
+    docs = _docs(spark, sf_dir)
+    # integer floor-div (the cast-direction convention)
+    sens = F.expr("least((n_chars * 10) div 4000, 9)")
+    return (
+        docs.groupBy(
+            F.coalesce(F.col("lang"), F.lit("?")).alias("lang"),
+            F.coalesce(F.col("source"), F.lit("?")).alias("source"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(sens).alias("l_distinct"),
+        )
+        .select(
+            "lang",
+            "source",
+            "class_size",
+            "l_distinct",
+            (F.col("class_size") < 5).cast("int").alias("k_violation"),
+            (F.col("l_distinct") < 2).cast("int").alias("l_violation"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6348,6 +6381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
         "events_trend_mk": q_events_trend_mk,
         "events_kendall_tau": q_events_kendall_tau,
+        "doc_k_anonymity": q_doc_k_anonymity,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8312,6 +8346,19 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["doc_k_anonymity"] = """
+        SELECT coalesce(lang, '?') AS lang,
+               coalesce(source, '?') AS source,
+               count(*)::BIGINT AS class_size,
+               count(DISTINCT least(n_chars * 10 // 4000,
+                                    9))::BIGINT AS l_distinct,
+               (count(*) < 5)::INT AS k_violation,
+               (count(DISTINCT least(n_chars * 10 // 4000, 9)) < 2)::INT
+                   AS l_violation
+        FROM documents
+        GROUP BY 1, 2
     """
 
     s["events_kendall_tau"] = """
