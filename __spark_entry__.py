@@ -6229,6 +6229,42 @@ def q_doc_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for users whose first purchase
+    follows a view, the view→purchase latency in EXACT integer
+    milliseconds, summarized as the n/p25/p50/p75/p90 row every funnel
+    dashboard shows next to the conversion rate (events_funnel counts
+    WHO converts; this measures HOW LONG it takes). One user-key agg
+    (min view ts, min later purchase ts), then exact percentiles at
+    converting-user granularity — the events_quantiles convention, with
+    the percentile_approx swap documented there for 10⁹-user shapes."""
+    e = _events(spark, sf_dir)
+    per = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts_ns"))
+        ).alias("first_view"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_ns"))
+        ).alias("first_purchase"),
+    )
+    conv = per.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        F.expr(
+            "(first_purchase - first_view) div 1000000"
+        ).alias("latency_ms")
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("latency_ms", F.lit(0.25)).alias("p25_ms"),
+        F.percentile("latency_ms", F.lit(0.5)).alias("p50_ms"),
+        F.percentile("latency_ms", F.lit(0.75)).alias("p75_ms"),
+        F.percentile("latency_ms", F.lit(0.9)).alias("p90_ms"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6382,6 +6418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trend_mk": q_events_trend_mk,
         "events_kendall_tau": q_events_kendall_tau,
         "doc_k_anonymity": q_doc_k_anonymity,
+        "events_time_to_convert": q_events_time_to_convert,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8346,6 +8383,26 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_time_to_convert"] = """
+        WITH per AS (
+            SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN epoch_ns(ts) END) AS fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN epoch_ns(ts) END) AS fp
+            FROM events GROUP BY user_id),
+        conv AS (
+            SELECT (fp - fv) // 1000000 AS latency_ms
+            FROM per
+            WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
+        SELECT count(*)::BIGINT AS n_converted,
+               quantile_cont(latency_ms, 0.25) AS p25_ms,
+               quantile_cont(latency_ms, 0.5) AS p50_ms,
+               quantile_cont(latency_ms, 0.75) AS p75_ms,
+               quantile_cont(latency_ms, 0.9) AS p90_ms
+        FROM conv
     """
 
     s["doc_k_anonymity"] = """
