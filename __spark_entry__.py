@@ -6265,6 +6265,60 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value grid: per user,
+    Recency (days since last event, exact integer floor-div), Frequency
+    (event count), Monetary (exact cents); each scored 1–5 by ntile
+    over the TOTAL order (metric, user_id) so both engines bin ties
+    identically (the woe_iv convention; R ntile ascends on recency so
+    score 1 = most recent — documented, the grid is what matters).
+    Output: per RFM segment code, user count and mean monetary. One
+    user-key agg, three bounded windows at user granularity, one
+    segment-granularity rollup."""
+    e = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    mx = e.agg(F.max("ts_ns").alias("mx_ns"))
+    per = (
+        e.crossJoin(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "(max(mx_ns) - max(ts_ns)) div 86400000000000"
+            ).alias("recency_d"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(cents).alias("monetary_c"),
+        )
+    )
+    scored = per.select(
+        "user_id",
+        "monetary_c",
+        F.ntile(5)
+        .over(Window.orderBy("recency_d", "user_id"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy("freq", "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy("monetary_c", "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            (
+                F.col("r_score") * 100
+                + F.col("f_score") * 10
+                + F.col("m_score")
+            ).alias("rfm_segment")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(
+                F.avg(F.col("monetary_c").cast("double")) / 100.0, 6
+            ).alias("mean_monetary"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6419,6 +6473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_kendall_tau": q_events_kendall_tau,
         "doc_k_anonymity": q_doc_k_anonymity,
         "events_time_to_convert": q_events_time_to_convert,
+        "events_rfm": q_events_rfm,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8383,6 +8438,31 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_rfm"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                          round(value * 100)::BIGINT AS c
+                   FROM events),
+        mx AS (SELECT max(ts_ns) AS mx_ns FROM e),
+        per AS (SELECT user_id,
+                       (mx_ns - max(ts_ns)) // 86400000000000
+                           AS recency_d,
+                       count(*)::BIGINT AS freq,
+                       sum(c)::BIGINT AS monetary_c
+                FROM e, mx GROUP BY user_id, mx_ns),
+        sc AS (SELECT user_id, monetary_c,
+                      ntile(5) OVER (ORDER BY recency_d, user_id)
+                          AS r_score,
+                      ntile(5) OVER (ORDER BY freq, user_id) AS f_score,
+                      ntile(5) OVER (ORDER BY monetary_c, user_id)
+                          AS m_score
+               FROM per)
+        SELECT (r_score * 100 + f_score * 10 + m_score)::INT
+                   AS rfm_segment,
+               count(*)::BIGINT AS n_users,
+               round(avg(monetary_c::DOUBLE) / 100.0, 6) AS mean_monetary
+        FROM sc GROUP BY 1
     """
 
     s["events_time_to_convert"] = """
