@@ -6319,6 +6319,62 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves — cumulative revenue per user by signup cohort
+    and user age: the growth-accounting complement of events_retention
+    (retention counts WHO returns; LTV accumulates what they're WORTH).
+    Cohort = first-seen week, age = whole weeks since (both exact
+    integer floor-div on epoch-ns); revenue in exact cents; the curve
+    is an integer window cumsum over age WITHIN each cohort, divided by
+    the cohort's size only in the rounded output. One user agg + one
+    (cohort, age) agg + a cohort-partitioned window."""
+    e = _events(spark, sf_dir)
+    week = 7 * 86_400_000_000_000
+    first = e.groupBy("user_id").agg(
+        F.expr(f"min(ts_ns) div {week}").alias("cohort_w")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    rev = (
+        e.join(first, "user_id")
+        .groupBy(
+            "cohort_w",
+            F.expr(f"(ts_ns div {week})").alias("abs_w"),
+        )
+        .agg(F.sum(cents).alias("rev_c"))
+        .select(
+            "cohort_w",
+            (F.col("abs_w") - F.col("cohort_w")).alias("age_w"),
+            "rev_c",
+        )
+    )
+    size = first.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    w = Window.partitionBy("cohort_w").orderBy("age_w").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        rev.join(F.broadcast(size), "cohort_w")
+        .select(
+            "cohort_w",
+            "age_w",
+            "n_users",
+            F.sum("rev_c").over(w).alias("cum_rev_c"),
+        )
+        .select(
+            "cohort_w",
+            "age_w",
+            "n_users",
+            F.round(
+                F.col("cum_rev_c").cast("double")
+                / F.col("n_users")
+                / 100.0,
+                6,
+            ).alias("ltv_per_user"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6474,6 +6530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_k_anonymity": q_doc_k_anonymity,
         "events_time_to_convert": q_events_time_to_convert,
         "events_rfm": q_events_rfm,
+        "events_cohort_ltv": q_events_cohort_ltv,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8438,6 +8495,29 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_cohort_ltv"] = """
+        WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns,
+                          round(value * 100)::BIGINT AS c
+                   FROM events),
+        fw AS (SELECT user_id,
+                      min(ts_ns) // 604800000000000 AS cohort_w
+               FROM e GROUP BY user_id),
+        rev AS (SELECT cohort_w,
+                       (ts_ns // 604800000000000) - cohort_w AS age_w,
+                       sum(c)::BIGINT AS rev_c
+                FROM e JOIN fw USING (user_id)
+                GROUP BY 1, 2),
+        sz AS (SELECT cohort_w, count(*)::BIGINT AS n_users
+               FROM fw GROUP BY 1)
+        SELECT cohort_w, age_w, n_users,
+               round(sum(rev_c) OVER (PARTITION BY cohort_w
+                         ORDER BY age_w
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::DOUBLE
+                     / n_users / 100.0, 6) AS ltv_per_user
+        FROM rev JOIN sz USING (cohort_w)
     """
 
     s["events_rfm"] = """
