@@ -6375,6 +6375,44 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily count series: 7-day trailing mean
+    ± 2σ with the rolling moments kept as EXACT integer window sums
+    (Σy, Σy² over a ROWS frame — the band doubles then derive from
+    identical integers through the identical expression in both
+    engines, so even the outside-band comparison can't drift); the
+    rolling complement of the global z-score outliers
+    (events_zscore_outliers) and the volatility reading OHLC doesn't
+    give. Requires a full 7-day window (warm-up rows emit NULL bands)."""
+    e = _events(spark, sf_dir)
+    daily = e.groupBy(
+        F.expr("ts_ns div 86400000000000").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    n_w = F.count(F.lit(1)).over(w)
+    s = F.sum("y").over(w)
+    q = F.sum(F.col("y") * F.col("y")).over(w)
+    mean = s.cast("double") / n_w
+    sigma = F.sqrt(q.cast("double") / n_w - mean * mean)
+    upper = mean + 2.0 * sigma
+    lower = mean - 2.0 * sigma
+    full = n_w == 7
+    return daily.select(
+        "day",
+        "y",
+        F.round(F.when(full, mean), 6).alias("ma7"),
+        F.round(F.when(full, upper), 6).alias("upper"),
+        F.round(F.when(full, lower), 6).alias("lower"),
+        F.when(
+            full,
+            (
+                (F.col("y").cast("double") > upper)
+                | (F.col("y").cast("double") < lower)
+            ).cast("int"),
+        ).alias("outside"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6531,6 +6569,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_time_to_convert": q_events_time_to_convert,
         "events_rfm": q_events_rfm,
         "events_cohort_ltv": q_events_cohort_ltv,
+        "events_bollinger": q_events_bollinger,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8495,6 +8534,37 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_bollinger"] = """
+        WITH daily AS (
+            SELECT epoch_ns(ts) // 86400000000000 AS day,
+                   count(*)::BIGINT AS y
+            FROM events GROUP BY 1),
+        r AS (SELECT day, y,
+                     count(*) OVER w7::BIGINT AS n_w,
+                     sum(y) OVER w7::BIGINT AS s,
+                     sum(y * y) OVER w7::BIGINT AS q
+              FROM daily
+              WINDOW w7 AS (ORDER BY day ROWS BETWEEN 6 PRECEDING
+                            AND CURRENT ROW)),
+        b AS (SELECT day, y, n_w,
+                     s::DOUBLE / n_w AS mean,
+                     sqrt(q::DOUBLE / n_w
+                          - (s::DOUBLE / n_w) * (s::DOUBLE / n_w))
+                         AS sigma
+              FROM r)
+        SELECT day, y,
+               round(CASE WHEN n_w = 7 THEN mean END, 6) AS ma7,
+               round(CASE WHEN n_w = 7
+                          THEN mean + 2.0 * sigma END, 6) AS upper,
+               round(CASE WHEN n_w = 7
+                          THEN mean - 2.0 * sigma END, 6) AS lower,
+               CASE WHEN n_w = 7
+                    THEN (y::DOUBLE > mean + 2.0 * sigma
+                          OR y::DOUBLE < mean - 2.0 * sigma)::INT
+               END AS outside
+        FROM b
     """
 
     s["events_cohort_ltv"] = """
