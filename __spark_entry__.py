@@ -6413,6 +6413,72 @@ def q_events_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_quality_logreg_gains(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decile gains/lift table for the trained classifier — the
+    targeting artifact next to AUC (AUC summarizes ranking quality; the
+    gains table says what acting on the top decile CAPTURES): docs
+    ranked by frozen-weight score (6dp-rounded z, doc_id tie-break —
+    the total-order ntile convention), per decile the positive count,
+    capture share of all positives, cumulative capture, and lift vs the
+    base rate. Every count exact; shares rounded 6."""
+    from clinical_vector_search_spark.functions import text as TXT
+    from clinical_vector_search_spark.operators.logreg import (
+        logreg_scores,
+        logreg_train,
+    )
+
+    docs = _docs(spark, sf_dir)
+    ntok = TXT.token_count("text").cast("double")
+    feats = docs.select(
+        "doc_id",
+        (F.col("lang").eqNullSafe(F.lit("en"))).alias("is_en"),
+        ntok.alias("n_tokens"),
+        (
+            F.col("n_chars").cast("double")
+            / F.greatest(ntok, F.lit(1.0))
+        ).alias("mean_tok_len"),
+        TXT.stopword_ratio(TXT.tokenize("text")).alias("stopword_ratio"),
+    )
+    cols = ["n_tokens", "mean_tok_len", "stopword_ratio"]
+    w = logreg_train(feats, cols, F.col("is_en"), lr=1.0, n_iter=5)
+    scored = logreg_scores(
+        feats, cols, F.col("is_en"), w, extra_cols=["doc_id"]
+    ).select("doc_id", "y", F.round("z", 6).alias("z"))
+    ranked = scored.withColumn(
+        "decile",
+        F.ntile(10).over(Window.orderBy(F.desc("z"), F.asc("doc_id"))),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot_pos = F.sum("n_pos").over(wt).cast("double")
+    tot_n = F.sum("n").over(wt).cast("double")
+    base = tot_pos / tot_n
+    return per.select(
+        "decile",
+        "n",
+        "n_pos",
+        F.round(
+            F.when(tot_pos > 0, F.col("n_pos") / tot_pos), 6
+        ).alias("capture"),
+        F.round(
+            F.when(tot_pos > 0, F.sum("n_pos").over(wc) / tot_pos), 6
+        ).alias("cum_capture"),
+        F.round(
+            F.when(base > 0, (F.col("n_pos") / F.col("n")) / base), 6
+        ).alias("lift"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6570,6 +6636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rfm": q_events_rfm,
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_bollinger": q_events_bollinger,
+        "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -9749,6 +9816,43 @@ def oracle_sql() -> dict[str, str]:
                                / (SELECT best FROM mx) END,
                      6) AS disparate_impact
         FROM per
+    """
+
+    # gains table: the unroll with doc_id threaded through (the
+    # fairness-oracle surgery pattern) for the total-order decile rank
+    _lr_head_id = _lr_head.replace(
+        "f0 AS (SELECT CASE WHEN d.lang = 'en'",
+        "f0 AS (SELECT d.doc_id AS did, CASE WHEN d.lang = 'en'",
+    ).replace(
+        "f AS (SELECT y,",
+        "f AS (SELECT did, y,",
+    )
+    s["doc_quality_logreg_gains"] = f"""{_lr_head_id},
+        wr AS (
+            SELECT round(w0, 6) AS w0, round(wa, 6) AS wa,
+                   round(wb, 6) AS wb, round(wc, 6) AS wc FROM w5),
+        scored AS (SELECT did, y,
+                 round(w0 + wa*z0 + wb*z1 + wc*z2, 6) AS z
+               FROM f, wr),
+        rk AS (SELECT y, ntile(10) OVER (ORDER BY z DESC, did)
+                   AS decile
+               FROM scored),
+        per AS (SELECT decile, count(*)::BIGINT AS n,
+                       sum(y)::BIGINT AS n_pos
+                FROM rk GROUP BY decile),
+        t AS (SELECT sum(n_pos)::DOUBLE AS tp, sum(n)::DOUBLE AS tn
+              FROM per)
+        SELECT decile, n, n_pos,
+               round(CASE WHEN tp > 0 THEN n_pos / tp END, 6) AS capture,
+               round(CASE WHEN tp > 0
+                          THEN sum(n_pos) OVER (ORDER BY decile
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) / tp
+                     END, 6) AS cum_capture,
+               round(CASE WHEN tp / tn > 0
+                          THEN (n_pos / n::DOUBLE) / (tp / tn) END, 6)
+                   AS lift
+        FROM per, t
     """
 
     # AUC: same unroll + rounded-freeze; z rounded BEFORE the rank-sum
