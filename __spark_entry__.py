@@ -6579,16 +6579,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": q_rel_semi_join,
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        # -- 2.5: late-r8 additions (31: nine TPC-H shapes, rank/
-        # contingency stats, BFS, Bradley-Terry, AUC, readability,
-        # TextRank, sorted-neighborhood ER + end-to-end ER, RANGE
-        # window, skyline, cumulative uniques, churn labels, session
-        # anomaly, MERGE, streaming python source, LPA communities,
-        # trigram search, forecast backtest, CUPED, personalized
-        # pagerank, DiD), queued BEHIND the verdict-ordered window
-        # (39 new + 11 r4-stale fill the ~50); never driver-checked —
-        # these lead r9 together with the ~23 r4 leftovers named
-        # above --
+        # -- 2.5: late-r8 additions (48: nine TPC-H shapes; the
+        # nonparametric/causal stats family — Mann-Whitney, chi-square
+        # + Cramér's V, KS, Spearman, Kendall τ-b, Mann-Kendall/
+        # Theil-Sen, ANOVA, Welch t, log-rank, CUPED, DiD, Neyman
+        # allocation; graph BFS/LPA/personalized-pagerank; classifier
+        # AUC/fairness/gains; Bradley-Terry; readability; TextRank;
+        # sorted-neighborhood + end-to-end ER; RANGE window; skyline;
+        # cumulative uniques; churn labels; session anomaly; MERGE;
+        # incremental join view; streaming python source; trigram
+        # search; forecast backtest; time-to-convert; RFM; cohort LTV;
+        # Bollinger; k-anonymity), queued BEHIND the verdict-ordered
+        # window (39 new + 11 r4-stale fill the ~50); never driver-
+        # checked but each ⊕ at sf0.001+sf0.01+sf0.1 locally — these
+        # lead r9 together with the ~23 r4 leftovers named above --
         "rel_priority_waiting": q_rel_priority_waiting,
         "rel_nation_profit": q_rel_nation_profit,
         "rel_late_shipments": q_rel_late_shipments,
