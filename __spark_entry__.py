@@ -6479,6 +6479,43 @@ def q_doc_quality_logreg_gains(
     )
 
 
+def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust statistics: event values clipped at the exact
+    p5/p95 (integer-cent percentiles, the events_quantiles parity
+    convention), reporting raw vs winsorized mean/std side by side —
+    the outlier-robust preprocessing every metric pipeline applies
+    before averaging heavy-tailed values, with the variance shrink
+    made visible. Two passes by necessity (the clip bounds ARE
+    order statistics); both are single aggregations, the bounds ride
+    a broadcast stat frame, and all moments accumulate in exact
+    integer cents."""
+    e = _events(spark, sf_dir).where(F.col("value").isNotNull())
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    vals = e.select(cents.alias("c"))
+    bounds = vals.agg(
+        F.percentile("c", F.lit(0.05)).alias("lo"),
+        F.percentile("c", F.lit(0.95)).alias("hi"),
+    )
+    clipped = vals.crossJoin(F.broadcast(bounds)).select(
+        "c",
+        F.least(
+            F.greatest(F.col("c").cast("double"), F.col("lo")),
+            F.col("hi"),
+        ).alias("w"),
+    )
+    return clipped.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("c").cast("double")) / 100.0, 6).alias(
+            "mean_raw"
+        ),
+        F.round(F.stddev_pop(F.col("c").cast("double")) / 100.0, 6).alias(
+            "std_raw"
+        ),
+        F.round(F.avg("w") / 100.0, 6).alias("mean_winsorized"),
+        F.round(F.stddev_pop("w") / 100.0, 6).alias("std_winsorized"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6641,6 +6678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cohort_ltv": q_events_cohort_ltv,
         "events_bollinger": q_events_bollinger,
         "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
+        "events_winsorized": q_events_winsorized,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8605,6 +8643,22 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_winsorized"] = """
+        WITH v AS (SELECT round(value * 100)::BIGINT AS c
+                   FROM events WHERE value IS NOT NULL),
+        b AS (SELECT quantile_cont(c, 0.05) AS lo,
+                     quantile_cont(c, 0.95) AS hi
+              FROM v),
+        w AS (SELECT c, least(greatest(c::DOUBLE, lo), hi) AS wv
+              FROM v, b)
+        SELECT count(*)::BIGINT AS n,
+               round(avg(c::DOUBLE) / 100.0, 6) AS mean_raw,
+               round(stddev_pop(c::DOUBLE) / 100.0, 6) AS std_raw,
+               round(avg(wv) / 100.0, 6) AS mean_winsorized,
+               round(stddev_pop(wv) / 100.0, 6) AS std_winsorized
+        FROM w
     """
 
     s["events_bollinger"] = """
