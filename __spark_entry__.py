@@ -6516,6 +6516,35 @@ def q_events_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_balanced_downsample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Balanced class downsampling — the classifier-prep step that
+    equalizes class sizes by keeping exactly min-class-count rows per
+    class, selected by md5 rank (the repo's deterministic sampling
+    convention: same corpus → same sample in any engine, no RNG).
+    Classes are lang (NULL folded to '?'); the minority size rides a
+    broadcast stat frame, the per-class rank is a window over
+    (md5, doc_id) — one class-key shuffle. Output: the kept
+    (doc_id, lang) rows plus the per-class rank for audit."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.coalesce(F.col("lang"), F.lit("?")).alias("lang")
+    )
+    min_n = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")
+    ).agg(F.min("n").alias("min_n"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat(F.lit("bal:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(min_n))
+        .filter(F.col("rk") <= F.col("min_n"))
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6679,6 +6708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_bollinger": q_events_bollinger,
         "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
         "events_winsorized": q_events_winsorized,
+        "doc_balanced_downsample": q_doc_balanced_downsample,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8643,6 +8673,20 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["doc_balanced_downsample"] = """
+        WITH d AS (SELECT doc_id, coalesce(lang, '?') AS lang
+                   FROM documents),
+        mn AS (SELECT min(n) AS min_n FROM
+               (SELECT count(*) AS n FROM d GROUP BY lang) t),
+        r AS (SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY lang
+                         ORDER BY md5('bal:' || doc_id::VARCHAR),
+                                  doc_id) AS rk
+              FROM d)
+        SELECT doc_id, lang, rk::INT AS rk
+        FROM r, mn WHERE rk <= min_n
     """
 
     s["events_winsorized"] = """
