@@ -6545,6 +6545,42 @@ def q_doc_balanced_downsample(
     )
 
 
+def q_rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lower weighted median — the quantity-weighted median unit price
+    per returnflag: smallest price whose cumulative weight reaches half
+    the total (the definition that needs NO interpolation, so every
+    comparison is exact integer cents vs exact integer quantity sums;
+    a plain median treats a 1-unit and a 50-unit line the same). One
+    (flag, price) aggregation, then cumulative-weight windows at
+    distinct-price granularity and a min over qualifying prices."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    qty = F.round(F.col("l_quantity"), 0).cast("long")
+    by_p = li.groupBy(
+        F.col("l_returnflag").alias("flag"), cents.alias("price_c")
+    ).agg(F.sum(qty).alias("w"))
+    win = Window.partitionBy("flag").orderBy("price_c").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.partitionBy("flag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = by_p.select(
+        "flag",
+        "price_c",
+        F.sum("w").over(win).alias("cw"),
+        F.sum("w").over(wt).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            (F.min("price_c") / F.lit(100.0)).alias("weighted_median"),
+            F.max("tw").alias("total_weight"),
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6709,6 +6745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
         "events_winsorized": q_events_winsorized,
         "doc_balanced_downsample": q_doc_balanced_downsample,
+        "rel_weighted_median": q_rel_weighted_median,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8673,6 +8710,26 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["rel_weighted_median"] = """
+        WITH by_p AS (
+            SELECT l_returnflag AS flag,
+                   round(l_extendedprice * 100)::BIGINT AS price_c,
+                   sum(round(l_quantity)::BIGINT)::BIGINT AS w
+            FROM lineitem GROUP BY 1, 2),
+        cum AS (
+            SELECT flag, price_c,
+                   sum(w) OVER (PARTITION BY flag ORDER BY price_c
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW)::BIGINT AS cw,
+                   sum(w) OVER (PARTITION BY flag)::BIGINT AS tw
+            FROM by_p)
+        SELECT flag,
+               min(price_c) / 100.0 AS weighted_median,
+               max(tw) AS total_weight
+        FROM cum WHERE cw * 2 >= tw
+        GROUP BY flag
     """
 
     s["doc_balanced_downsample"] = """
