@@ -6581,6 +6581,49 @@ def q_rel_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue — the inventory
+    classic (A = parts covering the first 80% of revenue, B = next
+    15%, C = tail): revenue in EXACT integer cents, parts ranked by
+    (revenue desc, partkey), class boundaries compared as
+    cum·100 ≤ total·80 — integer cross-multiplication, no float share
+    ever computed, so the class assignment cannot drift. Output per
+    class: part count, revenue share (rounded 6), the concentration
+    read rel_gini/revenue_concentration give as indices, here as the
+    operational grouping."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cents = F.round(
+        F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    per_part = li.groupBy("l_partkey").agg(F.sum(cents).alias("rev_c"))
+    w = Window.orderBy(F.desc("rev_c"), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wt = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_part.select(
+        "rev_c",
+        F.sum("rev_c").over(w).alias("cum_c"),
+        F.sum("rev_c").over(wt).alias("tot_c"),
+    ).select(
+        "rev_c",
+        "tot_c",
+        F.when(
+            F.col("cum_c") * 100 <= F.col("tot_c") * 80, "A"
+        )
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    return ranked.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum("rev_c").cast("double") / F.max("tot_c"), 6
+        ).alias("revenue_share"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6746,6 +6789,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_winsorized": q_events_winsorized,
         "doc_balanced_downsample": q_doc_balanced_downsample,
         "rel_weighted_median": q_rel_weighted_median,
+        "rel_abc_analysis": q_rel_abc_analysis,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8710,6 +8754,29 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["rel_abc_analysis"] = """
+        WITH pp AS (
+            SELECT l_partkey,
+                   sum(round(l_extendedprice * (1.0 - l_discount)
+                             * 100)::BIGINT)::BIGINT AS rev_c
+            FROM lineitem GROUP BY 1),
+        r AS (SELECT rev_c,
+                     sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)::BIGINT AS cum_c,
+                     sum(rev_c) OVER ()::BIGINT AS tot_c
+              FROM pp),
+        c AS (SELECT rev_c, tot_c,
+                     CASE WHEN cum_c * 100 <= tot_c * 80 THEN 'A'
+                          WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+                          ELSE 'C' END AS abc
+              FROM r)
+        SELECT abc, count(*)::BIGINT AS n_parts,
+               round(sum(rev_c)::DOUBLE / max(tot_c), 6)
+                   AS revenue_share
+        FROM c GROUP BY abc
     """
 
     s["rel_weighted_median"] = """
