@@ -6624,6 +6624,45 @@ def q_rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate — the share of single-event sessions per
+    session-start day, the engagement KPI the sessionize family feeds:
+    same gaps-and-islands session derivation as events_sessionize
+    (integer-ns gap compare), sessions collapsed to (start day, n_events)
+    then one day-granularity conditional-count agg; rate = exact integer
+    counts divided once, rounded 6."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = SESSION_GAP_SEC * 1_000_000_000
+    st = e.select(
+        "user_id",
+        "ts_ns",
+        F.sum(
+            F.when(
+                F.col("ts_ns") - F.lag("ts_ns").over(w) > gap_ns, 1
+            ).otherwise(0)
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("session_seq"),
+    )
+    sess = st.groupBy("user_id", "session_seq").agg(
+        F.expr("min(ts_ns) div 86400000000000").alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return sess.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias(
+            "n_bounces"
+        ),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6790,6 +6829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_balanced_downsample": q_doc_balanced_downsample,
         "rel_weighted_median": q_rel_weighted_median,
         "rel_abc_analysis": q_rel_abc_analysis,
+        "events_bounce_rate": q_events_bounce_rate,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8754,6 +8794,30 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_bounce_rate"] = f"""
+        WITH e AS (SELECT user_id, event_id, epoch_ns(ts) AS ts_ns
+                   FROM events),
+        l AS (SELECT *, CASE WHEN ts_ns - lag(ts_ns) OVER w
+                                  > {SESSION_GAP_SEC * 1_000_000_000}
+                             THEN 1 ELSE 0 END AS new_session
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts_ns, event_id)),
+        st AS (SELECT *, sum(new_session) OVER (PARTITION BY user_id
+                             ORDER BY ts_ns, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+               FROM l),
+        sess AS (SELECT user_id, session_seq,
+                        min(ts_ns) // 86400000000000 AS day,
+                        count(*) AS n_events
+                 FROM st GROUP BY 1, 2)
+        SELECT day, count(*)::BIGINT AS n_sessions,
+               sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_bounces,
+               round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0
+                         END)::DOUBLE / count(*), 6) AS bounce_rate
+        FROM sess GROUP BY day
     """
 
     s["rel_abc_analysis"] = """
