@@ -6663,6 +6663,48 @@ def q_events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/D7 activation — per signup (first-seen) day: the share of new
+    users who return on day+1 and within days 1..7, the growth KPI pair
+    next to the retention matrix (events_retention is period×cohort;
+    activation is the two headline columns product teams actually
+    watch). Exact integer epoch-days; per-user flags from ONE (user,
+    day) distinct frame joined back to the first day — counts exact,
+    one division each, rounded 6."""
+    e = _events(spark, sf_dir)
+    ud = e.select(
+        "user_id", F.expr("ts_ns div 86400000000000").alias("day")
+    ).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    flags = (
+        ud.join(first, "user_id")
+        .groupBy("user_id", "d0")
+        .agg(
+            F.max(
+                F.when(F.col("day") == F.col("d0") + 1, 1).otherwise(0)
+            ).alias("d1"),
+            F.max(
+                F.when(
+                    (F.col("day") > F.col("d0"))
+                    & (F.col("day") <= F.col("d0") + 7),
+                    1,
+                ).otherwise(0)
+            ).alias("d7"),
+        )
+    )
+    return flags.groupBy(F.col("d0").alias("cohort_day")).agg(
+        F.count(F.lit(1)).alias("n_new_users"),
+        F.sum("d1").alias("n_d1"),
+        F.sum("d7").alias("n_d7"),
+        F.round(F.sum("d1").cast("double") / F.count(F.lit(1)), 6).alias(
+            "d1_rate"
+        ),
+        F.round(F.sum("d7").cast("double") / F.count(F.lit(1)), 6).alias(
+            "d7_rate"
+        ),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
@@ -6830,6 +6872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_weighted_median": q_rel_weighted_median,
         "rel_abc_analysis": q_rel_abc_analysis,
         "events_bounce_rate": q_events_bounce_rate,
+        "events_activation": q_events_activation,
         # -- 3: last green r5 --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -8794,6 +8837,26 @@ def oracle_sql() -> dict[str, str]:
                                      ELSE 0.0 END) / var_y
                           ELSE 0.0 END, 6) AS var_reduction
         FROM pv, st
+    """
+
+    s["events_activation"] = """
+        WITH ud AS (SELECT DISTINCT user_id,
+                           epoch_ns(ts) // 86400000000000 AS day
+                    FROM events),
+        f AS (SELECT user_id, min(day) AS d0 FROM ud GROUP BY user_id),
+        fl AS (SELECT ud.user_id, f.d0,
+                      max(CASE WHEN ud.day = f.d0 + 1 THEN 1 ELSE 0
+                          END) AS d1,
+                      max(CASE WHEN ud.day > f.d0
+                                AND ud.day <= f.d0 + 7 THEN 1 ELSE 0
+                          END) AS d7
+               FROM ud JOIN f USING (user_id)
+               GROUP BY ud.user_id, f.d0)
+        SELECT d0 AS cohort_day, count(*)::BIGINT AS n_new_users,
+               sum(d1)::BIGINT AS n_d1, sum(d7)::BIGINT AS n_d7,
+               round(sum(d1)::DOUBLE / count(*), 6) AS d1_rate,
+               round(sum(d7)::DOUBLE / count(*), 6) AS d7_rate
+        FROM fl GROUP BY d0
     """
 
     s["events_bounce_rate"] = f"""
