@@ -4525,7 +4525,7 @@ def q_doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup (operators/dedup.py semantic_dedup):
-    argmax-cosine cluster assignment over the LCG centroid matrix, then
+    argmax-cosine cluster assignment over the md5 centroid matrix, then
     within-cluster near-dup prune keeping the smallest id per pair.
     Survivors (vec_id, cluster)."""
     from clinical_vector_search_spark.operators.dedup import semantic_dedup
@@ -9885,10 +9885,12 @@ def oracle_sql() -> dict[str, str]:
         FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
     """
 
-    # SemDeDup: literal LCG centroid matrix (same _centroid_matrix the
-    # Spark side uses), argmax assignment with first-max tie-break
-    # (ORDER BY dot DESC, cid ASC ≡ array_position of array_max), then
-    # within-cluster pairs and a smallest-id-keeper anti join
+    # SemDeDup: literal md5 centroid matrix (same _centroid_matrix the
+    # Spark side uses), ROUNDED argmax assignment (round-before-argmax,
+    # knn.ASSIGN_DP = 12dp) with first-max tie-break
+    # (ORDER BY round(dot, 12) DESC, cid ASC ≡ array_position of
+    # array_max over rounded dots), then within-cluster pairs and a
+    # smallest-id-keeper anti join
     from clinical_vector_search_spark.operators.knn import _centroid_matrix
 
     _cents = _centroid_matrix(64, 8)
@@ -9905,7 +9907,8 @@ def oracle_sql() -> dict[str, str]:
         asg AS (SELECT vec_id, cid::INT AS cluster FROM
                   (SELECT vec_id, cid,
                           row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY dot DESC, cid) AS rn
+                                             ORDER BY round(dot, 12) DESC,
+                                                      cid) AS rn
                    FROM dots)
                 WHERE rn = 1),
         an AS (SELECT n.vec_id, n.nv, asg.cluster
@@ -9928,7 +9931,8 @@ def oracle_sql() -> dict[str, str]:
         asg AS (SELECT vec_id, label::BIGINT AS label, cid AS cluster FROM
                   (SELECT vec_id, label, cid,
                           row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY dot DESC, cid) AS rn
+                                             ORDER BY round(dot, 12) DESC,
+                                                      cid) AS rn
                    FROM dots)
                 WHERE rn = 1),
         maj AS (SELECT cluster, label AS pred FROM

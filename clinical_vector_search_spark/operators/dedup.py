@@ -877,25 +877,26 @@ def semantic_clusters(
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Argmax-cosine cluster assignment over normalized embeddings:
-    (id, cluster, _nv). First-occurrence tie-break (array_position of
-    array_max — the oracle mirrors with ORDER BY dot DESC, cid ASC).
+    (id, cluster, _nv). Round-before-argmax (knn.ASSIGN_DP = 12dp) with
+    first-occurrence tie-break (array_position of array_max — the oracle
+    mirrors with ORDER BY round(dot, 12) DESC, cid ASC), so exact ties
+    resolve identically across the expression fold, the BLAS twin, and
+    the DuckDB oracle.
     CACHED via plan_cache.tracked_cache: it feeds both sides of the
     pair self-join and the survivor anti-join, and the centroid-dot
     stage is the per-row expensive part. Inside a registered plan build
     the handle is owned (and evicted) by the plan-cache entry; outside
     one the caller owns the returned frame's lifecycle (unpersist when
     done on a long-lived driver)."""
-    from clinical_vector_search_spark.operators.knn import _centroid_dots
+    from clinical_vector_search_spark.operators.knn import (
+        _centroid_assign,
+        _centroid_dots,
+    )
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
     base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
     dots = _centroid_dots("_nv", dim, n_clusters, centroids)
-    return tracked_cache(
-        base.withColumn(
-            "cluster",
-            (F.array_position(dots, F.array_max(dots)) - 1).cast("int"),
-        )
-    )
+    return tracked_cache(base.withColumn("cluster", _centroid_assign(dots)))
 
 
 def semantic_clusters_pd(
@@ -918,14 +919,21 @@ def semantic_clusters_pd(
     Parity contract: ``_nv`` is computed by the canonical expression
     BEFORE the pandas stage (Arrow fp64 passthrough is exact), so every
     downstream canonical dot over ``_nv`` stays bit-identical to the
-    expression path; only the centroid DOTS use BLAS summation, whose
-    ulp-level reassociation could flip argmax solely on near-exact
-    ties (np.argmax and array_position both take the FIRST max).
-    Asserted equal to the expression twin on the testdata."""
+    expression path; the centroid DOTS use BLAS summation, whose
+    ulp-level reassociation differs from the expression fold — so both
+    paths apply the round-before-argmax rule (knn.ASSIGN_DP = 12dp):
+    rounding collapses the ulp noise and any residual exact tie goes to
+    the FIRST max (= smallest cluster id) under both np.argmax and
+    array_position. Asserted equal to the expression twin on the
+    testdata AND property-tested against a NumPy reference
+    (tests/test_property.py)."""
     import numpy as np
     import pandas as pd
 
-    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+    from clinical_vector_search_spark.operators.knn import (
+        ASSIGN_DP,
+        _centroid_matrix,
+    )
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
     C = np.array(
@@ -940,7 +948,9 @@ def semantic_clusters_pd(
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["_nv"].tolist(), dtype="float64")
-            cl = np.argmax(X @ C.T, axis=1).astype("int32")
+            cl = np.argmax(np.round(X @ C.T, ASSIGN_DP), axis=1).astype(
+                "int32"
+            )
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "_nv": pdf["_nv"], "cluster": cl}
             )
@@ -973,7 +983,7 @@ def semantic_dedup_pairs(
     for 5B embeddings) and pass ``centroids`` from
     :func:`~clinical_vector_search_spark.operators.knn.kmeans_centroids`
     (trained on a hash-sample) so cluster sizes stay balanced.
-    ``centroids=None`` uses the deterministic LCG matrix (reproducible,
+    ``centroids=None`` uses the deterministic md5 matrix (reproducible,
     the oracle-twin default). ``assigned`` reuses a
     :func:`semantic_clusters` frame (so a caller computing survivors too
     pays the centroid-dot stage once).

@@ -187,25 +187,33 @@ def _knn_partial_topk(
     return _ranked(rescored, query_id, doc_id, k)
 
 
-def _centroid_matrix(dim: int, n_centroids: int) -> list[list[float]]:
-    """Deterministic LCG centroids (salt 3333333 — independent of the
-    projection and LSH families). Centroid c, component i ~ U(-0.5, 0.5).
-    Built ONCE driver-side; row-independent weights must never be
-    re-derived per row (the per-row LCG chain was ~20× slower)."""
-    from clinical_vector_search_spark.functions.vector import (
-        LCG_M,
-        PROJ_A,
-        PROJ_C,
-    )
+# Decimal places for the round-before-argmax rule (see ASSIGN_DP users):
+# centroid-dot assignment must be deterministic across the expression
+# fold, BLAS matmul, and the DuckDB oracle; rounding the dots to 12dp
+# before argmax collapses ulp-level reassociation noise so exact ties
+# resolve identically (first max = smallest cluster id) on every engine.
+ASSIGN_DP = 12
 
-    return [
-        [
-            (PROJ_A * ((c * dim + i + 3333333) % LCG_M) + PROJ_C) % LCG_M / float(LCG_M)
-            - 0.5
-            for i in range(dim)
-        ]
-        for c in range(n_centroids)
-    ]
+
+def _centroid_matrix(dim: int, n_centroids: int) -> list[list[float]]:
+    """Deterministic md5 centroids: component (c, i) ~ U(-0.5, 0.5) from
+    the top 8 bytes of ``md5("centroid:c:i")`` — the repo's hashing
+    convention (functions/hashing.py). Replaces the former LCG generator,
+    which was AFFINE over any wrap-free index window: every centroid row
+    was an arithmetic ramp with the same step, so for any zero-sum vector
+    all centroid dots were mathematically equal (an exact k-way tie that
+    ulp noise resolved differently per engine — caught by
+    tests/test_property.py::test_semantic_dedup_matches_numpy_reference),
+    and tiny-dim centroids were nearly collinear (poor IVF cell quality).
+    Built ONCE driver-side; row-independent weights must never be
+    re-derived per row."""
+    import hashlib
+
+    def u(c: int, i: int) -> float:
+        h = hashlib.md5(f"centroid:{c}:{i}".encode()).digest()
+        return int.from_bytes(h[:8], "big") / float(2**64) - 0.5
+
+    return [[u(c, i) for i in range(dim)] for c in range(n_centroids)]
 
 
 def kmeans_centroids(
@@ -223,7 +231,7 @@ def kmeans_centroids(
     ``mapInPandas``; only ``n_partitions × n_centroids`` tiny partial rows
     reach the driver, which combines them and re-normalizes (the map-side-
     combine shape — same aggregate the expression ``groupBy`` would build,
-    but with the matmul in BLAS). Initialization is the deterministic LCG
+    but with the matmul in BLAS). Initialization is the deterministic md5
     matrix, so runs are reproducible; empty clusters keep their previous
     centroid. At 100 TB you train on a hash-sampled subset (pass a sampled
     ``docs`` — FAISS trains its IVF quantizer on a sample the same way).
@@ -244,7 +252,9 @@ def kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
-                assign = np.argmax(mat @ C.T, axis=1)
+                # round-before-argmax (ASSIGN_DP): ties resolve to the
+                # smallest cluster id identically on every engine
+                assign = np.argmax(np.round(mat @ C.T, ASSIGN_DP), axis=1)
                 np.add.at(sums, assign, mat)
                 counts += np.bincount(assign, minlength=n_centroids)
             yield pd.DataFrame(
@@ -277,7 +287,7 @@ def _centroid_dots(
 ) -> F.Column:
     """Array of dot products against the literal centroid matrix — one
     zip_with/aggregate per centroid over a constant weight array.
-    ``centroids`` overrides the LCG matrix (e.g. k-means-trained)."""
+    ``centroids`` overrides the md5 matrix (e.g. k-means-trained)."""
     v = F.col(vec)
     cents = F.array(
         *[
@@ -296,6 +306,32 @@ def _centroid_dots(
             F.lit(0.0),
             lambda acc, x: acc + x,
         ),
+    )
+
+
+def _centroid_assign(dots: F.Column) -> F.Column:
+    """Argmax cluster id over ROUNDED centroid dots (round-before-argmax,
+    ASSIGN_DP): ``array_position`` takes the FIRST max, so after rounding
+    any residual tie resolves to the smallest cluster id — identically to
+    ``np.argmax(np.round(·, 12))`` and the oracle's
+    ``ORDER BY round(dot, 12) DESC, cid``."""
+    r = F.transform(dots, lambda d: F.round(d, ASSIGN_DP))
+    return (F.array_position(r, F.array_max(r)) - 1).cast("int")
+
+
+def _top_probes(dots: F.Column, n_centroids: int, n_probe: int) -> F.Column:
+    """Top ``n_probe`` centroid indices by ROUNDED dot, ties to the
+    smallest index: sort (−round(dot), i) structs ascending (struct order
+    is lexicographic) and take the leading slice's indices."""
+    keyed = F.zip_with(
+        dots,
+        F.sequence(F.lit(0), F.lit(n_centroids - 1)),
+        lambda dot, i: F.struct(
+            (-F.round(dot, ASSIGN_DP)).alias("neg"), i.alias("i")
+        ),
+    )
+    return F.transform(
+        F.slice(F.array_sort(keyed), 1, n_probe), lambda s: s["i"]
     )
 
 
@@ -319,36 +355,23 @@ def knn_ivf(
     ``n_probe`` centroids and scores only those partitions' docs. Recall
     rises with n_probe (n_probe = n_centroids ⇒ exact).
 
-    ``centroids=None`` uses the deterministic LCG matrix (reproducible,
+    ``centroids=None`` uses the deterministic md5 matrix (reproducible,
     the oracle-twin default); pass :func:`kmeans_centroids` output for
     trained centroids — same plan shape, higher recall at equal n_probe
     (asserted in tests/test_extensions.py).
     Contract: recall-vs-exact (like HNSW/LSH, SURVEY §7a), not id parity.
     """
     d_dots = _centroid_dots(doc_vec, dim, n_centroids, centroids)
-    d = docs.withColumn(
-        "cluster",
-        F.array_position(d_dots, F.array_max(d_dots)).cast("int") - 1,
-    ).select(doc_id, doc_vec, "cluster")
+    d = docs.withColumn("cluster", _centroid_assign(d_dots)).select(
+        doc_id, doc_vec, "cluster"
+    )
 
     q_dots = _centroid_dots(query_vec, dim, n_centroids, centroids)
-    # top-n_probe centroid indices: sort (dot, idx) structs descending
-    probes = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    q_dots,
-                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-                    lambda dot, i: F.struct(dot.alias("dot"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        n_probe,
+    # top-n_probe centroid indices, rounded dots, ties → smallest index
+    probes = _top_probes(q_dots, n_centroids, n_probe)
+    q = queries.withColumn("cluster", F.explode(probes)).select(
+        query_id, query_vec, "cluster"
     )
-    q = queries.withColumn(
-        "cluster", F.explode(F.transform(probes, lambda s: s["i"]))
-    ).select(query_id, query_vec, "cluster")
 
     scored = d.join(q, "cluster").select(
         query_id, doc_id, V.dot(query_vec, doc_vec).alias("score")

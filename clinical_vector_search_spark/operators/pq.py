@@ -121,8 +121,9 @@ def pq_codebooks_trained(
                     continue
                 mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
                 if C is not None:
-                    # same argmax-dot coarse assignment as the encoder
-                    mat = mat - C[np.argmax(mat @ C.T, axis=1)]
+                    # same rounded argmax-dot coarse assignment as the
+                    # encoder (round-before-argmax, knn.ASSIGN_DP)
+                    mat = mat - C[np.argmax(np.round(mat @ C.T, 12), axis=1)]
                 segs = mat.reshape(len(mat), m, dsub)
                 for sub in range(m):
                     # L2 argmin via ||x||² - 2x·c + ||c||² (x-term constant)
@@ -372,8 +373,10 @@ def knn_ivfpq(
     import numpy as np
 
     from clinical_vector_search_spark.operators.knn import (
+        ASSIGN_DP,
         _centroid_dots,
         _centroid_matrix,
+        _top_probes,
     )
 
     cents = centroids or _centroid_matrix(dim, n_centroids)
@@ -387,7 +390,8 @@ def knn_ivfpq(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
-            cluster = np.argmax(mat @ C.T, axis=1)
+            # round-before-argmax (ASSIGN_DP) — same rule as knn_ivf
+            cluster = np.argmax(np.round(mat @ C.T, ASSIGN_DP), axis=1)
             enc = mat - C[cluster] if residual else mat
             segs = enc.reshape(len(mat), m, dsub)
             codes = np.empty((len(mat), m), dtype="int32")
@@ -406,24 +410,13 @@ def knn_ivfpq(
         encode, f"{doc_id} long, cluster int, codes array<int>"
     )
 
-    # query side: probe top-n_probe coarse cells (expression path — tiny)
+    # query side: probe top-n_probe coarse cells (expression path — tiny;
+    # rounded dots, ties → smallest index — same rule as knn_ivf)
     q_dots = _centroid_dots(query_vec, dim, n_centroids, cents)
-    probes = F.slice(
-        F.reverse(
-            F.array_sort(
-                F.zip_with(
-                    q_dots,
-                    F.sequence(F.lit(0), F.lit(n_centroids - 1)),
-                    lambda dot, i: F.struct(dot.alias("dot"), i.alias("i")),
-                )
-            )
-        ),
-        1,
-        n_probe,
+    probes = _top_probes(q_dots, n_centroids, n_probe)
+    q = queries.withColumn("cluster", F.explode(probes)).select(
+        query_id, query_vec, "cluster"
     )
-    q = queries.withColumn(
-        "cluster", F.explode(F.transform(probes, lambda s: s["i"]))
-    ).select(query_id, query_vec, "cluster")
 
     # ADC within probed cells: build the distance tables once driver-side
     # (bounded query batch) and score the cell-joined codes in numpy.
@@ -493,7 +486,8 @@ def residual_vectors(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
-            cluster = np.argmax(mat @ C.T, axis=1)
+            # round-before-argmax — must match the encoder's assignment
+            cluster = np.argmax(np.round(mat @ C.T, 12), axis=1)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], out_col: list(mat - C[cluster])}
             )

@@ -525,7 +525,9 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs):
     X = np.array(vecs, dtype="float64")
     Xn = X / (np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-9)
     dots = Xn @ cents.T
-    assign = dots.argmax(axis=1)  # argmax = first max, same tie rule
+    # round-before-argmax (knn.ASSIGN_DP): ties → first max = smallest
+    # cluster id, the cross-engine contract
+    assign = np.round(dots, 12).argmax(axis=1)
     from hypothesis import assume
 
     want_pairs = set()
@@ -548,6 +550,55 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs):
     want_surv = {i: int(assign[i]) for i in range(len(vecs)) if i not in pruned}
     got_surv = {r.vec_id: r.cluster
                 for r in semantic_dedup(df, dim, thr, k).collect()}
+    assert got_surv == want_surv
+
+
+def test_semantic_dedup_zero_sum_tie_regression(spark):
+    """r8 Hypothesis falsifying example, committed explicitly
+    (.hypothesis/ is git-ignored): under the former affine LCG centroid
+    matrix every centroid row was an arithmetic ramp with the same step,
+    so ZERO-SUM vectors produced exact k-way dot ties that NumPy BLAS and
+    the Spark expression fold resolved differently (argmax 2 vs 0). The
+    md5 centroid matrix + round-before-argmax rule must keep Spark and
+    the NumPy reference in exact agreement on these inputs."""
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+    )
+    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+
+    vecs = [
+        [-1.0, 0.0, 0.5, 0.0],
+        [-0.3333333432674408, 0.0, 0.3333333432674408, 0.0],
+    ]
+    dim, k, thr = 4, 4, 0.9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = np.array(_centroid_matrix(dim, k))
+    X = np.array(vecs, dtype="float64")
+    Xn = X / (np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-9)
+    assign = np.round(Xn @ cents.T, 12).argmax(axis=1)
+    want_pairs = set()
+    for i in range(len(vecs)):
+        for j in range(i + 1, len(vecs)):
+            if assign[i] == assign[j] and float(Xn[i] @ Xn[j]) >= thr:
+                want_pairs.add((i, j))
+    got_pairs = {
+        (r.a_id, r.b_id)
+        for r in semantic_dedup_pairs(df, dim, thr, k).collect()
+    }
+    assert got_pairs == want_pairs
+    pruned = {b for _, b in want_pairs}
+    want_surv = {
+        i: int(assign[i]) for i in range(len(vecs)) if i not in pruned
+    }
+    got_surv = {
+        r.vec_id: r.cluster for r in semantic_dedup(df, dim, thr, k).collect()
+    }
     assert got_surv == want_surv
 
 
