@@ -3708,6 +3708,74 @@ def q_events_scd2_asof_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental point-in-time feature maintenance (operators/temporal.py
+    scd2_apply_changes) — the composition users hit right after
+    events_scd2_asof_features: a change feed lands, the SCD2 dimension is
+    re-merged ONLY for touched keys (broadcast anti/semi passthrough for
+    the rest), and the as-of feature frame is re-derived ONLY for those
+    keys, unioned with the prior frame's untouched rows. The oracle is
+    the ONE-SHOT full recompute (same SQL as events_scd2_asof_features):
+    incremental maintenance must be value-identical to it. Batch = the
+    last third of the feed, so the touched set is a strict subset and
+    both the passthrough and re-derivation branches do real work."""
+    from clinical_vector_search_spark.operators.temporal import (
+        asof_join,
+        scd2_apply_changes,
+        scd2_merge,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 50)
+    upd = ev.select("user_id", "event_type", "ts_ns")
+    lo, hi = upd.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cut = lo + (hi - lo) * 2 // 3
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    hist0 = scd2_merge(
+        empty, upd.filter(F.col("ts_ns") < cut), "user_id", ["event_type"]
+    )
+    changes = upd.filter(F.col("ts_ns") >= cut)
+    hist = scd2_apply_changes(hist0, changes, "user_id", ["event_type"])
+
+    def feats(h, probes):
+        live = h.filter(
+            F.col("valid_to").isNull()
+            | (F.col("valid_to") > F.col("valid_from"))
+        )
+        out = asof_join(
+            probes,
+            live.select(
+                "user_id",
+                F.col("valid_from").alias("ts_ns"),
+                F.col("event_type").alias("state"),
+            ),
+            on="user_id",
+            right_cols=("state",),
+            prefix="dim_",
+        )
+        return out.select(
+            "event_id",
+            "user_id",
+            "ts_ns",
+            F.col("dim_state"),
+            F.col("dim_ts").alias("dim_since"),
+        )
+
+    probes = ev.select("event_id", "user_id", "ts_ns")
+    # prior feature frame (as it stood before the batch) + delta rule:
+    # untouched keys keep their old rows, touched keys re-derive
+    old_feat = feats(hist0, probes)
+    touched = changes.select("user_id").distinct()
+    kept = old_feat.join(F.broadcast(touched), "user_id", "left_anti")
+    fresh = feats(
+        hist.join(F.broadcast(touched), "user_id", "left_semi"),
+        probes.join(F.broadcast(touched), "user_id", "left_semi"),
+    )
+    return kept.unionByName(fresh.select(*kept.columns))
+
+
 def q_doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed logistic-regression training (operators/logreg.py):
     a language classifier (label lang=='en') over the pipeline's own
@@ -6708,80 +6776,21 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r7 VERDICT's task 1 names this exact r8 order):
-    #   1. the 39 entries NEW in r8 (never driver-checked) lead
-    #      (the stats family: Kaplan-Meier, ACF, A/B z-test, OLS
-    #      normal equations, Benford, WOE/IV; then
-    #      vec_binary_sign/knn_hamming_rerank/doc_domain_mixture/
-    #      rel_disjunctive_join/rel_idle_customers, then the late-r8
-    #      batches: Q17/Q21/Q15/Q7/Q11 shapes, basket pairs, triangles
-    #      + k-core, seasonal index/outliers, bounded EWMA, CUSUM,
-    #      Gini, winnowing ×2, containment, md5-HLL overlap, query
-    #      expansion, Heaps fit);
-    #   2. the 34 entries whose last driver row is r4 (streaming
-    #      replays, IVF-PQ family, rel_* windows, samplers) — every one
-    #      verified green locally this round; 39 + 34 > 50, so the
-    #      ~23 r4 entries past the window (vec_pca onward) MUST lead
-    #      r9 with any r8 leftovers;
-    #   3. entries last green in r5 — next-stalest;
-    #   4. entries green in the r6 window;
-    #   5. entries green in the r7 window — freshest, demoted last
-    #      (includes events_tumbling/events_sliding, checked as rows
-    #      49-50 of the r7 window).
-
+    # r8 VERDICT's task 2 names this exact r9 order):
+    #   1. the 23 entries whose last driver row is r4 (vec_pca,
+    #      rag_mmr_rounded/rag_rrf, the streaming sessionize/enrich/
+    #      user_totals replays, knn_pq_adc/vec_pq_codes/knn_exact_l2,
+    #      samplers, the rel_cube..rel_cust_no_orders window block,
+    #      io_partitioned_roundtrip) lead;
+    #   2. the first 27 of the 54 never-driver-checked late-r8
+    #      entries fill the window to 50;
+    #   3. the remaining 27 never-checked entries queue for r10
+    #      (plus anything new in r9);
+    #   4. then last-green-r5, r6, r7, r8 groups — stalest first,
+    #      freshest demoted last. Every entry below the window was
+    #      re-verified green locally against its oracle this round.
     return {
-        # -- 1: new in r8 (never driver-checked — lead the window) --
-        "events_kaplan_meier": q_events_kaplan_meier,
-        "events_acf": q_events_acf,
-        "events_ab_test": q_events_ab_test,
-        "rel_ols_normal": q_rel_ols_normal,
-        "rel_benford": q_rel_benford,
-        "doc_woe_iv": q_doc_woe_iv,
-        "vec_binary_sign": q_vec_binary_sign,
-        "knn_hamming_rerank": q_knn_hamming_rerank,
-        "doc_domain_mixture": q_doc_domain_mixture,
-        "rel_disjunctive_join": q_rel_disjunctive_join,
-        "rel_idle_customers": q_rel_idle_customers,
-        "rel_small_qty_revenue": q_rel_small_qty_revenue,
-        "rel_blame_suppliers": q_rel_blame_suppliers,
-        "rel_top_supplier": q_rel_top_supplier,
-        "rel_volume_shipping": q_rel_volume_shipping,
-        "rel_basket_pairs": q_rel_basket_pairs,
-        "graph_triangles": q_graph_triangles,
-        "events_seasonal_index": q_events_seasonal_index,
-        "events_seasonal_outliers": q_events_seasonal_outliers,
-        "events_ewma": q_events_ewma,
-        "events_cusum": q_events_cusum,
-        "rel_revenue_concentration": q_rel_revenue_concentration,
-        "rel_gini": q_rel_gini,
-        "text_winnowing": q_text_winnowing,
-        "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
-        "dedup_containment": q_dedup_containment,
-        "events_hll_overlap": q_events_hll_overlap,
-        "rag_query_expansion": q_rag_query_expansion,
-        "text_heaps_fit": q_text_heaps_fit,
-        "graph_kcore": q_graph_kcore,
-        "events_scd2_asof_features": q_events_scd2_asof_features,
-        "doc_url_dedup": q_doc_url_dedup,
-        "events_user_split": q_events_user_split,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "doc_quality_logreg": q_doc_quality_logreg,
-        "doc_dsir_resample": q_doc_dsir_resample,
-        "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
-        "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
-        "events_time_split": q_events_time_split,
-        # -- 2: last driver row r4 (the named 34 — refresh this round) --
-        "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
-        "events_distinct_users": q_events_distinct_users,
-        "events_range_join": q_events_range_join,
-        "events_json_extract": q_events_json_extract,
-        "events_streaming_tumbling": q_events_streaming_tumbling,
-        "events_streaming_join": q_events_streaming_join,
-        "events_streaming_dedup": q_events_streaming_dedup,
-        "salted_agg": q_salted_agg,
-        "knn_ivfpq": q_knn_ivfpq,
-        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        # -- r9 window 1-23: last driver row r4 (stalest — refresh now) --
         "vec_pca": q_vec_pca,
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
@@ -6805,20 +6814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_semi_join": q_rel_semi_join,
         "rel_cust_no_orders": q_rel_cust_no_orders,
         "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        # -- 2.5: late-r8 additions (48: nine TPC-H shapes; the
-        # nonparametric/causal stats family — Mann-Whitney, chi-square
-        # + Cramér's V, KS, Spearman, Kendall τ-b, Mann-Kendall/
-        # Theil-Sen, ANOVA, Welch t, log-rank, CUPED, DiD, Neyman
-        # allocation; graph BFS/LPA/personalized-pagerank; classifier
-        # AUC/fairness/gains; Bradley-Terry; readability; TextRank;
-        # sorted-neighborhood + end-to-end ER; RANGE window; skyline;
-        # cumulative uniques; churn labels; session anomaly; MERGE;
-        # incremental join view; streaming python source; trigram
-        # search; forecast backtest; time-to-convert; RFM; cohort LTV;
-        # Bollinger; k-anonymity), queued BEHIND the verdict-ordered
-        # window (39 new + 11 r4-stale fill the ~50); never driver-
-        # checked but each ⊕ at sf0.001+sf0.01+sf0.1 locally — these
-        # lead r9 together with the ~23 r4 leftovers named above --
+        # -- r9 window 24-50: first 27 of the never-checked late-r8 block --
         "rel_priority_waiting": q_rel_priority_waiting,
         "rel_nation_profit": q_rel_nation_profit,
         "rel_late_shipments": q_rel_late_shipments,
@@ -6846,6 +6842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
+        # -- r10 queue: new in r9, then remaining 27 never-checked --
+        "events_scd2_incremental": q_events_scd2_incremental,
         "rel_entity_resolution": q_rel_entity_resolution,
         "events_cuped": q_events_cuped,
         "graph_ppr": q_graph_ppr,
@@ -6873,7 +6871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abc_analysis": q_rel_abc_analysis,
         "events_bounce_rate": q_events_bounce_rate,
         "events_activation": q_events_activation,
-        # -- 3: last green r5 --
+        # -- last green r5 — next-stalest --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -6924,7 +6922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- 4: green in the r6 window --
+        # -- last green r6 --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -6975,7 +6973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_union_candidates": q_rag_union_candidates,
         "doc_pipeline": q_doc_pipeline,
         "events_asof_join": q_events_asof_join,
-        # -- 5: green in the r7 window (freshest, demoted) --
+        # -- last green r7 --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
         "dedup_semantic_pd": q_dedup_semantic_pd,
@@ -7026,6 +7024,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        # -- last green r8 — freshest, demoted last --
+        "events_kaplan_meier": q_events_kaplan_meier,
+        "events_acf": q_events_acf,
+        "events_ab_test": q_events_ab_test,
+        "rel_ols_normal": q_rel_ols_normal,
+        "rel_benford": q_rel_benford,
+        "doc_woe_iv": q_doc_woe_iv,
+        "vec_binary_sign": q_vec_binary_sign,
+        "knn_hamming_rerank": q_knn_hamming_rerank,
+        "doc_domain_mixture": q_doc_domain_mixture,
+        "rel_disjunctive_join": q_rel_disjunctive_join,
+        "rel_idle_customers": q_rel_idle_customers,
+        "rel_small_qty_revenue": q_rel_small_qty_revenue,
+        "rel_blame_suppliers": q_rel_blame_suppliers,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_volume_shipping": q_rel_volume_shipping,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "graph_triangles": q_graph_triangles,
+        "events_seasonal_index": q_events_seasonal_index,
+        "events_seasonal_outliers": q_events_seasonal_outliers,
+        "events_ewma": q_events_ewma,
+        "events_cusum": q_events_cusum,
+        "rel_revenue_concentration": q_rel_revenue_concentration,
+        "rel_gini": q_rel_gini,
+        "text_winnowing": q_text_winnowing,
+        "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
+        "dedup_containment": q_dedup_containment,
+        "events_hll_overlap": q_events_hll_overlap,
+        "rag_query_expansion": q_rag_query_expansion,
+        "text_heaps_fit": q_text_heaps_fit,
+        "graph_kcore": q_graph_kcore,
+        "events_scd2_asof_features": q_events_scd2_asof_features,
+        "doc_url_dedup": q_doc_url_dedup,
+        "events_user_split": q_events_user_split,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_quality_logreg": q_doc_quality_logreg,
+        "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
+        "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
+        "events_time_split": q_events_time_split,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "events_distinct_users": q_events_distinct_users,
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
+        "events_streaming_join": q_events_streaming_join,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "salted_agg": q_salted_agg,
+        "knn_ivfpq": q_knn_ivfpq,
+        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
     }
 
 # ---------------------------------------------------------------------------
@@ -10362,6 +10411,10 @@ def oracle_sql() -> dict[str, str]:
          AND l.valid_from <= e.ts_ns
          AND (l.valid_to IS NULL OR e.ts_ns < l.valid_to)
     """
+
+    # incremental SCD2 maintenance must equal the ONE-SHOT recompute —
+    # the oracle IS the events_scd2_asof_features SQL verbatim
+    s["events_scd2_incremental"] = s["events_scd2_asof_features"]
 
     # point-in-time join: reuse the SCD2 CTE as the dimension, join each
     # event to the version valid at its own ts, roll up

@@ -364,3 +364,34 @@ def merge_upsert(
         else:
             out_cols.append(F.col(f"_t_{c}").alias(c))
     return joined.select(*out_cols)
+
+
+def scd2_apply_changes(
+    history: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    tracked_cols: list[str],
+    ts_col: str = "ts_ns",
+) -> DataFrame:
+    """Incremental SCD2 maintenance from a change feed: re-merge ONLY the
+    keys present in the batch; every other key's history passes through
+    untouched. Result equals ``scd2_merge(history, changes, ...)`` (and,
+    for a time-ordered feed, the one-shot merge of the full feed) — keys
+    absent from the batch are fixpoints of the merge, so skipping them
+    changes nothing. Pinned vs a full recompute in
+    tests/test_temporal.py; the delta rule of incremental_agg_update /
+    incremental_join_update (operators/audit.py) on the temporal axis.
+
+    Scale shape: the touched-key set is batch-sized and BROADCAST, so
+    the passthrough is a map-side anti join (zero shuffle of the
+    untouched history — at 100 TB the dimension history dwarfs any one
+    batch) and the semi join prunes the expensive per-key window
+    re-sequencing to affected keys' version rows: maintenance cost is
+    ∝ batch size, not dimension size.
+    """
+    touched = changes.select(key_col).distinct()
+    kept = history.join(F.broadcast(touched), key_col, "left_anti")
+    affected = history.join(F.broadcast(touched), key_col, "left_semi")
+    return kept.unionByName(
+        scd2_merge(affected, changes, key_col, tracked_cols, ts_col)
+    )

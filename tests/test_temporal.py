@@ -323,3 +323,46 @@ def test_merge_upsert_four_clauses(spark):
     assert out2[2].name == "b" and out2[2].bal == 22.0
     assert out2[4].name is None and out2[4].bal == 40.0     # INSERT sets
     # only the named columns; the rest are NULL (SQL MERGE contract)
+
+
+def test_scd2_apply_changes_equals_full_merge(spark):
+    """Incremental SCD2 maintenance (scd2_apply_changes) must equal both
+    scd2_merge(history, changes) and — for a time-ordered feed — the
+    one-shot merge of the whole feed, with untouched keys passing
+    through byte-identically. Feed mixes: a key updated in both halves,
+    a key only in the seed (untouched by the batch — the passthrough
+    branch), a key only in the batch (new-key insert), and a key whose
+    batch update repeats its open state (no new version)."""
+    from clinical_vector_search_spark.operators.temporal import (
+        scd2_apply_changes,
+        scd2_merge,
+    )
+
+    rows = [
+        (1, 10, "a"), (1, 20, "b"),            # seed
+        (2, 15, "x"),                           # seed only — untouched
+        (4, 12, "p"), (4, 18, "p"),            # seed, dup state
+        (1, 40, "c"),                           # batch: version change
+        (3, 45, "n"),                           # batch: brand-new key
+        (4, 50, "p"),                           # batch: repeats open state
+    ]
+    upd = spark.createDataFrame(rows, "k long, ts_ns long, s string")
+    cut = 35
+    empty = spark.createDataFrame(
+        [], "k long, s string, valid_from long, valid_to long"
+    )
+    seed = scd2_merge(empty, upd.filter(F.col("ts_ns") < cut), "k", ["s"])
+    changes = upd.filter(F.col("ts_ns") >= cut)
+
+    def hist(df):
+        return sorted(
+            (r.k, r.s, r.valid_from, r.valid_to) for r in df.collect()
+        )
+
+    inc = hist(scd2_apply_changes(seed, changes, "k", ["s"]))
+    assert inc == hist(scd2_merge(seed, changes, "k", ["s"]))
+    assert inc == hist(scd2_merge(empty, upd, "k", ["s"]))
+    # untouched key 2 and the dup-state batch for key 4 create no rows
+    # beyond the one-shot's: key 2 one open version, key 4 one open version
+    assert [r for r in inc if r[0] == 2] == [(2, "x", 15, None)]
+    assert [r for r in inc if r[0] == 4] == [(4, "p", 12, None)]
