@@ -40,12 +40,24 @@ def main() -> None:
 
     # Read the sentinel BEFORE the SparkSession exists: from here on
     # loadavg mostly measures our own executors; the pre-session value
-    # is foreign load. >25% of cores already busy → flag the round
-    # noisy and add a 4th timing sweep so per-query mins get one more
-    # chance to land outside a contention window.
+    # is foreign load. >25% of cores already busy → the artifact would
+    # be a noisy-host artifact (BENCH_r07/r08 both were), so RETRY
+    # first: sleep-and-resample, bounded, until the 1-min load decays
+    # under the threshold or the budget runs out (VERDICT r8 task 7 —
+    # the committed artifact should usually be the clean one). Only
+    # after retry exhaustion do we run flagged noisy with a 4th sweep.
     n_cpus = os.cpu_count() or int(cpus)
     load_start = loadavg()
-    noisy_host = bool(load_start) and load_start[0] > 0.25 * n_cpus
+
+    def _noisy(lv: list[float] | None) -> bool:
+        return bool(lv) and lv[0] > 0.25 * n_cpus
+
+    noisy_retries = 0
+    while _noisy(load_start) and noisy_retries < 4:
+        time.sleep(45)
+        noisy_retries += 1
+        load_start = loadavg()
+    noisy_host = _noisy(load_start)
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -380,35 +392,35 @@ def main() -> None:
     except Exception as ex:  # noqa: BLE001
         print(f"warmup baseline failed: {ex}", file=sys.stderr)
 
-    # best-of-3, repetitions INTERLEAVED round-robin across queries: first
-    # execution of a plan family pays one-time JVM/codegen compilation
-    # (measured ~7s on the DP expression tree), local[32] runs see ±2x
-    # scheduler/GC noise on sub-second queries, and the shared host adds
-    # multi-second noise WINDOWS (observed: identical runs 7.2s vs 13.4s
-    # total) — consecutive reps of one query would all land inside such a
-    # window, so each rep sweep visits every query once and the per-query
-    # min is taken across sweeps. The min reflects steady-state
-    # throughput, the 100TB-relevant number.
+    # best-of-3 in ISOLATION ORDER: all reps of one family run back to
+    # back before the next family starts (VERDICT r8 task 4). The old
+    # interleaved round-robin let every other family's shuffle garbage,
+    # page-cache churn, and executor-thread contention bleed into each
+    # rep — measured ~2x inflation on the heavy families at 25 families
+    # (prep_pipeline 5.7s interleaved vs 2.8s isolated; tfidf 4.4 vs
+    # 2.2; semantic_dedup 5.7 vs 3.0 — README "Interleave contention").
+    # Per-family System.gc() + the min-of-reps keeps each number at its
+    # isolated steady state; the host-noise-window risk that motivated
+    # interleaving is now handled upstream by the noisy-host retry (the
+    # sentinel records per-family load so a residual window is visible).
     # Cold vs warm: the prepared-plan cache (pipeline/modes.py) makes the
-    # MODE queries plan-build-free on sweeps 2-3, while non-mode queries
-    # rebuild their plan every sweep — so the per-query min mixes two
+    # MODE queries plan-build-free on reps 2-3, while non-mode queries
+    # rebuild their plan every rep — so the per-query min mixes two
     # regimes. Both numbers are recorded: "queries_cold" = the FIRST
-    # sweep (plan build + execute, the one-shot-job number) and
-    # "queries" = the min across sweeps (steady-state re-execution, the
+    # rep (plan build + execute, the one-shot-job number) and
+    # "queries" = the min across reps (steady-state re-execution, the
     # serving-layer and 100TB-relevant number the total reports).
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
-    load_sweeps: list[list[float] | None] = []
+    load_sweeps: dict[str, list[float] | None] = {}
     n_sweeps = 4 if noisy_host else 3
-    for _sweep in range(n_sweeps):
-        load_sweeps.append(loadavg())
-        for name, fn in benches.items():
-            if times.get(name, 0.0) < 0:
-                continue  # failed in an earlier sweep
-            # JVM GC between query families: leftover garbage from the
-            # previous family's shuffles otherwise triggers collections
-            # mid-measurement (observed ±2x noise on sub-second queries)
-            spark._jvm.System.gc()
+    for name, fn in benches.items():
+        # JVM GC between query families: leftover garbage from the
+        # previous family's shuffles otherwise triggers collections
+        # mid-measurement (observed ±2x noise on sub-second queries)
+        spark._jvm.System.gc()
+        load_sweeps[name] = loadavg()
+        for _rep in range(n_sweeps):
             try:
                 t0 = time.time()
                 materialize(fn())
@@ -420,6 +432,7 @@ def main() -> None:
                 print(f"bench {name} failed: {ex}", file=sys.stderr)
                 times[name] = -1.0
                 cold.setdefault(name, -1.0)
+                break
 
     # ANN recall sidecar (VERDICT r6 task 7): the approximate operators
     # have recall pytest contracts at sf0.001 but the benched sf had no
@@ -428,10 +441,23 @@ def main() -> None:
     # entries (IVF additionally benched with TRAINED centroids — the
     # configuration the scale story recommends — with a 0.5 floor).
     ann_recall: dict[str, float] = {}
+    # EVERY tracked key has a floor (VERDICT r8 task 5): the untrained
+    # configs are deterministic (md5 centroids / LCG codebooks + fixed
+    # testdata), so their recall is a fixed number per sf — floors sit
+    # just under the sf0.1 measurement and exist to catch silent
+    # collapse, not to certify quality. Measured after the r9 md5
+    # centroid fix: knn_ivf untrained 0.56 (up from ~0.3 — the affine
+    # LCG centroids made poor cells), knn_lsh 0.30, knn_ivfpq untrained
+    # 0.12 (unchanged: bounded by the deliberately weak LCG codebooks
+    # kept bit-reproducible for the value-hash oracle, m=8/ksub=16 —
+    # the scale path's number is knn_ivfpq_trained).
     floors = {
         "knn_ivf_trained": 0.5,
         "knn_ivfpq_trained": 0.3,
         "knn_pq_refine_trained": 0.5,
+        "knn_ivf": 0.4,
+        "knn_lsh": 0.15,
+        "knn_ivfpq": 0.08,
     }
     ann_ok = True
     try:
@@ -484,9 +510,9 @@ def main() -> None:
         ann_recall["knn_lsh"] = recall(knn_lsh(qr, v, 10, dim=64, n_planes=4))
         # knn_ivfpq tracks the ENTRY configuration (LCG books, m=8,
         # ksub=16) — deliberately weak quantizers kept bit-reproducible
-        # for the value-hash oracle; its recall (~0.13) is the price of
-        # hashability, not the operator ceiling, and is tracked without
-        # a floor.
+        # for the value-hash oracle; its recall (~0.12) is the price of
+        # hashability, not the operator ceiling (floor 0.08, collapse
+        # detection only — see the floors dict).
         books = pq_codebooks_lcg(64, 8, 16)
         ann_recall["knn_ivfpq"] = recall(
             knn_ivfpq(qr, v, 10, 64, books, n_centroids=8, n_probe=4)
@@ -553,10 +579,12 @@ def main() -> None:
         "host_load": {
             "cpus": n_cpus,
             "loadavg_start": load_start,
-            "loadavg_sweeps": load_sweeps,
+            "loadavg_per_family": load_sweeps,
             "loadavg_end": loadavg(),
             "noisy_host": noisy_host,
+            "noisy_retries": noisy_retries,
             "n_sweeps": n_sweeps,
+            "timing_order": "per-family isolated best-of-n",
         },
         "ann_recall": ann_recall,
         "ann_recall_floor": floors,

@@ -23,9 +23,10 @@ order key would make "strictly larger" an ulp lottery across engines).
 The window is unpartitioned (skylines are global by definition), but it
 runs at CANDIDATE granularity: callers aggregate the fact table to one
 row per entity first, so the sorted frame is dimension-sized. For
-entity counts beyond one task, pre-filter with per-partition local
-skylines (a local skyline is a superset-filter of the global one) —
-the classic distributed-skyline reduction.
+entity counts beyond one task, pass ``local_prefilter=True``: a
+zero-shuffle per-partition local skyline (a superset-filter of the
+global one — the classic distributed-skyline reduction) runs first, so
+the global sort sees only local survivors.
 """
 
 from __future__ import annotations
@@ -34,10 +35,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _local_skyline_prefilter(
+    df: DataFrame, x_col: str, y_col: str
+) -> DataFrame:
+    """Per-partition local skyline — the distributed-skyline reduction
+    (Börzsönyi et al.): a point dominated by a co-partitioned point is
+    dominated globally, so dropping it is safe, and every GLOBAL skyline
+    point is dominated by nothing and survives any local pass — local
+    output ⊇ global skyline (property-tested). Zero shuffle: one
+    ``mapInPandas`` over whatever partitions the input already has
+    (Arrow may split a partition into several batches; a per-batch
+    skyline is just a finer-grained — weaker but still correct —
+    superset filter). The global window then sorts survivors only:
+    at N entities across P tasks the unpartitioned sort sees ~the
+    skyline-candidate count instead of N."""
+    import numpy as np
+
+    def local(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            x = pdf[x_col].to_numpy()
+            y = pdf[y_col].to_numpy()
+            order = np.lexsort((-y, -x))  # x desc, y desc
+            xs, ys = x[order], y[order]
+            new_grp = np.empty(n, dtype=bool)
+            new_grp[0] = True
+            new_grp[1:] = xs[1:] != xs[:-1]
+            gid = np.cumsum(new_grp) - 1
+            gmax = ys[new_grp]  # y desc within x → first of group is max
+            prefix = np.concatenate(
+                ([-np.inf], np.maximum.accumulate(gmax)[:-1])
+            )  # max y over STRICTLY larger x, by group
+            keep_sorted = (ys > prefix[gid]) & (ys == gmax[gid])
+            mask = np.zeros(n, dtype=bool)
+            mask[order[keep_sorted]] = True
+            yield pdf[mask]
+
+    return df.mapInPandas(local, df.schema)
+
+
 def skyline_2d(
     df: DataFrame,
     x_col: str,
     y_col: str,
+    local_prefilter: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` on the maximal (x, y) Pareto frontier.
 
@@ -45,7 +88,17 @@ def skyline_2d(
     ``y_col`` any orderable numeric. Preserves all input columns and
     appends nothing; output rows are exactly the non-dominated input
     rows (duplicates included).
+
+    ``local_prefilter=True`` inserts the zero-shuffle per-partition
+    local-skyline superset filter before the global window — identical
+    results (property-tested), and the cure for the documented cliff
+    where the unpartitioned RANGE window sees more than one task's
+    worth of candidates. Off by default: at the intended candidate
+    granularity (one row per entity after aggregation) the extra
+    Python stage costs more than the single-task sort it saves.
     """
+    if local_prefilter:
+        df = _local_skyline_prefilter(df, x_col, y_col)
     w_gt = (
         Window.orderBy(x_col)
         .rangeBetween(1, Window.unboundedFollowing)

@@ -1187,6 +1187,41 @@ def test_skyline_2d_matches_quadratic_reference(spark):
     assert 1 in got and 7 in got and 5 not in got and 8 not in got
 
 
+def test_skyline_local_prefilter_superset_and_identical_result(spark):
+    """Distributed-skyline reduction: the per-partition local skyline is
+    a SUPERSET of the global skyline (dropping only locally-dominated
+    points is safe), and skyline_2d(local_prefilter=True) returns
+    exactly the plain result — on seeded random data spread over many
+    partitions, with duplicate points and tied axes included."""
+    import random
+
+    from clinical_vector_search_spark.operators.skyline import (
+        _local_skyline_prefilter,
+        skyline_2d,
+    )
+
+    rng = random.Random(9)
+    pts = [
+        (i, rng.randrange(0, 40), float(rng.randrange(0, 40)))
+        for i in range(400)
+    ]
+    pts += [(400 + i, x, y) for i, (_, x, y) in enumerate(pts[:25])]  # dups
+    df = spark.createDataFrame(
+        pts, "id int, x long, y double"
+    ).repartition(16)
+
+    plain = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    pre = sorted(
+        r.id for r in skyline_2d(
+            df, "x", "y", local_prefilter=True
+        ).collect()
+    )
+    assert pre == plain
+    local = {r.id for r in _local_skyline_prefilter(df, "x", "y").collect()}
+    assert set(plain) <= local
+    assert len(local) < len(pts)  # the filter actually filters
+
+
 def test_python_streamsource_batches_and_parity(spark):
     # the streaming python source must deliver the batch source's exact
     # rows across micro-batch boundaries (200+200+100), exactly once
