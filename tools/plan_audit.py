@@ -1013,6 +1013,17 @@ def main() -> int:
         and "BatchEvalPython" not in plan,
     )
 
+    # 50. incremental SCD2: the untouched-history passthrough and the
+    # affected-key prune must both be BROADCAST joins on the batch-sized
+    # touched-key set (a sort-merge anti join would shuffle the whole
+    # dimension history — the cost the operator exists to avoid)
+    plan = formatted(E.q_events_scd2_incremental(spark, SF_DIR))
+    check(
+        "scd2_incremental: broadcast anti/semi passthrough, no cartesian",
+        "CartesianProduct" not in plan
+        and n_nodes(plan, "BroadcastHashJoin") >= 4,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
