@@ -52,12 +52,26 @@ def pagerank(
     audits (a real run at any depth needs the truncation; see the
     module docstring).
     """
+    if checkpoint:
+        # Pin the edge list ONCE before the loop: ``edges`` is usually an
+        # expensive DERIVED pipeline (dedup_pagerank feeds the full
+        # n-gram-Jaccard prefix-filter join; textrank the corpus bigram
+        # agg) and appears in every iteration's contrib join plus the
+        # degree agg — unpinned it re-executes ~2x per iteration
+        # (measured 26.5 s → 13.9 s on dedup_pagerank and 16.5 s → 5.8 s
+        # on text_textrank at sf0.01, cold sessions). Same
+        # reclaim story as the rank pins: the ContextCleaner drops the
+        # checkpointed RDDs when the frames go out of scope.
+        edges = edges.localCheckpoint()
     n_frame = nodes.agg(
         F.count(F.lit(1)).cast("double").alias("_n")
     )
     deg = edges.groupBy(F.col(src_col).alias(node_col)).agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
     )
+    if checkpoint:
+        # node-sized; broadcast fresh each iteration otherwise re-aggs
+        deg = deg.localCheckpoint()
     # localCheckpoint, not cache: (a) each iteration's plan stays one
     # step deep — n_iter chained join-aggs otherwise make plan
     # stringification itself a driver-heap risk (observed on the BPE
@@ -209,7 +223,7 @@ def bfs_levels(
         F.col(src_col).alias("a"), F.col(dst_col).alias("b")
     ).unionAll(
         edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
-    )
+    ).localCheckpoint()  # pinned once — joined by EVERY hop (see pagerank)
     dist = sources.select(
         F.col(node_col).alias("node"), F.lit(0).alias("dist")
     ).localCheckpoint()
@@ -259,6 +273,10 @@ def kcore(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        # pinned once: iteration 1 reads cur three times (degree agg +
+        # two semi joins) — unpinned, the input pipeline runs three
+        # times before the first end-of-iteration checkpoint exists
+        .localCheckpoint()
     )
     for _ in range(n_iter):
         deg = (
@@ -449,9 +467,12 @@ def personalized_pagerank(
     weights = nodes.select(node_col).join(w_norm, node_col, "left").select(
         node_col, F.coalesce("_w", F.lit(0.0)).alias("_w")
     ).localCheckpoint()
+    # pin the (possibly expensive derived) edge list once — same
+    # per-iteration re-execution trap as pagerank (see its comment)
+    edges = edges.localCheckpoint()
     deg = edges.groupBy(F.col(src_col).alias(node_col)).agg(
         F.count(F.lit(1)).cast("double").alias("_deg")
-    )
+    ).localCheckpoint()
     ranks = weights.select(node_col, F.col("_w").alias("rank"))
     ranks = ranks.localCheckpoint()
     for _ in range(n_iter):
