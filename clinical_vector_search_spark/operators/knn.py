@@ -240,7 +240,11 @@ def kmeans_centroids(
 
     cents = np.array(_centroid_matrix(dim, n_centroids), dtype="float64")
     cents /= np.linalg.norm(cents, axis=1, keepdims=True) + 1e-9
-    data = docs.select(doc_vec)
+    # pin the training input once: each Lloyd iteration re-scans
+    # ``data``, and the caller's docs frame is often a derived
+    # pipeline (hash-sample, normalize) that would otherwise
+    # re-execute n_iter times (same trap as the pagerank edge pin)
+    data = docs.select(doc_vec).localCheckpoint()
     schema = "cluster int, n long, vsum array<double>"
     for _ in range(n_iter):
         C = cents  # captured by value in the closure for this iteration

@@ -108,7 +108,11 @@ def pq_codebooks_trained(
         if centroids is not None
         else None
     )
-    data = docs.select(doc_vec)
+    # pin the training input once: with residual books ``docs`` is the
+    # residual_vectors mapInPandas pipeline — unpinned it would
+    # re-encode the corpus on every k-means iteration (same trap as
+    # the pagerank edge pin)
+    data = docs.select(doc_vec).localCheckpoint()
     schema = "sub int, cluster int, n long, vsum array<double>"
     for _ in range(n_iter):
         B = books
