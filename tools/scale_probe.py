@@ -301,6 +301,50 @@ def main() -> None:
     log(f"textrank: {out['textrank_1x_sec']}s -> "
         f"{out['textrank_10x_sec']}s")
 
+    # --- incremental SCD2 maintenance (r9) -----------------------------
+    # Claim under test: scd2_apply_changes cost is ∝ BATCH size, not
+    # dimension size — a FIXED change batch applied to a 10x-keys
+    # dimension history should cost ~the same as at 1x, while the plain
+    # scd2_merge re-sequences every key's open version and grows with
+    # the dimension.
+    from clinical_vector_search_spark.operators.temporal import (
+        scd2_apply_changes,
+        scd2_merge,
+    )
+
+    upd1 = ev1.select("user_id", "event_type", "ts_ns")
+    upd10 = ev10.select("user_id", "event_type", "ts_ns")
+    lo, hi = upd1.agg(F.min("ts_ns"), F.max("ts_ns")).first()
+    cut = lo + (hi - lo) * 98 // 100
+    batch = upd1.filter(F.col("ts_ns") >= cut).localCheckpoint()
+    out["scd2_batch_rows"] = batch.count()
+    empty = spark.createDataFrame(
+        [],
+        "user_id long, event_type string, valid_from long, valid_to long",
+    )
+    hist1 = scd2_merge(
+        empty, upd1.filter(F.col("ts_ns") < cut), "user_id", ["event_type"]
+    ).localCheckpoint()
+    hist10 = scd2_merge(
+        empty, upd10.filter(F.col("ts_ns") < cut), "user_id", ["event_type"]
+    ).localCheckpoint()
+    out["scd2_hist_rows_1x"] = hist1.count()
+    out["scd2_hist_rows_10x"] = hist10.count()
+    out["scd2_incr_1x_sec"] = timed(
+        lambda: scd2_apply_changes(hist1, batch, "user_id", ["event_type"])
+    )
+    out["scd2_incr_10x_sec"] = timed(
+        lambda: scd2_apply_changes(hist10, batch, "user_id", ["event_type"])
+    )
+    out["scd2_full_merge_10x_sec"] = timed(
+        lambda: scd2_merge(hist10, batch, "user_id", ["event_type"])
+    )
+    log(
+        f"scd2 incremental: 1x {out['scd2_incr_1x_sec']}s -> 10x "
+        f"{out['scd2_incr_10x_sec']}s (full merge at 10x: "
+        f"{out['scd2_full_merge_10x_sec']}s)"
+    )
+
     print(json.dumps(out))
 
 
