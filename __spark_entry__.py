@@ -9935,10 +9935,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # SemDeDup: literal md5 centroid matrix (same _centroid_matrix the
-    # Spark side uses), ROUNDED argmax assignment (round-before-argmax,
-    # knn.ASSIGN_DP = 12dp) with first-max tie-break
-    # (ORDER BY round(dot, 12) DESC, cid ASC ≡ array_position of
-    # array_max over rounded dots), then within-cluster pairs and a
+    # Spark side uses), QUANTIZED argmax assignment (quantize-before-
+    # argmax, knn.ASSIGN_SCALE: floor(dot*1e12 + 0.5) is a pure IEEE
+    # multiply-add-floor, bit-identical in every engine — decimal ROUND
+    # is not, its midpoint rule differs per engine) with first-max
+    # tie-break (ORDER BY quantized DESC, cid ASC ≡ array_position of
+    # array_max over quantized dots), then within-cluster pairs and a
     # smallest-id-keeper anti join
     from clinical_vector_search_spark.operators.knn import _centroid_matrix
 
@@ -9956,7 +9958,8 @@ def oracle_sql() -> dict[str, str]:
         asg AS (SELECT vec_id, cid::INT AS cluster FROM
                   (SELECT vec_id, cid,
                           row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY round(dot, 12) DESC,
+                                             ORDER BY floor(dot * 1e12 + 0.5)
+                                                        DESC,
                                                       cid) AS rn
                    FROM dots)
                 WHERE rn = 1),
@@ -9980,7 +9983,8 @@ def oracle_sql() -> dict[str, str]:
         asg AS (SELECT vec_id, label::BIGINT AS label, cid AS cluster FROM
                   (SELECT vec_id, label, cid,
                           row_number() OVER (PARTITION BY vec_id
-                                             ORDER BY round(dot, 12) DESC,
+                                             ORDER BY floor(dot * 1e12 + 0.5)
+                                                        DESC,
                                                       cid) AS rn
                    FROM dots)
                 WHERE rn = 1),

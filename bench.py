@@ -45,7 +45,7 @@ def main() -> None:
     # first: sleep-and-resample, bounded, until the 1-min load decays
     # under the threshold or the budget runs out (VERDICT r8 task 7 —
     # the committed artifact should usually be the clean one). Only
-    # after retry exhaustion do we run flagged noisy with a 4th sweep.
+    # after retry exhaustion does the run proceed flagged noisy.
     n_cpus = os.cpu_count() or int(cpus)
     load_start = loadavg()
 
@@ -413,7 +413,13 @@ def main() -> None:
     times: dict[str, float] = {}
     cold: dict[str, float] = {}
     load_sweeps: dict[str, list[float] | None] = {}
-    n_sweeps = 4 if noisy_host else 3
+    # fixed 3 reps: the old "4th sweep when noisy" only helped under the
+    # interleaved order, where the extra sweep re-sampled each family at
+    # a temporally DISTANT point that could fall outside a contention
+    # window; with back-to-back reps a 4th sample lands inside the same
+    # window and adds runtime for nothing — noise is now handled
+    # upstream by the pre-session retry
+    n_sweeps = 3
     for name, fn in benches.items():
         # JVM GC between query families: leftover garbage from the
         # previous family's shuffles otherwise triggers collections

@@ -877,11 +877,13 @@ def semantic_clusters(
     centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """Argmax-cosine cluster assignment over normalized embeddings:
-    (id, cluster, _nv). Round-before-argmax (knn.ASSIGN_DP = 12dp) with
-    first-occurrence tie-break (array_position of array_max — the oracle
-    mirrors with ORDER BY round(dot, 12) DESC, cid ASC), so exact ties
-    resolve identically across the expression fold, the BLAS twin, and
-    the DuckDB oracle.
+    (id, cluster, _nv). Quantize-before-argmax (knn.ASSIGN_SCALE: dots
+    keyed by floor(dot*1e12 + 0.5)) with first-occurrence tie-break
+    (array_position of array_max — the oracle mirrors with ORDER BY
+    floor(dot*1e12 + 0.5) DESC, cid ASC), so exact ties resolve
+    identically across the expression fold, the BLAS twin, and the
+    DuckDB oracle (decimal ROUND would not: its midpoint rule differs
+    per engine — see knn.ASSIGN_SCALE).
     CACHED via plan_cache.tracked_cache: it feeds both sides of the
     pair self-join and the survivor anti-join, and the centroid-dot
     stage is the per-row expensive part. Inside a registered plan build
@@ -921,17 +923,17 @@ def semantic_clusters_pd(
     downstream canonical dot over ``_nv`` stays bit-identical to the
     expression path; the centroid DOTS use BLAS summation, whose
     ulp-level reassociation differs from the expression fold — so both
-    paths apply the round-before-argmax rule (knn.ASSIGN_DP = 12dp):
-    rounding collapses the ulp noise and any residual exact tie goes to
-    the FIRST max (= smallest cluster id) under both np.argmax and
-    array_position. Asserted equal to the expression twin on the
+    paths apply the quantize-before-argmax rule (knn.ASSIGN_SCALE):
+    the floor(·*1e12 + 0.5) key collapses the ulp noise and any residual
+    exact tie goes to the FIRST max (= smallest cluster id) under both
+    np.argmax and array_position. Asserted equal to the expression twin on the
     testdata AND property-tested against a NumPy reference
     (tests/test_property.py)."""
     import numpy as np
     import pandas as pd
 
     from clinical_vector_search_spark.operators.knn import (
-        ASSIGN_DP,
+        ASSIGN_SCALE,
         _centroid_matrix,
     )
     from clinical_vector_search_spark.plan_cache import tracked_cache
@@ -948,9 +950,9 @@ def semantic_clusters_pd(
             if len(pdf) == 0:
                 continue
             X = np.array(pdf["_nv"].tolist(), dtype="float64")
-            cl = np.argmax(np.round(X @ C.T, ASSIGN_DP), axis=1).astype(
-                "int32"
-            )
+            cl = np.argmax(
+                np.floor(X @ C.T * ASSIGN_SCALE + 0.5), axis=1
+            ).astype("int32")
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "_nv": pdf["_nv"], "cluster": cl}
             )

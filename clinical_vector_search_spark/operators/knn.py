@@ -187,18 +187,27 @@ def _knn_partial_topk(
     return _ranked(rescored, query_id, doc_id, k)
 
 
-# Decimal places for the round-before-argmax rule (see ASSIGN_DP users):
-# centroid-dot assignment must be deterministic across the expression
-# fold, BLAS matmul, and the DuckDB oracle; rounding the dots to 12dp
-# before argmax collapses ulp-level reassociation noise so exact ties
-# resolve identically (first max = smallest cluster id) on every engine.
-ASSIGN_DP = 12
+# Quantization scale for the round-before-argmax rule: centroid dots are
+# quantized as floor(dot * ASSIGN_SCALE + 0.5) — i.e. to the nearest
+# 1e-12 grid cell — before argmax, so ulp-level reassociation noise
+# between the expression fold, BLAS matmul, and the DuckDB oracle
+# collapses and residual exact ties resolve identically (first max =
+# smallest cluster id). floor(x*s + 0.5) is a pure IEEE multiply-add-
+# floor, bit-identical in every engine; decimal ROUND(x, 12) is NOT —
+# Spark rounds midpoint doubles HALF_UP over the shortest decimal repr,
+# NumPy half-to-even over a scaled multiply, and the two land a full
+# grid step apart on reachable doubles (e.g. 3.885985e-07).
+ASSIGN_SCALE = 1.0e12
 
 
 def _centroid_matrix(dim: int, n_centroids: int) -> list[list[float]]:
     """Deterministic md5 centroids: component (c, i) ~ U(-0.5, 0.5) from
-    the top 8 bytes of ``md5("centroid:c:i")`` — the repo's hashing
-    convention (functions/hashing.py). Replaces the former LCG generator,
+    the top 8 bytes (big-endian) of ``md5("centroid:c:i")`` divided by
+    2^64 (NOTE: deliberately not the 15-hex-char/2^60 spelling of
+    functions/hashing.py — this matrix is built driver-side and inlined
+    as literals on both engines, so no SQL re-derivation exists to match;
+    the digest source is what makes it non-degenerate).
+    Replaces the former LCG generator,
     which was AFFINE over any wrap-free index window: every centroid row
     was an arithmetic ramp with the same step, so for any zero-sum vector
     all centroid dots were mathematically equal (an exact k-way tie that
@@ -256,9 +265,11 @@ def kmeans_centroids(
                 if len(pdf) == 0:
                     continue
                 mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
-                # round-before-argmax (ASSIGN_DP): ties resolve to the
-                # smallest cluster id identically on every engine
-                assign = np.argmax(np.round(mat @ C.T, ASSIGN_DP), axis=1)
+                # quantize-before-argmax (ASSIGN_SCALE): ties resolve
+                # to the smallest cluster id identically on every engine
+                assign = np.argmax(
+                    np.floor(mat @ C.T * ASSIGN_SCALE + 0.5), axis=1
+                )
                 np.add.at(sums, assign, mat)
                 counts += np.bincount(assign, minlength=n_centroids)
             yield pd.DataFrame(
@@ -314,24 +325,29 @@ def _centroid_dots(
 
 
 def _centroid_assign(dots: F.Column) -> F.Column:
-    """Argmax cluster id over ROUNDED centroid dots (round-before-argmax,
-    ASSIGN_DP): ``array_position`` takes the FIRST max, so after rounding
-    any residual tie resolves to the smallest cluster id — identically to
-    ``np.argmax(np.round(·, 12))`` and the oracle's
-    ``ORDER BY round(dot, 12) DESC, cid``."""
-    r = F.transform(dots, lambda d: F.round(d, ASSIGN_DP))
+    """Argmax cluster id over QUANTIZED centroid dots (quantize-before-
+    argmax, ASSIGN_SCALE): ``array_position`` takes the FIRST max, so any
+    residual tie resolves to the smallest cluster id — identically to
+    ``np.argmax(np.floor(· * 1e12 + 0.5))`` and the oracle's
+    ``ORDER BY floor(dot * 1e12 + 0.5) DESC, cid``."""
+    r = F.transform(
+        dots, lambda d: F.floor(d * F.lit(ASSIGN_SCALE) + F.lit(0.5))
+    )
     return (F.array_position(r, F.array_max(r)) - 1).cast("int")
 
 
 def _top_probes(dots: F.Column, n_centroids: int, n_probe: int) -> F.Column:
-    """Top ``n_probe`` centroid indices by ROUNDED dot, ties to the
-    smallest index: sort (−round(dot), i) structs ascending (struct order
+    """Top ``n_probe`` centroid indices by QUANTIZED dot, ties to the
+    smallest index: sort (−quantized, i) structs ascending (struct order
     is lexicographic) and take the leading slice's indices."""
     keyed = F.zip_with(
         dots,
         F.sequence(F.lit(0), F.lit(n_centroids - 1)),
         lambda dot, i: F.struct(
-            (-F.round(dot, ASSIGN_DP)).alias("neg"), i.alias("i")
+            (-F.floor(dot * F.lit(ASSIGN_SCALE) + F.lit(0.5))).alias(
+                "neg"
+            ),
+            i.alias("i"),
         ),
     )
     return F.transform(

@@ -34,6 +34,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.functions.vector import LCG_M, PROJ_A, PROJ_C
+from clinical_vector_search_spark.operators.knn import (
+    ASSIGN_SCALE as _ASCALE,
+)
 from clinical_vector_search_spark.operators.knn import _ranked_asc
 
 PQ_SALT = 7777777
@@ -125,9 +128,13 @@ def pq_codebooks_trained(
                     continue
                 mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
                 if C is not None:
-                    # same rounded argmax-dot coarse assignment as the
-                    # encoder (round-before-argmax, knn.ASSIGN_DP)
-                    mat = mat - C[np.argmax(np.round(mat @ C.T, 12), axis=1)]
+                    # same quantized argmax-dot coarse assignment as the
+                    # encoder (quantize-before-argmax, knn.ASSIGN_SCALE)
+                    mat = mat - C[
+                        np.argmax(
+                            np.floor(mat @ C.T * _ASCALE + 0.5), axis=1
+                        )
+                    ]
                 segs = mat.reshape(len(mat), m, dsub)
                 for sub in range(m):
                     # L2 argmin via ||x||² - 2x·c + ||c||² (x-term constant)
@@ -377,7 +384,7 @@ def knn_ivfpq(
     import numpy as np
 
     from clinical_vector_search_spark.operators.knn import (
-        ASSIGN_DP,
+        ASSIGN_SCALE,
         _centroid_dots,
         _centroid_matrix,
         _top_probes,
@@ -394,8 +401,10 @@ def knn_ivfpq(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
-            # round-before-argmax (ASSIGN_DP) — same rule as knn_ivf
-            cluster = np.argmax(np.round(mat @ C.T, ASSIGN_DP), axis=1)
+            # quantize-before-argmax (ASSIGN_SCALE) — same rule as knn_ivf
+            cluster = np.argmax(
+                np.floor(mat @ C.T * ASSIGN_SCALE + 0.5), axis=1
+            )
             enc = mat - C[cluster] if residual else mat
             segs = enc.reshape(len(mat), m, dsub)
             codes = np.empty((len(mat), m), dtype="int32")
@@ -490,8 +499,10 @@ def residual_vectors(
             if len(pdf) == 0:
                 continue
             mat = np.array(pdf[vec_col].tolist(), dtype="float64")
-            # round-before-argmax — must match the encoder's assignment
-            cluster = np.argmax(np.round(mat @ C.T, 12), axis=1)
+            # quantize-before-argmax — must match the encoder's assignment
+            cluster = np.argmax(
+                np.floor(mat @ C.T * _ASCALE + 0.5), axis=1
+            )
             yield pd.DataFrame(
                 {id_col: pdf[id_col], out_col: list(mat - C[cluster])}
             )

@@ -378,7 +378,11 @@ def scd2_apply_changes(
     untouched. Result equals ``scd2_merge(history, changes, ...)`` (and,
     for a time-ordered feed, the one-shot merge of the full feed) — keys
     absent from the batch are fixpoints of the merge, so skipping them
-    changes nothing. Pinned vs a full recompute in
+    changes nothing. Keys must be NON-NULL (the same contract as
+    :func:`merge_upsert` and SQL MERGE: the anti/semi joins never match
+    NULL keys, so a NULL-keyed change would duplicate instead of close
+    the NULL key's open version — ``scd2_merge`` itself window-groups
+    NULLs together and would handle them). Pinned vs a full recompute in
     tests/test_temporal.py; the delta rule of incremental_agg_update /
     incremental_join_update (operators/audit.py) on the temporal axis.
 

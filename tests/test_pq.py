@@ -212,8 +212,8 @@ def test_ivfpq_residual_fullprobe_matches_numpy_reference(spark, sf_dir):
     X = np.array([v for _, v in drows])
     C = np.array(cents)
     B = np.array(books)
-    # round-before-argmax (knn.ASSIGN_DP) — the operators' contract
-    cl = np.argmax(np.round(X @ C.T, 12), axis=1)
+    # quantize-before-argmax (knn.ASSIGN_SCALE) — the operators' contract
+    cl = np.argmax(np.floor(X @ C.T * 1e12 + 0.5), axis=1)
     R = (X - C[cl]).reshape(len(X), 8, 8)
     codes = np.stack(
         [
@@ -423,7 +423,7 @@ def test_residual_training_matches_residual_encoding(spark, sf_dir):
     # the residual distribution strictly better (quantization MSE)
     X = np.array([r.embedding for r in v.collect()], dtype="float64")
     C = np.array(cents)
-    resid = X - C[np.argmax(np.round(X @ C.T, 12), axis=1)]
+    resid = X - C[np.argmax(np.floor(X @ C.T * 1e12 + 0.5), axis=1)]
 
     def q_mse(bks):
         bq = np.array(bks)

@@ -525,9 +525,9 @@ def test_semantic_dedup_matches_numpy_reference(spark, vecs):
     X = np.array(vecs, dtype="float64")
     Xn = X / (np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-9)
     dots = Xn @ cents.T
-    # round-before-argmax (knn.ASSIGN_DP): ties → first max = smallest
-    # cluster id, the cross-engine contract
-    assign = np.round(dots, 12).argmax(axis=1)
+    # quantize-before-argmax (knn.ASSIGN_SCALE): ties → first max =
+    # smallest cluster id, the cross-engine contract
+    assign = np.floor(dots * 1e12 + 0.5).argmax(axis=1)
     from hypothesis import assume
 
     want_pairs = set()
@@ -559,8 +559,8 @@ def test_semantic_dedup_zero_sum_tie_regression(spark):
     matrix every centroid row was an arithmetic ramp with the same step,
     so ZERO-SUM vectors produced exact k-way dot ties that NumPy BLAS and
     the Spark expression fold resolved differently (argmax 2 vs 0). The
-    md5 centroid matrix + round-before-argmax rule must keep Spark and
-    the NumPy reference in exact agreement on these inputs."""
+    md5 centroid matrix + quantize-before-argmax rule must keep Spark
+    and the NumPy reference in exact agreement on these inputs."""
     import numpy as np
 
     from clinical_vector_search_spark.operators.dedup import (
@@ -581,7 +581,7 @@ def test_semantic_dedup_zero_sum_tie_regression(spark):
     cents = np.array(_centroid_matrix(dim, k))
     X = np.array(vecs, dtype="float64")
     Xn = X / (np.sqrt((X * X).sum(axis=1, keepdims=True)) + 1e-9)
-    assign = np.round(Xn @ cents.T, 12).argmax(axis=1)
+    assign = np.floor(Xn @ cents.T * 1e12 + 0.5).argmax(axis=1)
     want_pairs = set()
     for i in range(len(vecs)):
         for j in range(i + 1, len(vecs)):
