@@ -5399,6 +5399,37 @@ def q_rel_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rel_skyline_prefiltered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same skyline query with the distributed-skyline reduction ON
+    (operators/skyline.py skyline_2d(local_prefilter=True), r9): a
+    zero-shuffle per-partition local skyline runs ahead of the global
+    window, and the result must be IDENTICAL — the oracle is the same
+    O(n²) NOT-EXISTS SQL as rel_skyline, so the pre-filter's
+    exactness gets value-hash evidence, not just the pytest superset
+    property. The candidate frame is repartitioned so the local pass
+    actually sees multiple partitions."""
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+        ).alias("rev_cents")
+    )
+    cand = s.join(
+        F.broadcast(rev), s.s_suppkey == rev.l_suppkey
+    ).select("s_suppkey", "s_name", "rev_cents", "s_acctbal")
+    return skyline_2d(
+        cand.repartition(8), "rev_cents", "s_acctbal", local_prefilter=True
+    ).select(
+        "s_suppkey",
+        "s_name",
+        (F.col("rev_cents") / F.lit(100.0)).alias("revenue"),
+        F.round("s_acctbal", 2).alias("s_acctbal"),
+    )
+
+
 def q_events_cumulative_uniques(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -6844,6 +6875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_forecast_backtest": q_events_forecast_backtest,
         # -- r10 queue: new in r9, then remaining 27 never-checked --
         "events_scd2_incremental": q_events_scd2_incremental,
+        "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
         "rel_entity_resolution": q_rel_entity_resolution,
         "events_cuped": q_events_cuped,
         "graph_ppr": q_graph_ppr,
@@ -12745,6 +12777,8 @@ def oracle_sql() -> dict[str, str]:
               AND (p.rev_cents > q.rev_cents
                    OR p.s_acctbal > q.s_acctbal))
     """
+    # the pre-filtered path must be value-identical — same oracle
+    s["rel_skyline_prefiltered"] = s["rel_skyline"]
 
     s["events_range_window"] = """
         SELECT event_id, user_id, epoch_ns(ts) AS ts_ns,
