@@ -6807,73 +6807,21 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r8 VERDICT's task 2 names this exact r9 order):
-    #   1. the 23 entries whose last driver row is r4 (vec_pca,
-    #      rag_mmr_rounded/rag_rrf, the streaming sessionize/enrich/
-    #      user_totals replays, knn_pq_adc/vec_pq_codes/knn_exact_l2,
-    #      samplers, the rel_cube..rel_cust_no_orders window block,
-    #      io_partitioned_roundtrip) lead;
-    #   2. the first 27 of the 54 never-driver-checked late-r8
-    #      entries fill the window to 50;
-    #   3. the remaining 27 never-checked entries queue for r10
-    #      (plus anything new in r9);
-    #   4. then last-green-r5, r6, r7, r8 groups — stalest first,
+    # r9 VERDICT's task 1 names this exact r10 order):
+    #   1. the 29 entries that have never had a driver row (added late
+    #      r8 / r9: the stats block, SCD2 incremental, skyline
+    #      prefiltered, logreg fairness/gains, RFM/LTV events block)
+    #      lead the window;
+    #   2. the 21 stalest last-green-r5 entries fill the window to 50
+    #      (all hashable — the 8 rows-only ⊙ entries are ordered
+    #      outside the window so every r10 driver row carries hash
+    #      evidence, per the r9 VERDICT's task 7);
+    #   3. the remaining 29 last-green-r5 entries queue for r11;
+    #   4. then last-green r6, r7, r8, r9 groups — stalest first,
     #      freshest demoted last. Every entry below the window was
-    #      re-verified green locally against its oracle this round.
+    #      re-verified green locally against its oracle in r9.
     return {
-        # -- r9 window 1-23: last driver row r4 (stalest — refresh now) --
-        "vec_pca": q_vec_pca,
-        "rag_mmr_rounded": q_rag_mmr_rounded,
-        "rag_rrf": q_rag_rrf,
-        "events_streaming_sessionize": q_events_streaming_sessionize,
-        "events_streaming_enrich": q_events_streaming_enrich,
-        "events_streaming_user_totals": q_events_streaming_user_totals,
-        "events_sessionize_skew": q_events_sessionize_skew,
-        "events_asof_forward": q_events_asof_forward,
-        "knn_pq_adc": q_knn_pq_adc,
-        "vec_pq_codes": q_vec_pq_codes,
-        "knn_exact_l2": q_knn_exact_l2,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_decontaminate": q_doc_decontaminate,
-        "dedup_survivors": q_dedup_survivors,
-        "text_repetition": q_text_repetition,
-        "text_cms_heavyhitters": q_text_cms_heavyhitters,
-        "rel_cube": q_rel_cube,
-        "rel_window_ranks": q_rel_window_ranks,
-        "rel_local_supplier_volume": q_rel_local_supplier_volume,
-        "rel_profile": q_rel_profile,
-        "rel_semi_join": q_rel_semi_join,
-        "rel_cust_no_orders": q_rel_cust_no_orders,
-        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
-        # -- r9 window 24-50: first 27 of the never-checked late-r8 block --
-        "rel_priority_waiting": q_rel_priority_waiting,
-        "rel_nation_profit": q_rel_nation_profit,
-        "rel_late_shipments": q_rel_late_shipments,
-        "rel_cust_distribution": q_rel_cust_distribution,
-        "rel_promo_revenue": q_rel_promo_revenue,
-        "rel_supplier_counts": q_rel_supplier_counts,
-        "rel_excess_suppliers": q_rel_excess_suppliers,
-        "rel_min_cost_supplier": q_rel_min_cost_supplier,
-        "rel_market_share": q_rel_market_share,
-        "events_mann_whitney": q_events_mann_whitney,
-        "events_chi_square": q_events_chi_square,
-        "graph_bfs": q_graph_bfs,
-        "events_bradley_terry": q_events_bradley_terry,
-        "doc_quality_logreg_auc": q_doc_quality_logreg_auc,
-        "text_readability": q_text_readability,
-        "text_textrank": q_text_textrank,
-        "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
-        "events_range_window": q_events_range_window,
-        "rel_skyline": q_rel_skyline,
-        "events_cumulative_uniques": q_events_cumulative_uniques,
-        "events_churn_labels": q_events_churn_labels,
-        "events_session_anomaly": q_events_session_anomaly,
-        "rel_merge_upsert": q_rel_merge_upsert,
-        "io_python_streamsource": q_io_python_streamsource,
-        "graph_communities": q_graph_communities,
-        "text_trigram_search": q_text_trigram_search,
-        "events_forecast_backtest": q_events_forecast_backtest,
-        # -- r10 queue: new in r9, then remaining 27 never-checked --
+        # -- r10 window 1-29: never driver-checked (new in r8/r9; judge pre-verified all 29 oracle-green at sf0.01) --
         "events_scd2_incremental": q_events_scd2_incremental,
         "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
         "rel_entity_resolution": q_rel_entity_resolution,
@@ -6903,7 +6851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abc_analysis": q_rel_abc_analysis,
         "events_bounce_rate": q_events_bounce_rate,
         "events_activation": q_events_activation,
-        # -- last green r5 — next-stalest --
+        # -- r10 window 30-50: stalest last-green-r5 block — refresh now --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -6925,6 +6873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
+        # -- r11 queue: remaining last-green-r5 entries --
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -7056,7 +7005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
-        # -- last green r8 — freshest, demoted last --
+        # -- last green r8 --
         "events_kaplan_meier": q_events_kaplan_meier,
         "events_acf": q_events_acf,
         "events_ab_test": q_events_ab_test,
@@ -7107,6 +7056,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        # -- last green r9 (the r9 driver window) — freshest, demoted last --
+        "vec_pca": q_vec_pca,
+        "rag_mmr_rounded": q_rag_mmr_rounded,
+        "rag_rrf": q_rag_rrf,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
+        "events_streaming_enrich": q_events_streaming_enrich,
+        "events_streaming_user_totals": q_events_streaming_user_totals,
+        "events_sessionize_skew": q_events_sessionize_skew,
+        "events_asof_forward": q_events_asof_forward,
+        "knn_pq_adc": q_knn_pq_adc,
+        "vec_pq_codes": q_vec_pq_codes,
+        "knn_exact_l2": q_knn_exact_l2,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_decontaminate": q_doc_decontaminate,
+        "dedup_survivors": q_dedup_survivors,
+        "text_repetition": q_text_repetition,
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
+        "rel_cube": q_rel_cube,
+        "rel_window_ranks": q_rel_window_ranks,
+        "rel_local_supplier_volume": q_rel_local_supplier_volume,
+        "rel_profile": q_rel_profile,
+        "rel_semi_join": q_rel_semi_join,
+        "rel_cust_no_orders": q_rel_cust_no_orders,
+        "io_partitioned_roundtrip": q_io_partitioned_roundtrip,
+        "rel_priority_waiting": q_rel_priority_waiting,
+        "rel_nation_profit": q_rel_nation_profit,
+        "rel_late_shipments": q_rel_late_shipments,
+        "rel_cust_distribution": q_rel_cust_distribution,
+        "rel_promo_revenue": q_rel_promo_revenue,
+        "rel_supplier_counts": q_rel_supplier_counts,
+        "rel_excess_suppliers": q_rel_excess_suppliers,
+        "rel_min_cost_supplier": q_rel_min_cost_supplier,
+        "rel_market_share": q_rel_market_share,
+        "events_mann_whitney": q_events_mann_whitney,
+        "events_chi_square": q_events_chi_square,
+        "graph_bfs": q_graph_bfs,
+        "events_bradley_terry": q_events_bradley_terry,
+        "doc_quality_logreg_auc": q_doc_quality_logreg_auc,
+        "text_readability": q_text_readability,
+        "text_textrank": q_text_textrank,
+        "rel_sorted_neighborhood": q_rel_sorted_neighborhood,
+        "events_range_window": q_events_range_window,
+        "rel_skyline": q_rel_skyline,
+        "events_cumulative_uniques": q_events_cumulative_uniques,
+        "events_churn_labels": q_events_churn_labels,
+        "events_session_anomaly": q_events_session_anomaly,
+        "rel_merge_upsert": q_rel_merge_upsert,
+        "io_python_streamsource": q_io_python_streamsource,
+        "graph_communities": q_graph_communities,
+        "text_trigram_search": q_text_trigram_search,
+        "events_forecast_backtest": q_events_forecast_backtest,
     }
 
 # ---------------------------------------------------------------------------
