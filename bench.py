@@ -465,6 +465,17 @@ def main() -> None:
         "knn_lsh": 0.15,
         "knn_ivfpq": 0.08,
     }
+    # r10 (VERDICT r9 task 5): the md5-centroid fix lifted the two IVF
+    # keys at the benched sf0.1 (r9 measured knn_ivf 0.56 in both the
+    # driver artifact and the judge rerun; knn_ivf_trained 0.66) —
+    # floors raised to just-under-measured so a regression back toward
+    # the LCG-era geometry fails the bench instead of merely reading
+    # low. sf-gated because recall is a fixed number PER SF (smaller
+    # corpora measure lower: 0.52/0.55 at sf0.01) — sanity passes at
+    # small sf keep the collapse-detection floors above.
+    if sf >= 0.1:
+        floors["knn_ivf"] = 0.5
+        floors["knn_ivf_trained"] = 0.6
     ann_ok = True
     try:
         from clinical_vector_search_spark.operators.knn import (
@@ -574,7 +585,14 @@ def main() -> None:
 
     total = round(sum(t for t in times.values() if t >= 0), 3)
     total_cold = round(sum(t for t in cold.values() if t >= 0), 3)
-    print(json.dumps({
+    # The driver captures only the LAST ~2000 chars of stdout; r9's
+    # one-line JSON grew past that (loadavg_per_family rode along) and
+    # BENCH_r09.json lost its warm numbers (parsed: null).  VERDICT r9
+    # task 2: keep the headline line compact (<1900 chars — value,
+    # warm queries, noisy_host, ann_recall) and move the diagnostics
+    # (cold per-family, per-family loadavg, floors) to the sidecar
+    # BENCH_DETAIL.json + stderr.
+    detail = {
         "metric": "e2e_batch_pipeline",
         "value": total,
         "unit": "sec",
@@ -595,7 +613,37 @@ def main() -> None:
         "ann_recall": ann_recall,
         "ann_recall_floor": floors,
         "ann_recall_ok": ann_ok,
-    }))
+    }
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+        print(f"full diagnostics -> {detail_path}", file=sys.stderr)
+    except OSError as ex:
+        print(f"BENCH_DETAIL.json write failed: {ex}", file=sys.stderr)
+    headline = {
+        "metric": "e2e_batch_pipeline",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "value_cold": total_cold,
+        "sf": sf,
+        "noisy_host": noisy_host,
+        "ann_recall": ann_recall,
+        "ann_recall_ok": ann_ok,
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:  # never regress the tail-capture budget again
+        print(f"headline {len(line)} chars > 1900; trimming", file=sys.stderr)
+        headline.pop("ann_recall", None)
+        line = json.dumps(headline, separators=(",", ":"))
+    if len(line) > 1900:
+        headline["queries"] = {
+            k: v for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:20]
+        }
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
