@@ -58,6 +58,16 @@ def _local_skyline_prefilter(
                 continue
             x = pdf[x_col].to_numpy()
             y = pdf[y_col].to_numpy()
+            # Spark SQL orders NaN ABOVE every double and NaN==NaN is
+            # true, while every numpy comparison against NaN is False —
+            # raw comparisons would silently drop NaN-y rows here that
+            # the global window keeps. Compare through a NaN→+inf
+            # substitute so the local pass uses Spark's ordering. (The
+            # one remaining divergence — y mixing literal +inf WITH NaN,
+            # where Spark ranks NaN strictly above inf but this
+            # substitute ties them — is outside the operator contract;
+            # see skyline_2d's docstring.)
+            y = np.where(np.isnan(y), np.inf, y)
             order = np.lexsort((-y, -x))  # x desc, y desc
             xs, ys = x[order], y[order]
             new_grp = np.empty(n, dtype=bool)
@@ -85,9 +95,14 @@ def skyline_2d(
     """Rows of ``df`` on the maximal (x, y) Pareto frontier.
 
     ``x_col`` must be integer-typed (exact RANGE frame bounds);
-    ``y_col`` any orderable numeric. Preserves all input columns and
-    appends nothing; output rows are exactly the non-dominated input
-    rows (duplicates included).
+    ``y_col`` any orderable numeric — NaN is handled (it ranks above
+    every double, Spark SQL semantics, in BOTH the global window and
+    the local prefilter), but a ``y_col`` mixing literal ``+inf`` with
+    NaN is outside the contract: Spark ranks NaN strictly above inf
+    while the prefilter's NaN→inf comparison substitute ties them, so
+    the two paths can disagree on exactly that input. Preserves all
+    input columns and appends nothing; output rows are exactly the
+    non-dominated input rows (duplicates included).
 
     ``local_prefilter=True`` inserts the zero-shuffle per-partition
     local-skyline superset filter before the global window — identical
@@ -98,7 +113,20 @@ def skyline_2d(
     Python stage costs more than the single-task sort it saves.
     """
     if local_prefilter:
+        # Arrow collapses SQL NULL and NaN to the same pandas NaN in
+        # BOTH directions, so the pandas stage can't tell them apart.
+        # A NULL-y row can never survive the plain path (y == m_eq is
+        # NULL), so drop them JVM-side first — then every NaN the
+        # prefilter sees, and every NULL it hands back, is an original
+        # NaN, which we restore so the global window applies the same
+        # NaN-ranks-top semantics the plain path does.
+        df = df.filter(F.col(y_col).isNotNull())
         df = _local_skyline_prefilter(df, x_col, y_col)
+        df = df.withColumn(
+            y_col,
+            F.when(F.col(y_col).isNull(), F.lit(float("nan")))
+            .otherwise(F.col(y_col)),
+        )
     w_gt = (
         Window.orderBy(x_col)
         .rangeBetween(1, Window.unboundedFollowing)

@@ -1222,6 +1222,34 @@ def test_skyline_local_prefilter_superset_and_identical_result(spark):
     assert len(local) < len(pts)  # the filter actually filters
 
 
+def test_skyline_prefilter_nan_parity(spark):
+    """NaN y: Spark ranks NaN above every double (and NaN==NaN), while
+    raw numpy comparisons are always False on NaN — the prefilter must
+    use Spark's ordering (NaN→inf comparison substitute) so both paths
+    agree and NaN rows aren't silently dropped locally (ADVICE r9)."""
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    nan = float("nan")
+    pts = [
+        (1, 10, nan), (2, 10, 5.0), (3, 12, nan), (4, 12, nan),
+        (5, 15, 2.0), (6, 8, nan), (7, 15, 1.0), (8, 12, 3.0),
+    ]
+    df = spark.createDataFrame(
+        pts, "id int, x long, y double"
+    ).repartition(4)
+    plain = sorted(r.id for r in skyline_2d(df, "x", "y").collect())
+    pre = sorted(
+        r.id for r in skyline_2d(
+            df, "x", "y", local_prefilter=True
+        ).collect()
+    )
+    assert pre == plain
+    # Spark semantics: NaN dominates plain doubles at equal-or-larger x,
+    # duplicate (x, NaN) points both survive, larger-x NaN kills
+    # smaller-x NaN.
+    assert plain == [3, 4, 5]
+
+
 def test_python_streamsource_batches_and_parity(spark):
     # the streaming python source must deliver the batch source's exact
     # rows across micro-batch boundaries (200+200+100), exactly once
