@@ -197,6 +197,16 @@ def _knn_partial_topk(
 # Spark rounds midpoint doubles HALF_UP over the shortest decimal repr,
 # NumPy half-to-even over a scaled multiply, and the two land a full
 # grid step apart on reachable doubles (e.g. 3.885985e-07).
+#
+# PRECONDITION — bounded dots (ADVICE r9): F.floor returns LongType, so
+# |dot| beyond ~9.2e6 overflows the long, and beyond ~9.0e3 (2^53/1e12)
+# the 1e-12 grid itself loses integer precision — past either bound the
+# tie determinism this exists for silently degrades. All in-repo callers
+# satisfy it by construction: doc/query vectors are L2-normalized and
+# both md5 ``_centroid_matrix`` rows (components U(-0.5, 0.5)) and
+# ``kmeans_centroids`` output (unit-normalized) keep |dot| ≤ ~√dim/2.
+# Callers passing their OWN centroids/vectors must keep |dot| ≲ 1e3
+# (normalize, or scale inputs down) — the quantizer does not validate.
 ASSIGN_SCALE = 1.0e12
 
 
@@ -380,6 +390,10 @@ def knn_ivf(
     trained centroids — same plan shape, higher recall at equal n_probe
     (asserted in tests/test_extensions.py).
     Contract: recall-vs-exact (like HNSW/LSH, SURVEY §7a), not id parity.
+    Caller-passed ``centroids`` (and doc/query vectors) must keep
+    centroid dots bounded, |dot| ≲ 1e3 — normalize, as every in-repo
+    caller does — or the ``ASSIGN_SCALE`` tie quantizer degrades (see
+    the precondition note at its definition).
     """
     d_dots = _centroid_dots(doc_vec, dim, n_centroids, centroids)
     d = docs.withColumn("cluster", _centroid_assign(d_dots)).select(

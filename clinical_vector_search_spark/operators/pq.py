@@ -380,7 +380,10 @@ def knn_ivfpq(
     operators.knn (argmax-dot centroids, knn.py:302-356) and ADC scoring
     from this module. Approximate on two axes (pruning recall ×
     quantization error); recall contract tested in tests/test_pq.py.
-    Returns (query_id, rank, doc_id, adc_dist)."""
+    Caller-passed ``centroids`` must keep coarse dots bounded,
+    |dot| ≲ 1e3 (normalize) — see the ``ASSIGN_SCALE`` precondition
+    note in operators/knn.py. Returns (query_id, rank, doc_id,
+    adc_dist)."""
     import numpy as np
 
     from clinical_vector_search_spark.operators.knn import (
