@@ -3473,6 +3473,32 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental banded-MinHash near-dup PAIR maintenance
+    (operators/dedup.py minhash_pairs_incremental): docs with
+    id >= 400 play the incoming batch against the persisted MinHash
+    band index of the id < 400 corpus — the batch's band keys are
+    broadcast to semi-filter the corpus index (zero shuffle of
+    untouched buckets, no old×old rescan), then new×new and new×old
+    candidate pairs are emitted. The oracle is the full-corpus banded
+    recompute restricted to pairs touching the batch."""
+    from clinical_vector_search_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < INCR_CORPUS_MAX)
+    new = docs.filter(F.col("doc_id") >= INCR_CORPUS_MAX)
+    idx = minhash_band_buckets(
+        minhash_signatures(corpus, MINHASH_HASHES, SHINGLE_N), 2
+    )
+    return minhash_pairs_incremental(
+        new, idx, MINHASH_HASHES, 2, SHINGLE_N
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -6851,7 +6877,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_abc_analysis": q_rel_abc_analysis,
         "events_bounce_rate": q_events_bounce_rate,
         "events_activation": q_events_activation,
-        # -- r10 window 30-50: stalest last-green-r5 block — refresh now --
+        # -- r10 window 30: new in r10 (the one new entry this round) --
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        # -- r10 window 31-50: stalest last-green-r5 block — refresh now --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
         "evaluation_metrics": q_evaluation_metrics,
@@ -6872,8 +6900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_okapi": q_bm25_okapi,
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
-        "set_overlap": q_set_overlap,
         # -- r11 queue: remaining last-green-r5 entries --
+        "set_overlap": q_set_overlap,
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -11019,6 +11047,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, (h.doc_id IS NOT NULL) AS corpus_dup
         FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         WHERE d.doc_id >= {INCR_CORPUS_MAX}
+    """
+
+    # incremental PAIR maintenance: oracle = the full-corpus banded
+    # recompute (identical signature family and band keys) restricted
+    # to pairs with >= 1 batch member — exactly the pairs the
+    # broadcast-probe incremental path must emit
+    s["dedup_minhash_incremental"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values}) AS p(hash_idx, a, b)),
+        sigs AS (SELECT doc_id, hash_idx,
+                        min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+                 FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx),
+        bands AS (SELECT doc_id, hash_idx // 2 AS band,
+                         string_agg(sig::VARCHAR, '-' ORDER BY hash_idx) AS bk
+                  FROM sigs GROUP BY doc_id, hash_idx // 2)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
+        WHERE a.doc_id >= {INCR_CORPUS_MAX} OR b.doc_id >= {INCR_CORPUS_MAX}
     """
 
     s["dedup_simhash"] = f"""

@@ -205,6 +205,75 @@ def dedup_incremental(
     )
 
 
+def minhash_pairs_incremental(
+    new_docs: DataFrame,
+    corpus_buckets: DataFrame,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental banded-MinHash near-dup PAIRS against a growing
+    corpus — the maintenance composition next to :func:`dedup_incremental`
+    (which only flags) and the near-dup analogue of SCD2's
+    ``scd2_apply_changes``: ingesting a batch emits exactly the NEW
+    candidate pairs a full :func:`minhash_candidate_pairs` rerun over
+    corpus+batch would add, without ever rescanning old×old.
+
+    Sound because MinHash signatures are per-document (no cross-doc
+    state), so the persisted corpus (doc_id, band, bucket) index rows
+    are bit-identical to what a full recompute would rebuild, and every
+    NEW pair has ≥1 batch member by definition. The batch shingles only
+    itself; the batch's distinct (band, bucket) keys are BROADCAST and
+    the corpus index is probed with a map-side left-semi join — zero
+    shuffle of untouched buckets, cost ∝ batch size (at 100 TB the
+    index is stored clustered by bucket, so the probe additionally
+    prunes files). new×new pairs come from the batch's own tiny
+    self-join; new×old pairs join only the semi-join survivors back to
+    the broadcast batch buckets. Returns (a_id, b_id), a_id < b_id,
+    distinct across bands — new×new and new×old candidate pairs only.
+    """
+    sigs = minhash_signatures(
+        new_docs, num_hashes, shingle_size, text_col, id_col
+    )
+    # cached: reused by the touched-key broadcast, the new×new self-join
+    # (Spark does not reuse exchanges across self-join sides), and the
+    # new×old probe join — slim (doc_id, band, bucket-hash) rows only
+    nb = minhash_band_buckets(sigs, rows_per_band, id_col).cache()
+
+    a = nb.select("band", "bucket", F.col(id_col).alias("a_id"))
+    b = nb.select("band", "bucket", F.col(id_col).alias("b_id"))
+    new_new = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+
+    touched = nb.select("band", "bucket").distinct()
+    corpus_hits = corpus_buckets.join(
+        F.broadcast(touched), ["band", "bucket"], "left_semi"
+    )
+    new_old = (
+        corpus_hits.select(
+            "band", "bucket", F.col(id_col).alias("_old_id")
+        )
+        .join(
+            F.broadcast(
+                nb.select("band", "bucket", F.col(id_col).alias("_new_id"))
+            ),
+            ["band", "bucket"],
+        )
+        # ids may interleave; canonicalize instead of assuming old < new
+        .select(
+            F.least("_old_id", "_new_id").alias("a_id"),
+            F.greatest("_old_id", "_new_id").alias("b_id"),
+        )
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
+    return new_new.unionByName(new_old).distinct()
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",

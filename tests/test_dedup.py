@@ -308,6 +308,42 @@ def test_dedup_incremental_flags_corpus_collisions(spark):
     assert got == {10: True, 11: True, 12: False}
 
 
+def test_minhash_pairs_incremental_matches_full_recompute(spark, sf_dir):
+    """Incremental banded-MinHash pair maintenance == a full
+    minhash_candidate_pairs rerun over corpus+batch restricted to pairs
+    touching the batch — on the real documents table, batch interleaved
+    by id parity so new×old pair ordering is exercised both ways."""
+    from clinical_vector_search_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    idx = minhash_band_buckets(minhash_signatures(corpus, 4, 3), 2)
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in minhash_pairs_incremental(batch, idx, 4, 2, 3).collect()
+    }
+    full = {
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    }
+    want = {
+        (a, b) for a, b in full if a % 3 == 0 or b % 3 == 0
+    }
+    assert got == want
+    assert got  # the corpus actually contains near-dups of batch docs
+    assert any(a % 3 != 0 or b % 3 != 0 for a, b in got)  # new×old present
+
+
 def test_span_dedup_removes_cross_doc_boilerplate(spark):
     """A sentence repeated across docs survives only at its first
     (doc_id, pos) occurrence; unique sentences all survive; a doc made

@@ -1024,6 +1024,19 @@ def main() -> int:
         and n_nodes(plan, "BroadcastHashJoin") >= 4,
     )
 
+    # 51. incremental MinHash pair maintenance: the corpus band index is
+    # probed with a BROADCAST LeftSemi on the batch's touched keys and
+    # every pair join is broadcast — zero SortMergeJoin means the corpus
+    # is never shuffled and there is no old×old rescan path
+    plan = formatted(E.q_dedup_minhash_incremental(spark, SF_DIR))
+    check(
+        "minhash_incremental: broadcast touched-bucket probe, no corpus shuffle",
+        "CartesianProduct" not in plan
+        and "LeftSemi" in plan
+        and n_nodes(plan, "BroadcastHashJoin") >= 3
+        and n_nodes(plan, "SortMergeJoin") == 0,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
