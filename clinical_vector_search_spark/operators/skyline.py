@@ -7,26 +7,29 @@ two competing axes (quality vs cost, recall vs latency).
 A point q is DOMINATED iff some p has p.x ≥ q.x AND p.y ≥ q.y with at
 least one strict. The naive spelling is the O(n²) NOT-EXISTS self-join
 (exactly what the DuckDB oracle runs); here the 2-D case collapses to
-two window maxima, O(n log n) with ONE sort and zero joins:
+per-x group maxima plus ONE reverse running max over the distinct-x
+frame:
 
-- m_gt = max(y) over points with STRICTLY larger x  → q survives case
-  "p.x > q.x, p.y ≥ q.y" iff m_gt < y (NULL-safe: no larger x at all);
-- m_eq = max(y) over points with EQUAL x            → q survives case
-  "p.x = q.x, p.y > q.y" iff y = m_eq.
+- m_eq = max(y) per x group                         → q survives case
+  "p.x = q.x, p.y > q.y" iff y = m_eq;
+- m_gt = running max of m_eq over STRICTLY larger x → q survives case
+  "p.x > q.x, p.y ≥ q.y" iff m_gt < y (NULL-safe: no larger x at all).
 
 Exact-duplicate points (x and y both equal) dominate neither and all
 survive — the standard skyline convention.
 
-Scale note: the strict-greater frame needs a RANGE window on x, so x
-must be an integer-exact key (the repo's cents convention — a double
-order key would make "strictly larger" an ulp lottery across engines).
-The window is unpartitioned (skylines are global by definition), but it
-runs at CANDIDATE granularity: callers aggregate the fact table to one
-row per entity first, so the sorted frame is dimension-sized. For
-entity counts beyond one task, pass ``local_prefilter=True``: a
+Scale note: x should be an integer-exact key (the repo's cents
+convention — double keys make cross-engine equality an ulp lottery).
+The global window is unpartitioned (skylines are global by definition)
+but runs at DISTINCT-X granularity with an O(n) ROWS running frame —
+NOT the per-row RANGE(1, unboundedFollowing) spelling, whose
+UnboundedFollowingWindowFunctionFrame re-scans per row: O(n²) in one
+task (measured quadratic at 25k/50k/100k rows — tools/scale_probe.py).
+Callers still aggregate the fact table to one row per entity first;
+for entity counts beyond one task, ``local_prefilter=True`` adds a
 zero-shuffle per-partition local skyline (a superset-filter of the
-global one — the classic distributed-skyline reduction) runs first, so
-the global sort sees only local survivors.
+global one — the classic distributed-skyline reduction) so the global
+step sees only local survivors.
 """
 
 from __future__ import annotations
@@ -94,7 +97,7 @@ def skyline_2d(
 ) -> DataFrame:
     """Rows of ``df`` on the maximal (x, y) Pareto frontier.
 
-    ``x_col`` must be integer-typed (exact RANGE frame bounds);
+    ``x_col`` must be integer-typed (exact cross-engine group keys);
     ``y_col`` any orderable numeric — NaN is handled (it ranks above
     every double, Spark SQL semantics, in BOTH the global window and
     the local prefilter), but a ``y_col`` mixing literal ``+inf`` with
@@ -105,12 +108,14 @@ def skyline_2d(
     non-dominated input rows (duplicates included).
 
     ``local_prefilter=True`` inserts the zero-shuffle per-partition
-    local-skyline superset filter before the global window — identical
-    results (property-tested), and the cure for the documented cliff
-    where the unpartitioned RANGE window sees more than one task's
-    worth of candidates. Off by default: at the intended candidate
-    granularity (one row per entity after aggregation) the extra
-    Python stage costs more than the single-task sort it saves.
+    local-skyline superset filter before the global step — identical
+    results (property-tested). With the O(n) distinct-x window the
+    global step no longer cliffs quadratically, but the prefilter still
+    collapses the x-shuffle and the single-task distinct-x frame to
+    ~the local-survivor count — the right shape when candidates exceed
+    one task. Off by default: at the intended candidate granularity
+    (one row per entity after aggregation) the extra Python stage costs
+    more than it saves.
     """
     if local_prefilter:
         # Arrow collapses SQL NULL and NaN to the same pandas NaN in
@@ -127,23 +132,29 @@ def skyline_2d(
             F.when(F.col(y_col).isNull(), F.lit(float("nan")))
             .otherwise(F.col(y_col)),
         )
-    w_gt = (
-        Window.orderBy(x_col)
-        .rangeBetween(1, Window.unboundedFollowing)
+    # m_gt (max y over STRICTLY larger x) at distinct-x granularity:
+    # per-x group maxima, then a reverse RUNNING max over the distinct-x
+    # frame excluding the current group. A ROWS running frame is O(n)
+    # (incremental add); the former per-row spelling — RANGE(1,
+    # unboundedFollowing) on the full input — hit Spark's
+    # UnboundedFollowingWindowFunctionFrame, which re-scans the frame
+    # per row: O(n²) in ONE task (measured: 25k rows 11 s, 50k 39 s,
+    # 100k 151 s — tools/scale_probe.py). The single-task window now
+    # sees one row per DISTINCT x and does linear work; the join back
+    # on x reuses the groupBy's hash partitioning (or broadcasts when
+    # the distinct-x frame is small — AQE decides).
+    gm = df.groupBy(x_col).agg(F.max(y_col).alias("_m_eq"))
+    w_desc = (
+        Window.orderBy(F.desc(x_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
-    w_eq = Window.partitionBy(x_col)
-    m_gt = F.max(y_col).over(w_gt)
-    m_eq = F.max(y_col).over(
-        w_eq.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing
-        )
-    )
+    gm = gm.withColumn("_m_gt", F.max("_m_eq").over(w_desc))
+    cols = [c for c in df.columns]
     return (
-        df.withColumn("_m_gt", m_gt)
-        .withColumn("_m_eq", m_eq)
+        df.join(gm, x_col)
         .filter(
             (F.col("_m_gt").isNull() | (F.col("_m_gt") < F.col(y_col)))
             & (F.col(y_col) == F.col("_m_eq"))
         )
-        .drop("_m_gt", "_m_eq")
+        .select(*cols)
     )

@@ -345,6 +345,62 @@ def main() -> None:
         f"{out['scd2_full_merge_10x_sec']}s)"
     )
 
+    # --- skyline local prefilter (r10) ---------------------------------
+    # Claim under test (VERDICT r9 task 4): local_prefilter=True reduces
+    # the unpartitioned RANGE-window sort from N rows to ~the local-
+    # survivor count. Worst case is ANTI-correlated axes (frontier ~
+    # thousands of points — every partition keeps many local survivors);
+    # best case is CORRELATED axes (tiny frontier — local passes kill
+    # almost everything). 1M rows, deterministic xxhash64 columns,
+    # x integer-exact per the operator contract.
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    n_sky = 1_000_000
+    base = (
+        spark.range(n_sky)
+        .select(
+            F.col("id"),
+            F.pmod(F.xxhash64("id"), F.lit(1_000_000)).alias("u"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(10_000)).alias("noise"),
+        )
+        .repartition(32)
+    )
+    frames = {
+        "anti": base.select(
+            "id", F.col("u").alias("x"),
+            (F.lit(1_000_000) - F.col("u") + F.col("noise"))
+            .cast("double").alias("y"),
+        ).localCheckpoint(),
+        "corr": base.select(
+            "id", F.col("u").alias("x"),
+            (F.col("u") + F.col("noise")).cast("double").alias("y"),
+        ).localCheckpoint(),
+    }
+    from clinical_vector_search_spark.operators.skyline import (
+        _local_skyline_prefilter,
+    )
+
+    for label, df in frames.items():
+        out[f"skyline_{label}_rows"] = df.count()
+        out[f"skyline_{label}_local_survivors"] = _local_skyline_prefilter(
+            df, "x", "y"
+        ).count()
+        out[f"skyline_{label}_frontier"] = skyline_2d(
+            df, "x", "y", local_prefilter=True
+        ).count()
+        out[f"skyline_{label}_plain_sec"] = timed(
+            lambda: skyline_2d(df, "x", "y")
+        )
+        out[f"skyline_{label}_prefilter_sec"] = timed(
+            lambda: skyline_2d(df, "x", "y", local_prefilter=True)
+        )
+        log(
+            f"skyline {label}: frontier {out[f'skyline_{label}_frontier']} "
+            f"(local survivors {out[f'skyline_{label}_local_survivors']}), "
+            f"plain {out[f'skyline_{label}_plain_sec']}s vs prefilter "
+            f"{out[f'skyline_{label}_prefilter_sec']}s"
+        )
+
     print(json.dumps(out))
 
 
