@@ -95,10 +95,24 @@ def kaplan_meier(
     w = Window.orderBy("t")
     # at risk at t = everyone whose lifetime >= t
     #            = total - (all who ended strictly before t)
+    # Spelled as entire-frame total minus the O(n) growing prefix sum:
+    # a (currentRow, unboundedFollowing) "shrinking" frame re-scans the
+    # frame per row in Spark (UnboundedFollowingWindowFunctionFrame —
+    # O(n²) in the one ordered task; measured quadratic in
+    # operators/skyline.py before the same rewrite). Exact BIGINT
+    # arithmetic either way — identical results.
     at_risk = by_t.withColumn(
         "n_at_risk",
         F.sum("ending").over(
-            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        - F.coalesce(
+            F.sum("ending").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
         ),
     )
     surv = at_risk.withColumn(
@@ -839,15 +853,25 @@ def log_rank_test(
         F.sum(F.when(a, 1).otherwise(0)).alias("end_a"),
         F.count(F.lit(1)).alias("end_all"),
     )
-    w = Window.orderBy("t").rowsBetween(
-        Window.currentRow, Window.unboundedFollowing
+    # suffix sums via entire-frame total minus the O(n) growing prefix —
+    # not a (currentRow, unboundedFollowing) shrinking frame, which
+    # re-scans per row (O(n²) single-task; see kaplan_meier above)
+    w_all = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+
+    def _suffix_sum(c: str):
+        return F.sum(c).over(w_all) - F.coalesce(
+            F.sum(c).over(w_prev), F.lit(0)
+        )
+
     risk = by_t.select(
         "t",
         "d_a",
         "d",
-        F.sum("end_a").over(w).alias("n_a"),
-        F.sum("end_all").over(w).alias("n"),
+        _suffix_sum("end_a").alias("n_a"),
+        _suffix_sum("end_all").alias("n"),
     ).filter(F.col("d") > 0)
     n = F.col("n").cast("double")
     n_a = F.col("n_a").cast("double")
