@@ -3499,6 +3499,42 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-GROUP maintenance (operators/dedup.py
+    dedup_groups_incremental): the id < 400 corpus carries persisted
+    min-id component labels over its banded-MinHash pair graph; the
+    id >= 400 batch's incremental pairs fold in via touched-component
+    star subgraphs (broadcast probes, cost ∝ touched components — no
+    corpus-wide CC rerun). Emits labels for every component containing
+    a batch doc; the oracle is the from-scratch transitive closure over
+    the FULL band pair graph restricted to those components."""
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_groups,
+        dedup_groups_incremental,
+        minhash_band_buckets,
+        minhash_candidate_pairs,
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") < INCR_CORPUS_MAX)
+    new = docs.filter(F.col("doc_id") >= INCR_CORPUS_MAX)
+    old_labels = dedup_groups(
+        corpus.select("doc_id"),
+        minhash_candidate_pairs(corpus, MINHASH_HASHES, 2, SHINGLE_N),
+    )
+    idx = minhash_band_buckets(
+        minhash_signatures(corpus, MINHASH_HASHES, SHINGLE_N), 2
+    )
+    new_pairs = minhash_pairs_incremental(
+        new, idx, MINHASH_HASHES, 2, SHINGLE_N
+    )
+    return dedup_groups_incremental(
+        old_labels, new_pairs, new.select("doc_id")
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -6879,6 +6915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_activation": q_events_activation,
         # -- r10 window 30: new in r10 (the one new entry this round) --
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_groups_incremental": q_dedup_groups_incremental,
         # -- r10 window 31-50: stalest last-green-r5 block — refresh now --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -6899,8 +6936,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_window": q_knn_window,
         "bm25_okapi": q_bm25_okapi,
         "embed_hash_features": q_embed_hash_features,
-        "metrics_eval": q_metrics_eval,
         # -- r11 queue: remaining last-green-r5 entries --
+        "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
@@ -11070,6 +11107,42 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         WHERE a.doc_id >= {INCR_CORPUS_MAX} OR b.doc_id >= {INCR_CORPUS_MAX}
+    """
+
+    # incremental GROUP maintenance: oracle = from-scratch transitive
+    # closure over the FULL band pair graph (same recursive-CTE min-
+    # label closure as dedup_groups), restricted to components that
+    # contain a batch (id >= INCR_CORPUS_MAX) doc
+    s["dedup_groups_incremental"] = f"""
+        WITH RECURSIVE toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values}) AS p(hash_idx, a, b)),
+        sigs AS (SELECT doc_id, hash_idx,
+                        min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+                 FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx),
+        bands AS (SELECT doc_id, hash_idx // 2 AS band,
+                         string_agg(sig::VARCHAR, '-' ORDER BY hash_idx) AS bk
+                  FROM sigs GROUP BY doc_id, hash_idx // 2),
+        p AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bk = b.bk
+               AND a.doc_id < b.doc_id),
+        e AS (SELECT a_id AS src, b_id AS dst FROM p
+              UNION ALL SELECT b_id, a_id FROM p),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+        ),
+        lbl AS (SELECT src AS doc_id, min(dst) AS group_id
+                FROM reach GROUP BY src),
+        touched AS (SELECT DISTINCT group_id FROM lbl
+                    WHERE doc_id >= {INCR_CORPUS_MAX})
+        SELECT doc_id, group_id FROM lbl
+        WHERE group_id IN (SELECT group_id FROM touched)
     """
 
     s["dedup_simhash"] = f"""

@@ -536,6 +536,77 @@ def dedup_groups(
     return labels
 
 
+def _incremental_group_subgraph(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+) -> tuple[DataFrame, DataFrame]:
+    """(sub_ids, sub_pairs) for :func:`dedup_groups_incremental` — the
+    touched-component reduction. Old min-id labels ARE the old
+    components (each is the star doc↔group_id, connectivity-equivalent
+    to the old pair graph), so the only edges that need propagation are
+    the batch's new pairs plus the stars of the components those pairs
+    touch. Both probe joins are BROADCAST left-semi on batch-sized key
+    sets — the untouched corpus labels are scanned but never shuffled,
+    and the propagation loop downstream sees touched-component + batch
+    nodes only."""
+    pair_ids = (
+        new_pairs.select(F.col("a_id").alias(id_col))
+        .union(new_pairs.select(F.col("b_id").alias(id_col)))
+        .distinct()
+    )
+    touched = (
+        old_labels.join(F.broadcast(pair_ids), id_col, "left_semi")
+        .select("group_id")
+        .distinct()
+    )
+    members = old_labels.join(F.broadcast(touched), "group_id", "left_semi")
+    star = members.filter(F.col(id_col) != F.col("group_id")).select(
+        F.col(id_col).alias("a_id"), F.col("group_id").alias("b_id")
+    )
+    sub_ids = (
+        members.select(id_col).union(new_ids.select(id_col)).distinct()
+    )
+    sub_pairs = new_pairs.select("a_id", "b_id").union(star)
+    return sub_ids, sub_pairs
+
+
+def dedup_groups_incremental(
+    old_labels: DataFrame,
+    new_pairs: DataFrame,
+    new_ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Incremental duplicate-GROUP maintenance — the step after
+    :func:`minhash_pairs_incremental` that folds a batch's new candidate
+    pairs into the persisted component labels without re-running
+    connected components over the corpus.
+
+    ``old_labels`` is the persisted (id_col, group_id) table from the
+    previous run (group_id = min doc id in component — exactly what
+    :func:`dedup_groups` emits; it must cover every previously-ingested
+    doc). ``new_pairs`` are the batch's candidate pairs (every pair has
+    ≥1 batch member); ``new_ids`` one row per batch doc. Returns
+    (id_col, group_id) for every doc in a component CONTAINING A BATCH
+    DOC — updated old members (components can merge through a batch
+    doc; the new label is the min id over the merged set, consistent
+    with a from-scratch rerun because old labels are genuine member
+    ids) plus all batch docs (collision-free ones as singletons).
+    Rows outside the output are untouched: (old_labels minus output's
+    ids) ∪ output == the full recompute over corpus+batch.
+
+    Cost ∝ touched components, not corpus: see
+    :func:`_incremental_group_subgraph` for the broadcast-probe shape;
+    the min-label propagation then runs on the subgraph only.
+    """
+    sub_ids, sub_pairs = _incremental_group_subgraph(
+        old_labels, new_pairs, new_ids, id_col
+    )
+    return dedup_groups(sub_ids, sub_pairs, id_col, max_iter)
+
+
 def dedup_groups_star(
     ids: DataFrame,
     pairs: DataFrame,

@@ -344,6 +344,61 @@ def test_minhash_pairs_incremental_matches_full_recompute(spark, sf_dir):
     assert any(a % 3 != 0 or b % 3 != 0 for a, b in got)  # new×old present
 
 
+def test_dedup_groups_incremental_matches_full_recompute(spark, sf_dir):
+    """Folding a batch's new pairs into persisted labels == a full CC
+    rerun over corpus+batch restricted to components containing a batch
+    doc — old docs outside those components keep their labels, merges
+    through a batch doc relabel to the merged min id, collision-free
+    batch docs come back as singletons."""
+    from clinical_vector_search_spark.operators.dedup import (
+        _incremental_group_subgraph,
+        dedup_groups,
+        dedup_groups_incremental,
+        minhash_band_buckets,
+        minhash_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 0)
+    old_labels = dedup_groups(
+        corpus.select("doc_id"), minhash_candidate_pairs(corpus, 4, 2, 3)
+    )
+    idx = minhash_band_buckets(minhash_signatures(corpus, 4, 3), 2)
+    new_pairs = minhash_pairs_incremental(batch, idx, 4, 2, 3)
+
+    got = {
+        (r.doc_id, r.group_id)
+        for r in dedup_groups_incremental(
+            old_labels, new_pairs, batch.select("doc_id")
+        ).collect()
+    }
+
+    full = dedup_groups(
+        docs.select("doc_id"), minhash_candidate_pairs(docs, 4, 2, 3)
+    ).collect()
+    batch_groups = {r.group_id for r in full if r.doc_id % 3 == 0}
+    want = {
+        (r.doc_id, r.group_id) for r in full if r.group_id in batch_groups
+    }
+    assert got == want
+    # the maintenance actually merged/relabeled something and also kept
+    # singleton batch docs
+    assert any(d % 3 != 0 for d, _ in got)
+    assert any(d == g and d % 3 == 0 for d, g in got)
+    # touched-component reduction: the propagation subgraph must be far
+    # smaller than corpus+batch (cost ∝ touched components)
+    sub_ids, _ = _incremental_group_subgraph(
+        old_labels, new_pairs, batch.select("doc_id")
+    )
+    assert sub_ids.count() < docs.count()
+
+
 def test_span_dedup_removes_cross_doc_boilerplate(spark):
     """A sentence repeated across docs survives only at its first
     (doc_id, pos) occurrence; unique sentences all survive; a doc made
