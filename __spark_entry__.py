@@ -3535,6 +3535,51 @@ def q_dedup_groups_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL streaming near-dup ingestion (operators/dedup.py
+    streaming_neardup_ingest): the documents table replays as 4
+    micro-batches (availableNow, maxFilesPerTrigger=1); each batch
+    probes-then-appends the persisted band index via foreachBatch. The
+    accumulated pair set is chunking-invariant (each pair lands once,
+    when its later doc arrives), so the oracle is the ONE-SHOT full
+    banded pair recompute."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.dedup import (
+        streaming_neardup_ingest,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_stream_neardup_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs.repartitionByRange(4, "doc_id").write.parquet(f"{base}/docs")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{base}/docs")
+    )
+    q = streaming_neardup_ingest(
+        spark,
+        stream,
+        f"{base}/index",
+        f"{base}/pairs",
+        MINHASH_HASHES,
+        2,
+        SHINGLE_N,
+        checkpoint_path=f"{base}/ckpt",
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("streaming near-dup replay did not terminate")
+    return (
+        spark.read.parquet(f"{base}/pairs")
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -6916,6 +6961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r10 window 30: new in r10 (the one new entry this round) --
         "dedup_minhash_incremental": q_dedup_minhash_incremental,
         "dedup_groups_incremental": q_dedup_groups_incremental,
+        "dedup_streaming_neardup": q_dedup_streaming_neardup,
         # -- r10 window 31-50: stalest last-green-r5 block — refresh now --
         "rel_shipping_priority": q_rel_shipping_priority,
         "multimodal_features": q_multimodal_features,
@@ -6935,8 +6981,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_window": q_knn_window,
         "bm25_okapi": q_bm25_okapi,
-        "embed_hash_features": q_embed_hash_features,
         # -- r11 queue: remaining last-green-r5 entries --
+        "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
@@ -11107,6 +11153,26 @@ def oracle_sql() -> dict[str, str]:
         FROM bands a JOIN bands b
           ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
         WHERE a.doc_id >= {INCR_CORPUS_MAX} OR b.doc_id >= {INCR_CORPUS_MAX}
+    """
+
+    # streaming near-dup ingestion: chunking-invariant accumulation —
+    # oracle = the ONE-SHOT banded pair recompute over all docs
+    s["dedup_streaming_neardup"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        h AS (SELECT doc_id,
+                     {_MD5L.format(x="shingle")} % {MINHASH_P} AS hv
+              FROM sh),
+        fam AS (SELECT * FROM (VALUES {params_values}) AS p(hash_idx, a, b)),
+        sigs AS (SELECT doc_id, hash_idx,
+                        min((a::BIGINT * hv + b) % {MINHASH_P}) AS sig
+                 FROM h CROSS JOIN fam GROUP BY doc_id, hash_idx),
+        bands AS (SELECT doc_id, hash_idx // 2 AS band,
+                         string_agg(sig::VARCHAR, '-' ORDER BY hash_idx) AS bk
+                  FROM sigs GROUP BY doc_id, hash_idx // 2)
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bk = b.bk AND a.doc_id < b.doc_id
     """
 
     # incremental GROUP maintenance: oracle = from-scratch transitive

@@ -340,6 +340,15 @@ def main() -> None:
 
         return E.q_events_cusum(spark, sf_dir)
 
+    def bench_incremental_dedup():
+        # incremental near-dup maintenance (r10): batch band keys
+        # broadcast-probe the persisted corpus index, new pairs fold
+        # into persisted component labels over touched-component stars
+        # only — the daily-ingest path whose cost must track the batch
+        import __spark_entry__ as E
+
+        return E.q_dedup_groups_incremental(spark, sf_dir)
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -377,6 +386,7 @@ def main() -> None:
         "winnowing_fp": bench_winnowing,
         "basket_pairs": bench_basket,
         "events_cusum": bench_cusum,
+        "incremental_dedup": bench_incremental_dedup,
     }
 
     # Throwaway end-to-end run of the flagship query before ANY timing

@@ -237,10 +237,22 @@ def minhash_pairs_incremental(
     sigs = minhash_signatures(
         new_docs, num_hashes, shingle_size, text_col, id_col
     )
+    nb = minhash_band_buckets(sigs, rows_per_band, id_col)
+    return _incremental_pairs_from_buckets(nb, corpus_buckets, id_col)
+
+
+def _incremental_pairs_from_buckets(
+    new_buckets: DataFrame,
+    corpus_buckets: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bucket-level core of :func:`minhash_pairs_incremental`, reused by
+    :func:`streaming_neardup_ingest` where the batch's (doc_id, band,
+    bucket) rows are computed once and both probed and appended."""
     # cached: reused by the touched-key broadcast, the new×new self-join
     # (Spark does not reuse exchanges across self-join sides), and the
     # new×old probe join — slim (doc_id, band, bucket-hash) rows only
-    nb = minhash_band_buckets(sigs, rows_per_band, id_col).cache()
+    nb = new_buckets.cache()
 
     a = nb.select("band", "bucket", F.col(id_col).alias("a_id"))
     b = nb.select("band", "bucket", F.col(id_col).alias("b_id"))
@@ -272,6 +284,68 @@ def minhash_pairs_incremental(
         .filter(F.col("a_id") != F.col("b_id"))
     )
     return new_new.unionByName(new_old).distinct()
+
+
+def streaming_neardup_ingest(
+    spark,
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    checkpoint_path: str | None = None,
+):
+    """Streaming near-dup ingestion: the ``foreachBatch`` composition of
+    :func:`minhash_pairs_incremental` over a document stream. Each
+    micro-batch computes its (doc_id, band, bucket) rows ONCE
+    (localCheckpoint), probes the persisted band index for new×new +
+    new×old candidate pairs (broadcast touched-bucket semi-join — the
+    batch never rescans old×old), appends the pairs to ``pairs_path``,
+    and appends its buckets to ``index_path`` so later batches see them.
+
+    The accumulated pair set is INVARIANT to how the stream is chunked:
+    every pair is emitted exactly once, in the batch of whichever doc
+    arrives later (same batch ⇒ the new×new term), so replaying any
+    partitioning of a corpus reproduces exactly the one-shot
+    :func:`minhash_candidate_pairs` output — the oracle-checked
+    contract. Returns the ``StreamingQuery`` (caller awaits). Single
+    writer assumed, like the other index-maintenance sinks in
+    ``io.tables``."""
+    import os
+
+    def _has_index() -> bool:
+        if not os.path.isdir(index_path):
+            return False
+        return any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(index_path)
+            for f in fs
+        )
+
+    def _ingest(batch_df, _bid):
+        sigs = minhash_signatures(
+            batch_df, num_hashes, shingle_size, text_col, id_col
+        )
+        nb = minhash_band_buckets(
+            sigs, rows_per_band, id_col
+        ).localCheckpoint()
+        if _has_index():
+            corpus = spark.read.parquet(index_path)
+        else:
+            corpus = spark.createDataFrame([], nb.schema)
+        pairs = _incremental_pairs_from_buckets(nb, corpus, id_col)
+        pairs.write.mode("append").parquet(pairs_path)
+        nb.write.mode("append").parquet(index_path)
+
+    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
 
 
 def span_dedup(

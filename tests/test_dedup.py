@@ -399,6 +399,55 @@ def test_dedup_groups_incremental_matches_full_recompute(spark, sf_dir):
     assert sub_ids.count() < docs.count()
 
 
+def test_streaming_neardup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
+    """Replaying the corpus through streaming_neardup_ingest in 4
+    micro-batches (maxFilesPerTrigger=1) accumulates exactly the pair
+    set of a one-shot minhash_candidate_pairs run — every pair lands
+    once, in the batch of whichever doc arrives later."""
+    from clinical_vector_search_spark.operators.dedup import (
+        streaming_neardup_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.repartitionByRange(4, "doc_id").write.parquet(docs_path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_path)
+    )
+    q = streaming_neardup_ingest(
+        spark,
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "pairs"),
+        4,
+        2,
+        3,
+        checkpoint_path=str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(300)
+    # >1 micro-batch actually ran (the cross-batch probe path exercised)
+    assert len(q.recentProgress) > 1
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+    }
+    want = {
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    }
+    assert got == want and got
+    # no duplicate emissions across batches
+    n_rows = spark.read.parquet(str(tmp_path / "pairs")).count()
+    assert n_rows == len(got)
+
+
 def test_span_dedup_removes_cross_doc_boilerplate(spark):
     """A sentence repeated across docs survives only at its first
     (doc_id, pos) occurrence; unique sentences all survive; a doc made
