@@ -918,10 +918,13 @@ def spearman_corr(
     step, so the ranks are bit-identical in any engine; only the final
     correlation is float (``precision`` dp).
 
-    Scale note: the rank windows are global (single partition) — right
-    at entity granularity after pre-aggregation (the woe_iv ntile
-    caveat); at fact-table scale substitute binned ranks from
-    approx_percentile boundaries, same downstream Pearson.
+    Scale shape (r10): ranks at DISTINCT-VALUE granularity — per-value
+    counts, an O(n) growing prefix sum over the distinct frame, and a
+    join back — instead of ``rank() OVER (ORDER BY v)`` on raw rows,
+    which sorts the whole fact table in ONE task. avg_rank(v) =
+    prefix_count(v) + (ties+1)/2, bit-identical to min-rank +
+    (ties−1)/2 (exact integers plus an exact .5 step); only the final
+    correlation is float (``precision`` dp).
     Emits one row: (n, rho).
     """
     x = x_col if not isinstance(x_col, str) else F.col(x_col)
@@ -930,26 +933,24 @@ def spearman_corr(
         F.col("_x").isNotNull() & F.col("_y").isNotNull()
     )
 
-    def avg_rank(c):
-        return (
-            F.rank().over(Window.orderBy(c)).cast("double")
-            + (
-                F.count(F.lit(1))
-                .over(
-                    Window.partitionBy(c).rowsBetween(
-                        Window.unboundedPreceding,
-                        Window.unboundedFollowing,
-                    )
-                )
-                .cast("double")
-                - 1.0
-            )
-            / 2.0
+    def rank_map(c: str, out: str) -> DataFrame:
+        by_val = base.groupBy(c).agg(F.count(F.lit(1)).alias("_n_v"))
+        w = Window.orderBy(c)
+        return by_val.select(
+            c,
+            (
+                F.coalesce(
+                    F.sum("_n_v").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).cast("double")
+                + (F.col("_n_v").cast("double") + 1.0) / 2.0
+            ).alias(out),
         )
 
-    ranked = base.select(
-        avg_rank(F.col("_x")).alias("_rx"),
-        avg_rank(F.col("_y")).alias("_ry"),
+    ranked = base.join(rank_map("_x", "_rx"), "_x").join(
+        rank_map("_y", "_ry"), "_y"
     )
     return ranked.agg(
         F.count(F.lit(1)).alias("n"),
