@@ -399,6 +399,71 @@ def test_dedup_groups_incremental_matches_full_recompute(spark, sf_dir):
     assert sub_ids.count() < docs.count()
 
 
+def test_dedup_groups_incremental_random_merge_topologies(spark):
+    """Operator contract on seeded random graphs, independent of
+    MinHash: old pairs -> labels, then a batch whose pairs chain
+    multiple old components through single batch docs, plus singletons
+    and batch-only chains. Incremental fold-in must equal the full CC
+    over old+new pairs restricted to batch-containing components, for
+    every seed."""
+    import random
+
+    from clinical_vector_search_spark.operators.dedup import (
+        dedup_groups,
+        dedup_groups_incremental,
+    )
+
+    for seed in (1, 7, 23):
+        rng = random.Random(seed)
+        old_ids = list(range(60))
+        old_pairs = [
+            tuple(sorted(rng.sample(old_ids, 2))) for _ in range(35)
+        ]
+        new_ids = list(range(100, 125))
+        new_pairs = set()
+        for _ in range(20):  # new×old bridges (multi-component merges)
+            a, b = rng.choice(new_ids), rng.choice(old_ids)
+            new_pairs.add((min(a, b), max(a, b)))
+        for _ in range(8):  # new×new chains
+            a, b = rng.sample(new_ids, 2)
+            new_pairs.add((min(a, b), max(a, b)))
+
+        ids_df = spark.createDataFrame(
+            [(i,) for i in old_ids], "doc_id long"
+        )
+        op_df = spark.createDataFrame(
+            list(set(old_pairs)), "a_id long, b_id long"
+        )
+        np_df = spark.createDataFrame(
+            sorted(new_pairs), "a_id long, b_id long"
+        )
+        nid_df = spark.createDataFrame(
+            [(i,) for i in new_ids], "doc_id long"
+        )
+        old_labels = dedup_groups(ids_df, op_df)
+        got = {
+            (r.doc_id, r.group_id)
+            for r in dedup_groups_incremental(
+                old_labels, np_df, nid_df
+            ).collect()
+        }
+
+        all_ids = spark.createDataFrame(
+            [(i,) for i in old_ids + new_ids], "doc_id long"
+        )
+        all_pairs = spark.createDataFrame(
+            sorted(set(old_pairs) | new_pairs), "a_id long, b_id long"
+        )
+        full = dedup_groups(all_ids, all_pairs).collect()
+        batch_groups = {r.group_id for r in full if r.doc_id >= 100}
+        want = {
+            (r.doc_id, r.group_id)
+            for r in full
+            if r.group_id in batch_groups
+        }
+        assert got == want, f"seed {seed}"
+
+
 def test_streaming_neardup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
     """Replaying the corpus through streaming_neardup_ingest in 4
     micro-batches (maxFilesPerTrigger=1) accumulates exactly the pair
