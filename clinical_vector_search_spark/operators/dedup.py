@@ -586,6 +586,19 @@ def dedup_groups(
         .cache()  # re-read every round; rows are two ids
     )
     labels = ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+
+    # Min-label propagation only DECREASES labels pointwise (each round
+    # takes a min over a superset that includes the old label), so the
+    # exact label sum strictly decreases until the fixpoint — sum
+    # equality is a JOIN-FREE convergence check (one agg action per
+    # round vs the former labels⋈labels diff-count; DECIMAL(38,0) keeps
+    # the sum exact at any id scale).
+    def label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("group_id").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    prev = label_sum(labels)
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed(id_col, "src"), "src"
@@ -596,17 +609,11 @@ def dedup_groups(
             .agg(F.min("group_id").alias("group_id"))
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.select(F.col(id_col), F.col("group_id").alias("_old")),
-                id_col,
-            )
-            .filter(F.col("group_id") != F.col("_old"))
-            .count()
-        )
+        cur = label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if cur == prev:
             break
+        prev = cur
     return labels
 
 
