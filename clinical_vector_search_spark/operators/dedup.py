@@ -313,7 +313,9 @@ def streaming_neardup_ingest(
     :func:`minhash_candidate_pairs` output — the oracle-checked
     contract. Returns the ``StreamingQuery`` (caller awaits). Single
     writer assumed, like the other index-maintenance sinks in
-    ``io.tables``."""
+    ``io.tables``; long-running streams append one file set per batch,
+    so schedule ``io.tables.compact_parquet`` over ``index_path`` on
+    the same cadence as any other append-maintained index."""
     import os
 
     def _has_index() -> bool:

@@ -1037,6 +1037,30 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") == 0,
     )
 
+    # 52. incremental group maintenance: the touched-component member
+    # pull is TWO broadcast left-semi probes over the labels table
+    # (pair ids, then touched group ids) — the corpus labels are
+    # scanned map-side, never shuffled, before the propagation loop
+    from clinical_vector_search_spark.operators.dedup import (
+        _incremental_group_subgraph,
+    )
+
+    _labels = spark.createDataFrame(
+        [(i, i % 7) for i in range(100)], "doc_id long, group_id long"
+    )
+    _np = spark.createDataFrame(
+        [(3, 200), (5, 201)], "a_id long, b_id long"
+    )
+    _nid = spark.createDataFrame([(200,), (201,)], "doc_id long")
+    _, sub_pairs = _incremental_group_subgraph(_labels, _np, _nid)
+    plan = formatted(sub_pairs)
+    check(
+        "groups_incremental: broadcast semi member pull, no label shuffle",
+        "CartesianProduct" not in plan
+        and plan.count("LeftSemi") >= 2
+        and n_nodes(plan, "SortMergeJoin") == 0,
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
