@@ -3547,6 +3547,7 @@ def q_dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from clinical_vector_search_spark.operators.dedup import (
+        read_neardup_output,
         streaming_neardup_ingest,
     )
 
@@ -3574,7 +3575,7 @@ def q_dedup_streaming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.stop()
         raise TimeoutError("streaming near-dup replay did not terminate")
     return (
-        spark.read.parquet(f"{base}/pairs")
+        read_neardup_output(spark, f"{base}/pairs")
         .select("a_id", "b_id")
         .distinct()
     )

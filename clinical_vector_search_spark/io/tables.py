@@ -282,6 +282,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    recursive: bool = False,
 ) -> int:
     """Small-files compaction — the maintenance job every incremental
     pipeline needs: streaming/upsert sinks accumulate many tiny files, and
@@ -294,14 +295,23 @@ def compact_parquet(
 
     Uses round-robin repartition (not coalesce): coalesce(n) would chain
     narrow onto the upstream plan and skew output file sizes to the
-    original file layout."""
+    original file layout.
+
+    ``recursive=True`` lists leaf files recursively — for sinks that
+    write one plain subdirectory per batch (the idempotent
+    ``streaming_neardup_ingest`` layout). Do NOT use it on Hive
+    ``key=value``-partitioned directories: recursive listing disables
+    partition inference, so the partition column would be dropped."""
     import math
     import os
     import shutil
     import uuid
     from urllib.parse import unquote, urlparse
 
-    df = spark.read.parquet(path)
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.parquet(path)
     # inputFiles() returns URIs — percent-decode or sizes silently read as
     # missing (a path with a space would compact everything into ONE file)
     files = [unquote(urlparse(f).path) for f in df.inputFiles()]

@@ -245,14 +245,20 @@ def _incremental_pairs_from_buckets(
     new_buckets: DataFrame,
     corpus_buckets: DataFrame,
     id_col: str = "doc_id",
+    materialized: bool = False,
 ) -> DataFrame:
     """Bucket-level core of :func:`minhash_pairs_incremental`, reused by
     :func:`streaming_neardup_ingest` where the batch's (doc_id, band,
-    bucket) rows are computed once and both probed and appended."""
+    bucket) rows are computed once and both probed and appended.
+
+    ``materialized=True`` says the input is already pinned (e.g. a
+    ``localCheckpoint`` from the streaming path), so the multi-consumer
+    ``cache()`` below is skipped — a long-running stream must not
+    accumulate cached blocks in executor storage, one per micro-batch."""
     # cached: reused by the touched-key broadcast, the new×new self-join
     # (Spark does not reuse exchanges across self-join sides), and the
     # new×old probe join — slim (doc_id, band, bucket-hash) rows only
-    nb = new_buckets.cache()
+    nb = new_buckets if materialized else new_buckets.cache()
 
     a = nb.select("band", "bucket", F.col(id_col).alias("a_id"))
     b = nb.select("band", "bucket", F.col(id_col).alias("b_id"))
@@ -286,6 +292,57 @@ def _incremental_pairs_from_buckets(
     return new_new.unionByName(new_old).distinct()
 
 
+def read_neardup_output(spark, path: str) -> DataFrame:
+    """Read a :func:`streaming_neardup_ingest` pairs/index directory.
+    The sink writes one ``batch-{id}`` subdirectory per micro-batch (the
+    idempotent-retry layout), so a plain ``spark.read.parquet`` would
+    not see the leaf files; the recursive listing also tolerates the
+    mixed layout left by ``compact_parquet`` (flat compacted files next
+    to newer batch subdirectories). Raises like any parquet read if the
+    path does not exist — probe-or-empty callers use the try/except in
+    :func:`ingest_neardup_batch`."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def ingest_neardup_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    shingle_size: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """One micro-batch of :func:`streaming_neardup_ingest`, exposed at
+    module level so the idempotency contract is directly testable:
+    running the same (batch, batch_id) twice — the ``foreachBatch``
+    at-least-once retry — leaves both sinks bit-identical, because each
+    batch OVERWRITES its own ``batch-{id}`` subdirectory rather than
+    appending. Index discovery is a ``try: read`` (storage-agnostic —
+    works on hdfs://, s3a://, … where an ``os.walk`` would silently
+    report 'no index' and drop every new×old pair)."""
+    from pyspark.errors import AnalysisException
+
+    sigs = minhash_signatures(
+        batch_df, num_hashes, shingle_size, text_col, id_col
+    )
+    nb = minhash_band_buckets(sigs, rows_per_band, id_col).localCheckpoint()
+    try:
+        corpus = read_neardup_output(spark, index_path).select(
+            id_col, "band", "bucket"
+        )
+    except AnalysisException:  # first batch: no index yet
+        corpus = spark.createDataFrame([], nb.schema)
+    pairs = _incremental_pairs_from_buckets(
+        nb, corpus, id_col, materialized=True
+    )
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch-{batch_id}")
+    nb.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id}")
+
+
 def streaming_neardup_ingest(
     spark,
     doc_stream: DataFrame,
@@ -307,40 +364,42 @@ def streaming_neardup_ingest(
     and appends its buckets to ``index_path`` so later batches see them.
 
     The accumulated pair set is INVARIANT to how the stream is chunked:
-    every pair is emitted exactly once, in the batch of whichever doc
-    arrives later (same batch ⇒ the new×new term), so replaying any
-    partitioning of a corpus reproduces exactly the one-shot
-    :func:`minhash_candidate_pairs` output — the oracle-checked
-    contract. Returns the ``StreamingQuery`` (caller awaits). Single
-    writer assumed, like the other index-maintenance sinks in
-    ``io.tables``; long-running streams append one file set per batch,
-    so schedule ``io.tables.compact_parquet`` over ``index_path`` on
-    the same cadence as any other append-maintained index."""
-    import os
+    in a failure-free run every pair is emitted exactly once, in the
+    batch of whichever doc arrives later (same batch ⇒ the new×new
+    term), so replaying any partitioning of a corpus reproduces exactly
+    the one-shot :func:`minhash_candidate_pairs` output — the
+    oracle-checked contract. ``foreachBatch`` is only at-least-once, so
+    the sink is made IDEMPOTENT: each batch overwrites its own
+    batch-id-derived subdirectory (``{path}/batch-{id}``) for both
+    pairs and index rows — a retry rewrites the same subpaths instead
+    of appending duplicates, and re-probing an index that already holds
+    the batch's own buckets (retry after a completed index write) emits
+    the identical pair set, because batch-self pairs rediscovered
+    through the probe collapse into the new×new term under the final
+    ``distinct``. Readers must therefore list recursively
+    (``spark.read.option("recursiveFileLookup", "true")``); both paths
+    stay storage-agnostic — no driver-side filesystem walk. Returns the
+    ``StreamingQuery`` (caller awaits). Single writer assumed, like the
+    other index-maintenance sinks in ``io.tables``; long-running
+    streams add one subdirectory per batch, so schedule
+    ``io.tables.compact_parquet(recursive=True)`` over ``index_path``
+    on the same cadence as any other append-maintained index (the
+    recursive read accepts the mixed compacted-flat + new-subdir
+    layout)."""
 
-    def _has_index() -> bool:
-        if not os.path.isdir(index_path):
-            return False
-        return any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_path)
-            for f in fs
+    def _ingest(batch_df, bid):
+        ingest_neardup_batch(
+            spark,
+            batch_df,
+            bid,
+            index_path,
+            pairs_path,
+            num_hashes,
+            rows_per_band,
+            shingle_size,
+            text_col,
+            id_col,
         )
-
-    def _ingest(batch_df, _bid):
-        sigs = minhash_signatures(
-            batch_df, num_hashes, shingle_size, text_col, id_col
-        )
-        nb = minhash_band_buckets(
-            sigs, rows_per_band, id_col
-        ).localCheckpoint()
-        if _has_index():
-            corpus = spark.read.parquet(index_path)
-        else:
-            corpus = spark.createDataFrame([], nb.schema)
-        pairs = _incremental_pairs_from_buckets(nb, corpus, id_col)
-        pairs.write.mode("append").parquet(pairs_path)
-        nb.write.mode("append").parquet(index_path)
 
     writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
         availableNow=True

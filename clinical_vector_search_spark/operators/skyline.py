@@ -103,9 +103,13 @@ def skyline_2d(
     the local prefilter), but a ``y_col`` mixing literal ``+inf`` with
     NaN is outside the contract: Spark ranks NaN strictly above inf
     while the prefilter's NaN→inf comparison substitute ties them, so
-    the two paths can disagree on exactly that input. Preserves all
-    input columns and appends nothing; output rows are exactly the
-    non-dominated input rows (duplicates included).
+    the two paths can disagree on exactly that input. Rows with a NULL
+    coordinate are excluded by contract (a NULL x or y neither
+    dominates nor is dominated meaningfully) — enforced with explicit
+    ``isNotNull`` filters rather than left to the join/comparison
+    null-propagation, so the behavior is the same on every path.
+    Preserves all input columns and appends nothing; output rows are
+    exactly the non-dominated input rows (duplicates included).
 
     ``local_prefilter=True`` inserts the zero-shuffle per-partition
     local-skyline superset filter before the global step — identical
@@ -117,15 +121,18 @@ def skyline_2d(
     (one row per entity after aggregation) the extra Python stage costs
     more than it saves.
     """
+    # NULL exclusion is explicit, not an artifact: a NULL x would only
+    # ever vanish implicitly (the join back on x never matches NULL)
+    # and a NULL y would fail the y == m_eq comparison — filter both up
+    # front so every path behaves identically.
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     if local_prefilter:
         # Arrow collapses SQL NULL and NaN to the same pandas NaN in
         # BOTH directions, so the pandas stage can't tell them apart.
-        # A NULL-y row can never survive the plain path (y == m_eq is
-        # NULL), so drop them JVM-side first — then every NaN the
+        # SQL NULLs were dropped JVM-side above — so every NaN the
         # prefilter sees, and every NULL it hands back, is an original
         # NaN, which we restore so the global window applies the same
         # NaN-ranks-top semantics the plain path does.
-        df = df.filter(F.col(y_col).isNotNull())
         df = _local_skyline_prefilter(df, x_col, y_col)
         df = df.withColumn(
             y_col,
@@ -143,18 +150,24 @@ def skyline_2d(
     # sees one row per DISTINCT x and does linear work; the join back
     # on x reuses the groupBy's hash partitioning (or broadcasts when
     # the distinct-x frame is small — AQE decides).
-    gm = df.groupBy(x_col).agg(F.max(y_col).alias("_m_eq"))
+    def fresh(base: str) -> str:  # collision-proof internal names
+        while base in df.columns:
+            base += "_"
+        return base
+
+    m_eq, m_gt = fresh("_m_eq"), fresh("_m_gt")
+    gm = df.groupBy(x_col).agg(F.max(y_col).alias(m_eq))
     w_desc = (
         Window.orderBy(F.desc(x_col))
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    gm = gm.withColumn("_m_gt", F.max("_m_eq").over(w_desc))
+    gm = gm.withColumn(m_gt, F.max(m_eq).over(w_desc))
     cols = [c for c in df.columns]
     return (
         df.join(gm, x_col)
         .filter(
-            (F.col("_m_gt").isNull() | (F.col("_m_gt") < F.col(y_col)))
-            & (F.col(y_col) == F.col("_m_eq"))
+            (F.col(m_gt).isNull() | (F.col(m_gt) < F.col(y_col)))
+            & (F.col(y_col) == F.col(m_eq))
         )
         .select(*cols)
     )

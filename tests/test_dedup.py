@@ -470,6 +470,7 @@ def test_streaming_neardup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
     set of a one-shot minhash_candidate_pairs run — every pair lands
     once, in the batch of whichever doc arrives later."""
     from clinical_vector_search_spark.operators.dedup import (
+        read_neardup_output,
         streaming_neardup_ingest,
     )
 
@@ -501,7 +502,7 @@ def test_streaming_neardup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
 
     got = {
         (r.a_id, r.b_id)
-        for r in spark.read.parquet(str(tmp_path / "pairs")).collect()
+        for r in read_neardup_output(spark, str(tmp_path / "pairs")).collect()
     }
     want = {
         (r.a_id, r.b_id)
@@ -509,8 +510,98 @@ def test_streaming_neardup_ingest_matches_one_shot(spark, sf_dir, tmp_path):
     }
     assert got == want and got
     # no duplicate emissions across batches
-    n_rows = spark.read.parquet(str(tmp_path / "pairs")).count()
+    n_rows = read_neardup_output(spark, str(tmp_path / "pairs")).count()
     assert n_rows == len(got)
+
+
+def test_neardup_ingest_batch_retry_is_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: re-running a batch with the same
+    batch_id (including after its index write already landed, the worst
+    retry window) must leave both sinks set-identical — each batch
+    overwrites its own batch-id subpath, and re-probing an index that
+    already holds the batch's own buckets collapses batch-self pairs
+    into the new×new term."""
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter(F.col("doc_id") >= 100)
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+
+    ingest_neardup_batch(spark, b0, 0, idx, prs, 4, 2, 3)
+    ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+
+    def snap(path):
+        return sorted(
+            map(tuple, read_neardup_output(spark, path).collect())
+        )
+
+    pairs_before, index_before = snap(prs), snap(idx)
+    # retry batch 1 AFTER its index write completed: the probe now sees
+    # the batch's own buckets in the corpus
+    ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+    assert snap(prs) == pairs_before
+    assert snap(idx) == index_before
+    # and the accumulated pair set still matches the one-shot recompute
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    )
+    got = sorted(
+        set(
+            (r.a_id, r.b_id)
+            for r in read_neardup_output(spark, prs).collect()
+        )
+    )
+    assert got == want
+
+
+def test_neardup_index_compaction_cadence(spark, sf_dir, tmp_path):
+    """The documented maintenance cadence: compact_parquet(recursive=True)
+    over the per-batch index subdirectories, then keep ingesting — the
+    recursive reader accepts the mixed compacted-flat + new-subdir
+    layout and later batches still see the full corpus."""
+    from clinical_vector_search_spark.io.tables import compact_parquet
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    b0 = docs.filter(F.col("doc_id") < 100)
+    b1 = docs.filter((F.col("doc_id") >= 100) & (F.col("doc_id") < 200))
+    b2 = docs.filter(F.col("doc_id") >= 200)
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+
+    ingest_neardup_batch(spark, b0, 0, idx, prs, 4, 2, 3)
+    ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+    before = read_neardup_output(spark, idx).count()
+    compact_parquet(spark, idx, recursive=True)
+    assert read_neardup_output(spark, idx).count() == before
+    ingest_neardup_batch(spark, b2, 2, idx, prs, 4, 2, 3)
+
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    )
+    got = sorted(
+        set(
+            (r.a_id, r.b_id)
+            for r in read_neardup_output(spark, prs).collect()
+        )
+    )
+    assert got == want
 
 
 def test_span_dedup_removes_cross_doc_boilerplate(spark):

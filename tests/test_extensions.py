@@ -1250,6 +1250,33 @@ def test_skyline_prefilter_nan_parity(spark):
     assert plain == [3, 4, 5]
 
 
+def test_skyline_null_exclusion_and_name_collisions(spark):
+    """NULL in either coordinate is excluded by CONTRACT (explicit
+    filters — identical on plain and prefiltered paths, where before
+    NULL-x rows vanished only as a join artifact), and the internal
+    running-max columns are collision-proofed against same-named input
+    columns (ADVICE r10)."""
+    from clinical_vector_search_spark.operators.skyline import skyline_2d
+
+    rows = [
+        (1, None, 99.0, "a"), (2, 10, None, "b"), (3, 10, 5.0, "c"),
+        (4, 12, 3.0, "d"), (5, 9, 6.0, "e"), (6, None, None, "f"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, x long, y double, _m_eq string"
+    ).withColumn("_m_gt", F.col("_m_eq"))
+    for pre in (False, True):
+        got = sorted(
+            r.id
+            for r in skyline_2d(df, "x", "y", local_prefilter=pre).collect()
+        )
+        assert got == [3, 4, 5], f"local_prefilter={pre}"
+    # input columns with the internal names pass through untouched
+    out = skyline_2d(df, "x", "y")
+    assert out.columns == df.columns
+    assert {r._m_eq for r in out.collect()} == {"c", "d", "e"}
+
+
 def test_python_streamsource_batches_and_parity(spark):
     # the streaming python source must deliver the batch source's exact
     # rows across micro-batch boundaries (200+200+100), exactly once
