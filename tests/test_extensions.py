@@ -1277,6 +1277,35 @@ def test_skyline_null_exclusion_and_name_collisions(spark):
     assert {r._m_eq for r in out.collect()} == {"c", "d", "e"}
 
 
+def test_no_shrinking_window_frames_in_source():
+    """Source-level lint twin of plan-audit check 53: a window frame
+    ending at unboundedFollowing whose lower bound is not
+    unboundedPreceding uses Spark's UnboundedFollowingWindowFunctionFrame,
+    which re-scans the frame per row — O(n²) inside one task (measured
+    151 s at 100k rows on the pre-r10 skyline spelling). Suffix
+    aggregates must be spelled total-minus-growing-prefix or a
+    reverse-ordered running frame instead."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    sources = sorted(
+        (root / "clinical_vector_search_spark").rglob("*.py")
+    ) + [root / "__spark_entry__.py", root / "bench.py"]
+    call = re.compile(
+        r"(?:rows|range)Between\(\s*([^,]+?),\s*([^()]*?)\)", re.DOTALL
+    )
+    bad = []
+    for src in sources:
+        text = src.read_text()
+        for m in call.finditer(text):
+            lo, hi = m.group(1), m.group(2)
+            if "unboundedFollowing" in hi and "unboundedPreceding" not in lo:
+                line = text[: m.start()].count("\n") + 1
+                bad.append(f"{src.relative_to(root)}:{line}: {m.group(0)!r}")
+    assert not bad, "shrinking window frame(s) — O(n²) per task:\n" + "\n".join(bad)
+
+
 def test_python_streamsource_batches_and_parity(spark):
     # the streaming python source must deliver the batch source's exact
     # rows across micro-batch boundaries (200+200+100), exactly once

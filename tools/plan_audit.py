@@ -1061,6 +1061,44 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") == 0,
     )
 
+    # 53. NO shrinking window frames anywhere: a frame ending at
+    # unboundedFollowing whose lower bound is not unboundedPreceding
+    # hits Spark's UnboundedFollowingWindowFunctionFrame, which
+    # RE-SCANS the frame per row — O(n²) inside one task (measured on
+    # the pre-r10 skyline spelling: 25k rows 11 s, 100k rows 151 s —
+    # tools/scale_probe.py / README). Growing frames
+    # (unboundedPreceding, x) and entire frames are O(n); suffix
+    # aggregates must be spelled total-minus-prefix or reverse-ordered
+    # running frames. Walked over every window-bearing entry's physical
+    # plan; tests/test_extensions.py adds the source-level lint that
+    # covers operators without an entry here.
+    import re as _re
+
+    _SHRINK = _re.compile(
+        r"specifiedwindowframe\((?:Row|Range)Frame,"
+        r" (?!unboundedpreceding\$\(\))[^,]+, unboundedfollowing\$\(\)\)"
+    )
+    _WINDOW_ENTRIES = [
+        "rel_skyline", "rel_skyline_prefiltered", "rel_window_running",
+        "rel_window_ranks", "rel_window_distribution", "rel_weighted_median",
+        "rel_abc_analysis", "rel_gini", "rel_revenue_concentration",
+        "events_kaplan_meier", "events_log_rank", "text_spearman",
+        "events_bollinger", "events_winsorized", "events_ewma",
+        "events_cusum", "events_acf", "events_cumulative_uniques",
+        "knn_window", "events_range_window", "events_value_runs",
+    ]
+    _qs = E.queries()
+    _hits = []
+    for _name in _WINDOW_ENTRIES:
+        _plan = formatted(_qs[_name](spark, SF_DIR))
+        for _m in _SHRINK.findall(_plan):
+            _hits.append(f"{_name}: {_m}")
+    check(
+        "no shrinking (x, unboundedFollowing) window frame in any plan",
+        not _hits,
+        "; ".join(_hits[:3]),
+    )
+
     n_fail = sum(1 for _, ok, _ in results if not ok)
     print(f"\n{len(results) - n_fail} pass, {n_fail} fail")
     return 1 if n_fail else 0
