@@ -1840,6 +1840,39 @@ def q_knn_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF-PQ index maintenance (operators/pq.py
+    ivfpq_index_add — FAISS IndexIVFPQ.add semantics): vectors with
+    vec_id % 8 == 3 are a daily-ingest batch folded into a persisted
+    trained index — coarse-assigned to the EXISTING centroids and
+    PQ-encoded against the EXISTING codebooks entirely map-side (the
+    plan is one Project over the batch scan: zero joins, zero shuffle,
+    no corpus rescan — plan-audit check 54; the serving-side twin of
+    dedup_minhash_incremental). Assignment is deterministic
+    (ASSIGN_SCALE quantized argmax, first-min codes), so the oracle is
+    the full-index rebuild restricted to batch rows. Flattened to
+    (vec_id, cluster, sub, code) scalar rows for the driver compare;
+    the persisted-sink composition (idempotent batch-id overwrite,
+    retry safety, compaction cadence) is exercised in tests/test_pq.py."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode,
+        pq_codebooks_lcg,
+    )
+
+    batch = _vecs(spark, sf_dir).filter(F.col("vec_id") % 8 == 3).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    enc = ivfpq_encode(
+        batch, 64, pq_codebooks_lcg(64, PQ_M, PQ_KSUB), n_centroids=8
+    )
+    return enc.select(
+        "vec_id", "cluster", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        "vec_id", "cluster", F.col("sub").cast("int").alias("sub"), "code"
+    )
+
+
 def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): one-pass covariance partials →
     driver eigh → literal-matrix projection. Rows-only by design — the
@@ -6915,77 +6948,27 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r9 VERDICT's task 1 names this exact r10 order):
-    #   1. the 29 entries that have never had a driver row (added late
-    #      r8 / r9: the stats block, SCD2 incremental, skyline
-    #      prefiltered, logreg fairness/gains, RFM/LTV events block)
-    #      lead the window;
-    #   2. the 21 stalest last-green-r5 entries fill the window to 50
-    #      (all hashable — the 8 rows-only ⊙ entries are ordered
-    #      outside the window so every r10 driver row carries hash
-    #      evidence, per the r9 VERDICT's task 7);
-    #   3. the remaining 29 last-green-r5 entries queue for r11;
-    #   4. then last-green r6, r7, r8, r9 groups — stalest first,
+    # r10 VERDICT's task 1 names this exact r11 order):
+    #   1. the entry NEW in r11 (incremental IVF-PQ index add) leads;
+    #   2. the 3 entries demoted from the r10 freshness check, then the
+    #      29 remaining last-green-r5 entries — this RETIRES the r5
+    #      tier: after r11 no entry's last driver row predates r6;
+    #   3. the 17 stalest last-green-r6 entries fill the window to 50
+    #      (the 8 rows-only ⊙ entries stay ordered OUTSIDE the window,
+    #      per the r9 VERDICT's task 7, so every driver row carries
+    #      hash evidence);
+    #   4. then the remaining r6 block, r7, r8, r9 groups, and the 50
+    #      entries the r10 driver just checked — stalest first,
     #      freshest demoted last. Every entry below the window was
-    #      re-verified green locally against its oracle in r9.
+    #      green in its last driver round (r6-r10).
     return {
-        # -- r10 window 1-29: never driver-checked (new in r8/r9; judge pre-verified all 29 oracle-green at sf0.01) --
-        "events_scd2_incremental": q_events_scd2_incremental,
-        "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
-        "rel_entity_resolution": q_rel_entity_resolution,
-        "events_cuped": q_events_cuped,
-        "graph_ppr": q_graph_ppr,
-        "events_did": q_events_did,
-        "events_log_rank": q_events_log_rank,
-        "rel_incremental_join": q_rel_incremental_join,
-        "doc_neyman_allocation": q_doc_neyman_allocation,
-        "text_spearman": q_text_spearman,
-        "events_ks_test": q_events_ks_test,
-        "events_cramers_v": q_events_cramers_v,
-        "events_anova": q_events_anova,
-        "events_welch_t": q_events_welch_t,
-        "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
-        "events_trend_mk": q_events_trend_mk,
-        "events_kendall_tau": q_events_kendall_tau,
-        "doc_k_anonymity": q_doc_k_anonymity,
-        "events_time_to_convert": q_events_time_to_convert,
-        "events_rfm": q_events_rfm,
-        "events_cohort_ltv": q_events_cohort_ltv,
-        "events_bollinger": q_events_bollinger,
-        "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
-        "events_winsorized": q_events_winsorized,
-        "doc_balanced_downsample": q_doc_balanced_downsample,
-        "rel_weighted_median": q_rel_weighted_median,
-        "rel_abc_analysis": q_rel_abc_analysis,
-        "events_bounce_rate": q_events_bounce_rate,
-        "events_activation": q_events_activation,
-        # -- r10 window 30: new in r10 (the one new entry this round) --
-        "dedup_minhash_incremental": q_dedup_minhash_incremental,
-        "dedup_groups_incremental": q_dedup_groups_incremental,
-        "dedup_streaming_neardup": q_dedup_streaming_neardup,
-        # -- r10 window 31-50: stalest last-green-r5 block — refresh now --
-        "rel_shipping_priority": q_rel_shipping_priority,
-        "multimodal_features": q_multimodal_features,
-        "evaluation_metrics": q_evaluation_metrics,
-        "dedup_groups": q_dedup_groups,
-        "salted_join": q_salted_join,
-        "text_chunk_windows": q_text_chunk_windows,
-        "text_tfidf_topterms": q_text_tfidf_topterms,
-        "vec_quantize_int8": q_vec_quantize_int8,
-        "vec_mean_pool": q_vec_mean_pool,
-        "io_orc_roundtrip": q_io_orc_roundtrip,
-        "rel_pricing_summary": q_rel_pricing_summary,
-        "rel_nation_rollup": q_rel_nation_rollup,
-        "rel_window_running": q_rel_window_running,
-        "rel_rollup": q_rel_rollup,
-        "rel_pivot": q_rel_pivot,
-        "knn_exact": q_knn_exact,
-        "knn_window": q_knn_window,
-        "bm25_okapi": q_bm25_okapi,
-        # -- r11 queue: remaining last-green-r5 entries --
+        # -- r11 window 1: NEW in r11 --
+        "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
+        # -- r11 window 2-4: demoted from the r10 freshness check --
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
+        # -- r11 window 5-33: the final last-green-r5 block — retires the r5 tier --
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -7015,7 +6998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- last green r6 --
+        # -- r11 window 34-50: stalest last-green-r6 entries (⊙ excluded) --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -7031,9 +7014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
         "events_zscore_outliers": q_events_zscore_outliers,
-        "events_distinct_hll": q_events_distinct_hll,
         "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
+        # -- remaining last green r6 (below the window) --
+        "events_distinct_hll": q_events_distinct_hll,
         "events_window_topk": q_events_window_topk,
         "text_cdc_chunks": q_text_cdc_chunks,
         "events_asof_nearest": q_events_asof_nearest,
@@ -7168,7 +7152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        # -- last green r9 (the r9 driver window) — freshest, demoted last --
+        # -- last green r9 --
         "vec_pca": q_vec_pca,
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
@@ -7219,6 +7203,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
+        # -- last green r10 (the r10 driver window) — freshest, demoted last --
+        "events_scd2_incremental": q_events_scd2_incremental,
+        "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
+        "rel_entity_resolution": q_rel_entity_resolution,
+        "events_cuped": q_events_cuped,
+        "graph_ppr": q_graph_ppr,
+        "events_did": q_events_did,
+        "events_log_rank": q_events_log_rank,
+        "rel_incremental_join": q_rel_incremental_join,
+        "doc_neyman_allocation": q_doc_neyman_allocation,
+        "text_spearman": q_text_spearman,
+        "events_ks_test": q_events_ks_test,
+        "events_cramers_v": q_events_cramers_v,
+        "events_anova": q_events_anova,
+        "events_welch_t": q_events_welch_t,
+        "doc_quality_logreg_fairness": q_doc_quality_logreg_fairness,
+        "events_trend_mk": q_events_trend_mk,
+        "events_kendall_tau": q_events_kendall_tau,
+        "doc_k_anonymity": q_doc_k_anonymity,
+        "events_time_to_convert": q_events_time_to_convert,
+        "events_rfm": q_events_rfm,
+        "events_cohort_ltv": q_events_cohort_ltv,
+        "events_bollinger": q_events_bollinger,
+        "doc_quality_logreg_gains": q_doc_quality_logreg_gains,
+        "events_winsorized": q_events_winsorized,
+        "doc_balanced_downsample": q_doc_balanced_downsample,
+        "rel_weighted_median": q_rel_weighted_median,
+        "rel_abc_analysis": q_rel_abc_analysis,
+        "events_bounce_rate": q_events_bounce_rate,
+        "events_activation": q_events_activation,
+        "dedup_minhash_incremental": q_dedup_minhash_incremental,
+        "dedup_groups_incremental": q_dedup_groups_incremental,
+        "dedup_streaming_neardup": q_dedup_streaming_neardup,
+        "rel_shipping_priority": q_rel_shipping_priority,
+        "multimodal_features": q_multimodal_features,
+        "evaluation_metrics": q_evaluation_metrics,
+        "dedup_groups": q_dedup_groups,
+        "salted_join": q_salted_join,
+        "text_chunk_windows": q_text_chunk_windows,
+        "text_tfidf_topterms": q_text_tfidf_topterms,
+        "vec_quantize_int8": q_vec_quantize_int8,
+        "vec_mean_pool": q_vec_mean_pool,
+        "io_orc_roundtrip": q_io_orc_roundtrip,
+        "rel_pricing_summary": q_rel_pricing_summary,
+        "rel_nation_rollup": q_rel_nation_rollup,
+        "rel_window_running": q_rel_window_running,
+        "rel_rollup": q_rel_rollup,
+        "rel_pivot": q_rel_pivot,
+        "knn_exact": q_knn_exact,
+        "knn_window": q_knn_window,
+        "bm25_okapi": q_bm25_okapi,
     }
 
 # ---------------------------------------------------------------------------
@@ -10171,6 +10206,40 @@ def oracle_sql() -> dict[str, str]:
     s["dedup_semantic_pd"] = s["dedup_semantic"]
     # the salted block self-join is exact — same pairs oracle
     s["dedup_semantic_pairs_salted"] = s["dedup_semantic_pairs"]
+
+    # incremental IVF-PQ index add: the full-index rebuild RESTRICTED to
+    # batch rows (assignment is per-row deterministic, so fold-in ==
+    # rebuild on exactly those rows) — same md5 centroid matrix +
+    # quantized-argmax fragment as SemDeDup, same LCG codebook argmin as
+    # vec_pq_codes, but over the NORMALIZED vector (assignment and
+    # encoding must see the same input, and normalization keeps the
+    # ASSIGN_SCALE dots bounded)
+    _pq_codes_nv = "[" + ", ".join(
+        f"CAST(list_indexof({_pq_dists('nv', sub)}, "
+        f"list_min({_pq_dists('nv', sub)})) - 1 AS INT)"
+        for sub in range(PQ_M)
+    ) + "]"
+    s["knn_ivfpq_index_add"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id % 8 = 3),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        cents AS (SELECT * FROM (VALUES {_cents_sql}) AS c(cid, w)),
+        dots AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                 FROM n CROSS JOIN cents),
+        asg AS (SELECT vec_id, cid::INT AS cluster FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY floor(dot * 1e12 + 0.5)
+                                                        DESC,
+                                                      cid) AS rn
+                   FROM dots)
+                WHERE rn = 1),
+        c AS (SELECT vec_id, {_pq_codes_nv} AS codes FROM n)
+        SELECT a.vec_id, a.cluster, CAST(sub - 1 AS INT) AS sub,
+               codes[sub] AS code
+        FROM asg a JOIN c USING (vec_id),
+             unnest(generate_series(1, {PQ_M})) AS t(sub)
+    """
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio
     s["text_bigram_lm"] = f"""

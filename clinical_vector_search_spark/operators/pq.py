@@ -387,43 +387,20 @@ def knn_ivfpq(
     import numpy as np
 
     from clinical_vector_search_spark.operators.knn import (
-        ASSIGN_SCALE,
         _centroid_dots,
         _centroid_matrix,
         _top_probes,
     )
 
     cents = centroids or _centroid_matrix(dim, n_centroids)
-    # one corpus pass: coarse cell + PQ codes (numpy kernel)
     B = np.array(books, dtype="float64")
     m, _ksub, dsub = B.shape
     C = np.array(cents, dtype="float64")
 
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.array(pdf[doc_vec].tolist(), dtype="float64")
-            # quantize-before-argmax (ASSIGN_SCALE) — same rule as knn_ivf
-            cluster = np.argmax(
-                np.floor(mat @ C.T * ASSIGN_SCALE + 0.5), axis=1
-            )
-            enc = mat - C[cluster] if residual else mat
-            segs = enc.reshape(len(mat), m, dsub)
-            codes = np.empty((len(mat), m), dtype="int32")
-            for sub in range(m):
-                d2 = _sumsq_lr(segs[:, sub, :, None] - B[sub].T[None], 1)
-                codes[:, sub] = np.argmin(d2, axis=1)
-            yield pd.DataFrame(
-                {
-                    doc_id: pdf[doc_id],
-                    "cluster": cluster.astype("int32"),
-                    "codes": list(codes),
-                }
-            )
-
-    index = docs.select(doc_id, doc_vec).mapInPandas(
-        encode, f"{doc_id} long, cluster int, codes array<int>"
+    # one corpus pass: coarse cell + PQ codes (numpy kernel) — the same
+    # encoder the incremental index-add path runs per batch
+    index = ivfpq_encode_pd(
+        docs, dim, books, cents, n_centroids, doc_id, doc_vec, residual
     )
 
     # query side: probe top-n_probe coarse cells (expression path — tiny;
@@ -513,6 +490,167 @@ def residual_vectors(
     return docs.select(id_col, vec_col).mapInPandas(
         fn, f"{id_col} long, {out_col} array<double>"
     )
+
+
+def ivfpq_encode_pd(
+    docs: DataFrame,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """(id, cluster, codes) for every row — the IVF-PQ index build pass
+    (coarse argmax-dot cell + per-subspace PQ argmin codes), factored
+    out of :func:`knn_ivfpq` so the incremental index-add path runs the
+    EXACT kernel a full rebuild would: assignment is quantize-before-
+    argmax (``knn.ASSIGN_SCALE``, first-max ties) and codes are
+    first-min argmin, both matching the expression twin
+    :func:`ivfpq_encode` and the SQL oracle bit-for-bit. Arrow-batched
+    NumPy — the throughput path. ``residual=True`` encodes x − centroid
+    (FAISS IVFADC; see the :func:`knn_ivfpq` caveats on codebook
+    training)."""
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.knn import (
+        ASSIGN_SCALE,
+        _centroid_matrix,
+    )
+
+    B = np.array(books, dtype="float64")
+    m, _ksub, dsub = B.shape
+    C = np.array(
+        centroids or _centroid_matrix(dim, n_centroids), dtype="float64"
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.array(pdf[vec_col].tolist(), dtype="float64")
+            # quantize-before-argmax (ASSIGN_SCALE) — same rule as knn_ivf
+            cluster = np.argmax(
+                np.floor(mat @ C.T * ASSIGN_SCALE + 0.5), axis=1
+            )
+            enc = mat - C[cluster] if residual else mat
+            segs = enc.reshape(len(mat), m, dsub)
+            codes = np.empty((len(mat), m), dtype="int32")
+            for sub in range(m):
+                d2 = _sumsq_lr(segs[:, sub, :, None] - B[sub].T[None], 1)
+                codes[:, sub] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster": cluster.astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return docs.select(id_col, vec_col).mapInPandas(
+        encode, f"{id_col} long, cluster int, codes array<int>"
+    )
+
+
+def ivfpq_encode(
+    docs: DataFrame,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> DataFrame:
+    """Expression twin of :func:`ivfpq_encode_pd` — pure built-in
+    expressions (whole-stage codegen, zero Python workers, zero joins,
+    zero shuffle: the plan is one Project over the scan, with the
+    centroids and the probed codebook slices as literals). This is the
+    shape the incremental add needs at 100 TB: a daily batch folds into
+    a persisted trained index entirely map-side. Identical output to
+    the numpy twin (parity in tests/test_pq.py). Caller-passed
+    ``centroids`` must keep dots bounded (normalize) — the
+    ``ASSIGN_SCALE`` precondition in operators/knn.py."""
+    from clinical_vector_search_spark.operators.knn import (
+        _centroid_assign,
+        _centroid_dots,
+        _centroid_matrix,
+    )
+
+    cents = centroids or _centroid_matrix(dim, n_centroids)
+    out = docs.select(id_col, vec_col).withColumn(
+        "cluster", _centroid_assign(_centroid_dots(vec_col, dim, len(cents), cents))
+    )
+    enc_col = vec_col
+    if residual:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(w)) for w in row]) for row in cents]
+        )
+        out = out.withColumn(
+            "_enc",
+            F.zip_with(
+                F.col(vec_col),
+                F.element_at(cent_arr, F.col("cluster") + 1),
+                lambda x, w: x.cast("double") - w,
+            ),
+        )
+        enc_col = "_enc"
+    code_cols = []
+    for sub in range(len(books)):
+        dists = _subspace_dists(enc_col, books, sub)
+        code_cols.append(
+            (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+        )
+    return out.select(
+        F.col(id_col), F.col("cluster"), F.array(*code_cols).alias("codes")
+    )
+
+
+def read_ivfpq_index(spark, path: str) -> DataFrame:
+    """Read an :func:`ivfpq_index_add`-maintained codes directory — one
+    plain ``batch-{id}`` subdirectory per ingested batch (the
+    idempotent-retry layout), so listing must be recursive; tolerates
+    the mixed layout after ``io.tables.compact_parquet(recursive=True)``."""
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+
+
+def ivfpq_index_add(
+    spark,
+    new_vecs: DataFrame,
+    batch_id: int,
+    index_path: str,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+) -> None:
+    """Incremental IVF-PQ index maintenance — FAISS ``IndexIVFPQ.add``
+    re-expressed for a codes table: fold a batch of new vectors into a
+    PERSISTED trained index (assign to the existing coarse centroids,
+    PQ-encode against the existing codebooks, append the (id, cluster,
+    codes) rows) WITHOUT retraining and without touching the corpus —
+    the serving-side twin of ``dedup.minhash_pairs_incremental``; cost
+    ∝ batch, the index is never rescanned or shuffled (assignment is a
+    pure per-row function of the trained state, which ships as plan
+    literals).
+
+    The sink is idempotent under at-least-once retries exactly like
+    ``dedup.ingest_neardup_batch``: each batch OVERWRITES its own
+    ``batch-{id}`` subdirectory, so re-running a (batch, batch_id) pair
+    leaves the index bit-identical. Read back with
+    :func:`read_ivfpq_index`; compact with
+    ``io.tables.compact_parquet(recursive=True)`` on the usual cadence.
+    Deterministic end-to-end (``ASSIGN_SCALE`` quantized argmax,
+    first-min codes), so the oracle contract is the full-index rebuild
+    restricted to batch rows."""
+    enc = ivfpq_encode(
+        new_vecs, dim, books, centroids, n_centroids, id_col, vec_col, residual
+    )
+    enc.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id}")
 
 
 def knn_pq_refine(

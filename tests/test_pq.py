@@ -439,3 +439,79 @@ def test_residual_training_matches_residual_encoding(spark, sf_dir):
         q_mse(res_books),
         q_mse(raw_books),
     )
+
+
+def test_ivfpq_encode_expr_pd_parity(spark, sf_dir):
+    """The factored index-build kernel: expression path (the map-side
+    incremental-add shape) and numpy path (the knn_ivfpq corpus pass)
+    must emit identical (cluster, codes) rows — raw AND residual."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_encode_pd,
+    )
+
+    books, emb = _books_and_vecs(spark, sf_dir)
+    v = emb.select("vec_id", V.l2_normalize("embedding").alias("embedding"))
+    for residual in (False, True):
+        a = {
+            (r.vec_id, r.cluster, tuple(r.codes))
+            for r in ivfpq_encode(
+                v, 64, books, n_centroids=8, residual=residual
+            ).collect()
+        }
+        b = {
+            (r.vec_id, r.cluster, tuple(r.codes))
+            for r in ivfpq_encode_pd(
+                v, 64, books, n_centroids=8, residual=residual
+            ).collect()
+        }
+        assert a == b and a, f"residual={residual}"
+
+
+def test_ivfpq_index_add_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_path):
+    """FAISS IndexIVFPQ.add semantics: the index is TRAINED once (on the
+    corpus only — centroids + codebooks), then a new batch folds in
+    without retraining. The fold-in must be bit-identical to a full
+    rebuild with the same trained state restricted to batch rows, the
+    persisted index after add must equal the full rebuild, and retrying
+    a (batch, batch_id) write — foreachBatch at-least-once — must leave
+    the index bit-identical."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        pq_codebooks_trained,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).cache()
+    corpus = v.filter(F.col("vec_id") < 350)
+    batch = v.filter(F.col("vec_id") >= 350)
+    # trained state comes from the CORPUS ONLY — the batch never retrains
+    cents = kmeans_centroids(corpus, 64, n_centroids=4)
+    books = pq_codebooks_trained(corpus, 64, 8, 16, n_iter=2)
+    idx = str(tmp_path / "ivfpq_index")
+
+    ivfpq_index_add(spark, corpus, 0, idx, 64, books, centroids=cents)
+    ivfpq_index_add(spark, batch, 1, idx, 64, books, centroids=cents)
+
+    def snap():
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes))
+            for r in read_ivfpq_index(spark, idx).collect()
+        )
+
+    got = snap()
+    rebuild = sorted(
+        (r.vec_id, r.cluster, tuple(r.codes))
+        for r in ivfpq_encode_pd(v, 64, books, centroids=cents).collect()
+    )
+    assert got == rebuild and got
+    # at-least-once retry of the batch write: bit-identical index
+    ivfpq_index_add(spark, batch, 1, idx, 64, books, centroids=cents)
+    assert snap() == got
+    v.unpersist()

@@ -1061,6 +1061,23 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") == 0,
     )
 
+    # 53b. incremental IVF-PQ index add: folding a batch into a persisted
+    # trained index must be ENTIRELY map-side — the trained state
+    # (centroids + codebook slices) ships as plan literals, so the plan
+    # is a Project over the batch scan: zero joins of any strategy, zero
+    # Exchange (no shuffle, no broadcast build), zero Python workers
+    # (pure whole-stage-codegen expressions) — no corpus rescan path
+    # can exist in a plan that never reads a second input
+    plan = formatted(E.q_knn_ivfpq_index_add(spark, SF_DIR))
+    check(
+        "ivfpq_index_add: single-scan map-side fold-in, no exchange/join/python",
+        n_any_join(plan) == 0
+        and n_nodes(plan, "Exchange") == 0
+        and "ArrowEvalPython" not in plan
+        and "MapInPandas" not in plan
+        and n_nodes(plan, "Scan parquet") == 1,
+    )
+
     # 53. NO shrinking window frames anywhere: a frame ending at
     # unboundedFollowing whose lower bound is not unboundedPreceding
     # hits Spark's UnboundedFollowingWindowFunctionFrame, which
