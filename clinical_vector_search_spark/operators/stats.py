@@ -387,6 +387,7 @@ def woe_iv(
     label_col,
     id_col: str,
     n_bins: int = 10,
+    approx: bool = False,
 ) -> DataFrame:
     """Weight-of-evidence / information-value of a numeric feature vs a
     binary label over ntile bins. The ntile runs over the TOTAL order
@@ -396,15 +397,36 @@ def woe_iv(
     (good_i/G − bad_i/B)·WOE_i. Laplace +0.5 on both counts guards
     empty cells. Rounded to 6dp.
 
-    Scale shape: one global sort for the ntile (at 100 TB, swap for
-    fixed quantile boundaries from approx_percentile — same downstream
-    algebra); then an n_bins-row agg.
+    Scale shape: one global sort for the ntile; at fact scale pass
+    ``approx=True`` — fixed GK-sketch quantile boundaries from
+    ``percentile_approx`` (one 1-row aggregate, boundaries broadcast,
+    bin id an O(n_bins) map-side fold — no global sort), same
+    downstream algebra; then an n_bins-row agg. Approx bins are
+    equi-depth up to sketch error and boundary-tie allocation (ntile
+    splits tied values across bins by id; fixed boundaries keep a tied
+    value in one bin), so WOE/IV differ only by those edge rows —
+    asserted close on the events table in tests/test_stats.py.
     """
-    w = Window.orderBy(F.col(feature_col), F.col(id_col))
-    binned = df.select(
-        F.ntile(n_bins).over(w).alias("bin"),
-        label_col.cast("int").alias("good"),
-    )
+    if approx:
+        qs = [i / n_bins for i in range(1, n_bins)]
+        bounds = df.agg(
+            F.percentile_approx(feature_col, qs).alias("_bounds")
+        )
+        binned = df.crossJoin(F.broadcast(bounds)).select(
+            F.aggregate(
+                "_bounds",
+                F.lit(1),
+                lambda acc, b: acc
+                + F.when(F.col(feature_col) > b, 1).otherwise(0),
+            ).alias("bin"),
+            label_col.cast("int").alias("good"),
+        )
+    else:
+        w = Window.orderBy(F.col(feature_col), F.col(id_col))
+        binned = df.select(
+            F.ntile(n_bins).over(w).alias("bin"),
+            label_col.cast("int").alias("good"),
+        )
     per_bin = binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("good").alias("goods"),
@@ -907,6 +929,7 @@ def spearman_corr(
     x_col,
     y_col,
     precision: int = 6,
+    bins: int | None = None,
 ) -> DataFrame:
     """Spearman rank correlation: Pearson correlation of AVERAGE ranks
     (the tie-correct definition — the rank-based complement of
@@ -925,6 +948,20 @@ def spearman_corr(
     prefix_count(v) + (ties+1)/2, bit-identical to min-rank +
     (ties−1)/2 (exact integers plus an exact .5 step); only the final
     correlation is float (``precision`` dp).
+
+    PRECONDITION (``bins=None``, the exact path): the distinct frame is
+    still ONE ordered task, so per-column distinct cardinality must fit
+    a single task's sort — fine up to ~millions of distinct values
+    (pinned in tests/test_stats_ext.py). For fact-scale NEAR-UNIQUE
+    doubles pass ``bins=K``: each column is first quantized to its own
+    K GK-sketch percentile buckets (``percentile_approx`` — one 1-row
+    aggregate per column, boundaries broadcast as a literal-sized
+    array, bin id an O(K) map-side fold), bounding the distinct frame
+    at K while the downstream average-rank + Pearson machinery is
+    UNCHANGED. Binned rho is an approximation (within-bin ties); with
+    equi-depth buckets the binned rank is a monotone coarsening of the
+    exact rank, so rho_binned → rho as K grows (error ~1/K; asserted
+    within 0.05 of exact at K=64 on the events table).
     Emits one row: (n, rho).
     """
     x = x_col if not isinstance(x_col, str) else F.col(x_col)
@@ -932,6 +969,25 @@ def spearman_corr(
     base = df.select(x.alias("_x"), y.alias("_y")).where(
         F.col("_x").isNotNull() & F.col("_y").isNotNull()
     )
+    if bins is not None:
+        qs = [i / bins for i in range(1, bins)]
+        for c in ("_x", "_y"):
+            bounds = base.agg(
+                F.percentile_approx(c, qs).alias("_bounds")
+            )
+            base = (
+                base.crossJoin(F.broadcast(bounds))
+                .withColumn(
+                    c,
+                    F.aggregate(
+                        "_bounds",
+                        F.lit(0),
+                        lambda acc, b: acc
+                        + F.when(F.col(c) > b, 1).otherwise(0),
+                    ),
+                )
+                .drop("_bounds")
+            )
 
     def rank_map(c: str, out: str) -> DataFrame:
         by_val = base.groupBy(c).agg(F.count(F.lit(1)).alias("_n_v"))

@@ -169,6 +169,34 @@ def test_woe_iv_reference(spark):
         )
 
 
+def test_woe_iv_approx_bins_match_ntile(spark):
+    """approx=True swaps the global ntile sort for broadcast GK-sketch
+    boundaries (the fact-scale path): on distinct feature values the
+    equi-depth boundaries reproduce ntile's bins, so per-bin counts and
+    the total IV must match the exact path; bin ids stay 1..n_bins."""
+    rows = [
+        (str(i), float(i) + (i * 37 % 13) / 100.0, int(i * 7 % 10 < 4))
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "id string, feat double, label int")
+    exact = {
+        r["bin"]: r
+        for r in woe_iv(df, "feat", F.col("label"), "id", n_bins=8).collect()
+    }
+    got = {
+        r["bin"]: r
+        for r in woe_iv(
+            df, "feat", F.col("label"), "id", n_bins=8, approx=True
+        ).collect()
+    }
+    assert set(got) == set(exact) == set(range(1, 9))
+    iv_exact = sum(r["iv_contrib"] for r in exact.values())
+    iv_got = sum(r["iv_contrib"] for r in got.values())
+    assert abs(iv_got - iv_exact) < 0.02
+    # bins stay equi-depth up to sketch error
+    assert all(abs(r["n"] - 50) <= 2 for r in got.values())
+
+
 def test_mann_whitney_matches_numpy_reference(spark):
     a = [1.0, 2.0, 3.0, 3.0, 5.0]
     b = [2.0, 3.0, 4.0, 6.0]
@@ -426,6 +454,56 @@ def test_spearman_matches_scipy_free_reference(spark):
     assert spearman_corr(mono, "x", "y").collect()[0]["rho"] == pytest.approx(
         1.0
     )
+
+
+def test_spearman_binned_converges_to_exact(spark):
+    """The fact-scale path: bins=K quantizes each column to its own
+    GK-sketch equi-depth buckets (bounded distinct frame) before the
+    UNCHANGED rank/Pearson machinery. The binned rank is a monotone
+    coarsening of the exact rank, so rho_binned must approach exact as
+    K grows, hit it exactly when K exceeds the distinct cardinality,
+    and preserve rho = 1 on monotone data at ANY K."""
+    from clinical_vector_search_spark.operators.stats import spearman_corr
+
+    # near-unique doubles — the regime the exact path's single-task
+    # distinct frame precondition is about
+    n = 4000
+    rows = [
+        (float(i) + (i * 2654435761 % 97) / 1000.0,
+         float(i * i % 2999) + (i * 40503 % 89) / 1000.0)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "x double, y double").repartition(8)
+    exact = spearman_corr(df, "x", "y").collect()[0]
+    err64 = abs(
+        spearman_corr(df, "x", "y", bins=64).collect()[0]["rho"]
+        - exact["rho"]
+    )
+    err256 = abs(
+        spearman_corr(df, "x", "y", bins=256).collect()[0]["rho"]
+        - exact["rho"]
+    )
+    assert err64 < 0.05 and err256 < 0.02 and err256 <= err64 + 1e-9
+    # n preserved (binning relabels, never drops)
+    assert (
+        spearman_corr(df, "x", "y", bins=64).collect()[0]["n"] == exact["n"]
+    )
+    # monotone data stays exactly 1 under any binning
+    mono = spark.createDataFrame(
+        [(float(i), float(i) * 3.0 + 1.0) for i in range(500)],
+        "x double, y double",
+    )
+    assert spearman_corr(mono, "x", "y", bins=16).collect()[0][
+        "rho"
+    ] == pytest.approx(1.0)
+    # K above the distinct cardinality reproduces the exact rho
+    small = spark.createDataFrame(
+        [(float(i % 7), float((i * 5) % 11)) for i in range(200)],
+        "x double, y double",
+    )
+    assert spearman_corr(small, "x", "y", bins=64).collect()[0][
+        "rho"
+    ] == spearman_corr(small, "x", "y").collect()[0]["rho"]
 
 
 def test_ks_two_sample_hand_computed(spark):

@@ -345,6 +345,80 @@ def main() -> None:
         f"{out['scd2_full_merge_10x_sec']}s)"
     )
 
+    # --- incremental near-dup maintenance (r11) -------------------------
+    # Claim under test (VERDICT r10 task 5): minhash_pairs_incremental
+    # cost is ∝ BATCH size, not corpus-index size. A FIXED ~600-doc
+    # batch probes a persisted band index grown 10x — extra replicas get
+    # DISJOINT buckets (md5 suffix) and shifted ids, so the batch's true
+    # match set is IDENTICAL at both scales: the probe isolates
+    # maintenance cost vs index size, not output size. Contrast: the
+    # one-shot bucket self-join (the minhash_candidate_pairs tail)
+    # re-derives old×old every run and must grow with the corpus.
+    from clinical_vector_search_spark.operators.dedup import (
+        _incremental_pairs_from_buckets,
+        minhash_band_buckets,
+        minhash_signatures,
+    )
+
+    batch_docs = docs1.filter(F.col("doc_id") % 10 == 7).localCheckpoint()
+    corpus_docs = docs1.filter(F.col("doc_id") % 10 != 7)
+    out["neardup_batch_docs"] = batch_docs.count()
+    idx1 = minhash_band_buckets(
+        minhash_signatures(corpus_docs, 8, 3), 2
+    ).localCheckpoint()
+    idx10 = reduce(
+        DataFrame.unionByName,
+        [idx1]
+        + [
+            idx1.select(
+                (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                "band",
+                F.concat(F.col("bucket"), F.lit(f"-{i}")).alias("bucket"),
+            )
+            for i in range(1, 10)
+        ],
+    ).localCheckpoint()
+    out["neardup_index_rows_1x"] = idx1.count()
+    out["neardup_index_rows_10x"] = idx10.count()
+    nb = minhash_band_buckets(
+        minhash_signatures(batch_docs, 8, 3), 2
+    ).localCheckpoint()
+    out["neardup_incr_1x_sec"] = timed2(
+        lambda: _incremental_pairs_from_buckets(nb, idx1, materialized=True)
+    )
+    out["neardup_incr_10x_sec"] = timed2(
+        lambda: _incremental_pairs_from_buckets(nb, idx10, materialized=True)
+    )
+    # sanity: identical emitted pair set at both scales (disjoint-bucket
+    # replicas add zero true matches)
+    out["neardup_pairs_1x"] = _incremental_pairs_from_buckets(
+        nb, idx1, materialized=True
+    ).count()
+    out["neardup_pairs_10x"] = _incremental_pairs_from_buckets(
+        nb, idx10, materialized=True
+    ).count()
+
+    def full_pairs(idx):
+        allb = idx.unionByName(nb)
+        a = allb.select("band", "bucket", F.col("doc_id").alias("a_id"))
+        b = allb.select("band", "bucket", F.col("doc_id").alias("b_id"))
+        return (
+            a.join(b, ["band", "bucket"])
+            .filter(F.col("a_id") < F.col("b_id"))
+            .select("a_id", "b_id")
+            .distinct()
+        )
+
+    out["neardup_full_1x_sec"] = timed2(lambda: full_pairs(idx1))
+    out["neardup_full_10x_sec"] = timed2(lambda: full_pairs(idx10))
+    log(
+        f"neardup incremental: 1x {out['neardup_incr_1x_sec']}s -> 10x "
+        f"{out['neardup_incr_10x_sec']}s (pairs "
+        f"{out['neardup_pairs_1x']}=={out['neardup_pairs_10x']}); "
+        f"full self-join {out['neardup_full_1x_sec']}s -> "
+        f"{out['neardup_full_10x_sec']}s"
+    )
+
     # --- skyline local prefilter (r10) ---------------------------------
     # Claim under test (VERDICT r9 task 4): local_prefilter=True reduces
     # the unpartitioned RANGE-window sort from N rows to ~the local-
