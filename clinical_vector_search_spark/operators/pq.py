@@ -384,6 +384,46 @@ def knn_ivfpq(
     |dot| ≲ 1e3 (normalize) — see the ``ASSIGN_SCALE`` precondition
     note in operators/knn.py. Returns (query_id, rank, doc_id,
     adc_dist)."""
+    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+
+    cents = centroids or _centroid_matrix(dim, n_centroids)
+
+    # one corpus pass: coarse cell + PQ codes (numpy kernel) — the same
+    # encoder the incremental index-add path runs per batch
+    index = ivfpq_encode_pd(
+        docs, dim, books, cents, n_centroids, doc_id, doc_vec, residual
+    )
+    return knn_ivfpq_codes(
+        queries, index, k, dim, books, cents, n_centroids,
+        query_id, query_vec, doc_id, n_probe, residual,
+    )
+
+
+def knn_ivfpq_codes(
+    queries: DataFrame,
+    index: DataFrame,
+    k: int,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    n_probe: int = 4,
+    residual: bool = False,
+) -> DataFrame:
+    """IVF-PQ ADC search over a PREBUILT (id, cluster, codes) index —
+    the serving half of the incremental maintenance loop: build with
+    :func:`ivfpq_encode_pd` (or fold batches in with
+    :func:`ivfpq_index_add` and read back with
+    :func:`read_ivfpq_index`), then query HERE without ever
+    re-encoding the corpus. At 100 TB this is the whole point of the
+    codes table: the raw vectors are cold storage, the ~128×-smaller
+    codes (clustered by coarse cell) are what queries touch. Same
+    probing/scoring as :func:`knn_ivfpq` (which now composes encode +
+    this); ``centroids``/``books``/``residual`` must match the state
+    the index was encoded with."""
     import numpy as np
 
     from clinical_vector_search_spark.operators.knn import (
@@ -397,16 +437,10 @@ def knn_ivfpq(
     m, _ksub, dsub = B.shape
     C = np.array(cents, dtype="float64")
 
-    # one corpus pass: coarse cell + PQ codes (numpy kernel) — the same
-    # encoder the incremental index-add path runs per batch
-    index = ivfpq_encode_pd(
-        docs, dim, books, cents, n_centroids, doc_id, doc_vec, residual
-    )
-
     # query side: probe top-n_probe coarse cells (expression path — tiny;
     # rounded dots, ties → smallest index — same rule as knn_ivf)
-    q_dots = _centroid_dots(query_vec, dim, n_centroids, cents)
-    probes = _top_probes(q_dots, n_centroids, n_probe)
+    q_dots = _centroid_dots(query_vec, dim, len(cents), cents)
+    probes = _top_probes(q_dots, len(cents), n_probe)
     q = queries.withColumn("cluster", F.explode(probes)).select(
         query_id, query_vec, "cluster"
     )

@@ -514,4 +514,26 @@ def test_ivfpq_index_add_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_pa
     # at-least-once retry of the batch write: bit-identical index
     ivfpq_index_add(spark, batch, 1, idx, 64, books, centroids=cents)
     assert snap() == got
+    # serving composition: ADC search over the incrementally-built codes
+    # table (no re-encode) equals knn_ivfpq over the raw corpus+batch
+    from clinical_vector_search_spark.operators.pq import (
+        knn_ivfpq,
+        knn_ivfpq_codes,
+    )
+
+    q = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    served = knn_ivfpq_codes(
+        q, read_ivfpq_index(spark, idx), 10, 64, books,
+        centroids=cents, n_probe=2, doc_id="vec_id",
+    )
+    direct = knn_ivfpq(
+        q, v.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        10, 64, books, centroids=cents, n_centroids=4, n_probe=2,
+    )
+    srv = sorted((r.query_id, r.rank, r.vec_id) for r in served.collect())
+    drt = sorted((r.query_id, r.rank, r.doc_id) for r in direct.collect())
+    assert srv == drt and srv
     v.unpersist()
