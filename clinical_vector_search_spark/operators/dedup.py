@@ -334,7 +334,25 @@ def ingest_neardup_batch(
         corpus = read_neardup_output(spark, index_path).select(
             id_col, "band", "bucket"
         )
-    except AnalysisException:  # first batch: no index yet
+    except AnalysisException as e:
+        # ONLY genuine absence reads as "first batch" — any other
+        # analysis error (schema corruption, bad column set, access
+        # problems surfaced as AnalysisException) must propagate, or an
+        # empty-corpus substitute silently drops every new×old pair of
+        # this batch — the exact failure mode this try-read replaced
+        # os.walk to eliminate
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            f = getattr(e, attr, None)
+            if f is not None:
+                try:
+                    cond = f()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+            raise
         corpus = spark.createDataFrame([], nb.schema)
     pairs = _incremental_pairs_from_buckets(
         nb, corpus, id_col, materialized=True

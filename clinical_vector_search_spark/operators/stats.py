@@ -409,12 +409,15 @@ def woe_iv(
     """
     if approx:
         qs = [i / n_bins for i in range(1, n_bins)]
+        bcol = "_bounds"  # collision-proof internal name
+        while bcol in df.columns:
+            bcol += "_"
         bounds = df.agg(
-            F.percentile_approx(feature_col, qs).alias("_bounds")
+            F.percentile_approx(feature_col, qs).alias(bcol)
         )
         binned = df.crossJoin(F.broadcast(bounds)).select(
             F.aggregate(
-                "_bounds",
+                bcol,
                 F.lit(1),
                 lambda acc, b: acc
                 + F.when(F.col(feature_col) > b, 1).otherwise(0),
@@ -952,7 +955,8 @@ def spearman_corr(
     PRECONDITION (``bins=None``, the exact path): the distinct frame is
     still ONE ordered task, so per-column distinct cardinality must fit
     a single task's sort — fine up to ~millions of distinct values
-    (pinned in tests/test_stats_ext.py). For fact-scale NEAR-UNIQUE
+    (the binned escape hatch is exercised against the exact path in
+    tests/test_stats.py). For fact-scale NEAR-UNIQUE
     doubles pass ``bins=K``: each column is first quantized to its own
     K GK-sketch percentile buckets (``percentile_approx`` — one 1-row
     aggregate per column, boundaries broadcast as a literal-sized
@@ -971,23 +975,31 @@ def spearman_corr(
     )
     if bins is not None:
         qs = [i / bins for i in range(1, bins)]
-        for c in ("_x", "_y"):
-            bounds = base.agg(
-                F.percentile_approx(c, qs).alias("_bounds")
+        # BOTH columns' boundaries in one 1-row agg (one job, not two)
+        bounds = base.agg(
+            F.percentile_approx("_x", qs).alias("_bx"),
+            F.percentile_approx("_y", qs).alias("_by"),
+        )
+
+        def to_bin(c: str, bcol) -> F.Column:
+            return F.aggregate(
+                bcol,
+                F.lit(0),
+                lambda acc, b: acc + F.when(F.col(c) > b, 1).otherwise(0),
             )
-            base = (
-                base.crossJoin(F.broadcast(bounds))
-                .withColumn(
-                    c,
-                    F.aggregate(
-                        "_bounds",
-                        F.lit(0),
-                        lambda acc, b: acc
-                        + F.when(F.col(c) > b, 1).otherwise(0),
-                    ),
-                )
-                .drop("_bounds")
+
+        # materialized ONCE: the O(bins) fold would otherwise re-run per
+        # downstream consumer (two rank_map subtrees + the join-back all
+        # root at this frame — the re-derived-per-consumer trap the r10
+        # incremental-dedup fix measured at 6x)
+        base = (
+            base.crossJoin(F.broadcast(bounds))
+            .select(
+                to_bin("_x", F.col("_bx")).alias("_x"),
+                to_bin("_y", F.col("_by")).alias("_y"),
             )
+            .localCheckpoint()
+        )
 
     def rank_map(c: str, out: str) -> DataFrame:
         by_val = base.groupBy(c).agg(F.count(F.lit(1)).alias("_n_v"))
