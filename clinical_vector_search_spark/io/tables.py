@@ -124,6 +124,10 @@ def upsert_vector_index(
     re-embedding a changed doc replaces its old vector. Completes the
     "index = data" lifecycle (build → query → INCREMENT) without a full
     rebuild: one scan of the old index + the delta, one shuffle on id.
+    (The COMPRESSED-index twin is ``operators.pq.ivfpq_index_add`` —
+    append-only FAISS ``add`` semantics over a trained (cluster, codes)
+    table, zero corpus scan; this latest-wins merge is the raw-vector
+    path where id collisions must replace.)
 
     At 100 TB you'd land deltas as date-partitioned files and compact on a
     schedule instead of rewriting — the merge plan (union → windowed
