@@ -1465,6 +1465,37 @@ def q_bm25_okapi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
 
 
+def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BM25 index maintenance (operators/bm25.py
+    bm25_index_add — the lexical member of the maintenance trilogy next
+    to dedup_minhash_incremental and knn_ivfpq_index_add): the corpus
+    arrives as 3 batches folded into a persisted index of ADDITIVE
+    sufficient statistics (immutable postings + per-batch df deltas +
+    exact-integer scalars; global idf/avgdl/epsilon-floor reconstructed
+    at read time at vocabulary granularity — old postings are never
+    rescanned or rewritten on ingest, cost ∝ batch). Scoring the
+    reconstructed view must equal the one-shot build bit-for-bit at
+    6dp, so the oracle is the bm25_okapi SQL verbatim. Idempotent
+    batch-id overwrite sinks; retry safety in tests/test_bm25.py."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index_add,
+        bm25_read_index,
+        bm25_score_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_bm25_incr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    for i in range(3):
+        bm25_index_add(spark, docs.filter(F.col("doc_id") % 3 == i), i, base)
+    scored = bm25_score_index(bm25_read_index(spark, base), docs, BM25_TERMS)
+    return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
 def _rank_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Two deterministic SQL-expressible rankings used by the metric tests:
     base = top-10 per lang by (n_chars desc, doc_id), other = by doc_id."""
@@ -6949,11 +6980,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r10 VERDICT's task 1 names this exact r11 order):
-    #   1. the entry NEW in r11 (incremental IVF-PQ index add) leads;
+    #   1. the 2 entries NEW in r11 (incremental IVF-PQ index add,
+    #      incremental BM25 index maintenance) lead;
     #   2. the 3 entries demoted from the r10 freshness check, then the
     #      29 remaining last-green-r5 entries — this RETIRES the r5
     #      tier: after r11 no entry's last driver row predates r6;
-    #   3. the 17 stalest last-green-r6 entries fill the window to 50
+    #   3. the 16 stalest last-green-r6 entries fill the window to 50
     #      (the 8 rows-only ⊙ entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -6962,13 +6994,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      freshest demoted last. Every entry below the window was
     #      green in its last driver round (r6-r10).
     return {
-        # -- r11 window 1: NEW in r11 --
+        # -- r11 window 1-2: NEW in r11 --
         "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
-        # -- r11 window 2-4: demoted from the r10 freshness check --
+        "bm25_incremental": q_bm25_incremental,
+        # -- r11 window 3-5: demoted from the r10 freshness check --
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
-        # -- r11 window 5-33: the final last-green-r5 block — retires the r5 tier --
+        # -- r11 window 6-34: the final last-green-r5 block — retires the r5 tier --
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -6998,7 +7031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- r11 window 34-50: stalest last-green-r6 entries (⊙ excluded) --
+        # -- r11 window 35-50: stalest last-green-r6 entries (⊙ excluded) --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -7015,8 +7048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_prep_pipeline": q_doc_prep_pipeline,
         "events_zscore_outliers": q_events_zscore_outliers,
         "doc_split_assign": q_doc_split_assign,
-        "rel_integrity_audit": q_rel_integrity_audit,
         # -- remaining last green r6 (below the window) --
+        "rel_integrity_audit": q_rel_integrity_audit,
         "events_distinct_hll": q_events_distinct_hll,
         "events_window_topk": q_events_window_topk,
         "text_cdc_chunks": q_text_cdc_chunks,
@@ -8272,6 +8305,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, round(coalesce(sc.bm25, 0.0), 6) AS bm25
         FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
     """
+    # incremental BM25 maintenance: folding the corpus in as batches of
+    # additive sufficient statistics must reproduce the one-shot build's
+    # scores bit-for-bit at 6dp — the oracle IS the one-shot SQL
+    s["bm25_incremental"] = s["bm25_okapi"]
 
     _ranks = """
         base AS (SELECT lang AS query_id, doc_id,

@@ -219,3 +219,117 @@ def bm25_topk_set_df(
         scores.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= topk)
     )
+
+
+def bm25_index_add(
+    spark,
+    new_docs: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental BM25 index maintenance — the lexical-retrieval member
+    of the maintenance trilogy next to ``dedup.minhash_pairs_incremental``
+    and ``pq.ivfpq_index_add``: fold a batch of NEW documents into a
+    persisted index with cost ∝ batch, never rescanning or rewriting old
+    postings. (The reference rebuilds its BM25 state from scratch per
+    query, pipeline.py:166-176; a per-ingest full rebuild repeats that
+    flaw at corpus scale.)
+
+    The persisted state is ADDITIVE SUFFICIENT STATISTICS, not the
+    scoring view — global stats (idf, avgdl, the rank_bm25 epsilon
+    floor) change with EVERY ingest, so baking them into posting rows
+    would force a corpus-wide rewrite per batch. Instead:
+
+      ``postings/batch-N``  (doc, term, tf, dl) — per-doc, immutable;
+      ``df/batch-N``        (term, df)          — the batch's term
+                            document-counts, additive because each doc
+                            arrives in exactly ONE batch (the
+                            append-only corpus contract, same as FAISS
+                            ``add``; updates go through a dedup/delete
+                            pass first);
+      ``scalars/batch-N``   (n_docs, sum_dl)    — one exact-integer row.
+
+    :func:`bm25_read_index` reconstructs the scoring view from these at
+    vocabulary granularity. Each batch OVERWRITES its own batch-id
+    subdirectories, so at-least-once retries leave the index
+    bit-identical (the ``ingest_neardup_batch`` discipline); compact
+    each subdirectory with ``io.tables.compact_parquet(recursive=True)``
+    on the usual cadence."""
+    toks = new_docs.select(
+        F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
+    ).localCheckpoint()  # consumed by postings, df and scalars
+    doclens = toks.select("doc", F.size("tokens").alias("dl"))
+    tf = (
+        toks.select("doc", F.explode("tokens").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    postings = tf.join(doclens, "doc")
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scalars = doclens.agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    postings.write.mode("overwrite").parquet(
+        f"{index_path}/postings/batch-{batch_id}"
+    )
+    dfreq.write.mode("overwrite").parquet(
+        f"{index_path}/df/batch-{batch_id}"
+    )
+    scalars.write.mode("overwrite").parquet(
+        f"{index_path}/scalars/batch-{batch_id}"
+    )
+
+
+def bm25_read_index(spark, index_path: str) -> DataFrame:
+    """Reconstruct the :func:`bm25_index`-shaped scoring view from an
+    :func:`bm25_index_add`-maintained directory: fold the per-batch df
+    deltas (one vocabulary-granularity sum) and scalar rows (a
+    batches-count-row sum — exact BIGINT moments, so avgdl is
+    bit-identical to the one-shot ``F.avg``: integer-valued doubles sum
+    exactly below 2^53), rebuild idf + the epsilon floor with the SAME
+    expressions as :func:`bm25_index`, and join onto the appended
+    postings. Same output schema (doc, term, tf, dl, idf, n_docs,
+    avgdl) — ``bm25_score_index`` / ``bm25_topk_set`` consume it
+    unchanged, so the scores equal a full one-shot rebuild (the oracle
+    contract of the ``bm25_incremental`` entry). Lazy; postings are
+    touched only by the downstream query-term join."""
+
+    def rec(sub: str) -> DataFrame:
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{index_path}/{sub}"
+        )
+
+    postings = rec("postings")
+    dfreq = rec("df").groupBy("term").agg(F.sum("df").alias("df"))
+    stats = (
+        rec("scalars")
+        .agg(
+            F.sum("n_docs").alias("_n"),
+            F.sum("sum_dl").alias("_sdl"),
+        )
+        .select(
+            F.col("_n").cast("double").alias("n_docs"),
+            (F.col("_sdl").cast("double") / F.col("_n").cast("double")).alias(
+                "avgdl"
+            ),
+        )
+    )
+    raw_idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn(
+        "raw_idf", raw_idf
+    )
+    avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
+    idf_tbl = idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
+        "idf",
+        F.when(
+            F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")
+        ).otherwise(F.col("raw_idf")),
+    )
+    return postings.join(
+        idf_tbl.select("term", "idf", "n_docs", "avgdl"), "term"
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from clinical_vector_search_spark.operators.bm25 import (
     bm25_index,
@@ -172,3 +173,49 @@ def test_query_expansion_broadens_retrieval(spark):
     only = {100 + i for i in range(5)}
     assert not (only & got_plain)
     assert only <= got_exp
+
+
+def test_bm25_incremental_index_matches_one_shot(spark, sf_dir, tmp_path):
+    """Folding the corpus in as 3 batches of additive sufficient
+    statistics reconstructs the one-shot bm25_index view value-for-value
+    (global idf/avgdl/epsilon floor rebuilt at read time), an
+    at-least-once retry of a batch leaves the index bit-identical, and a
+    LATER ingest shifts every global stat exactly as a full rebuild
+    would (the live-stats property a baked-idf index cannot have)."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_read_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 300)
+    )
+    first = docs.filter(F.col("doc_id") < 200)
+    later = docs.filter(F.col("doc_id") >= 200)
+    idx_path = str(tmp_path / "bm25_index")
+    for i in range(2):
+        bm25_index_add(
+            spark, first.filter(F.col("doc_id") % 2 == i), i, idx_path
+        )
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    got = snap(bm25_read_index(spark, idx_path))
+    assert got == snap(bm25_index(first)) and got
+    # at-least-once retry: bit-identical state
+    bm25_index_add(spark, first.filter(F.col("doc_id") % 2 == 1), 1, idx_path)
+    assert snap(bm25_read_index(spark, idx_path)) == got
+    # later ingest: stats refresh exactly like a full rebuild over the
+    # grown corpus (n_docs/avgdl/idf all move)
+    bm25_index_add(spark, later, 2, idx_path)
+    assert snap(bm25_read_index(spark, idx_path)) == snap(bm25_index(docs))
