@@ -1306,6 +1306,59 @@ def test_no_shrinking_window_frames_in_source():
     assert not bad, "shrinking window frame(s) — O(n²) per task:\n" + "\n".join(bad)
 
 
+def test_unpartitioned_windows_are_allowlisted():
+    """Companion to the shrinking-frame lint: every UNPARTITIONED window
+    (``Window.orderBy`` with no ``partitionBy``) funnels its whole input
+    through ONE task, so each site must operate at a provably bounded
+    granularity. This pins the inventory — a new unpartitioned window
+    fails here until its boundedness is argued and the site is added.
+
+    Current inventory and why each is bounded:
+      textrank_keywords — vocabulary-granularity pagerank scores;
+      logreg_auc        — distinct-score granularity counts;
+      kaplan_meier / log_rank_test — distinct event times;
+      mann_whitney_u / ks_two_sample — round-to-precision value bins;
+      spearman_corr     — distinct values (bins=K caps it; the exact
+                          path's cardinality precondition is in its
+                          docstring);
+      woe_iv            — exact path's total-order ntile (the
+                          documented approx=True escape hatch removes
+                          it);
+      skyline_2d        — distinct-x group maxima."""
+    import pathlib
+    import re
+
+    allow = {
+        ("operators/graph.py", "textrank_keywords"),
+        ("operators/logreg.py", "logreg_auc"),
+        ("operators/skyline.py", "skyline_2d"),
+        ("operators/stats.py", "kaplan_meier"),
+        ("operators/stats.py", "woe_iv"),
+        ("operators/stats.py", "mann_whitney_u"),
+        ("operators/stats.py", "log_rank_test"),
+        ("operators/stats.py", "spearman_corr"),
+        ("operators/stats.py", "ks_two_sample"),
+    }
+    root = pathlib.Path(__file__).resolve().parents[1]
+    pkg = root / "clinical_vector_search_spark"
+    found = set()
+    for src in sorted(pkg.rglob("*.py")):
+        fn = None
+        for line in src.read_text().splitlines():
+            m = re.match(r"def (\w+)", line)
+            if m:
+                fn = m.group(1)
+            if "Window.orderBy" in line:
+                found.add((str(src.relative_to(pkg)), fn))
+    new = found - allow
+    gone = allow - found
+    assert not new, (
+        "NEW unpartitioned window(s) — one-task global sort; prove the "
+        f"frame is bounded and allowlist: {sorted(new)}"
+    )
+    assert not gone, f"stale allowlist entries, remove: {sorted(gone)}"
+
+
 def test_python_streamsource_batches_and_parity(spark):
     # the streaming python source must deliver the batch source's exact
     # rows across micro-batch boundaries (200+200+100), exactly once
