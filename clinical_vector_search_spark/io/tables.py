@@ -282,6 +282,26 @@ def plot_metrics(metric_table: DataFrame, out_dir: str) -> list[str]:
     return paths
 
 
+def is_absence_error(e) -> bool:
+    """True when an ``AnalysisException`` means the path genuinely holds
+    no data yet (missing directory / no readable files) — the ONLY
+    conditions a probe-or-empty reader may swallow. Anything else
+    (schema corruption, bad columns, access problems) must propagate,
+    or an empty-frame substitute silently drops data (the
+    ingest_neardup_batch failure mode)."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        f = getattr(e, attr, None)
+        if f is not None:
+            try:
+                cond = f()
+            except Exception:
+                cond = None
+            if cond:
+                break
+    return cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+
+
 def compact_parquet(
     spark: SparkSession,
     path: str,

@@ -296,13 +296,32 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     contract of the ``bm25_incremental`` entry). Lazy; postings are
     touched only by the downstream query-term join."""
 
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import is_absence_error
+
     def rec(sub: str) -> DataFrame:
         return spark.read.option("recursiveFileLookup", "true").parquet(
             f"{index_path}/{sub}"
         )
 
     postings = rec("postings")
-    dfreq = rec("df").groupBy("term").agg(F.sum("df").alias("df"))
+    try:  # bm25_index_delete tombstones — tiny, broadcast anti-join
+        postings = postings.join(
+            F.broadcast(rec("deleted")), "doc", "left_anti"
+        )
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+    # fold add AND delete deltas; a term whose df reaches 0 has no live
+    # postings and must leave the vocabulary, or the epsilon floor's
+    # avg(raw_idf) would include phantom terms a true rebuild never sees
+    dfreq = (
+        rec("df")
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+        .filter(F.col("df") > 0)
+    )
     stats = (
         rec("scalars")
         .agg(
@@ -332,4 +351,57 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     )
     return postings.join(
         idf_tbl.select("term", "idf", "n_docs", "avgdl"), "term"
+    )
+
+
+def bm25_index_delete(
+    spark,
+    deleted_docs: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Delete half of the BM25 maintenance lifecycle (the takedown path
+    a 100 TB corpus needs): remove documents from an
+    :func:`bm25_index_add`-maintained index WITHOUT rewriting postings —
+    the same additive algebra run in reverse. Delete-by-replay
+    contract: the caller supplies the doc rows AS INGESTED (same text),
+    each ingested doc deleted at most once; the batch then contributes
+
+      ``df/del-{id}``      (term, −df) — NEGATIVE term doc-counts;
+      ``scalars/del-{id}`` (−n_docs, −sum_dl) — negative exact ints;
+      ``deleted/del-{id}`` (doc,)     — tombstones for the postings.
+
+    :func:`bm25_read_index` folds the negative deltas into the same
+    vocabulary-granularity sums (dropping terms whose df reaches 0, so
+    the epsilon-floor vocabulary matches a true rebuild) and anti-joins
+    the broadcast tombstones — the reconstructed view is value-identical
+    to a one-shot :func:`bm25_index` over the surviving corpus
+    (tests/test_bm25.py). Physical erasure of tombstoned postings
+    happens at the next compaction (rewrite minus tombstones, then
+    clear ``deleted/``), exactly like ``pq.ivfpq_index_delete``.
+    Idempotent: each delete batch overwrites its own ``del-{id}``
+    subdirectories."""
+    toks = deleted_docs.select(
+        F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
+    ).localCheckpoint()  # consumed by df, scalars and tombstones
+    tf = (
+        toks.select("doc", F.explode("tokens").alias("term"))
+        .groupBy("doc", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    neg_df = tf.groupBy("term").agg((-F.count("*")).alias("df"))
+    neg_scalars = toks.select("doc", F.size("tokens").alias("dl")).agg(
+        (-F.count("*")).alias("n_docs"), (-F.sum("dl")).alias("sum_dl")
+    )
+    tomb = toks.select("doc").distinct()
+    neg_df.write.mode("overwrite").parquet(
+        f"{index_path}/df/del-{batch_id}"
+    )
+    neg_scalars.write.mode("overwrite").parquet(
+        f"{index_path}/scalars/del-{batch_id}"
+    )
+    tomb.write.mode("overwrite").parquet(
+        f"{index_path}/deleted/del-{batch_id}"
     )

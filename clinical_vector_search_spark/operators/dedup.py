@@ -341,17 +341,9 @@ def ingest_neardup_batch(
         # empty-corpus substitute silently drops every new×old pair of
         # this batch — the exact failure mode this try-read replaced
         # os.walk to eliminate
-        cond = None
-        for attr in ("getCondition", "getErrorClass"):
-            f = getattr(e, attr, None)
-            if f is not None:
-                try:
-                    cond = f()
-                except Exception:
-                    cond = None
-                if cond:
-                    break
-        if cond not in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA"):
+        from clinical_vector_search_spark.io.tables import is_absence_error
+
+        if not is_absence_error(e):
             raise
         corpus = spark.createDataFrame([], nb.schema)
     pairs = _incremental_pairs_from_buckets(

@@ -641,12 +641,36 @@ def ivfpq_encode(
     )
 
 
-def read_ivfpq_index(spark, path: str) -> DataFrame:
+def read_ivfpq_index(
+    spark, path: str, tombstone_path: str | None = None, id_col: str = "vec_id"
+) -> DataFrame:
     """Read an :func:`ivfpq_index_add`-maintained codes directory — one
     plain ``batch-{id}`` subdirectory per ingested batch (the
     idempotent-retry layout), so listing must be recursive; tolerates
-    the mixed layout after ``io.tables.compact_parquet(recursive=True)``."""
-    return spark.read.option("recursiveFileLookup", "true").parquet(path)
+    the mixed layout after ``io.tables.compact_parquet(recursive=True)``.
+
+    ``tombstone_path`` (an :func:`ivfpq_index_delete` directory) filters
+    deleted ids with a BROADCAST anti-join — tombstones are tiny
+    relative to the codes, so the read stays one codes scan; a missing
+    or empty tombstone directory means nothing is deleted."""
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import is_absence_error
+
+    codes = spark.read.option("recursiveFileLookup", "true").parquet(path)
+    if tombstone_path is None:
+        return codes
+    try:
+        dead = spark.read.option("recursiveFileLookup", "true").parquet(
+            tombstone_path
+        )
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+        return codes
+    return codes.join(
+        F.broadcast(dead.select(id_col)), id_col, "left_anti"
+    )
 
 
 def ivfpq_index_add(
@@ -752,3 +776,27 @@ def knn_pq_refine(
         .select(query_id, doc_id, V.l2_sq("_qv", "_dv").alias("l2_dist"))
     )
     return _ranked_asc(rescored, query_id, doc_id, k, "l2_dist")
+
+
+def ivfpq_index_delete(
+    spark,
+    ids: DataFrame,
+    batch_id: int,
+    tombstone_path: str,
+    id_col: str = "vec_id",
+) -> None:
+    """Delete half of the codes-table lifecycle (FAISS ``remove_ids``
+    re-expressed for immutable storage): ids are TOMBSTONED — appended
+    as their own idempotent ``batch-{id}`` subdirectory under a path
+    the caller keeps NEXT TO the codes directory (a separate path, so
+    the codes reader's recursive listing never mixes schemas) — and
+    filtered out at read time by :func:`read_ivfpq_index`'s broadcast
+    anti-join. Cost ∝ deleted ids; the codes files are never rewritten
+    (the 100 TB takedown path: a GDPR erasure is one tiny tombstone
+    write, physical erasure happens at the next compaction — rewrite
+    the codes minus tombstones, then clear the tombstone directory).
+    Tombstones win over every add; re-ingesting a deleted id requires
+    that physical compaction first."""
+    ids.select(id_col).distinct().write.mode("overwrite").parquet(
+        f"{tombstone_path}/batch-{batch_id}"
+    )

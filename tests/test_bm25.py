@@ -219,3 +219,48 @@ def test_bm25_incremental_index_matches_one_shot(spark, sf_dir, tmp_path):
     # grown corpus (n_docs/avgdl/idf all move)
     bm25_index_add(spark, later, 2, idx_path)
     assert snap(bm25_read_index(spark, idx_path)) == snap(bm25_index(docs))
+
+
+def test_bm25_incremental_delete_matches_rebuild(spark, tmp_path):
+    """bm25_index_delete runs the additive algebra in reverse: after a
+    delete batch the reconstructed view must be value-identical to a
+    one-shot bm25_index over the SURVIVING docs — including the epsilon
+    floor's avg(raw_idf), which only matches if a term whose last doc
+    died leaves the vocabulary (the df > 0 fold filter)."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie delta"),
+        (1, "alpha bravo echo"),
+        (2, "zephyr quorl alpha"),       # zephyr/quorl live ONLY here
+        (3, "bravo charlie foxtrot"),
+        (4, "delta echo golf alpha bravo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    bm25_index_add(spark, docs.filter(F.col("doc_id") < 3), 0, idx)
+    bm25_index_add(spark, docs.filter(F.col("doc_id") >= 3), 1, idx)
+    # delete doc 2 — its unique terms must vanish from the vocabulary
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 0, idx)
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    survivors = docs.filter(F.col("doc_id") != 2)
+    got = snap(bm25_read_index(spark, idx))
+    assert got == snap(bm25_index(survivors)) and got
+    assert not any("zephyr" == t for _, t, *_ in got)
+    # delete retry (at-least-once): bit-identical state
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 0, idx)
+    assert snap(bm25_read_index(spark, idx)) == got

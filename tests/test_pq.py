@@ -537,3 +537,46 @@ def test_ivfpq_index_add_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_pa
     drt = sorted((r.query_id, r.rank, r.doc_id) for r in direct.collect())
     assert srv == drt and srv
     v.unpersist()
+
+
+def test_ivfpq_index_delete_tombstones(spark, sf_dir, tmp_path):
+    """ivfpq_index_delete tombstones ids without touching the codes
+    files: the read-with-tombstones view equals the encode of the
+    survivors, a missing tombstone directory means nothing is deleted,
+    and a delete retry is idempotent."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
+    ivfpq_index_add(spark, v.filter(F.col("vec_id") < 100), 0, idx, 64, books, n_centroids=8)
+    ivfpq_index_add(spark, v.filter(F.col("vec_id") >= 100), 1, idx, 64, books, n_centroids=8)
+
+    def snap(df):
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
+        )
+
+    # no tombstone dir yet: full index
+    full = snap(read_ivfpq_index(spark, idx, tombstone_path=tomb))
+    assert full == snap(read_ivfpq_index(spark, idx)) and len(full) == 200
+    dead = v.filter(F.col("vec_id") % 7 == 3).select("vec_id")
+    ivfpq_index_delete(spark, dead, 0, tomb)
+    got = snap(read_ivfpq_index(spark, idx, tombstone_path=tomb))
+    want = snap(
+        ivfpq_encode_pd(
+            v.join(dead, "vec_id", "left_anti"), 64, books, n_centroids=8
+        )
+    )
+    assert got == want and len(got) < 200
+    ivfpq_index_delete(spark, dead, 0, tomb)  # retry: idempotent
+    assert snap(read_ivfpq_index(spark, idx, tombstone_path=tomb)) == got
