@@ -360,6 +360,63 @@ def compact_parquet(
     return n
 
 
+def compact_tombstoned(
+    spark: SparkSession,
+    data_path: str,
+    tombstone_path: str,
+    id_col: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Physical erasure for tombstone-maintained indexes — the deferred
+    half of ``pq.ivfpq_index_delete`` and ``bm25.bm25_index_delete``:
+    rewrite the data directory MINUS tombstoned ids (recursive reads of
+    both per-batch-subdir layouts, broadcast anti-join), swap with the
+    same crash-safety discipline as :func:`compact_parquet`, then clear
+    the tombstone directory LAST. Ordering makes a crash harmless at
+    every point: before the swap the live data is untouched; between
+    swap and clear the stale tombstones anti-join against already-erased
+    ids and match nothing — re-running completes the clear. After the
+    clear, a previously deleted id may be re-ingested. Returns the new
+    file count. No-op (returns 0) when the tombstone directory is
+    absent/empty. Single-writer local-FS swap caveat as
+    ``compact_parquet``."""
+    import math
+    import os
+    import shutil
+    import uuid
+    from urllib.parse import unquote, urlparse
+
+    from pyspark.errors import AnalysisException
+
+    rec = spark.read.option("recursiveFileLookup", "true")
+    try:
+        dead = rec.parquet(tombstone_path).select(id_col)
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+        return 0
+    df = rec.parquet(data_path)
+    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
+    missing = [f for f in files if not os.path.exists(f)]
+    if not files or missing:
+        raise ValueError(
+            f"cannot size {data_path!r}: non-local or unreadable input "
+            f"files (first missing: {missing[:1]})"
+        )
+    nbytes = sum(os.path.getsize(f) for f in files)
+    n = max(1, math.ceil(nbytes / target_file_bytes))
+    survivors = df.join(F.broadcast(dead), id_col, "left_anti")
+    tag = uuid.uuid4().hex[:8]
+    tmp = f"{data_path}__compact_{tag}"
+    survivors.repartition(n).write.mode("overwrite").parquet(tmp)
+    old = f"{data_path}__old_{tag}"
+    shutil.move(data_path, old)
+    shutil.move(tmp, data_path)
+    shutil.rmtree(old)
+    shutil.rmtree(tombstone_path)  # LAST — see ordering argument above
+    return n
+
+
 def publish_shards(
     df: DataFrame,
     path: str,

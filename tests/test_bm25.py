@@ -264,3 +264,50 @@ def test_bm25_incremental_delete_matches_rebuild(spark, tmp_path):
     # delete retry (at-least-once): bit-identical state
     bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 0, idx)
     assert snap(bm25_read_index(spark, idx)) == got
+
+
+def test_bm25_tombstone_compaction(spark, tmp_path):
+    """compact_tombstoned over the postings + deleted directories erases
+    tombstoned postings physically; the reconstructed view is unchanged
+    (the negative df/scalar deltas stay — they encode the vocabulary
+    shrink the rebuild parity depends on)."""
+    from clinical_vector_search_spark.io.tables import compact_tombstoned
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie"),
+        (1, "alpha echo foxtrot"),
+        (2, "zephyr quorl alpha"),
+        (3, "bravo charlie golf"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    bm25_index_add(spark, docs, 0, idx)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 0, idx)
+
+    def snap():
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in bm25_read_index(spark, idx).collect()
+        )
+
+    before = snap()
+    assert compact_tombstoned(
+        spark, f"{idx}/postings", f"{idx}/deleted", "doc"
+    ) >= 1
+    assert snap() == before
+    assert before == sorted(
+        (
+            r.doc, r.term, r.tf, r.dl,
+            round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+        )
+        for r in bm25_index(docs.filter(F.col("doc_id") != 2)).collect()
+    )

@@ -580,3 +580,47 @@ def test_ivfpq_index_delete_tombstones(spark, sf_dir, tmp_path):
     assert got == want and len(got) < 200
     ivfpq_index_delete(spark, dead, 0, tomb)  # retry: idempotent
     assert snap(read_ivfpq_index(spark, idx, tombstone_path=tomb)) == got
+
+
+def test_ivfpq_tombstone_compaction_physically_erases(spark, sf_dir, tmp_path):
+    """compact_tombstoned rewrites the codes minus tombstoned ids and
+    clears the tombstone directory: the plain read (no tombstone filter)
+    now equals the survivors, and a previously deleted id may re-ingest."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.io.tables import compact_tombstoned
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 100)
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
+    ivfpq_index_add(spark, v, 0, idx, 64, books, n_centroids=8)
+    dead = v.filter(F.col("vec_id") < 20).select("vec_id")
+    ivfpq_index_delete(spark, dead, 0, tomb)
+    want = sorted(
+        (r.vec_id, r.cluster, tuple(r.codes))
+        for r in read_ivfpq_index(spark, idx, tombstone_path=tomb).collect()
+    )
+    assert compact_tombstoned(spark, idx, tomb, "vec_id") >= 1
+    import os
+
+    assert not os.path.exists(tomb)
+    got = sorted(
+        (r.vec_id, r.cluster, tuple(r.codes))
+        for r in read_ivfpq_index(spark, idx).collect()
+    )
+    assert got == want and len(got) == 80
+    # absent tombstones: compaction is a no-op
+    assert compact_tombstoned(spark, idx, tomb, "vec_id") == 0
+    # re-ingest of an erased id is now legal
+    ivfpq_index_add(
+        spark, v.filter(F.col("vec_id") < 20), 1, idx, 64, books,
+        n_centroids=8,
+    )
+    assert read_ivfpq_index(spark, idx).count() == 100
