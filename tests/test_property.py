@@ -724,3 +724,66 @@ def test_jaccard_prefix_random_heavy_hitters(spark):
         assert pref == full, f"tau={tau}"
         if tau == 0.4:
             assert full  # heavy boilerplate guarantees low-tau pairs
+
+
+corpus_strategy = st.lists(
+    st.lists(
+        st.sampled_from(
+            ["alpha", "bravo", "charlie", "delta", "echo", "zephyr"]
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@_slow
+@given(
+    token_docs=corpus_strategy,
+    k=st.integers(min_value=1, max_value=3),      # number of ingest batches
+    mask=st.integers(min_value=0, max_value=255),  # delete-subset bitmask
+)
+def test_bm25_maintenance_algebra_matches_rebuild(
+    spark, tmp_path_factory, token_docs, k, mask
+):
+    """For ANY corpus, ANY batch partitioning and ANY delete subset, the
+    additive BM25 maintenance state (postings + df deltas + scalars,
+    minus tombstones and negative deltas) must reconstruct the one-shot
+    bm25_index view of exactly the surviving docs — including the
+    epsilon floor over the SURVIVING vocabulary (terms whose last doc
+    died must vanish)."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("bm25_prop"))
+    for b in range(k):
+        batch = docs.filter(F.col("doc_id") % k == b)
+        bm25_index_add(spark, batch, b, idx)
+    deleted_ids = [i for i in range(len(rows)) if (mask >> (i % 8)) & 1]
+    # never delete everything — a 0-doc index is out of contract
+    if len(deleted_ids) == len(rows):
+        deleted_ids = deleted_ids[:-1]
+    if deleted_ids:
+        bm25_index_delete(
+            spark, docs.filter(F.col("doc_id").isin(deleted_ids)), 0, idx
+        )
+    survivors = docs.filter(~F.col("doc_id").isin(deleted_ids))
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(survivors))
