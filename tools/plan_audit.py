@@ -1078,6 +1078,45 @@ def main() -> int:
         and n_nodes(plan, "Scan parquet") == 1,
     )
 
+    # 53c. incremental BM25 maintenance: scoring the RECONSTRUCTED view
+    # (postings + folded df deltas + scalar sums) must read exactly the
+    # three statistic directories once each, broadcast the query terms,
+    # and contain no cartesian blowup — the global-stat rebuild is
+    # vocabulary-granularity, never a postings rescan per stat
+    import tempfile as _tf
+
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index_add,
+        bm25_read_index,
+        bm25_score_index,
+    )
+
+    _docs_bm = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    _bmdir = _tf.mkdtemp(prefix="cvs_plan_bm25_")
+    bm25_index_add(spark, _docs_bm.filter(F.col("doc_id") < 50), 0, _bmdir)
+    bm25_index_add(spark, _docs_bm.filter(F.col("doc_id") >= 50), 1, _bmdir)
+    plan = formatted(
+        bm25_score_index(
+            bm25_read_index(spark, _bmdir),
+            _docs_bm,
+            ["patient", "treatment"],
+        )
+    )
+    # 6 parquet scans: postings ONCE, docs once, and the tiny df/scalars
+    # statistic relations twice each (idf + avg_idf / both crossJoins —
+    # vocabulary- and 1-row-sized, so the re-scan is free); at most the
+    # single term join may sort-merge (postings ⋈ vocab-sized idf — the
+    # one legitimately corpus-scaled join), everything else broadcasts
+    check(
+        "bm25_incremental: single postings scan, broadcast stats, no cartesian",
+        "CartesianProduct" not in plan
+        and n_nodes(plan, "Scan parquet") == 6
+        and n_nodes(plan, "BroadcastHashJoin") >= 2
+        and n_nodes(plan, "SortMergeJoin") <= 1,
+    )
+
     # 53. NO shrinking window frames anywhere: a frame ending at
     # unboundedFollowing whose lower bound is not unboundedPreceding
     # hits Spark's UnboundedFollowingWindowFunctionFrame, which
