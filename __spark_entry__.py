@@ -1904,6 +1904,65 @@ def q_knn_ivfpq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving over the MAINTAINED index — the read half of the
+    knn_ivfpq_index_add lifecycle (operators/pq.py read_ivfpq_index +
+    knn_ivfpq_codes; FAISS read_index → search over an index built by
+    ``add``/``remove_ids``): the corpus arrives as two idempotent
+    batch-id-overwrite ingests into a persisted codes table, ids with
+    vec_id % 16 == 5 are tombstoned (ivfpq_index_delete — the GDPR
+    takedown path: one tiny write, no codes rewrite), and queries are
+    answered by ADC over the READ-BACK codes — the raw vectors are
+    never rescanned (the 100 TB point of the codes table: raw vectors
+    are cold storage, queries touch the ~128×-smaller codes), and the
+    tombstone filter is a broadcast anti-join (plan-audit check 55).
+    Fullprobe (n_probe = n_centroids) disables IVF pruning, so the
+    result must equal plain PQ ADC restricted to the survivors — the
+    oracle is the knn_pq_adc SQL over NORMALIZED vectors (the encoding
+    the index holds) with the tombstoned ids filtered out."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        knn_ivfpq_codes,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_ivfpq_idx_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 8 != 3), v.filter(F.col("vec_id") % 8 == 3))
+    ):
+        ivfpq_index_add(
+            spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
+        )
+    ivfpq_index_delete(
+        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    index = read_ivfpq_index(
+        spark, f"{base}/codes", tombstone_path=f"{base}/dead"
+    )
+    queries = v.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = knn_ivfpq_codes(
+        queries, index, KNN_K, 64, books, n_centroids=8,
+        doc_id="vec_id", n_probe=8,
+    )
+    return r.select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id"), "adc_dist"
+    )
+
+
 def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): one-pass covariance partials →
     driver eigh → literal-matrix projection. Rows-only by design — the
@@ -6980,12 +7039,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r10 VERDICT's task 1 names this exact r11 order):
-    #   1. the 2 entries NEW in r11 (incremental IVF-PQ index add,
-    #      incremental BM25 index maintenance) lead;
+    #   1. the 3 entries NEW in r11 (incremental IVF-PQ index add,
+    #      incremental BM25 index maintenance, serving over the
+    #      maintained IVF-PQ index) lead;
     #   2. the 3 entries demoted from the r10 freshness check, then the
     #      29 remaining last-green-r5 entries — this RETIRES the r5
     #      tier: after r11 no entry's last driver row predates r6;
-    #   3. the 16 stalest last-green-r6 entries fill the window to 50
+    #   3. the 15 stalest last-green-r6 entries fill the window to 50
     #      (the 8 rows-only ⊙ entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -6994,14 +7054,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      freshest demoted last. Every entry below the window was
     #      green in its last driver round (r6-r10).
     return {
-        # -- r11 window 1-2: NEW in r11 --
+        # -- r11 window 1-3: NEW in r11 --
         "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
         "bm25_incremental": q_bm25_incremental,
-        # -- r11 window 3-5: demoted from the r10 freshness check --
+        "knn_ivfpq_index_search": q_knn_ivfpq_index_search,
+        # -- r11 window 4-6: demoted from the r10 freshness check --
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
-        # -- r11 window 6-34: the final last-green-r5 block — retires the r5 tier --
+        # -- r11 window 7-35: the final last-green-r5 block — retires the r5 tier --
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -7031,7 +7092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- r11 window 35-50: stalest last-green-r6 entries (⊙ excluded) --
+        # -- r11 window 36-50: stalest last-green-r6 entries (⊙ excluded) --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -7047,8 +7108,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
         "events_zscore_outliers": q_events_zscore_outliers,
-        "doc_split_assign": q_doc_split_assign,
         # -- remaining last green r6 (below the window) --
+        "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
         "events_distinct_hll": q_events_distinct_hll,
         "events_window_topk": q_events_window_topk,
@@ -10276,6 +10337,32 @@ def oracle_sql() -> dict[str, str]:
                codes[sub] AS code
         FROM asg a JOIN c USING (vec_id),
              unnest(generate_series(1, {PQ_M})) AS t(sub)
+    """
+
+    # serving over the maintained index: fullprobe disables IVF pruning,
+    # so the lifecycle composition (two ingests + tombstoned deletes +
+    # read-back + ADC over the codes) must equal plain PQ ADC over the
+    # NORMALIZED survivors — the knn_pq_adc fragments with v → nv and
+    # the tombstoned ids (vec_id % 16 = 5) filtered from the doc side
+    _pq_qtab_nv = "[" + ", ".join(
+        _pq_dists("q.nv", s) for s in range(PQ_M)
+    ) + "]"
+    s["knn_ivfpq_index_search"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        c AS (SELECT vec_id AS doc_id, {_pq_codes_nv} AS codes FROM n
+              WHERE vec_id % 16 <> 5),
+        q AS (SELECT vec_id AS query_id, nv FROM n WHERE vec_id < {KNN_NQ}),
+        tabs AS (SELECT query_id, {_pq_qtab_nv} AS tab FROM q),
+        sc AS (SELECT query_id, doc_id,
+                 list_sum([tab[sub + 1][codes[sub + 1] + 1]
+                           FOR sub IN range(0, {PQ_M})]) AS adc
+               FROM tabs CROSS JOIN c),
+        r AS (SELECT query_id, doc_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, doc_id) AS rank FROM sc)
+        SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
+        FROM r WHERE rank <= {KNN_K}
     """
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio

@@ -1117,6 +1117,24 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") <= 1,
     )
 
+    # 55. serving over the maintained IVF-PQ index (the read half of the
+    # lifecycle): the plan must scan the CODES table (plus the query
+    # vectors and the tombstones) — never the raw corpus twice, never a
+    # re-encode of anything but the ADC scorer itself — and the
+    # tombstone filter must be a BROADCAST anti-join (tombstones are
+    # tiny relative to the codes; a shuffled anti-join would move the
+    # whole codes table to filter out a handful of ids)
+    plan = formatted(E.q_knn_ivfpq_index_search(spark, SF_DIR))
+    check(
+        "ivfpq_index_search: codes-scan serving, broadcast tombstone anti-join",
+        n_nodes(plan, "CartesianProduct") == 0
+        and n_nodes(plan, "SortMergeJoin") == 0
+        and n_nodes(plan, "Scan parquet") == 3
+        and n_nodes(plan, "MapInPandas") == 1
+        and n_nodes(plan, "BroadcastHashJoin") == 2
+        and "LeftAnti" in plan,
+    )
+
     # 53. NO shrinking window frames anywhere: a frame ending at
     # unboundedFollowing whose lower bound is not unboundedPreceding
     # hits Spark's UnboundedFollowingWindowFunctionFrame, which
