@@ -421,9 +421,14 @@ def main() -> None:
                 spark, v.filter(F.col("vec_id") % 8 != 3), 0,
                 _ann_state["idx"], 64, _ann_state["books"], n_centroids=16,
             )
+        # encoder="pd": the Arrow+NumPy throughput twin — the expression
+        # twin spends ~2 s/rep compiling its ~1k-term codegen tree,
+        # which at bench batch sizes measures plan compilation, not
+        # maintenance (0.26 s vs 2.1 s warm on this batch; bit-identical
+        # output, parity in tests/test_pq.py)
         ivfpq_index_add(
             spark, _ann_state["batch"], 1, _ann_state["idx"], 64,
-            _ann_state["books"], n_centroids=16,
+            _ann_state["books"], n_centroids=16, encoder="pd",
         )
         return knn_ivfpq_codes(
             _ann_state["queries"],

@@ -685,6 +685,7 @@ def ivfpq_index_add(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     residual: bool = False,
+    encoder: str = "expr",
 ) -> None:
     """Incremental IVF-PQ index maintenance — FAISS ``IndexIVFPQ.add``
     re-expressed for a codes table: fold a batch of new vectors into a
@@ -696,6 +697,15 @@ def ivfpq_index_add(
     pure per-row function of the trained state, which ships as plan
     literals).
 
+    ``encoder`` picks between the bit-identical twins (parity in
+    tests/test_pq.py): ``"expr"`` (:func:`ivfpq_encode`) stays inside
+    whole-stage codegen with zero Python workers, but pays a constant
+    ~2 s driver-side analysis+codegen compile of the ~m·ksub·dsub-term
+    expression tree per plan build — negligible on a real ingest,
+    dominant on a tiny one; ``"pd"`` (:func:`ivfpq_encode_pd`) is the
+    Arrow-batched NumPy throughput path (measured 0.26 s vs 2.1 s warm
+    on a 250-row batch — the plan-compile gap, not a kernel gap).
+
     The sink is idempotent under at-least-once retries exactly like
     ``dedup.ingest_neardup_batch``: each batch OVERWRITES its own
     ``batch-{id}`` subdirectory, so re-running a (batch, batch_id) pair
@@ -705,7 +715,8 @@ def ivfpq_index_add(
     Deterministic end-to-end (``ASSIGN_SCALE`` quantized argmax,
     first-min codes), so the oracle contract is the full-index rebuild
     restricted to batch rows."""
-    enc = ivfpq_encode(
+    enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
+    enc = enc_fn(
         new_vecs, dim, books, centroids, n_centroids, id_col, vec_col, residual
     )
     enc.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id}")

@@ -514,6 +514,12 @@ def test_ivfpq_index_add_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_pa
     # at-least-once retry of the batch write: bit-identical index
     ivfpq_index_add(spark, batch, 1, idx, 64, books, centroids=cents)
     assert snap() == got
+    # the NumPy throughput encoder is a bit-identical twin through the
+    # sink too — a retry that switches encoders changes nothing
+    ivfpq_index_add(
+        spark, batch, 1, idx, 64, books, centroids=cents, encoder="pd"
+    )
+    assert snap() == got
     # serving composition: ADC search over the incrementally-built codes
     # table (no re-encode) equals knn_ivfpq over the raw corpus+batch
     from clinical_vector_search_spark.operators.pq import (

@@ -171,6 +171,44 @@ def main() -> None:
         log(f"knn {label}: window {out[f'knn_window_{label}_sec']}s, "
             f"partial_topk {out[f'knn_partial_topk_{label}_sec']}s")
 
+    # --- maintained-codes ANN serving growth (r11) ---------------------
+    # Claim under test: knn_ivfpq_codes serves from the prebuilt codes
+    # table (here m=8 int32 codes + cluster ≈ 36 B/vec vs 64×float raw),
+    # so query cost = probed-cell codes scan + ADC table lookups —
+    # linear in corpus rows with a small constant, never touching the
+    # raw vectors. Codes at both scales are prebuilt (maintenance is
+    # amortized, as in production); compare against the exact-knn rows
+    # above, which must rescan the full-width raw vectors every query.
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        knn_ivfpq_codes,
+        pq_codebooks_lcg,
+    )
+
+    books = pq_codebooks_lcg(64, 8, 16)
+    for label, emb in (("1x", emb1), ("10x", emb10)):
+        nm = emb.select(
+            "vec_id", V.l2_normalize("embedding").alias("embedding")
+        )
+        codes = ivfpq_encode_pd(
+            nm, 64, books, n_centroids=16
+        ).localCheckpoint()
+        out[f"codes_rows_{label}"] = codes.count()
+        q = nm.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).localCheckpoint()
+        out[f"ann_codes_serve_{label}_sec"] = timed(
+            lambda: knn_ivfpq_codes(
+                q, codes, 10, 64, books, n_centroids=16,
+                doc_id="vec_id", n_probe=4,
+            )
+        )
+        log(
+            f"codes serving {label}: {out[f'codes_rows_{label}']} codes, "
+            f"{out[f'ann_codes_serve_{label}_sec']}s"
+        )
+
     # --- tf-idf retrieval growth (VERDICT r7 task 7) ------------------
     # 10x docs with a SHARED vocabulary (replicas keep their text — the
     # natural-corpus regime: vocabulary saturates while postings grow
