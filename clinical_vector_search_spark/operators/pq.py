@@ -450,6 +450,11 @@ def knn_ivfpq_codes(
     # residual=False: one table per query; residual=True: one per
     # (query, cell) over (q − centroid) — both driver-tiny.
     qrows = queries.select(query_id, query_vec).collect()
+    if len(qrows) > 100_000:  # same bounded-batch guard as _knn_partial_topk
+        raise ValueError(
+            f"knn_ivfpq_codes collects the query side ({len(qrows)} rows) "
+            "to build ADC tables; pre-reduce the query set or shard it"
+        )
     qids = {r[0]: i for i, r in enumerate(qrows)}
     Q = np.array([list(r[1]) for r in qrows], dtype="float64")
     if residual:

@@ -457,6 +457,62 @@ def main() -> None:
         f"{out['neardup_full_10x_sec']}s"
     )
 
+    # --- incremental BM25 maintenance growth (r11) ----------------------
+    # Claim under test: bm25_index_add cost is ∝ BATCH, not corpus — a
+    # FIXED ~600-doc batch folds into a persisted additive-stats index
+    # built over 1x vs 10x corpora in ~constant time, while the one-shot
+    # bm25_index rebuild (what a per-ingest full rebuild would pay) grows
+    # with the corpus. Serving (read-time stat reconstruction + 3-query
+    # topk) touches vocabulary-granularity stats + query-term postings
+    # only; recorded alongside, expected to grow with the postings of
+    # the query terms (~10x) but stay far under the rebuild.
+    import shutil as _sh
+    import tempfile as _tf
+
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_read_index,
+        bm25_topk_set,
+    )
+
+    bm_batch = docs1.filter(F.col("doc_id") % 10 == 7).localCheckpoint()
+    out["bm25_batch_docs"] = bm_batch.count()
+    bm_corpus1 = docs1.filter(F.col("doc_id") % 10 != 7)
+    bm_corpus10 = replicate(bm_corpus1, 10, {"doc_id": 1_000_000})
+    bm_qset = [
+        (0, ["patient", "history"]),
+        (1, ["blood", "pressure"]),
+        (2, ["chest", "pain"]),
+    ]
+
+    def t_write_best2(fn) -> float:
+        def once() -> float:
+            t0 = time.time()
+            fn()
+            return round(time.time() - t0, 3)
+
+        return min(once(), once())
+
+    for label, corpus in (("1x", bm_corpus1), ("10x", bm_corpus10)):
+        bdir = _tf.mkdtemp(prefix=f"cvs_probe_bm25_{label}_")
+        bm25_index_add(spark, corpus, 0, bdir)  # base index, amortized
+        out[f"bm25_ingest_{label}_sec"] = t_write_best2(
+            lambda: bm25_index_add(spark, bm_batch, 1, bdir)
+        )
+        out[f"bm25_serve_{label}_sec"] = timed2(
+            lambda: bm25_topk_set(bm25_read_index(spark, bdir), bm_qset, 10)
+        )
+        out[f"bm25_rebuild_{label}_sec"] = timed2(
+            lambda: bm25_index(corpus.unionByName(bm_batch))
+        )
+        _sh.rmtree(bdir, ignore_errors=True)
+        log(
+            f"bm25 {label}: ingest {out[f'bm25_ingest_{label}_sec']}s, "
+            f"serve {out[f'bm25_serve_{label}_sec']}s, rebuild "
+            f"{out[f'bm25_rebuild_{label}_sec']}s"
+        )
+
     # --- skyline local prefilter (r10) ---------------------------------
     # Claim under test (VERDICT r9 task 4): local_prefilter=True reduces
     # the unpartitioned RANGE-window sort from N rows to ~the local-
