@@ -787,3 +787,63 @@ def test_bm25_maintenance_algebra_matches_rebuild(
         )
 
     assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(survivors))
+
+
+@_slow
+@given(
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    n=st.integers(min_value=2, max_value=12),
+    k=st.integers(min_value=1, max_value=3),       # number of ingest batches
+    mask=st.integers(min_value=0, max_value=255),  # delete-subset bitmask
+)
+def test_ivfpq_lifecycle_matches_survivor_encode(
+    spark, tmp_path_factory, seed, n, k, mask
+):
+    """For ANY vector set, ANY ingest batching (alternating between the
+    expression and NumPy encoder twins — their bit-parity must hold
+    through the sink) and ANY delete subset, the maintained codes
+    directory (adds minus tombstones) must read back as EXACTLY the
+    one-shot encode of the surviving vectors — the codes-table
+    lifecycle algebra of FAISS add/remove_ids, before any compaction."""
+    import numpy as np
+
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    rng = np.random.RandomState(seed)
+    vecs = rng.uniform(-1, 1, size=(n, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    books = pq_codebooks_lcg(8, 2, 4)
+    base = str(tmp_path_factory.mktemp("ivfpq_prop"))
+    codes_p, dead_p = f"{base}/codes", f"{base}/dead"
+    for b in range(k):
+        ivfpq_index_add(
+            spark, df.filter(F.col("vec_id") % k == b), b, codes_p, 8,
+            books, n_centroids=2, encoder="pd" if b % 2 else "expr",
+        )
+    deleted = [i for i in range(n) if (mask >> (i % 8)) & 1]
+    if deleted:
+        ivfpq_index_delete(
+            spark, df.filter(F.col("vec_id").isin(deleted)), 0, dead_p
+        )
+    # dead_p is passed even when no delete was written — the absent-
+    # tombstone-directory branch must read as "nothing deleted"
+    got = read_ivfpq_index(spark, codes_p, tombstone_path=dead_p)
+    want = ivfpq_encode_pd(
+        df.filter(~F.col("vec_id").isin(deleted)), 8, books, n_centroids=2
+    )
+
+    def snap(frame):
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes)) for r in frame.collect()
+        )
+
+    assert snap(got) == snap(want)
