@@ -1496,6 +1496,42 @@ def q_bm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
 
 
+def q_bm25_incremental_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DELETE half of the BM25 maintenance lifecycle at the driver
+    gate (operators/bm25.py bm25_index_delete — delete-by-replay): the
+    corpus arrives as 3 ingest batches, then every doc with
+    doc_id % 7 == 2 is deleted — one tiny write of NEGATIVE df/scalar
+    deltas + broadcast tombstones, the postings files untouched (the
+    100 TB takedown path; physical erasure deferred to compaction).
+    Scoring the reconstructed view must equal a one-shot build over the
+    SURVIVORS bit-for-bit at 6dp — including the epsilon floor over the
+    surviving vocabulary (terms whose last doc died must vanish from
+    the idf average) — so the oracle is the bm25_okapi SQL restricted
+    to surviving docs."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+        bm25_score_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_bm25_del_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    for i in range(3):
+        bm25_index_add(spark, docs.filter(F.col("doc_id") % 3 == i), i, base)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") % 7 == 2), 0, base)
+    survivors = docs.filter(F.col("doc_id") % 7 != 2)
+    scored = bm25_score_index(
+        bm25_read_index(spark, base), survivors, BM25_TERMS
+    )
+    return scored.select("doc_id", F.round("bm25", 6).alias("bm25"))
+
+
 def _rank_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Two deterministic SQL-expressible rankings used by the metric tests:
     base = top-10 per lang by (n_chars desc, doc_id), other = by doc_id."""
@@ -7039,13 +7075,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r10 VERDICT's task 1 names this exact r11 order):
-    #   1. the 3 entries NEW in r11 (incremental IVF-PQ index add,
-    #      incremental BM25 index maintenance, serving over the
-    #      maintained IVF-PQ index) lead;
+    #   1. the 4 entries NEW in r11 (incremental IVF-PQ index add,
+    #      incremental BM25 index maintenance + its delete half,
+    #      serving over the maintained IVF-PQ index) lead;
     #   2. the 3 entries demoted from the r10 freshness check, then the
     #      29 remaining last-green-r5 entries — this RETIRES the r5
     #      tier: after r11 no entry's last driver row predates r6;
-    #   3. the 15 stalest last-green-r6 entries fill the window to 50
+    #   3. the 14 stalest last-green-r6 entries fill the window to 50
     #      (the 8 rows-only ⊙ entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -7054,15 +7090,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      freshest demoted last. Every entry below the window was
     #      green in its last driver round (r6-r10).
     return {
-        # -- r11 window 1-3: NEW in r11 --
+        # -- r11 window 1-4: NEW in r11 --
         "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
         "bm25_incremental": q_bm25_incremental,
+        "bm25_incremental_delete": q_bm25_incremental_delete,
         "knn_ivfpq_index_search": q_knn_ivfpq_index_search,
-        # -- r11 window 4-6: demoted from the r10 freshness check --
+        # -- r11 window 5-7: demoted from the r10 freshness check --
         "embed_hash_features": q_embed_hash_features,
         "metrics_eval": q_metrics_eval,
         "set_overlap": q_set_overlap,
-        # -- r11 window 7-35: the final last-green-r5 block — retires the r5 tier --
+        # -- r11 window 8-36: the final last-green-r5 block — retires the r5 tier --
         "vec_norm_checkpoints": q_vec_norm_checkpoints,
         "vec_dot_cosine": q_vec_dot_cosine,
         "vec_dp_noise": q_vec_dp_noise,
@@ -7092,7 +7129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "doc_mixture_sample": q_doc_mixture_sample,
         "dedup_spans": q_dedup_spans,
-        # -- r11 window 36-50: stalest last-green-r6 entries (⊙ excluded) --
+        # -- r11 window 37-50: stalest last-green-r6 entries (⊙ excluded) --
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_scd2": q_events_scd2,
@@ -7107,8 +7144,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
-        "events_zscore_outliers": q_events_zscore_outliers,
         # -- remaining last green r6 (below the window) --
+        "events_zscore_outliers": q_events_zscore_outliers,
         "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
         "events_distinct_hll": q_events_distinct_hll,
@@ -8370,6 +8407,37 @@ def oracle_sql() -> dict[str, str]:
     # additive sufficient statistics must reproduce the one-shot build's
     # scores bit-for-bit at 6dp — the oracle IS the one-shot SQL
     s["bm25_incremental"] = s["bm25_okapi"]
+
+    # the DELETE half: ingest + delete-by-replay must equal a one-shot
+    # build over the SURVIVORS — same SQL with every corpus-derived CTE
+    # restricted to doc_id % 7 <> 2 (df, n_docs, avgdl, the epsilon
+    # floor's vocabulary average: all recomputed over survivors only)
+    s["bm25_incremental_delete"] = f"""
+        WITH toks AS (SELECT * FROM ({_TOKS}) t WHERE doc_id % 7 <> 2),
+        dl AS (SELECT doc_id, len(tokens)::DOUBLE AS dl FROM toks),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*)::DOUBLE AS tf
+               FROM terms GROUP BY doc_id, term),
+        dfreq AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM dl),
+        idf0 AS (SELECT term, ln((n_docs - df + 0.5) / (df + 0.5)) AS raw_idf
+                 FROM dfreq CROSS JOIN stats),
+        aidf AS (SELECT avg(raw_idf) AS avg_idf FROM idf0),
+        idf AS (SELECT term, CASE WHEN raw_idf < 0 THEN 0.25 * avg_idf
+                                  ELSE raw_idf END AS idf
+                FROM idf0 CROSS JOIN aidf),
+        q AS (SELECT * FROM (VALUES {terms_sql}) AS t(term, qw)),
+        sc AS (SELECT tf.doc_id,
+                      sum(q.qw * idf.idf * tf.tf * 2.5
+                          / (tf.tf + 1.5 * (0.25 + 0.75 * dl.dl / stats.avgdl)))
+                          AS bm25
+               FROM tf JOIN q USING (term) JOIN idf USING (term)
+                       JOIN dl USING (doc_id) CROSS JOIN stats
+               GROUP BY tf.doc_id)
+        SELECT d.doc_id, round(coalesce(sc.bm25, 0.0), 6) AS bm25
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 2) d
+        LEFT JOIN sc ON d.doc_id = sc.doc_id
+    """
 
     _ranks = """
         base AS (SELECT lang AS query_id, doc_id,
