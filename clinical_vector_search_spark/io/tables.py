@@ -326,19 +326,38 @@ def compact_parquet(
     ``streaming_neardup_ingest`` layout). Do NOT use it on Hive
     ``key=value``-partitioned directories: recursive listing disables
     partition inference, so the partition column would be dropped."""
+    reader = spark.read
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    df = reader.parquet(path)
+    return _rewrite_and_swap(df, path, target_file_bytes)
+
+
+def _rewrite_and_swap(
+    df: DataFrame,
+    path: str,
+    target_file_bytes: int,
+    size_from: DataFrame | None = None,
+) -> int:
+    """Shared rewrite machinery of :func:`compact_parquet` and
+    :func:`compact_tombstoned`: size the local input files (of
+    ``size_from`` when given — e.g. the data scan alone, excluding a
+    joined tombstone side — else of ``df``), write ``df`` as
+    ⌈bytes/target⌉ round-robin files to a temp sibling, then swap. One
+    code path so a fix to the sizing or swap discipline reaches both
+    compactors. Returns the new file count."""
     import math
     import os
     import shutil
     import uuid
     from urllib.parse import unquote, urlparse
 
-    reader = spark.read
-    if recursive:
-        reader = reader.option("recursiveFileLookup", "true")
-    df = reader.parquet(path)
     # inputFiles() returns URIs — percent-decode or sizes silently read as
     # missing (a path with a space would compact everything into ONE file)
-    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
+    files = [
+        unquote(urlparse(f).path)
+        for f in (size_from if size_from is not None else df).inputFiles()
+    ]
     missing = [f for f in files if not os.path.exists(f)]
     if not files or missing:
         raise ValueError(
@@ -352,12 +371,81 @@ def compact_parquet(
     df.repartition(n).write.mode("overwrite").parquet(tmp)
     # swap keeps a live copy at every instant: old moves aside, new moves
     # in, old deletes last — a crash leaves either the old or the new
-    # directory recoverable, never neither
+    # directory recoverable, never neither (though between the two moves
+    # the live NAME is briefly absent — the documented mid-swap window)
     old = f"{path}__old_{tag}"
     shutil.move(path, old)
     shutil.move(tmp, path)
     shutil.rmtree(old)
     return n
+
+
+def compact_batched(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """:func:`compact_parquet` for batch-id-OVERWRITE maintained sinks
+    (the ``dedup.ingest_neardup_batch`` / ``pq.ivfpq_index_add`` /
+    ``bm25.bm25_index_add`` layouts) plus the redelivery fence those
+    sinks need: records the batch subdirectory names it folds in a
+    ``_COMPACTED_BATCHES`` marker (underscore-prefixed — invisible to
+    parquet readers), so the add paths REFUSE a late at-least-once
+    redelivery of an already-folded batch instead of recreating its
+    subdirectory next to the compacted copy of the same rows — which
+    every reader would silently double-count (wrong BM25 df/n_docs/
+    sum_dl, duplicate codes rows). Without the fence, batch-id
+    overwrite is idempotent only UP TO the last compaction.
+
+    Marker protocol is local-FS, like the compactors' own sizing and
+    swap; on object storage gate ingestion through a manifest instead.
+    Single-writer: do not compact while a batch write can be in flight.
+    """
+    import json
+    import os
+
+    folded = sorted(
+        name
+        for name in os.listdir(path)
+        if os.path.isdir(os.path.join(path, name))
+        and not name.startswith(("_", "."))
+    )
+    # the swap destroys the old marker (it lives inside `path`) — carry
+    # prior fold history forward
+    already = compacted_batches(path)
+    n = compact_parquet(spark, path, target_file_bytes, recursive=True)
+    with open(os.path.join(path, "_COMPACTED_BATCHES"), "w") as fh:
+        json.dump(sorted(already | set(folded)), fh)
+    return n
+
+
+def compacted_batches(path: str) -> set:
+    """Batch subdirectory names already folded into ``path`` by
+    :func:`compact_batched` (empty when no marker — including on
+    non-local storage, where the fence is inert by design)."""
+    import json
+    import os
+
+    marker = os.path.join(path, "_COMPACTED_BATCHES")
+    if not os.path.isfile(marker):
+        return set()
+    with open(marker) as fh:
+        return set(json.load(fh))
+
+
+def guard_batch_not_compacted(path: str, subdir: str) -> None:
+    """Raise when ``subdir`` was already folded by
+    :func:`compact_batched` — the at-least-once redelivery that can no
+    longer be made idempotent (its rows live in the compacted flat
+    files; a recreated subdirectory would double-count them). Called by
+    every batch-id-overwrite sink before writing."""
+    if subdir in compacted_batches(path):
+        raise ValueError(
+            f"batch subdirectory {subdir!r} under {path!r} was already "
+            "folded by compact_batched; redelivery after compaction "
+            "cannot be idempotent — quiesce the stream before "
+            "compacting, or re-ingest these rows under a fresh batch id"
+        )
 
 
 def compact_tombstoned(
@@ -371,20 +459,19 @@ def compact_tombstoned(
     half of ``pq.ivfpq_index_delete`` and ``bm25.bm25_index_delete``:
     rewrite the data directory MINUS tombstoned ids (recursive reads of
     both per-batch-subdir layouts, broadcast anti-join), swap with the
-    same crash-safety discipline as :func:`compact_parquet`, then clear
-    the tombstone directory LAST. Ordering makes a crash harmless at
-    every point: before the swap the live data is untouched; between
-    swap and clear the stale tombstones anti-join against already-erased
-    ids and match nothing — re-running completes the clear. After the
-    clear, a previously deleted id may be re-ingested. Returns the new
-    file count. No-op (returns 0) when the tombstone directory is
-    absent/empty. Single-writer local-FS swap caveat as
-    ``compact_parquet``."""
-    import math
-    import os
+    same discipline as :func:`compact_parquet`, then clear the tombstone
+    directory LAST. Crash ordering: before the swap the live data is
+    untouched; DURING the swap the same mid-swap window as
+    ``compact_parquet``/``upsert_vector_index`` applies (a crash between
+    the two moves leaves ``data_path`` absent until the ``__old_<tag>``
+    directory is restored — a copy always exists, but recovery of that
+    instant is manual, not a re-run); between swap and clear the stale
+    tombstones anti-join against already-erased ids and match nothing,
+    so re-running completes the clear. After the clear, a previously
+    deleted id may be re-ingested. Returns the new file count. No-op
+    (returns 0) when the tombstone directory is absent/empty.
+    Single-writer local-FS swap caveat as ``compact_parquet``."""
     import shutil
-    import uuid
-    from urllib.parse import unquote, urlparse
 
     from pyspark.errors import AnalysisException
 
@@ -396,23 +483,8 @@ def compact_tombstoned(
             raise
         return 0
     df = rec.parquet(data_path)
-    files = [unquote(urlparse(f).path) for f in df.inputFiles()]
-    missing = [f for f in files if not os.path.exists(f)]
-    if not files or missing:
-        raise ValueError(
-            f"cannot size {data_path!r}: non-local or unreadable input "
-            f"files (first missing: {missing[:1]})"
-        )
-    nbytes = sum(os.path.getsize(f) for f in files)
-    n = max(1, math.ceil(nbytes / target_file_bytes))
     survivors = df.join(F.broadcast(dead), id_col, "left_anti")
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{data_path}__compact_{tag}"
-    survivors.repartition(n).write.mode("overwrite").parquet(tmp)
-    old = f"{data_path}__old_{tag}"
-    shutil.move(data_path, old)
-    shutil.move(tmp, data_path)
-    shutil.rmtree(old)
+    n = _rewrite_and_swap(survivors, data_path, target_file_bytes, size_from=df)
     shutil.rmtree(tombstone_path)  # LAST — see ordering argument above
     return n
 

@@ -35,6 +35,27 @@ B = 0.75
 EPSILON = 0.25  # rank_bm25 BM25Okapi default
 
 
+def _idf_with_floor(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
+    """(term, idf, n_docs, avgdl) from a (term, df) frame and a 1-row
+    (n_docs, avgdl) frame — the Robertson idf with the rank_bm25 epsilon
+    floor (negatives → EPSILON · mean raw idf over the whole vocabulary).
+    THE single spelling shared by the one-shot builder
+    (:func:`bm25_index`) and the maintenance reconstruction
+    (:func:`bm25_read_index`): their bit-identical-scores contract is
+    only as strong as these expressions staying one code path."""
+    raw_idf = F.log(
+        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn("raw_idf", raw_idf)
+    avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
+    return idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
+        "idf",
+        F.when(
+            F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")
+        ).otherwise(F.col("raw_idf")),
+    ).select("term", "idf", "n_docs", "avgdl")
+
+
 def bm25_index(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -56,21 +77,7 @@ def bm25_index(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    raw_idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn("raw_idf", raw_idf)
-    # rank_bm25 floor: negatives → epsilon * mean(raw idf over full vocab)
-    avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
-    idf_tbl = idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
-        "idf",
-        F.when(
-            F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")
-        ).otherwise(F.col("raw_idf")),
-    )
-    return tf.join(
-        idf_tbl.select("term", "idf", "n_docs", "avgdl"), "term"
-    ).join(doclens, "doc")
+    return tf.join(_idf_with_floor(dfreq, stats), "term").join(doclens, "doc")
 
 
 def bm25_score_index(
@@ -255,8 +262,17 @@ def bm25_index_add(
     vocabulary granularity. Each batch OVERWRITES its own batch-id
     subdirectories, so at-least-once retries leave the index
     bit-identical (the ``ingest_neardup_batch`` discipline); compact
-    each subdirectory with ``io.tables.compact_parquet(recursive=True)``
-    on the usual cadence."""
+    each subdirectory with ``io.tables.compact_batched`` on the usual
+    cadence. Idempotency holds UP TO the last compaction — redelivery
+    of a batch ``compact_batched`` already folded is refused loudly
+    (its df/scalar rows live in the compacted files and would be
+    double-counted into idf/avgdl)."""
+    from clinical_vector_search_spark.io.tables import (
+        guard_batch_not_compacted,
+    )
+
+    for sub in ("postings", "df", "scalars"):
+        guard_batch_not_compacted(f"{index_path}/{sub}", f"batch-{batch_id}")
     toks = new_docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     ).localCheckpoint()  # consumed by postings, df and scalars
@@ -288,9 +304,10 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     deltas (one vocabulary-granularity sum) and scalar rows (a
     batches-count-row sum — exact BIGINT moments, so avgdl is
     bit-identical to the one-shot ``F.avg``: integer-valued doubles sum
-    exactly below 2^53), rebuild idf + the epsilon floor with the SAME
-    expressions as :func:`bm25_index`, and join onto the appended
-    postings. Same output schema (doc, term, tf, dl, idf, n_docs,
+    exactly below 2^53), rebuild idf + the epsilon floor through the
+    ONE shared spelling (:func:`_idf_with_floor` — the same code path
+    :func:`bm25_index` runs, so the two can never drift), and join onto
+    the appended postings. Same output schema (doc, term, tf, dl, idf, n_docs,
     avgdl) — ``bm25_score_index`` / ``bm25_topk_set`` consume it
     unchanged, so the scores equal a full one-shot rebuild (the oracle
     contract of the ``bm25_incremental`` entry). Lazy; postings are
@@ -335,23 +352,7 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
             ),
         )
     )
-    raw_idf = F.log(
-        (F.col("n_docs") - F.col("df") + F.lit(0.5))
-        / (F.col("df") + F.lit(0.5))
-    )
-    idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn(
-        "raw_idf", raw_idf
-    )
-    avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
-    idf_tbl = idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
-        "idf",
-        F.when(
-            F.col("raw_idf") < 0, F.lit(EPSILON) * F.col("avg_idf")
-        ).otherwise(F.col("raw_idf")),
-    )
-    return postings.join(
-        idf_tbl.select("term", "idf", "n_docs", "avgdl"), "term"
-    )
+    return postings.join(_idf_with_floor(dfreq, stats), "term")
 
 
 def bm25_index_delete(
@@ -382,7 +383,15 @@ def bm25_index_delete(
     happens at the next compaction (rewrite minus tombstones, then
     clear ``deleted/``), exactly like ``pq.ivfpq_index_delete``.
     Idempotent: each delete batch overwrites its own ``del-{id}``
-    subdirectories."""
+    subdirectories — up to the last ``compact_batched`` over the stat
+    directories, after which redelivery is refused (a recreated del
+    subdirectory would double-SUBTRACT the folded negative deltas)."""
+    from clinical_vector_search_spark.io.tables import (
+        guard_batch_not_compacted,
+    )
+
+    for sub in ("df", "scalars", "deleted"):
+        guard_batch_not_compacted(f"{index_path}/{sub}", f"del-{batch_id}")
     toks = deleted_docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     ).localCheckpoint()  # consumed by df, scalars and tombstones

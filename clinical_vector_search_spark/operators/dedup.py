@@ -315,6 +315,7 @@ def ingest_neardup_batch(
     shingle_size: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    run_id: str | None = None,
 ) -> None:
     """One micro-batch of :func:`streaming_neardup_ingest`, exposed at
     module level so the idempotency contract is directly testable:
@@ -323,9 +324,30 @@ def ingest_neardup_batch(
     batch OVERWRITES its own ``batch-{id}`` subdirectory rather than
     appending. Index discovery is a ``try: read`` (storage-agnostic —
     works on hdfs://, s3a://, … where an ``os.walk`` would silently
-    report 'no index' and drop every new×old pair)."""
+    report 'no index' and drop every new×old pair).
+
+    BECAUSE the sink overwrites, the subdirectory name must be unique
+    per logical batch FOR THE LIFETIME OF THE INDEX — and streaming
+    batch ids are only unique per checkpoint (a new query with a fresh
+    checkpoint restarts at 0 and would clobber a prior run's batches).
+    ``run_id`` namespaces the subdirectory (``batch-{run_id}-{id}``)
+    for exactly that case: extending an existing index from a NEW
+    query/checkpoint, pass a distinct run_id (e.g. the ingest date);
+    retries and checkpoint-restarts of the SAME logical run must reuse
+    the same run_id so redelivery stays idempotent. Idempotency holds
+    UP TO the last ``io.tables.compact_batched`` — a redelivery of a
+    batch that compaction already folded is refused loudly (its rows
+    live in the compacted files; rewriting the subdirectory would
+    double-count them)."""
     from pyspark.errors import AnalysisException
 
+    from clinical_vector_search_spark.io.tables import (
+        guard_batch_not_compacted,
+    )
+
+    sub = f"batch-{run_id}-{batch_id}" if run_id else f"batch-{batch_id}"
+    guard_batch_not_compacted(pairs_path, sub)
+    guard_batch_not_compacted(index_path, sub)
     sigs = minhash_signatures(
         batch_df, num_hashes, shingle_size, text_col, id_col
     )
@@ -349,8 +371,8 @@ def ingest_neardup_batch(
     pairs = _incremental_pairs_from_buckets(
         nb, corpus, id_col, materialized=True
     )
-    pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch-{batch_id}")
-    nb.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id}")
+    pairs.write.mode("overwrite").parquet(f"{pairs_path}/{sub}")
+    nb.write.mode("overwrite").parquet(f"{index_path}/{sub}")
 
 
 def streaming_neardup_ingest(
@@ -364,6 +386,7 @@ def streaming_neardup_ingest(
     text_col: str = "text",
     id_col: str = "doc_id",
     checkpoint_path: str | None = None,
+    run_id: str | None = None,
 ):
     """Streaming near-dup ingestion: the ``foreachBatch`` composition of
     :func:`minhash_pairs_incremental` over a document stream. Each
@@ -380,19 +403,26 @@ def streaming_neardup_ingest(
     the one-shot :func:`minhash_candidate_pairs` output — the
     oracle-checked contract. ``foreachBatch`` is only at-least-once, so
     the sink is made IDEMPOTENT: each batch overwrites its own
-    batch-id-derived subdirectory (``{path}/batch-{id}``) for both
+    batch-id-derived subdirectory (``{path}/batch-{id}``, or
+    ``batch-{run_id}-{id}`` when ``run_id`` is given) for both
     pairs and index rows — a retry rewrites the same subpaths instead
     of appending duplicates, and re-probing an index that already holds
     the batch's own buckets (retry after a completed index write) emits
     the identical pair set, because batch-self pairs rediscovered
     through the probe collapse into the new×new term under the final
-    ``distinct``. Readers must therefore list recursively
+    ``distinct``. Streaming batch ids are unique only PER CHECKPOINT:
+    resume the same logical stream with the same ``checkpoint_path``
+    (ids continue monotonically), and when extending an existing index
+    from a NEW query/checkpoint pass a distinct ``run_id`` (e.g. the
+    ingest date) — otherwise the new run restarts at batch 0 and
+    OVERWRITES the old run's batch-0 subdirectory, silently dropping
+    its buckets and pairs. Readers must therefore list recursively
     (``spark.read.option("recursiveFileLookup", "true")``); both paths
     stay storage-agnostic — no driver-side filesystem walk. Returns the
     ``StreamingQuery`` (caller awaits). Single writer assumed, like the
     other index-maintenance sinks in ``io.tables``; long-running
     streams add one subdirectory per batch, so schedule
-    ``io.tables.compact_parquet(recursive=True)`` over ``index_path``
+    ``io.tables.compact_batched`` over ``index_path``
     on the same cadence as any other append-maintained index (the
     recursive read accepts the mixed compacted-flat + new-subdir
     layout)."""
@@ -409,6 +439,7 @@ def streaming_neardup_ingest(
             shingle_size,
             text_col,
             id_col,
+            run_id,
         )
 
     writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(

@@ -134,10 +134,12 @@ def _knn_partial_topk(
     """
     import numpy as np
 
-    rows = queries.select(query_id, query_vec).collect()
+    # limit BEFORE collect: an oversized query frame must raise with
+    # bounded driver memory, not OOM the collect the guard exists for
+    rows = queries.select(query_id, query_vec).limit(100_001).collect()
     if len(rows) > 100_000:
         raise ValueError(
-            f"partial_topk collects the query side ({len(rows)} rows); "
+            "partial_topk collects the query side (>100000 rows); "
             "use strategy='window' or pre-reduce the query set"
         )
     q_ids = [r[0] for r in rows]  # kept generic — int or string ids both work
@@ -499,10 +501,12 @@ def _knn_l2_partial(
     bit-stable across strategies."""
     import numpy as np
 
-    rows = queries.select(query_id, query_vec).collect()
+    # limit BEFORE collect: an oversized query frame must raise with
+    # bounded driver memory, not OOM the collect the guard exists for
+    rows = queries.select(query_id, query_vec).limit(100_001).collect()
     if len(rows) > 100_000:
         raise ValueError(
-            f"partial_topk collects the query side ({len(rows)} rows); "
+            "partial_topk collects the query side (>100000 rows); "
             "use strategy='window' or pre-reduce the query set"
         )
     q_ids = [r[0] for r in rows]

@@ -449,10 +449,13 @@ def knn_ivfpq_codes(
     # (bounded query batch) and score the cell-joined codes in numpy.
     # residual=False: one table per query; residual=True: one per
     # (query, cell) over (q − centroid) — both driver-tiny.
-    qrows = queries.select(query_id, query_vec).collect()
-    if len(qrows) > 100_000:  # same bounded-batch guard as _knn_partial_topk
+    # limit BEFORE collect so an oversized query frame is detected with
+    # bounded driver memory instead of OOM-ing the collect the guard
+    # exists to prevent (same discipline as _knn_partial_topk)
+    qrows = queries.select(query_id, query_vec).limit(100_001).collect()
+    if len(qrows) > 100_000:
         raise ValueError(
-            f"knn_ivfpq_codes collects the query side ({len(qrows)} rows) "
+            "knn_ivfpq_codes collects the query side (>100000 rows) "
             "to build ADC tables; pre-reduce the query set or shard it"
         )
     qids = {r[0]: i for i, r in enumerate(qrows)}
@@ -652,7 +655,7 @@ def read_ivfpq_index(
     """Read an :func:`ivfpq_index_add`-maintained codes directory — one
     plain ``batch-{id}`` subdirectory per ingested batch (the
     idempotent-retry layout), so listing must be recursive; tolerates
-    the mixed layout after ``io.tables.compact_parquet(recursive=True)``.
+    the mixed layout after ``io.tables.compact_batched``.
 
     ``tombstone_path`` (an :func:`ivfpq_index_delete` directory) filters
     deleted ids with a BROADCAST anti-join — tombstones are tiny
@@ -716,10 +719,17 @@ def ivfpq_index_add(
     ``batch-{id}`` subdirectory, so re-running a (batch, batch_id) pair
     leaves the index bit-identical. Read back with
     :func:`read_ivfpq_index`; compact with
-    ``io.tables.compact_parquet(recursive=True)`` on the usual cadence.
+    ``io.tables.compact_batched`` on the usual cadence.
     Deterministic end-to-end (``ASSIGN_SCALE`` quantized argmax,
     first-min codes), so the oracle contract is the full-index rebuild
-    restricted to batch rows."""
+    restricted to batch rows. Idempotency holds UP TO the last
+    ``io.tables.compact_batched``: redelivery of a batch compaction
+    already folded is refused loudly instead of double-counted."""
+    from clinical_vector_search_spark.io.tables import (
+        guard_batch_not_compacted,
+    )
+
+    guard_batch_not_compacted(index_path, f"batch-{batch_id}")
     enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
     enc = enc_fn(
         new_vecs, dim, books, centroids, n_centroids, id_col, vec_col, residual

@@ -41,6 +41,20 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _gk_bucket(value_col: str, bounds_col, first_bin: int) -> "F.Column":
+    """Bucket id of ``value_col`` against a broadcast percentile_approx
+    boundary array: ``first_bin`` + the count of boundaries strictly
+    below the value — an O(n_bins) map-side fold. THE single spelling
+    shared by the ``woe_iv(approx=True)`` and ``spearman_corr(bins=K)``
+    fact-scale paths (a boundary-tie or accuracy fix must land in both
+    at once)."""
+    return F.aggregate(
+        bounds_col,
+        F.lit(first_bin),
+        lambda acc, b: acc + F.when(F.col(value_col) > b, 1).otherwise(0),
+    )
+
+
 def kaplan_meier(
     events: DataFrame,
     user_col: str = "user_id",
@@ -416,12 +430,7 @@ def woe_iv(
             F.percentile_approx(feature_col, qs).alias(bcol)
         )
         binned = df.crossJoin(F.broadcast(bounds)).select(
-            F.aggregate(
-                bcol,
-                F.lit(1),
-                lambda acc, b: acc
-                + F.when(F.col(feature_col) > b, 1).otherwise(0),
-            ).alias("bin"),
+            _gk_bucket(feature_col, bcol, 1).alias("bin"),
             label_col.cast("int").alias("good"),
         )
     else:
@@ -981,13 +990,6 @@ def spearman_corr(
             F.percentile_approx("_y", qs).alias("_by"),
         )
 
-        def to_bin(c: str, bcol) -> F.Column:
-            return F.aggregate(
-                bcol,
-                F.lit(0),
-                lambda acc, b: acc + F.when(F.col(c) > b, 1).otherwise(0),
-            )
-
         # materialized ONCE: the O(bins) fold would otherwise re-run per
         # downstream consumer (two rank_map subtrees + the join-back all
         # root at this frame — the re-derived-per-consumer trap the r10
@@ -995,8 +997,8 @@ def spearman_corr(
         base = (
             base.crossJoin(F.broadcast(bounds))
             .select(
-                to_bin("_x", F.col("_bx")).alias("_x"),
-                to_bin("_y", F.col("_by")).alias("_y"),
+                _gk_bucket("_x", F.col("_bx"), 0).alias("_x"),
+                _gk_bucket("_y", F.col("_by"), 0).alias("_y"),
             )
             .localCheckpoint()
         )

@@ -311,3 +311,45 @@ def test_bm25_tombstone_compaction(spark, tmp_path):
         )
         for r in bm25_index(docs.filter(F.col("doc_id") != 2)).collect()
     )
+
+
+def test_bm25_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
+    """After compact_batched folds a batch's df/scalar deltas into flat
+    files, redelivering that batch must be refused — a recreated batch
+    subdirectory would double-count its df/n_docs/sum_dl into idf and
+    avgdl silently. Fresh batches keep ingesting and still reconstruct
+    the one-shot scores exactly."""
+    import pytest
+
+    from clinical_vector_search_spark.io.tables import compact_batched
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_read_index,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    idx = str(tmp_path / "bm25_idx")
+    b0 = docs.filter(F.col("doc_id") < 60)
+    b1 = docs.filter(F.col("doc_id") >= 60)
+    bm25_index_add(spark, b0, 0, idx)
+    for sub in ("postings", "df", "scalars"):
+        compact_batched(spark, f"{idx}/{sub}")
+    with pytest.raises(ValueError, match="already"):
+        bm25_index_add(spark, b0, 0, idx)
+    bm25_index_add(spark, b1, 1, idx)
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(docs))

@@ -1164,3 +1164,103 @@ def test_personalized_pagerank_localizes_to_seed(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-9
     assert min(out[n] for n in (1, 2, 3)) > max(out[n] for n in (12, 13))
     assert out[1] == max(out.values())
+
+
+def test_neardup_ingest_run_id_namespaces_batches(spark, sf_dir, tmp_path):
+    """A NEW streaming query (fresh checkpoint) restarts foreachBatch ids
+    at 0; without a namespace its batch 0 would OVERWRITE a prior run's
+    batch-0 subdirectory and silently drop that run's buckets and pairs.
+    Distinct run_ids must accumulate — the union equals the one-shot
+    recompute — and redelivery within a run stays idempotent."""
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        minhash_candidate_pairs,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    monday = docs.filter(F.col("doc_id") < 100)
+    tuesday = docs.filter(F.col("doc_id") >= 100)
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+
+    # both logical runs start at batch id 0 — the new-checkpoint reality
+    ingest_neardup_batch(spark, monday, 0, idx, prs, 4, 2, 3, run_id="mon")
+    ingest_neardup_batch(spark, tuesday, 0, idx, prs, 4, 2, 3, run_id="tue")
+    got = sorted(
+        set(
+            (r.a_id, r.b_id)
+            for r in read_neardup_output(spark, prs).collect()
+        )
+    )
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    )
+    assert got == want and got
+    # redelivery of tuesday's batch 0 under the same run_id: bit-identical
+    before = sorted(map(tuple, read_neardup_output(spark, idx).collect()))
+    ingest_neardup_batch(spark, tuesday, 0, idx, prs, 4, 2, 3, run_id="tue")
+    assert sorted(map(tuple, read_neardup_output(spark, idx).collect())) == before
+
+
+def test_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
+    """compact_batched records the batch subdirectories it folds; a late
+    at-least-once redelivery of a folded batch must be REFUSED (its rows
+    live in the compacted files — recreating the subdirectory would
+    double-count them in every reader), while fresh batch ids keep
+    ingesting and a second compaction carries the fold history forward."""
+    import pytest
+
+    from clinical_vector_search_spark.io.tables import compact_batched
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        minhash_candidate_pairs,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 150)
+    )
+    b0 = docs.filter(F.col("doc_id") < 50)
+    b1 = docs.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 100))
+    b2 = docs.filter(F.col("doc_id") >= 100)
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+
+    ingest_neardup_batch(spark, b0, 0, idx, prs, 4, 2, 3)
+    ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+    compact_batched(spark, idx)
+    compact_batched(spark, prs)
+
+    # folded batch redelivered → loud refusal, index unchanged
+    before = sorted(map(tuple, read_neardup_output(spark, idx).collect()))
+    with pytest.raises(ValueError, match="already"):
+        ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+    assert sorted(map(tuple, read_neardup_output(spark, idx).collect())) == before
+
+    # fresh batch id still ingests; accumulated pairs == one-shot
+    ingest_neardup_batch(spark, b2, 2, idx, prs, 4, 2, 3)
+    got = sorted(
+        set(
+            (r.a_id, r.b_id)
+            for r in read_neardup_output(spark, prs).collect()
+        )
+    )
+    want = sorted(
+        (r.a_id, r.b_id)
+        for r in minhash_candidate_pairs(docs, 4, 2, 3).collect()
+    )
+    assert got == want and got
+
+    # second compaction carries forward: batch 1 AND batch 2 both fenced
+    compact_batched(spark, idx)
+    compact_batched(spark, prs)
+    with pytest.raises(ValueError, match="already"):
+        ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
+    with pytest.raises(ValueError, match="already"):
+        ingest_neardup_batch(spark, b2, 2, idx, prs, 4, 2, 3)

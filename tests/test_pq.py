@@ -630,3 +630,43 @@ def test_ivfpq_tombstone_compaction_physically_erases(spark, sf_dir, tmp_path):
         n_centroids=8,
     )
     assert read_ivfpq_index(spark, idx).count() == 100
+
+
+def test_ivfpq_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
+    """After compact_batched folds a codes batch into flat files,
+    redelivering it must be refused — a recreated batch-{id}
+    subdirectory would duplicate every (vec_id, cluster, codes) row and
+    return the same doc at two ranks. Fresh batches keep folding in and
+    the read-back still equals the full encode."""
+    import pytest
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.io.tables import compact_batched
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx = str(tmp_path / "codes")
+    b0 = v.filter(F.col("vec_id") < 100)
+    b1 = v.filter(F.col("vec_id") >= 100)
+    ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=4)
+    compact_batched(spark, idx)
+    with pytest.raises(ValueError, match="already"):
+        ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=4)
+    ivfpq_index_add(spark, b1, 1, idx, 64, books, n_centroids=4)
+
+    def snap(df):
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
+        )
+
+    assert snap(read_ivfpq_index(spark, idx)) == snap(
+        ivfpq_encode_pd(v, 64, books, n_centroids=4)
+    )

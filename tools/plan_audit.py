@@ -1061,7 +1061,7 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") == 0,
     )
 
-    # 53b. incremental IVF-PQ index add: folding a batch into a persisted
+    # 54. incremental IVF-PQ index add: folding a batch into a persisted
     # trained index must be ENTIRELY map-side — the trained state
     # (centroids + codebook slices) ships as plan literals, so the plan
     # is a Project over the batch scan: zero joins of any strategy, zero
@@ -1078,7 +1078,7 @@ def main() -> int:
         and n_nodes(plan, "Scan parquet") == 1,
     )
 
-    # 53c. incremental BM25 maintenance: scoring the RECONSTRUCTED view
+    # 54b. incremental BM25 maintenance: scoring the RECONSTRUCTED view
     # (postings + folded df deltas + scalar sums) must read exactly the
     # three statistic directories once each, broadcast the query terms,
     # and contain no cartesian blowup — the global-stat rebuild is
