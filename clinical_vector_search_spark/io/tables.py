@@ -400,6 +400,11 @@ def compact_batched(
     Marker protocol is local-FS, like the compactors' own sizing and
     swap; on object storage gate ingestion through a manifest instead.
     Single-writer: do not compact while a batch write can be in flight.
+    The marker is a SIBLING file (``{path}__COMPACTED_BATCHES``), not a
+    file inside ``path`` — it must survive the compactor's own
+    move-aside swap, and a crash between swap and marker write then
+    loses at most the CURRENT compaction's names, never the prior fence
+    (move or delete the index directory together with its marker).
     """
     import json
     import os
@@ -410,13 +415,15 @@ def compact_batched(
         if os.path.isdir(os.path.join(path, name))
         and not name.startswith(("_", "."))
     )
-    # the swap destroys the old marker (it lives inside `path`) — carry
-    # prior fold history forward
     already = compacted_batches(path)
     n = compact_parquet(spark, path, target_file_bytes, recursive=True)
-    with open(os.path.join(path, "_COMPACTED_BATCHES"), "w") as fh:
+    with open(_compacted_marker(path), "w") as fh:
         json.dump(sorted(already | set(folded)), fh)
     return n
+
+
+def _compacted_marker(path: str) -> str:
+    return path.rstrip("/") + "__COMPACTED_BATCHES"
 
 
 def compacted_batches(path: str) -> set:
@@ -426,7 +433,7 @@ def compacted_batches(path: str) -> set:
     import json
     import os
 
-    marker = os.path.join(path, "_COMPACTED_BATCHES")
+    marker = _compacted_marker(path)
     if not os.path.isfile(marker):
         return set()
     with open(marker) as fh:
