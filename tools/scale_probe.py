@@ -14,14 +14,21 @@ records:
     and n_clusters SCALED 10x so E[|c|] is constant (the operator's
     prescribed usage -> expect ~linear);
   * exact-kNN window vs partial_topk wall times at both scales (the
-    measured side of the AUTO_WINDOW_MAX_BYTES dispatch constant).
+    measured side of the AUTO_WINDOW_MAX_BYTES dispatch constant);
+  * maintained-codes ANN serving over 1x vs 10x prebuilt codes (r11);
+  * tf-idf retrieval growth, TextRank, DSIR, SCD2 incremental vs full
+    merge, incremental near-dup maintenance vs the one-shot self-join;
+  * incremental BM25: fixed-batch ingest vs corpus size vs the one-shot
+    rebuild (r11);
+  * skyline plain vs local-prefilter at 1M rows, anti-correlated and
+    correlated axes (r10).
 
 Embedding replicas are perturbed with the deterministic LCG noise
 expression (ids differ per replica, so noise differs) to keep near-dup
 pair density realistic — exact duplicates would quadratically inflate
 OUTPUT rows and measure result-writing, not comparison work.
 
-Usage: python tools/scale_probe.py  (~2-4 min; one JSON line at the end,
+Usage: python tools/scale_probe.py  (~6-9 min; one JSON line at the end,
 plus human-readable progress on stderr). Results are summarized in
 README "10x scale probe".
 """
