@@ -389,60 +389,129 @@ def compact_batched(
     (the ``dedup.ingest_neardup_batch`` / ``pq.ivfpq_index_add`` /
     ``bm25.bm25_index_add`` layouts) plus the redelivery fence those
     sinks need: records the batch subdirectory names it folds in a
-    ``_COMPACTED_BATCHES`` marker (underscore-prefixed — invisible to
-    parquet readers), so the add paths REFUSE a late at-least-once
+    sibling fence manifest, so the add paths REFUSE a late at-least-once
     redelivery of an already-folded batch instead of recreating its
     subdirectory next to the compacted copy of the same rows — which
     every reader would silently double-count (wrong BM25 df/n_docs/
     sum_dl, duplicate codes rows). Without the fence, batch-id
     overwrite is idempotent only UP TO the last compaction.
 
-    Marker protocol is local-FS, like the compactors' own sizing and
-    swap; on object storage gate ingestion through a manifest instead.
-    Single-writer: do not compact while a batch write can be in flight.
-    The marker is a SIBLING file (``{path}__COMPACTED_BATCHES``), not a
-    file inside ``path`` — it must survive the compactor's own
-    move-aside swap, and a crash between swap and marker write then
-    loses at most the CURRENT compaction's names, never the prior fence
-    (move or delete the index directory together with its marker).
+    Fence protocol (storage-agnostic, unlike the compactor's own
+    local-FS sizing/swap): batch names are recorded through the SAME
+    Hadoop FileSystem the data uses — an append-only SIBLING manifest
+    directory (``{path}__COMPACTED_MANIFEST``) of immutable JSON
+    fragments, one per compaction, read as their union. Sibling, not
+    inside ``path``: it must survive the compactor's move-aside swap.
+    The fragment is written BEFORE the rewrite+swap, so every crash
+    ordering is safe: a crash mid-fragment-write leaves a partial
+    fragment that fails LOUDLY on the next read (delete it and re-run —
+    the batch subdirectories are still in place); a crash after the
+    fragment but before the swap over-fences names whose directories
+    still exist (conservative: their redelivery is refused with the
+    re-ingest-under-a-fresh-id remedy, never double-counted). Fragments
+    are never rewritten in place, so there is no truncate-and-dump
+    corruption window and no lost-fence rename window. Single-writer:
+    do not compact while a batch write can be in flight.
     """
-    import json
-    import os
+    folded = _list_batch_subdirs(spark, path)
+    record_compacted_batches(spark, path, folded)
+    return compact_parquet(spark, path, target_file_bytes, recursive=True)
 
-    folded = sorted(
-        name
-        for name in os.listdir(path)
-        if os.path.isdir(os.path.join(path, name))
-        and not name.startswith(("_", "."))
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(jvm, FileSystem, Path) for ``path`` resolved through the Spark
+    Hadoop configuration — the same filesystem the data reads/writes
+    use, so the fence works wherever the data lives (local, HDFS,
+    object storage), with zero ``os.*`` calls."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _list_batch_subdirs(spark: SparkSession, path: str) -> list:
+    """Non-hidden batch subdirectory names under ``path`` — the names a
+    compaction is about to fold — listed through the data's own FS."""
+    _, fs, jpath = _hadoop_fs(spark, path)
+    return sorted(
+        st.getPath().getName()
+        for st in fs.listStatus(jpath)
+        if st.isDirectory()
+        and not st.getPath().getName().startswith(("_", "."))
     )
-    already = compacted_batches(path)
-    n = compact_parquet(spark, path, target_file_bytes, recursive=True)
-    with open(_compacted_marker(path), "w") as fh:
-        json.dump(sorted(already | set(folded)), fh)
-    return n
+
+
+def _manifest_dir(path: str) -> str:
+    return path.rstrip("/") + "__COMPACTED_MANIFEST"
 
 
 def _compacted_marker(path: str) -> str:
+    # legacy single-file marker (pre-manifest protocol): read-only now
     return path.rstrip("/") + "__COMPACTED_BATCHES"
 
 
-def compacted_batches(path: str) -> set:
-    """Batch subdirectory names already folded into ``path`` by
-    :func:`compact_batched` (empty when no marker — including on
-    non-local storage, where the fence is inert by design)."""
+def record_compacted_batches(spark: SparkSession, path: str, names) -> None:
+    """Append one immutable JSON fragment naming ``names`` to the fence
+    manifest of ``path``. No-op on an empty list. Never rewrites an
+    existing fragment — the fence set is monotone-growing, so the union
+    read needs no replace/rename step (and thus has no atomicity
+    window; see :func:`compact_batched` for the crash orderings)."""
     import json
-    import os
+    import uuid
 
-    marker = _compacted_marker(path)
-    if not os.path.isfile(marker):
-        return set()
-    with open(marker) as fh:
-        return set(json.load(fh))
+    names = sorted(set(names))
+    if not names:
+        return
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    frag = jvm.org.apache.hadoop.fs.Path(
+        f"{_manifest_dir(path)}/fence-{uuid.uuid4().hex}.json"
+    )
+    out = fs.create(frag, True)
+    try:
+        out.write(bytearray(json.dumps(names).encode("utf-8")))
+    finally:
+        out.close()
+
+
+def compacted_batches(path: str, spark: SparkSession | None = None) -> set:
+    """Batch subdirectory names already folded into ``path`` by
+    :func:`compact_batched` / :func:`compact_tombstoned`: the union of
+    every manifest fragment, plus the legacy single-file marker if one
+    exists from an older layout (empty when neither exists). Raises on
+    an unparseable fragment — a loud, recoverable signal (delete the
+    partial fragment and re-run the compaction; see
+    :func:`compact_batched`), never a silent empty set."""
+    import json
+
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "compacted_batches needs an active SparkSession to reach "
+            "the index's filesystem"
+        )
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    names: set = set()
+    legacy = jvm.org.apache.hadoop.fs.Path(_compacted_marker(path))
+    if fs.exists(legacy):
+        names |= set(json.loads(_read_small_file(fs, legacy)))
+    mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            names |= set(json.loads(_read_small_file(fs, st.getPath())))
+    return names
+
+
+def _read_small_file(fs, jpath) -> bytes:
+    stream = fs.open(jpath)
+    try:
+        return bytes(stream.readAllBytes())
+    finally:
+        stream.close()
 
 
 def guard_batch_not_compacted(path: str, subdir: str) -> None:
     """Raise when ``subdir`` was already folded by
-    :func:`compact_batched` — the at-least-once redelivery that can no
+    :func:`compact_batched` or :func:`compact_tombstoned` — the
+    at-least-once redelivery that can no
     longer be made idempotent (its rows live in the compacted flat
     files; a recreated subdirectory would double-count them). Called by
     every batch-id-overwrite sink before writing."""
@@ -477,7 +546,16 @@ def compact_tombstoned(
     so re-running completes the clear. After the clear, a previously
     deleted id may be re-ingested. Returns the new file count. No-op
     (returns 0) when the tombstone directory is absent/empty.
-    Single-writer local-FS swap caveat as ``compact_parquet``."""
+    Single-writer local-FS swap caveat as ``compact_parquet``.
+
+    Like :func:`compact_batched`, the per-batch subdirectories this
+    rewrite folds into flat files are recorded in the fence manifest
+    BEFORE the swap — otherwise a late at-least-once redelivery of an
+    already-folded ingest batch would pass
+    :func:`guard_batch_not_compacted`, recreate its ``batch-{id}``
+    subdirectory next to the compacted copy of the same rows (silently
+    double-counting every surviving row in every reader), and resurrect
+    the physically erased ids."""
     import shutil
 
     from pyspark.errors import AnalysisException
@@ -489,6 +567,7 @@ def compact_tombstoned(
         if not is_absence_error(e):
             raise
         return 0
+    record_compacted_batches(spark, data_path, _list_batch_subdirs(spark, data_path))
     df = rec.parquet(data_path)
     survivors = df.join(F.broadcast(dead), id_col, "left_anti")
     n = _rewrite_and_swap(survivors, data_path, target_file_bytes, size_from=df)

@@ -304,6 +304,25 @@ def read_neardup_output(spark, path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
+def _validate_run_id(run_id) -> None:
+    """run_id becomes part of a sink subdirectory NAME, so it must be a
+    single safe path segment: a ``/`` would nest directories (the
+    compaction fence's top-level listing then records the wrong name and
+    the redelivery guard never matches), and a leading ``_``/``.`` makes
+    the entry hidden to parquet readers and to the fence listing — both
+    silently reopen the double-count hole the fence exists to close.
+    Allowed: ``[A-Za-z0-9-][A-Za-z0-9_-]*`` (or None)."""
+    import re
+
+    if run_id is None:
+        return
+    if not re.fullmatch(r"[A-Za-z0-9-][A-Za-z0-9_-]*", str(run_id)):
+        raise ValueError(
+            f"run_id {run_id!r} is not a safe path segment: use only "
+            "letters, digits, '-' and '_', not starting with '_' or '.'"
+        )
+
+
 def ingest_neardup_batch(
     spark,
     batch_df: DataFrame,
@@ -345,6 +364,7 @@ def ingest_neardup_batch(
         guard_batch_not_compacted,
     )
 
+    _validate_run_id(run_id)
     sub = f"batch-{run_id}-{batch_id}" if run_id else f"batch-{batch_id}"
     guard_batch_not_compacted(pairs_path, sub)
     guard_batch_not_compacted(index_path, sub)
@@ -426,6 +446,7 @@ def streaming_neardup_ingest(
     on the same cadence as any other append-maintained index (the
     recursive read accepts the mixed compacted-flat + new-subdir
     layout)."""
+    _validate_run_id(run_id)  # fail before the stream starts, not mid-batch
 
     def _ingest(batch_df, bid):
         ingest_neardup_batch(

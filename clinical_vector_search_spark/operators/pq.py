@@ -729,6 +729,10 @@ def ivfpq_index_add(
         guard_batch_not_compacted,
     )
 
+    if encoder not in ("expr", "pd"):
+        raise ValueError(
+            f"encoder must be 'expr' or 'pd', got {encoder!r}"
+        )
     guard_batch_not_compacted(index_path, f"batch-{batch_id}")
     enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
     enc = enc_fn(

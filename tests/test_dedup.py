@@ -1264,3 +1264,86 @@ def test_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
         ingest_neardup_batch(spark, b1, 1, idx, prs, 4, 2, 3)
     with pytest.raises(ValueError, match="already"):
         ingest_neardup_batch(spark, b2, 2, idx, prs, 4, 2, 3)
+
+
+def test_fence_manifest_never_touches_local_fs_listing(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The redelivery fence (folded-batch discovery + manifest
+    read/write) goes through the data's own Hadoop FileSystem, never
+    ``os.listdir`` — so it works unchanged when the index lives on
+    object storage. Proven by making ``os.listdir`` explode for the
+    fence calls themselves."""
+    import os
+
+    from clinical_vector_search_spark.io import tables as T
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+    ingest_neardup_batch(spark, docs, 0, idx, prs, 4, 2, 3)
+
+    def boom(*a, **k):
+        raise AssertionError("fence protocol must not use os.listdir")
+
+    monkeypatch.setattr(os, "listdir", boom)
+    folded = T._list_batch_subdirs(spark, idx)
+    assert folded == ["batch-0"]
+    T.record_compacted_batches(spark, idx, folded)
+    assert T.compacted_batches(idx) == {"batch-0"}
+    with pytest.raises(ValueError, match="already"):
+        T.guard_batch_not_compacted(idx, "batch-0")
+    T.guard_batch_not_compacted(idx, "batch-1")  # fresh id still legal
+
+
+def test_fence_reads_legacy_single_file_marker(spark, tmp_path):
+    """Indexes fenced by the pre-manifest protocol (one sibling JSON
+    file) keep their fence: compacted_batches unions the legacy file
+    with any manifest fragments."""
+    import json
+
+    from clinical_vector_search_spark.io import tables as T
+
+    idx = tmp_path / "index"
+    idx.mkdir()
+    (tmp_path / "index__COMPACTED_BATCHES").write_text(
+        json.dumps(["batch-7"])
+    )
+    assert T.compacted_batches(str(idx)) == {"batch-7"}
+    T.record_compacted_batches(spark, str(idx), ["batch-9"])
+    assert T.compacted_batches(str(idx)) == {"batch-7", "batch-9"}
+
+
+def test_run_id_must_be_safe_path_segment(spark, sf_dir, tmp_path):
+    """A run_id with a path separator (nests directories under the
+    fence listing) or a leading underscore/dot (hidden to readers AND
+    to the fence) is refused loudly at the top of the ingest, before
+    any write."""
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(5)
+    )
+    idx, prs = str(tmp_path / "i"), str(tmp_path / "p")
+    for bad in ("a/b", "_hidden", ".dot", "", "a b", "x\\y"):
+        with pytest.raises(ValueError, match="run_id"):
+            ingest_neardup_batch(
+                spark, docs, 0, idx, prs, 4, 2, 3, run_id=bad
+            )
+    import os
+
+    assert not os.path.exists(idx) and not os.path.exists(prs)
+    ingest_neardup_batch(
+        spark, docs, 0, idx, prs, 4, 2, 3, run_id="2026-08-16"
+    )
+    assert os.path.isdir(f"{idx}/batch-2026-08-16-0")

@@ -670,3 +670,83 @@ def test_ivfpq_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
     assert snap(read_ivfpq_index(spark, idx)) == snap(
         ivfpq_encode_pd(v, 64, books, n_centroids=4)
     )
+
+
+def test_ivfpq_compact_tombstoned_fences_redelivery(spark, sf_dir, tmp_path):
+    """compact_tombstoned folds per-batch subdirectories into flat
+    survivor files, so — exactly like compact_batched — a late
+    at-least-once redelivery of a folded ingest batch must be refused:
+    a recreated batch-{id} subdirectory would double-count every
+    surviving row of that batch AND resurrect the physically erased
+    ids (tombstones are cleared last). Fresh batch ids keep ingesting."""
+    import pytest
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.io.tables import compact_tombstoned
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
+    b0 = v.filter(F.col("vec_id") < 100)
+    b1 = v.filter(F.col("vec_id") >= 100)
+    ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=8)
+    ivfpq_index_add(spark, b1, 1, idx, 64, books, n_centroids=8)
+    dead = v.filter(F.col("vec_id") % 5 == 2).select("vec_id")
+    ivfpq_index_delete(spark, dead, 0, tomb)
+    assert compact_tombstoned(spark, idx, tomb, "vec_id") >= 1
+
+    def snap(df):
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
+        )
+
+    survivors = snap(read_ivfpq_index(spark, idx))
+    # both folded batches redelivered -> loud refusal, index unchanged
+    for redelivered, bid in ((b0, 0), (b1, 1)):
+        with pytest.raises(ValueError, match="already"):
+            ivfpq_index_add(
+                spark, redelivered, bid, idx, 64, books, n_centroids=8
+            )
+    assert snap(read_ivfpq_index(spark, idx)) == survivors
+    # fresh batch id still ingests; read-back equals the full encode
+    b2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
+    ivfpq_index_add(spark, b2, 2, idx, 64, books, n_centroids=8)
+    want = snap(
+        ivfpq_encode_pd(
+            v.join(dead, "vec_id", "left_anti").unionByName(b2),
+            64, books, n_centroids=8,
+        )
+    )
+    assert snap(read_ivfpq_index(spark, idx)) == want
+
+
+def test_ivfpq_index_add_rejects_unknown_encoder(spark, sf_dir, tmp_path):
+    """A typo'd encoder name must raise, not silently fall back to the
+    pandas path."""
+    import pytest
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        pq_codebooks_lcg,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).limit(5)
+    with pytest.raises(ValueError, match="encoder"):
+        ivfpq_index_add(
+            spark, v, 0, str(tmp_path / "c"), 64,
+            pq_codebooks_lcg(64, 8, 16), n_centroids=4, encoder="np",
+        )
