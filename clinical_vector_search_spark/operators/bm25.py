@@ -367,8 +367,8 @@ def bm25_index_delete(
     a 100 TB corpus needs): remove documents from an
     :func:`bm25_index_add`-maintained index WITHOUT rewriting postings —
     the same additive algebra run in reverse. Delete-by-replay
-    contract: the caller supplies the doc rows AS INGESTED (same text),
-    each ingested doc deleted at most once; the batch then contributes
+    contract: the caller supplies the doc rows AS INGESTED (same text);
+    the batch then contributes
 
       ``df/del-{id}``      (term, −df) — NEGATIVE term doc-counts;
       ``scalars/del-{id}`` (−n_docs, −sum_dl) — negative exact ints;
@@ -382,17 +382,50 @@ def bm25_index_delete(
     (tests/test_bm25.py). Physical erasure of tombstoned postings
     happens at the next compaction (rewrite minus tombstones, then
     clear ``deleted/``), exactly like ``pq.ivfpq_index_delete``.
-    Idempotent: each delete batch overwrites its own ``del-{id}``
-    subdirectories — up to the last ``compact_batched`` over the stat
+    Idempotent THREE ways: (a) each delete batch overwrites its own
+    ``del-{id}`` subdirectories, so at-least-once retries are
+    bit-identical — up to the last ``compact_batched`` over the stat
     directories, after which redelivery is refused (a recreated del
-    subdirectory would double-SUBTRACT the folded negative deltas)."""
+    subdirectory would double-SUBTRACT the folded negative deltas);
+    (b) re-deleting an ALREADY-DELETED doc under a fresh batch id is a
+    no-op, not a silent double-subtract: the batch is anti-joined
+    against the existing ``deleted/`` tombstones (broadcast, cost ∝
+    batch — the IVF-PQ side gets this for free because its tombstones
+    are a distinct-id set; the BM25 side replays text, so without the
+    fence the df/n_docs/sum_dl deltas of a twice-deleted doc would
+    drift idf/avgdl for every query). The retry case survives the
+    fence because the batch's OWN ``del-{id}`` tombstones are excluded
+    from the anti-join side (``input_file_name`` filter — a retry must
+    see the index as the first attempt did, not anti-join itself away
+    into empty deltas); (c) duplicate rows of one doc WITHIN a batch
+    collapse to one. The one unfenceable window: after
+    ``compact_tombstoned`` clears ``deleted/``, a replayed delete of a
+    physically erased doc is indistinguishable from deleting a
+    never-ingested doc — which the replay contract already forbids."""
+    from pyspark.errors import AnalysisException
+
     from clinical_vector_search_spark.io.tables import (
         guard_batch_not_compacted,
+        is_absence_error,
     )
 
     for sub in ("df", "scalars", "deleted"):
         guard_batch_not_compacted(f"{index_path}/{sub}", f"del-{batch_id}")
-    toks = deleted_docs.select(
+    batch = deleted_docs.dropDuplicates([id_col])
+    try:
+        already = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(f"{index_path}/deleted")
+            .filter(
+                ~F.input_file_name().contains(f"/del-{batch_id}/")
+            )
+            .select(F.col("doc").alias(id_col))
+        )
+        batch = batch.join(F.broadcast(already), id_col, "left_anti")
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+    toks = batch.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     ).localCheckpoint()  # consumed by df, scalars and tombstones
     tf = (

@@ -353,3 +353,59 @@ def test_bm25_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
         )
 
     assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(docs))
+
+
+def test_bm25_redelete_is_a_noop(spark, tmp_path):
+    """Re-deleting an already-deleted doc under a FRESH delete-batch id
+    must be a no-op, not a silent double-subtract of its df/n_docs/
+    sum_dl deltas (the postings anti-join was always safe; the idf/avgdl
+    statistics were not). A mixed batch subtracts only its genuinely
+    live docs, within-batch duplicate rows collapse, and the same-id
+    retry still works (the fence excludes the batch's own tombstones)."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie delta"),
+        (1, "alpha bravo echo"),
+        (2, "zephyr quorl alpha"),
+        (3, "bravo charlie foxtrot"),
+        (4, "delta echo golf alpha bravo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    bm25_index_add(spark, docs, 0, idx)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 0, idx)
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    after_first = snap(bm25_read_index(spark, idx))
+    assert after_first == snap(bm25_index(docs.filter(F.col("doc_id") != 2)))
+
+    # same doc, FRESH batch id: view unchanged (was: idf/avgdl drift)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 2), 1, idx)
+    assert snap(bm25_read_index(spark, idx)) == after_first
+
+    # mixed batch (already-deleted 2 + live 4, with 4 duplicated):
+    # only 4's deltas apply, once
+    mixed = docs.filter(F.col("doc_id").isin(2, 4)).unionByName(
+        docs.filter(F.col("doc_id") == 4)
+    )
+    bm25_index_delete(spark, mixed, 2, idx)
+    want = snap(bm25_index(docs.filter(~F.col("doc_id").isin(2, 4))))
+    assert snap(bm25_read_index(spark, idx)) == want
+
+    # at-least-once retry of the mixed batch id: bit-identical
+    bm25_index_delete(spark, mixed, 2, idx)
+    assert snap(bm25_read_index(spark, idx)) == want
