@@ -21,6 +21,73 @@ def materialize(df) -> int:
     return 0
 
 
+def proc_stat() -> tuple[int, int] | None:
+    """(busy, total) jiffies across all host CPUs from /proc/stat —
+    busy includes the steal field, so co-tenant VMs show up even when
+    no foreign process is visible in this guest."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        idle = vals[3] + vals[4]  # idle + iowait
+        return sum(vals) - idle, sum(vals)
+    except Exception:  # noqa: BLE001 — non-Linux host
+        return None
+
+
+def tree_cpu_ticks() -> int | None:
+    """CPU jiffies (utime+stime, plus reaped children's cutime/cstime)
+    of THIS process and every live descendant — the bench's own burn,
+    JVM and Python workers included. Subtracted from the host's busy
+    jiffies this isolates FOREIGN load, which a 1-min loadavg cannot:
+    loadavg is a ~60 s EMA that (a) counts our own 32 executor threads
+    (measured up to ~11 on a quiet host mid-run) and (b) lags a short
+    co-tenant burst (BENCH_r11 published cdc_chunks ~10x inflated while
+    its loadavg sample read 5.6 under a false noisy_host)."""
+    try:
+        info: dict[int, tuple[int, int]] = {}
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                with open(f"/proc/{p}/stat") as f:
+                    st = f.read()
+                rest = st[st.rindex(")") + 2:].split()
+                info[int(p)] = (
+                    int(rest[1]),
+                    int(rest[11]) + int(rest[12])
+                    + int(rest[13]) + int(rest[14]),
+                )
+            except (OSError, ValueError, IndexError):
+                continue  # process exited between listing and read
+        kids: dict[int, list[int]] = {}
+        for pid, (ppid, _) in info.items():
+            kids.setdefault(ppid, []).append(pid)
+        total, stack = 0, [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            if pid in info:
+                total += info[pid][1]
+                stack.extend(kids.get(pid, []))
+        return total
+    except Exception:  # noqa: BLE001 — non-Linux host
+        return None
+
+
+def foreign_cpus(
+    stat0, stat1, tree0, tree1, n_cpus: int
+) -> float | None:
+    """Average number of host CPUs burned by code that is NOT this
+    bench's process tree over the window (stat0,tree0)→(stat1,tree1).
+    None when /proc was unreadable on either side."""
+    if None in (stat0, stat1, tree0, tree1):
+        return None
+    total = stat1[1] - stat0[1]
+    if total <= 0:
+        return None
+    foreign = max(0, (stat1[0] - stat0[0]) - (tree1 - tree0))
+    return round(foreign * n_cpus / total, 2)
+
+
 def loadavg() -> list[float] | None:
     """1/5/15-minute host load — the sentinel that lets a reader tell a
     code regression from a loaded shared host (BENCH_r06 was uniformly
@@ -564,25 +631,61 @@ def main() -> None:
     # window and adds runtime for nothing — noise is now handled
     # upstream by the pre-session retry
     n_sweeps = 3
+    # Per-family noise handling (VERDICT r11 task 1): the pre-session
+    # retry above only certifies the START of the run — BENCH_r11
+    # published cdc_chunks ~10x inflated by a MID-RUN co-tenant burst
+    # under noisy_host:false. Each family now measures the foreign CPU
+    # burned during its own reps (host busy jiffies minus our process
+    # tree's — see tree_cpu_ticks for why loadavg can't do this); a
+    # family whose window had > 0.25*cores of foreign load is re-run
+    # once after a bounded sleep, and if the re-run is noisy too the
+    # family lands in the headline's noisy_families list so a reader
+    # can discount exactly those numbers instead of trusting or
+    # discarding the whole artifact.
+    FOREIGN_LIMIT = 0.25 * n_cpus
+    noisy_families: list[str] = []
+    foreign_per_family: dict[str, list] = {}
+
+    def _attempt(fn):
+        best = first = None
+        s0, tr0 = proc_stat(), tree_cpu_ticks()
+        for _rep in range(n_sweeps):
+            t0 = time.time()
+            materialize(fn())
+            dt = round(time.time() - t0, 3)
+            first = dt if first is None else first
+            best = dt if best is None else min(best, dt)
+        s1, tr1 = proc_stat(), tree_cpu_ticks()
+        return best, first, foreign_cpus(s0, s1, tr0, tr1, n_cpus)
+
     for name, fn in benches.items():
         # JVM GC between query families: leftover garbage from the
         # previous family's shuffles otherwise triggers collections
         # mid-measurement (observed ±2x noise on sub-second queries)
         spark._jvm.System.gc()
         load_sweeps[name] = loadavg()
-        for _rep in range(n_sweeps):
-            try:
-                t0 = time.time()
-                materialize(fn())
-                dt = round(time.time() - t0, 3)
-                if name not in cold:
-                    cold[name] = dt
-                times[name] = min(times.get(name, dt), dt)
-            except Exception as ex:  # noqa: BLE001
-                print(f"bench {name} failed: {ex}", file=sys.stderr)
-                times[name] = -1.0
-                cold.setdefault(name, -1.0)
-                break
+        try:
+            best, first, foreign = _attempt(fn)
+            cold[name] = first
+            foreign_per_family[name] = [foreign]
+            if foreign is not None and foreign > FOREIGN_LIMIT:
+                print(
+                    f"bench {name}: {foreign} foreign CPUs during reps "
+                    f"(limit {FOREIGN_LIMIT}) — re-running once",
+                    file=sys.stderr,
+                )
+                time.sleep(20)
+                spark._jvm.System.gc()
+                best2, _, foreign2 = _attempt(fn)
+                best = min(best, best2)
+                foreign_per_family[name].append(foreign2)
+                if foreign2 is None or foreign2 > FOREIGN_LIMIT:
+                    noisy_families.append(name)
+            times[name] = best
+        except Exception as ex:  # noqa: BLE001
+            print(f"bench {name} failed: {ex}", file=sys.stderr)
+            times[name] = -1.0
+            cold.setdefault(name, -1.0)
 
     # ANN recall sidecar (VERDICT r6 task 7): the approximate operators
     # have recall pytest contracts at sf0.001 but the benched sf had no
@@ -752,8 +855,11 @@ def main() -> None:
             "cpus": n_cpus,
             "loadavg_start": load_start,
             "loadavg_per_family": load_sweeps,
+            "foreign_cpus_per_family": foreign_per_family,
+            "foreign_cpu_limit": FOREIGN_LIMIT,
             "loadavg_end": loadavg(),
             "noisy_host": noisy_host,
+            "noisy_families": noisy_families,
             "noisy_retries": noisy_retries,
             "n_sweeps": n_sweeps,
             "timing_order": "per-family isolated best-of-n",
@@ -778,6 +884,7 @@ def main() -> None:
         "value_cold": total_cold,
         "sf": sf,
         "noisy_host": noisy_host,
+        "noisy_families": noisy_families,
         "ann_recall": ann_recall,
         "ann_recall_ok": ann_ok,
     }
