@@ -1999,6 +1999,63 @@ def q_knn_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refine-over-maintained-index serving (operators/pq.py
+    knn_refine_codes — the full FAISS IndexRefineFlat(IndexIVFPQ)
+    architecture over an index built by add/remove_ids; reference
+    pipeline.py:126-136 holds the single-stage ancestor): same
+    two-ingest + tombstone lifecycle as knn_ivfpq_index_search, but the
+    ADC over the read-back codes is only the COARSE CUT — the top
+    PQ_REFINE_COARSE candidates per query have their raw (normalized)
+    vectors fetched through a doc-id equi-join at candidate granularity
+    (Q·k_coarse rows; the corpus vectors are never scanned corpus-wide
+    on the rescore side — plan-audit check 56) and re-ranked by the
+    exact L2 distance. Fullprobe disables IVF pruning so the oracle is
+    composable SQL: ADC-over-survivors rank ≤ k_coarse, then the
+    knn_exact_l2 rescore fold over the candidates."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        knn_refine_codes,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_ivfpq_refine_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 8 != 3), v.filter(F.col("vec_id") % 8 == 3))
+    ):
+        ivfpq_index_add(
+            spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
+        )
+    ivfpq_index_delete(
+        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    index = read_ivfpq_index(
+        spark, f"{base}/codes", tombstone_path=f"{base}/dead"
+    )
+    queries = v.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = knn_refine_codes(
+        queries, index, v, KNN_K, 64, books, n_centroids=8,
+        k_coarse=PQ_REFINE_COARSE, doc_id="vec_id", n_probe=8,
+    )
+    return r.select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id"), "l2_dist"
+    )
+
+
 def q_vec_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA (operators/pca.py): one-pass covariance partials →
     driver eigh → literal-matrix projection. Rows-only by design — the
@@ -7074,81 +7131,27 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r10 VERDICT's task 1 names this exact r11 order):
-    #   1. the 4 entries NEW in r11 (incremental IVF-PQ index add,
-    #      incremental BM25 index maintenance + its delete half,
-    #      serving over the maintained IVF-PQ index) lead;
-    #   2. the 3 entries demoted from the r10 freshness check, then the
-    #      29 remaining last-green-r5 entries — this RETIRES the r5
-    #      tier: after r11 no entry's last driver row predates r6;
-    #   3. the 14 stalest last-green-r6 entries fill the window to 50
-    #      (the 8 rows-only ⊙ entries stay ordered OUTSIDE the window,
+    # r11 VERDICT's task 2 names this exact r12 order):
+    #   1. the entry NEW in r12 (refine-over-maintained-index serving)
+    #      leads;
+    #   2. the 32 remaining last-green-r6 entries (rows-only excluded)
+    #      — this RETIRES the r6 tier: after r12 no entry's last
+    #      driver row predates r7;
+    #   3. the 17 stalest last-green-r7 entries fill the window to 50
+    #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
-    #   4. then the remaining r6 block, r7, r8, r9 groups, and the 50
-    #      entries the r10 driver just checked — stalest first,
+    #   4. then the remaining r7 block, the r8/r9/r10 groups, and the
+    #      50 entries the r11 driver just checked — stalest first,
     #      freshest demoted last. Every entry below the window was
-    #      green in its last driver round (r6-r10).
+    #      green in its last driver round (r7-r11).
     return {
-        # -- r11 window 1-4: NEW in r11 --
-        "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
-        "bm25_incremental": q_bm25_incremental,
-        "bm25_incremental_delete": q_bm25_incremental_delete,
-        "knn_ivfpq_index_search": q_knn_ivfpq_index_search,
-        # -- r11 window 5-7: demoted from the r10 freshness check --
-        "embed_hash_features": q_embed_hash_features,
-        "metrics_eval": q_metrics_eval,
-        "set_overlap": q_set_overlap,
-        # -- r11 window 8-36: the final last-green-r5 block — retires the r5 tier --
-        "vec_norm_checkpoints": q_vec_norm_checkpoints,
-        "vec_dot_cosine": q_vec_dot_cosine,
-        "vec_dp_noise": q_vec_dp_noise,
-        "vec_weighted_concat": q_vec_weighted_concat,
-        "vec_random_projection": q_vec_random_projection,
-        "doc_hash_sample": q_doc_hash_sample,
-        "doc_clean_snippet": q_doc_clean_snippet,
-        "doc_specialty_concat": q_doc_specialty_concat,
-        "doc_attr_sentence": q_doc_attr_sentence,
-        "doc_lang_stats": q_doc_lang_stats,
-        "doc_exact_dedup": q_doc_exact_dedup,
-        "text_stats": q_text_stats,
-        "text_quality": q_text_quality,
-        "text_fingerprint": q_text_fingerprint,
-        "text_lang_id": q_text_lang_id,
-        "text_redact_pii": q_text_redact_pii,
-        "text_bpe_tokens": q_text_bpe_tokens,
-        "doc_weighted_sample": q_doc_weighted_sample,
-        "text_normalize": q_text_normalize,
-        "doc_pack_sequences": q_doc_pack_sequences,
-        "events_decayed": q_events_decayed,
-        "dedup_simhash_pairs": q_dedup_simhash_pairs,
-        "io_compact_roundtrip": q_io_compact_roundtrip,
-        "dedup_groups_star": q_dedup_groups_star,
-        "io_zorder_key": q_io_zorder_key,
-        "ids_dense_rows": q_ids_dense_rows,
-        "dedup_incremental": q_dedup_incremental,
-        "doc_mixture_sample": q_doc_mixture_sample,
-        "dedup_spans": q_dedup_spans,
-        # -- r11 window 37-50: stalest last-green-r6 entries (⊙ excluded) --
-        "events_funnel": q_events_funnel,
-        "events_retention": q_events_retention,
-        "events_scd2": q_events_scd2,
-        "events_histogram": q_events_histogram,
-        "text_bigram_lm": q_text_bigram_lm,
-        "dedup_repeated_windows": q_dedup_repeated_windows,
-        "io_dataset_fingerprint": q_io_dataset_fingerprint,
-        "dedup_semantic": q_dedup_semantic,
-        "dedup_semantic_pairs": q_dedup_semantic_pairs,
-        "events_sessionize_auto": q_events_sessionize_auto,
-        "events_scd2_merge": q_events_scd2_merge,
-        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
-        "doc_topk_per_source": q_doc_topk_per_source,
-        "doc_prep_pipeline": q_doc_prep_pipeline,
-        # -- remaining last green r6 (below the window) --
+        # -- r12 window 1: NEW in r12 --
+        "knn_ivfpq_index_refine": q_knn_ivfpq_index_refine,
+        # -- r12 window 2-33: the remaining last-green-r6 block (non-rows-only) — retires the r6 tier --
         "events_zscore_outliers": q_events_zscore_outliers,
         "doc_split_assign": q_doc_split_assign,
         "rel_integrity_audit": q_rel_integrity_audit,
-        "events_distinct_hll": q_events_distinct_hll,
         "events_window_topk": q_events_window_topk,
         "text_cdc_chunks": q_text_cdc_chunks,
         "events_asof_nearest": q_events_asof_nearest,
@@ -7167,12 +7170,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_numeric_profile": q_rel_numeric_profile,
         "dedup_cdc_chunks": q_dedup_cdc_chunks,
         "doc_filter_audit": q_doc_filter_audit,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_ivf": q_knn_ivf,
         "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
         "knn_lsh": q_knn_lsh,
         "fhe_pipeline": q_fhe_pipeline,
-        "evaluation_table": q_evaluation_table,
         "dedup_minhash_sigs": q_dedup_minhash_sigs,
         "dedup_simhash": q_dedup_simhash,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -7181,7 +7181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rag_union_candidates": q_rag_union_candidates,
         "doc_pipeline": q_doc_pipeline,
         "events_asof_join": q_events_asof_join,
-        # -- last green r7 --
+        # -- r12 window 34-50: stalest last-green-r7 entries (rows-only excluded) --
         "events_streaming_outer_join": q_events_streaming_outer_join,
         "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
         "dedup_semantic_pd": q_dedup_semantic_pd,
@@ -7199,6 +7199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinctive_terms": q_text_distinctive_terms,
         "io_shard_manifest": q_io_shard_manifest,
         "rel_bloom_join": q_rel_bloom_join,
+        # -- rows-only twins from the r6 block — anchored outside the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
+        "events_distinct_hll": q_events_distinct_hll,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "evaluation_table": q_evaluation_table,
+        # -- remaining last green r7, then r8/r9/r10 blocks (stalest first; original comments collapsed) --
         "text_zipf_fit": q_text_zipf_fit,
         "events_ohlc": q_events_ohlc,
         "knn_pq_refine": q_knn_pq_refine,
@@ -7232,7 +7238,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
-        # -- last green r8 --
         "events_kaplan_meier": q_events_kaplan_meier,
         "events_acf": q_events_acf,
         "events_ab_test": q_events_ab_test,
@@ -7283,7 +7288,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg": q_salted_agg,
         "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        # -- last green r9 --
         "vec_pca": q_vec_pca,
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
@@ -7334,7 +7338,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
-        # -- last green r10 (the r10 driver window) — freshest, demoted last --
         "events_scd2_incremental": q_events_scd2_incremental,
         "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
         "rel_entity_resolution": q_rel_entity_resolution,
@@ -7385,6 +7388,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_window": q_knn_window,
         "bm25_okapi": q_bm25_okapi,
+        # -- last green r11 (the r11 driver window) — freshest, demoted last --
+        "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
+        "bm25_incremental": q_bm25_incremental,
+        "bm25_incremental_delete": q_bm25_incremental_delete,
+        "knn_ivfpq_index_search": q_knn_ivfpq_index_search,
+        "embed_hash_features": q_embed_hash_features,
+        "metrics_eval": q_metrics_eval,
+        "set_overlap": q_set_overlap,
+        "vec_norm_checkpoints": q_vec_norm_checkpoints,
+        "vec_dot_cosine": q_vec_dot_cosine,
+        "vec_dp_noise": q_vec_dp_noise,
+        "vec_weighted_concat": q_vec_weighted_concat,
+        "vec_random_projection": q_vec_random_projection,
+        "doc_hash_sample": q_doc_hash_sample,
+        "doc_clean_snippet": q_doc_clean_snippet,
+        "doc_specialty_concat": q_doc_specialty_concat,
+        "doc_attr_sentence": q_doc_attr_sentence,
+        "doc_lang_stats": q_doc_lang_stats,
+        "doc_exact_dedup": q_doc_exact_dedup,
+        "text_stats": q_text_stats,
+        "text_quality": q_text_quality,
+        "text_fingerprint": q_text_fingerprint,
+        "text_lang_id": q_text_lang_id,
+        "text_redact_pii": q_text_redact_pii,
+        "text_bpe_tokens": q_text_bpe_tokens,
+        "doc_weighted_sample": q_doc_weighted_sample,
+        "text_normalize": q_text_normalize,
+        "doc_pack_sequences": q_doc_pack_sequences,
+        "events_decayed": q_events_decayed,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
+        "io_compact_roundtrip": q_io_compact_roundtrip,
+        "dedup_groups_star": q_dedup_groups_star,
+        "io_zorder_key": q_io_zorder_key,
+        "ids_dense_rows": q_ids_dense_rows,
+        "dedup_incremental": q_dedup_incremental,
+        "doc_mixture_sample": q_doc_mixture_sample,
+        "dedup_spans": q_dedup_spans,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
+        "events_scd2": q_events_scd2,
+        "events_histogram": q_events_histogram,
+        "text_bigram_lm": q_text_bigram_lm,
+        "dedup_repeated_windows": q_dedup_repeated_windows,
+        "io_dataset_fingerprint": q_io_dataset_fingerprint,
+        "dedup_semantic": q_dedup_semantic,
+        "dedup_semantic_pairs": q_dedup_semantic_pairs,
+        "events_sessionize_auto": q_events_sessionize_auto,
+        "events_scd2_merge": q_events_scd2_merge,
+        "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
+        "doc_topk_per_source": q_doc_topk_per_source,
+        "doc_prep_pipeline": q_doc_prep_pipeline,
     }
 
 # ---------------------------------------------------------------------------
@@ -10431,6 +10485,41 @@ def oracle_sql() -> dict[str, str]:
                                    ORDER BY adc, doc_id) AS rank FROM sc)
         SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
         FROM r WHERE rank <= {KNN_K}
+    """
+
+    # refine over the maintained index: the index_search ADC fragments
+    # (normalized survivors, fullprobe) stop at rank <= k_coarse, then
+    # ONLY those candidates are rescored with the exact L2 over the
+    # NORMALIZED vectors (same i-order fold as knn_exact_l2 so the raw
+    # doubles bit-match the Spark V.l2_sq fold)
+    s["knn_ivfpq_index_refine"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        c AS (SELECT vec_id AS doc_id, {_pq_codes_nv} AS codes FROM n
+              WHERE vec_id % 16 <> 5),
+        q AS (SELECT vec_id AS query_id, nv FROM n WHERE vec_id < {KNN_NQ}),
+        tabs AS (SELECT query_id, {_pq_qtab_nv} AS tab FROM q),
+        sc AS (SELECT query_id, doc_id,
+                 list_sum([tab[sub + 1][codes[sub + 1] + 1]
+                           FOR sub IN range(0, {PQ_M})]) AS adc
+               FROM tabs CROSS JOIN c),
+        r AS (SELECT query_id, doc_id,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, doc_id) AS rank FROM sc),
+        cand AS (SELECT query_id, doc_id FROM r
+                 WHERE rank <= {PQ_REFINE_COARSE}),
+        res AS (SELECT cand.query_id, cand.doc_id,
+                  list_sum([ (qq.qnv[i + 1] - dd.nv[i + 1]) ^ 2
+                             FOR i IN range(0, 64)]) AS l2
+                FROM cand
+                JOIN (SELECT vec_id AS doc_id, nv FROM n) dd USING (doc_id)
+                JOIN (SELECT vec_id AS query_id, nv AS qnv FROM n
+                      WHERE vec_id < {KNN_NQ}) qq USING (query_id)),
+        rr AS (SELECT query_id, doc_id, l2,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY l2, doc_id) AS rank FROM res)
+        SELECT query_id, rank, doc_id, round(l2, 6) AS l2_dist
+        FROM rr WHERE rank <= {KNN_K}
     """
 
     # bigram LM: same md5-hashed gram keys, count tables, ln ratio

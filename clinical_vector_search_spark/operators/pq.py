@@ -808,6 +808,66 @@ def knn_pq_refine(
     return _ranked_asc(rescored, query_id, doc_id, k, "l2_dist")
 
 
+def knn_refine_codes(
+    queries: DataFrame,
+    index: DataFrame,
+    raw_vecs: DataFrame,
+    k: int,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    k_coarse: int = 50,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "doc_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+    residual: bool = False,
+) -> DataFrame:
+    """Two-stage refine over a MAINTAINED index — the full FAISS
+    ``IndexRefineFlat(IndexIVFPQ)`` serving shape, ending the
+    maintenance lifecycle the way :func:`knn_pq_refine` cannot (it
+    re-encodes the corpus every call): the ADC coarse cut runs over the
+    READ-BACK codes table (:func:`read_ivfpq_index` — tombstone
+    anti-join included, so deleted docs can neither rank nor be
+    rescored), pruning to ``k_coarse`` candidates per query; then ONLY
+    those candidates' raw vectors are fetched (doc-id equi-join at
+    candidate granularity — Q·k_coarse rows, never corpus-sized) and
+    rescored with the exact L2 distance. Final top-``k`` ranks by the
+    exact score, ties by doc id.
+
+    The 100 TB division of labor: hot path touches the ~dim·4/m×-smaller
+    codes (one scan, clustered by coarse cell); ``raw_vecs`` stays cold
+    and is read point-wise through the candidate join — a bucketed or
+    z-ordered vector layout turns that into a pruned fetch. ``books``/
+    ``centroids``/``residual`` must match the state the index was
+    encoded with, exactly as in :func:`knn_ivfpq_codes` (which supplies
+    the coarse stage)."""
+    from clinical_vector_search_spark.functions import vector as V
+
+    cand = knn_ivfpq_codes(
+        queries, index, k_coarse, dim, books, centroids, n_centroids,
+        query_id, query_vec, doc_id, n_probe, residual,
+    ).select(query_id, doc_id)
+    rescored = (
+        cand.join(
+            raw_vecs.select(F.col(doc_id), F.col(vec_col).alias("_dv")),
+            doc_id,
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col(query_id), F.col(query_vec).alias("_qv")
+                )
+            ),
+            query_id,
+        )
+        .select(query_id, doc_id, V.l2_sq("_qv", "_dv").alias("l2_dist"))
+    )
+    return _ranked_asc(rescored, query_id, doc_id, k, "l2_dist")
+
+
 def ivfpq_index_delete(
     spark,
     ids: DataFrame,

@@ -750,3 +750,71 @@ def test_ivfpq_index_add_rejects_unknown_encoder(spark, sf_dir, tmp_path):
             spark, v, 0, str(tmp_path / "c"), 64,
             pq_codebooks_lcg(64, 8, 16), n_centroids=4, encoder="np",
         )
+
+
+def test_knn_refine_codes_over_maintained_index(spark, sf_dir, tmp_path):
+    """knn_refine_codes = IndexRefineFlat over the maintained codes
+    table: with fullprobe and k_coarse covering the whole corpus the
+    exact rescore must equal brute-force L2 kNN over the SURVIVORS
+    (tombstoned ids can neither rank nor be rescored), and a narrow
+    coarse cut still returns exact distances for whatever survives it."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import knn_l2
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        knn_refine_codes,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
+    ivfpq_index_add(spark, v.filter(F.col("vec_id") < 120), 0, idx, 64,
+                    books, n_centroids=8)
+    ivfpq_index_add(spark, v.filter(F.col("vec_id") >= 120), 1, idx, 64,
+                    books, n_centroids=8)
+    dead = v.filter(F.col("vec_id") % 9 == 4).select("vec_id")
+    ivfpq_index_delete(spark, dead, 0, tomb)
+    index = read_ivfpq_index(spark, idx, tombstone_path=tomb)
+    queries = v.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    # full coarse cut + fullprobe == exact L2 kNN over survivors
+    got = knn_refine_codes(
+        queries, index, v, 10, 64, books, n_centroids=8, k_coarse=200,
+        doc_id="vec_id", n_probe=8,
+    )
+    survivors = v.join(dead, "vec_id", "left_anti")
+    want = knn_l2(queries, survivors, 10, doc_id="vec_id")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    dead_ids = {r.vec_id for r in dead.collect()}
+    assert not dead_ids & {r.vec_id for r in got.collect()}
+
+    # narrow cut: ranks contiguous 1..10, distances ascending and EXACT
+    # (each returned pair's l2 equals the brute-force distance)
+    narrow = knn_refine_codes(
+        queries, index, v, 10, 64, books, n_centroids=8, k_coarse=30,
+        doc_id="vec_id", n_probe=8,
+    ).collect()
+    by_q: dict = {}
+    for r in narrow:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.vec_id, r.l2_dist))
+    exact = {
+        (r.query_id, r.vec_id): r.l2_dist
+        for r in knn_l2(queries, survivors, 200, doc_id="vec_id").collect()
+    }
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == list(range(1, 11))
+        dists = [r[2] for r in rows]
+        assert dists == sorted(dists)
+        for _, d_id, dist in rows:
+            assert abs(exact[(q, d_id)] - dist) < 1e-9

@@ -1135,6 +1135,28 @@ def main() -> int:
         and "LeftAnti" in plan,
     )
 
+    # 56. refine over the maintained index (the IndexRefineFlat serving
+    # shape): the ADC coarse cut must run over the CODES scan (one codes
+    # scan, broadcast tombstone anti-join, one MapInPandas scorer) and
+    # the raw vectors must be fetched at CANDIDATE granularity — the
+    # coarse top-k_coarse WindowGroupLimit sits BELOW the rescore joins,
+    # so the vector join sees Q·k_coarse rows, never a corpus-wide
+    # rescore; the rescore itself is pure codegen expressions (no second
+    # Python stage) and every join broadcasts (5 scans total: codes,
+    # tombstones, query vectors, and the two candidate-join vector reads)
+    plan = formatted(E.q_knn_ivfpq_index_refine(spark, SF_DIR))
+    check(
+        "ivfpq_index_refine: codes-scan coarse cut, candidate-granularity rescore",
+        n_nodes(plan, "CartesianProduct") == 0
+        and n_nodes(plan, "SortMergeJoin") == 0
+        and n_nodes(plan, "Scan parquet") == 5
+        and n_nodes(plan, "MapInPandas") == 1
+        and n_nodes(plan, "BroadcastHashJoin") == 4
+        and n_nodes(plan, "Window") == 2
+        and n_nodes(plan, "WindowGroupLimit") >= 2
+        and "LeftAnti" in plan,
+    )
+
     # 53. NO shrinking window frames anywhere: a frame ending at
     # unboundedFollowing whose lower bound is not unboundedPreceding
     # hits Spark's UnboundedFollowingWindowFunctionFrame, which
