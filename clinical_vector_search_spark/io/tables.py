@@ -508,6 +508,38 @@ def _read_small_file(fs, jpath) -> bytes:
         stream.close()
 
 
+def validate_run_id(run_id) -> None:
+    """run_id becomes part of a sink subdirectory NAME, so it must be a
+    single safe path segment: a ``/`` would nest directories (the
+    compaction fence's top-level listing then records the wrong name and
+    the redelivery guard never matches), and a leading ``_``/``.`` makes
+    the entry hidden to parquet readers and to the fence listing — both
+    silently reopen the double-count hole the fence exists to close.
+    Allowed: ``[A-Za-z0-9-][A-Za-z0-9_-]*`` (or None). Shared by every
+    batch-id-overwrite maintained sink (near-dup, BM25, IVF-PQ)."""
+    import re
+
+    if run_id is None:
+        return
+    if not re.fullmatch(r"[A-Za-z0-9-][A-Za-z0-9_-]*", str(run_id)):
+        raise ValueError(
+            f"run_id {run_id!r} is not a safe path segment: use only "
+            "letters, digits, '-' and '_', not starting with '_' or '.'"
+        )
+
+
+def batch_subdir(prefix: str, run_id, batch_id) -> str:
+    """The canonical maintained-sink subdirectory name:
+    ``{prefix}-{batch_id}``, namespaced to ``{prefix}-{run_id}-{batch_id}``
+    when a run_id is given (streaming batch ids are unique only per
+    checkpoint — see ``dedup.ingest_neardup_batch`` for the full
+    contract). Validates the run_id."""
+    validate_run_id(run_id)
+    return (
+        f"{prefix}-{run_id}-{batch_id}" if run_id else f"{prefix}-{batch_id}"
+    )
+
+
 def guard_batch_not_compacted(path: str, subdir: str) -> None:
     """Raise when ``subdir`` was already folded by
     :func:`compact_batched` or :func:`compact_tombstoned` — the

@@ -235,6 +235,7 @@ def bm25_index_add(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ) -> None:
     """Incremental BM25 index maintenance — the lexical-retrieval member
     of the maintenance trilogy next to ``dedup.minhash_pairs_incremental``
@@ -266,13 +267,17 @@ def bm25_index_add(
     cadence. Idempotency holds UP TO the last compaction — redelivery
     of a batch ``compact_batched`` already folded is refused loudly
     (its df/scalar rows live in the compacted files and would be
-    double-counted into idf/avgdl)."""
+    double-counted into idf/avgdl). ``run_id`` namespaces the
+    subdirectory for ingestion from a NEW streaming query/checkpoint
+    (same contract as ``dedup.ingest_neardup_batch``)."""
     from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
         guard_batch_not_compacted,
     )
 
+    bsub = batch_subdir("batch", run_id, batch_id)
     for sub in ("postings", "df", "scalars"):
-        guard_batch_not_compacted(f"{index_path}/{sub}", f"batch-{batch_id}")
+        guard_batch_not_compacted(f"{index_path}/{sub}", bsub)
     toks = new_docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     ).localCheckpoint()  # consumed by postings, df and scalars
@@ -288,14 +293,10 @@ def bm25_index_add(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
     postings.write.mode("overwrite").parquet(
-        f"{index_path}/postings/batch-{batch_id}"
+        f"{index_path}/postings/{bsub}"
     )
-    dfreq.write.mode("overwrite").parquet(
-        f"{index_path}/df/batch-{batch_id}"
-    )
-    scalars.write.mode("overwrite").parquet(
-        f"{index_path}/scalars/batch-{batch_id}"
-    )
+    dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
+    scalars.write.mode("overwrite").parquet(f"{index_path}/scalars/{bsub}")
 
 
 def bm25_read_index(spark, index_path: str) -> DataFrame:
@@ -362,6 +363,7 @@ def bm25_index_delete(
     index_path: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    run_id: str | None = None,
 ) -> None:
     """Delete half of the BM25 maintenance lifecycle (the takedown path
     a 100 TB corpus needs): remove documents from an
@@ -405,19 +407,21 @@ def bm25_index_delete(
     from pyspark.errors import AnalysisException
 
     from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
         guard_batch_not_compacted,
         is_absence_error,
     )
 
+    dsub = batch_subdir("del", run_id, batch_id)
     for sub in ("df", "scalars", "deleted"):
-        guard_batch_not_compacted(f"{index_path}/{sub}", f"del-{batch_id}")
+        guard_batch_not_compacted(f"{index_path}/{sub}", dsub)
     batch = deleted_docs.dropDuplicates([id_col])
     try:
         already = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(f"{index_path}/deleted")
             .filter(
-                ~F.input_file_name().contains(f"/del-{batch_id}/")
+                ~F.input_file_name().contains(f"/{dsub}/")
             )
             .select(F.col("doc").alias(id_col))
         )
@@ -439,11 +443,55 @@ def bm25_index_delete(
     )
     tomb = toks.select("doc").distinct()
     neg_df.write.mode("overwrite").parquet(
-        f"{index_path}/df/del-{batch_id}"
+        f"{index_path}/df/{dsub}"
     )
     neg_scalars.write.mode("overwrite").parquet(
-        f"{index_path}/scalars/del-{batch_id}"
+        f"{index_path}/scalars/{dsub}"
     )
     tomb.write.mode("overwrite").parquet(
-        f"{index_path}/deleted/del-{batch_id}"
+        f"{index_path}/deleted/{dsub}"
     )
+
+
+def streaming_bm25_ingest(
+    spark,
+    doc_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+):
+    """Streaming BM25 index maintenance — the ``foreachBatch``
+    composition of :func:`bm25_index_add` over a document stream,
+    completing the streaming story for the lexical index exactly as
+    ``dedup.streaming_neardup_ingest`` does for the band index: each
+    micro-batch folds its additive sufficient statistics (postings /
+    df deltas / scalars) into the persisted index with cost ∝ batch,
+    and the sink is idempotent under ``foreachBatch``'s at-least-once
+    replays because every batch OVERWRITES its own batch-id-derived
+    subdirectories. Since each doc must arrive in exactly ONE batch
+    (the append-only corpus contract of :func:`bm25_index_add`),
+    dedupe upstream. Streaming batch ids are unique only PER
+    CHECKPOINT — resume the same logical stream with the same
+    ``checkpoint_path``, and pass a distinct ``run_id`` when extending
+    an existing index from a NEW query/checkpoint (the
+    ``ingest_neardup_batch`` contract, same wording, same reason).
+    Returns the ``StreamingQuery`` (caller awaits); read back with
+    :func:`bm25_read_index` and compact each stat subdirectory with
+    ``io.tables.compact_batched`` on the usual cadence."""
+    from clinical_vector_search_spark.io.tables import validate_run_id
+
+    validate_run_id(run_id)  # fail before the stream starts, not mid-batch
+
+    def _ingest(batch_df, bid):
+        bm25_index_add(
+            spark, batch_df, bid, index_path, id_col, text_col, run_id
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -305,22 +305,10 @@ def read_neardup_output(spark, path: str) -> DataFrame:
 
 
 def _validate_run_id(run_id) -> None:
-    """run_id becomes part of a sink subdirectory NAME, so it must be a
-    single safe path segment: a ``/`` would nest directories (the
-    compaction fence's top-level listing then records the wrong name and
-    the redelivery guard never matches), and a leading ``_``/``.`` makes
-    the entry hidden to parquet readers and to the fence listing — both
-    silently reopen the double-count hole the fence exists to close.
-    Allowed: ``[A-Za-z0-9-][A-Za-z0-9_-]*`` (or None)."""
-    import re
+    """Shared sink-path-segment rule — see ``io.tables.validate_run_id``."""
+    from clinical_vector_search_spark.io.tables import validate_run_id
 
-    if run_id is None:
-        return
-    if not re.fullmatch(r"[A-Za-z0-9-][A-Za-z0-9_-]*", str(run_id)):
-        raise ValueError(
-            f"run_id {run_id!r} is not a safe path segment: use only "
-            "letters, digits, '-' and '_', not starting with '_' or '.'"
-        )
+    validate_run_id(run_id)
 
 
 def ingest_neardup_batch(

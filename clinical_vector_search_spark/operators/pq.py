@@ -694,6 +694,7 @@ def ivfpq_index_add(
     vec_col: str = "embedding",
     residual: bool = False,
     encoder: str = "expr",
+    run_id: str | None = None,
 ) -> None:
     """Incremental IVF-PQ index maintenance — FAISS ``IndexIVFPQ.add``
     re-expressed for a codes table: fold a batch of new vectors into a
@@ -733,12 +734,15 @@ def ivfpq_index_add(
         raise ValueError(
             f"encoder must be 'expr' or 'pd', got {encoder!r}"
         )
-    guard_batch_not_compacted(index_path, f"batch-{batch_id}")
+    from clinical_vector_search_spark.io.tables import batch_subdir
+
+    bsub = batch_subdir("batch", run_id, batch_id)
+    guard_batch_not_compacted(index_path, bsub)
     enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
     enc = enc_fn(
         new_vecs, dim, books, centroids, n_centroids, id_col, vec_col, residual
     )
-    enc.write.mode("overwrite").parquet(f"{index_path}/batch-{batch_id}")
+    enc.write.mode("overwrite").parquet(f"{index_path}/{bsub}")
 
 
 def knn_pq_refine(
@@ -874,6 +878,7 @@ def ivfpq_index_delete(
     batch_id: int,
     tombstone_path: str,
     id_col: str = "vec_id",
+    run_id: str | None = None,
 ) -> None:
     """Delete half of the codes-table lifecycle (FAISS ``remove_ids``
     re-expressed for immutable storage): ids are TOMBSTONED — appended
@@ -887,6 +892,60 @@ def ivfpq_index_delete(
     the codes minus tombstones, then clear the tombstone directory).
     Tombstones win over every add; re-ingesting a deleted id requires
     that physical compaction first."""
+    from clinical_vector_search_spark.io.tables import batch_subdir
+
     ids.select(id_col).distinct().write.mode("overwrite").parquet(
-        f"{tombstone_path}/batch-{batch_id}"
+        f"{tombstone_path}/{batch_subdir('batch', run_id, batch_id)}"
     )
+
+
+def streaming_ivfpq_ingest(
+    spark,
+    vec_stream: DataFrame,
+    index_path: str,
+    dim: int,
+    books: list,
+    centroids: list | None = None,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    encoder: str = "pd",
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+):
+    """Streaming IVF-PQ index maintenance — the ``foreachBatch``
+    composition of :func:`ivfpq_index_add` over a vector stream (FAISS
+    ``IndexIVFPQ.add`` fed by a stream), completing the streaming story
+    for the vector index exactly as ``dedup.streaming_neardup_ingest``
+    does for the band index: each micro-batch is coarse-assigned to the
+    EXISTING centroids and PQ-encoded against the EXISTING codebooks
+    entirely map-side (cost ∝ batch, the index is never rescanned), and
+    the sink is idempotent under ``foreachBatch``'s at-least-once
+    replays because every batch OVERWRITES its own batch-id-derived
+    subdirectory. ``encoder`` defaults to the Arrow/NumPy twin here —
+    micro-batches are small, so the expression encoder's ~2 s per-plan
+    compile would dominate every trigger (see :func:`ivfpq_index_add`).
+    Streaming batch ids are unique only PER CHECKPOINT — resume the
+    same logical stream with the same ``checkpoint_path``, and pass a
+    distinct ``run_id`` when extending an existing index from a NEW
+    query/checkpoint (the ``ingest_neardup_batch`` contract). Returns
+    the ``StreamingQuery``; read back with :func:`read_ivfpq_index`,
+    serve with :func:`knn_ivfpq_codes` / :func:`knn_refine_codes`,
+    compact with ``io.tables.compact_batched`` on the usual cadence."""
+    from clinical_vector_search_spark.io.tables import validate_run_id
+
+    validate_run_id(run_id)  # fail before the stream starts, not mid-batch
+
+    def _ingest(batch_df, bid):
+        ivfpq_index_add(
+            spark, batch_df, bid, index_path, dim, books, centroids,
+            n_centroids, id_col, vec_col, residual, encoder, run_id,
+        )
+
+    writer = vec_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -409,3 +409,55 @@ def test_bm25_redelete_is_a_noop(spark, tmp_path):
     # at-least-once retry of the mixed batch id: bit-identical
     bm25_index_delete(spark, mixed, 2, idx)
     assert snap(bm25_read_index(spark, idx)) == want
+
+
+def test_streaming_bm25_ingest_matches_one_shot(spark, sf_dir, tmp_path):
+    """Replaying the corpus through streaming_bm25_ingest in micro-
+    batches (maxFilesPerTrigger=1, availableNow) accumulates additive
+    statistics whose reconstructed scoring view is value-identical to a
+    one-shot bm25_index over the whole corpus — chunking must not
+    matter, because df deltas and scalars are additive and idf/avgdl
+    are refolded at read time."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_read_index,
+        streaming_bm25_ingest,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 200)
+    )
+    docs_path = str(tmp_path / "docs")
+    docs.repartitionByRange(4, "doc_id").write.parquet(docs_path)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(docs_path)
+    )
+    idx = str(tmp_path / "bm25")
+    q = streaming_bm25_ingest(
+        spark, stream, idx,
+        checkpoint_path=str(tmp_path / "ckpt"), run_id="day1",
+    )
+    assert q.awaitTermination(300)
+    assert len(q.recentProgress) > 1  # >1 micro-batch actually ran
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    got = snap(bm25_read_index(spark, idx))
+    assert got == snap(bm25_index(docs)) and got
+    import os
+
+    # run_id namespaced the batch subdirectories
+    assert any(
+        d.startswith("batch-day1-") for d in os.listdir(f"{idx}/postings")
+    )

@@ -818,3 +818,48 @@ def test_knn_refine_codes_over_maintained_index(spark, sf_dir, tmp_path):
         assert dists == sorted(dists)
         for _, d_id, dist in rows:
             assert abs(exact[(q, d_id)] - dist) < 1e-9
+
+
+def test_streaming_ivfpq_ingest_matches_encode(spark, sf_dir, tmp_path):
+    """Replaying a vector corpus through streaming_ivfpq_ingest in
+    micro-batches accumulates a codes table identical to the one-shot
+    encode — assignment/encoding are pure per-row functions of the
+    trained state, so chunking cannot matter."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+        streaming_ivfpq_ingest,
+    )
+
+    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    ).filter(F.col("vec_id") < 200)
+    vec_path = str(tmp_path / "vecs")
+    v.repartitionByRange(4, "vec_id").write.parquet(vec_path)
+    stream = (
+        spark.readStream.schema(v.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(vec_path)
+    )
+    books = pq_codebooks_lcg(64, 8, 16)
+    idx = str(tmp_path / "codes")
+    q = streaming_ivfpq_ingest(
+        spark, stream, idx, 64, books, n_centroids=8,
+        checkpoint_path=str(tmp_path / "ckpt"), run_id="day1",
+    )
+    assert q.awaitTermination(300)
+    assert len(q.recentProgress) > 1
+
+    def snap(df):
+        return sorted(
+            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
+        )
+
+    assert snap(read_ivfpq_index(spark, idx)) == snap(
+        ivfpq_encode_pd(v, 64, books, n_centroids=8)
+    )
+    import os
+
+    assert any(d.startswith("batch-day1-") for d in os.listdir(idx))

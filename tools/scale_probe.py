@@ -476,9 +476,11 @@ def main() -> None:
     import shutil as _sh
     import tempfile as _tf
 
+    from clinical_vector_search_spark.io.tables import compact_tombstoned
     from clinical_vector_search_spark.operators.bm25 import (
         bm25_index,
         bm25_index_add,
+        bm25_index_delete,
         bm25_read_index,
         bm25_topk_set,
     )
@@ -513,11 +515,37 @@ def main() -> None:
         out[f"bm25_rebuild_{label}_sec"] = timed2(
             lambda: bm25_index(corpus.unionByName(bm_batch))
         )
+        # delete half of the lifecycle (r12): a FIXED ~300-doc takedown
+        # batch against the 1x vs 10x index. Claims: (a) the delete
+        # WRITE is ∝ batch (tokenize + broadcast anti-join vs existing
+        # tombstones — never touches postings), so ~flat across 10x;
+        # (b) the post-delete SERVE (negative-delta refold at 10x
+        # vocabulary + broadcast tombstone anti-join) stays in the same
+        # regime as the pre-delete serve; (c) compact_tombstoned is the
+        # rarely-paid background rewrite — honest number, grows with
+        # the corpus, which is exactly why deletes are tombstones and
+        # not rewrites.
+        del_batch = corpus.filter(F.col("doc_id") % 20 == 3)
+        out[f"bm25_delete_docs_{label}"] = del_batch.count()
+        out[f"bm25_delete_{label}_sec"] = t_write_best2(
+            lambda: bm25_index_delete(spark, del_batch, 0, bdir)
+        )
+        out[f"bm25_serve_postdelete_{label}_sec"] = timed2(
+            lambda: bm25_topk_set(bm25_read_index(spark, bdir), bm_qset, 10)
+        )
+        t0 = time.time()
+        compact_tombstoned(spark, f"{bdir}/postings", f"{bdir}/deleted", "doc")
+        out[f"bm25_compact_tombstoned_{label}_sec"] = round(
+            time.time() - t0, 3
+        )
         _sh.rmtree(bdir, ignore_errors=True)
         log(
             f"bm25 {label}: ingest {out[f'bm25_ingest_{label}_sec']}s, "
             f"serve {out[f'bm25_serve_{label}_sec']}s, rebuild "
-            f"{out[f'bm25_rebuild_{label}_sec']}s"
+            f"{out[f'bm25_rebuild_{label}_sec']}s, delete "
+            f"{out[f'bm25_delete_{label}_sec']}s, post-delete serve "
+            f"{out[f'bm25_serve_postdelete_{label}_sec']}s, compact "
+            f"{out[f'bm25_compact_tombstoned_{label}_sec']}s"
         )
 
     # --- skyline local prefilter (r10) ---------------------------------
