@@ -488,6 +488,11 @@ def main() -> None:
     bm_batch = docs1.filter(F.col("doc_id") % 10 == 7).localCheckpoint()
     out["bm25_batch_docs"] = bm_batch.count()
     bm_corpus1 = docs1.filter(F.col("doc_id") % 10 != 7)
+    # FIXED takedown batch (defined from the 1x corpus, whose original
+    # ids exist in the replicated 10x corpus too) — the delete claim is
+    # ∝ BATCH, so the batch must not grow with the corpus
+    bm_del = bm_corpus1.filter(F.col("doc_id") % 20 == 3).localCheckpoint()
+    out["bm25_delete_docs"] = bm_del.count()
     bm_corpus10 = replicate(bm_corpus1, 10, {"doc_id": 1_000_000})
     bm_qset = [
         (0, ["patient", "history"]),
@@ -525,10 +530,8 @@ def main() -> None:
         # rarely-paid background rewrite — honest number, grows with
         # the corpus, which is exactly why deletes are tombstones and
         # not rewrites.
-        del_batch = corpus.filter(F.col("doc_id") % 20 == 3)
-        out[f"bm25_delete_docs_{label}"] = del_batch.count()
         out[f"bm25_delete_{label}_sec"] = t_write_best2(
-            lambda: bm25_index_delete(spark, del_batch, 0, bdir)
+            lambda: bm25_index_delete(spark, bm_del, 0, bdir)
         )
         out[f"bm25_serve_postdelete_{label}_sec"] = timed2(
             lambda: bm25_topk_set(bm25_read_index(spark, bdir), bm_qset, 10)
