@@ -484,6 +484,7 @@ def main() -> None:
                 F.col("vec_id").alias("query_id"),
                 F.col("embedding").alias("query_vec"),
             ).localCheckpoint()
+            _ann_state["corpus"] = v  # lazy — the refine rescore's cold store
             ivfpq_index_add(
                 spark, v.filter(F.col("vec_id") % 8 != 3), 0,
                 _ann_state["idx"], 64, _ann_state["books"], n_centroids=16,
@@ -502,6 +503,30 @@ def main() -> None:
             read_ivfpq_index(spark, _ann_state["idx"]),
             10, 64, _ann_state["books"], n_centroids=16,
             doc_id="vec_id", n_probe=4,
+        )
+
+    def bench_refine_serving():
+        # r12: the full IndexRefineFlat serving shape over the MAINTAINED
+        # index — ADC coarse cut over the read-back codes table (tombstone
+        # machinery included in the reader), then exact L2 rescore of only
+        # the top-50 candidates per query via a doc-id equi-join
+        # (pq.knn_refine_codes). Contrast with incremental_ann above,
+        # which stops at the ADC ranking: this family adds the
+        # candidate-granularity raw-vector fetch a production server pays
+        # for exact final distances.
+        from clinical_vector_search_spark.operators.pq import (
+            knn_refine_codes,
+            read_ivfpq_index,
+        )
+
+        if not _ann_state:
+            bench_incremental_ann()  # builds the persisted codes table
+        return knn_refine_codes(
+            _ann_state["queries"],
+            read_ivfpq_index(spark, _ann_state["idx"]),
+            _ann_state["corpus"],
+            10, 64, _ann_state["books"], n_centroids=16,
+            k_coarse=50, doc_id="vec_id", n_probe=4,
         )
 
     _bm25_state: dict = {}
@@ -587,6 +612,7 @@ def main() -> None:
         "events_cusum": bench_cusum,
         "incremental_dedup": bench_incremental_dedup,
         "incremental_ann": bench_incremental_ann,
+        "refine_serving": bench_refine_serving,
         "incremental_bm25": bench_incremental_bm25,
     }
 
@@ -642,7 +668,15 @@ def main() -> None:
     # family lands in the headline's noisy_families list so a reader
     # can discount exactly those numbers instead of trusting or
     # discarding the whole artifact.
-    FOREIGN_LIMIT = 0.25 * n_cpus
+    # Calibration (r12, this host): a truly idle window measures <= 0.5
+    # foreign CPUs (background daemons); the co-tenant burst that
+    # inflated cdc_chunks 1.4 s -> 8.6 s (min of 3 reps!) averaged only
+    # 2.41 foreign CPUs over the family window — the latency-sensitive
+    # Python-round-trip families degrade far below 0.25*cores of
+    # foreign load, so the limit is set just above idle noise, not at
+    # a "CPUs are contended" level. max() keeps it meaningful on small
+    # hosts.
+    FOREIGN_LIMIT = max(1.5, 0.05 * n_cpus)
     noisy_families: list[str] = []
     foreign_per_family: dict[str, list] = {}
 
