@@ -407,8 +407,12 @@ def compact_batched(
     fragment that fails LOUDLY on the next read (delete it and re-run —
     the batch subdirectories are still in place); a crash after the
     fragment but before the swap over-fences names whose directories
-    still exist (conservative: their redelivery is refused with the
-    re-ingest-under-a-fresh-id remedy, never double-counted). Fragments
+    still exist — their redelivery is refused, and the refusal message
+    detects this state (subdirectory still present) and directs the
+    operator to RE-RUN the compaction, which folds the surviving
+    directory and makes the fence accurate; re-ingesting under a fresh
+    id in that state would double-count, which is why the guard says
+    not to. Fragments
     are never rewritten in place, so there is no truncate-and-dump
     corruption window and no lost-fence rename window. Single-writer:
     do not compact while a batch write can be in flight.
@@ -548,11 +552,30 @@ def guard_batch_not_compacted(path: str, subdir: str) -> None:
     files; a recreated subdirectory would double-count them). Called by
     every batch-id-overwrite sink before writing."""
     if subdir in compacted_batches(path):
+        # the remedy depends on whether the fenced subdirectory still
+        # exists: the fence fragment is written BEFORE the rewrite+swap,
+        # so after a mid-compaction crash the name is fenced while its
+        # directory (and rows) are still in place — there, re-ingesting
+        # under a fresh id would DOUBLE-COUNT next to the surviving
+        # subdirectory; the fix is to re-run the compaction (idempotent)
+        spark = SparkSession.getActiveSession()
+        jvm, fs, _ = _hadoop_fs(spark, path)
+        still_there = fs.exists(
+            jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/{subdir}")
+        )
+        remedy = (
+            "this batch's subdirectory STILL EXISTS next to the fence — "
+            "a compaction crashed between its fence write and its swap; "
+            "re-run the compaction to fold it (do NOT re-ingest: that "
+            "would double-count the surviving rows)"
+            if still_there
+            else "quiesce the stream before compacting, or re-ingest "
+            "these rows under a fresh batch id"
+        )
         raise ValueError(
             f"batch subdirectory {subdir!r} under {path!r} was already "
             "folded by compact_batched; redelivery after compaction "
-            "cannot be idempotent — quiesce the stream before "
-            "compacting, or re-ingest these rows under a fresh batch id"
+            f"cannot be idempotent — {remedy}"
         )
 
 

@@ -349,11 +349,11 @@ def ingest_neardup_batch(
     from pyspark.errors import AnalysisException
 
     from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
         guard_batch_not_compacted,
     )
 
-    _validate_run_id(run_id)
-    sub = f"batch-{run_id}-{batch_id}" if run_id else f"batch-{batch_id}"
+    sub = batch_subdir("batch", run_id, batch_id)
     guard_batch_not_compacted(pairs_path, sub)
     guard_batch_not_compacted(index_path, sub)
     sigs = minhash_signatures(

@@ -1347,3 +1347,34 @@ def test_run_id_must_be_safe_path_segment(spark, sf_dir, tmp_path):
         spark, docs, 0, idx, prs, 4, 2, 3, run_id="2026-08-16"
     )
     assert os.path.isdir(f"{idx}/batch-2026-08-16-0")
+
+
+def test_fence_refusal_message_detects_crashed_compaction(
+    spark, sf_dir, tmp_path
+):
+    """The redelivery refusal must not hand out the re-ingest-under-a-
+    fresh-id remedy while the fenced subdirectory still exists (the
+    fence fragment is written BEFORE the swap, so a mid-compaction
+    crash leaves exactly that state — there, a fresh-id re-ingest would
+    double-count next to the surviving rows; the right fix is to re-run
+    the compaction)."""
+    from clinical_vector_search_spark.io import tables as T
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 40)
+    )
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+    ingest_neardup_batch(spark, docs, 0, idx, prs, 4, 2, 3)
+    # crash state: fence written, swap never happened
+    T.record_compacted_batches(spark, idx, ["batch-0"])
+    with pytest.raises(ValueError, match="STILL EXISTS"):
+        T.guard_batch_not_compacted(idx, "batch-0")
+    # completed compaction: the usual fresh-id remedy
+    T.compact_batched(spark, idx)
+    with pytest.raises(ValueError, match="fresh batch id"):
+        T.guard_batch_not_compacted(idx, "batch-0")

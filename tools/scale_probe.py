@@ -520,7 +520,7 @@ def main() -> None:
         out[f"bm25_rebuild_{label}_sec"] = timed2(
             lambda: bm25_index(corpus.unionByName(bm_batch))
         )
-        # delete half of the lifecycle (r12): a FIXED ~300-doc takedown
+        # delete half of the lifecycle (r12): a FIXED 250-doc takedown
         # batch against the 1x vs 10x index. Claims: (a) the delete
         # WRITE is ∝ batch (tokenize + broadcast anti-join vs existing
         # tombstones — never touches postings), so ~flat across 10x;
