@@ -135,13 +135,13 @@ def upsert_vector_index(
     self-contained on plain Parquet. Writes to a temp dir then swaps so a
     failed merge never truncates the live index.
 
-    Swap caveat (single-writer, local-FS contract): between the two moves
-    there is a brief window with NO directory at ``path`` — a concurrent
-    reader mid-swap fails, and a crash inside the window leaves the data
-    in ``<path>__old_<tag>`` (recover with a manual rename). On a real
-    filesystem use an atomic rename-over or a versioned-directory +
-    pointer-file layout instead."""
-    import shutil
+    Swap caveat (single-writer): between the two renames there is a
+    brief window with NO directory at ``path`` — a concurrent reader
+    mid-swap fails, and a crash inside the window leaves the data in
+    ``<path>__old_<tag>`` (recover with a manual rename); see
+    :func:`_swap_directories`, which also carries the object-store
+    caveat (rename is copy+delete there — prefer a versioned-directory
+    + pointer-file layout)."""
     import uuid
 
     from pyspark.sql import Window
@@ -162,12 +162,7 @@ def upsert_vector_index(
     tag = uuid.uuid4().hex[:8]
     tmp = f"{path}__tmp_{tag}"
     merged.write.mode("overwrite").parquet(tmp)
-    # old moves aside, new moves in, old deletes last — a crash leaves
-    # either the old or the new index recoverable, never neither
-    old = f"{path}__old_{tag}"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    _swap_directories(spark, path, tmp, tag)
 
 
 def write_bucketed(
@@ -333,50 +328,61 @@ def compact_parquet(
     return _rewrite_and_swap(df, path, target_file_bytes)
 
 
+def _dir_bytes(spark: SparkSession, path: str) -> int:
+    """Total bytes under ``path`` through its own Hadoop FileSystem —
+    the sizing input for ⌈bytes/target⌉ compaction, working wherever
+    the data lives (the old ``inputFiles()`` + ``os.path.getsize``
+    spelling silently failed off local disk)."""
+    _, fs, jpath = _hadoop_fs(spark, path)
+    return fs.getContentSummary(jpath).getLength()
+
+
+def _swap_directories(spark: SparkSession, path: str, tmp: str, tag: str):
+    """The shared move-aside swap, through the data's own Hadoop
+    FileSystem: old renames aside, new renames in, old deletes last — a
+    crash leaves either the old or the new directory recoverable, never
+    neither (though between the two renames the live NAME is briefly
+    absent — the documented mid-swap window; a crash inside it leaves
+    the data in ``<path>__old_<tag>``, recover with a manual rename).
+    Single-writer. Rename is atomic-enough on local/HDFS; object stores
+    implement it as copy+delete — there, prefer a versioned-directory +
+    pointer-file layout over in-place swaps entirely."""
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    old = f"{path}__old_{tag}"
+    if not fs.rename(jpath, P(old)):
+        raise IOError(f"swap failed: could not move {path!r} to {old!r}")
+    if not fs.rename(P(tmp), jpath):
+        raise IOError(
+            f"swap failed mid-window: {path!r} is absent; its data is "
+            f"intact at {old!r} (rename it back) and the new copy at "
+            f"{tmp!r}"
+        )
+    fs.delete(P(old), True)
+
+
 def _rewrite_and_swap(
     df: DataFrame,
     path: str,
     target_file_bytes: int,
-    size_from: DataFrame | None = None,
 ) -> int:
     """Shared rewrite machinery of :func:`compact_parquet` and
-    :func:`compact_tombstoned`: size the local input files (of
-    ``size_from`` when given — e.g. the data scan alone, excluding a
-    joined tombstone side — else of ``df``), write ``df`` as
-    ⌈bytes/target⌉ round-robin files to a temp sibling, then swap. One
-    code path so a fix to the sizing or swap discipline reaches both
-    compactors. Returns the new file count."""
+    :func:`compact_tombstoned`: size the data directory, write ``df``
+    as ⌈bytes/target⌉ round-robin files to a temp sibling, then swap
+    (:func:`_swap_directories`). One code path so a fix to the sizing
+    or swap discipline reaches both compactors; every filesystem touch
+    goes through the data's own Hadoop FS, so compaction works wherever
+    the data lives. Returns the new file count."""
     import math
-    import os
-    import shutil
     import uuid
-    from urllib.parse import unquote, urlparse
 
-    # inputFiles() returns URIs — percent-decode or sizes silently read as
-    # missing (a path with a space would compact everything into ONE file)
-    files = [
-        unquote(urlparse(f).path)
-        for f in (size_from if size_from is not None else df).inputFiles()
-    ]
-    missing = [f for f in files if not os.path.exists(f)]
-    if not files or missing:
-        raise ValueError(
-            f"cannot size {path!r}: non-local or unreadable input files "
-            f"(first missing: {missing[:1]})"
-        )
-    nbytes = sum(os.path.getsize(f) for f in files)
+    spark = df.sparkSession
+    nbytes = _dir_bytes(spark, path)
     n = max(1, math.ceil(nbytes / target_file_bytes))
     tag = uuid.uuid4().hex[:8]
     tmp = f"{path}__compact_{tag}"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
-    # swap keeps a live copy at every instant: old moves aside, new moves
-    # in, old deletes last — a crash leaves either the old or the new
-    # directory recoverable, never neither (though between the two moves
-    # the live NAME is briefly absent — the documented mid-swap window)
-    old = f"{path}__old_{tag}"
-    shutil.move(path, old)
-    shutil.move(tmp, path)
-    shutil.rmtree(old)
+    _swap_directories(spark, path, tmp, tag)
     return n
 
 
@@ -396,8 +402,8 @@ def compact_batched(
     sum_dl, duplicate codes rows). Without the fence, batch-id
     overwrite is idempotent only UP TO the last compaction.
 
-    Fence protocol (storage-agnostic, unlike the compactor's own
-    local-FS sizing/swap): batch names are recorded through the SAME
+    Fence protocol (storage-agnostic, like the compactor's sizing and
+    swap since r12): batch names are recorded through the SAME
     Hadoop FileSystem the data uses — an append-only SIBLING manifest
     directory (``{path}__COMPACTED_MANIFEST``) of immutable JSON
     fragments, one per compaction, read as their union. Sibling, not
@@ -601,7 +607,7 @@ def compact_tombstoned(
     so re-running completes the clear. After the clear, a previously
     deleted id may be re-ingested. Returns the new file count. No-op
     (returns 0) when the tombstone directory is absent/empty.
-    Single-writer local-FS swap caveat as ``compact_parquet``.
+    Single-writer swap caveat as ``compact_parquet``.
 
     Like :func:`compact_batched`, the per-batch subdirectories this
     rewrite folds into flat files are recorded in the fence manifest
@@ -611,8 +617,6 @@ def compact_tombstoned(
     subdirectory next to the compacted copy of the same rows (silently
     double-counting every surviving row in every reader), and resurrect
     the physically erased ids."""
-    import shutil
-
     from pyspark.errors import AnalysisException
 
     rec = spark.read.option("recursiveFileLookup", "true")
@@ -623,10 +627,11 @@ def compact_tombstoned(
             raise
         return 0
     record_compacted_batches(spark, data_path, _list_batch_subdirs(spark, data_path))
-    df = rec.parquet(data_path)
-    survivors = df.join(F.broadcast(dead), id_col, "left_anti")
-    n = _rewrite_and_swap(survivors, data_path, target_file_bytes, size_from=df)
-    shutil.rmtree(tombstone_path)  # LAST — see ordering argument above
+    survivors = rec.parquet(data_path).join(F.broadcast(dead), id_col, "left_anti")
+    n = _rewrite_and_swap(survivors, data_path, target_file_bytes)
+    jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
+    # LAST — see ordering argument above
+    fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
     return n
 
 

@@ -1378,3 +1378,51 @@ def test_fence_refusal_message_detects_crashed_compaction(
     T.compact_batched(spark, idx)
     with pytest.raises(ValueError, match="fresh batch id"):
         T.guard_batch_not_compacted(idx, "batch-0")
+
+
+def test_compaction_and_swap_never_touch_local_fs_apis(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The whole compaction path — sizing, rewrite, swap, tombstone
+    clear, upsert merge — goes through the data's own Hadoop
+    FileSystem, never shutil/os sizing calls, so it works unchanged on
+    non-local storage. Proven by making the local-FS APIs explode."""
+    import os
+    import shutil
+
+    from clinical_vector_search_spark.io import tables as T
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    idx, prs = str(tmp_path / "index"), str(tmp_path / "pairs")
+    ingest_neardup_batch(spark, docs, 0, idx, prs, 4, 2, 3)
+    vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 50
+    ).select(F.col("vec_id").alias("doc_id"), "embedding")
+    vidx = str(tmp_path / "vindex")
+    T.build_vector_index(vecs, vidx)
+    before = read_neardup_output(spark, idx).count()
+
+    def boom(*a, **k):
+        raise AssertionError("compaction must not use local-FS APIs")
+
+    for mod, name in (
+        (shutil, "move"), (shutil, "rmtree"), (shutil, "copytree"),
+        (os, "listdir"), (os.path, "getsize"), (os, "rename"),
+        (os, "replace"),
+    ):
+        monkeypatch.setattr(mod, name, boom)
+
+    assert T.compact_batched(spark, idx) >= 1
+    assert read_neardup_output(spark, idx).count() == before
+    # upsert swap path
+    delta = vecs.filter(F.col("doc_id") < 5)
+    T.upsert_vector_index(spark, vidx, delta)
+    assert spark.read.parquet(vidx).count() == 50
