@@ -812,13 +812,17 @@ def write_audit_publish(
 
     ``metrics`` maps metric name → aggregate Column (count/sum/avg/...);
     the realized values are returned. Same single-writer swap caveat as
-    ``upsert_vector_index``/``compact_parquet``.
+    ``upsert_vector_index``/``compact_parquet``; all publish renames go
+    through the data's own Hadoop FileSystem (:func:`_swap_directories`
+    discipline), so the gate works wherever the data lives.
     """
-    import shutil
     import uuid
 
     from pyspark.sql import Observation
 
+    spark = df.sparkSession
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
     staged = f"{path}__staged_{uuid.uuid4().hex[:12]}"
     obs = Observation("wap_gate")
     try:
@@ -831,11 +835,16 @@ def write_audit_publish(
                 f"write_audit_publish gate failed for {path!r}: {got}"
             )
     except Exception:
-        shutil.rmtree(staged, ignore_errors=True)
+        fs.delete(P(staged), True)
         raise
     old = f"{path}__old_{uuid.uuid4().hex[:12]}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
+    if fs.exists(jpath):
+        if not fs.rename(jpath, P(old)):
+            raise IOError(f"publish failed: could not move {path!r} aside")
+    if not fs.rename(P(staged), jpath):
+        raise IOError(
+            f"publish failed mid-window: {path!r} is absent; prior data "
+            f"is intact at {old!r}, the audited new copy at {staged!r}"
+        )
+    fs.delete(P(old), True)
     return got
