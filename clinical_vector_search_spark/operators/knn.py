@@ -40,20 +40,29 @@ AUTO_WINDOW_MAX_BYTES = 256 * 1024 * 1024
 
 def _estimate_input_bytes(df: DataFrame) -> int | None:
     """Driver-side size statistic from the scan's file listing — the same
-    kind of metadata Spark's own broadcast-threshold planning uses. Returns
-    None when the input isn't local files (remote FS → assume big)."""
-    import os
+    kind of metadata Spark's own broadcast-threshold planning uses. Sizes
+    go through each file's own Hadoop FileSystem, so the statistic works
+    on remote storage too (a small s3a:// corpus gets the cheap window
+    plan instead of being assumed big); iteration stops as soon as the
+    running total clears the dispatch threshold, so a million-file scan
+    costs a handful of metadata calls, not a full listing walk. Returns
+    None when the size cannot be established (→ assume big — the safe
+    direction: partial_topk is the plan that survives scale)."""
+    from pyspark.sql import SparkSession
 
     try:
         files = df.inputFiles()
         if not files:
             return None
+        spark = SparkSession.getActiveSession()
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
         total = 0
         for f in files:
-            p = f.removeprefix("file:")
-            if not os.path.exists(p):
-                return None
-            total += os.path.getsize(p)
+            jpath = jvm.org.apache.hadoop.fs.Path(f)
+            total += jpath.getFileSystem(hconf).getFileStatus(jpath).getLen()
+            if total >= AUTO_WINDOW_MAX_BYTES:
+                return total  # already past the dispatch cut — stop sizing
         return total
     except Exception:  # noqa: BLE001 — any listing failure → unknown size
         return None
