@@ -211,9 +211,25 @@ def main() -> None:
                 doc_id="vec_id", n_probe=4,
             )
         )
+        # refine serving (r12): same ADC coarse cut + exact rescore of
+        # ONLY the top-50 candidates per query (knn_refine_codes). The
+        # rescore side is Q·k_coarse rows at EVERY corpus size, so the
+        # growth across 10x must track the coarse ADC stage, not the
+        # raw-vector join — the candidate fetch is constant-sized.
+        from clinical_vector_search_spark.operators.pq import (
+            knn_refine_codes,
+        )
+
+        out[f"ann_refine_serve_{label}_sec"] = timed(
+            lambda: knn_refine_codes(
+                q, codes, nm, 10, 64, books, n_centroids=16,
+                k_coarse=50, doc_id="vec_id", n_probe=4,
+            )
+        )
         log(
             f"codes serving {label}: {out[f'codes_rows_{label}']} codes, "
-            f"{out[f'ann_codes_serve_{label}_sec']}s"
+            f"{out[f'ann_codes_serve_{label}_sec']}s; refine "
+            f"{out[f'ann_refine_serve_{label}_sec']}s"
         )
 
     # --- tf-idf retrieval growth (VERDICT r7 task 7) ------------------
