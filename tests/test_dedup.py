@@ -1426,3 +1426,34 @@ def test_compaction_and_swap_never_touch_local_fs_apis(
     delta = vecs.filter(F.col("doc_id") < 5)
     T.upsert_vector_index(spark, vidx, delta)
     assert spark.read.parquet(vidx).count() == 50
+
+
+def test_fence_and_compaction_work_on_scheme_qualified_paths(
+    spark, sf_dir, tmp_path
+):
+    """The fence manifest, guard, compaction and swap must accept a
+    scheme-qualified URI (file:///...) exactly as an object-store path
+    would arrive — the Hadoop Path/FileSystem resolution, not string
+    munging, owns the scheme."""
+    from clinical_vector_search_spark.io import tables as T
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_neardup_batch,
+        read_neardup_output,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 60)
+    )
+    idx = f"file://{tmp_path}/index"
+    prs = f"file://{tmp_path}/pairs"
+    ingest_neardup_batch(spark, docs, 0, idx, prs, 4, 2, 3)
+    before = sorted(map(tuple, read_neardup_output(spark, idx).collect()))
+    assert T.compact_batched(spark, idx) >= 1
+    assert sorted(
+        map(tuple, read_neardup_output(spark, idx).collect())
+    ) == before
+    assert T.compacted_batches(idx) == {"batch-0"}
+    with pytest.raises(ValueError, match="already"):
+        T.guard_batch_not_compacted(idx, "batch-0")
