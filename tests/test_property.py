@@ -743,17 +743,21 @@ corpus_strategy = st.lists(
 @given(
     token_docs=corpus_strategy,
     k=st.integers(min_value=1, max_value=3),      # number of ingest batches
-    mask=st.integers(min_value=0, max_value=255),  # delete-subset bitmask
+    mask=st.integers(min_value=0, max_value=255),   # delete-subset bitmask
+    mask2=st.integers(min_value=0, max_value=255),  # second delete batch
 )
 def test_bm25_maintenance_algebra_matches_rebuild(
-    spark, tmp_path_factory, token_docs, k, mask
+    spark, tmp_path_factory, token_docs, k, mask, mask2
 ):
-    """For ANY corpus, ANY batch partitioning and ANY delete subset, the
-    additive BM25 maintenance state (postings + df deltas + scalars,
-    minus tombstones and negative deltas) must reconstruct the one-shot
-    bm25_index view of exactly the surviving docs — including the
-    epsilon floor over the SURVIVING vocabulary (terms whose last doc
-    died must vanish)."""
+    """For ANY corpus, ANY batch partitioning and ANY sequence of two
+    delete batches — the second one MIXED: new deletions plus
+    redeliveries of already-deleted docs (the r12 idempotent-re-delete
+    fence) — the additive BM25 maintenance state (postings + df deltas
+    + scalars, minus tombstones and negative deltas) must reconstruct
+    the one-shot bm25_index view of exactly the surviving docs —
+    including the epsilon floor over the SURVIVING vocabulary (terms
+    whose last doc died must vanish), with the re-delivered docs'
+    deltas subtracted exactly once."""
     from clinical_vector_search_spark.operators.bm25 import (
         bm25_index,
         bm25_index_add,
@@ -775,7 +779,23 @@ def test_bm25_maintenance_algebra_matches_rebuild(
         bm25_index_delete(
             spark, docs.filter(F.col("doc_id").isin(deleted_ids)), 0, idx
         )
-    survivors = docs.filter(~F.col("doc_id").isin(deleted_ids))
+    # second delete batch under a FRESH id: new deletions from mask2
+    # plus a re-delivery of up to two already-deleted docs — only the
+    # genuinely live docs' stats may be subtracted (double-subtraction
+    # would drift idf/avgdl for every query)
+    extra = [
+        i for i in range(len(rows))
+        if (mask2 >> (i % 8)) & 1 and i not in set(deleted_ids)
+    ]
+    if len(deleted_ids) + len(extra) == len(rows):
+        extra = extra[:-1]  # never delete everything
+    batch2 = extra + deleted_ids[:2]
+    if batch2:
+        bm25_index_delete(
+            spark, docs.filter(F.col("doc_id").isin(batch2)), 1, idx
+        )
+    all_deleted = deleted_ids + extra
+    survivors = docs.filter(~F.col("doc_id").isin(all_deleted))
 
     def snap(df):
         return sorted(
