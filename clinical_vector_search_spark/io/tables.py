@@ -8,6 +8,7 @@ searching is a query over it.
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -135,17 +136,19 @@ def upsert_vector_index(
     self-contained on plain Parquet. Writes to a temp dir then swaps so a
     failed merge never truncates the live index.
 
-    Swap caveat (single-writer): between the two renames there is a
-    brief window with NO directory at ``path`` — a concurrent reader
-    mid-swap fails, and a crash inside the window leaves the data in
-    ``<path>__old_<tag>`` (recover with a manual rename); see
-    :func:`_swap_directories`, which also carries the object-store
-    caveat (rename is copy+delete there — prefer a versioned-directory
-    + pointer-file layout)."""
+    Swap caveat (single-writer, enforced by :func:`compaction_lease`):
+    between the two renames there is a brief window with NO directory
+    at ``path`` — a concurrent reader mid-swap fails, and a crash
+    inside the window leaves the data in ``<path>__old_<tag>``, which
+    the next read or compaction renames back automatically
+    (:func:`recover_interrupted_swap`); see :func:`_swap_directories`,
+    which also carries the object-store caveat (rename is copy+delete
+    there — prefer a versioned-directory + pointer-file layout)."""
     import uuid
 
     from pyspark.sql import Window
 
+    recover_interrupted_swap(spark, path)
     old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
     incoming = (
         new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
@@ -161,8 +164,9 @@ def upsert_vector_index(
     )
     tag = uuid.uuid4().hex[:8]
     tmp = f"{path}__tmp_{tag}"
-    merged.write.mode("overwrite").parquet(tmp)
-    _swap_directories(spark, path, tmp, tag)
+    with compaction_lease(spark, path):
+        merged.write.mode("overwrite").parquet(tmp)
+        _swap_directories(spark, path, tmp, tag)
 
 
 def write_bucketed(
@@ -302,15 +306,16 @@ def compact_parquet(
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     recursive: bool = False,
+    break_stale_lease_after_sec: float | None = None,
 ) -> int:
     """Small-files compaction — the maintenance job every incremental
     pipeline needs: streaming/upsert sinks accumulate many tiny files, and
     at 100 TB scan cost is dominated by file-open overhead once files drop
     below ~tens of MB. Rewrites the directory into ⌈bytes/target⌉
-    size-targeted files (temp-dir + swap, same crash-safety AND same
-    single-writer swap caveat as upsert_vector_index — see its docstring
-    for the mid-swap window and the ``__old_<tag>`` recovery step).
-    Returns the new file count.
+    size-targeted files (temp-dir + swap, same crash-safety as
+    upsert_vector_index; single-writer ENFORCED by
+    :func:`compaction_lease`, crash window self-healed by
+    :func:`recover_interrupted_swap`). Returns the new file count.
 
     Uses round-robin repartition (not coalesce): coalesce(n) would chain
     narrow onto the upstream plan and skew output file sizes to the
@@ -321,6 +326,19 @@ def compact_parquet(
     ``streaming_neardup_ingest`` layout). Do NOT use it on Hive
     ``key=value``-partitioned directories: recursive listing disables
     partition inference, so the partition column would be dropped."""
+    with compaction_lease(spark, path, break_stale_lease_after_sec):
+        recover_interrupted_swap(spark, path, deep=True, _leased=True)
+        return _compact_parquet_leased(spark, path, target_file_bytes, recursive)
+
+
+def _compact_parquet_leased(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int,
+    recursive: bool,
+) -> int:
+    """:func:`compact_parquet` body, for callers already holding the
+    lease (``compact_batched`` — the lease is not reentrant)."""
     reader = spark.read
     if recursive:
         reader = reader.option("recursiveFileLookup", "true")
@@ -343,10 +361,12 @@ def _swap_directories(spark: SparkSession, path: str, tmp: str, tag: str):
     crash leaves either the old or the new directory recoverable, never
     neither (though between the two renames the live NAME is briefly
     absent — the documented mid-swap window; a crash inside it leaves
-    the data in ``<path>__old_<tag>``, recover with a manual rename).
-    Single-writer. Rename is atomic-enough on local/HDFS; object stores
-    implement it as copy+delete — there, prefer a versioned-directory +
-    pointer-file layout over in-place swaps entirely."""
+    the data in ``<path>__old_<tag>``, and the next read or compaction
+    SELF-HEALS by renaming it back — :func:`recover_interrupted_swap`).
+    Single-writer, enforced by :func:`compaction_lease` in every caller.
+    Rename is atomic-enough on local/HDFS; object stores implement it
+    as copy+delete — there, prefer a versioned-directory + pointer-file
+    layout over in-place swaps entirely."""
     jvm, fs, jpath = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     old = f"{path}__old_{tag}"
@@ -355,10 +375,175 @@ def _swap_directories(spark: SparkSession, path: str, tmp: str, tag: str):
     if not fs.rename(P(tmp), jpath):
         raise IOError(
             f"swap failed mid-window: {path!r} is absent; its data is "
-            f"intact at {old!r} (rename it back) and the new copy at "
-            f"{tmp!r}"
+            f"intact at {old!r} and the new copy at {tmp!r} — the next "
+            "read or compaction of this path self-heals by renaming "
+            f"{old!r} back (recover_interrupted_swap)"
         )
     fs.delete(P(old), True)
+
+
+def _lease_path(path: str) -> str:
+    return path.rstrip("/") + "__COMPACT_LEASE"
+
+
+def _try_claim_lease(fs, jlock, payload: bytes) -> bool:
+    """One atomic ``fs.create(lock, overwrite=False)`` claim attempt.
+    HDFS makes the exclusive create atomic server-side; the local FS
+    check-then-create is atomic-enough for a maintenance lease. Returns
+    False when the lock already exists, raises on anything else."""
+    try:
+        out = fs.create(jlock, False)
+    except Exception as e:  # noqa: BLE001 — py4j wraps the Java class
+        if "exist" in str(e).lower():
+            return False
+        raise
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    return True
+
+
+@contextlib.contextmanager
+def compaction_lease(
+    spark: SparkSession,
+    path: str,
+    break_stale_after_sec: float | None = None,
+):
+    """Single-writer enforcement for the move-aside swap: an exclusive
+    lease file (``<path>__COMPACT_LEASE``) claimed with atomic
+    ``fs.create(lock, overwrite=False)`` through the data's own Hadoop
+    FS, held for the duration of a compaction/upsert. Two concurrent
+    compactors on one path get one winner and one LOUD error instead of
+    interleaved renames (which could nest a temp directory inside the
+    live one — Hadoop ``rename`` onto an existing directory moves the
+    source INSIDE it).
+
+    The lease is released in a ``finally``, so an ordinary failure
+    (e.g. a crash inside the swap window) leaves NO lease and the next
+    reader/compactor self-heals unattended. Only a hard kill strands
+    the lease file; ``break_stale_after_sec`` is the override knob —
+    when set, a lease older than that many seconds is deleted and
+    re-claimed (pick it longer than any legitimate compaction)."""
+    import json
+    import os as _os
+    import socket
+    import time
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    jlock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
+    payload = json.dumps(
+        {
+            "pid": _os.getpid(),
+            "host": socket.gethostname(),
+            "acquired_unix": time.time(),
+        }
+    ).encode("utf-8")
+    if not _try_claim_lease(fs, jlock, payload):
+        holder, age = "<unreadable>", None
+        try:
+            holder = _read_small_file(fs, jlock).decode("utf-8", "replace")
+            age = time.time() - (
+                fs.getFileStatus(jlock).getModificationTime() / 1000.0
+            )
+        except Exception:  # noqa: BLE001 — racing holder may delete it
+            pass
+        stale = (
+            break_stale_after_sec is not None
+            and age is not None
+            and age > break_stale_after_sec
+        )
+        if stale:
+            fs.delete(jlock, False)
+        if not stale or not _try_claim_lease(fs, jlock, payload):
+            raise IOError(
+                f"compaction lease for {path!r} is already held (lease "
+                f"file {_lease_path(path)!r}, holder {holder}, age "
+                f"{age if age is None else round(age, 1)}s): another "
+                "writer is compacting/upserting this directory. If that "
+                "writer crashed hard (only a hard kill strands the "
+                "lease), delete the lease file or pass "
+                "break_stale_lease_after_sec."
+            )
+    try:
+        yield
+    finally:
+        fs.delete(jlock, False)
+
+
+def recover_interrupted_swap(
+    spark: SparkSession,
+    path: str,
+    deep: bool = False,
+    _leased: bool = False,
+) -> bool:
+    """Self-heal the :func:`_swap_directories` mid-swap crash window.
+
+    A crash between the swap's two renames leaves the live NAME absent
+    with the data intact at ``<path>__old_<tag>`` — previously a manual
+    rename. This preamble, shared by the serving readers
+    (``pq.read_ivfpq_index``, ``bm25.bm25_read_index``) and every
+    compactor/upserter, restores it automatically:
+
+    - live path present: nothing to heal (the fast read path is one
+      ``fs.exists``). With ``deep=True`` (compactors, which already
+      hold the lease) any lingering ``__old_*`` sibling — a crash AFTER
+      the second rename but before the final delete; the live data is
+      the newer copy — is deleted, completing the crashed swap's last
+      step and keeping the at-most-one-``__old`` invariant the absence
+      recovery relies on.
+    - live path absent + exactly one ``__old_*`` sibling: rename it
+      back (under the :func:`compaction_lease` unless the caller
+      already holds it), after clearing stale ``__compact_*``/
+      ``__tmp_*`` temps — the temp copy never went live and a re-run
+      regenerates it. Returns True.
+    - live path absent + multiple ``__old_*`` siblings: refuse LOUDLY —
+      ambiguity means a protocol violation (two crashed swaps without
+      recovery is impossible under the lease), so a human must pick.
+    - live path absent + no ``__old_*``: nothing to recover (a genuinely
+      fresh path); the caller's read fails with its usual absence error.
+
+    All renames/deletes go through the data's own Hadoop FS, same
+    discipline as the fence manifest."""
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+
+    def _olds():
+        return [st.getPath() for st in (fs.globStatus(P(base + "__old_*")) or [])]
+
+    if fs.exists(jpath):
+        if deep:
+            for op in _olds():
+                fs.delete(op, True)
+        return False
+    ctx = (
+        contextlib.nullcontext()
+        if _leased
+        else compaction_lease(spark, path)
+    )
+    with ctx:
+        if fs.exists(jpath):  # a racing writer healed it first
+            return False
+        olds = _olds()
+        if not olds:
+            return False
+        if len(olds) > 1:
+            raise IOError(
+                f"cannot self-heal {path!r}: the live directory is absent "
+                f"and MULTIPLE move-aside copies exist ({[str(o) for o in olds]}) "
+                "— ambiguous; inspect and rename the correct one back "
+                "manually"
+            )
+        for pref in ("__compact_", "__tmp_"):
+            for st in fs.globStatus(P(base + pref + "*")) or []:
+                fs.delete(st.getPath(), True)
+        if not fs.rename(olds[0], jpath):
+            raise IOError(
+                f"self-heal failed: could not rename {olds[0]} back to "
+                f"{path!r}"
+            )
+    return True
 
 
 def _rewrite_and_swap(
@@ -390,6 +575,7 @@ def compact_batched(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    break_stale_lease_after_sec: float | None = None,
 ) -> int:
     """:func:`compact_parquet` for batch-id-OVERWRITE maintained sinks
     (the ``dedup.ingest_neardup_batch`` / ``pq.ivfpq_index_add`` /
@@ -409,9 +595,10 @@ def compact_batched(
     fragments, one per compaction, read as their union. Sibling, not
     inside ``path``: it must survive the compactor's move-aside swap.
     The fragment is written BEFORE the rewrite+swap, so every crash
-    ordering is safe: a crash mid-fragment-write leaves a partial
-    fragment that fails LOUDLY on the next read (delete it and re-run —
-    the batch subdirectories are still in place); a crash after the
+    ordering is safe: a crash mid-fragment-write leaves only a hidden
+    ``.fence-…tmp`` the union read skips (fragments are published by a
+    single rename — re-run the compaction; the batch subdirectories
+    are still in place); a crash after the
     fragment but before the swap over-fences names whose directories
     still exist — their redelivery is refused, and the refusal message
     detects this state (subdirectory still present) and directs the
@@ -423,9 +610,13 @@ def compact_batched(
     corruption window and no lost-fence rename window. Single-writer:
     do not compact while a batch write can be in flight.
     """
-    folded = _list_batch_subdirs(spark, path)
-    record_compacted_batches(spark, path, folded)
-    return compact_parquet(spark, path, target_file_bytes, recursive=True)
+    with compaction_lease(spark, path, break_stale_lease_after_sec):
+        recover_interrupted_swap(spark, path, deep=True, _leased=True)
+        folded = _list_batch_subdirs(spark, path)
+        record_compacted_batches(spark, path, folded)
+        return _compact_parquet_leased(
+            spark, path, target_file_bytes, recursive=True
+        )
 
 
 def _hadoop_fs(spark: SparkSession, path: str):
@@ -463,8 +654,13 @@ def record_compacted_batches(spark: SparkSession, path: str, names) -> None:
     """Append one immutable JSON fragment naming ``names`` to the fence
     manifest of ``path``. No-op on an empty list. Never rewrites an
     existing fragment — the fence set is monotone-growing, so the union
-    read needs no replace/rename step (and thus has no atomicity
-    window; see :func:`compact_batched` for the crash orderings)."""
+    read needs no replace step. Fragment CREATION is atomic too: the
+    bytes land under a hidden ``.fence-…tmp`` name (which
+    :func:`compacted_batches` skips) and a single ``fs.rename``
+    publishes them, so a crash mid-write leaves only an ignorable temp
+    — it can never strand a partial fragment that blocks every later
+    ingest guard on the index (see :func:`compact_batched` for the
+    crash orderings)."""
     import json
     import uuid
 
@@ -472,14 +668,20 @@ def record_compacted_batches(spark: SparkSession, path: str, names) -> None:
     if not names:
         return
     jvm, fs, _ = _hadoop_fs(spark, path)
-    frag = jvm.org.apache.hadoop.fs.Path(
-        f"{_manifest_dir(path)}/fence-{uuid.uuid4().hex}.json"
-    )
-    out = fs.create(frag, True)
+    P = jvm.org.apache.hadoop.fs.Path
+    hexid = uuid.uuid4().hex
+    tmp = P(f"{_manifest_dir(path)}/.fence-{hexid}.json.tmp")
+    frag = P(f"{_manifest_dir(path)}/fence-{hexid}.json")
+    out = fs.create(tmp, True)
     try:
         out.write(bytearray(json.dumps(names).encode("utf-8")))
     finally:
         out.close()
+    if not fs.rename(tmp, frag):
+        raise IOError(
+            f"fence fragment publish failed: could not rename {tmp} to "
+            f"{frag}"
+        )
 
 
 def compacted_batches(path: str, spark: SparkSession | None = None) -> set:
@@ -487,8 +689,9 @@ def compacted_batches(path: str, spark: SparkSession | None = None) -> set:
     :func:`compact_batched` / :func:`compact_tombstoned`: the union of
     every manifest fragment, plus the legacy single-file marker if one
     exists from an older layout (empty when neither exists). Raises on
-    an unparseable fragment — a loud, recoverable signal (delete the
-    partial fragment and re-run the compaction; see
+    an unparseable fragment — a loud, recoverable signal (fragments are
+    published atomically by rename, so this means external corruption:
+    delete the bad fragment and re-run the compaction; see
     :func:`compact_batched`), never a silent empty set."""
     import json
 
@@ -506,6 +709,11 @@ def compacted_batches(path: str, spark: SparkSession | None = None) -> set:
     mdir = jvm.org.apache.hadoop.fs.Path(_manifest_dir(path))
     if fs.exists(mdir):
         for st in fs.listStatus(mdir):
+            # skip hidden names: in-flight .fence-*.tmp fragments from
+            # record_compacted_batches (published by rename, so a crash
+            # mid-write leaves only these — never a partial fragment)
+            if st.getPath().getName().startswith((".", "_")):
+                continue
             names |= set(json.loads(_read_small_file(fs, st.getPath())))
     return names
 
@@ -591,6 +799,7 @@ def compact_tombstoned(
     tombstone_path: str,
     id_col: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    break_stale_lease_after_sec: float | None = None,
 ) -> int:
     """Physical erasure for tombstone-maintained indexes — the deferred
     half of ``pq.ivfpq_index_delete`` and ``bm25.bm25_index_delete``:
@@ -600,9 +809,9 @@ def compact_tombstoned(
     directory LAST. Crash ordering: before the swap the live data is
     untouched; DURING the swap the same mid-swap window as
     ``compact_parquet``/``upsert_vector_index`` applies (a crash between
-    the two moves leaves ``data_path`` absent until the ``__old_<tag>``
-    directory is restored — a copy always exists, but recovery of that
-    instant is manual, not a re-run); between swap and clear the stale
+    the two moves leaves ``data_path`` absent with the data intact at
+    ``__old_<tag>`` — the next read or compaction restores it via
+    :func:`recover_interrupted_swap`); between swap and clear the stale
     tombstones anti-join against already-erased ids and match nothing,
     so re-running completes the clear. After the clear, a previously
     deleted id may be re-ingested. Returns the new file count. No-op
@@ -626,12 +835,18 @@ def compact_tombstoned(
         if not is_absence_error(e):
             raise
         return 0
-    record_compacted_batches(spark, data_path, _list_batch_subdirs(spark, data_path))
-    survivors = rec.parquet(data_path).join(F.broadcast(dead), id_col, "left_anti")
-    n = _rewrite_and_swap(survivors, data_path, target_file_bytes)
-    jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
-    # LAST — see ordering argument above
-    fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
+    with compaction_lease(spark, data_path, break_stale_lease_after_sec):
+        recover_interrupted_swap(spark, data_path, deep=True, _leased=True)
+        record_compacted_batches(
+            spark, data_path, _list_batch_subdirs(spark, data_path)
+        )
+        survivors = rec.parquet(data_path).join(
+            F.broadcast(dead), id_col, "left_anti"
+        )
+        n = _rewrite_and_swap(survivors, data_path, target_file_bytes)
+        jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
+        # LAST — see ordering argument above
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
     return n
 
 

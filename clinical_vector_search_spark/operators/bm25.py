@@ -312,13 +312,26 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     avgdl) — ``bm25_score_index`` / ``bm25_topk_set`` consume it
     unchanged, so the scores equal a full one-shot rebuild (the oracle
     contract of the ``bm25_incremental`` entry). Lazy; postings are
-    touched only by the downstream query-term join."""
+    touched only by the downstream query-term join. The delete
+    tombstones are broadcast — they must stay broadcast-sized between
+    ``compact_tombstoned`` runs (same caveat as compact_tombstoned's
+    own broadcast of dead ids; compaction cadence bounds the set).
+
+    Each stat directory self-heals the compactor's mid-swap crash
+    window before its scan (``io.tables.recover_interrupted_swap``): a
+    crashed ``compact_batched`` that left e.g. ``postings/`` absent
+    with the data at ``postings__old_<tag>`` is renamed back instead of
+    failing the read."""
 
     from pyspark.errors import AnalysisException
 
-    from clinical_vector_search_spark.io.tables import is_absence_error
+    from clinical_vector_search_spark.io.tables import (
+        is_absence_error,
+        recover_interrupted_swap,
+    )
 
     def rec(sub: str) -> DataFrame:
+        recover_interrupted_swap(spark, f"{index_path}/{sub}")
         return spark.read.option("recursiveFileLookup", "true").parquet(
             f"{index_path}/{sub}"
         )
@@ -391,11 +404,14 @@ def bm25_index_delete(
     subdirectory would double-SUBTRACT the folded negative deltas);
     (b) re-deleting an ALREADY-DELETED doc under a fresh batch id is a
     no-op, not a silent double-subtract: the batch is anti-joined
-    against the existing ``deleted/`` tombstones (broadcast, cost ∝
-    batch — the IVF-PQ side gets this for free because its tombstones
-    are a distinct-id set; the BM25 side replays text, so without the
-    fence the df/n_docs/sum_dl deltas of a twice-deleted doc would
-    drift idf/avgdl for every query). The retry case survives the
+    against the existing ``deleted/`` tombstones (broadcast — the
+    accumulated tombstone set since the last ``compact_tombstoned``,
+    which must therefore stay broadcast-sized between compactions,
+    the same caveat as compact_tombstoned's broadcast of dead ids;
+    compaction cadence bounds it. The IVF-PQ side gets the fence for
+    free because its tombstones are a distinct-id set; the BM25 side
+    replays text, so without the fence the df/n_docs/sum_dl deltas of
+    a twice-deleted doc would drift idf/avgdl for every query). The retry case survives the
     fence because the batch's OWN ``del-{id}`` tombstones are excluded
     from the anti-join side (``input_file_name`` filter — a retry must
     see the index as the first attempt did, not anti-join itself away
@@ -420,8 +436,13 @@ def bm25_index_delete(
         already = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(f"{index_path}/deleted")
+            # exclude the batch's OWN tombstones by the file's immediate
+            # parent directory name — an exact match, not substring
+            # containment over the full URI, which would also match any
+            # ANCESTOR directory that happens to be named dsub and
+            # silently disable the whole fence
             .filter(
-                ~F.input_file_name().contains(f"/{dsub}/")
+                F.element_at(F.split(F.input_file_name(), "/"), -2) != dsub
             )
             .select(F.col("doc").alias(id_col))
         )

@@ -659,12 +659,24 @@ def read_ivfpq_index(
 
     ``tombstone_path`` (an :func:`ivfpq_index_delete` directory) filters
     deleted ids with a BROADCAST anti-join — tombstones are tiny
-    relative to the codes, so the read stays one codes scan; a missing
-    or empty tombstone directory means nothing is deleted."""
+    relative to the codes (they must stay broadcast-sized between
+    ``compact_tombstoned`` runs; compaction cadence bounds the set), so
+    the read stays one codes scan; a missing or empty tombstone
+    directory means nothing is deleted.
+
+    Self-heals the compactor's mid-swap crash window first
+    (``io.tables.recover_interrupted_swap``): if a crashed
+    ``compact_*`` left the codes directory absent with its data at
+    ``<path>__old_<tag>``, the read renames it back instead of
+    failing."""
     from pyspark.errors import AnalysisException
 
-    from clinical_vector_search_spark.io.tables import is_absence_error
+    from clinical_vector_search_spark.io.tables import (
+        is_absence_error,
+        recover_interrupted_swap,
+    )
 
+    recover_interrupted_swap(spark, path)
     codes = spark.read.option("recursiveFileLookup", "true").parquet(path)
     if tombstone_path is None:
         return codes

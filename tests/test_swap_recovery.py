@@ -1,0 +1,266 @@
+"""Mid-swap crash self-heal + single-writer compaction lease.
+
+The move-aside swap (`io.tables._swap_directories`) has a documented
+window between its two renames where the live directory NAME is absent.
+These tests kill a compaction inside that window (by injecting a crash
+into the second `fs.rename`) and prove the next read / compaction heals
+it automatically (`recover_interrupted_swap`), that ambiguity refuses
+loudly, and that `compaction_lease` gives two concurrent writers one
+winner and one loud error (with the stale-lease override knob).
+"""
+from __future__ import annotations
+
+import glob
+import os
+import threading
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+import clinical_vector_search_spark.io.tables as T
+
+
+class _CrashOnSecondRename:
+    """Wraps a Hadoop FileSystem; the shared counter spans the proxies
+    minted for each `_hadoop_fs` call, so the SECOND rename seen during
+    the whole compaction — i.e. the swap's rename of tmp into the live
+    name, right after the live dir moved aside — raises."""
+
+    def __init__(self, fs, state):
+        self._fs = fs
+        self._state = state
+
+    def rename(self, src, dst):
+        self._state["renames"] += 1
+        if self._state["renames"] == 2:
+            raise RuntimeError("injected crash between the two renames")
+        return self._fs.rename(src, dst)
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def _crash_mid_swap(spark, path, monkeypatch, recursive=False):
+    """Run compact_parquet on `path` with the injected mid-swap crash;
+    return after asserting the crash left the documented state."""
+    real = T._hadoop_fs
+    state = {"renames": 0}
+
+    def crashy(s, p):
+        jvm, fs, jp = real(s, p)
+        return jvm, _CrashOnSecondRename(fs, state), jp
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "_hadoop_fs", crashy)
+        with pytest.raises(RuntimeError, match="injected crash"):
+            T.compact_parquet(
+                spark, path, target_file_bytes=64 << 20, recursive=recursive
+            )
+    # live name absent, data stranded at exactly one __old_<tag>
+    assert not os.path.exists(path)
+    assert len(glob.glob(path + "__old_*")) == 1
+    # ordinary failures release the lease (finally), so heal is unattended
+    assert not os.path.exists(T._lease_path(path))
+
+
+def test_mid_swap_crash_heals_on_next_read(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "codes")
+    df = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        (F.col("id") % 7).cast("int").alias("cluster"),
+    )
+    df.repartition(8).write.parquet(path)
+    want = sorted((r.vec_id, r.cluster) for r in df.collect())
+
+    _crash_mid_swap(spark, path, monkeypatch)
+
+    # the serving reader self-heals (rename back through Hadoop FS) and
+    # returns the pre-swap data unchanged
+    from clinical_vector_search_spark.operators.pq import read_ivfpq_index
+
+    healed = read_ivfpq_index(spark, path)
+    assert sorted((r.vec_id, r.cluster) for r in healed.collect()) == want
+    assert os.path.exists(path)
+    assert glob.glob(path + "__old_*") == []
+    # the never-published temp copy was cleared by the recovery
+    assert glob.glob(path + "__compact_*") == []
+
+
+def test_mid_swap_crash_heals_on_next_compaction(spark, tmp_path, monkeypatch):
+    path = str(tmp_path / "data")
+    spark.range(300).repartition(10).write.parquet(path)
+    want = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    _crash_mid_swap(spark, path, monkeypatch)
+
+    # re-running the compaction (unpatched) heals, then compacts
+    n = T.compact_parquet(spark, path, target_file_bytes=64 << 20)
+    assert n == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == want
+    assert glob.glob(path + "__old_*") == []
+
+
+def test_bm25_read_heals_crashed_stat_directory(spark, tmp_path, monkeypatch):
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_read_index,
+    )
+
+    rows = [(i, f"alpha tok{i % 5} bravo tok{i % 3}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    bm25_index_add(spark, docs, 0, idx)
+
+    _crash_mid_swap(spark, f"{idx}/postings", monkeypatch, recursive=True)
+
+    def snap(df):
+        return sorted(
+            (r.doc, r.term, r.tf, round(r.idf, 10)) for r in df.collect()
+        )
+
+    assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(docs))
+    assert os.path.exists(f"{idx}/postings")
+
+
+def test_recovery_refuses_ambiguous_old_dirs(spark, tmp_path):
+    path = str(tmp_path / "amb")
+    spark.range(5).write.parquet(path + "__old_aaaa1111")
+    spark.range(5).write.parquet(path + "__old_bbbb2222")
+    with pytest.raises(IOError, match="MULTIPLE"):
+        T.recover_interrupted_swap(spark, path)
+    # both copies untouched for the human to inspect
+    assert len(glob.glob(path + "__old_*")) == 2
+
+
+def test_recovery_noop_on_live_or_fresh_path(spark, tmp_path):
+    live = str(tmp_path / "live")
+    spark.range(5).write.parquet(live)
+    assert T.recover_interrupted_swap(spark, live) is False
+    assert T.recover_interrupted_swap(spark, str(tmp_path / "never")) is False
+    # deep mode completes a crashed swap's final delete: a lingering
+    # __old NEXT TO a live dir is the superseded pre-swap copy
+    spark.range(5).write.parquet(live + "__old_cafe0123")
+    assert T.recover_interrupted_swap(spark, live, deep=True) is False
+    assert glob.glob(live + "__old_*") == []
+
+
+def test_concurrent_compactions_one_winner_one_loud_error(
+    spark, tmp_path, monkeypatch
+):
+    path = str(tmp_path / "contended")
+    spark.range(500).repartition(10).write.parquet(path)
+    want = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    entered, release = threading.Event(), threading.Event()
+    real_dir_bytes = T._dir_bytes
+
+    def parked(s, p):
+        # first writer holds the lease here until the loser has failed
+        entered.set()
+        assert release.wait(timeout=60)
+        return real_dir_bytes(s, p)
+
+    results: dict[str, object] = {}
+
+    def winner():
+        try:
+            results["n"] = T.compact_parquet(path=path, spark=spark)
+        except Exception as e:  # pragma: no cover — surfaced by asserts
+            results["n"] = e
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "_dir_bytes", parked)
+        t = threading.Thread(target=winner)
+        t.start()
+        assert entered.wait(timeout=60)
+        # second writer: refused LOUDLY at lease acquisition, before any
+        # rename could interleave with the winner's swap
+        with pytest.raises(IOError, match="lease.*already held"):
+            T.compact_parquet(spark, path)
+        release.set()
+        t.join(timeout=300)
+    assert results["n"] == 1
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == want
+    assert not os.path.exists(T._lease_path(path))
+
+
+def test_stale_lease_override_knob(spark, tmp_path):
+    path = str(tmp_path / "stale")
+    spark.range(50).repartition(5).write.parquet(path)
+    with open(T._lease_path(path), "w", encoding="utf-8") as f:
+        f.write('{"pid": 0, "host": "dead", "acquired_unix": 0}')
+    time.sleep(0.2)
+    # default: a stranded lease (hard-killed writer) refuses loudly …
+    with pytest.raises(IOError, match="lease.*already held"):
+        T.compact_parquet(spark, path)
+    # … and the override knob breaks it once it is older than the bound
+    assert (
+        T.compact_parquet(spark, path, break_stale_lease_after_sec=0.1) == 1
+    )
+    assert not os.path.exists(T._lease_path(path))
+
+
+def test_fence_tmp_fragment_is_ignored(spark, tmp_path):
+    """A crash mid-fragment-write leaves only a hidden .fence-…tmp —
+    the union read skips it instead of dying on partial JSON, and a
+    re-run publishes the real fragment by rename."""
+    path = str(tmp_path / "fenced")
+    mdir = T._manifest_dir(path)
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, ".fence-deadbeef.json.tmp"), "w") as f:
+        f.write('["batch-0", "batc')  # torn mid-write
+    assert T.compacted_batches(path, spark) == set()
+    T.record_compacted_batches(spark, path, ["batch-0", "batch-1"])
+    assert T.compacted_batches(path, spark) == {"batch-0", "batch-1"}
+    frags = os.listdir(mdir)
+    assert all(f.startswith((".", "fence-")) for f in frags)
+
+
+def test_bm25_redelete_fence_survives_ancestor_named_like_batch(
+    spark, tmp_path
+):
+    """Regression (r12 advice): the re-delete fence excluded the batch's
+    own tombstones by URI substring containment, so an index rooted
+    under an ANCESTOR directory named exactly like the delete subdir
+    (here `del-0`) matched every tombstone file and silently disabled
+    the fence — re-deleting an already-deleted doc double-subtracted
+    df/n_docs/sum_dl. The parent-directory exact match keeps the fence
+    live regardless of where the index is rooted."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_index_delete,
+        bm25_read_index,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie"),
+        (1, "alpha delta echo"),
+        (2, "bravo echo foxtrot golf"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "del-0" / "idx")  # ancestor named like dsub
+    bm25_index_add(spark, docs, 0, idx)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 1), 0, idx)
+
+    def snap(df):
+        return sorted(
+            (
+                r.doc, r.term, r.tf, r.dl,
+                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
+            )
+            for r in df.collect()
+        )
+
+    want = snap(bm25_index(docs.filter(F.col("doc_id") != 1)))
+    assert snap(bm25_read_index(spark, idx)) == want
+    # fresh-batch re-delete of the same doc: still a no-op (the fence
+    # sees the existing tombstones despite the `del-0` ancestor)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 1), 1, idx)
+    assert snap(bm25_read_index(spark, idx)) == want
+    # and the same-id retry still works (own tombstones excluded by
+    # parent-dir match, not erased by the ancestor name)
+    bm25_index_delete(spark, docs.filter(F.col("doc_id") == 1), 1, idx)
+    assert snap(bm25_read_index(spark, idx)) == want
