@@ -1207,6 +1207,36 @@ def simhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 
+# Encoder auto-dispatch boundary (VERDICT r12 task 4), in expression
+# TERMS = dim × n_clusters — the size of the interpreted/codegen'd
+# assignment expression tree, the thing that actually grows. The expr
+# twin's cost is dominated by driver-side analysis + codegen compile,
+# LINEAR in terms and data-size-independent; the BLAS twin is flat.
+# Measured on this host (sf0.1 embeddings, warm lanes, r13 calibration;
+# 10× rows change nothing because the cliff is plan compile, not data):
+#   terms   512 (c8·d64):   expr 0.88 s  pd 0.33 s
+#   terms  2048 (c32·d64):  expr 1.69 s  pd 0.37 s
+#   terms  8192 (c128·d64): expr 5.39 s  pd 0.38 s
+#   terms 40960 (c640·d64): expr 89.2 s  pd 0.87 s (assignment stage)
+# Below the boundary expr keeps the zero-Python-worker property at
+# negligible cost (pd pays worker spawn on a cold one-shot run); above
+# it the compile time is pure loss. SemDeDup's prescribed usage scales
+# n_clusters with the corpus (50k clusters at web scale) — at 100 TB
+# the auto path always lands on BLAS.
+SEMANTIC_ENCODER_PD_TERMS = 1024
+
+
+def choose_semantic_encoder(dim: int, n_clusters: int) -> str:
+    """Pick the cluster-assignment encoder for ``semantic_dedup``:
+    ``"pd"`` (Arrow-batched BLAS matmul) when the assignment expression
+    would exceed :data:`SEMANTIC_ENCODER_PD_TERMS` terms, ``"expr"``
+    (whole-stage-codegen fold) below. Zero recall/value change — the
+    twins are bit-identical by the quantize-before-argmax contract
+    (see :func:`semantic_clusters_pd`), so this is purely a cost
+    dispatch, same pattern as ``events.choose_sessionize_strategy``."""
+    return "pd" if dim * n_clusters > SEMANTIC_ENCODER_PD_TERMS else "expr"
+
+
 def semantic_clusters(
     df: DataFrame,
     dim: int,
@@ -1468,7 +1498,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
-    accel: str = "expr",
+    accel: str = "auto",
 ) -> DataFrame:
     """Semantic-dedup survivors: drop every row that has a
     smaller-id near-duplicate (cosine ≥ threshold) in its cluster.
@@ -1481,7 +1511,16 @@ def semantic_dedup(
     the ``b_id`` side of :func:`semantic_dedup_pairs` — ids only, no
     vectors shuffled in the prune stage. The cluster assignment is
     computed ONCE (shared cached frame feeding the pair join and the
-    survivor side)."""
+    survivor side).
+
+    ``accel="auto"`` (default) resolves via
+    :func:`choose_semantic_encoder` — expression encoder below the
+    measured dim×n_clusters boundary, BLAS above (r12 scale probe: the
+    interpreted assignment took 160.8 s at 640 clusters/10× where the
+    BLAS pipeline took 35.6 s). All three settings produce identical
+    rows (parity pytest)."""
+    if accel == "auto":
+        accel = choose_semantic_encoder(dim, n_clusters)
     cluster_fn = semantic_clusters_pd if accel == "pd" else semantic_clusters
     assigned = cluster_fn(df, dim, n_clusters, id_col, vec_col, centroids)
     if accel == "pd":

@@ -817,6 +817,42 @@ def test_semantic_pairs_pd_parity(spark, sf_dir):
     assert sa == sb
 
 
+def test_semantic_encoder_auto_dispatch(spark, sf_dir):
+    """The encoder auto-dispatch (r12 verdict task 4) must flip from
+    the expression fold to the BLAS twin exactly at the calibrated
+    dim×n_clusters boundary, and accel='auto' must return the SAME rows
+    as both explicit lanes on either side of it — a cost dispatch with
+    zero value change, like events.choose_sessionize_strategy."""
+    from clinical_vector_search_spark.operators.dedup import (
+        SEMANTIC_ENCODER_PD_TERMS,
+        choose_semantic_encoder,
+        semantic_dedup,
+    )
+
+    # flips strictly ABOVE the boundary, in terms = dim × n_clusters
+    assert choose_semantic_encoder(64, 8) == "expr"       # 512 terms
+    assert choose_semantic_encoder(64, 16) == "expr"      # == boundary
+    assert choose_semantic_encoder(64, 17) == "pd"        # just above
+    assert choose_semantic_encoder(64, 640) == "pd"       # SemDeDup scale
+    assert SEMANTIC_ENCODER_PD_TERMS == 16 * 64
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    for nc in (4, 32):  # one side each of the boundary at dim=64
+        want = {
+            (r.vec_id, r.cluster)
+            for r in semantic_dedup(emb, 64, 0.3, nc, accel="expr").collect()
+        }
+        got_auto = {
+            (r.vec_id, r.cluster)
+            for r in semantic_dedup(emb, 64, 0.3, nc, accel="auto").collect()
+        }
+        got_pd = {
+            (r.vec_id, r.cluster)
+            for r in semantic_dedup(emb, 64, 0.3, nc, accel="pd").collect()
+        }
+        assert want == got_auto == got_pd and len(want) > 0
+
+
 def test_semantic_hot_cluster_guard_exact_and_bounded(spark):
     """Property test for the automated hot-cluster guard: 90% of rows in
     ONE cluster, max_cluster_rows small → the salted block self-join

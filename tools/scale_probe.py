@@ -151,10 +151,28 @@ def main() -> None:
             emb10, dim=64, threshold=0.35, n_clusters=640, accel="pd"
         )
     )
+    # auto dispatch (r13): choose_semantic_encoder flips to BLAS above
+    # the dim×n_clusters boundary — the auto row must track the pd row
+    # at 640 clusters, and the chosen lanes are recorded so a moved
+    # boundary is visible in the probe output
+    from clinical_vector_search_spark.operators.dedup import (
+        choose_semantic_encoder,
+    )
+
+    out["semdedup_encoder_auto_c8"] = choose_semantic_encoder(64, 8)
+    out["semdedup_encoder_auto_c640"] = choose_semantic_encoder(64, 640)
+    out["semdedup_10x_c640_auto_sec"] = timed(
+        lambda: semantic_dedup(
+            emb10, dim=64, threshold=0.35, n_clusters=640, accel="auto"
+        )
+    )
     log(f"semantic_dedup: 1x/c64 {out['semdedup_1x_c64_sec']}s, "
         f"10x/c64 {out['semdedup_10x_c64_sec']}s, "
         f"10x/c640 {out['semdedup_10x_c640_sec']}s, "
-        f"10x/c640/pd {out['semdedup_10x_c640_pd_sec']}s")
+        f"10x/c640/pd {out['semdedup_10x_c640_pd_sec']}s, "
+        f"10x/c640/auto {out['semdedup_10x_c640_auto_sec']}s "
+        f"(lanes: c8={out['semdedup_encoder_auto_c8']}, "
+        f"c640={out['semdedup_encoder_auto_c640']})")
 
     # --- kNN window vs partial_topk crossover -------------------------
     def vecs_norm(df):
