@@ -3049,6 +3049,54 @@ def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_topk(idx, qdf, 10)
 
 
+def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental TF-IDF index maintenance at the driver gate
+    (operators/sparse.py tfidf_index_add / tfidf_index_delete /
+    tfidf_read_index — the VSM twin of bm25_incremental_delete,
+    r12 verdict task 7): the corpus arrives as 3 batches of ADDITIVE
+    sufficient statistics (immutable tf postings + per-batch df deltas
+    + exact-integer n_docs scalars; idf refolded at read time at
+    vocabulary granularity — old postings never rescanned or rewritten,
+    cost ∝ batch), then every doc with doc_id % 7 == 2 is deleted via
+    delete-by-replay (negative df/n_docs deltas + broadcast tombstones,
+    postings files untouched; physical erasure deferred to
+    compact_tombstoned). Scoring the reconstructed view must equal a
+    one-shot tfidf_index over the SURVIVORS bit-for-bit at 6dp —
+    including vanished vocabulary (a term whose last doc died must
+    leave the idf table) — so the oracle is the retrieval_tfidf SQL
+    restricted to surviving docs. Lifecycle pytests (retry, re-delete
+    fence, compaction, streaming ingest) in
+    tests/test_tfidf_incremental.py."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_cosine_topk,
+        tfidf_index_add,
+        tfidf_index_delete,
+        tfidf_read_index,
+    )
+    from clinical_vector_search_spark.plan_cache import tracked_cache
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_tfidf_incr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    for i in range(3):
+        tfidf_index_add(spark, docs.filter(F.col("doc_id") % 3 == i), i, base)
+    tfidf_index_delete(spark, docs.filter(F.col("doc_id") % 7 == 2), 0, base)
+    # cached like retrieval_tfidf: the scoring plan reads the index 3x
+    # (term match, doc norms, query-idf lookup)
+    idx = tracked_cache(tfidf_read_index(spark, base))
+    rows = [
+        (qid, t, 1.0) for qid, terms in TFIDF_QUERY_SET for t in terms
+    ]
+    qdf = spark.createDataFrame(
+        rows, "query_id string, term string, qtf double"
+    )
+    return tfidf_cosine_topk(idx, qdf, 10)
+
+
 def q_rel_cust_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join (§2.6): customers with no URGENT-priority orders,
     counted per segment."""
@@ -7131,80 +7179,23 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r11 VERDICT's task 2 names this exact r12 order):
-    #   1. the entry NEW in r12 (refine-over-maintained-index serving)
-    #      leads;
-    #   2. the 32 remaining last-green-r6 entries (rows-only excluded)
-    #      — this RETIRES the r6 tier: after r12 no entry's last
-    #      driver row predates r7;
-    #   3. the 17 stalest last-green-r7 entries fill the window to 50
+    # r12 VERDICT's task 2 names this exact r13 order):
+    #   1. the entry NEW in r13 (incremental TF-IDF maintenance) leads;
+    #   2. the 31 remaining last-green-r7 entries (rows-only excluded)
+    #      — this RETIRES the r7 tier: after r13 no entry's last
+    #      driver row predates r8;
+    #   3. the 18 stalest last-green-r8 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
-    #   4. then the remaining r7 block, the r8/r9/r10 groups, and the
-    #      50 entries the r11 driver just checked — stalest first,
-    #      freshest demoted last. Every entry below the window was
-    #      green in its last driver round (r7-r11).
+    #   4. then the remaining blocks stalest-first (r8 remainder, r9,
+    #      r10, r11, and the 50 entries the r12 driver just checked
+    #      demoted last). Every entry below the window was green in
+    #      its last driver round (r8-r12).
     return {
-        # -- r12 window 1: NEW in r12 --
-        "knn_ivfpq_index_refine": q_knn_ivfpq_index_refine,
-        # -- r12 window 2-33: the remaining last-green-r6 block (non-rows-only) — retires the r6 tier --
-        "events_zscore_outliers": q_events_zscore_outliers,
-        "doc_split_assign": q_doc_split_assign,
-        "rel_integrity_audit": q_rel_integrity_audit,
-        "events_window_topk": q_events_window_topk,
-        "text_cdc_chunks": q_text_cdc_chunks,
-        "events_asof_nearest": q_events_asof_nearest,
-        "text_ppl_buckets": q_text_ppl_buckets,
-        "rel_big_spenders": q_rel_big_spenders,
-        "io_schema_evolution": q_io_schema_evolution,
-        "rel_name_match": q_rel_name_match,
-        "rel_returned_items": q_rel_returned_items,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_framesample": q_multimodal_framesample,
-        "rel_sql_interface": q_rel_sql_interface,
-        "io_python_datasource": q_io_python_datasource,
-        "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
-        "knn_range_search": q_knn_range_search,
-        "text_lang_confusion": q_text_lang_confusion,
-        "rel_numeric_profile": q_rel_numeric_profile,
-        "dedup_cdc_chunks": q_dedup_cdc_chunks,
-        "doc_filter_audit": q_doc_filter_audit,
-        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
-        "knn_lsh": q_knn_lsh,
-        "fhe_pipeline": q_fhe_pipeline,
-        "dedup_minhash_sigs": q_dedup_minhash_sigs,
-        "dedup_simhash": q_dedup_simhash,
-        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-        "dedup_embedding_neardup": q_dedup_embedding_neardup,
-        "mmr_lambda1": q_mmr_lambda1,
-        "rag_union_candidates": q_rag_union_candidates,
-        "doc_pipeline": q_doc_pipeline,
-        "events_asof_join": q_events_asof_join,
-        # -- r12 window 34-50: stalest last-green-r7 entries (rows-only excluded) --
-        "events_streaming_outer_join": q_events_streaming_outer_join,
-        "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
-        "dedup_semantic_pd": q_dedup_semantic_pd,
-        "events_resample_gapfill": q_events_resample_gapfill,
-        "events_attribution": q_events_attribution,
-        "retrieval_tfidf": q_retrieval_tfidf,
-        "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
-        "text_pmi_pairs": q_text_pmi_pairs,
-        "events_session_paths": q_events_session_paths,
-        "events_psi_drift": q_events_psi_drift,
-        "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
-        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
-        "events_time_weighted": q_events_time_weighted,
-        "rel_order_trend": q_rel_order_trend,
-        "text_distinctive_terms": q_text_distinctive_terms,
-        "io_shard_manifest": q_io_shard_manifest,
-        "rel_bloom_join": q_rel_bloom_join,
-        # -- rows-only twins from the r6 block — anchored outside the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
-        "events_distinct_hll": q_events_distinct_hll,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_ivf": q_knn_ivf,
-        "evaluation_table": q_evaluation_table,
-        # -- remaining last green r7, then r8/r9/r10 blocks (stalest first; original comments collapsed) --
+        # -- r13 window 1: NEW in r13 --
+        "tfidf_incremental": q_tfidf_incremental,
+        # -- r13 window 2-32: the remaining last-green-r7 block (non-rows-only) — retires the r7 tier --
         "text_zipf_fit": q_text_zipf_fit,
         "events_ohlc": q_events_ohlc,
         "knn_pq_refine": q_knn_pq_refine,
@@ -7218,7 +7209,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_pagerank": q_dedup_pagerank,
         "text_bpe_pair_counts": q_text_bpe_pair_counts,
         "events_variant_extract": q_events_variant_extract,
-        "text_bpe_encode": q_text_bpe_encode,
         "events_bootstrap_ci": q_events_bootstrap_ci,
         "rel_incremental_agg": q_rel_incremental_agg,
         "events_mad_outliers": q_events_mad_outliers,
@@ -7235,9 +7225,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_markov_transitions": q_events_markov_transitions,
         "events_power_users": q_events_power_users,
         "io_wap_publish": q_io_wap_publish,
-        "text_bpe_train": q_text_bpe_train,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
+        # -- r13 window 33-50: stalest last-green-r8 entries (rows-only excluded) --
         "events_kaplan_meier": q_events_kaplan_meier,
         "events_acf": q_events_acf,
         "events_ab_test": q_events_ab_test,
@@ -7256,6 +7246,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_basket_pairs": q_rel_basket_pairs,
         "graph_triangles": q_graph_triangles,
         "events_seasonal_index": q_events_seasonal_index,
+        # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
+        "events_distinct_hll": q_events_distinct_hll,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "evaluation_table": q_evaluation_table,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_train": q_text_bpe_train,
+        "knn_ivfpq": q_knn_ivfpq,
+        "vec_pca": q_vec_pca,
+        # -- remaining blocks, stalest first: r8 remainder, r9, r10, r11, then the r12 window demoted last --
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
         "events_cusum": q_events_cusum,
@@ -7286,9 +7286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_join": q_events_streaming_join,
         "events_streaming_dedup": q_events_streaming_dedup,
         "salted_agg": q_salted_agg,
-        "knn_ivfpq": q_knn_ivfpq,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        "vec_pca": q_vec_pca,
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -7388,7 +7386,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_window": q_knn_window,
         "bm25_okapi": q_bm25_okapi,
-        # -- last green r11 (the r11 driver window) — freshest, demoted last --
         "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
         "bm25_incremental": q_bm25_incremental,
         "bm25_incremental_delete": q_bm25_incremental_delete,
@@ -7439,6 +7436,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
+        "knn_ivfpq_index_refine": q_knn_ivfpq_index_refine,
+        "events_zscore_outliers": q_events_zscore_outliers,
+        "doc_split_assign": q_doc_split_assign,
+        "rel_integrity_audit": q_rel_integrity_audit,
+        "events_window_topk": q_events_window_topk,
+        "text_cdc_chunks": q_text_cdc_chunks,
+        "events_asof_nearest": q_events_asof_nearest,
+        "text_ppl_buckets": q_text_ppl_buckets,
+        "rel_big_spenders": q_rel_big_spenders,
+        "io_schema_evolution": q_io_schema_evolution,
+        "rel_name_match": q_rel_name_match,
+        "rel_returned_items": q_rel_returned_items,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_framesample": q_multimodal_framesample,
+        "rel_sql_interface": q_rel_sql_interface,
+        "io_python_datasource": q_io_python_datasource,
+        "events_weighted_avg_udaf": q_events_weighted_avg_udaf,
+        "knn_range_search": q_knn_range_search,
+        "text_lang_confusion": q_text_lang_confusion,
+        "rel_numeric_profile": q_rel_numeric_profile,
+        "dedup_cdc_chunks": q_dedup_cdc_chunks,
+        "doc_filter_audit": q_doc_filter_audit,
+        "knn_ivf_fullprobe": q_knn_ivf_fullprobe,
+        "knn_lsh": q_knn_lsh,
+        "fhe_pipeline": q_fhe_pipeline,
+        "dedup_minhash_sigs": q_dedup_minhash_sigs,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_embedding_neardup": q_dedup_embedding_neardup,
+        "mmr_lambda1": q_mmr_lambda1,
+        "rag_union_candidates": q_rag_union_candidates,
+        "doc_pipeline": q_doc_pipeline,
+        "events_asof_join": q_events_asof_join,
+        "events_streaming_outer_join": q_events_streaming_outer_join,
+        "events_streaming_full_outer_join": q_events_streaming_full_outer_join,
+        "dedup_semantic_pd": q_dedup_semantic_pd,
+        "events_resample_gapfill": q_events_resample_gapfill,
+        "events_attribution": q_events_attribution,
+        "retrieval_tfidf": q_retrieval_tfidf,
+        "dedup_semantic_pairs_salted": q_dedup_semantic_pairs_salted,
+        "text_pmi_pairs": q_text_pmi_pairs,
+        "events_session_paths": q_events_session_paths,
+        "events_psi_drift": q_events_psi_drift,
+        "events_streaming_scd2_enrich": q_events_streaming_scd2_enrich,
+        "dedup_jaccard_prefix": q_dedup_jaccard_prefix,
+        "events_time_weighted": q_events_time_weighted,
+        "rel_order_trend": q_rel_order_trend,
+        "text_distinctive_terms": q_text_distinctive_terms,
+        "io_shard_manifest": q_io_shard_manifest,
+        "rel_bloom_join": q_rel_bloom_join,
     }
 
 # ---------------------------------------------------------------------------
@@ -8932,6 +8979,38 @@ def oracle_sql() -> dict[str, str]:
     )
     s["retrieval_tfidf"] = f"""
         WITH toks AS ({_TOKS}),
+        terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
+        dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM toks),
+        idf AS (SELECT term, ln((SELECT n_docs FROM n)/df) AS idf FROM dfreq),
+        w AS (SELECT doc_id, tf.term, tf*idf AS w
+              FROM tf JOIN idf USING(term)),
+        nrm AS (SELECT doc_id, sqrt(sum(w*w)) AS nrm FROM w GROUP BY 1),
+        q(query_id, term, qtf) AS (VALUES {tfidf_q_sql}),
+        qw AS (SELECT query_id, q.term, qtf*idf AS qw
+               FROM q JOIN idf USING(term)),
+        qn AS (SELECT query_id, sqrt(sum(qw*qw)) AS qnrm
+               FROM qw GROUP BY 1),
+        s AS (SELECT query_id, doc_id, sum(w*qw) AS dot
+              FROM w JOIN qw USING(term) GROUP BY 1,2),
+        scored AS (SELECT s.query_id, s.doc_id,
+                          round(dot/(nrm*qnrm), 6) AS score
+                   FROM s JOIN nrm USING(doc_id) JOIN qn USING(query_id)
+                   WHERE nrm > 0 AND qnrm > 0),
+        ranked AS (SELECT *, row_number() OVER (
+                     PARTITION BY query_id ORDER BY score DESC, doc_id
+                   ) AS rnk FROM scored)
+        SELECT query_id, rnk AS rank, doc_id, score
+        FROM ranked WHERE rnk <= 10
+    """
+
+    # the retrieval_tfidf SQL verbatim, restricted to the docs surviving
+    # the entry's delete batch (doc_id % 7 == 2 removed) — the
+    # maintained index's reconstructed view must match a one-shot build
+    # over survivors exactly, vanished vocabulary included
+    s["tfidf_incremental"] = f"""
+        WITH toks AS (SELECT * FROM ({_TOKS}) WHERE doc_id % 7 <> 2),
         terms AS (SELECT doc_id, unnest(tokens) AS term FROM toks),
         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1,2),
         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),

@@ -1117,6 +1117,26 @@ def main() -> int:
         and n_nodes(plan, "SortMergeJoin") <= 1,
     )
 
+    # 54c. incremental TF-IDF maintenance (the VSM twin of 54b): the
+    # entry scores tfidf_cosine_topk over the RECONSTRUCTED view, which
+    # the scoring plan consumes 3x (term match, doc norms, query-idf
+    # lookup) — so the entry caches it, and the plan must read each of
+    # the four statistic directories (postings/deleted/df/scalars)
+    # exactly ONCE inside the cached build while every downstream
+    # consumer rides InMemoryTableScan. At most 2 sort-merge joins (the
+    # corpus-scaled postings⋈idf inside the build and the (query,doc)⋈
+    # norms join); the query side and the tombstone anti-join broadcast.
+    plan = formatted(E.q_tfidf_incremental(spark, SF_DIR))
+    check(
+        "tfidf_incremental: cached refold view, single stat scans, no cartesian",
+        "CartesianProduct" not in plan
+        and n_nodes(plan, "Scan parquet") == 4
+        and n_nodes(plan, "InMemoryTableScan") >= 3
+        and n_nodes(plan, "SortMergeJoin") <= 2
+        and n_nodes(plan, "BroadcastHashJoin") >= 4
+        and "LeftAnti" in plan,
+    )
+
     # 55. serving over the maintained IVF-PQ index (the read half of the
     # lifecycle): the plan must scan the CODES table (plus the query
     # vectors and the tombstones) — never the raw corpus twice, never a
