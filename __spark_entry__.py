@@ -3076,7 +3076,6 @@ def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         tfidf_index_delete,
         tfidf_read_index,
     )
-    from clinical_vector_search_spark.plan_cache import tracked_cache
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
     base = f"{tempfile.gettempdir()}/cvs_tfidf_incr_{tag}"
@@ -3085,9 +3084,14 @@ def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(3):
         tfidf_index_add(spark, docs.filter(F.col("doc_id") % 3 == i), i, base)
     tfidf_index_delete(spark, docs.filter(F.col("doc_id") % 7 == 2), 0, base)
-    # cached like retrieval_tfidf: the scoring plan reads the index 3x
-    # (term match, doc norms, query-idf lookup)
-    idx = tracked_cache(tfidf_read_index(spark, base))
+    # materialized ONCE via localCheckpoint, not tracked_cache: the
+    # scoring plan reads the view 3x (term match, doc norms, query-idf
+    # lookup), but this entry rmtree's and rebuilds `base` per
+    # invocation — CacheManager dedups by canonicalized plan, so a
+    # cached view from a previous invocation would alias the DELETED
+    # files (retrieval_tfidf can cache because its input is the
+    # immutable sf dir); the checkpoint is invocation-local
+    idx = tfidf_read_index(spark, base).localCheckpoint()
     rows = [
         (qid, t, 1.0) for qid, terms in TFIDF_QUERY_SET for t in terms
     ]

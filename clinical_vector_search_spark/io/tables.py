@@ -386,6 +386,12 @@ def _lease_path(path: str) -> str:
     return path.rstrip("/") + "__COMPACT_LEASE"
 
 
+class LeaseHeldError(IOError):
+    """The compaction lease is held by another writer — distinct from
+    other IO failures so readers healing a crashed swap can wait for
+    the holder instead of dying (see recover_interrupted_swap)."""
+
+
 def _try_claim_lease(fs, jlock, payload: bytes) -> bool:
     """One atomic ``fs.create(lock, overwrite=False)`` claim attempt.
     HDFS makes the exclusive create atomic server-side; the local FS
@@ -454,9 +460,20 @@ def compaction_lease(
             and age > break_stale_after_sec
         )
         if stale:
-            fs.delete(jlock, False)
+            # break ATOMICALLY via rename-to-unique-name: exactly one of
+            # two concurrent breakers wins the rename — a bare delete
+            # would let breaker B delete breaker A's freshly-claimed
+            # lease and both proceed into the swap
+            import uuid
+
+            broken = jvm.org.apache.hadoop.fs.Path(
+                f"{_lease_path(path)}.broken-{uuid.uuid4().hex}"
+            )
+            if fs.rename(jlock, broken):
+                fs.delete(broken, False)
+            # losers fall through to the ordinary claim race below
         if not stale or not _try_claim_lease(fs, jlock, payload):
-            raise IOError(
+            raise LeaseHeldError(
                 f"compaction lease for {path!r} is already held (lease "
                 f"file {_lease_path(path)!r}, holder {holder}, age "
                 f"{age if age is None else round(age, 1)}s): another "
@@ -494,17 +511,24 @@ def recover_interrupted_swap(
       recovery relies on.
     - live path absent + exactly one ``__old_*`` sibling: rename it
       back (under the :func:`compaction_lease` unless the caller
-      already holds it), after clearing stale ``__compact_*``/
+      already holds it; if the lease is held by someone else, WAIT for
+      the live name to reappear — the holder is another reader healing
+      or a compactor inside its ms-scale swap window — rather than
+      failing the read), after clearing stale ``__compact_*``/
       ``__tmp_*`` temps — the temp copy never went live and a re-run
       regenerates it. Returns True.
+    - live path absent + no ``__old_*`` sibling (the common serving-read
+      case, e.g. an index's not-yet-created ``deleted/`` directory):
+      return False with ZERO lease traffic, so concurrent readers of an
+      absent directory never contend.
     - live path absent + multiple ``__old_*`` siblings: refuse LOUDLY —
       ambiguity means a protocol violation (two crashed swaps without
       recovery is impossible under the lease), so a human must pick.
-    - live path absent + no ``__old_*``: nothing to recover (a genuinely
-      fresh path); the caller's read fails with its usual absence error.
 
     All renames/deletes go through the data's own Hadoop FS, same
     discipline as the fence manifest."""
+    import time
+
     jvm, fs, jpath = _hadoop_fs(spark, path)
     P = jvm.org.apache.hadoop.fs.Path
     base = path.rstrip("/")
@@ -517,32 +541,51 @@ def recover_interrupted_swap(
             for op in _olds():
                 fs.delete(op, True)
         return False
-    ctx = (
-        contextlib.nullcontext()
-        if _leased
-        else compaction_lease(spark, path)
-    )
-    with ctx:
-        if fs.exists(jpath):  # a racing writer healed it first
-            return False
-        olds = _olds()
-        if not olds:
-            return False
-        if len(olds) > 1:
-            raise IOError(
-                f"cannot self-heal {path!r}: the live directory is absent "
-                f"and MULTIPLE move-aside copies exist ({[str(o) for o in olds]}) "
-                "— ambiguous; inspect and rename the correct one back "
-                "manually"
-            )
-        for pref in ("__compact_", "__tmp_"):
-            for st in fs.globStatus(P(base + pref + "*")) or []:
-                fs.delete(st.getPath(), True)
-        if not fs.rename(olds[0], jpath):
-            raise IOError(
-                f"self-heal failed: could not rename {olds[0]} back to "
-                f"{path!r}"
-            )
+    if not _olds():
+        # genuinely fresh/absent path (the common serving-read case for
+        # e.g. an index's not-yet-created deleted/ directory): nothing
+        # to heal, and — deliberately — NO lease traffic, so concurrent
+        # readers of an absent directory never contend
+        return False
+    if not _leased:
+        try:
+            with compaction_lease(spark, path):
+                return _heal_under_lease(fs, P, base, jpath, path, _olds)
+        except LeaseHeldError:
+            # another reader is healing this path right now (ms), or a
+            # compactor is inside its swap window (ms-seconds): wait for
+            # the live name to reappear instead of failing the read
+            for _ in range(20):
+                time.sleep(0.5)
+                if fs.exists(jpath):
+                    return False
+            raise
+    return _heal_under_lease(fs, P, base, jpath, path, _olds)
+
+
+def _heal_under_lease(fs, P, base, jpath, path, _olds) -> bool:
+    """:func:`recover_interrupted_swap`'s critical section — caller
+    holds the compaction lease."""
+    if fs.exists(jpath):  # a racing writer healed it first
+        return False
+    olds = _olds()
+    if not olds:
+        return False
+    if len(olds) > 1:
+        raise IOError(
+            f"cannot self-heal {path!r}: the live directory is absent "
+            f"and MULTIPLE move-aside copies exist ({[str(o) for o in olds]}) "
+            "— ambiguous; inspect and rename the correct one back "
+            "manually"
+        )
+    for pref in ("__compact_", "__tmp_"):
+        for st in fs.globStatus(P(base + pref + "*")) or []:
+            fs.delete(st.getPath(), True)
+    if not fs.rename(olds[0], jpath):
+        raise IOError(
+            f"self-heal failed: could not rename {olds[0]} back to "
+            f"{path!r}"
+        )
     return True
 
 

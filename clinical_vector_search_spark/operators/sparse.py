@@ -217,7 +217,12 @@ def tfidf_index_delete(
     the parent-directory exact match, so same-id retries still see the
     index as the first attempt did); within-batch duplicates collapse.
     The tombstone set must stay broadcast-sized between compactions
-    (compaction cadence bounds it)."""
+    (compaction cadence bounds it). The one unfenceable window — same
+    as the BM25 twin: after ``compact_tombstoned`` clears ``deleted/``,
+    a replayed delete of a physically erased doc is indistinguishable
+    from deleting a never-ingested doc (it would double-subtract
+    df/n_docs), which the delete-by-replay contract already forbids —
+    deletes must not be replayed across a compaction boundary."""
     from pyspark.errors import AnalysisException
 
     from clinical_vector_search_spark.io.tables import (

@@ -146,6 +146,45 @@ def test_recovery_noop_on_live_or_fresh_path(spark, tmp_path):
     assert glob.glob(live + "__old_*") == []
 
 
+def test_fresh_absent_path_recovery_is_lease_free(spark, tmp_path):
+    """The common serving-read case — an index's not-yet-created
+    `deleted/` directory — must produce ZERO lease traffic: nothing to
+    heal, so concurrent readers of an absent directory never contend
+    (r13 review finding). Proven by pre-creating a foreign lease file:
+    a recovery that touched the lease would either raise LeaseHeldError
+    or delete it."""
+    path = str(tmp_path / "never_created")
+    with open(T._lease_path(path), "w") as f:
+        f.write("{}")
+    assert T.recover_interrupted_swap(spark, path) is False
+    assert os.path.exists(T._lease_path(path))  # untouched
+
+
+def test_reader_waits_out_a_racing_healer(spark, tmp_path, monkeypatch):
+    """Two readers hitting the crashed state concurrently: the loser of
+    the lease race must WAIT for the live name to reappear (the winner
+    heals in ms) instead of failing the read with LeaseHeldError."""
+    path = str(tmp_path / "raced")
+    spark.range(20).write.parquet(path + "__old_feed1234")
+
+    def healer():
+        time.sleep(1.0)
+        os.rename(path + "__old_feed1234", path)
+        os.remove(T._lease_path(path))
+
+    # simulate the racing winner: it already holds the lease and will
+    # finish the rename shortly
+    with open(T._lease_path(path), "w") as f:
+        f.write('{"pid": 1}')
+    t = threading.Thread(target=healer)
+    t.start()
+    try:
+        assert T.recover_interrupted_swap(spark, path) is False
+    finally:
+        t.join(timeout=30)
+    assert os.path.exists(path)
+
+
 def test_concurrent_compactions_one_winner_one_loud_error(
     spark, tmp_path, monkeypatch
 ):

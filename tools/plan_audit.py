@@ -1120,21 +1120,24 @@ def main() -> int:
     # 54c. incremental TF-IDF maintenance (the VSM twin of 54b): the
     # entry scores tfidf_cosine_topk over the RECONSTRUCTED view, which
     # the scoring plan consumes 3x (term match, doc norms, query-idf
-    # lookup) — so the entry caches it, and the plan must read each of
-    # the four statistic directories (postings/deleted/df/scalars)
-    # exactly ONCE inside the cached build while every downstream
-    # consumer rides InMemoryTableScan. At most 2 sort-merge joins (the
-    # corpus-scaled postings⋈idf inside the build and the (query,doc)⋈
-    # norms join); the query side and the tombstone anti-join broadcast.
+    # lookup) — so the entry materializes the refold ONCE via
+    # localCheckpoint (NOT tracked_cache: the entry rmtree's and
+    # rebuilds its temp index per invocation, and CacheManager's
+    # canonicalized-plan dedup would alias a previous invocation's
+    # cache onto the deleted files). The serving plan must therefore
+    # contain ZERO parquet scans (every statistic directory was read
+    # exactly once, inside the checkpoint build), ride the checkpointed
+    # RDD for all three consumers, and stay cartesian-free with at most
+    # 2 sort-merge joins (the (query,doc)⋈norms join; everything
+    # query-sized broadcasts).
     plan = formatted(E.q_tfidf_incremental(spark, SF_DIR))
     check(
-        "tfidf_incremental: cached refold view, single stat scans, no cartesian",
+        "tfidf_incremental: checkpointed refold view, scan-free serving, no cartesian",
         "CartesianProduct" not in plan
-        and n_nodes(plan, "Scan parquet") == 4
-        and n_nodes(plan, "InMemoryTableScan") >= 3
+        and n_nodes(plan, "Scan parquet") == 0
+        and n_nodes(plan, "Scan ExistingRDD") >= 3
         and n_nodes(plan, "SortMergeJoin") <= 2
-        and n_nodes(plan, "BroadcastHashJoin") >= 4
-        and "LeftAnti" in plan,
+        and n_nodes(plan, "BroadcastHashJoin") >= 4,
     )
 
     # 55. serving over the maintained IVF-PQ index (the read half of the

@@ -133,16 +133,26 @@ def main() -> None:
         .cache()
     )
     out["emb_rows_10x"] = emb10.count()
+    # lanes PINNED to accel="expr" since r13 (the default became "auto",
+    # which dispatches c64/c640 to the BLAS lane): these three rows are
+    # the interpreted-lane history the dispatch decision rests on —
+    # keep them measuring the same thing across rounds
     out["semdedup_1x_c64_sec"] = timed(
-        lambda: semantic_dedup(emb1, dim=64, threshold=0.35, n_clusters=64)
+        lambda: semantic_dedup(
+            emb1, dim=64, threshold=0.35, n_clusters=64, accel="expr"
+        )
     )
     # fixed cluster count: per-cluster size grows 10x, sum(|c|^2) 100x
     out["semdedup_10x_c64_sec"] = timed(
-        lambda: semantic_dedup(emb10, dim=64, threshold=0.35, n_clusters=64)
+        lambda: semantic_dedup(
+            emb10, dim=64, threshold=0.35, n_clusters=64, accel="expr"
+        )
     )
     # scaled cluster count (the prescribed usage): E[|c|] constant
     out["semdedup_10x_c640_sec"] = timed(
-        lambda: semantic_dedup(emb10, dim=64, threshold=0.35, n_clusters=640)
+        lambda: semantic_dedup(
+            emb10, dim=64, threshold=0.35, n_clusters=640, accel="expr"
+        )
     )
     # BLAS path: accel='pd' runs assignment as X @ C^T (the r7 probe
     # found the interpreted assignment dominating at 640 clusters)
