@@ -811,6 +811,67 @@ def test_bm25_maintenance_algebra_matches_rebuild(
 
 @_slow
 @given(
+    token_docs=corpus_strategy,
+    k=st.integers(min_value=1, max_value=3),      # number of ingest batches
+    mask=st.integers(min_value=0, max_value=255),   # delete-subset bitmask
+    mask2=st.integers(min_value=0, max_value=255),  # second delete batch
+)
+def test_tfidf_maintenance_algebra_matches_rebuild(
+    spark, tmp_path_factory, token_docs, k, mask, mask2
+):
+    """The VSM twin of test_bm25_maintenance_algebra_matches_rebuild
+    (r13): for ANY corpus, ANY batch partitioning and ANY two delete
+    batches — the second MIXED with re-deliveries of already-deleted
+    docs — the additive TF-IDF state (tf postings + df deltas + n_docs
+    scalars, minus tombstones and negative deltas) must reconstruct the
+    one-shot tfidf_index view of exactly the surviving docs, with
+    vanished vocabulary dropped (a term whose last doc died must leave
+    the idf table — the df>0 cut) and re-delivered docs' deltas
+    subtracted exactly once."""
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_index,
+        tfidf_index_add,
+        tfidf_index_delete,
+        tfidf_read_index,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path_factory.mktemp("tfidf_prop"))
+    for b in range(k):
+        bm = docs.filter(F.col("doc_id") % k == b)
+        tfidf_index_add(spark, bm, b, idx)
+    deleted_ids = [i for i in range(len(rows)) if (mask >> (i % 8)) & 1]
+    if len(deleted_ids) == len(rows):  # 0-doc index is out of contract
+        deleted_ids = deleted_ids[:-1]
+    if deleted_ids:
+        tfidf_index_delete(
+            spark, docs.filter(F.col("doc_id").isin(deleted_ids)), 0, idx
+        )
+    extra = [
+        i for i in range(len(rows))
+        if (mask2 >> (i % 8)) & 1 and i not in set(deleted_ids)
+    ]
+    if len(deleted_ids) + len(extra) == len(rows):
+        extra = extra[:-1]  # never delete everything
+    batch2 = extra + deleted_ids[:2]
+    if batch2:
+        tfidf_index_delete(
+            spark, docs.filter(F.col("doc_id").isin(batch2)), 1, idx
+        )
+    survivors = docs.filter(~F.col("doc_id").isin(deleted_ids + extra))
+
+    def snap(df):
+        return sorted(
+            (r.doc, r.term, r.tf, round(r.idf, 10), round(r.w, 10))
+            for r in df.collect()
+        )
+
+    assert snap(tfidf_read_index(spark, idx)) == snap(tfidf_index(survivors))
+
+
+@_slow
+@given(
     seed=st.integers(min_value=0, max_value=2**31 - 1),
     n=st.integers(min_value=2, max_value=12),
     k=st.integers(min_value=1, max_value=3),       # number of ingest batches
