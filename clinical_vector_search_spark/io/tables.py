@@ -807,7 +807,18 @@ def guard_batch_not_compacted(path: str, subdir: str) -> None:
     at-least-once redelivery that can no
     longer be made idempotent (its rows live in the compacted flat
     files; a recreated subdirectory would double-count them). Called by
-    every batch-id-overwrite sink before writing."""
+    every batch-id-overwrite sink before writing.
+
+    Also refuses while ``path``'s COMPACTION LEASE is held (r13,
+    :func:`guard_no_compaction_in_flight`): a batch subdirectory
+    written while the compactor is mid-run lands in the directory the
+    swap is about to move aside and DELETE — silent data loss. The
+    guard turns that race into a loud failure the at-least-once
+    redelivery retries after the lease clears. One-directional by
+    design: ingests are unleased idempotent overwrites, so the reverse
+    ordering (ingest in flight when a compaction STARTS) remains the
+    documented quiesce-before-compacting contract."""
+    guard_no_compaction_in_flight(path)
     if subdir in compacted_batches(path):
         # the remedy depends on whether the fenced subdirectory still
         # exists: the fence fragment is written BEFORE the rewrite+swap,
@@ -833,6 +844,46 @@ def guard_batch_not_compacted(path: str, subdir: str) -> None:
             f"batch subdirectory {subdir!r} under {path!r} was already "
             "folded by compact_batched; redelivery after compaction "
             f"cannot be idempotent — {remedy}"
+        )
+
+
+def guard_no_compaction_in_flight(
+    path: str, spark: SparkSession | None = None
+) -> None:
+    """Refuse a batch write while ``path``'s compaction lease is held —
+    one ``fs.exists`` through the data's own Hadoop FS. Closes the
+    ingest-during-compaction data-loss race: the compactor's swap moves
+    the whole directory aside and deletes it, so a ``batch-N``
+    subdirectory landing there mid-compaction would vanish silently
+    (or double-count if the rewrite's recursive read caught part of
+    it). With the guard the ingest fails LOUDLY and the at-least-once
+    redelivery lands it after the lease clears; streaming sinks
+    (``foreachBatch``) fail the micro-batch and replay it on restart —
+    idempotent by the batch-id-overwrite contract. A lease stranded by
+    a hard-killed compactor blocks ingest until it is removed (or a
+    compaction with ``break_stale_lease_after_sec`` reclaims it) — the
+    loud-over-lossy trade every fence here makes."""
+    spark = spark or SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError(
+            "guard_no_compaction_in_flight needs an active SparkSession "
+            "to reach the index's filesystem"
+        )
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    jlock = jvm.org.apache.hadoop.fs.Path(_lease_path(path))
+    if fs.exists(jlock):
+        holder = "<unreadable>"
+        try:
+            holder = _read_small_file(fs, jlock).decode("utf-8", "replace")
+        except Exception:  # noqa: BLE001 — racing holder may delete it
+            pass
+        raise LeaseHeldError(
+            f"batch write to {path!r} refused: a compaction/upsert holds "
+            f"the lease ({_lease_path(path)!r}, holder {holder}) and its "
+            "swap would silently DELETE a subdirectory written now — "
+            "retry after the compaction finishes (at-least-once "
+            "redelivery makes the retry safe); if the holding writer "
+            "was hard-killed, remove the lease file"
         )
 
 

@@ -241,6 +241,37 @@ def test_stale_lease_override_knob(spark, tmp_path):
     assert not os.path.exists(T._lease_path(path))
 
 
+def test_batch_write_refused_while_compaction_lease_held(spark, tmp_path):
+    """The ingest-during-compaction data-loss race (r13): a batch
+    subdirectory written while the compactor is mid-run lands in the
+    directory the swap deletes. Every batch-id-overwrite sink calls
+    guard_batch_not_compacted, which now refuses LOUDLY while the
+    lease is held and proceeds once it clears."""
+    from clinical_vector_search_spark.operators.bm25 import (
+        bm25_index,
+        bm25_index_add,
+        bm25_read_index,
+    )
+
+    rows = [(0, "alpha bravo"), (1, "bravo charlie")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = str(tmp_path / "bm25")
+    bm25_index_add(spark, docs.filter(F.col("doc_id") == 0), 0, idx)
+    # a compactor holds the postings lease
+    with open(T._lease_path(f"{idx}/postings"), "w") as f:
+        f.write('{"pid": 1}')
+    with pytest.raises(IOError, match="refused.*lease|lease.*refused"):
+        bm25_index_add(spark, docs.filter(F.col("doc_id") == 1), 1, idx)
+    os.remove(T._lease_path(f"{idx}/postings"))
+    # redelivery after the lease clears lands the batch (idempotent sink)
+    bm25_index_add(spark, docs.filter(F.col("doc_id") == 1), 1, idx)
+
+    def snap(df):
+        return sorted((r.doc, r.term, r.tf) for r in df.collect())
+
+    assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(docs))
+
+
 def test_fence_tmp_fragment_is_ignored(spark, tmp_path):
     """A crash mid-fragment-write leaves only a hidden .fence-…tmp —
     the union read skips it instead of dying on partial JSON, and a
