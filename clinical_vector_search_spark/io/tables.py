@@ -327,6 +327,7 @@ def compact_parquet(
     ``key=value``-partitioned directories: recursive listing disables
     partition inference, so the partition column would be dropped."""
     with compaction_lease(spark, path, break_stale_lease_after_sec):
+        _guard_no_ingest_in_flight(spark, path, break_stale_lease_after_sec)
         recover_interrupted_swap(spark, path, deep=True, _leased=True)
         return _compact_parquet_leased(spark, path, target_file_bytes, recursive)
 
@@ -654,6 +655,7 @@ def compact_batched(
     do not compact while a batch write can be in flight.
     """
     with compaction_lease(spark, path, break_stale_lease_after_sec):
+        _guard_no_ingest_in_flight(spark, path, break_stale_lease_after_sec)
         recover_interrupted_swap(spark, path, deep=True, _leased=True)
         folded = _list_batch_subdirs(spark, path)
         record_compacted_batches(spark, path, folded)
@@ -887,6 +889,81 @@ def guard_no_compaction_in_flight(
         )
 
 
+def _marker_dir(path: str) -> str:
+    return path.rstrip("/") + "__INGEST_MARKERS"
+
+
+@contextlib.contextmanager
+def ingest_markers(spark: SparkSession, paths: list[str]):
+    """Shared-mode presence markers for a batch write — the reverse
+    direction of :func:`guard_no_compaction_in_flight` (r13): one tiny
+    marker file per target directory (``<path>__INGEST_MARKERS/m-<id>``,
+    a sibling, so it survives and never pollutes the data listing),
+    created before the writes and removed after. The compactors check
+    the marker directory AFTER acquiring the lease and refuse loudly
+    while any batch write is in flight — the swap would otherwise
+    silently delete a subdirectory being written.
+
+    Handshake (no ordering can lose data silently): the ingest checks
+    the lease, announces its markers, then RE-checks the lease — a
+    compactor that slipped in between listed markers before ours
+    existed and may already be rewriting, so the ingest aborts loudly
+    (markers removed, redelivery retries); a compactor arriving after
+    the markers sees them and aborts loudly itself. Both-abort is
+    possible (rare) and safe — both sides retry. A crashed ingest
+    strands its markers; the compactor's ``break_stale_lease_after_sec``
+    knob clears markers older than the bound."""
+    import uuid
+
+    jvm, fs, _ = _hadoop_fs(spark, paths[0])
+    P = jvm.org.apache.hadoop.fs.Path
+    markers = []
+    for p in paths:
+        guard_no_compaction_in_flight(p, spark)
+    try:
+        for p in paths:
+            m = P(f"{_marker_dir(p)}/m-{uuid.uuid4().hex}")
+            fs.create(m, True).close()
+            markers.append(m)
+        for p in paths:  # re-check: close the announce race
+            guard_no_compaction_in_flight(p, spark)
+        yield
+    finally:
+        for m in markers:
+            fs.delete(m, False)
+
+
+def _guard_no_ingest_in_flight(
+    spark: SparkSession, path: str, break_stale_after_sec: float | None
+) -> None:
+    """Compactor-side half of the :func:`ingest_markers` handshake:
+    called AFTER the lease is held. Live markers → refuse loudly;
+    markers older than ``break_stale_after_sec`` (a crashed ingest —
+    the same knob that breaks a stranded lease) are cleared."""
+    import time
+
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    mdir = jvm.org.apache.hadoop.fs.Path(_marker_dir(path))
+    if not fs.exists(mdir):
+        return
+    live = []
+    for st in fs.listStatus(mdir):
+        age = time.time() - st.getModificationTime() / 1000.0
+        if break_stale_after_sec is not None and age > break_stale_after_sec:
+            fs.delete(st.getPath(), False)
+        else:
+            live.append(st.getPath().getName())
+    if live:
+        raise IOError(
+            f"compaction of {path!r} refused: batch writes in flight "
+            f"(markers {live} under {_marker_dir(path)!r}) — the swap "
+            "would silently delete a subdirectory being written. "
+            "Quiesce ingest first; if a marker belongs to a crashed "
+            "ingest, pass break_stale_lease_after_sec (it clears "
+            "markers older than the bound too) or remove it."
+        )
+
+
 def compact_tombstoned(
     spark: SparkSession,
     data_path: str,
@@ -930,6 +1007,15 @@ def compact_tombstoned(
             raise
         return 0
     with compaction_lease(spark, data_path, break_stale_lease_after_sec):
+        _guard_no_ingest_in_flight(
+            spark, data_path, break_stale_lease_after_sec
+        )
+        # the tombstone directory too: its clear-LAST step would wipe a
+        # delete batch being written RIGHT NOW while that batch's
+        # negative stat deltas survive elsewhere — inconsistent state
+        _guard_no_ingest_in_flight(
+            spark, tombstone_path, break_stale_lease_after_sec
+        )
         recover_interrupted_swap(spark, data_path, deep=True, _leased=True)
         record_compacted_batches(
             spark, data_path, _list_batch_subdirs(spark, data_path)

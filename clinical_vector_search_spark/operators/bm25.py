@@ -292,11 +292,18 @@ def bm25_index_add(
     scalars = doclens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    postings.write.mode("overwrite").parquet(
-        f"{index_path}/postings/{bsub}"
-    )
-    dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
-    scalars.write.mode("overwrite").parquet(f"{index_path}/scalars/{bsub}")
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(
+        spark, [f"{index_path}/{s}" for s in ("postings", "df", "scalars")]
+    ):
+        postings.write.mode("overwrite").parquet(
+            f"{index_path}/postings/{bsub}"
+        )
+        dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
+        scalars.write.mode("overwrite").parquet(
+            f"{index_path}/scalars/{bsub}"
+        )
 
 
 def bm25_read_index(spark, index_path: str) -> DataFrame:
@@ -463,15 +470,20 @@ def bm25_index_delete(
         (-F.count("*")).alias("n_docs"), (-F.sum("dl")).alias("sum_dl")
     )
     tomb = toks.select("doc").distinct()
-    neg_df.write.mode("overwrite").parquet(
-        f"{index_path}/df/{dsub}"
-    )
-    neg_scalars.write.mode("overwrite").parquet(
-        f"{index_path}/scalars/{dsub}"
-    )
-    tomb.write.mode("overwrite").parquet(
-        f"{index_path}/deleted/{dsub}"
-    )
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(
+        spark, [f"{index_path}/{s}" for s in ("df", "scalars", "deleted")]
+    ):
+        neg_df.write.mode("overwrite").parquet(
+            f"{index_path}/df/{dsub}"
+        )
+        neg_scalars.write.mode("overwrite").parquet(
+            f"{index_path}/scalars/{dsub}"
+        )
+        tomb.write.mode("overwrite").parquet(
+            f"{index_path}/deleted/{dsub}"
+        )
 
 
 def streaming_bm25_ingest(

@@ -379,8 +379,11 @@ def ingest_neardup_batch(
     pairs = _incremental_pairs_from_buckets(
         nb, corpus, id_col, materialized=True
     )
-    pairs.write.mode("overwrite").parquet(f"{pairs_path}/{sub}")
-    nb.write.mode("overwrite").parquet(f"{index_path}/{sub}")
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(spark, [pairs_path, index_path]):
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/{sub}")
+        nb.write.mode("overwrite").parquet(f"{index_path}/{sub}")
 
 
 def streaming_neardup_ingest(

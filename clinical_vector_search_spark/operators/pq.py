@@ -754,7 +754,10 @@ def ivfpq_index_add(
     enc = enc_fn(
         new_vecs, dim, books, centroids, n_centroids, id_col, vec_col, residual
     )
-    enc.write.mode("overwrite").parquet(f"{index_path}/{bsub}")
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(spark, [index_path]):
+        enc.write.mode("overwrite").parquet(f"{index_path}/{bsub}")
 
 
 def knn_pq_refine(
@@ -904,11 +907,15 @@ def ivfpq_index_delete(
     the codes minus tombstones, then clear the tombstone directory).
     Tombstones win over every add; re-ingesting a deleted id requires
     that physical compaction first."""
-    from clinical_vector_search_spark.io.tables import batch_subdir
-
-    ids.select(id_col).distinct().write.mode("overwrite").parquet(
-        f"{tombstone_path}/{batch_subdir('batch', run_id, batch_id)}"
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        ingest_markers,
     )
+
+    with ingest_markers(spark, [tombstone_path]):
+        ids.select(id_col).distinct().write.mode("overwrite").parquet(
+            f"{tombstone_path}/{batch_subdir('batch', run_id, batch_id)}"
+        )
 
 
 def streaming_ivfpq_ingest(

@@ -190,9 +190,16 @@ def tfidf_index_add(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = toks.agg(F.count(F.lit(1)).alias("n_docs"))
-    tf.write.mode("overwrite").parquet(f"{index_path}/postings/{bsub}")
-    dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
-    scalars.write.mode("overwrite").parquet(f"{index_path}/scalars/{bsub}")
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(
+        spark, [f"{index_path}/{s}" for s in ("postings", "df", "scalars")]
+    ):
+        tf.write.mode("overwrite").parquet(f"{index_path}/postings/{bsub}")
+        dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
+        scalars.write.mode("overwrite").parquet(
+            f"{index_path}/scalars/{bsub}"
+        )
 
 
 def tfidf_index_delete(
@@ -259,11 +266,16 @@ def tfidf_index_delete(
     neg_df = tf.groupBy("term").agg((-F.count(F.lit(1))).alias("df"))
     neg_scalars = toks.agg((-F.count(F.lit(1))).alias("n_docs"))
     tomb = toks.select("doc").distinct()
-    neg_df.write.mode("overwrite").parquet(f"{index_path}/df/{dsub}")
-    neg_scalars.write.mode("overwrite").parquet(
-        f"{index_path}/scalars/{dsub}"
-    )
-    tomb.write.mode("overwrite").parquet(f"{index_path}/deleted/{dsub}")
+    from clinical_vector_search_spark.io.tables import ingest_markers
+
+    with ingest_markers(
+        spark, [f"{index_path}/{s}" for s in ("df", "scalars", "deleted")]
+    ):
+        neg_df.write.mode("overwrite").parquet(f"{index_path}/df/{dsub}")
+        neg_scalars.write.mode("overwrite").parquet(
+            f"{index_path}/scalars/{dsub}"
+        )
+        tomb.write.mode("overwrite").parquet(f"{index_path}/deleted/{dsub}")
 
 
 def tfidf_read_index(spark, index_path: str) -> DataFrame:

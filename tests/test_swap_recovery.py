@@ -272,6 +272,55 @@ def test_batch_write_refused_while_compaction_lease_held(spark, tmp_path):
     assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(docs))
 
 
+def test_compaction_refused_while_ingest_marker_live(spark, tmp_path):
+    """Reverse direction of the ingest guard: a compaction arriving
+    while a batch write is in flight (live marker under
+    `<path>__INGEST_MARKERS`) must refuse loudly — its swap would
+    silently delete the subdirectory being written. The stale knob
+    clears a crashed ingest's marker and proceeds."""
+    path = str(tmp_path / "stats")
+    spark.range(10).repartition(2).write.parquet(f"{path}/batch-0")
+    os.makedirs(T._marker_dir(path))
+    with open(os.path.join(T._marker_dir(path), "m-live"), "w") as f:
+        f.write("")
+    with pytest.raises(IOError, match="in flight"):
+        T.compact_batched(spark, path)
+    # lease was released despite the refusal
+    assert not os.path.exists(T._lease_path(path))
+    time.sleep(0.2)
+    assert (
+        T.compact_batched(spark, path, break_stale_lease_after_sec=0.1) >= 1
+    )
+    assert os.listdir(T._marker_dir(path)) == []
+
+
+def test_ingest_aborts_when_compactor_slips_between_announce_and_recheck(
+    spark, tmp_path, monkeypatch
+):
+    """The ingest_markers handshake: check lease → announce markers →
+    RE-check lease. A compactor acquiring the lease between the two
+    checks listed markers before ours existed, so the ingest must abort
+    loudly (markers removed) and let the redelivery retry."""
+    path = str(tmp_path / "d")
+    real = T.guard_no_compaction_in_flight
+    calls = {"n": 0}
+
+    def compactor_slips_in(p, s=None):
+        calls["n"] += 1
+        if calls["n"] == 2:  # between announce and recheck
+            with open(T._lease_path(path), "w") as f:
+                f.write('{"pid": 9}')
+        return real(p, s)
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "guard_no_compaction_in_flight", compactor_slips_in)
+        with pytest.raises(IOError, match="refused"):
+            with T.ingest_markers(spark, [path]):
+                raise AssertionError("must not reach the writes")
+    os.remove(T._lease_path(path))
+    assert os.listdir(T._marker_dir(path)) == []  # cleaned up on abort
+
+
 def test_fence_tmp_fragment_is_ignored(spark, tmp_path):
     """A crash mid-fragment-write leaves only a hidden .fence-…tmp —
     the union read skips it instead of dying on partial JSON, and a
