@@ -495,7 +495,10 @@ def recover_interrupted_swap(
     deep: bool = False,
     _leased: bool = False,
 ) -> bool:
-    """Self-heal the :func:`_swap_directories` mid-swap crash window.
+    """Self-heal the :func:`_swap_directories` mid-swap crash window
+    (reference ancestor: the single-file index persistence at
+    src/pipeline/pipeline.py:134, which has no crash story at all —
+    a torn write loses the index).
 
     A crash between the swap's two renames leaves the live NAME absent
     with the data intact at ``<path>__old_<tag>`` — previously a manual

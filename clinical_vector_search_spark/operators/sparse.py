@@ -152,7 +152,10 @@ def tfidf_index_add(
     """Incremental TF-IDF index maintenance — the VSM twin of
     ``bm25.bm25_index_add`` (r12 verdict task 7): fold a batch of NEW
     documents into a persisted index with cost ∝ batch, never
-    rescanning or rewriting old postings. The persisted state is
+    rescanning or rewriting old postings. (The reference rebuilds its
+    lexical scorer from scratch per query, src/pipeline/
+    pipeline.py:166-176; a per-ingest full rebuild repeats that flaw at
+    corpus scale — same motivation as the BM25 lifecycle.) The persisted state is
     ADDITIVE SUFFICIENT STATISTICS, not the scoring view — idf changes
     with every ingest (n_docs and df both move), so baking ``w = tf·idf``
     into posting rows would force a corpus-wide rewrite per batch:
