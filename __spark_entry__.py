@@ -2226,6 +2226,21 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style sampling reweighting (operators/dedup.py
+    soft_dedup_weights; He et al. 2024): keep every document, DOWN-
+    WEIGHT duplicated content — commonness = mean corpus document
+    frequency of the doc's distinct 3-token shingles, weight =
+    1/commonness. No pairwise stage at all (one shingle-frequency join
+    + one doc aggregate), the reweighting complement of the hard dedup
+    family. Docs with < 3 tokens excluded (no duplication signal)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    return soft_dedup_weights(_docs(spark, sf_dir), n=SHINGLE_N)
+
+
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPJoin-style prefix-filtered EXACT Jaccard join
     (operators/dedup.py jaccard_prefix_pairs): candidates come from a
@@ -7184,22 +7199,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r12 VERDICT's task 2 names this exact r13 order):
-    #   1. the entry NEW in r13 (incremental TF-IDF maintenance) leads;
+    #   1. the TWO entries NEW in r13 (incremental TF-IDF maintenance;
+    #      SoftDeDup reweighting) lead;
     #   2. the 31 remaining last-green-r7 entries (rows-only excluded)
     #      — this RETIRES the r7 tier: after r13 no entry's last
     #      driver row predates r8;
-    #   3. the 18 stalest last-green-r8 entries fill the window to 50
+    #   3. the 17 stalest last-green-r8 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
-    #   4. then the remaining blocks stalest-first (r8 remainder, r9,
-    #      r10, r11, and the 50 entries the r12 driver just checked
-    #      demoted last). Every entry below the window was green in
-    #      its last driver round (r8-r12).
+    #   4. then the remaining blocks stalest-first (r8 remainder —
+    #      starting events_seasonal_index, displaced from the window by
+    #      the second new entry — then r9, r10, r11, and the 50 entries
+    #      the r12 driver just checked demoted last). Every entry below
+    #      the window was green in its last driver round (r8-r12).
     return {
-        # -- r13 window 1: NEW in r13 --
+        # -- r13 window 1-2: NEW in r13 --
         "tfidf_incremental": q_tfidf_incremental,
-        # -- r13 window 2-32: the remaining last-green-r7 block (non-rows-only) — retires the r7 tier --
+        "dedup_soft_weights": q_dedup_soft_weights,
+        # -- r13 window 3-33: the remaining last-green-r7 block (non-rows-only) — retires the r7 tier --
         "text_zipf_fit": q_text_zipf_fit,
         "events_ohlc": q_events_ohlc,
         "knn_pq_refine": q_knn_pq_refine,
@@ -7231,7 +7249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "io_wap_publish": q_io_wap_publish,
         "events_tumbling": q_events_tumbling,
         "events_sliding": q_events_sliding,
-        # -- r13 window 33-50: stalest last-green-r8 entries (rows-only excluded) --
+        # -- r13 window 34-50: stalest last-green-r8 entries (rows-only excluded) --
         "events_kaplan_meier": q_events_kaplan_meier,
         "events_acf": q_events_acf,
         "events_ab_test": q_events_ab_test,
@@ -7249,7 +7267,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_volume_shipping": q_rel_volume_shipping,
         "rel_basket_pairs": q_rel_basket_pairs,
         "graph_triangles": q_graph_triangles,
-        "events_seasonal_index": q_events_seasonal_index,
         # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
         "events_distinct_hll": q_events_distinct_hll,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
@@ -7260,6 +7277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "vec_pca": q_vec_pca,
         # -- remaining blocks, stalest first: r8 remainder, r9, r10, r11, then the r12 window demoted last --
+        "events_seasonal_index": q_events_seasonal_index,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
         "events_cusum": q_events_cusum,
@@ -11674,6 +11692,23 @@ def oracle_sql() -> dict[str, str]:
         FROM common JOIN sizes sa ON sa.doc_id = a_id
                     JOIN sizes sb ON sb.doc_id = b_id
         WHERE common / (sa.n_sh + sb.n_sh - common) >= {JACCARD_THR}
+    """
+
+    # dedup_soft_weights: commonness = mean corpus document frequency
+    # of the doc's distinct shingles (gdf counts DOCS because _SHINGLES
+    # is distinct per doc); weight = 1/commonness. Exact-integer sums
+    # under the double division, so both engines compute the identical
+    # double before the 6dp round.
+    s["dedup_soft_weights"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        gdf AS (SELECT shingle, count(*) AS gdf FROM sh GROUP BY 1)
+        SELECT doc_id,
+               count(*) AS n_shingles,
+               round(avg(gdf), 6) AS commonness,
+               round(1.0 / avg(gdf), 6) AS weight
+        FROM sh JOIN gdf USING(shingle)
+        GROUP BY doc_id
     """
 
     # dedup_jaccard_prefix: the prefix-filtered Spark plan is an exact

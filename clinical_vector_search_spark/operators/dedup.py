@@ -1545,6 +1545,53 @@ def semantic_dedup(
     return assigned.select(id_col, "cluster").join(pruned, id_col, "left_anti")
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+) -> DataFrame:
+    """SoftDeDup-style sampling reweighting (He et al. 2024, "SoftDedup:
+    an Efficient Data Reweighting Method for Speeding Up Language Model
+    Pre-training"): instead of REMOVING near-duplicates — which throws
+    away the unique long tail inside mostly-duplicated documents — keep
+    every document and DOWN-WEIGHT duplicated content for the training
+    sampler. A document's ``commonness`` is the mean corpus document
+    frequency of its distinct n-token shingles (1.0 = every shingle
+    unique to this doc; large = boilerplate shared corpus-wide); its
+    sampling ``weight`` is ``1/commonness``, rounded for cross-engine
+    hash stability. Returns (id, n_shingles, commonness, weight) for
+    every doc with at least one shingle (docs shorter than ``n`` tokens
+    have no duplication signal and are excluded — feed them weight 1
+    downstream).
+
+    Scale shape: one shingle-granularity self-frequency join (exploded
+    distinct shingles ⋈ their df — linear in corpus shingles, shuffled
+    on the shingle key exactly like the MinHash band joins) and one
+    doc-key aggregate; no pairwise stage at all, which is the point —
+    the paper's reweighting needs only per-shingle frequencies, never
+    candidate pairs, so it scales past where even banded pair
+    enumeration hurts. Complements (does not replace) the hard dedup
+    family: exact/MinHash dedup drops byte-near-identical copies,
+    this reweights the soft middle of the duplication spectrum."""
+    sh = docs.select(
+        F.col(id_col),
+        # TXT.shingles is already distinct-per-doc, so gdf counts DOCS
+        F.explode(TXT.shingles(TXT.tokenize(text_col), n)).alias("g"),
+    )
+    df_g = sh.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    return (
+        sh.join(df_g, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(F.avg("gdf"), round_to).alias("commonness"),
+            F.round(F.lit(1.0) / F.avg("gdf"), round_to).alias("weight"),
+        )
+    )
+
+
 def decontaminate_bloom(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -817,6 +817,35 @@ def test_semantic_pairs_pd_parity(spark, sf_dir):
     assert sa == sb
 
 
+def test_soft_dedup_weights_hand_check(spark):
+    """SoftDeDup-style reweighting on a corpus built for hand
+    computation: doc 0 and doc 1 are exact duplicates (every shingle df
+    2 → commonness 2, weight 0.5), doc 2 is fully unique (commonness 1,
+    weight 1), doc 3 shares nothing but is too short for a shingle
+    (excluded), and doc 4 mixes one shared and one unique shingle."""
+    from clinical_vector_search_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+
+    rows = [
+        (0, "alpha bravo charlie delta"),    # shingles: abc, bcd
+        (1, "alpha bravo charlie delta"),    # same two shingles
+        (2, "echo foxtrot golf hotel"),      # efg, fgh — unique
+        (3, "kilo lima"),                    # < 3 tokens → no shingles
+        (4, "alpha bravo charlie november"), # abc (df 3), bcn (df 1)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_shingles, r.commonness, r.weight)
+        for r in soft_dedup_weights(docs).collect()
+    }
+    assert 3 not in got  # no duplication signal
+    # docs 0/1: shingles 'a b c' (df 3: docs 0,1,4) and 'b c d' (df 2)
+    assert got[0] == (2, 2.5, 0.4) and got[1] == got[0]
+    assert got[2] == (2, 1.0, 1.0)
+    assert got[4] == (2, 2.0, 0.5)  # df 3 and df 1 → mean 2
+
+
 def test_semantic_encoder_auto_dispatch(spark, sf_dir):
     """The encoder auto-dispatch (r12 verdict task 4) must flip from
     the expression fold to the BLAS twin exactly at the calibrated
