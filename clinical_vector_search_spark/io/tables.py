@@ -148,23 +148,29 @@ def upsert_vector_index(
 
     from pyspark.sql import Window
 
-    recover_interrupted_swap(spark, path)
-    old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
-    incoming = (
-        new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
-        .select(*old.drop("_gen").columns)
-        .withColumn("_gen", F.lit(1))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
-    merged = (
-        old.unionByName(incoming)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_gen")
-    )
-    tag = uuid.uuid4().hex[:8]
-    tmp = f"{path}__tmp_{tag}"
+    # lease FIRST: spark.read.parquet eagerly snapshots the file
+    # listing, so a pre-lease snapshot races a concurrent upsert/
+    # compaction completing in the window — its swap deletes the
+    # snapshotted files and this merge dies with FileNotFoundException
+    # at write time (loud, but an avoidable failure the lease exists to
+    # serialize). Recover + read under the same exclusion as the swap.
     with compaction_lease(spark, path):
+        recover_interrupted_swap(spark, path, deep=True, _leased=True)
+        old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
+        incoming = (
+            new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
+            .select(*old.drop("_gen").columns)
+            .withColumn("_gen", F.lit(1))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
+        merged = (
+            old.unionByName(incoming)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+        tag = uuid.uuid4().hex[:8]
+        tmp = f"{path}__tmp_{tag}"
         merged.write.mode("overwrite").parquet(tmp)
         _swap_directories(spark, path, tmp, tag)
 
@@ -401,7 +407,16 @@ def _try_claim_lease(fs, jlock, payload: bytes) -> bool:
     try:
         out = fs.create(jlock, False)
     except Exception as e:  # noqa: BLE001 — py4j wraps the Java class
-        if "exist" in str(e).lower():
+        # match the already-exists condition SPECIFICALLY: a bare
+        # "exist" substring also matches "does not exist" failures
+        # (e.g. a missing parent path), which would masquerade a real
+        # IO error as LeaseHeldError and send the operator chasing a
+        # phantom concurrent writer
+        msg = str(e)
+        if (
+            "FileAlreadyExistsException" in msg
+            or "already exists" in msg.lower()
+        ):
             return False
         raise
     try:
@@ -431,7 +446,13 @@ def compaction_lease(
     reader/compactor self-heals unattended. Only a hard kill strands
     the lease file; ``break_stale_after_sec`` is the override knob —
     when set, a lease older than that many seconds is deleted and
-    re-claimed (pick it longer than any legitimate compaction)."""
+    re-claimed. Pick it longer than any legitimate compaction AND any
+    legitimate ingest: the same knob clears stale ingest markers
+    (:func:`_guard_no_ingest_in_flight`), so a live batch write running
+    past the bound would have its markers cleared and the compactor's
+    swap could delete its in-flight subdirectory — a long ingest should
+    call the ``touch()`` the :func:`ingest_markers` context yields to
+    keep its markers visibly live."""
     import json
     import os as _os
     import socket
@@ -471,6 +492,34 @@ def compaction_lease(
                 f"{_lease_path(path)}.broken-{uuid.uuid4().hex}"
             )
             if fs.rename(jlock, broken):
+                # verify what we renamed away IS the measured-stale lease:
+                # rename-to-unique only serializes renames of the same
+                # NAME — breaker A may have broken the stale lease and
+                # re-claimed a FRESH one at jlock before our rename, in
+                # which case we just renamed away A's live lease. Rename
+                # preserves mtime (local/HDFS), so age discriminates.
+                b_age = time.time() - (
+                    fs.getFileStatus(broken).getModificationTime() / 1000.0
+                )
+                if b_age <= break_stale_after_sec:
+                    # a fresh lease, not the stale one we measured: put
+                    # it back and report held
+                    if not fs.rename(broken, jlock):
+                        # a third claim landed at jlock meanwhile — two
+                        # writers now believe they hold it; refuse loudly
+                        # and leave both files for a human
+                        raise IOError(
+                            f"lease break race on {path!r}: renamed away "
+                            f"a FRESH lease (now at {broken}) and could "
+                            f"not restore it because a new lease exists "
+                            f"at {_lease_path(path)!r} — inspect both "
+                            "and delete the stale one manually"
+                        )
+                    raise LeaseHeldError(
+                        f"compaction lease for {path!r} was re-claimed "
+                        "by another writer while breaking the stale "
+                        "lease — it is legitimately held; retry later"
+                    )
                 fs.delete(broken, False)
             # losers fall through to the ordinary claim race below
         if not stale or not _try_claim_lease(fs, jlock, payload):
@@ -486,7 +535,15 @@ def compaction_lease(
     try:
         yield
     finally:
-        fs.delete(jlock, False)
+        # release only OUR lease: if a stale-breaker replaced it while we
+        # ran past break_stale_after_sec, the file at jlock is the new
+        # holder's — a bare delete would strand THEM mid-swap unprotected
+        try:
+            current = _read_small_file(fs, jlock)
+        except Exception:  # noqa: BLE001 — already broken/removed
+            current = None
+        if current == payload:
+            fs.delete(jlock, False)
 
 
 def recover_interrupted_swap(
@@ -544,6 +601,18 @@ def recover_interrupted_swap(
         if deep:
             for op in _olds():
                 fs.delete(op, True)
+            # prune an EMPTY ingest-marker sibling: every ingest_markers
+            # exit removes its marker files but the directory persists,
+            # so without this a maintained index accumulates one junk
+            # sibling per stat directory forever. Non-recursive delete
+            # only — if a marker raced in (an ingest that will abort on
+            # its lease re-check), the delete fails and we leave it.
+            mdir = P(_marker_dir(path))
+            try:
+                if fs.exists(mdir) and len(fs.listStatus(mdir)) == 0:
+                    fs.delete(mdir, False)
+            except Exception:  # noqa: BLE001 — a marker raced in; keep it
+                pass
         return False
     if not _olds():
         # genuinely fresh/absent path (the common serving-read case for
@@ -888,12 +957,97 @@ def guard_no_compaction_in_flight(
             "swap would silently DELETE a subdirectory written now — "
             "retry after the compaction finishes (at-least-once "
             "redelivery makes the retry safe); if the holding writer "
-            "was hard-killed, remove the lease file"
+            f"was hard-killed, remove the lease file. "
+            f"{_render_state(spark, path)}"
         )
 
 
 def _marker_dir(path: str) -> str:
     return path.rstrip("/") + "__INGEST_MARKERS"
+
+
+def maintenance_state(spark: SparkSession, path: str) -> dict:
+    """One-call diagnosis of a maintained directory's protocol state —
+    everything an operator staring at a refused ingest/compaction would
+    otherwise hand-inspect across four sibling paths:
+
+    - ``lease``: ``{"holder": <payload>, "age_sec": float}`` when the
+      compaction lease is held, else ``None``
+    - ``markers``: live ingest markers as ``[{"name", "age_sec"}]``
+    - ``old_siblings``: ``<path>__old_*`` move-aside copies (a crashed
+      swap awaiting self-heal, or — with the live path present — a
+      crash after the second rename awaiting the deep pass)
+    - ``fenced_batches``: batch subdirectory names already folded by a
+      compaction (redelivery of these is refused)
+    - ``path_exists``: whether the live directory itself is present
+
+    Read-only; takes no lease. Rendered into the refusal messages of
+    :func:`guard_no_compaction_in_flight` and
+    :func:`_guard_no_ingest_in_flight`."""
+    import json
+    import time
+
+    jvm, fs, jpath = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    now = time.time()
+
+    lease = None
+    jlock = P(_lease_path(path))
+    if fs.exists(jlock):
+        holder, age = "<unreadable>", None
+        try:
+            holder = json.loads(_read_small_file(fs, jlock))
+        except Exception:  # noqa: BLE001 — racing holder may delete it
+            pass
+        try:
+            age = now - fs.getFileStatus(jlock).getModificationTime() / 1000.0
+        except Exception:  # noqa: BLE001
+            pass
+        lease = {"holder": holder, "age_sec": age}
+
+    markers = []
+    mdir = P(_marker_dir(path))
+    if fs.exists(mdir):
+        for st in fs.listStatus(mdir):
+            markers.append(
+                {
+                    "name": st.getPath().getName(),
+                    "age_sec": now - st.getModificationTime() / 1000.0,
+                }
+            )
+
+    olds = [
+        str(st.getPath())
+        for st in (fs.globStatus(P(base + "__old_*")) or [])
+    ]
+    return {
+        "lease": lease,
+        "markers": markers,
+        "old_siblings": olds,
+        "fenced_batches": sorted(compacted_batches(path, spark)),
+        "path_exists": bool(fs.exists(jpath)),
+    }
+
+
+def _render_state(spark: SparkSession, path: str) -> str:
+    """Compact one-line maintenance_state rendering for error messages
+    (best-effort: diagnosis must never mask the original refusal)."""
+    try:
+        s = maintenance_state(spark, path)
+        lease = s["lease"]
+        lease_s = (
+            "none"
+            if lease is None
+            else f"held {round(lease['age_sec'], 1)}s by {lease['holder']}"
+        )
+        return (
+            f"state: lease={lease_s}; markers="
+            f"{[m['name'] for m in s['markers']]}; old_siblings="
+            f"{s['old_siblings']}; fenced_batches={len(s['fenced_batches'])}"
+        )
+    except Exception as e:  # noqa: BLE001
+        return f"state: <unavailable: {e}>"
 
 
 @contextlib.contextmanager
@@ -915,7 +1069,13 @@ def ingest_markers(spark: SparkSession, paths: list[str]):
     the markers sees them and aborts loudly itself. Both-abort is
     possible (rare) and safe — both sides retry. A crashed ingest
     strands its markers; the compactor's ``break_stale_lease_after_sec``
-    knob clears markers older than the bound."""
+    knob clears markers older than the bound — which therefore must
+    exceed the longest LEGITIMATE ingest too, not just the longest
+    compaction. A batch write expected to run longer should call the
+    ``touch()`` this context manager YIELDS (periodically, from the
+    driver) — it re-stamps every marker's mtime so liveness stays
+    distinguishable from a crash."""
+    import time
     import uuid
 
     jvm, fs, _ = _hadoop_fs(spark, paths[0])
@@ -923,6 +1083,12 @@ def ingest_markers(spark: SparkSession, paths: list[str]):
     markers = []
     for p in paths:
         guard_no_compaction_in_flight(p, spark)
+
+    def touch() -> None:
+        now_ms = int(time.time() * 1000)
+        for m in markers:
+            fs.setTimes(m, now_ms, now_ms)
+
     try:
         for p in paths:
             m = P(f"{_marker_dir(p)}/m-{uuid.uuid4().hex}")
@@ -930,7 +1096,7 @@ def ingest_markers(spark: SparkSession, paths: list[str]):
             markers.append(m)
         for p in paths:  # re-check: close the announce race
             guard_no_compaction_in_flight(p, spark)
-        yield
+        yield touch
     finally:
         for m in markers:
             fs.delete(m, False)
@@ -942,7 +1108,12 @@ def _guard_no_ingest_in_flight(
     """Compactor-side half of the :func:`ingest_markers` handshake:
     called AFTER the lease is held. Live markers → refuse loudly;
     markers older than ``break_stale_after_sec`` (a crashed ingest —
-    the same knob that breaks a stranded lease) are cleared."""
+    the same knob that breaks a stranded lease) are cleared. The bound
+    must therefore exceed the longest legitimate INGEST as well as the
+    longest compaction — a live batch write running past it loses its
+    markers and the swap can delete its in-flight subdirectory; long
+    ingests keep themselves visibly live via the ``touch()`` that
+    :func:`ingest_markers` yields."""
     import time
 
     jvm, fs, _ = _hadoop_fs(spark, path)
@@ -963,7 +1134,8 @@ def _guard_no_ingest_in_flight(
             "would silently delete a subdirectory being written. "
             "Quiesce ingest first; if a marker belongs to a crashed "
             "ingest, pass break_stale_lease_after_sec (it clears "
-            "markers older than the bound too) or remove it."
+            f"markers older than the bound too) or remove it. "
+            f"{_render_state(spark, path)}"
         )
 
 
@@ -1003,8 +1175,10 @@ def compact_tombstoned(
     from pyspark.errors import AnalysisException
 
     rec = spark.read.option("recursiveFileLookup", "true")
+    # cheap lease-free absence probe only — the common "no deletes
+    # pending" no-op stays zero-lease-traffic
     try:
-        dead = rec.parquet(tombstone_path).select(id_col)
+        rec.parquet(tombstone_path)
     except AnalysisException as e:
         if not is_absence_error(e):
             raise
@@ -1019,6 +1193,19 @@ def compact_tombstoned(
         _guard_no_ingest_in_flight(
             spark, tombstone_path, break_stale_lease_after_sec
         )
+        # snapshot the tombstone LISTING under the lease + ingest guard:
+        # spark.read.parquet eagerly freezes the InMemoryFileIndex, so a
+        # pre-lease snapshot would miss a tombstone batch committed
+        # between snapshot and lease — absent from `dead` yet wiped by
+        # the clear-LAST delete below: silently lost deletes. Reading
+        # here puts the snapshot under the same exclusion that protects
+        # the final clear.
+        try:
+            dead = rec.parquet(tombstone_path).select(id_col)
+        except AnalysisException as e:
+            if not is_absence_error(e):
+                raise
+            return 0  # a racing compactor cleared it first — nothing to do
         recover_interrupted_swap(spark, data_path, deep=True, _leased=True)
         record_compacted_batches(
             spark, data_path, _list_batch_subdirs(spark, data_path)

@@ -291,7 +291,9 @@ def test_compaction_refused_while_ingest_marker_live(spark, tmp_path):
     assert (
         T.compact_batched(spark, path, break_stale_lease_after_sec=0.1) >= 1
     )
-    assert os.listdir(T._marker_dir(path)) == []
+    # the stale knob cleared the crashed marker AND the deep pass pruned
+    # the now-empty marker directory itself (r14 hygiene)
+    assert not os.path.exists(T._marker_dir(path))
 
 
 def test_ingest_aborts_when_compactor_slips_between_announce_and_recheck(
@@ -383,3 +385,205 @@ def test_bm25_redelete_fence_survives_ancestor_named_like_batch(
     # parent-dir match, not erased by the ancestor name)
     bm25_index_delete(spark, docs.filter(F.col("doc_id") == 1), 1, idx)
     assert snap(bm25_read_index(spark, idx)) == want
+
+
+# --------------------------------------------------------------------------
+# r14: stale-break race hardening, payload-verified release, marker/lease
+# hygiene, and the tombstone-listing-under-lease fix
+# --------------------------------------------------------------------------
+
+
+class _AgedFirstStatus:
+    """FileSystem proxy whose FIRST getFileStatus reports an mtime old
+    enough to look stale — simulating the race where the lease measured
+    stale is replaced by a FRESH one (another breaker broke + re-claimed)
+    before our rename lands."""
+
+    def __init__(self, fs, state):
+        self._fs = fs
+        self._state = state
+
+    def getFileStatus(self, p):
+        st = self._fs.getFileStatus(p)
+        self._state["calls"] += 1
+        if self._state["calls"] == 1:
+            real = st
+
+            class _Aged:
+                def getModificationTime(self):
+                    return real.getModificationTime() - 3_600_000
+
+                def __getattr__(self, name):
+                    return getattr(real, name)
+
+            return _Aged()
+        return st
+
+    def __getattr__(self, name):
+        return getattr(self._fs, name)
+
+
+def test_stale_break_does_not_steal_fresh_lease(spark, tmp_path, monkeypatch):
+    """Breaker B measures the old lease stale, but by rename time the
+    file at jlock is a FRESH lease (breaker A broke and re-claimed
+    first). B must detect the freshness on the renamed file, restore
+    it, and raise LeaseHeldError — never proceed with A's lease gone."""
+    path = str(tmp_path / "d")
+    spark.range(10).write.parquet(path)
+    with open(T._lease_path(path), "w", encoding="utf-8") as f:
+        f.write('{"pid": 424242, "host": "fresh-holder"}')
+    real = T._hadoop_fs
+    state = {"calls": 0}
+
+    def aged(s, p):
+        jvm, fs, jp = real(s, p)
+        return jvm, _AgedFirstStatus(fs, state), jp
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "_hadoop_fs", aged)
+        with pytest.raises(T.LeaseHeldError, match="re-claimed"):
+            with T.compaction_lease(spark, path, break_stale_after_sec=60):
+                raise AssertionError("must not acquire over a fresh lease")
+    # the fresh holder's lease survived, content intact
+    with open(T._lease_path(path), encoding="utf-8") as f:
+        assert "fresh-holder" in f.read()
+    assert not glob.glob(T._lease_path(path) + ".broken-*")
+
+
+def test_release_leaves_foreign_lease_alone(spark, tmp_path):
+    """The finally-release deletes only OUR lease: if a stale-breaker
+    replaced it mid-run, the new holder's lease must survive our exit."""
+    path = str(tmp_path / "d")
+    spark.range(5).write.parquet(path)
+    with T.compaction_lease(spark, path):
+        os.remove(T._lease_path(path))  # a breaker cleared ours …
+        with open(T._lease_path(path), "w", encoding="utf-8") as f:
+            f.write('{"pid": 777, "host": "new-holder"}')  # … and claimed
+    with open(T._lease_path(path), encoding="utf-8") as f:
+        assert "new-holder" in f.read()
+    os.remove(T._lease_path(path))
+
+
+def test_claim_io_error_not_masked_as_lease_held():
+    """'does not exist'-style create failures (missing parent path etc.)
+    must propagate as IO errors, not convert into 'lease already held'."""
+
+    class _MissingParentFS:
+        def create(self, p, overwrite):
+            raise Exception("File does not exist: /gone/parent")
+
+    class _HeldFS:
+        def create(self, p, overwrite):
+            raise Exception(
+                "org.apache.hadoop.fs.FileAlreadyExistsException: lock"
+            )
+
+    with pytest.raises(Exception, match="does not exist"):
+        T._try_claim_lease(_MissingParentFS(), None, b"x")
+    assert T._try_claim_lease(_HeldFS(), None, b"x") is False
+
+
+def test_empty_marker_dir_pruned_by_deep_pass(spark, tmp_path):
+    """Every ingest_markers exit removes its marker FILES but left the
+    directory behind forever; the compactor's deep pass now prunes it
+    when empty (and only when empty)."""
+    path = str(tmp_path / "d")
+    spark.range(20).repartition(4).write.parquet(path)
+    os.makedirs(T._marker_dir(path))
+    assert T.compact_parquet(spark, path) >= 1
+    assert not os.path.exists(T._marker_dir(path))
+    # non-empty marker dir: guard refuses first, directory untouched
+    os.makedirs(T._marker_dir(path))
+    with open(os.path.join(T._marker_dir(path), "m-live"), "w") as f:
+        f.write("")
+    with pytest.raises(IOError, match="in flight"):
+        T.compact_parquet(spark, path)
+    assert os.path.exists(os.path.join(T._marker_dir(path), "m-live"))
+
+
+def test_ingest_markers_touch_keeps_liveness(spark, tmp_path):
+    """The yielded touch() re-stamps marker mtimes so a long legitimate
+    ingest stays distinguishable from a crashed one."""
+    path = str(tmp_path / "d")
+    with T.ingest_markers(spark, [path]) as touch:
+        (marker,) = [
+            n for n in os.listdir(T._marker_dir(path)) if n.startswith("m-")
+        ]
+        mpath = os.path.join(T._marker_dir(path), marker)
+        old_ms = os.path.getmtime(mpath)
+        os.utime(mpath, (old_ms - 3600, old_ms - 3600))  # simulate age
+        touch()
+        assert os.path.getmtime(mpath) >= old_ms - 1
+    assert os.listdir(T._marker_dir(path)) == []
+
+
+def test_maintenance_state_reports_all_four_sources(spark, tmp_path):
+    """maintenance_state folds lease / markers / __old siblings / fence
+    into one read-only dict, and the refusal messages render it."""
+    path = str(tmp_path / "d")
+    spark.range(5).write.parquet(path)
+    with open(T._lease_path(path), "w", encoding="utf-8") as f:
+        f.write('{"pid": 5, "host": "h", "acquired_unix": 0}')
+    os.makedirs(T._marker_dir(path))
+    with open(os.path.join(T._marker_dir(path), "m-x"), "w") as f:
+        f.write("")
+    os.makedirs(path + "__old_dead")
+    T.record_compacted_batches(spark, path, ["batch-0"])
+    s = T.maintenance_state(spark, path)
+    assert s["path_exists"] is True
+    assert s["lease"]["holder"]["pid"] == 5
+    assert s["lease"]["age_sec"] >= 0
+    assert [m["name"] for m in s["markers"]] == ["m-x"]
+    assert s["old_siblings"] and s["old_siblings"][0].endswith("__old_dead")
+    assert s["fenced_batches"] == ["batch-0"]
+    # and the refusal message carries the rendered state
+    with pytest.raises(T.LeaseHeldError, match="state:.*m-x"):
+        T.guard_no_compaction_in_flight(path, spark)
+
+
+def test_tombstone_batch_committed_before_lease_is_not_lost(
+    spark, tmp_path, monkeypatch
+):
+    """compact_tombstoned must snapshot the tombstone LISTING under the
+    lease: a delete batch committed between the lease-free probe and
+    the lease acquisition was previously absent from the anti-join yet
+    still wiped by the clear-LAST delete — a silently resurrected doc."""
+    data = str(tmp_path / "data")
+    tomb = str(tmp_path / "tomb")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    ).write.parquet(f"{data}/batch-0")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(
+        f"{tomb}/del-0"
+    )
+    real = T.compaction_lease
+
+    class _LateTombstone:
+        """Wraps the lease context: right after acquisition, a racing
+        delete batch commits (it passed its own guards before we held
+        the lease)."""
+
+        def __init__(self, cm):
+            self._cm = cm
+
+        def __enter__(self):
+            r = self._cm.__enter__()
+            spark.createDataFrame([(2,)], "doc_id long").write.parquet(
+                f"{tomb}/del-late"
+            )
+            return r
+
+        def __exit__(self, *a):
+            return self._cm.__exit__(*a)
+
+    def lease_then_late(s, p, b=None):
+        return _LateTombstone(real(s, p, b))
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "compaction_lease", lease_then_late)
+        assert T.compact_tombstoned(spark, data, tomb, "doc_id") >= 1
+    survivors = sorted(
+        r.doc_id for r in spark.read.parquet(data).collect()
+    )
+    assert survivors == [0, 3, 4, 5, 6, 7, 8, 9]  # BOTH 1 and 2 erased
+    assert not os.path.exists(tomb)  # cleared, with no delete lost
