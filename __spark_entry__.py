@@ -1999,6 +1999,67 @@ def q_knn_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leased retrain-and-re-encode compaction (operators/pq.py
+    reindex_ivfpq — the drift-recovery lifecycle stage; reference
+    ancestor: the from-scratch FAISS rebuild the reference pays EVERY
+    run, src/pipeline/pipeline.py:126-136): the corpus arrives as two
+    idempotent ingests against frozen geometry, ids with
+    vec_id % 16 == 5 are tombstoned, then ONE reindex under the
+    single-writer compaction lease derives the surviving membership
+    FROM the index, retrains on the survivors, re-encodes them in one
+    batch pass, fences the old-geometry batch names, swaps with the
+    trained state stamped atomically inside the new directory, and
+    clears the tombstones last (physical erasure). Run with n_iter=0 so
+    the retrained geometry is the deterministic normalized-md5
+    centroids + LCG codebooks — SQL-expressible, giving the whole
+    lifecycle a full value-hash oracle (the knn_ivfpq_fullprobe
+    pattern); the trained-loop recall-restoration story is pinned in
+    tests/test_pq.py::test_reindex_ivfpq_restores_recall_after_drift.
+    encoder="expr" is the oracle-parity twin (bit-identical to the
+    default "pd" path by the ivfpq_encode parity contract). Flattened
+    to (vec_id, cluster, sub, code) scalar rows."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+        reindex_ivfpq,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_ivfpq_reidx_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 8 != 3), v.filter(F.col("vec_id") % 8 == 3))
+    ):
+        ivfpq_index_add(
+            spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
+        )
+    ivfpq_index_delete(
+        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    reindex_ivfpq(
+        spark, f"{base}/codes", v, 64, m=PQ_M, ksub=PQ_KSUB,
+        n_centroids=8, n_iter=0, tombstone_path=f"{base}/dead",
+        encoder="expr",
+    )
+    idx = read_ivfpq_index(spark, f"{base}/codes")
+    return idx.select(
+        "vec_id", "cluster", F.posexplode("codes").alias("sub", "code")
+    ).select(
+        "vec_id", "cluster", F.col("sub").cast("int").alias("sub"), "code"
+    )
+
+
 def q_knn_ivfpq_index_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Refine-over-maintained-index serving (operators/pq.py
     knn_refine_codes — the full FAISS IndexRefineFlat(IndexIVFPQ)
@@ -2239,6 +2300,34 @@ def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return soft_dedup_weights(_docs(spark, sf_dir), n=SHINGLE_N)
+
+
+def q_dedup_soft_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup closed end-to-end (the paper's actual use of the
+    weights): the reweighting (operators/dedup.py soft_dedup_weights —
+    weight = 1/mean-shingle-df, no pairwise stage) feeds the weighted
+    A-Res corpus draw (pipeline/documents.py weighted_hash_sample), so
+    duplicated boilerplate is down-sampled and unique docs over-sampled
+    in ONE deterministic top-N. Docs shorter than the shingle width
+    carry no duplication signal and get the weight-1 default the
+    soft_dedup_weights docstring prescribes (left join + coalesce).
+    Log-priorities rounded to 9 dp before ranking (the
+    doc_weighted_sample cross-engine determinism knob)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        soft_dedup_weights,
+    )
+    from clinical_vector_search_spark.pipeline.documents import (
+        weighted_hash_sample,
+    )
+
+    docs = _docs(spark, sf_dir)
+    w = soft_dedup_weights(docs, n=SHINGLE_N).select("doc_id", "weight")
+    weighted = docs.select("doc_id").join(w, "doc_id", "left").select(
+        "doc_id", F.coalesce("weight", F.lit(1.0)).alias("weight")
+    )
+    return weighted_hash_sample(
+        weighted, WEIGHTED_SAMPLE_N, "weight", round_to=9
+    )
 
 
 def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7198,85 +7287,25 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r12 VERDICT's task 2 names this exact r13 order):
-    #   1. the TWO entries NEW in r13 (incremental TF-IDF maintenance;
-    #      SoftDeDup reweighting) lead;
-    #   2. the 31 remaining last-green-r7 entries (rows-only excluded)
-    #      — this RETIRES the r7 tier: after r13 no entry's last
-    #      driver row predates r8;
-    #   3. the 17 stalest last-green-r8 entries fill the window to 50
+    # r13 VERDICT's task 2 names this r14 order):
+    #   1. the TWO entries NEW in r14 (IVF-PQ retrain-and-re-encode
+    #      compaction; SoftDeDup weights -> weighted corpus draw) lead;
+    #   2. the 32 remaining last-green-r8 entries (rows-only excluded)
+    #      — this RETIRES the r8 tier: after r14 no entry's last
+    #      driver row predates r9;
+    #   3. the 16 stalest last-green-r9 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
-    #   4. then the remaining blocks stalest-first (r8 remainder —
-    #      starting events_seasonal_index, displaced from the window by
-    #      the second new entry — then r9, r10, r11, and the 50 entries
-    #      the r12 driver just checked demoted last). Every entry below
-    #      the window was green in its last driver round (r8-r12).
+    #   4. then the remaining blocks stalest-first (r9 remainder, r10,
+    #      r11, r12, and the 50 entries the r13 driver just checked
+    #      demoted last). Every entry below the window was green in its
+    #      last driver round (r9-r13).
     return {
-        # -- r13 window 1-2: NEW in r13 --
-        "tfidf_incremental": q_tfidf_incremental,
-        "dedup_soft_weights": q_dedup_soft_weights,
-        # -- r13 window 3-33: the remaining last-green-r7 block (non-rows-only) — retires the r7 tier --
-        "text_zipf_fit": q_text_zipf_fit,
-        "events_ohlc": q_events_ohlc,
-        "knn_pq_refine": q_knn_pq_refine,
-        "events_streaming_chained_agg": q_events_streaming_chained_agg,
-        "io_python_datasink": q_io_python_datasink,
-        "io_snapshot_diff": q_io_snapshot_diff,
-        "multimodal_phash": q_multimodal_phash,
-        "rel_window_distribution": q_rel_window_distribution,
-        "rel_grouping_sets": q_rel_grouping_sets,
-        "rel_unpivot": q_rel_unpivot,
-        "dedup_pagerank": q_dedup_pagerank,
-        "text_bpe_pair_counts": q_text_bpe_pair_counts,
-        "events_variant_extract": q_events_variant_extract,
-        "events_bootstrap_ci": q_events_bootstrap_ci,
-        "rel_incremental_agg": q_rel_incremental_agg,
-        "events_mad_outliers": q_events_mad_outliers,
-        "events_json_deadletter": q_events_json_deadletter,
-        "knn_matryoshka": q_knn_matryoshka,
-        "retrieval_hard_negatives": q_retrieval_hard_negatives,
-        "evaluation_kappa": q_evaluation_kappa,
-        "events_value_runs": q_events_value_runs,
-        "dedup_minhash_estimate": q_dedup_minhash_estimate,
-        "text_token_dropout": q_text_token_dropout,
-        "events_session_stats": q_events_session_stats,
-        "doc_ngram_novelty": q_doc_ngram_novelty,
-        "events_dau_wau": q_events_dau_wau,
-        "events_markov_transitions": q_events_markov_transitions,
-        "events_power_users": q_events_power_users,
-        "io_wap_publish": q_io_wap_publish,
-        "events_tumbling": q_events_tumbling,
-        "events_sliding": q_events_sliding,
-        # -- r13 window 34-50: stalest last-green-r8 entries (rows-only excluded) --
-        "events_kaplan_meier": q_events_kaplan_meier,
-        "events_acf": q_events_acf,
-        "events_ab_test": q_events_ab_test,
-        "rel_ols_normal": q_rel_ols_normal,
-        "rel_benford": q_rel_benford,
-        "doc_woe_iv": q_doc_woe_iv,
-        "vec_binary_sign": q_vec_binary_sign,
-        "knn_hamming_rerank": q_knn_hamming_rerank,
-        "doc_domain_mixture": q_doc_domain_mixture,
-        "rel_disjunctive_join": q_rel_disjunctive_join,
-        "rel_idle_customers": q_rel_idle_customers,
-        "rel_small_qty_revenue": q_rel_small_qty_revenue,
-        "rel_blame_suppliers": q_rel_blame_suppliers,
-        "rel_top_supplier": q_rel_top_supplier,
-        "rel_volume_shipping": q_rel_volume_shipping,
-        "rel_basket_pairs": q_rel_basket_pairs,
-        "graph_triangles": q_graph_triangles,
-        # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
-        "events_distinct_hll": q_events_distinct_hll,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_ivf": q_knn_ivf,
-        "evaluation_table": q_evaluation_table,
-        "text_bpe_encode": q_text_bpe_encode,
-        "text_bpe_train": q_text_bpe_train,
-        "knn_ivfpq": q_knn_ivfpq,
-        "vec_pca": q_vec_pca,
-        # -- remaining blocks, stalest first: r8 remainder, r9, r10, r11, then the r12 window demoted last --
+        # -- r14 window 1-2: NEW in r14 --
+        "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
+        "dedup_soft_sample": q_dedup_soft_sample,
+        # -- r14 window 3-34: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
         "events_seasonal_index": q_events_seasonal_index,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
@@ -7309,6 +7338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_dedup": q_events_streaming_dedup,
         "salted_agg": q_salted_agg,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        # -- r14 window 35-50: stalest last-green-r9 entries (rows-only excluded) --
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -7325,6 +7355,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "rel_cube": q_rel_cube,
+        # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
+        "events_distinct_hll": q_events_distinct_hll,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "evaluation_table": q_evaluation_table,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_train": q_text_bpe_train,
+        "knn_ivfpq": q_knn_ivfpq,
+        "vec_pca": q_vec_pca,
+        # -- remaining blocks, stalest first: r9 remainder, r10, r11, r12, then the r13 window demoted last --
         "rel_window_ranks": q_rel_window_ranks,
         "rel_local_supplier_volume": q_rel_local_supplier_volume,
         "rel_profile": q_rel_profile,
@@ -7508,6 +7548,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinctive_terms": q_text_distinctive_terms,
         "io_shard_manifest": q_io_shard_manifest,
         "rel_bloom_join": q_rel_bloom_join,
+        "tfidf_incremental": q_tfidf_incremental,
+        "dedup_soft_weights": q_dedup_soft_weights,
+        "text_zipf_fit": q_text_zipf_fit,
+        "events_ohlc": q_events_ohlc,
+        "knn_pq_refine": q_knn_pq_refine,
+        "events_streaming_chained_agg": q_events_streaming_chained_agg,
+        "io_python_datasink": q_io_python_datasink,
+        "io_snapshot_diff": q_io_snapshot_diff,
+        "multimodal_phash": q_multimodal_phash,
+        "rel_window_distribution": q_rel_window_distribution,
+        "rel_grouping_sets": q_rel_grouping_sets,
+        "rel_unpivot": q_rel_unpivot,
+        "dedup_pagerank": q_dedup_pagerank,
+        "text_bpe_pair_counts": q_text_bpe_pair_counts,
+        "events_variant_extract": q_events_variant_extract,
+        "events_bootstrap_ci": q_events_bootstrap_ci,
+        "rel_incremental_agg": q_rel_incremental_agg,
+        "events_mad_outliers": q_events_mad_outliers,
+        "events_json_deadletter": q_events_json_deadletter,
+        "knn_matryoshka": q_knn_matryoshka,
+        "retrieval_hard_negatives": q_retrieval_hard_negatives,
+        "evaluation_kappa": q_evaluation_kappa,
+        "events_value_runs": q_events_value_runs,
+        "dedup_minhash_estimate": q_dedup_minhash_estimate,
+        "text_token_dropout": q_text_token_dropout,
+        "events_session_stats": q_events_session_stats,
+        "doc_ngram_novelty": q_doc_ngram_novelty,
+        "events_dau_wau": q_events_dau_wau,
+        "events_markov_transitions": q_events_markov_transitions,
+        "events_power_users": q_events_power_users,
+        "io_wap_publish": q_io_wap_publish,
+        "events_tumbling": q_events_tumbling,
+        "events_sliding": q_events_sliding,
+        "events_kaplan_meier": q_events_kaplan_meier,
+        "events_acf": q_events_acf,
+        "events_ab_test": q_events_ab_test,
+        "rel_ols_normal": q_rel_ols_normal,
+        "rel_benford": q_rel_benford,
+        "doc_woe_iv": q_doc_woe_iv,
+        "vec_binary_sign": q_vec_binary_sign,
+        "knn_hamming_rerank": q_knn_hamming_rerank,
+        "doc_domain_mixture": q_doc_domain_mixture,
+        "rel_disjunctive_join": q_rel_disjunctive_join,
+        "rel_idle_customers": q_rel_idle_customers,
+        "rel_small_qty_revenue": q_rel_small_qty_revenue,
+        "rel_blame_suppliers": q_rel_blame_suppliers,
+        "rel_top_supplier": q_rel_top_supplier,
+        "rel_volume_shipping": q_rel_volume_shipping,
+        "rel_basket_pairs": q_rel_basket_pairs,
+        "graph_triangles": q_graph_triangles,
     }
 
 # ---------------------------------------------------------------------------
@@ -10562,6 +10652,44 @@ def oracle_sql() -> dict[str, str]:
              unnest(generate_series(1, {PQ_M})) AS t(sub)
     """
 
+    # reindex lifecycle: with n_iter=0 the retrained geometry is exactly
+    # the kmeans_centroids INIT (the md5 centroid matrix, L2-normalized
+    # with the +1e-9 guard — embedded as literals computed with the same
+    # numpy ops) and the unchanged LCG codebooks, so the whole
+    # retrain-and-re-encode (membership from the index minus tombstones,
+    # re-encode of the survivors) has a full value-hash oracle: the
+    # quantized-argmax assignment + LCG codes over the NORMALIZED
+    # survivors (vec_id % 16 <> 5)
+    import numpy as _np
+
+    _cn = _np.array(_cents, dtype="float64")
+    _cn = _cn / (_np.linalg.norm(_cn, axis=1, keepdims=True) + 1e-9)
+    _cents_norm_sql = ", ".join(
+        f"({c}, [{', '.join(repr(float(w)) for w in row)}]::DOUBLE[])"
+        for c, row in enumerate(_cn)
+    )
+    s["knn_ivfpq_reindex"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id % 16 <> 5),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        cents AS (SELECT * FROM (VALUES {_cents_norm_sql}) AS c(cid, w)),
+        dots AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                 FROM n CROSS JOIN cents),
+        asg AS (SELECT vec_id, cid::INT AS cluster FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY floor(dot * 1e12 + 0.5)
+                                                        DESC,
+                                                      cid) AS rn
+                   FROM dots)
+                WHERE rn = 1),
+        c AS (SELECT vec_id, {_pq_codes_nv} AS codes FROM n)
+        SELECT a.vec_id, a.cluster, CAST(sub - 1 AS INT) AS sub,
+               codes[sub] AS code
+        FROM asg a JOIN c USING (vec_id),
+             unnest(generate_series(1, {PQ_M})) AS t(sub)
+    """
+
     # serving over the maintained index: fullprobe disables IVF pruning,
     # so the lifecycle composition (two ingests + tombstoned deletes +
     # read-back + ADC over the codes) must equal plain PQ ADC over the
@@ -11709,6 +11837,28 @@ def oracle_sql() -> dict[str, str]:
                round(1.0 / avg(gdf), 6) AS weight
         FROM sh JOIN gdf USING(shingle)
         GROUP BY doc_id
+    """
+
+    # dedup_soft_sample: the soft weights (1/mean-shingle-df, weight-1
+    # default for shingle-less docs) composed into the A-Res weighted
+    # draw — the doc_weighted_sample log-priority fragment with the
+    # weight column swapped in (weights are strictly positive, so the
+    # -infinity guard is unreachable and omitted)
+    s["dedup_soft_sample"] = f"""
+        WITH toks AS ({_TOKS}),
+        sh AS ({_SHINGLES}),
+        gdf AS (SELECT shingle, count(*) AS gdf FROM sh GROUP BY 1),
+        w AS (SELECT doc_id, round(1.0 / avg(gdf), 6) AS weight
+              FROM sh JOIN gdf USING(shingle) GROUP BY doc_id),
+        aw AS (SELECT d.doc_id, coalesce(w.weight, 1.0) AS weight
+               FROM documents d LEFT JOIN w USING (doc_id)),
+        pri AS (SELECT doc_id, weight,
+                       round(ln(({_MD5L.format(x="doc_id::VARCHAR")} + 1.0)
+                                / {float((1 << 60) + 1)!r})
+                             / weight, 9) AS lp
+                FROM aw)
+        SELECT doc_id, weight FROM pri
+        ORDER BY lp DESC, doc_id ASC LIMIT {WEIGHTED_SAMPLE_N}
     """
 
     # dedup_jaccard_prefix: the prefix-filtered Spark plan is an exact

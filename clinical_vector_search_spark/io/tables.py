@@ -662,18 +662,33 @@ def _heal_under_lease(fs, P, base, jpath, path, _olds) -> bool:
     return True
 
 
+TRAINED_SIDECAR = "_TRAINED.json"
+
+
 def _rewrite_and_swap(
     df: DataFrame,
     path: str,
     target_file_bytes: int,
+    sidecar: bytes | None = None,
 ) -> int:
-    """Shared rewrite machinery of :func:`compact_parquet` and
-    :func:`compact_tombstoned`: size the data directory, write ``df``
-    as ⌈bytes/target⌉ round-robin files to a temp sibling, then swap
-    (:func:`_swap_directories`). One code path so a fix to the sizing
-    or swap discipline reaches both compactors; every filesystem touch
-    goes through the data's own Hadoop FS, so compaction works wherever
-    the data lives. Returns the new file count."""
+    """Shared rewrite machinery of :func:`compact_parquet`,
+    :func:`compact_tombstoned` and ``pq.reindex_ivfpq``: size the data
+    directory, write ``df`` as ⌈bytes/target⌉ round-robin files to a
+    temp sibling, then swap (:func:`_swap_directories`). One code path
+    so a fix to the sizing or swap discipline reaches every compactor;
+    every filesystem touch goes through the data's own Hadoop FS, so
+    compaction works wherever the data lives. Returns the new file
+    count.
+
+    ``sidecar``: bytes to install as ``_TRAINED.json`` INSIDE the temp
+    directory before the swap — the trained-state sidecar of a
+    maintained IVF-PQ index publishes ATOMICALLY with the codes it
+    encodes (a single rename brings both live; no ordering exists where
+    serving sees codes encoded against a state nobody has). When
+    ``sidecar`` is None and the live directory already carries one, it
+    is PRESERVED into the rewrite — otherwise every ordinary compaction
+    would silently strip the index's trained state. Hidden (leading
+    underscore), so parquet listings never see it."""
     import math
     import uuid
 
@@ -683,6 +698,18 @@ def _rewrite_and_swap(
     tag = uuid.uuid4().hex[:8]
     tmp = f"{path}__compact_{tag}"
     df.repartition(n).write.mode("overwrite").parquet(tmp)
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    if sidecar is None:
+        src = P(f"{path.rstrip('/')}/{TRAINED_SIDECAR}")
+        if fs.exists(src):
+            sidecar = _read_small_file(fs, src)
+    if sidecar is not None:
+        out = fs.create(P(f"{tmp}/{TRAINED_SIDECAR}"), True)
+        try:
+            out.write(bytearray(sidecar))
+        finally:
+            out.close()
     _swap_directories(spark, path, tmp, tag)
     return n
 

@@ -968,3 +968,237 @@ def streaming_ivfpq_ingest(
     if checkpoint_path is not None:
         writer = writer.option("checkpointLocation", checkpoint_path)
     return writer.start()
+
+
+def write_trained_state(
+    spark,
+    index_path: str,
+    centroids: list,
+    books: list,
+    dim: int,
+    residual: bool = False,
+) -> None:
+    """Stamp a maintained IVF-PQ index's trained state — coarse
+    centroids + PQ codebooks + the geometry that interprets them — as a
+    hidden ``_TRAINED.json`` INSIDE the codes directory. Hidden files
+    are invisible to every parquet listing (Spark skips ``_``/``.``
+    prefixes), so the codes readers never see it; living inside the
+    directory (not as a sibling) means the compactors' move-aside swap
+    carries it atomically with the codes it encodes
+    (``io.tables._rewrite_and_swap`` preserves it across every rewrite).
+    Published by hidden-tmp + rename so a crash mid-write never leaves
+    a torn state file. Call once after the initial train/build;
+    :func:`reindex_ivfpq` re-stamps it atomically with the re-encoded
+    codes."""
+    import json
+    import uuid
+
+    from clinical_vector_search_spark.io.tables import (
+        TRAINED_SIDECAR,
+        _hadoop_fs,
+    )
+
+    jvm, fs, _ = _hadoop_fs(spark, index_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    payload = _trained_payload(centroids, books, dim, residual)
+    tmp = P(f"{index_path.rstrip('/')}/.{uuid.uuid4().hex}.trained.tmp")
+    dst = P(f"{index_path.rstrip('/')}/{TRAINED_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    fs.delete(dst, False)  # rename refuses to clobber on some FSes
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not publish trained state at {dst}")
+
+
+def _trained_payload(
+    centroids: list, books: list, dim: int, residual: bool
+) -> bytes:
+    import json
+
+    return json.dumps(
+        {
+            "centroids": [[float(x) for x in row] for row in centroids],
+            "books": [
+                [[float(x) for x in c] for c in b] for b in books
+            ],
+            "dim": int(dim),
+            "n_centroids": len(centroids),
+            "m": len(books),
+            "ksub": len(books[0]),
+            "residual": bool(residual),
+        }
+    ).encode("utf-8")
+
+
+def read_trained_state(spark, index_path: str) -> dict | None:
+    """Read the trained state stamped by :func:`write_trained_state` /
+    :func:`reindex_ivfpq` — the (centroids, books, dim, m, ksub,
+    residual) every :func:`ivfpq_index_add` and serving call must agree
+    on. None when the index carries no state file (pre-r14 indexes,
+    where the caller keeps the trained state itself)."""
+    import json
+
+    from clinical_vector_search_spark.io.tables import (
+        TRAINED_SIDECAR,
+        _hadoop_fs,
+        _read_small_file,
+    )
+
+    jvm, fs, _ = _hadoop_fs(spark, index_path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{index_path.rstrip('/')}/{TRAINED_SIDECAR}"
+    )
+    if not fs.exists(p):
+        return None
+    return json.loads(_read_small_file(fs, p))
+
+
+def reindex_ivfpq(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    dim: int,
+    m: int = 8,
+    ksub: int = 16,
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = False,
+    train_sample: DataFrame | None = None,
+    encoder: str = "pd",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    break_stale_lease_after_sec: float | None = None,
+) -> dict:
+    """Leased retrain-and-re-encode compaction — the missing lifecycle
+    stage that closes the IVF-PQ drift hole: :func:`ivfpq_index_add`
+    assigns every batch to the EXISTING centroids and codebooks (map-
+    side by design), so after many ingests of a drifting distribution
+    the frozen geometry decays recall with no recovery path short of a
+    manual full rebuild. This job reaches the freshly-trained state the
+    reference gets by rebuilding its FAISS index from scratch every run
+    (src/pipeline/pipeline.py:126-136) WITHOUT losing the incremental
+    story: the maintained index stays in place, serving entries and the
+    add/delete protocol are unchanged, and the swap is the same
+    self-healing machinery every compactor here uses.
+
+    One batch job under the single-writer ``compaction_lease``:
+
+    1. survivors = ids in the index minus tombstones (broadcast
+       anti-join — the compaction-cadence bound keeps tombstones tiny);
+    2. corpus = ``vectors`` semi-joined to survivors — the raw-vector
+       source of record (codes are lossy; re-encoding needs the
+       originals). At 100 TB this is the job's one big shuffle, paid
+       once per retrain cadence;
+    3. retrain: ``kmeans_centroids`` on the corpus (or the caller's
+       hash-sampled ``train_sample`` — FAISS trains its quantizer on a
+       sample the same way), then ``pq_codebooks_trained`` — on
+       RESIDUALS when ``residual=True`` (the r8 finding: raw-trained
+       books + residual encoding LOWERS recall, the codebooks must
+       quantize the distribution the encoder feeds them);
+    4. re-encode the corpus against the new state
+       (:func:`ivfpq_encode_pd` — the Arrow/NumPy throughput twin;
+       bit-identical to the expression path by the parity contract);
+    5. fence the folded batch subdirectories (redelivery of a batch
+       encoded under the OLD geometry must refuse, exactly like
+       ``compact_batched``), then rewrite + swap with the trained state
+       installed INSIDE the new directory — ``_TRAINED.json`` publishes
+       atomically with the codes it encodes, so no crash ordering can
+       leave codes live whose geometry nobody has;
+    6. clear the tombstone directory LAST (deleted ids are now
+       physically absent — same ordering argument as
+       ``compact_tombstoned``).
+
+    Returns the trained-state dict (also readable back via
+    :func:`read_trained_state`); pass its ``centroids``/``books`` to
+    every subsequent :func:`ivfpq_index_add` / serving call."""
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import (
+        _guard_no_ingest_in_flight,
+        _hadoop_fs,
+        _list_batch_subdirs,
+        _rewrite_and_swap,
+        compaction_lease,
+        is_absence_error,
+        record_compacted_batches,
+        recover_interrupted_swap,
+    )
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+
+    with compaction_lease(spark, index_path, break_stale_lease_after_sec):
+        _guard_no_ingest_in_flight(
+            spark, index_path, break_stale_lease_after_sec
+        )
+        if tombstone_path is not None:
+            _guard_no_ingest_in_flight(
+                spark, tombstone_path, break_stale_lease_after_sec
+            )
+        recover_interrupted_swap(spark, index_path, deep=True, _leased=True)
+
+        # 1. surviving membership comes from the INDEX (ids ingested
+        # minus ids deleted), so the re-encoded index serves exactly
+        # the same id set — reindex changes geometry, never membership
+        survivors = read_ivfpq_index(
+            spark, index_path, tombstone_path, id_col
+        ).select(id_col)
+
+        # 2. the raw-vector source restricted to survivors (one shuffle)
+        corpus = vectors.select(id_col, vec_col).join(
+            survivors, id_col, "semi"
+        )
+
+        # 3. retrain on the shifted corpus (residual discipline: books
+        # must quantize what the encoder will actually feed them)
+        sample = train_sample if train_sample is not None else corpus
+        cents = kmeans_centroids(sample, dim, n_centroids, n_iter, vec_col)
+        books = pq_codebooks_trained(
+            sample, dim, m, ksub, n_iter, vec_col,
+            centroids=cents if residual else None,
+        )
+
+        # 4. re-encode EVERYTHING in one batch pass. ``encoder`` picks
+        # between the bit-identical twins, same contract as
+        # :func:`ivfpq_index_add`: "pd" (default — a retrain-cadence
+        # batch job wants the Arrow/NumPy throughput kernel) or "expr"
+        # (the whole-stage-codegen oracle-parity path)
+        if encoder not in ("expr", "pd"):
+            raise ValueError(
+                f"encoder must be 'expr' or 'pd', got {encoder!r}"
+            )
+        enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
+        enc = enc_fn(
+            corpus, dim, books, cents, n_centroids, id_col, vec_col, residual
+        )
+
+        # 5. fence old batch names (a redelivery encoded under the OLD
+        # geometry must refuse), then rewrite+swap with the new trained
+        # state INSIDE the directory — atomic with the codes
+        record_compacted_batches(
+            spark, index_path, _list_batch_subdirs(spark, index_path)
+        )
+        _rewrite_and_swap(
+            enc,
+            index_path,
+            target_file_bytes,
+            sidecar=_trained_payload(cents, books, dim, residual),
+        )
+
+        # 6. clear tombstones LAST — their ids are now physically absent
+        if tombstone_path is not None:
+            jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
+
+    return {
+        "centroids": cents,
+        "books": books,
+        "dim": dim,
+        "n_centroids": n_centroids,
+        "m": m,
+        "ksub": ksub,
+        "residual": residual,
+    }

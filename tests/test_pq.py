@@ -863,3 +863,192 @@ def test_streaming_ivfpq_ingest_matches_encode(spark, sf_dir, tmp_path):
     import os
 
     assert any(d.startswith("batch-day1-") for d in os.listdir(idx))
+
+
+def _drift_cloud(seed: int, n: int, dim: int, active: slice):
+    """Deterministic L2-normalized vectors clustered around 4 random
+    directions living only in ``active`` dims — two clouds with
+    disjoint active slices model a distribution shift the frozen
+    coarse/PQ geometry cannot follow."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = np.zeros((4, dim))
+    centers[:, active] = rng.normal(size=(4, (active.stop - active.start)))
+    pick = rng.integers(0, 4, size=n)
+    mat = centers[pick] + 0.15 * rng.normal(size=(n, dim))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True) + 1e-12
+    return mat
+
+
+def test_reindex_ivfpq_restores_recall_after_drift(spark, tmp_path):
+    """The drift hole closed by reindex_ivfpq: batches of a SHIFTED
+    distribution fold into geometry trained on the original corpus only
+    (ivfpq_index_add never retrains — correct and map-side by design),
+    degrading recall@10 vs a fresh rebuild; one leased
+    retrain-and-re-encode restores the rebuild's recall, keeps the
+    exact id membership, physically erases tombstoned ids, stamps the
+    trained state atomically with the codes, and fences old-geometry
+    batch redeliveries."""
+    import numpy as np
+
+    from clinical_vector_search_spark.io.tables import (
+        guard_batch_not_compacted,
+    )
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode_pd,
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        knn_ivfpq_codes,
+        pq_codebooks_trained,
+        read_ivfpq_index,
+        read_trained_state,
+        reindex_ivfpq,
+    )
+
+    dim, k = 16, 10
+    base = _drift_cloud(1, 300, dim, slice(0, 8))
+    shift = _drift_cloud(2, 300, dim, slice(8, 16))
+
+    def frame(mat, start):
+        return spark.createDataFrame(
+            [(start + i, [float(x) for x in row]) for i, row in enumerate(mat)],
+            "vec_id long, embedding array<double>",
+        )
+
+    base_df, shift_df = frame(base, 0), frame(shift, 300)
+    vectors = base_df.unionByName(shift_df)
+    idx = str(tmp_path / "idx")
+    tomb = str(tmp_path / "tomb")
+
+    # trained ONCE on the original distribution; the shifted batch
+    # folds in against this frozen geometry
+    cents0 = kmeans_centroids(base_df, dim, n_centroids=8, n_iter=5)
+    books0 = pq_codebooks_trained(base_df, dim, 4, 16, n_iter=5)
+    ivfpq_index_add(
+        spark, base_df, 0, idx, dim, books0, cents0, encoder="pd"
+    )
+    ivfpq_index_add(
+        spark, shift_df, 1, idx, dim, books0, cents0, encoder="pd"
+    )
+    # a few deletes pending physical erasure at the reindex
+    dead = [0, 1, 300, 301]
+    ivfpq_index_delete(
+        spark, vectors.filter(F.col("vec_id").isin(dead)), 0, tomb
+    )
+
+    # queries FROM the shifted distribution; exact ground truth over
+    # the surviving corpus (driver-side numpy — 596 docs)
+    queries_mat = _drift_cloud(3, 40, dim, slice(8, 16))
+    q_df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(queries_mat)],
+        "query_id long, query_vec array<double>",
+    )
+    all_mat = np.vstack([base, shift])
+    alive = np.array([i for i in range(600) if i not in set(dead)])
+    d2 = ((queries_mat[:, None, :] - all_mat[alive][None]) ** 2).sum(-1)
+    truth = {
+        qi: set(alive[np.argsort(d2[qi], kind="stable")[:k]])
+        for qi in range(40)
+    }
+
+    def recall(served):
+        got = {}
+        for r in served.collect():
+            got.setdefault(r.query_id, set()).add(r.vec_id)
+        return sum(
+            len(got.get(qi, set()) & truth[qi]) / k for qi in truth
+        ) / len(truth)
+
+    r_frozen = recall(
+        knn_ivfpq_codes(
+            q_df, read_ivfpq_index(spark, idx, tomb), k, dim, books0,
+            cents0, n_probe=2, doc_id="vec_id",
+        )
+    )
+
+    # yardstick: a from-scratch rebuild on the surviving corpus (what
+    # the reference does every run)
+    survivors_df = vectors.filter(~F.col("vec_id").isin(dead))
+    cents1 = kmeans_centroids(survivors_df, dim, n_centroids=8, n_iter=5)
+    books1 = pq_codebooks_trained(survivors_df, dim, 4, 16, n_iter=5)
+    r_rebuild = recall(
+        knn_ivfpq_codes(
+            q_df,
+            ivfpq_encode_pd(survivors_df, dim, books1, cents1),
+            k, dim, books1, cents1, n_probe=2, doc_id="vec_id",
+        )
+    )
+    assert r_rebuild > r_frozen + 0.1, (r_frozen, r_rebuild)
+
+    # the leased retrain-and-re-encode reaches the rebuild's state
+    state = reindex_ivfpq(
+        spark, idx, vectors, dim, m=4, ksub=16, n_centroids=8,
+        n_iter=5, tombstone_path=tomb,
+    )
+    r_re = recall(
+        knn_ivfpq_codes(
+            q_df, read_ivfpq_index(spark, idx), k, dim,
+            state["books"], state["centroids"], n_probe=2, doc_id="vec_id",
+        )
+    )
+    assert r_re > r_frozen + 0.1, (r_frozen, r_re)
+    assert abs(r_re - r_rebuild) <= 0.05, (r_re, r_rebuild)
+
+    # membership unchanged minus tombstones; tombstones cleared
+    ids = sorted(r.vec_id for r in read_ivfpq_index(spark, idx).collect())
+    assert ids == sorted(alive.tolist())
+    import os
+
+    assert not os.path.exists(tomb)
+    # trained state stamped atomically with the codes, round-trips
+    st = read_trained_state(spark, idx)
+    assert st is not None and st["books"] == state["books"]
+    assert st["centroids"] == state["centroids"]
+    assert (st["dim"], st["m"], st["ksub"]) == (dim, 4, 16)
+    # a redelivery of an old-geometry batch is fenced loudly
+    with pytest.raises(ValueError, match="already"):
+        guard_batch_not_compacted(idx, "batch-1")
+
+
+def test_compaction_preserves_trained_state_sidecar(spark, tmp_path):
+    """io.tables._rewrite_and_swap must carry _TRAINED.json across
+    every ordinary compaction — otherwise the first compact_batched
+    after a reindex silently strips the index's trained state."""
+    from clinical_vector_search_spark.io.tables import compact_batched
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+        read_trained_state,
+        write_trained_state,
+    )
+
+    dim = 16
+    mat = _drift_cloud(7, 120, dim, slice(0, 8))
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = kmeans_centroids(docs, dim, n_centroids=4, n_iter=2)
+    books = pq_codebooks_lcg(dim, 4, 16)
+    idx = str(tmp_path / "idx")
+    ivfpq_index_add(spark, docs, 0, idx, dim, books, cents, encoder="pd")
+    write_trained_state(spark, idx, cents, books, dim)
+    before = read_trained_state(spark, idx)
+    assert before is not None
+    rows_before = sorted(
+        (r.vec_id, r.cluster, tuple(r.codes))
+        for r in read_ivfpq_index(spark, idx).collect()
+    )
+    assert compact_batched(spark, idx) >= 1
+    # the sidecar survived the move-aside swap, codes unchanged, and
+    # the hidden file never leaks into the parquet listing
+    assert read_trained_state(spark, idx) == before
+    rows_after = sorted(
+        (r.vec_id, r.cluster, tuple(r.codes))
+        for r in read_ivfpq_index(spark, idx).collect()
+    )
+    assert rows_after == rows_before

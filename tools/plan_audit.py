@@ -1140,6 +1140,56 @@ def main() -> int:
         and n_nodes(plan, "BroadcastHashJoin") >= 4,
     )
 
+    # 54d. reindex_ivfpq (the r14 retrain-and-re-encode compaction): the
+    # re-encode plan consumes ONE raw-vector scan, semi-joined to the
+    # index-derived membership (codes scan + BROADCAST tombstone
+    # anti-join — membership comes from the index, so reindex changes
+    # geometry, never the served id set), and the encode itself is pure
+    # codegen expressions on the expr twin — no cartesian, no second
+    # corpus scan, no Python workers. 3 parquet scans total: vectors,
+    # codes, tombstones.
+    import tempfile as _tf2
+
+    from clinical_vector_search_spark.functions import vector as _V
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+    )
+
+    _vecs_pq = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", _V.l2_normalize("embedding").alias("embedding")
+    )
+    _rdir = _tf2.mkdtemp(prefix="cvs_plan_reidx_")
+    _books_r = pq_codebooks_lcg(64, 8, 16)
+    ivfpq_index_add(
+        spark, _vecs_pq.filter(F.col("vec_id") < 100), 0,
+        f"{_rdir}/codes", 64, _books_r, n_centroids=8,
+    )
+    ivfpq_index_delete(
+        spark, _vecs_pq.filter(F.col("vec_id") % 16 == 5).select("vec_id"),
+        0, f"{_rdir}/dead",
+    )
+    _surv = read_ivfpq_index(
+        spark, f"{_rdir}/codes", f"{_rdir}/dead"
+    ).select("vec_id")
+    plan = formatted(
+        ivfpq_encode(
+            _vecs_pq.join(_surv, "vec_id", "semi"), 64, _books_r,
+            n_centroids=8,
+        )
+    )
+    check(
+        "ivfpq_reindex: one corpus scan, broadcast tombstone anti-join, map-side encode",
+        "CartesianProduct" not in plan
+        and "LeftAnti" in plan
+        and n_nodes(plan, "Scan parquet") == 3
+        and "ArrowEvalPython" not in plan
+        and "MapInPandas" not in plan,
+    )
+
     # 55. serving over the maintained IVF-PQ index (the read half of the
     # lifecycle): the plan must scan the CODES table (plus the query
     # vectors and the tombstones) — never the raw corpus twice, never a
