@@ -88,6 +88,60 @@ def foreign_cpus(
     return round(foreign * n_cpus / total, 2)
 
 
+REGRESSION_LIMIT = 1.5
+REGRESSION_MIN_DELTA_SEC = 0.3
+REGRESSION_MIN_HISTORY = 2
+
+
+def artifact_history(
+    cur_sf: float, here: str | None = None
+) -> dict[str, list[float]]:
+    """Warm per-family times from the last 3 committed ``BENCH_r*.json``
+    artifacts AT THE SAME sf — the baseline of the cross-artifact
+    regression channel (third noise channel, r14). Accepts both the
+    driver-wrapped shape (headline under ``"parsed"``) and a raw
+    headline; unreadable artifacts and mismatched-sf rounds are
+    skipped, errored families (<= 0) excluded."""
+    import glob as _glob
+    import re as _re
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    arts = []
+    for p in _glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            arts.append((int(m.group(1)), p))
+    hist: dict[str, list[float]] = {}
+    for _, p in sorted(arts)[-3:]:
+        try:
+            with open(p) as fh:
+                art = json.load(fh) or {}
+        except Exception:  # noqa: BLE001 — unreadable artifact
+            continue
+        if "queries" not in art and isinstance(art.get("parsed"), dict):
+            art = art["parsed"]
+        if art.get("sf") != cur_sf:
+            continue  # warm times only compare at the same scale
+        for k, v in (art.get("queries") or {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                hist.setdefault(k, []).append(float(v))
+    return hist
+
+
+def regression_median(
+    hist: dict[str, list[float]], name: str,
+    min_history: int = REGRESSION_MIN_HISTORY,
+) -> float | None:
+    """The family's comparison baseline: the median of its committed
+    warm times (robust to ONE noisy committed round — exactly the r11
+    cdc_chunks case, [13.371, 1.706, 2.251] → 2.251). None with fewer
+    than ``min_history`` samples (new families never trip)."""
+    h = hist.get(name)
+    if not h or len(h) < min_history:
+        return None
+    return sorted(h)[len(h) // 2]
+
+
 def loadavg() -> list[float] | None:
     """1/5/15-minute host load — the sentinel that lets a reader tell a
     code regression from a loaded shared host (BENCH_r06 was uniformly
@@ -712,6 +766,41 @@ def main() -> None:
     SPREAD_LIMIT = 2.0
     SPREAD_MIN_DELTA_SEC = 0.3
 
+    # Third noise channel (VERDICT r13 task 3): STEADY co-tenant load
+    # defeats both meters above by construction — load that is constant
+    # across all reps produces no rep spread, and cheap families can
+    # sit under FOREIGN_LIMIT while still inflated (the r13 artifact
+    # published cdc_chunks 2.251 s / rel_pricing_summary 0.577 s with
+    # noisy_families:[]; the judge's quiet-host rerun measured
+    # 1.448/0.305 s). Cross-ARTIFACT regression: each family's warm
+    # best is compared to the MEDIAN of its warm times in the last 3
+    # committed BENCH_r*.json artifacts at the SAME sf — over
+    # REGRESSION_LIMIT× the median (with an absolute-delta guard for
+    # sub-second jitter) triggers the same one-retry-then-flag path as
+    # the other channels. This doubles as the perf-regression tripwire:
+    # a REAL engine slowdown flags in the round it lands, and KEEPS
+    # flagging in later rounds (the median only moves once the slower
+    # number is committed 2+ times) — which is also how a reader tells
+    # a regression from a one-off noisy host (host noise clears by the
+    # next artifact). New families have no history and never trip.
+    _hist = artifact_history(sf)
+    regression_flags: dict[str, dict] = {}
+
+    def _regression_noisy(name: str, warm: float) -> bool:
+        med = regression_median(_hist, name)
+        if med is None:
+            return False
+        over = (
+            warm > REGRESSION_LIMIT * med
+            and warm - med > REGRESSION_MIN_DELTA_SEC
+        )
+        if over:
+            regression_flags[name] = {
+                "median_last3": round(med, 3),
+                "measured_warm": warm,
+            }
+        return over
+
     def _spread_noisy(reps: list) -> bool:
         steady = reps[1:]
         if len(steady) < 2:
@@ -744,12 +833,17 @@ def main() -> None:
             reps_per_family[name] = [reps]
             foreign_per_family[name] = [foreign]
             foreign_noisy = foreign is not None and foreign > FOREIGN_LIMIT
-            if foreign_noisy or _spread_noisy(reps):
-                why = (
-                    f"{foreign} foreign CPUs (limit {FOREIGN_LIMIT})"
-                    if foreign_noisy
-                    else f"rep spread {reps} > {SPREAD_LIMIT}x"
-                )
+            regression_noisy = _regression_noisy(name, best)
+            if foreign_noisy or _spread_noisy(reps) or regression_noisy:
+                if foreign_noisy:
+                    why = f"{foreign} foreign CPUs (limit {FOREIGN_LIMIT})"
+                elif _spread_noisy(reps):
+                    why = f"rep spread {reps} > {SPREAD_LIMIT}x"
+                else:
+                    why = (
+                        f"warm {best}s > {REGRESSION_LIMIT}x the last-3-"
+                        f"artifact median {regression_flags[name]['median_last3']}s"
+                    )
                 print(
                     f"bench {name}: {why} — re-running once",
                     file=sys.stderr,
@@ -777,7 +871,11 @@ def main() -> None:
                         if foreign2 is not None
                         else foreign_noisy
                     )
-                    if foreign2_noisy or _spread_noisy(reps2):
+                    if (
+                        foreign2_noisy
+                        or _spread_noisy(reps2)
+                        or _regression_noisy(name, best)
+                    ):
                         noisy_families.append(name)
                     elif foreign_noisy:
                         # cold channel (r12 advice): the re-run's first
@@ -972,6 +1070,10 @@ def main() -> None:
             "reps_per_family": reps_per_family,
             "rep_spread_limit": SPREAD_LIMIT,
             "rep_spread_min_delta_sec": SPREAD_MIN_DELTA_SEC,
+            "regression_flags": regression_flags,
+            "regression_limit": REGRESSION_LIMIT,
+            "regression_min_delta_sec": REGRESSION_MIN_DELTA_SEC,
+            "regression_history_families": len(_hist),
             "loadavg_end": loadavg(),
             "noisy_host": noisy_host,
             "noisy_families": noisy_families,
