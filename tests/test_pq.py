@@ -545,192 +545,6 @@ def test_ivfpq_index_add_matches_rebuild_and_is_idempotent(spark, sf_dir, tmp_pa
     v.unpersist()
 
 
-def test_ivfpq_index_delete_tombstones(spark, sf_dir, tmp_path):
-    """ivfpq_index_delete tombstones ids without touching the codes
-    files: the read-with-tombstones view equals the encode of the
-    survivors, a missing tombstone directory means nothing is deleted,
-    and a delete retry is idempotent."""
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_encode_pd,
-        ivfpq_index_add,
-        ivfpq_index_delete,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-    )
-
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter(F.col("vec_id") < 200)
-    books = pq_codebooks_lcg(64, 8, 16)
-    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
-    ivfpq_index_add(spark, v.filter(F.col("vec_id") < 100), 0, idx, 64, books, n_centroids=8)
-    ivfpq_index_add(spark, v.filter(F.col("vec_id") >= 100), 1, idx, 64, books, n_centroids=8)
-
-    def snap(df):
-        return sorted(
-            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
-        )
-
-    # no tombstone dir yet: full index
-    full = snap(read_ivfpq_index(spark, idx, tombstone_path=tomb))
-    assert full == snap(read_ivfpq_index(spark, idx)) and len(full) == 200
-    dead = v.filter(F.col("vec_id") % 7 == 3).select("vec_id")
-    ivfpq_index_delete(spark, dead, 0, tomb)
-    got = snap(read_ivfpq_index(spark, idx, tombstone_path=tomb))
-    want = snap(
-        ivfpq_encode_pd(
-            v.join(dead, "vec_id", "left_anti"), 64, books, n_centroids=8
-        )
-    )
-    assert got == want and len(got) < 200
-    ivfpq_index_delete(spark, dead, 0, tomb)  # retry: idempotent
-    assert snap(read_ivfpq_index(spark, idx, tombstone_path=tomb)) == got
-
-
-def test_ivfpq_tombstone_compaction_physically_erases(spark, sf_dir, tmp_path):
-    """compact_tombstoned rewrites the codes minus tombstoned ids and
-    clears the tombstone directory: the plain read (no tombstone filter)
-    now equals the survivors, and a previously deleted id may re-ingest."""
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.io.tables import compact_tombstoned
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_index_add,
-        ivfpq_index_delete,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-    )
-
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter(F.col("vec_id") < 100)
-    books = pq_codebooks_lcg(64, 8, 16)
-    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
-    ivfpq_index_add(spark, v, 0, idx, 64, books, n_centroids=8)
-    dead = v.filter(F.col("vec_id") < 20).select("vec_id")
-    ivfpq_index_delete(spark, dead, 0, tomb)
-    want = sorted(
-        (r.vec_id, r.cluster, tuple(r.codes))
-        for r in read_ivfpq_index(spark, idx, tombstone_path=tomb).collect()
-    )
-    assert compact_tombstoned(spark, idx, tomb, "vec_id") >= 1
-    import os
-
-    assert not os.path.exists(tomb)
-    got = sorted(
-        (r.vec_id, r.cluster, tuple(r.codes))
-        for r in read_ivfpq_index(spark, idx).collect()
-    )
-    assert got == want and len(got) == 80
-    # absent tombstones: compaction is a no-op
-    assert compact_tombstoned(spark, idx, tomb, "vec_id") == 0
-    # re-ingest of an erased id is now legal
-    ivfpq_index_add(
-        spark, v.filter(F.col("vec_id") < 20), 1, idx, 64, books,
-        n_centroids=8,
-    )
-    assert read_ivfpq_index(spark, idx).count() == 100
-
-
-def test_ivfpq_compact_batched_fences_redelivery(spark, sf_dir, tmp_path):
-    """After compact_batched folds a codes batch into flat files,
-    redelivering it must be refused — a recreated batch-{id}
-    subdirectory would duplicate every (vec_id, cluster, codes) row and
-    return the same doc at two ranks. Fresh batches keep folding in and
-    the read-back still equals the full encode."""
-    import pytest
-
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.io.tables import compact_batched
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_encode_pd,
-        ivfpq_index_add,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-    )
-
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter(F.col("vec_id") < 200)
-    books = pq_codebooks_lcg(64, 8, 16)
-    idx = str(tmp_path / "codes")
-    b0 = v.filter(F.col("vec_id") < 100)
-    b1 = v.filter(F.col("vec_id") >= 100)
-    ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=4)
-    compact_batched(spark, idx)
-    with pytest.raises(ValueError, match="already"):
-        ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=4)
-    ivfpq_index_add(spark, b1, 1, idx, 64, books, n_centroids=4)
-
-    def snap(df):
-        return sorted(
-            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
-        )
-
-    assert snap(read_ivfpq_index(spark, idx)) == snap(
-        ivfpq_encode_pd(v, 64, books, n_centroids=4)
-    )
-
-
-def test_ivfpq_compact_tombstoned_fences_redelivery(spark, sf_dir, tmp_path):
-    """compact_tombstoned folds per-batch subdirectories into flat
-    survivor files, so — exactly like compact_batched — a late
-    at-least-once redelivery of a folded ingest batch must be refused:
-    a recreated batch-{id} subdirectory would double-count every
-    surviving row of that batch AND resurrect the physically erased
-    ids (tombstones are cleared last). Fresh batch ids keep ingesting."""
-    import pytest
-
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.io.tables import compact_tombstoned
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_encode_pd,
-        ivfpq_index_add,
-        ivfpq_index_delete,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-    )
-
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter(F.col("vec_id") < 200)
-    books = pq_codebooks_lcg(64, 8, 16)
-    idx, tomb = str(tmp_path / "codes"), str(tmp_path / "tombs")
-    b0 = v.filter(F.col("vec_id") < 100)
-    b1 = v.filter(F.col("vec_id") >= 100)
-    ivfpq_index_add(spark, b0, 0, idx, 64, books, n_centroids=8)
-    ivfpq_index_add(spark, b1, 1, idx, 64, books, n_centroids=8)
-    dead = v.filter(F.col("vec_id") % 5 == 2).select("vec_id")
-    ivfpq_index_delete(spark, dead, 0, tomb)
-    assert compact_tombstoned(spark, idx, tomb, "vec_id") >= 1
-
-    def snap(df):
-        return sorted(
-            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
-        )
-
-    survivors = snap(read_ivfpq_index(spark, idx))
-    # both folded batches redelivered -> loud refusal, index unchanged
-    for redelivered, bid in ((b0, 0), (b1, 1)):
-        with pytest.raises(ValueError, match="already"):
-            ivfpq_index_add(
-                spark, redelivered, bid, idx, 64, books, n_centroids=8
-            )
-    assert snap(read_ivfpq_index(spark, idx)) == survivors
-    # fresh batch id still ingests; read-back equals the full encode
-    b2 = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter((F.col("vec_id") >= 200) & (F.col("vec_id") < 250))
-    ivfpq_index_add(spark, b2, 2, idx, 64, books, n_centroids=8)
-    want = snap(
-        ivfpq_encode_pd(
-            v.join(dead, "vec_id", "left_anti").unionByName(b2),
-            64, books, n_centroids=8,
-        )
-    )
-    assert snap(read_ivfpq_index(spark, idx)) == want
-
-
 def test_ivfpq_index_add_rejects_unknown_encoder(spark, sf_dir, tmp_path):
     """A typo'd encoder name must raise, not silently fall back to the
     pandas path."""
@@ -818,53 +632,6 @@ def test_knn_refine_codes_over_maintained_index(spark, sf_dir, tmp_path):
         assert dists == sorted(dists)
         for _, d_id, dist in rows:
             assert abs(exact[(q, d_id)] - dist) < 1e-9
-
-
-def test_streaming_ivfpq_ingest_matches_encode(spark, sf_dir, tmp_path):
-    """Replaying a vector corpus through streaming_ivfpq_ingest in
-    micro-batches accumulates a codes table identical to the one-shot
-    encode — assignment/encoding are pure per-row functions of the
-    trained state, so chunking cannot matter."""
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_encode_pd,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-        streaming_ivfpq_ingest,
-    )
-
-    v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    ).filter(F.col("vec_id") < 200)
-    vec_path = str(tmp_path / "vecs")
-    v.repartitionByRange(4, "vec_id").write.parquet(vec_path)
-    stream = (
-        spark.readStream.schema(v.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(vec_path)
-    )
-    books = pq_codebooks_lcg(64, 8, 16)
-    idx = str(tmp_path / "codes")
-    q = streaming_ivfpq_ingest(
-        spark, stream, idx, 64, books, n_centroids=8,
-        checkpoint_path=str(tmp_path / "ckpt"), run_id="day1",
-    )
-    assert q.awaitTermination(300)
-    assert len(q.recentProgress) > 1
-
-    def snap(df):
-        return sorted(
-            (r.vec_id, r.cluster, tuple(r.codes)) for r in df.collect()
-        )
-
-    assert snap(read_ivfpq_index(spark, idx)) == snap(
-        ivfpq_encode_pd(v, 64, books, n_centroids=8)
-    )
-    import os
-
-    assert any(d.startswith("batch-day1-") for d in os.listdir(idx))
-
-
 def _drift_cloud(seed: int, n: int, dim: int, active: slice):
     """Deterministic L2-normalized vectors clustered around 4 random
     directions living only in ``active`` dims — two clouds with

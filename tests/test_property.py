@@ -726,205 +726,3 @@ def test_jaccard_prefix_random_heavy_hitters(spark):
             assert full  # heavy boilerplate guarantees low-tau pairs
 
 
-corpus_strategy = st.lists(
-    st.lists(
-        st.sampled_from(
-            ["alpha", "bravo", "charlie", "delta", "echo", "zephyr"]
-        ),
-        min_size=1,
-        max_size=6,
-    ),
-    min_size=2,
-    max_size=12,
-)
-
-
-@_slow
-@given(
-    token_docs=corpus_strategy,
-    k=st.integers(min_value=1, max_value=3),      # number of ingest batches
-    mask=st.integers(min_value=0, max_value=255),   # delete-subset bitmask
-    mask2=st.integers(min_value=0, max_value=255),  # second delete batch
-)
-def test_bm25_maintenance_algebra_matches_rebuild(
-    spark, tmp_path_factory, token_docs, k, mask, mask2
-):
-    """For ANY corpus, ANY batch partitioning and ANY sequence of two
-    delete batches — the second one MIXED: new deletions plus
-    redeliveries of already-deleted docs (the r12 idempotent-re-delete
-    fence) — the additive BM25 maintenance state (postings + df deltas
-    + scalars, minus tombstones and negative deltas) must reconstruct
-    the one-shot bm25_index view of exactly the surviving docs —
-    including the epsilon floor over the SURVIVING vocabulary (terms
-    whose last doc died must vanish), with the re-delivered docs'
-    deltas subtracted exactly once."""
-    from clinical_vector_search_spark.operators.bm25 import (
-        bm25_index,
-        bm25_index_add,
-        bm25_index_delete,
-        bm25_read_index,
-    )
-
-    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    idx = str(tmp_path_factory.mktemp("bm25_prop"))
-    for b in range(k):
-        batch = docs.filter(F.col("doc_id") % k == b)
-        bm25_index_add(spark, batch, b, idx)
-    deleted_ids = [i for i in range(len(rows)) if (mask >> (i % 8)) & 1]
-    # never delete everything — a 0-doc index is out of contract
-    if len(deleted_ids) == len(rows):
-        deleted_ids = deleted_ids[:-1]
-    if deleted_ids:
-        bm25_index_delete(
-            spark, docs.filter(F.col("doc_id").isin(deleted_ids)), 0, idx
-        )
-    # second delete batch under a FRESH id: new deletions from mask2
-    # plus a re-delivery of up to two already-deleted docs — only the
-    # genuinely live docs' stats may be subtracted (double-subtraction
-    # would drift idf/avgdl for every query)
-    extra = [
-        i for i in range(len(rows))
-        if (mask2 >> (i % 8)) & 1 and i not in set(deleted_ids)
-    ]
-    if len(deleted_ids) + len(extra) == len(rows):
-        extra = extra[:-1]  # never delete everything
-    batch2 = extra + deleted_ids[:2]
-    if batch2:
-        bm25_index_delete(
-            spark, docs.filter(F.col("doc_id").isin(batch2)), 1, idx
-        )
-    all_deleted = deleted_ids + extra
-    survivors = docs.filter(~F.col("doc_id").isin(all_deleted))
-
-    def snap(df):
-        return sorted(
-            (
-                r.doc, r.term, r.tf, r.dl,
-                round(r.idf, 10), r.n_docs, round(r.avgdl, 10),
-            )
-            for r in df.collect()
-        )
-
-    assert snap(bm25_read_index(spark, idx)) == snap(bm25_index(survivors))
-
-
-@_slow
-@given(
-    token_docs=corpus_strategy,
-    k=st.integers(min_value=1, max_value=3),      # number of ingest batches
-    mask=st.integers(min_value=0, max_value=255),   # delete-subset bitmask
-    mask2=st.integers(min_value=0, max_value=255),  # second delete batch
-)
-def test_tfidf_maintenance_algebra_matches_rebuild(
-    spark, tmp_path_factory, token_docs, k, mask, mask2
-):
-    """The VSM twin of test_bm25_maintenance_algebra_matches_rebuild
-    (r13): for ANY corpus, ANY batch partitioning and ANY two delete
-    batches — the second MIXED with re-deliveries of already-deleted
-    docs — the additive TF-IDF state (tf postings + df deltas + n_docs
-    scalars, minus tombstones and negative deltas) must reconstruct the
-    one-shot tfidf_index view of exactly the surviving docs, with
-    vanished vocabulary dropped (a term whose last doc died must leave
-    the idf table — the df>0 cut) and re-delivered docs' deltas
-    subtracted exactly once."""
-    from clinical_vector_search_spark.operators.sparse import (
-        tfidf_index,
-        tfidf_index_add,
-        tfidf_index_delete,
-        tfidf_read_index,
-    )
-
-    rows = [(i, " ".join(toks)) for i, toks in enumerate(token_docs)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string")
-    idx = str(tmp_path_factory.mktemp("tfidf_prop"))
-    for b in range(k):
-        bm = docs.filter(F.col("doc_id") % k == b)
-        tfidf_index_add(spark, bm, b, idx)
-    deleted_ids = [i for i in range(len(rows)) if (mask >> (i % 8)) & 1]
-    if len(deleted_ids) == len(rows):  # 0-doc index is out of contract
-        deleted_ids = deleted_ids[:-1]
-    if deleted_ids:
-        tfidf_index_delete(
-            spark, docs.filter(F.col("doc_id").isin(deleted_ids)), 0, idx
-        )
-    extra = [
-        i for i in range(len(rows))
-        if (mask2 >> (i % 8)) & 1 and i not in set(deleted_ids)
-    ]
-    if len(deleted_ids) + len(extra) == len(rows):
-        extra = extra[:-1]  # never delete everything
-    batch2 = extra + deleted_ids[:2]
-    if batch2:
-        tfidf_index_delete(
-            spark, docs.filter(F.col("doc_id").isin(batch2)), 1, idx
-        )
-    survivors = docs.filter(~F.col("doc_id").isin(deleted_ids + extra))
-
-    def snap(df):
-        return sorted(
-            (r.doc, r.term, r.tf, round(r.idf, 10), round(r.w, 10))
-            for r in df.collect()
-        )
-
-    assert snap(tfidf_read_index(spark, idx)) == snap(tfidf_index(survivors))
-
-
-@_slow
-@given(
-    seed=st.integers(min_value=0, max_value=2**31 - 1),
-    n=st.integers(min_value=2, max_value=12),
-    k=st.integers(min_value=1, max_value=3),       # number of ingest batches
-    mask=st.integers(min_value=0, max_value=255),  # delete-subset bitmask
-)
-def test_ivfpq_lifecycle_matches_survivor_encode(
-    spark, tmp_path_factory, seed, n, k, mask
-):
-    """For ANY vector set, ANY ingest batching (alternating between the
-    expression and NumPy encoder twins — their bit-parity must hold
-    through the sink) and ANY delete subset, the maintained codes
-    directory (adds minus tombstones) must read back as EXACTLY the
-    one-shot encode of the surviving vectors — the codes-table
-    lifecycle algebra of FAISS add/remove_ids, before any compaction."""
-    import numpy as np
-
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_encode_pd,
-        ivfpq_index_add,
-        ivfpq_index_delete,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-    )
-
-    rng = np.random.RandomState(seed)
-    vecs = rng.uniform(-1, 1, size=(n, 8)).round(3)
-    df = spark.createDataFrame(
-        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
-        "vec_id long, embedding array<double>",
-    )
-    books = pq_codebooks_lcg(8, 2, 4)
-    base = str(tmp_path_factory.mktemp("ivfpq_prop"))
-    codes_p, dead_p = f"{base}/codes", f"{base}/dead"
-    for b in range(k):
-        ivfpq_index_add(
-            spark, df.filter(F.col("vec_id") % k == b), b, codes_p, 8,
-            books, n_centroids=2, encoder="pd" if b % 2 else "expr",
-        )
-    deleted = [i for i in range(n) if (mask >> (i % 8)) & 1]
-    if deleted:
-        ivfpq_index_delete(
-            spark, df.filter(F.col("vec_id").isin(deleted)), 0, dead_p
-        )
-    # dead_p is passed even when no delete was written — the absent-
-    # tombstone-directory branch must read as "nothing deleted"
-    got = read_ivfpq_index(spark, codes_p, tombstone_path=dead_p)
-    want = ivfpq_encode_pd(
-        df.filter(~F.col("vec_id").isin(deleted)), 8, books, n_centroids=2
-    )
-
-    def snap(frame):
-        return sorted(
-            (r.vec_id, r.cluster, tuple(r.codes)) for r in frame.collect()
-        )
-
-    assert snap(got) == snap(want)
