@@ -877,7 +877,14 @@ def main() -> None:
                         or _regression_noisy(name, best)
                     ):
                         noisy_families.append(name)
-                    elif foreign_noisy:
+                    else:
+                        # the retry judged the family clean: drop any
+                        # stale channel-3 flag from attempt 1 —
+                        # publishing a regression flag for a family the
+                        # channel itself cleared would read as a real
+                        # regression in a clean round
+                        regression_flags.pop(name, None)
+                    if name not in noisy_families and foreign_noisy:
                         # cold channel (r12 advice): the re-run's first
                         # rep executes with a warm JVM/page cache/
                         # persisted _*_state, so min(first, first2)

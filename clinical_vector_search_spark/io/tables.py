@@ -155,6 +155,12 @@ def upsert_vector_index(
     # at write time (loud, but an avoidable failure the lease exists to
     # serialize). Recover + read under the same exclusion as the swap.
     with compaction_lease(spark, path):
+        # same marker check as every other swap-performing writer: a
+        # batch sink sharing this directory announces ingest markers,
+        # and this swap would silently delete its in-flight
+        # subdirectory (no batch sink writes to a vector-index
+        # directory today — the guard keeps the protocol uniform)
+        _guard_no_ingest_in_flight(spark, path, None)
         recover_interrupted_swap(spark, path, deep=True, _leased=True)
         old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
         incoming = (
@@ -1210,23 +1216,31 @@ def compact_tombstoned(
         if not is_absence_error(e):
             raise
         return 0
-    with compaction_lease(spark, data_path, break_stale_lease_after_sec):
+    # TWO leases, data then tombstone (fixed order — no other writer
+    # claims both, so no deadlock): holding the TOMBSTONE path's lease
+    # for the whole job is what actually excludes the delete writers —
+    # their guards/markers check the tombstone path, not the data path,
+    # so a data-lease-only compactor would let a delete batch commit
+    # between the snapshot below and the clear-LAST delete and then
+    # silently wipe it (resurrected doc; for BM25 the batch's negative
+    # stat deltas in sibling dirs would survive the wipe — permanently
+    # inconsistent idf/avgdl). With the lease held, a concurrent delete
+    # refuses loudly and retries after.
+    with compaction_lease(spark, data_path, break_stale_lease_after_sec), \
+            compaction_lease(spark, tombstone_path,
+                             break_stale_lease_after_sec):
         _guard_no_ingest_in_flight(
             spark, data_path, break_stale_lease_after_sec
         )
-        # the tombstone directory too: its clear-LAST step would wipe a
-        # delete batch being written RIGHT NOW while that batch's
-        # negative stat deltas survive elsewhere — inconsistent state
+        # a delete batch mid-write when we claimed the lease
         _guard_no_ingest_in_flight(
             spark, tombstone_path, break_stale_lease_after_sec
         )
-        # snapshot the tombstone LISTING under the lease + ingest guard:
-        # spark.read.parquet eagerly freezes the InMemoryFileIndex, so a
-        # pre-lease snapshot would miss a tombstone batch committed
-        # between snapshot and lease — absent from `dead` yet wiped by
-        # the clear-LAST delete below: silently lost deletes. Reading
-        # here puts the snapshot under the same exclusion that protects
-        # the final clear.
+        # snapshot the tombstone LISTING under both leases + guards:
+        # spark.read.parquet eagerly freezes the InMemoryFileIndex, so
+        # an earlier snapshot would miss a tombstone batch committed
+        # before the exclusion — absent from `dead` yet wiped by the
+        # clear-LAST delete below: silently lost deletes.
         try:
             dead = rec.parquet(tombstone_path).select(id_col)
         except AnalysisException as e:

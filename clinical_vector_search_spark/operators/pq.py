@@ -1001,16 +1001,31 @@ def write_trained_state(
     jvm, fs, _ = _hadoop_fs(spark, index_path)
     P = jvm.org.apache.hadoop.fs.Path
     payload = _trained_payload(centroids, books, dim, residual)
-    tmp = P(f"{index_path.rstrip('/')}/.{uuid.uuid4().hex}.trained.tmp")
-    dst = P(f"{index_path.rstrip('/')}/{TRAINED_SIDECAR}")
+    base = index_path.rstrip("/")
+    # clear tmp strays from previously crashed publishes (hidden, so
+    # harmless to readers, but they would accumulate forever)
+    for st in fs.globStatus(P(f"{base}/.*.trained.tmp")) or []:
+        fs.delete(st.getPath(), False)
+    tmp = P(f"{base}/.{uuid.uuid4().hex}.trained.tmp")
+    dst = P(f"{base}/{TRAINED_SIDECAR}")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(payload))
     finally:
         out.close()
-    fs.delete(dst, False)  # rename refuses to clobber on some FSes
-    if not fs.rename(tmp, dst):
-        raise IOError(f"could not publish trained state at {dst}")
+    # publish with FileContext's ATOMIC overwrite rename — a plain
+    # FileSystem.rename refuses to clobber, and delete-then-rename
+    # would open a crash window with NO trained state at all (old one
+    # already deleted, new one still a hidden tmp): readers would
+    # silently fall into the "caller keeps the state" branch with the
+    # actual geometry lost
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(ren, 1)
+    opts[0] = ren.OVERWRITE
+    fc.rename(tmp, dst, opts)
 
 
 def _trained_payload(
@@ -1130,7 +1145,24 @@ def reindex_ivfpq(
     )
     from clinical_vector_search_spark.operators.knn import kmeans_centroids
 
-    with compaction_lease(spark, index_path, break_stale_lease_after_sec):
+    import contextlib
+
+    # TWO leases, index then tombstone (fixed order, same argument as
+    # ``compact_tombstoned``): the delete writers' guards/markers check
+    # the TOMBSTONE path's lease — holding it for the whole (long:
+    # retrain + re-encode) job is what turns a concurrent delete into a
+    # loud refusal instead of a batch silently wiped by the clear-LAST
+    # delete in step 6.
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(
+            compaction_lease(spark, index_path, break_stale_lease_after_sec)
+        )
+        if tombstone_path is not None:
+            _stack.enter_context(
+                compaction_lease(
+                    spark, tombstone_path, break_stale_lease_after_sec
+                )
+            )
         _guard_no_ingest_in_flight(
             spark, index_path, break_stale_lease_after_sec
         )
@@ -1147,9 +1179,18 @@ def reindex_ivfpq(
             spark, index_path, tombstone_path, id_col
         ).select(id_col)
 
-        # 2. the raw-vector source restricted to survivors (one shuffle)
-        corpus = vectors.select(id_col, vec_col).join(
-            survivors, id_col, "semi"
+        # 2. the raw-vector source restricted to survivors — pinned
+        # ONCE: three consumers follow (centroid training, codebook
+        # training, the re-encode), and each would otherwise re-execute
+        # the semi-join plan from the scans (the trainers'
+        # per-iteration localCheckpoints pin only their own input) —
+        # 3× the job's one big shuffle instead of 1×. At a scale where
+        # the survivors exceed executor storage, replace the pin with a
+        # temp-parquet spill; the plan is identical.
+        corpus = (
+            vectors.select(id_col, vec_col)
+            .join(survivors, id_col, "semi")
+            .localCheckpoint()
         )
 
         # 3. retrain on the shifted corpus (residual discipline: books

@@ -13,9 +13,12 @@ robustness to one noisy committed round — no SparkSession needed.
 from __future__ import annotations
 
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from bench import (  # noqa: E402
     REGRESSION_LIMIT,

@@ -577,7 +577,13 @@ def test_tombstone_batch_committed_before_lease_is_not_lost(
             return self._cm.__exit__(*a)
 
     def lease_then_late(s, p, b=None):
-        return _LateTombstone(real(s, p, b))
+        # inject on the DATA-path lease only: after it but before the
+        # tombstone-path lease is exactly the window where a delete
+        # writer can still commit (its guards watch the tombstone
+        # lease, which is not yet held)
+        if p == data:
+            return _LateTombstone(real(s, p, b))
+        return real(s, p, b)
 
     with monkeypatch.context() as m:
         m.setattr(T, "compaction_lease", lease_then_late)
@@ -587,3 +593,57 @@ def test_tombstone_batch_committed_before_lease_is_not_lost(
     )
     assert survivors == [0, 3, 4, 5, 6, 7, 8, 9]  # BOTH 1 and 2 erased
     assert not os.path.exists(tomb)  # cleared, with no delete lost
+
+
+def test_delete_writer_refused_while_tombstone_lease_held(spark, tmp_path):
+    """The clear-LAST race (r14 review): compact_tombstoned/reindex now
+    hold the TOMBSTONE path's lease for their whole run, so a delete
+    batch arriving mid-job refuses loudly instead of committing a
+    tombstone the clear-LAST delete silently wipes (a resurrected
+    doc)."""
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_delete,
+    )
+
+    tomb = str(tmp_path / "dead")
+    with open(T._lease_path(tomb), "w", encoding="utf-8") as f:
+        f.write('{"pid": 1, "host": "compactor"}')
+    ids = spark.createDataFrame([(1,)], "vec_id long")
+    with pytest.raises(T.LeaseHeldError):
+        ivfpq_index_delete(spark, ids, 0, tomb)
+    assert not os.path.exists(tomb)  # nothing committed
+    os.remove(T._lease_path(tomb))
+    ivfpq_index_delete(spark, ids, 0, tomb)  # retry after clear: lands
+    assert os.path.exists(tomb)
+
+
+def test_compact_tombstoned_holds_tombstone_lease_for_whole_job(
+    spark, tmp_path, monkeypatch
+):
+    """compact_tombstoned must hold the tombstone path's lease from
+    before the listing snapshot until after the clear-LAST delete —
+    the delete writers' guards check THAT lease, not the data path's."""
+    data = str(tmp_path / "data")
+    tomb = str(tmp_path / "tomb")
+    spark.createDataFrame(
+        [(i,) for i in range(10)], "doc_id long"
+    ).write.parquet(f"{data}/batch-0")
+    spark.createDataFrame([(1,)], "doc_id long").write.parquet(
+        f"{tomb}/del-0"
+    )
+    seen = {}
+    real = T._rewrite_and_swap
+
+    def spy(df, path, tb, sidecar=None):
+        seen["tomb_lease_during_rewrite"] = os.path.exists(
+            T._lease_path(tomb)
+        )
+        return real(df, path, tb, sidecar)
+
+    with monkeypatch.context() as m:
+        m.setattr(T, "_rewrite_and_swap", spy)
+        assert T.compact_tombstoned(spark, data, tomb, "doc_id") >= 1
+    assert seen["tomb_lease_during_rewrite"] is True
+    # both leases released afterwards
+    assert not os.path.exists(T._lease_path(tomb))
+    assert not os.path.exists(T._lease_path(data))
