@@ -6190,6 +6190,46 @@ def q_text_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retrieval_trigram_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maintained trigram index lifecycle (operators/sparse.py
+    trigram_index_add/delete/read — the FOURTH index on the shared
+    maintenance protocol, r14; written as one kit against the
+    parameterized contract suite): the corpus arrives as two idempotent
+    batch-id-overwrite ingests of per-doc trigram postings (cost ∝
+    batch — the simplest protocol member: no corpus-global statistics
+    at all), ids with doc_id % 10 == 3 are tombstoned (ids only — no
+    delete-by-replay needed), and the 'merge batch' substring search
+    runs over the READ-BACK postings (broadcast tombstone anti-join):
+    lossless trigram-intersection pruning, exact contains() verify on
+    candidates only. Oracle = the text_trigram_search SQL restricted
+    to the survivors."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.sparse import (
+        trigram_index_add,
+        trigram_index_delete,
+        trigram_read_index,
+        trigram_search,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_trigram_idx_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = _docs(spark, sf_dir)
+    trigram_index_add(spark, docs.filter(F.col("doc_id") % 2 == 0), 0, base)
+    trigram_index_add(spark, docs.filter(F.col("doc_id") % 2 == 1), 1, base)
+    trigram_index_delete(
+        spark, docs.filter(F.col("doc_id") % 10 == 3).select("doc_id"),
+        0, base,
+    )
+    postings = trigram_read_index(spark, base)
+    survivors = docs.filter(F.col("doc_id") % 10 != 3)
+    return trigram_search(postings, survivors, "merge batch").select(
+        "doc_id", "n_chars"
+    )
+
+
 def q_events_forecast_backtest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -7288,12 +7328,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r13 VERDICT's task 2 names this r14 order):
-    #   1. the TWO entries NEW in r14 (IVF-PQ retrain-and-re-encode
-    #      compaction; SoftDeDup weights -> weighted corpus draw) lead;
+    #   1. the THREE entries NEW in r14 (IVF-PQ retrain-and-re-encode
+    #      compaction; SoftDeDup weights -> weighted corpus draw; the
+    #      maintained trigram index lifecycle) lead;
     #   2. the 32 remaining last-green-r8 entries (rows-only excluded)
     #      — this RETIRES the r8 tier: after r14 no entry's last
     #      driver row predates r9;
-    #   3. the 16 stalest last-green-r9 entries fill the window to 50
+    #   3. the 15 stalest last-green-r9 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -7302,10 +7343,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      demoted last). Every entry below the window was green in its
     #      last driver round (r9-r13).
     return {
-        # -- r14 window 1-2: NEW in r14 --
+        # -- r14 window 1-3: NEW in r14 --
         "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
         "dedup_soft_sample": q_dedup_soft_sample,
-        # -- r14 window 3-34: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
+        "retrieval_trigram_incremental": q_retrieval_trigram_incremental,
+        # -- r14 window 4-35: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
         "events_seasonal_index": q_events_seasonal_index,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
@@ -7338,7 +7380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_dedup": q_events_streaming_dedup,
         "salted_agg": q_salted_agg,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        # -- r14 window 35-50: stalest last-green-r9 entries (rows-only excluded) --
+        # -- r14 window 36-50: stalest last-green-r9 entries (rows-only excluded) --
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -7354,7 +7396,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_survivors": q_dedup_survivors,
         "text_repetition": q_text_repetition,
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
-        "rel_cube": q_rel_cube,
         # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
         "events_distinct_hll": q_events_distinct_hll,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
@@ -7364,7 +7405,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "knn_ivfpq": q_knn_ivfpq,
         "vec_pca": q_vec_pca,
-        # -- remaining blocks, stalest first: r9 remainder, r10, r11, r12, then the r13 window demoted last --
+        # -- remaining blocks, stalest first: r9 remainder (rel_cube displaced from the window by the third new entry), r10, r11, r12, then the r13 window demoted last --
+        "rel_cube": q_rel_cube,
         "rel_window_ranks": q_rel_window_ranks,
         "rel_local_supplier_volume": q_rel_local_supplier_volume,
         "rel_profile": q_rel_profile,
@@ -10096,6 +10138,28 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT trigram) = {len(_tg_pats)})
         SELECT d.doc_id, d.n_chars
         FROM documents d JOIN cand USING (doc_id)
+        WHERE contains(lower(d.text), 'merge batch')
+    """
+
+    # maintained-trigram-index serving: the lifecycle (two ingests +
+    # tombstoned deletes + read-back) must equal the one-shot trigram
+    # route over the SURVIVORS — same postings-intersection SQL with
+    # the deleted ids filtered at the source
+    s["retrieval_trigram_incremental"] = f"""
+        WITH d AS (SELECT * FROM documents WHERE doc_id % 10 <> 3),
+        tg AS (
+            SELECT doc_id, unnest(list_distinct(
+                [substr(lower(text), i, 3)
+                 FOR i IN range(1, greatest(length(lower(text)) - 1, 1))]
+            )) AS trigram
+            FROM d),
+        cand AS (
+            SELECT doc_id FROM tg
+            WHERE list_contains({_tg_list}, trigram)
+            GROUP BY doc_id
+            HAVING count(DISTINCT trigram) = {len(_tg_pats)})
+        SELECT d.doc_id, d.n_chars
+        FROM d JOIN cand USING (doc_id)
         WHERE contains(lower(d.text), 'merge batch')
     """
 

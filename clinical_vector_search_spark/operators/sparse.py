@@ -422,3 +422,137 @@ def trigram_search(
     return docs.join(cand, id_col, "left_semi").filter(
         F.contains(F.lower(F.col(text_col)), F.lit(p))
     )
+
+
+def trigram_index_add(
+    spark,
+    new_docs: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    run_id: str | None = None,
+) -> None:
+    """Incremental trigram-index maintenance — the fourth maintained
+    index on the shared lifecycle protocol (r14; the parameterized
+    contract suite in tests/test_maintained_index.py gave it the full
+    add/delete/compact/stream ladder by writing one kit). Structurally
+    the SIMPLEST member: :func:`trigram_postings` rows are per-doc facts
+    with no corpus-global statistics at all (no df, no scalars — the
+    search intersects posting sets, it never folds idf), so the state
+    is one directory of immutable per-batch postings plus tombstones:
+
+      ``postings/batch-N``  (doc, trigram) — per-doc, immutable.
+
+    Cost ∝ batch (one map-side explode of the batch — zero joins, zero
+    corpus rescan); each batch OVERWRITES its own subdirectory
+    (at-least-once retries bit-identical); redelivery of a batch folded
+    by ``io.tables.compact_batched`` is refused loudly. ``run_id``
+    namespaces batches from a new streaming query/checkpoint."""
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        guard_batch_not_compacted,
+        ingest_markers,
+    )
+
+    bsub = batch_subdir("batch", run_id, batch_id)
+    guard_batch_not_compacted(f"{index_path}/postings", bsub)
+    grams = trigram_postings(new_docs, text_col, id_col).select(
+        F.col(id_col).alias("doc"), "trigram"
+    )
+    with ingest_markers(spark, [f"{index_path}/postings"]):
+        grams.write.mode("overwrite").parquet(
+            f"{index_path}/postings/{bsub}"
+        )
+
+
+def trigram_index_delete(
+    spark,
+    deleted_ids: DataFrame,
+    batch_id: int,
+    index_path: str,
+    id_col: str = "doc_id",
+    run_id: str | None = None,
+) -> None:
+    """Delete half of the trigram lifecycle: ids are TOMBSTONED
+    (``deleted/del-N``) and filtered out at read time by a broadcast
+    anti-join; postings are never rewritten (physical erasure happens
+    at the next ``io.tables.compact_tombstoned`` over
+    ``postings``/``deleted``). Because the index keeps NO corpus-global
+    statistics, deletes need only ids — no delete-by-replay of the doc
+    text, no negative deltas, and re-deleting an already-deleted doc is
+    inherently a no-op (a duplicate tombstone row changes nothing) —
+    the degenerate, and therefore simplest, instance of the shared
+    protocol."""
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        guard_batch_not_compacted,
+        ingest_markers,
+    )
+
+    dsub = batch_subdir("del", run_id, batch_id)
+    guard_batch_not_compacted(f"{index_path}/deleted", dsub)
+    tomb = deleted_ids.select(F.col(id_col).alias("doc")).distinct()
+    with ingest_markers(spark, [f"{index_path}/deleted"]):
+        tomb.write.mode("overwrite").parquet(f"{index_path}/deleted/{dsub}")
+
+
+def trigram_read_index(spark, index_path: str, id_col: str = "doc_id"):
+    """Read a maintained trigram index back as the
+    :func:`trigram_postings`-shaped frame (``id_col``, trigram):
+    recursive postings scan, broadcast tombstone anti-join, mid-swap
+    self-heal on both stat directories — :func:`trigram_search`
+    consumes it unchanged."""
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import (
+        is_absence_error,
+        recover_interrupted_swap,
+    )
+
+    def rec(sub: str) -> DataFrame:
+        recover_interrupted_swap(spark, f"{index_path}/{sub}")
+        return spark.read.option("recursiveFileLookup", "true").parquet(
+            f"{index_path}/{sub}"
+        )
+
+    postings = rec("postings")
+    try:
+        postings = postings.join(
+            F.broadcast(rec("deleted")), "doc", "left_anti"
+        )
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+    return postings.select(F.col("doc").alias(id_col), "trigram")
+
+
+def streaming_trigram_ingest(
+    spark,
+    doc_stream: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+):
+    """Streaming trigram-index maintenance — ``foreachBatch`` over
+    :func:`trigram_index_add`, same contract as the BM25/TF-IDF/IVF-PQ
+    streaming twins: cost ∝ micro-batch, idempotent batch-id overwrite,
+    each doc in exactly ONE batch, ``run_id`` for a new
+    query/checkpoint. Returns the ``StreamingQuery``."""
+    from clinical_vector_search_spark.io.tables import validate_run_id
+
+    validate_run_id(run_id)
+
+    def _ingest(batch_df, bid):
+        trigram_index_add(
+            spark, batch_df, bid, index_path, id_col, text_col, run_id
+        )
+
+    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()

@@ -9,9 +9,11 @@ compaction fence manifests / ingest-marker + lease exclusion / global
 stats refolded at read. Previously each index carried a hand-written
 copy of the same property and example tests; this suite parameterizes
 the protocol itself over an IndexKit (corpus / add / delete / read /
-rebuild), so the CONTRACT is the tested artifact and a fourth index
-(trigram postings is the obvious candidate, operators/sparse.py)
-gets the full ladder by writing one kit. Index-SPECIFIC behaviors
+rebuild), so the CONTRACT is the tested artifact and a new index gets
+the full ladder by writing one kit — proven the same round: the
+trigram index (operators/sparse.py trigram_index_add) was written
+AFTER the suite and runs the whole ladder as the fourth kit with zero
+new test code. Index-SPECIFIC behaviors
 (serving-score parity, encoder-switch retries, recall) stay in the
 per-index files.
 
@@ -223,8 +225,44 @@ def _ivfpq_kit() -> IndexKit:
     )
 
 
-KITS = [_bm25_kit, _tfidf_kit, _ivfpq_kit]
-KIT_IDS = ["bm25", "tfidf", "ivfpq"]
+def _trigram_kit() -> IndexKit:
+    # the r14 fourth index — written AFTER the suite, proving the
+    # "one kit = the full ladder" claim this file exists to make
+    from clinical_vector_search_spark.operators.sparse import (
+        streaming_trigram_ingest,
+        trigram_index_add,
+        trigram_index_delete,
+        trigram_postings,
+        trigram_read_index,
+    )
+
+    return IndexKit(
+        name="trigram",
+        id_col="doc_id",
+        corpus=_text_corpus,
+        add=lambda spark, df, b, base, run_id=None: trigram_index_add(
+            spark, df, b, base, run_id=run_id
+        ),
+        delete=lambda spark, df, b, base: trigram_index_delete(
+            spark, df.select("doc_id"), b, base
+        ),
+        read=lambda spark, base: trigram_read_index(spark, base),
+        rebuild=trigram_postings,
+        snap=lambda df: sorted(
+            (r.doc_id, r.trigram) for r in df.collect()
+        ),
+        compact_dirs=lambda base: [f"{base}/postings"],
+        tombstoned=lambda base: (f"{base}/postings", f"{base}/deleted", "doc"),
+        stream_ingest=lambda spark, stream, base, ckpt, run_id:
+            streaming_trigram_ingest(
+                spark, stream, base, checkpoint_path=ckpt, run_id=run_id
+            ),
+        stream_check_dir=lambda base: f"{base}/postings",
+    )
+
+
+KITS = [_bm25_kit, _tfidf_kit, _ivfpq_kit, _trigram_kit]
+KIT_IDS = ["bm25", "tfidf", "ivfpq", "trigram"]
 
 
 @pytest.fixture(params=KITS, ids=KIT_IDS)
