@@ -995,6 +995,37 @@ def guard_no_compaction_in_flight(
         )
 
 
+def streaming_index_ingest(
+    stream: DataFrame,
+    add_fn,
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+):
+    """The shared streaming twin of every maintained index's batch add —
+    the ``foreachBatch`` contract lives HERE, once, so a fix to it
+    (validate-before-start ordering, trigger choice, checkpoint
+    handling) reaches all indexes: validate the run_id BEFORE the
+    stream starts (not mid-batch), compose ``add_fn(batch_df,
+    batch_id, run_id)`` under an ``availableNow`` trigger, wire the
+    optional checkpoint, return the started ``StreamingQuery``. Each
+    index's ``streaming_*_ingest`` is a one-line closure over its add.
+    Idempotency comes from the adds themselves (batch-id overwrite);
+    streaming batch ids are unique only per CHECKPOINT — pass a
+    distinct ``run_id`` when extending an index from a new
+    query/checkpoint."""
+    validate_run_id(run_id)
+
+    def _ingest(batch_df, bid):
+        add_fn(batch_df, bid, run_id)
+
+    writer = stream.writeStream.foreachBatch(_ingest).trigger(
+        availableNow=True
+    )
+    if checkpoint_path is not None:
+        writer = writer.option("checkpointLocation", checkpoint_path)
+    return writer.start()
+
+
 def _marker_dir(path: str) -> str:
     return path.rstrip("/") + "__INGEST_MARKERS"
 

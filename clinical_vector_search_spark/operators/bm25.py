@@ -513,18 +513,13 @@ def streaming_bm25_ingest(
     Returns the ``StreamingQuery`` (caller awaits); read back with
     :func:`bm25_read_index` and compact each stat subdirectory with
     ``io.tables.compact_batched`` on the usual cadence."""
-    from clinical_vector_search_spark.io.tables import validate_run_id
+    from clinical_vector_search_spark.io.tables import streaming_index_ingest
 
-    validate_run_id(run_id)  # fail before the stream starts, not mid-batch
-
-    def _ingest(batch_df, bid):
-        bm25_index_add(
-            spark, batch_df, bid, index_path, id_col, text_col, run_id
-        )
-
-    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+    return streaming_index_ingest(
+        doc_stream,
+        lambda batch_df, bid, rid: bm25_index_add(
+            spark, batch_df, bid, index_path, id_col, text_col, rid
+        ),
+        checkpoint_path,
+        run_id,
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.start()

@@ -304,13 +304,6 @@ def read_neardup_output(spark, path: str) -> DataFrame:
     return spark.read.option("recursiveFileLookup", "true").parquet(path)
 
 
-def _validate_run_id(run_id) -> None:
-    """Shared sink-path-segment rule — see ``io.tables.validate_run_id``."""
-    from clinical_vector_search_spark.io.tables import validate_run_id
-
-    validate_run_id(run_id)
-
-
 def ingest_neardup_batch(
     spark,
     batch_df: DataFrame,
@@ -437,10 +430,11 @@ def streaming_neardup_ingest(
     on the same cadence as any other append-maintained index (the
     recursive read accepts the mixed compacted-flat + new-subdir
     layout)."""
-    _validate_run_id(run_id)  # fail before the stream starts, not mid-batch
+    from clinical_vector_search_spark.io.tables import streaming_index_ingest
 
-    def _ingest(batch_df, bid):
-        ingest_neardup_batch(
+    return streaming_index_ingest(
+        doc_stream,
+        lambda batch_df, bid, rid: ingest_neardup_batch(
             spark,
             batch_df,
             bid,
@@ -451,15 +445,11 @@ def streaming_neardup_ingest(
             shingle_size,
             text_col,
             id_col,
-            run_id,
-        )
-
-    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+            rid,
+        ),
+        checkpoint_path,
+        run_id,
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.start()
 
 
 def span_dedup(

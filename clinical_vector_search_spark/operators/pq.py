@@ -952,22 +952,19 @@ def streaming_ivfpq_ingest(
     the ``StreamingQuery``; read back with :func:`read_ivfpq_index`,
     serve with :func:`knn_ivfpq_codes` / :func:`knn_refine_codes`,
     compact with ``io.tables.compact_batched`` on the usual cadence."""
-    from clinical_vector_search_spark.io.tables import validate_run_id
-
-    validate_run_id(run_id)  # fail before the stream starts, not mid-batch
-
-    def _ingest(batch_df, bid):
-        ivfpq_index_add(
-            spark, batch_df, bid, index_path, dim, books, centroids,
-            n_centroids, id_col, vec_col, residual, encoder, run_id,
-        )
-
-    writer = vec_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+    from clinical_vector_search_spark.io.tables import (
+        streaming_index_ingest,
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.start()
+
+    return streaming_index_ingest(
+        vec_stream,
+        lambda batch_df, bid, rid: ivfpq_index_add(
+            spark, batch_df, bid, index_path, dim, books, centroids,
+            n_centroids, id_col, vec_col, residual, encoder, rid,
+        ),
+        checkpoint_path,
+        run_id,
+    )
 
 
 def write_trained_state(

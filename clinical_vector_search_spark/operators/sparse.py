@@ -352,21 +352,16 @@ def streaming_tfidf_ingest(
     upstream; pass a distinct ``run_id`` when extending an existing
     index from a NEW query/checkpoint. Returns the ``StreamingQuery``
     (caller awaits); read back with :func:`tfidf_read_index`."""
-    from clinical_vector_search_spark.io.tables import validate_run_id
+    from clinical_vector_search_spark.io.tables import streaming_index_ingest
 
-    validate_run_id(run_id)  # fail before the stream starts, not mid-batch
-
-    def _ingest(batch_df, bid):
-        tfidf_index_add(
-            spark, batch_df, bid, index_path, id_col, text_col, run_id
-        )
-
-    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+    return streaming_index_ingest(
+        doc_stream,
+        lambda batch_df, bid, rid: tfidf_index_add(
+            spark, batch_df, bid, index_path, id_col, text_col, rid
+        ),
+        checkpoint_path,
+        run_id,
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.start()
 
 
 def trigram_postings(
@@ -541,18 +536,13 @@ def streaming_trigram_ingest(
     streaming twins: cost ∝ micro-batch, idempotent batch-id overwrite,
     each doc in exactly ONE batch, ``run_id`` for a new
     query/checkpoint. Returns the ``StreamingQuery``."""
-    from clinical_vector_search_spark.io.tables import validate_run_id
+    from clinical_vector_search_spark.io.tables import streaming_index_ingest
 
-    validate_run_id(run_id)
-
-    def _ingest(batch_df, bid):
-        trigram_index_add(
-            spark, batch_df, bid, index_path, id_col, text_col, run_id
-        )
-
-    writer = doc_stream.writeStream.foreachBatch(_ingest).trigger(
-        availableNow=True
+    return streaming_index_ingest(
+        doc_stream,
+        lambda batch_df, bid, rid: trigram_index_add(
+            spark, batch_df, bid, index_path, id_col, text_col, rid
+        ),
+        checkpoint_path,
+        run_id,
     )
-    if checkpoint_path is not None:
-        writer = writer.option("checkpointLocation", checkpoint_path)
-    return writer.start()
