@@ -1240,3 +1240,41 @@ def reindex_ivfpq(
         "ksub": ksub,
         "residual": residual,
     }
+
+
+def knn_ivfpq_serve(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    k: int,
+    tombstone_path: str | None = None,
+    n_probe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+    doc_id: str = "vec_id",
+) -> DataFrame:
+    """Serve ADC top-k straight from a maintained index DIRECTORY using
+    its stamped trained state — the post-:func:`reindex_ivfpq` serving
+    path where the caller holds NO geometry: the centroids/codebooks
+    that interpret the codes live in the index's ``_TRAINED.json``
+    (atomic with the codes they encode), so a serving tier needs only
+    the path. Composition of :func:`read_trained_state` +
+    :func:`read_ivfpq_index` + :func:`knn_ivfpq_codes`; raises loudly
+    when the index carries no state file (pre-r14 indexes, where the
+    caller keeps the trained state and calls ``knn_ivfpq_codes``
+    directly) — serving against GUESSED geometry would return
+    plausible-looking garbage."""
+    st = read_trained_state(spark, index_path)
+    if st is None:
+        raise ValueError(
+            f"index at {index_path!r} carries no _TRAINED.json trained "
+            "state: stamp it with write_trained_state / reindex_ivfpq, "
+            "or pass books/centroids explicitly via knn_ivfpq_codes"
+        )
+    index = read_ivfpq_index(spark, index_path, tombstone_path, doc_id)
+    return knn_ivfpq_codes(
+        queries, index, k, st["dim"], st["books"],
+        centroids=st["centroids"], n_centroids=st["n_centroids"],
+        query_id=query_id, query_vec=query_vec, doc_id=doc_id,
+        n_probe=n_probe, residual=st["residual"],
+    )

@@ -819,3 +819,54 @@ def test_compaction_preserves_trained_state_sidecar(spark, tmp_path):
         for r in read_ivfpq_index(spark, idx).collect()
     )
     assert rows_after == rows_before
+
+
+def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path):
+    """knn_ivfpq_serve serves from the index DIRECTORY alone: the
+    trained state comes from the stamped _TRAINED.json, so results must
+    equal knn_ivfpq_codes called with the very state reindex returned;
+    an unstamped (pre-r14) index refuses loudly instead of serving
+    against guessed geometry."""
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        knn_ivfpq_codes,
+        knn_ivfpq_serve,
+        pq_codebooks_lcg,
+        read_ivfpq_index,
+        reindex_ivfpq,
+    )
+
+    dim = 16
+    mat = _drift_cloud(11, 150, dim, slice(0, 8))
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    ivfpq_index_add(
+        spark, docs, 0, idx, dim, pq_codebooks_lcg(dim, 4, 16),
+        n_centroids=8, encoder="pd",
+    )
+    q = spark.createDataFrame(
+        [(i, [float(x) for x in _drift_cloud(12, 5, dim, slice(0, 8))[i]])
+         for i in range(5)],
+        "query_id long, query_vec array<double>",
+    )
+    # unstamped index: loud refusal, not guessed geometry
+    with pytest.raises(ValueError, match="_TRAINED"):
+        knn_ivfpq_serve(spark, idx, q, 10)
+    state = reindex_ivfpq(
+        spark, idx, docs, dim, m=4, ksub=16, n_centroids=8, n_iter=3
+    )
+    served = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_ivfpq_serve(spark, idx, q, 10, n_probe=2).collect()
+    )
+    explicit = sorted(
+        (r.query_id, r.rank, r.vec_id)
+        for r in knn_ivfpq_codes(
+            q, read_ivfpq_index(spark, idx), 10, dim, state["books"],
+            centroids=state["centroids"], n_probe=2, doc_id="vec_id",
+        ).collect()
+    )
+    assert served == explicit and served
