@@ -1263,15 +1263,41 @@ def knn_ivfpq_serve(
     when the index carries no state file (pre-r14 indexes, where the
     caller keeps the trained state and calls ``knn_ivfpq_codes``
     directly) — serving against GUESSED geometry would return
-    plausible-looking garbage."""
-    st = read_trained_state(spark, index_path)
-    if st is None:
-        raise ValueError(
-            f"index at {index_path!r} carries no _TRAINED.json trained "
-            "state: stamp it with write_trained_state / reindex_ivfpq, "
-            "or pass books/centroids explicitly via knn_ivfpq_codes"
+    plausible-looking garbage.
+
+    Two read-consistency guards (r14 review): the mid-swap crash
+    window is healed BEFORE the state read (a bare ``fs.exists`` on
+    the sidecar would otherwise misdiagnose a recoverable crashed
+    index as 'no trained state'), and because state + codes are two
+    separate unleased reads, the state is RE-read after the codes
+    listing snapshot — a concurrent :func:`reindex_ivfpq` swap landing
+    between them would otherwise score new-geometry codes with
+    old-geometry ADC tables, silently. A mismatch retries with a
+    fresh pair; swaps are rare, so one retry normally suffices."""
+    from clinical_vector_search_spark.io.tables import (
+        recover_interrupted_swap,
+    )
+
+    recover_interrupted_swap(spark, index_path)
+    for _ in range(3):
+        st = read_trained_state(spark, index_path)
+        if st is None:
+            raise ValueError(
+                f"index at {index_path!r} carries no _TRAINED.json trained "
+                "state: stamp it with write_trained_state / reindex_ivfpq, "
+                "or pass books/centroids explicitly via knn_ivfpq_codes"
+            )
+        # eager listing snapshot of the codes...
+        index = read_ivfpq_index(spark, index_path, tombstone_path, doc_id)
+        # ...then verify the geometry did not swap underneath it
+        if read_trained_state(spark, index_path) == st:
+            break
+    else:
+        raise IOError(
+            f"trained state at {index_path!r} kept changing between the "
+            "state read and the codes listing (concurrent reindexes?) — "
+            "retry when the maintenance churn settles"
         )
-    index = read_ivfpq_index(spark, index_path, tombstone_path, doc_id)
     return knn_ivfpq_codes(
         queries, index, k, st["dim"], st["books"],
         centroids=st["centroids"], n_centroids=st["n_centroids"],

@@ -870,3 +870,49 @@ def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path):
         ).collect()
     )
     assert served == explicit and served
+
+
+def test_knn_ivfpq_serve_heals_crashed_swap_before_state_read(
+    spark, tmp_path
+):
+    """A reindex crash inside the swap window leaves the index NAME
+    absent with data (including _TRAINED.json) intact at __old_<tag>;
+    serve must self-heal and answer — a bare sidecar-exists check would
+    misdiagnose the recoverable index as 'no trained state'."""
+    import os
+
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        knn_ivfpq_serve,
+        pq_codebooks_lcg,
+        reindex_ivfpq,
+    )
+
+    dim = 16
+    mat = _drift_cloud(21, 80, dim, slice(0, 8))
+    docs = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / "idx")
+    ivfpq_index_add(
+        spark, docs, 0, idx, dim, pq_codebooks_lcg(dim, 4, 16),
+        n_centroids=4, encoder="pd",
+    )
+    reindex_ivfpq(spark, idx, docs, dim, m=4, ksub=16, n_centroids=4,
+                  n_iter=2)
+    q = spark.createDataFrame(
+        [(0, [float(x) for x in mat[0]])],
+        "query_id long, query_vec array<double>",
+    )
+    want = sorted(
+        (r.rank, r.vec_id)
+        for r in knn_ivfpq_serve(spark, idx, q, 5, n_probe=2).collect()
+    )
+    # simulate the mid-swap crash: live name moved aside
+    os.rename(idx, idx + "__old_deadbeef")
+    got = sorted(
+        (r.rank, r.vec_id)
+        for r in knn_ivfpq_serve(spark, idx, q, 5, n_probe=2).collect()
+    )
+    assert got == want and os.path.exists(idx)
