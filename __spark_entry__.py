@@ -1940,6 +1940,62 @@ def q_knn_ivfpq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-only serving over the maintained index (operators/pq.py
+    knn_ivfpq_serve, r14): same two-ingest + tombstone lifecycle as
+    knn_ivfpq_index_search, but the serving tier holds NO geometry —
+    the trained state is STAMPED into the index as the hidden
+    ``_TRAINED.json`` (write_trained_state: FileContext atomic
+    overwrite publish, carried by every compaction swap) and serve
+    reads it back (with the mid-swap self-heal BEFORE the state read
+    and the swap-consistency re-verify after the codes listing).
+    Fullprobe disables IVF pruning, so the oracle is byte-identical to
+    knn_ivfpq_index_search's: plain PQ ADC over the NORMALIZED
+    survivors — proving the sidecar round-trip changes nothing."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.knn import _centroid_matrix
+    from clinical_vector_search_spark.operators.pq import (
+        ivfpq_index_add,
+        ivfpq_index_delete,
+        knn_ivfpq_serve,
+        pq_codebooks_lcg,
+        write_trained_state,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_ivfpq_serve_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
+    )
+    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 8 != 3), v.filter(F.col("vec_id") % 8 == 3))
+    ):
+        ivfpq_index_add(
+            spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
+        )
+    write_trained_state(
+        spark, f"{base}/codes", _centroid_matrix(64, 8), books, 64
+    )
+    ivfpq_index_delete(
+        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    queries = v.filter(F.col("vec_id") < KNN_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    r = knn_ivfpq_serve(
+        spark, f"{base}/codes", queries, KNN_K,
+        tombstone_path=f"{base}/dead", n_probe=8,
+    )
+    return r.select(
+        "query_id", "rank", F.col("vec_id").alias("doc_id"), "adc_dist"
+    )
+
+
 def q_knn_ivfpq_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Serving over the MAINTAINED index — the read half of the
     knn_ivfpq_index_add lifecycle (operators/pq.py read_ivfpq_index +
@@ -7328,13 +7384,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r13 VERDICT's task 2 names this r14 order):
-    #   1. the THREE entries NEW in r14 (IVF-PQ retrain-and-re-encode
+    #   1. the FOUR entries NEW in r14 (IVF-PQ retrain-and-re-encode
     #      compaction; SoftDeDup weights -> weighted corpus draw; the
-    #      maintained trigram index lifecycle) lead;
+    #      maintained trigram index lifecycle; path-only serving over
+    #      the stamped trained state) lead;
     #   2. the 32 remaining last-green-r8 entries (rows-only excluded)
     #      — this RETIRES the r8 tier: after r14 no entry's last
     #      driver row predates r9;
-    #   3. the 15 stalest last-green-r9 entries fill the window to 50
+    #   3. the 14 stalest last-green-r9 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -7343,11 +7400,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      demoted last). Every entry below the window was green in its
     #      last driver round (r9-r13).
     return {
-        # -- r14 window 1-3: NEW in r14 --
+        # -- r14 window 1-4: NEW in r14 --
         "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
         "dedup_soft_sample": q_dedup_soft_sample,
         "retrieval_trigram_incremental": q_retrieval_trigram_incremental,
-        # -- r14 window 4-35: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
+        "knn_ivfpq_serve": q_knn_ivfpq_serve,
+        # -- r14 window 5-36: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
         "events_seasonal_index": q_events_seasonal_index,
         "events_seasonal_outliers": q_events_seasonal_outliers,
         "events_ewma": q_events_ewma,
@@ -7380,7 +7438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_streaming_dedup": q_events_streaming_dedup,
         "salted_agg": q_salted_agg,
         "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        # -- r14 window 36-50: stalest last-green-r9 entries (rows-only excluded) --
+        # -- r14 window 37-50: stalest last-green-r9 entries (rows-only excluded) --
         "rag_mmr_rounded": q_rag_mmr_rounded,
         "rag_rrf": q_rag_rrf,
         "events_streaming_sessionize": q_events_streaming_sessionize,
@@ -7395,7 +7453,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": q_doc_decontaminate,
         "dedup_survivors": q_dedup_survivors,
         "text_repetition": q_text_repetition,
-        "text_cms_heavyhitters": q_text_cms_heavyhitters,
         # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
         "events_distinct_hll": q_events_distinct_hll,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
@@ -7405,7 +7462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_train": q_text_bpe_train,
         "knn_ivfpq": q_knn_ivfpq,
         "vec_pca": q_vec_pca,
-        # -- remaining blocks, stalest first: r9 remainder (rel_cube displaced from the window by the third new entry), r10, r11, r12, then the r13 window demoted last --
+        # -- remaining blocks, stalest first: r9 remainder (text_cms_heavyhitters + rel_cube displaced from the window by the 3rd/4th new entries), r10, r11, r12, then the r13 window demoted last --
+        "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "rel_cube": q_rel_cube,
         "rel_window_ranks": q_rel_window_ranks,
         "rel_local_supplier_volume": q_rel_local_supplier_volume,
@@ -10779,6 +10837,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
         FROM r WHERE rank <= {KNN_K}
     """
+
+    # path-only serving (r14): the sidecar round-trip must change
+    # nothing — identical fullprobe-over-survivors oracle
+    s["knn_ivfpq_serve"] = s["knn_ivfpq_index_search"]
 
     # refine over the maintained index: the index_search ADC fragments
     # (normalized survivors, fullprobe) stop at rank <= k_coarse, then
