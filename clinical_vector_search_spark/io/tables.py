@@ -671,6 +671,47 @@ def _heal_under_lease(fs, P, base, jpath, path, _olds) -> bool:
 TRAINED_SIDECAR = "_TRAINED.json"
 
 
+def publish_sidecar(spark: SparkSession, index_path: str, payload: bytes):
+    """Atomically (re)publish a maintained index's hidden
+    ``_TRAINED.json`` sidecar — the storage machinery shared by every
+    index that keeps corpus-global trained state next to its per-doc
+    rows (IVF-PQ centroids+codebooks via ``pq.write_trained_state``;
+    SemDeDup centroids via ``dedup.write_semantic_state``). Hidden
+    files are invisible to every parquet listing (Spark skips ``_``/
+    ``.`` prefixes) and living INSIDE the directory means the
+    compactors' move-aside swap carries the state atomically with the
+    rows it interprets (:func:`_rewrite_and_swap` preserves it across
+    every rewrite). Published by hidden-tmp + FileContext ATOMIC
+    overwrite rename — a plain ``FileSystem.rename`` refuses to
+    clobber, and delete-then-rename would open a crash window with NO
+    state at all (old one already deleted, new one still a hidden
+    tmp): readers would silently fall into their "caller keeps the
+    state" branch with the actual geometry lost."""
+    import uuid
+
+    jvm, fs, _ = _hadoop_fs(spark, index_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = index_path.rstrip("/")
+    # clear tmp strays from previously crashed publishes (hidden, so
+    # harmless to readers, but they would accumulate forever)
+    for st in fs.globStatus(P(f"{base}/.*.trained.tmp")) or []:
+        fs.delete(st.getPath(), False)
+    tmp = P(f"{base}/.{uuid.uuid4().hex}.trained.tmp")
+    dst = P(f"{base}/{TRAINED_SIDECAR}")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(payload))
+    finally:
+        out.close()
+    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+        spark._jsc.hadoopConfiguration()
+    )
+    ren = jvm.org.apache.hadoop.fs.Options.Rename
+    opts = spark.sparkContext._gateway.new_array(ren, 1)
+    opts[0] = ren.OVERWRITE
+    fc.rename(tmp, dst, opts)
+
+
 def _rewrite_and_swap(
     df: DataFrame,
     path: str,

@@ -1252,15 +1252,75 @@ def semantic_clusters(
     the handle is owned (and evicted) by the plan-cache entry; outside
     one the caller owns the returned frame's lifecycle (unpersist when
     done on a long-lived driver)."""
-    from clinical_vector_search_spark.operators.knn import (
-        _centroid_assign,
-        _centroid_dots,
-    )
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
+    return tracked_cache(
+        _assignment_frame(
+            df, dim, n_clusters, id_col, vec_col, centroids, encoder="expr"
+        )
+    )
+
+
+def _assignment_frame(
+    df: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    encoder: str | None = None,
+) -> DataFrame:
+    """UNCACHED (id, _nv, cluster) assignment frame — the shared core of
+    :func:`semantic_clusters` / :func:`semantic_clusters_pd` (which add
+    the multi-consumer ``tracked_cache``) and the maintained semantic
+    index's write-only ingest path (:func:`semantic_index_add`), which
+    must NOT cache: a ``foreachBatch`` sink caching every micro-batch
+    would accumulate executor-storage blocks for the stream's lifetime.
+    ``encoder=None`` resolves via :func:`choose_semantic_encoder`
+    (expression fold below the measured dim×n_clusters boundary, BLAS
+    matmul above); both paths are bit-identical by the
+    quantize-before-argmax contract."""
+    if encoder is None:
+        encoder = choose_semantic_encoder(dim, n_clusters)
+    if encoder not in ("expr", "pd"):
+        raise ValueError(f"encoder must be 'expr' or 'pd', got {encoder!r}")
     base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
-    dots = _centroid_dots("_nv", dim, n_clusters, centroids)
-    return tracked_cache(base.withColumn("cluster", _centroid_assign(dots)))
+    if encoder == "expr":
+        from clinical_vector_search_spark.operators.knn import (
+            _centroid_assign,
+            _centroid_dots,
+        )
+
+        dots = _centroid_dots("_nv", dim, n_clusters, centroids)
+        return base.withColumn("cluster", _centroid_assign(dots))
+
+    import numpy as np
+    import pandas as pd
+
+    from clinical_vector_search_spark.operators.knn import (
+        ASSIGN_SCALE,
+        _centroid_matrix,
+    )
+
+    C = np.array(
+        centroids or _centroid_matrix(dim, n_clusters), dtype="float64"
+    )
+    id_type = base.schema[id_col].dataType.simpleString()
+    schema = f"{id_col} {id_type}, _nv array<double>, cluster int"
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["_nv"].tolist(), dtype="float64")
+            cl = np.argmax(
+                np.floor(X @ C.T * ASSIGN_SCALE + 0.5), axis=1
+            ).astype("int32")
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "_nv": pdf["_nv"], "cluster": cl}
+            )
+
+    return base.mapInPandas(assign, schema)
 
 
 def semantic_clusters_pd(
@@ -1291,35 +1351,13 @@ def semantic_clusters_pd(
     np.argmax and array_position. Asserted equal to the expression twin on the
     testdata AND property-tested against a NumPy reference
     (tests/test_property.py)."""
-    import numpy as np
-    import pandas as pd
-
-    from clinical_vector_search_spark.operators.knn import (
-        ASSIGN_SCALE,
-        _centroid_matrix,
-    )
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
-    C = np.array(
-        centroids or _centroid_matrix(dim, n_clusters), dtype="float64"
+    return tracked_cache(
+        _assignment_frame(
+            df, dim, n_clusters, id_col, vec_col, centroids, encoder="pd"
+        )
     )
-    base = df.select(F.col(id_col), V.l2_normalize(vec_col).alias("_nv"))
-    id_type = base.schema[id_col].dataType.simpleString()
-    schema = f"{id_col} {id_type}, _nv array<double>, cluster int"
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            X = np.array(pdf["_nv"].tolist(), dtype="float64")
-            cl = np.argmax(
-                np.floor(X @ C.T * ASSIGN_SCALE + 0.5), axis=1
-            ).astype("int32")
-            yield pd.DataFrame(
-                {id_col: pdf[id_col], "_nv": pdf["_nv"], "cluster": cl}
-            )
-
-    return tracked_cache(base.mapInPandas(assign, schema))
 
 
 def semantic_dedup_pairs(
@@ -2100,3 +2138,463 @@ def sorted_neighborhood_pairs(
         .filter(F.col("distance") <= max_distance)
         .select("a_id", "b_id", "a_key", "b_key", "offset", "distance")
     )
+
+
+# --------------------------------------------------------------------------
+# Maintained SemDeDup index — the fifth member of the shared
+# maintained-index lifecycle protocol (BM25 / TF-IDF / trigram / IVF-PQ
+# in operators/bm25.py, operators/sparse.py, operators/pq.py; contract
+# suite tests/test_maintained_index.py). Closes the last one-shot dedup
+# family: the reference re-embeds and re-clusters its whole corpus every
+# run (src/pipeline/pipeline.py:90-136); at 100 TB you cannot re-cluster
+# per ingest, so the (id, cluster, _nv) assignments persist as per-batch
+# subdirectories, a new batch assigns map-side against the FROZEN
+# centroids (the ivfpq_index_add pattern — zero joins, zero shuffle,
+# cost ∝ batch), near-dup pairs are probed ONLY in the batch's own
+# touched clusters (the minhash_pairs_incremental pattern — no old×old
+# rescan), deletes are tombstones, and drift recovery is a leased
+# retrain-and-reassign (the reindex_ivfpq pattern) with the centroids
+# stamped as the _TRAINED.json sidecar atomic with the assignments.
+# Already-emitted pairs stay VALID across a reindex: cosine is exact
+# (geometry only gates candidate generation), so retraining improves
+# future recall without invalidating history.
+# --------------------------------------------------------------------------
+
+
+def semantic_state_payload(centroids: list, dim: int) -> bytes:
+    """JSON sidecar payload for a maintained semantic index: the frozen
+    centroids plus the geometry that interprets the (id, cluster, _nv)
+    rows. ``kind`` discriminates from the IVF-PQ payload so a reader
+    pointed at the wrong index fails loudly instead of mis-serving."""
+    import json
+
+    return json.dumps(
+        {
+            "kind": "semantic",
+            "centroids": [[float(x) for x in row] for row in centroids],
+            "dim": int(dim),
+            "n_clusters": len(centroids),
+        }
+    ).encode("utf-8")
+
+
+def write_semantic_state(
+    spark, index_path: str, centroids: list, dim: int
+) -> None:
+    """Stamp a maintained semantic index's frozen centroids as the
+    hidden ``_TRAINED.json`` inside the assignments directory — same
+    atomic publish + swap-carried placement as the IVF-PQ trained state
+    (``io.tables.publish_sidecar``). Call once after choosing/training
+    the centroids; :func:`reindex_semantic` re-stamps it atomically with
+    the reassigned rows."""
+    from clinical_vector_search_spark.io.tables import publish_sidecar
+
+    publish_sidecar(spark, index_path, semantic_state_payload(centroids, dim))
+
+
+def read_semantic_state(spark, index_path: str) -> dict | None:
+    """Read the centroids stamped by :func:`write_semantic_state` /
+    :func:`reindex_semantic`; None when the index carries no state file
+    (the caller keeps the centroids itself — e.g. the deterministic md5
+    matrix default). Raises on an IVF-PQ-kind sidecar: serving semantic
+    assignments with PQ geometry would be silent garbage."""
+    from clinical_vector_search_spark.operators.pq import read_trained_state
+
+    st = read_trained_state(spark, index_path)
+    if st is not None and st.get("kind", "semantic") != "semantic":
+        raise ValueError(
+            f"index at {index_path!r} carries a {st.get('kind')!r} trained "
+            "state, not a semantic one — wrong index directory?"
+        )
+    return st
+
+
+def semantic_index_add(
+    spark,
+    new_vecs: DataFrame,
+    batch_id: int,
+    index_path: str,
+    dim: int,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoder: str | None = None,
+    run_id: str | None = None,
+) -> None:
+    """Incremental semantic-index maintenance: fold a batch of new
+    vectors into the persisted assignments table — normalized and
+    argmax-assigned against the FROZEN centroids entirely map-side (the
+    plan is one Project over the batch scan: zero joins, zero shuffle,
+    no corpus rescan — the ``ivfpq_index_add`` shape), then appended as
+    an idempotent batch-id-OVERWRITE subdirectory. Assignment is
+    deterministic (ASSIGN_SCALE quantized argmax, first-max ties), so
+    fold-in equals the one-shot :func:`semantic_clusters` rebuild
+    restricted to batch rows — the oracle contract. ``encoder=None``
+    dispatches expr/BLAS by cost (:func:`choose_semantic_encoder`);
+    both are bit-identical. Read back with :func:`semantic_read_index`;
+    compact with ``io.tables.compact_batched`` on the usual cadence
+    (idempotency holds UP TO the last compaction — folded redeliveries
+    refuse loudly)."""
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        guard_batch_not_compacted,
+        ingest_markers,
+    )
+
+    bsub = batch_subdir("batch", run_id, batch_id)
+    guard_batch_not_compacted(index_path, bsub)
+    asg = _assignment_frame(
+        new_vecs, dim, n_clusters, id_col, vec_col, centroids, encoder
+    )
+    with ingest_markers(spark, [index_path]):
+        asg.write.mode("overwrite").parquet(f"{index_path}/{bsub}")
+
+
+def semantic_index_delete(
+    spark,
+    ids: DataFrame,
+    batch_id: int,
+    tombstone_path: str,
+    id_col: str = "vec_id",
+    run_id: str | None = None,
+) -> None:
+    """Delete half of the semantic-index lifecycle: tombstone the ids
+    into their own idempotent batch subdirectory NEXT TO the
+    assignments directory; :func:`semantic_read_index` filters them
+    with a broadcast anti-join and physical erasure happens at the next
+    ``io.tables.compact_tombstoned``. Identical protocol (and shared
+    implementation) with ``pq.ivfpq_index_delete`` — tombstones are
+    index-agnostic: distinct ids under a path."""
+    from clinical_vector_search_spark.operators.pq import ivfpq_index_delete
+
+    ivfpq_index_delete(spark, ids, batch_id, tombstone_path, id_col, run_id)
+
+
+def semantic_read_index(
+    spark, index_path: str, tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Read a maintained semantic index: recursive listing over the
+    batch subdirectories (tolerating the post-compaction mixed layout),
+    broadcast tombstone anti-join, mid-swap self-heal first — the
+    protocol reader shared with ``pq.read_ivfpq_index`` (assignments
+    and codes tables have identical storage shape: per-doc rows keyed
+    by ``id_col``). Returns (id, _nv, cluster) rows."""
+    from clinical_vector_search_spark.operators.pq import read_ivfpq_index
+
+    return read_ivfpq_index(spark, index_path, tombstone_path, id_col)
+
+
+def _incremental_pairs_from_assignments(
+    new_assigned: DataFrame,
+    corpus_assigned: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    materialized: bool = False,
+) -> DataFrame:
+    """Assignment-level core of the incremental SemDeDup probe, the
+    semantic twin of :func:`_incremental_pairs_from_buckets`: emits
+    exactly the NEW within-cluster cosine-≥-threshold pairs a full
+    :func:`semantic_dedup_pairs` rerun over corpus+batch would add,
+    without ever rescanning old×old. new×new comes from the batch's own
+    tiny self-join; new×old probes ONLY the batch's touched clusters
+    (broadcast semi-join on the ≤n_clusters-row touched set, then the
+    batch side broadcast against the surviving corpus rows — the
+    corpus shuffles nothing). Sound because the assignment is per-row
+    deterministic against frozen centroids (no cross-doc state), and
+    every new pair has ≥1 batch member by definition. Returns (a_id <
+    b_id, cluster, cosine ≥ threshold), distinct — a retry that
+    re-probes an index already holding the batch's own rows rediscovers
+    batch-self pairs through the probe with the identical (exact-dot,
+    argument-order-symmetric) cosine, and the ``distinct`` collapses
+    them into the new×new term."""
+    na = new_assigned if materialized else new_assigned.cache()
+
+    a = na.select(
+        "cluster", F.col(id_col).alias("a_id"), F.col("_nv").alias("_va")
+    )
+    b = na.select(
+        "cluster", F.col(id_col).alias("b_id"), F.col("_nv").alias("_vb")
+    )
+    new_new = (
+        a.join(b, "cluster")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id", "b_id", "cluster", V.dot("_va", "_vb").alias("cosine")
+        )
+    )
+
+    touched = na.select("cluster").distinct()
+    corpus_hits = corpus_assigned.join(
+        F.broadcast(touched), "cluster", "left_semi"
+    )
+    new_old = (
+        corpus_hits.select(
+            "cluster", F.col(id_col).alias("_old_id"),
+            F.col("_nv").alias("_vo"),
+        )
+        .join(
+            F.broadcast(
+                na.select(
+                    "cluster", F.col(id_col).alias("_new_id"),
+                    F.col("_nv").alias("_vn"),
+                )
+            ),
+            "cluster",
+        )
+        .filter(F.col("_old_id") != F.col("_new_id"))
+        # ids may interleave; canonicalize instead of assuming old < new.
+        # cosine BEFORE canonicalization: the elementwise-product fold is
+        # exactly symmetric in fp64 (x[i]*y[i] == y[i]*x[i] per term,
+        # same i-order), so the value is identical either way and the
+        # final distinct can collapse probe-rediscovered batch pairs.
+        .select(
+            F.least("_old_id", "_new_id").alias("a_id"),
+            F.greatest("_old_id", "_new_id").alias("b_id"),
+            "cluster",
+            V.dot("_vo", "_vn").alias("cosine"),
+        )
+    )
+    return (
+        new_new.unionByName(new_old)
+        .filter(F.col("cosine") >= F.lit(float(threshold)))
+        .distinct()
+    )
+
+
+def semantic_pairs_incremental(
+    new_vecs: DataFrame,
+    corpus_assigned: DataFrame,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    encoder: str | None = None,
+) -> DataFrame:
+    """Incremental SemDeDup pairs against a maintained assignment index
+    (``corpus_assigned`` — a :func:`semantic_read_index` frame): the
+    batch assigns itself map-side against the frozen centroids, then
+    probes only its touched clusters. Pure transform (no sink) —
+    :func:`ingest_semantic_batch` is the persisted composition."""
+    asg = _assignment_frame(
+        new_vecs, dim, n_clusters, id_col, vec_col, centroids, encoder
+    )
+    return _incremental_pairs_from_assignments(
+        asg, corpus_assigned, threshold, id_col
+    )
+
+
+def ingest_semantic_batch(
+    spark,
+    batch_df: DataFrame,
+    batch_id: int,
+    index_path: str,
+    pairs_path: str,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoder: str | None = None,
+    run_id: str | None = None,
+) -> None:
+    """One micro-batch of :func:`streaming_semantic_ingest`, exposed at
+    module level so the idempotency contract is directly testable (the
+    ``ingest_neardup_batch`` pattern): assign the batch ONCE
+    (localCheckpoint — both probed and appended), emit the new
+    within-cluster pairs against the surviving corpus assignments
+    (tombstoned ids can form no new pairs), then OVERWRITE the batch's
+    own subdirectory in both sinks — an at-least-once retry leaves both
+    bit-identical. The accumulated pair set is INVARIANT to how the
+    corpus is chunked: each pair is emitted exactly once, in the batch
+    of whichever member arrives later, so replaying any partitioning
+    reproduces the one-shot :func:`semantic_dedup_pairs` output — the
+    oracle-checked contract. Index discovery is a try-read
+    (storage-agnostic); only genuine absence reads as 'first batch'."""
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        guard_batch_not_compacted,
+        ingest_markers,
+        is_absence_error,
+    )
+
+    sub = batch_subdir("batch", run_id, batch_id)
+    guard_batch_not_compacted(pairs_path, sub)
+    guard_batch_not_compacted(index_path, sub)
+    asg = _assignment_frame(
+        batch_df, dim, n_clusters, id_col, vec_col, centroids, encoder
+    ).localCheckpoint()
+    try:
+        corpus = semantic_read_index(
+            spark, index_path, tombstone_path, id_col
+        )
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+        corpus = spark.createDataFrame([], asg.schema)
+    pairs = _incremental_pairs_from_assignments(
+        asg, corpus, threshold, id_col, materialized=True
+    )
+    with ingest_markers(spark, [pairs_path, index_path]):
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/{sub}")
+        asg.write.mode("overwrite").parquet(f"{index_path}/{sub}")
+
+
+def streaming_semantic_ingest(
+    spark,
+    vec_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    dim: int,
+    threshold: float = 0.35,
+    n_clusters: int = 8,
+    centroids: list[list[float]] | None = None,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    encoder: str | None = None,
+    checkpoint_path: str | None = None,
+    run_id: str | None = None,
+):
+    """Streaming SemDeDup maintenance: the ``foreachBatch`` composition
+    of :func:`ingest_semantic_batch` over a vector stream — each
+    micro-batch assigns map-side against the frozen centroids, appends
+    its (id, cluster, _nv) rows so later batches see them, and emits
+    its new within-cluster pairs; the accumulated pair set equals the
+    one-shot :func:`semantic_dedup_pairs` regardless of chunking.
+    Same streaming contract as every maintained index here
+    (``io.tables.streaming_index_ingest``): idempotent batch-id
+    overwrite under at-least-once replays, ``run_id`` namespacing for
+    new-checkpoint extension, ``compact_batched`` cadence. Returns the
+    ``StreamingQuery``."""
+    from clinical_vector_search_spark.io.tables import streaming_index_ingest
+
+    return streaming_index_ingest(
+        vec_stream,
+        lambda batch_df, bid, rid: ingest_semantic_batch(
+            spark, batch_df, bid, index_path, pairs_path, dim, threshold,
+            n_clusters, centroids, tombstone_path, id_col, vec_col,
+            encoder, rid,
+        ),
+        checkpoint_path,
+        run_id,
+    )
+
+
+def reindex_semantic(
+    spark,
+    index_path: str,
+    vectors: DataFrame,
+    dim: int,
+    n_clusters: int = 8,
+    n_iter: int = 5,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample: DataFrame | None = None,
+    encoder: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    break_stale_lease_after_sec: float | None = None,
+) -> dict:
+    """Leased retrain-and-reassign compaction — the drift-recovery
+    stage of the maintained semantic index (the ``reindex_ivfpq``
+    pattern): :func:`semantic_index_add` assigns every batch to the
+    FROZEN centroids, so after many ingests of a drifting distribution
+    the clustering decays pair recall (true near-dups straddle stale
+    cluster boundaries) with no recovery short of a full re-cluster.
+    Under the two-lease discipline (assignments then tombstones — the
+    delete writers' guards watch the tombstone lease, same clear-LAST
+    race argument as ``compact_tombstoned``):
+
+    1. surviving membership comes FROM the index (ids ingested minus
+       tombstones) — reindex changes geometry, never membership;
+    2. corpus = ``vectors`` semi-joined to survivors, pinned ONCE
+       (``localCheckpoint`` — trainer iterations and the reassignment
+       would otherwise re-execute the job's one big shuffle);
+    3. retrain ``kmeans_centroids`` on the NORMALIZED corpus (or the
+       caller's hash-sampled ``train_sample``) — assignment operates on
+       ``_nv``, so training must see the same distribution;
+    4. reassign everything map-side against the new centroids;
+    5. fence the folded batch names (a redelivery assigned under the
+       OLD geometry must refuse), rewrite + swap with the centroids
+       stamped as ``_TRAINED.json`` INSIDE the new directory — state
+       publishes atomically with the rows it interprets;
+    6. clear tombstones LAST (their ids are now physically absent).
+
+    Already-emitted pairs need no invalidation: cosine is exact, so
+    historical pairs remain true near-dups; the retrain only improves
+    which candidates FUTURE ingests can see. Returns the semantic state
+    dict (also readable via :func:`read_semantic_state`); pass its
+    ``centroids`` to every subsequent add/probe."""
+    import contextlib
+
+    from clinical_vector_search_spark.io.tables import (
+        _guard_no_ingest_in_flight,
+        _hadoop_fs,
+        _list_batch_subdirs,
+        _rewrite_and_swap,
+        compaction_lease,
+        record_compacted_batches,
+        recover_interrupted_swap,
+    )
+    from clinical_vector_search_spark.operators.knn import kmeans_centroids
+
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(
+            compaction_lease(spark, index_path, break_stale_lease_after_sec)
+        )
+        if tombstone_path is not None:
+            _stack.enter_context(
+                compaction_lease(
+                    spark, tombstone_path, break_stale_lease_after_sec
+                )
+            )
+        _guard_no_ingest_in_flight(
+            spark, index_path, break_stale_lease_after_sec
+        )
+        if tombstone_path is not None:
+            _guard_no_ingest_in_flight(
+                spark, tombstone_path, break_stale_lease_after_sec
+            )
+        recover_interrupted_swap(spark, index_path, deep=True, _leased=True)
+
+        survivors = semantic_read_index(
+            spark, index_path, tombstone_path, id_col
+        ).select(id_col)
+        corpus = (
+            vectors.select(id_col, vec_col)
+            .join(survivors, id_col, "semi")
+            .localCheckpoint()
+        )
+        sample = train_sample if train_sample is not None else corpus
+        cents = kmeans_centroids(
+            sample.select(V.l2_normalize(vec_col).alias(vec_col)),
+            dim, n_clusters, n_iter, vec_col,
+        )
+        asg = _assignment_frame(
+            corpus, dim, n_clusters, id_col, vec_col, cents, encoder
+        )
+        record_compacted_batches(
+            spark, index_path, _list_batch_subdirs(spark, index_path)
+        )
+        _rewrite_and_swap(
+            asg, index_path, target_file_bytes,
+            sidecar=semantic_state_payload(cents, dim),
+        )
+        if tombstone_path is not None:
+            jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
+
+    return {
+        "kind": "semantic",
+        "centroids": cents,
+        "dim": dim,
+        "n_clusters": n_clusters,
+    }

@@ -983,46 +983,17 @@ def write_trained_state(
     directory (not as a sibling) means the compactors' move-aside swap
     carries it atomically with the codes it encodes
     (``io.tables._rewrite_and_swap`` preserves it across every rewrite).
-    Published by hidden-tmp + rename so a crash mid-write never leaves
-    a torn state file. Call once after the initial train/build;
-    :func:`reindex_ivfpq` re-stamps it atomically with the re-encoded
-    codes."""
-    import json
-    import uuid
+    Published by hidden-tmp + FileContext atomic overwrite rename
+    (``io.tables.publish_sidecar`` — the machinery shared with the
+    semantic index's ``dedup.write_semantic_state``) so a crash
+    mid-write never leaves a torn state file. Call once after the
+    initial train/build; :func:`reindex_ivfpq` re-stamps it atomically
+    with the re-encoded codes."""
+    from clinical_vector_search_spark.io.tables import publish_sidecar
 
-    from clinical_vector_search_spark.io.tables import (
-        TRAINED_SIDECAR,
-        _hadoop_fs,
+    publish_sidecar(
+        spark, index_path, _trained_payload(centroids, books, dim, residual)
     )
-
-    jvm, fs, _ = _hadoop_fs(spark, index_path)
-    P = jvm.org.apache.hadoop.fs.Path
-    payload = _trained_payload(centroids, books, dim, residual)
-    base = index_path.rstrip("/")
-    # clear tmp strays from previously crashed publishes (hidden, so
-    # harmless to readers, but they would accumulate forever)
-    for st in fs.globStatus(P(f"{base}/.*.trained.tmp")) or []:
-        fs.delete(st.getPath(), False)
-    tmp = P(f"{base}/.{uuid.uuid4().hex}.trained.tmp")
-    dst = P(f"{base}/{TRAINED_SIDECAR}")
-    out = fs.create(tmp, True)
-    try:
-        out.write(bytearray(payload))
-    finally:
-        out.close()
-    # publish with FileContext's ATOMIC overwrite rename — a plain
-    # FileSystem.rename refuses to clobber, and delete-then-rename
-    # would open a crash window with NO trained state at all (old one
-    # already deleted, new one still a hidden tmp): readers would
-    # silently fall into the "caller keeps the state" branch with the
-    # actual geometry lost
-    fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
-        spark._jsc.hadoopConfiguration()
-    )
-    ren = jvm.org.apache.hadoop.fs.Options.Rename
-    opts = spark.sparkContext._gateway.new_array(ren, 1)
-    opts[0] = ren.OVERWRITE
-    fc.rename(tmp, dst, opts)
 
 
 def _trained_payload(
