@@ -2201,9 +2201,14 @@ def read_semantic_state(spark, index_path: str) -> dict | None:
     from clinical_vector_search_spark.operators.pq import read_trained_state
 
     st = read_trained_state(spark, index_path)
-    if st is not None and st.get("kind", "semantic") != "semantic":
+    if st is None:
+        return None
+    # the IVF-PQ payload predates the ``kind`` key — discriminate by
+    # its codebooks when the key is absent
+    kind = st.get("kind", "ivfpq" if "books" in st else "semantic")
+    if kind != "semantic":
         raise ValueError(
-            f"index at {index_path!r} carries a {st.get('kind')!r} trained "
+            f"index at {index_path!r} carries a {kind!r} trained "
             "state, not a semantic one — wrong index directory?"
         )
     return st

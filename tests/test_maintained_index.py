@@ -261,8 +261,58 @@ def _trigram_kit() -> IndexKit:
     )
 
 
-KITS = [_bm25_kit, _tfidf_kit, _ivfpq_kit, _trigram_kit]
-KIT_IDS = ["bm25", "tfidf", "ivfpq", "trigram"]
+def _semantic_kit() -> IndexKit:
+    # the r15 fifth index — the maintained SemDeDup assignments table
+    # (operators/dedup.py semantic_index_add): per-doc rows are
+    # (vec_id, _nv, cluster) against FROZEN md5 centroids, so add is a
+    # pure per-row function exactly like the ivfpq kit; the pair-probe
+    # and reindex behaviors specific to SemDeDup stay in
+    # test_semantic_index.py
+    from clinical_vector_search_spark.operators.dedup import (
+        semantic_clusters,
+        semantic_index_add,
+        semantic_index_delete,
+        semantic_read_index,
+        streaming_semantic_ingest,
+    )
+
+    def _add(spark, df, b, base, run_id=None):
+        # alternate the bit-identical expr/BLAS assignment twins across
+        # batch ids — their parity must hold THROUGH the sink
+        semantic_index_add(
+            spark, df, b, f"{base}/assign", 8, n_clusters=2,
+            encoder="pd" if b % 2 else "expr", run_id=run_id,
+        )
+
+    return IndexKit(
+        name="semantic",
+        id_col="vec_id",
+        corpus=_vec_corpus,
+        add=_add,
+        delete=lambda spark, df, b, base: semantic_index_delete(
+            spark, df.select("vec_id"), b, f"{base}/dead"
+        ),
+        read=lambda spark, base: semantic_read_index(
+            spark, f"{base}/assign", tombstone_path=f"{base}/dead"
+        ),
+        rebuild=lambda df: semantic_clusters(df, 8, 2),
+        snap=lambda df: sorted(
+            (r.vec_id, r.cluster, tuple(r._nv)) for r in df.collect()
+        ),
+        compact_dirs=lambda base: [f"{base}/assign"],
+        tombstoned=lambda base: (f"{base}/assign", f"{base}/dead", "vec_id"),
+        stream_ingest=lambda spark, stream, base, ckpt, run_id:
+            streaming_semantic_ingest(
+                spark, stream, f"{base}/assign", f"{base}/pairs", 8,
+                n_clusters=2, tombstone_path=f"{base}/dead",
+                checkpoint_path=ckpt, run_id=run_id,
+            ),
+        stream_check_dir=lambda base: f"{base}/assign",
+    )
+
+
+KITS = [_bm25_kit, _tfidf_kit, _ivfpq_kit, _trigram_kit, _semantic_kit]
+KIT_IDS = ["bm25", "tfidf", "ivfpq", "trigram", "semantic"]
 
 
 @pytest.fixture(params=KITS, ids=KIT_IDS)
