@@ -5218,6 +5218,96 @@ def q_dedup_semantic_pairs_salted(
     )
 
 
+def q_dedup_semantic_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maintained SemDeDup index — the incremental-pairs lifecycle
+    (operators/dedup.py ingest_semantic_batch, r15 — the fifth index on
+    the shared maintenance protocol; reference ancestor: the full
+    re-embed-and-recluster the reference pays every run,
+    src/pipeline/pipeline.py:90-136): the corpus arrives as two
+    idempotent batch-id-overwrite ingests, each assigning map-side
+    against the FROZEN md5 centroids and probing ONLY its own touched
+    clusters against the persisted assignments (broadcast semi-probe —
+    no old×old rescan, cost ∝ batch). The accumulated pair set is
+    INVARIANT to the chunking — each pair is emitted exactly once, in
+    the batch of whichever member arrives later — so the oracle is the
+    ONE-SHOT semantic_dedup_pairs SQL over the whole corpus, unchanged:
+    the strongest statement the maintenance story can make. Retry
+    idempotency, tombstone gating, and the reindex drift recovery are
+    pinned in tests/test_semantic_index.py."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.dedup import (
+        ingest_semantic_batch,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_sem_incr_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 2 == 0), v.filter(F.col("vec_id") % 2 == 1))
+    ):
+        ingest_semantic_batch(
+            spark, batch, i, f"{base}/assign", f"{base}/pairs", 64,
+            threshold=0.35, n_clusters=8,
+        )
+    acc = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{base}/pairs"
+    )
+    return acc.select(
+        "a_id", "b_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
+def q_dedup_semantic_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leased retrain-and-reassign of the maintained semantic index
+    (operators/dedup.py reindex_semantic — the drift-recovery stage,
+    the reindex_ivfpq pattern): two frozen-geometry ingests at 8
+    clusters, ids with vec_id % 16 == 5 tombstoned, then ONE reindex
+    under the two-lease discipline derives the surviving membership
+    FROM the index, retrains at 16 clusters, reassigns map-side, fences
+    the old-geometry batch names, swaps with the centroids stamped as
+    _TRAINED.json atomically inside the new directory, and clears the
+    tombstones last. n_iter=0 makes the retrained centroids the
+    deterministic L2-normalized md5 matrix — SQL-expressible, so the
+    whole lifecycle has a full value-hash oracle (the
+    knn_ivfpq_reindex pattern); the trained-loop recall-restoration
+    story is pinned in tests/test_semantic_index.py."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.dedup import (
+        reindex_semantic,
+        semantic_index_add,
+        semantic_index_delete,
+        semantic_read_index,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_sem_reidx_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 2 == 0), v.filter(F.col("vec_id") % 2 == 1))
+    ):
+        semantic_index_add(
+            spark, batch, i, f"{base}/assign", 64, n_clusters=8
+        )
+    semantic_index_delete(
+        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    reindex_semantic(
+        spark, f"{base}/assign", v, 64, n_clusters=16, n_iter=0,
+        tombstone_path=f"{base}/dead",
+    )
+    return semantic_read_index(spark, f"{base}/assign").select(
+        "vec_id", "cluster"
+    )
+
+
 def q_vec_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (1-bit sign) quantization of the 64-d embedding into two
     32-bit words (functions/vector.py sign_pack): a 32× scan/shuffle cut
@@ -7400,6 +7490,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      demoted last). Every entry below the window was green in its
     #      last driver round (r9-r13).
     return {
+        # -- r15 window 1-2: NEW in r15 (maintained SemDeDup index) --
+        "dedup_semantic_incremental": q_dedup_semantic_incremental,
+        "dedup_semantic_reindex": q_dedup_semantic_reindex,
         # -- r14 window 1-4: NEW in r14 --
         "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
         "dedup_soft_sample": q_dedup_soft_sample,
@@ -10739,6 +10832,41 @@ def oracle_sql() -> dict[str, str]:
     s["dedup_semantic_pd"] = s["dedup_semantic"]
     # the salted block self-join is exact — same pairs oracle
     s["dedup_semantic_pairs_salted"] = s["dedup_semantic_pairs"]
+    # maintained semantic index (r15): the accumulated incremental pair
+    # set is chunking-invariant, so the two-batch ingest lifecycle must
+    # reproduce the ONE-SHOT pairs SQL exactly — the strongest oracle
+    # the maintenance story admits
+    s["dedup_semantic_incremental"] = s["dedup_semantic_pairs"]
+
+    # semantic reindex at n_iter=0: the retrained centroids are the
+    # deterministic L2-normalized md5 16-matrix (kmeans_centroids
+    # init — same +1e-9 guard, embedded as literals computed with the
+    # same numpy ops); membership = survivors of the tombstoned ids
+    import numpy as _np_sem
+
+    _c16 = _np_sem.array(_centroid_matrix(64, 16), dtype="float64")
+    _c16 = _c16 / (_np_sem.linalg.norm(_c16, axis=1, keepdims=True) + 1e-9)
+    _c16_sql = ", ".join(
+        f"({c}, [{', '.join(repr(float(w)) for w in row)}]::DOUBLE[])"
+        for c, row in enumerate(_c16)
+    )
+    s["dedup_semantic_reindex"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                   WHERE vec_id % 16 <> 5),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        cents AS (SELECT * FROM (VALUES {_c16_sql}) AS c(cid, w)),
+        dots AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                 FROM n CROSS JOIN cents),
+        asg AS (SELECT vec_id, cid::INT AS cluster FROM
+                  (SELECT vec_id, cid,
+                          row_number() OVER (PARTITION BY vec_id
+                                             ORDER BY floor(dot * 1e12 + 0.5)
+                                                        DESC,
+                                                      cid) AS rn
+                   FROM dots)
+                WHERE rn = 1)
+        SELECT vec_id, cluster FROM asg
+    """
 
     # incremental IVF-PQ index add: the full-index rebuild RESTRICTED to
     # batch rows (assignment is per-row deterministic, so fold-in ==
