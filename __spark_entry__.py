@@ -1940,33 +1940,47 @@ def q_knn_ivfpq_index_add(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Path-only serving over the maintained index (operators/pq.py
-    knn_ivfpq_serve, r14): same two-ingest + tombstone lifecycle as
-    knn_ivfpq_index_search, but the serving tier holds NO geometry —
-    the trained state is STAMPED into the index as the hidden
-    ``_TRAINED.json`` (write_trained_state: FileContext atomic
-    overwrite publish, carried by every compaction swap) and serve
-    reads it back (with the mid-swap self-heal BEFORE the state read
-    and the swap-consistency re-verify after the codes listing).
-    Fullprobe disables IVF pruning, so the oracle is byte-identical to
-    knn_ivfpq_index_search's: plain PQ ADC over the NORMALIZED
-    survivors — proving the sidecar round-trip changes nothing."""
+def _ivfpq_reindexed_base(spark: SparkSession, sf_dir: str) -> str:
+    """Shared RESIDUAL-reindexed lifecycle fixture for the
+    knn_ivfpq_reindex + knn_ivfpq_serve entries (r14 VERDICT tasks 3+5
+    merged): two frozen-geometry ingests, tombstoned deletes
+    (vec_id % 16 == 5), then ONE leased retrain-and-re-encode with
+    residual=True — the FAISS-default IVFADC discipline (operators/
+    pq.py reindex_ivfpq; the r8 finding: books must quantize the
+    residual distribution the encoder feeds them) — stamping a
+    residual=true _TRAINED.json atomically with the re-encoded codes
+    and clearing the tombstones last. Built ONCE per process/sf and
+    reused by both entries (they previously rebuilt near-identical
+    lifecycles independently — ~2x the window cost): a content-keyed
+    marker file written LAST makes the reuse crash-safe (a crashed
+    build leaves no marker -> rebuild) and testdata-refresh-safe (the
+    key includes the embeddings table's mtime/size)."""
+    import os
     import shutil
     import tempfile
 
     from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.knn import _centroid_matrix
     from clinical_vector_search_spark.operators.pq import (
         ivfpq_index_add,
         ivfpq_index_delete,
-        knn_ivfpq_serve,
         pq_codebooks_lcg,
-        write_trained_state,
+        reindex_ivfpq,
     )
 
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    base = f"{tempfile.gettempdir()}/cvs_ivfpq_serve_{tag}"
+    base = f"{tempfile.gettempdir()}/cvs_ivfpq_life_{tag}"
+    emb = os.stat(f"{sf_dir}/embeddings.parquet")
+    key = (
+        f"residual-v1-m{PQ_M}-k{PQ_KSUB}-c8-"
+        f"{int(emb.st_mtime)}-{emb.st_size}"
+    )
+    marker = f"{base}/_FIXTURE_OK"
+    try:
+        with open(marker) as fh:
+            if fh.read() == key:
+                return base
+    except OSError:
+        pass
     shutil.rmtree(base, ignore_errors=True)
     v = _vecs(spark, sf_dir).select(
         "vec_id", V.l2_normalize("embedding").alias("embedding")
@@ -1978,18 +1992,44 @@ def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_index_add(
             spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
         )
-    write_trained_state(
-        spark, f"{base}/codes", _centroid_matrix(64, 8), books, 64
-    )
     ivfpq_index_delete(
         spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
+    )
+    reindex_ivfpq(
+        spark, f"{base}/codes", v, 64, m=PQ_M, ksub=PQ_KSUB,
+        n_centroids=8, n_iter=0, tombstone_path=f"{base}/dead",
+        residual=True, encoder="expr",
+    )
+    with open(marker, "w") as fh:
+        fh.write(key)
+    return base
+
+
+def q_knn_ivfpq_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-only serving over the RESIDUAL-reindexed maintained index
+    (operators/pq.py knn_ivfpq_serve, r14; residual lane driver-visible
+    since r15): the serving tier holds NO geometry — the residual=true
+    trained state is STAMPED into the index as the hidden
+    ``_TRAINED.json`` (atomic with the codes it encodes, carried by
+    every compaction swap) and serve reads it back (mid-swap self-heal
+    BEFORE the state read, swap-consistency re-verify after the codes
+    listing), so the sidecar round-trip alone must select the residual
+    ADC path. Fullprobe disables IVF pruning, so the oracle is residual
+    PQ ADC over the NORMALIZED survivors: per-(query, cell) distance
+    tables over (q − centroid). Shares the lifecycle fixture with
+    knn_ivfpq_reindex (built once per process/sf)."""
+    from clinical_vector_search_spark.functions import vector as V
+    from clinical_vector_search_spark.operators.pq import knn_ivfpq_serve
+
+    base = _ivfpq_reindexed_base(spark, sf_dir)
+    v = _vecs(spark, sf_dir).select(
+        "vec_id", V.l2_normalize("embedding").alias("embedding")
     )
     queries = v.filter(F.col("vec_id") < KNN_NQ).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     r = knn_ivfpq_serve(
-        spark, f"{base}/codes", queries, KNN_K,
-        tombstone_path=f"{base}/dead", n_probe=8,
+        spark, f"{base}/codes", queries, KNN_K, n_probe=8,
     )
     return r.select(
         "query_id", "rank", F.col("vec_id").alias("doc_id"), "adc_dist"
@@ -2066,48 +2106,24 @@ def q_knn_ivfpq_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM the index, retrains on the survivors, re-encodes them in one
     batch pass, fences the old-geometry batch names, swaps with the
     trained state stamped atomically inside the new directory, and
-    clears the tombstones last (physical erasure). Run with n_iter=0 so
-    the retrained geometry is the deterministic normalized-md5
-    centroids + LCG codebooks — SQL-expressible, giving the whole
-    lifecycle a full value-hash oracle (the knn_ivfpq_fullprobe
-    pattern); the trained-loop recall-restoration story is pinned in
+    clears the tombstones last (physical erasure). RESIDUAL discipline
+    since r15 (the FAISS IVFADC default and the r8 finding's whole
+    point): the re-encode quantizes x − centroid, and the stamped
+    sidecar carries residual=true so path-only serving selects the
+    residual ADC. Run with n_iter=0 so the retrained geometry is the
+    deterministic normalized-md5 centroids + LCG codebooks —
+    SQL-expressible (the residual subtraction is one list
+    comprehension over the assigned centroid), giving the whole
+    lifecycle a full value-hash oracle; the trained-loop
+    recall-restoration story is pinned in
     tests/test_pq.py::test_reindex_ivfpq_restores_recall_after_drift.
     encoder="expr" is the oracle-parity twin (bit-identical to the
     default "pd" path by the ivfpq_encode parity contract). Flattened
-    to (vec_id, cluster, sub, code) scalar rows."""
-    import shutil
-    import tempfile
+    to (vec_id, cluster, sub, code) scalar rows. Shares the lifecycle
+    fixture with knn_ivfpq_serve (built once per process/sf)."""
+    from clinical_vector_search_spark.operators.pq import read_ivfpq_index
 
-    from clinical_vector_search_spark.functions import vector as V
-    from clinical_vector_search_spark.operators.pq import (
-        ivfpq_index_add,
-        ivfpq_index_delete,
-        pq_codebooks_lcg,
-        read_ivfpq_index,
-        reindex_ivfpq,
-    )
-
-    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
-    base = f"{tempfile.gettempdir()}/cvs_ivfpq_reidx_{tag}"
-    shutil.rmtree(base, ignore_errors=True)
-    v = _vecs(spark, sf_dir).select(
-        "vec_id", V.l2_normalize("embedding").alias("embedding")
-    )
-    books = pq_codebooks_lcg(64, PQ_M, PQ_KSUB)
-    for i, batch in enumerate(
-        (v.filter(F.col("vec_id") % 8 != 3), v.filter(F.col("vec_id") % 8 == 3))
-    ):
-        ivfpq_index_add(
-            spark, batch, i, f"{base}/codes", 64, books, n_centroids=8
-        )
-    ivfpq_index_delete(
-        spark, v.filter(F.col("vec_id") % 16 == 5), 0, f"{base}/dead"
-    )
-    reindex_ivfpq(
-        spark, f"{base}/codes", v, 64, m=PQ_M, ksub=PQ_KSUB,
-        n_centroids=8, n_iter=0, tombstone_path=f"{base}/dead",
-        encoder="expr",
-    )
+    base = _ivfpq_reindexed_base(spark, sf_dir)
     idx = read_ivfpq_index(spark, f"{base}/codes")
     return idx.select(
         "vec_id", "cluster", F.posexplode("codes").alias("sub", "code")
@@ -10905,11 +10921,14 @@ def oracle_sql() -> dict[str, str]:
     # reindex lifecycle: with n_iter=0 the retrained geometry is exactly
     # the kmeans_centroids INIT (the md5 centroid matrix, L2-normalized
     # with the +1e-9 guard — embedded as literals computed with the same
-    # numpy ops) and the unchanged LCG codebooks, so the whole
-    # retrain-and-re-encode (membership from the index minus tombstones,
-    # re-encode of the survivors) has a full value-hash oracle: the
-    # quantized-argmax assignment + LCG codes over the NORMALIZED
-    # survivors (vec_id % 16 <> 5)
+    # numpy ops) and the unchanged LCG codebooks (n_iter=0 never runs a
+    # training pass, so residual books == LCG init), so the whole
+    # RESIDUAL retrain-and-re-encode (membership from the index minus
+    # tombstones, re-encode of the survivors against x − centroid) has
+    # a full value-hash oracle: quantized-argmax assignment over the
+    # NORMALIZED survivors (vec_id % 16 <> 5), then LCG codes over the
+    # residual rv = nv − centroid[cluster] (exact fp64 elementwise
+    # subtract in both engines)
     import numpy as _np
 
     _cn = _np.array(_cents, dtype="float64")
@@ -10918,7 +10937,12 @@ def oracle_sql() -> dict[str, str]:
         f"({c}, [{', '.join(repr(float(w)) for w in row)}]::DOUBLE[])"
         for c, row in enumerate(_cn)
     )
-    s["knn_ivfpq_reindex"] = f"""
+    _pq_codes_rv = "[" + ", ".join(
+        f"CAST(list_indexof({_pq_dists('rv', sub)}, "
+        f"list_min({_pq_dists('rv', sub)})) - 1 AS INT)"
+        for sub in range(PQ_M)
+    ) + "]"
+    _ivfpq_residual_base = f"""
         WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
                    WHERE vec_id % 16 <> 5),
         n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
@@ -10933,12 +10957,20 @@ def oracle_sql() -> dict[str, str]:
                                                       cid) AS rn
                    FROM dots)
                 WHERE rn = 1),
-        c AS (SELECT vec_id, {_pq_codes_nv} AS codes FROM n)
-        SELECT a.vec_id, a.cluster, CAST(sub - 1 AS INT) AS sub,
-               codes[sub] AS code
-        FROM asg a JOIN c USING (vec_id),
-             unnest(generate_series(1, {PQ_M})) AS t(sub)
+        rr AS (SELECT a.vec_id, a.cluster,
+                      [n.nv[i] - c.w[i] FOR i IN range(1, 65)] AS rv
+               FROM asg a JOIN n USING (vec_id)
+                          JOIN cents c ON a.cluster = c.cid),
+        codes AS (SELECT vec_id, cluster, {_pq_codes_rv} AS codes FROM rr)
     """
+    s["knn_ivfpq_reindex"] = (
+        _ivfpq_residual_base
+        + f"""
+        SELECT vec_id, cluster, CAST(sub - 1 AS INT) AS sub,
+               codes[sub] AS code
+        FROM codes, unnest(generate_series(1, {PQ_M})) AS t(sub)
+    """
+    )
 
     # serving over the maintained index: fullprobe disables IVF pruning,
     # so the lifecycle composition (two ingests + tombstoned deletes +
@@ -10966,9 +10998,36 @@ def oracle_sql() -> dict[str, str]:
         FROM r WHERE rank <= {KNN_K}
     """
 
-    # path-only serving (r14): the sidecar round-trip must change
-    # nothing — identical fullprobe-over-survivors oracle
-    s["knn_ivfpq_serve"] = s["knn_ivfpq_index_search"]
+    # path-only serving over the RESIDUAL-reindexed index (r15): the
+    # sidecar round-trip alone must select the residual ADC — distance
+    # tables per (query, cell) over (q − centroid), scored against the
+    # residual codes of the reindexed survivors; queries drawn from the
+    # full id range (deleted ids may still query), fullprobe disables
+    # IVF pruning
+    _pq_qtab_rv = "[" + ", ".join(
+        _pq_dists("rv", sub) for sub in range(PQ_M)
+    ) + "]"
+    s["knn_ivfpq_serve"] = (
+        _ivfpq_residual_base
+        + f""",
+        nall AS (SELECT vec_id, {_NORMALIZE.format(v="embedding::DOUBLE[]")}
+                        AS nv
+                 FROM embeddings WHERE vec_id < {KNN_NQ}),
+        rq AS (SELECT nall.vec_id AS query_id, c.cid,
+                      [nall.nv[i] - c.w[i] FOR i IN range(1, 65)] AS rv
+               FROM nall CROSS JOIN cents c),
+        tabs AS (SELECT query_id, cid, {_pq_qtab_rv} AS tab FROM rq),
+        sc AS (SELECT t.query_id, codes.vec_id AS doc_id,
+                 list_sum([t.tab[sub + 1][codes.codes[sub + 1] + 1]
+                           FOR sub IN range(0, {PQ_M})]) AS adc
+               FROM tabs t JOIN codes ON t.cid = codes.cluster),
+        r AS (SELECT query_id, doc_id, adc,
+                row_number() OVER (PARTITION BY query_id
+                                   ORDER BY adc, doc_id) AS rank FROM sc)
+        SELECT query_id, rank, doc_id, round(adc, 6) AS adc_dist
+        FROM r WHERE rank <= {KNN_K}
+    """
+    )
 
     # refine over the maintained index: the index_search ADC fragments
     # (normalized survivors, fullprobe) stop at rank <= k_coarse, then

@@ -821,12 +821,15 @@ def test_compaction_preserves_trained_state_sidecar(spark, tmp_path):
     assert rows_after == rows_before
 
 
-def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path):
+@pytest.mark.parametrize("residual", [False, True], ids=["raw", "residual"])
+def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path, residual):
     """knn_ivfpq_serve serves from the index DIRECTORY alone: the
     trained state comes from the stamped _TRAINED.json, so results must
-    equal knn_ivfpq_codes called with the very state reindex returned;
-    an unstamped (pre-r14) index refuses loudly instead of serving
-    against guessed geometry."""
+    equal knn_ivfpq_codes called with the very state reindex returned —
+    including the residual FLAG (r15: the sidecar alone must select the
+    residual ADC path; serving residual codes with raw tables would be
+    silently wrong scores); an unstamped (pre-r14) index refuses loudly
+    instead of serving against guessed geometry."""
     from clinical_vector_search_spark.operators.pq import (
         ivfpq_index_add,
         knn_ivfpq_codes,
@@ -856,7 +859,8 @@ def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path):
     with pytest.raises(ValueError, match="_TRAINED"):
         knn_ivfpq_serve(spark, idx, q, 10)
     state = reindex_ivfpq(
-        spark, idx, docs, dim, m=4, ksub=16, n_centroids=8, n_iter=3
+        spark, idx, docs, dim, m=4, ksub=16, n_centroids=8, n_iter=3,
+        residual=residual,
     )
     served = sorted(
         (r.query_id, r.rank, r.vec_id)
@@ -867,6 +871,7 @@ def test_knn_ivfpq_serve_uses_stamped_state(spark, tmp_path):
         for r in knn_ivfpq_codes(
             q, read_ivfpq_index(spark, idx), 10, dim, state["books"],
             centroids=state["centroids"], n_probe=2, doc_id="vec_id",
+            residual=residual,
         ).collect()
     )
     assert served == explicit and served
