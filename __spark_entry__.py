@@ -7489,89 +7489,33 @@ def q_events_activation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
-    # r13 VERDICT's task 2 names this r14 order):
-    #   1. the FOUR entries NEW in r14 (IVF-PQ retrain-and-re-encode
-    #      compaction; SoftDeDup weights -> weighted corpus draw; the
-    #      maintained trigram index lifecycle; path-only serving over
-    #      the stamped trained state) lead;
-    #   2. the 32 remaining last-green-r8 entries (rows-only excluded)
-    #      — this RETIRES the r8 tier: after r14 no entry's last
-    #      driver row predates r9;
-    #   3. the 14 stalest last-green-r9 entries fill the window to 50
+    # r14 VERDICT's task 2 names this r15 order):
+    #   1. the TWO entries NEW in r15 (the maintained SemDeDup index:
+    #      incremental pair lifecycle + leased retrain-and-reassign)
+    #      lead;
+    #   2. knn_ivfpq_reindex + knn_ivfpq_serve re-enter the window
+    #      because r15 CHANGED their contract (residual=True flip, new
+    #      oracles, shared fixture) — a changed entry must re-earn its
+    #      driver hash regardless of freshness;
+    #   3. the 35 remaining last-green-r9 entries (rows-only excluded)
+    #      — this RETIRES the r9 tier: after r15 no hash entry's last
+    #      driver row predates r10;
+    #   4. the 11 stalest last-green-r10 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
-    #   4. then the remaining blocks stalest-first (r9 remainder, r10,
-    #      r11, r12, and the 50 entries the r13 driver just checked
-    #      demoted last). Every entry below the window was green in its
-    #      last driver round (r9-r13).
+    #   5. then the remaining blocks stalest-first (r10 remainder, r11,
+    #      r12, r13, and the r14 window demoted last). Every entry
+    #      below the window was green in its last driver round
+    #      (r10-r14) AND in the r14 judge's full 293-entry sweep.
     return {
         # -- r15 window 1-2: NEW in r15 (maintained SemDeDup index) --
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "dedup_semantic_reindex": q_dedup_semantic_reindex,
-        # -- r14 window 1-4: NEW in r14 --
+        # -- r15 window 3-4: oracle+impl CHANGED in r15 (residual flip of the reindex/serve lifecycle) — re-verify under the new contract --
         "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
-        "dedup_soft_sample": q_dedup_soft_sample,
-        "retrieval_trigram_incremental": q_retrieval_trigram_incremental,
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
-        # -- r14 window 5-36: the remaining last-green-r8 block (non-rows-only) — retires the r8 tier --
-        "events_seasonal_index": q_events_seasonal_index,
-        "events_seasonal_outliers": q_events_seasonal_outliers,
-        "events_ewma": q_events_ewma,
-        "events_cusum": q_events_cusum,
-        "rel_revenue_concentration": q_rel_revenue_concentration,
-        "rel_gini": q_rel_gini,
-        "text_winnowing": q_text_winnowing,
-        "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
-        "dedup_containment": q_dedup_containment,
-        "events_hll_overlap": q_events_hll_overlap,
-        "rag_query_expansion": q_rag_query_expansion,
-        "text_heaps_fit": q_text_heaps_fit,
-        "graph_kcore": q_graph_kcore,
-        "events_scd2_asof_features": q_events_scd2_asof_features,
-        "doc_url_dedup": q_doc_url_dedup,
-        "events_user_split": q_events_user_split,
-        "doc_dsir_weights": q_doc_dsir_weights,
-        "doc_quality_logreg": q_doc_quality_logreg,
-        "doc_dsir_resample": q_doc_dsir_resample,
-        "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
-        "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
-        "events_time_split": q_events_time_split,
-        "events_sessionize": q_events_sessionize,
-        "events_quantiles": q_events_quantiles,
-        "events_distinct_users": q_events_distinct_users,
-        "events_range_join": q_events_range_join,
-        "events_json_extract": q_events_json_extract,
-        "events_streaming_tumbling": q_events_streaming_tumbling,
-        "events_streaming_join": q_events_streaming_join,
-        "events_streaming_dedup": q_events_streaming_dedup,
-        "salted_agg": q_salted_agg,
-        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
-        # -- r14 window 37-50: stalest last-green-r9 entries (rows-only excluded) --
-        "rag_mmr_rounded": q_rag_mmr_rounded,
-        "rag_rrf": q_rag_rrf,
-        "events_streaming_sessionize": q_events_streaming_sessionize,
-        "events_streaming_enrich": q_events_streaming_enrich,
-        "events_streaming_user_totals": q_events_streaming_user_totals,
-        "events_sessionize_skew": q_events_sessionize_skew,
-        "events_asof_forward": q_events_asof_forward,
-        "knn_pq_adc": q_knn_pq_adc,
-        "vec_pq_codes": q_vec_pq_codes,
-        "knn_exact_l2": q_knn_exact_l2,
-        "doc_stratified_sample": q_doc_stratified_sample,
-        "doc_decontaminate": q_doc_decontaminate,
-        "dedup_survivors": q_dedup_survivors,
-        "text_repetition": q_text_repetition,
-        # -- the 8 rows-only twins — anchored OUTSIDE the window (see tools/check_correctness.py ROWS_ONLY_TWINS) --
-        "events_distinct_hll": q_events_distinct_hll,
-        "rag_hybrid_mmr": q_rag_hybrid_mmr,
-        "knn_ivf": q_knn_ivf,
-        "evaluation_table": q_evaluation_table,
-        "text_bpe_encode": q_text_bpe_encode,
-        "text_bpe_train": q_text_bpe_train,
-        "knn_ivfpq": q_knn_ivfpq,
-        "vec_pca": q_vec_pca,
-        # -- remaining blocks, stalest first: r9 remainder (text_cms_heavyhitters + rel_cube displaced from the window by the 3rd/4th new entries), r10, r11, r12, then the r13 window demoted last --
+        # -- r15 window 5-39: the remaining last-green-r9 block (non-rows-only) — retires the r9 tier --
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "rel_cube": q_rel_cube,
         "rel_window_ranks": q_rel_window_ranks,
@@ -7607,6 +7551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
+        # -- r15 window 40-50: stalest last-green-r10 entries --
         "events_scd2_incremental": q_events_scd2_incremental,
         "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
         "rel_entity_resolution": q_rel_entity_resolution,
@@ -7618,6 +7563,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_neyman_allocation": q_doc_neyman_allocation,
         "text_spearman": q_text_spearman,
         "events_ks_test": q_events_ks_test,
+        # -- below the window: the 8 rows-only entries stay ordered OUTSIDE it (anchored by oracle-hashed twins/pytests — tools/check_correctness.py ROWS_ONLY_TWINS) --
+        "events_distinct_hll": q_events_distinct_hll,
+        "rag_hybrid_mmr": q_rag_hybrid_mmr,
+        "knn_ivf": q_knn_ivf,
+        "evaluation_table": q_evaluation_table,
+        "text_bpe_encode": q_text_bpe_encode,
+        "text_bpe_train": q_text_bpe_train,
+        "knn_ivfpq": q_knn_ivfpq,
+        "vec_pca": q_vec_pca,
+        # -- last-green-r10 remainder, stalest-first --
         "events_cramers_v": q_events_cramers_v,
         "events_anova": q_events_anova,
         "events_welch_t": q_events_welch_t,
@@ -7657,6 +7612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_exact": q_knn_exact,
         "knn_window": q_knn_window,
         "bm25_okapi": q_bm25_okapi,
+        # -- last-green-r11 remainder, stalest-first --
         "knn_ivfpq_index_add": q_knn_ivfpq_index_add,
         "bm25_incremental": q_bm25_incremental,
         "bm25_incremental_delete": q_bm25_incremental_delete,
@@ -7707,6 +7663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate_bloom": q_doc_decontaminate_bloom,
         "doc_topk_per_source": q_doc_topk_per_source,
         "doc_prep_pipeline": q_doc_prep_pipeline,
+        # -- last-green-r12 remainder, stalest-first --
         "knn_ivfpq_index_refine": q_knn_ivfpq_index_refine,
         "events_zscore_outliers": q_events_zscore_outliers,
         "doc_split_assign": q_doc_split_assign,
@@ -7757,6 +7714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_distinctive_terms": q_text_distinctive_terms,
         "io_shard_manifest": q_io_shard_manifest,
         "rel_bloom_join": q_rel_bloom_join,
+        # -- last-green-r13 remainder, stalest-first --
         "tfidf_incremental": q_tfidf_incremental,
         "dedup_soft_weights": q_dedup_soft_weights,
         "text_zipf_fit": q_text_zipf_fit,
@@ -7807,6 +7765,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_volume_shipping": q_rel_volume_shipping,
         "rel_basket_pairs": q_rel_basket_pairs,
         "graph_triangles": q_graph_triangles,
+        # -- last-green-r14 remainder, stalest-first --
+        "dedup_soft_sample": q_dedup_soft_sample,
+        "retrieval_trigram_incremental": q_retrieval_trigram_incremental,
+        "events_seasonal_index": q_events_seasonal_index,
+        "events_seasonal_outliers": q_events_seasonal_outliers,
+        "events_ewma": q_events_ewma,
+        "events_cusum": q_events_cusum,
+        "rel_revenue_concentration": q_rel_revenue_concentration,
+        "rel_gini": q_rel_gini,
+        "text_winnowing": q_text_winnowing,
+        "dedup_winnowing_pairs": q_dedup_winnowing_pairs,
+        "dedup_containment": q_dedup_containment,
+        "events_hll_overlap": q_events_hll_overlap,
+        "rag_query_expansion": q_rag_query_expansion,
+        "text_heaps_fit": q_text_heaps_fit,
+        "graph_kcore": q_graph_kcore,
+        "events_scd2_asof_features": q_events_scd2_asof_features,
+        "doc_url_dedup": q_doc_url_dedup,
+        "events_user_split": q_events_user_split,
+        "doc_dsir_weights": q_doc_dsir_weights,
+        "doc_quality_logreg": q_doc_quality_logreg,
+        "doc_dsir_resample": q_doc_dsir_resample,
+        "doc_quality_logreg_eval": q_doc_quality_logreg_eval,
+        "doc_quality_logreg_calibration": q_doc_quality_logreg_calibration,
+        "events_time_split": q_events_time_split,
+        "events_sessionize": q_events_sessionize,
+        "events_quantiles": q_events_quantiles,
+        "events_distinct_users": q_events_distinct_users,
+        "events_range_join": q_events_range_join,
+        "events_json_extract": q_events_json_extract,
+        "events_streaming_tumbling": q_events_streaming_tumbling,
+        "events_streaming_join": q_events_streaming_join,
+        "events_streaming_dedup": q_events_streaming_dedup,
+        "salted_agg": q_salted_agg,
+        "knn_ivfpq_fullprobe": q_knn_ivfpq_fullprobe,
+        "rag_mmr_rounded": q_rag_mmr_rounded,
+        "rag_rrf": q_rag_rrf,
+        "events_streaming_sessionize": q_events_streaming_sessionize,
+        "events_streaming_enrich": q_events_streaming_enrich,
+        "events_streaming_user_totals": q_events_streaming_user_totals,
+        "events_sessionize_skew": q_events_sessionize_skew,
+        "events_asof_forward": q_events_asof_forward,
+        "knn_pq_adc": q_knn_pq_adc,
+        "vec_pq_codes": q_vec_pq_codes,
+        "knn_exact_l2": q_knn_exact_l2,
+        "doc_stratified_sample": q_doc_stratified_sample,
+        "doc_decontaminate": q_doc_decontaminate,
+        "dedup_survivors": q_dedup_survivors,
+        "text_repetition": q_text_repetition,
     }
 
 # ---------------------------------------------------------------------------
