@@ -181,6 +181,144 @@ def upsert_vector_index(
         _swap_directories(spark, path, tmp, tag)
 
 
+VERSION_POINTER = "_CURRENT"
+
+
+def versioned_publish(
+    df: DataFrame, path: str, keep: int = 2
+) -> str:
+    """Object-store-safe publication: the pointer-file alternative to
+    the move-aside swap (:func:`_swap_directories` documents why the
+    swap needs atomic directory rename — object stores implement that
+    as N copies + N deletes, leaving a long mid-swap window where the
+    live NAME is absent or partial). Layout: each publish writes a
+    COMPLETE immutable ``<path>/v-<n>/`` parquet directory, then
+    atomically replaces the single small ``<path>/_CURRENT`` pointer
+    file with the new version name (:func:`_atomic_small_file` — one
+    small-object PUT on S3-like stores: readers observe the old pointer
+    or the new pointer, never a missing one, and every version a
+    pointer can name is already complete). No crash ordering can leave
+    a reader without a complete dataset:
+
+    * crash mid-version-write → pointer untouched, readers still serve
+      the previous version; the orphan directory is skipped by the
+      next publish's version numbering and pruned once superseded;
+    * crash after the pointer flip → the publish simply completed
+      (pruning is best-effort cleanup, re-done next publish).
+
+    ``keep`` retains that many versions BELOW the new pointer (default
+    2 = current + one predecessor) so a reader that resolved the old
+    pointer just before a publish can still finish its scan — the
+    grace window is one full publish cadence, vs zero for the in-place
+    swap. Returns the new version name. Single writer assumed (wrap in
+    :func:`compaction_lease` when multiple jobs may publish, as
+    :func:`upsert_vector_index_versioned` does); readers never need a
+    lease — the whole point of the layout."""
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    spark = df.sparkSession
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    P = jvm.org.apache.hadoop.fs.Path
+    base = path.rstrip("/")
+    versions = sorted(
+        st.getPath().getName()
+        for st in fs.globStatus(P(f"{base}/v-*")) or []
+        if st.isDirectory()
+    )
+    prev = current_version(spark, path)
+    nxt = (
+        max((int(v.split("-")[1]) for v in versions), default=0) + 1
+    )
+    new_name = f"v-{nxt:06d}"
+    df.write.mode("overwrite").parquet(f"{base}/{new_name}")
+    _atomic_small_file(
+        spark, base, VERSION_POINTER, new_name.encode("utf-8")
+    )
+    # best-effort prune. The PREVIOUSLY-POINTED version is protected by
+    # name, not by sort order — an orphan from a crashed publish
+    # carries a HIGHER number than the predecessor, so a
+    # newest-by-name retention would delete the predecessor (breaking
+    # the in-flight-reader grace window) while keeping the useless
+    # orphan. A crash here just leaves extra complete directories,
+    # re-pruned next publish.
+    protect = {new_name}
+    if prev is not None:
+        protect.add(prev)
+    candidates = [v for v in versions if v not in protect]
+    extra = max(0, keep - len(protect))
+    for v in candidates[: max(0, len(candidates) - extra)]:
+        fs.delete(P(f"{base}/{v}"), True)
+    return new_name
+
+
+def current_version(spark: SparkSession, path: str) -> str | None:
+    """Resolve the ``_CURRENT`` pointer of a :func:`versioned_publish`
+    layout; None when nothing has ever been published."""
+    jvm, fs, _ = _hadoop_fs(spark, path)
+    p = jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/{VERSION_POINTER}"
+    )
+    if not fs.exists(p):
+        return None
+    return _read_small_file(fs, p).decode("utf-8").strip()
+
+
+def read_versioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read the current version of a :func:`versioned_publish` layout:
+    resolve the pointer, scan that immutable directory. No lease, no
+    self-heal, no retry loop — the pointer is a single small object
+    whose replace is atomic, and the directory it names was complete
+    before the pointer could name it."""
+    ver = current_version(spark, path)
+    if ver is None:
+        raise FileNotFoundError(
+            f"no {VERSION_POINTER} pointer under {path!r} — nothing has "
+            "been published (versioned_publish) yet"
+        )
+    return spark.read.parquet(f"{path.rstrip('/')}/{ver}")
+
+
+def upsert_vector_index_versioned(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+    keep: int = 2,
+) -> str:
+    """:func:`upsert_vector_index` on the :func:`versioned_publish`
+    layout — the raw-vector index as the pattern demonstration for
+    rename-less object stores: same latest-wins merge plan (union →
+    windowed dedup), but the result lands as a NEW immutable version
+    directory and goes live via the atomic pointer replace, so readers
+    never observe the mid-swap absent window the in-place variant
+    documents. Writers still serialize under the lease (two concurrent
+    merges would both base on the same old version and the second
+    pointer flip would silently drop the first's rows); readers are
+    lease-free."""
+    from pyspark.sql import Window
+
+    with compaction_lease(spark, path):
+        try:
+            old = read_versioned(spark, path).withColumn("_gen", F.lit(0))
+        except FileNotFoundError:
+            merged = new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
+            return versioned_publish(merged, path, keep)
+        incoming = (
+            new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
+            .select(*old.drop("_gen").columns)
+            .withColumn("_gen", F.lit(1))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
+        merged = (
+            old.unionByName(incoming)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn", "_gen")
+        )
+        return versioned_publish(merged, path, keep)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
@@ -687,17 +825,32 @@ def publish_sidecar(spark: SparkSession, index_path: str, payload: bytes):
     state at all (old one already deleted, new one still a hidden
     tmp): readers would silently fall into their "caller keeps the
     state" branch with the actual geometry lost."""
+    _atomic_small_file(spark, index_path, TRAINED_SIDECAR, payload)
+
+
+def _atomic_small_file(
+    spark: SparkSession, dir_path: str, name: str, payload: bytes
+) -> None:
+    """Atomically (re)place one small file ``<dir_path>/<name>``:
+    hidden-tmp write + FileContext OVERWRITE rename. On local/HDFS the
+    rename is atomic; on an object store a single-file replace maps to
+    one PUT of the destination object (then a delete of the source) —
+    readers observe the old bytes or the new bytes, never a missing or
+    torn file. This single-small-object property is what the
+    pointer-file layouts here (:func:`publish_sidecar`,
+    :func:`versioned_publish`) are built on, and what a DIRECTORY
+    move-aside swap cannot offer on rename-less stores."""
     import uuid
 
-    jvm, fs, _ = _hadoop_fs(spark, index_path)
+    jvm, fs, _ = _hadoop_fs(spark, dir_path)
     P = jvm.org.apache.hadoop.fs.Path
-    base = index_path.rstrip("/")
+    base = dir_path.rstrip("/")
     # clear tmp strays from previously crashed publishes (hidden, so
     # harmless to readers, but they would accumulate forever)
-    for st in fs.globStatus(P(f"{base}/.*.trained.tmp")) or []:
+    for st in fs.globStatus(P(f"{base}/.{name}.*.tmp")) or []:
         fs.delete(st.getPath(), False)
-    tmp = P(f"{base}/.{uuid.uuid4().hex}.trained.tmp")
-    dst = P(f"{base}/{TRAINED_SIDECAR}")
+    tmp = P(f"{base}/.{name}.{uuid.uuid4().hex}.tmp")
+    dst = P(f"{base}/{name}")
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(payload))
