@@ -1190,6 +1190,69 @@ def main() -> int:
         and "MapInPandas" not in plan,
     )
 
+    # 54e. semantic_index_add (the r15 fifth maintained index): folding
+    # a batch into the assignments table is a pure per-row function of
+    # the frozen centroids — the plan must be Projects over ONE batch
+    # scan: zero joins, zero shuffle, zero Python workers (expr
+    # encoder), exactly the ivfpq_index_add shape. At 100 TB this is
+    # what makes ingest cost ∝ batch: the corpus is never rescanned.
+    from clinical_vector_search_spark.operators.dedup import (
+        _assignment_frame,
+        _incremental_pairs_from_assignments,
+        semantic_index_add,
+        semantic_read_index,
+    )
+
+    plan = formatted(
+        _assignment_frame(
+            _vecs_pq.filter(F.col("vec_id") % 8 == 3).select(
+                "vec_id", F.col("embedding")
+            ),
+            64, 8,
+        )
+    )
+    check(
+        "semantic_index_add: map-side assignment, one scan, no shuffle",
+        n_any_join(plan) == 0
+        and n_nodes(plan, "Scan parquet") == 1
+        and n_nodes(plan, "Exchange") == 0
+        and "ArrowEvalPython" not in plan
+        and "MapInPandas" not in plan,
+    )
+
+    # 54f. the incremental SemDeDup pair probe: the corpus assignments
+    # are scanned ONCE and pre-filtered by a BROADCAST LeftSemi on the
+    # batch's touched clusters (<= n_clusters rows), the batch side of
+    # the new x old join is BROADCAST (the corpus shuffles nothing),
+    # and new x new is the batch's own tiny self-join — so there is no
+    # old x old rescan anywhere in the plan, no cartesian, and no
+    # sort-merge join (everything batch-sized broadcasts).
+    import tempfile as _tf3
+
+    _sdir = _tf3.mkdtemp(prefix="cvs_plan_sem_")
+    semantic_index_add(
+        spark, _vecs_pq.filter(F.col("vec_id") % 8 != 3), 0,
+        f"{_sdir}/assign", 64, n_clusters=8,
+    )
+    _sem_corpus = semantic_read_index(spark, f"{_sdir}/assign")
+    _sem_batch = _assignment_frame(
+        _vecs_pq.filter(F.col("vec_id") % 8 == 3), 64, 8
+    ).localCheckpoint()
+    plan = formatted(
+        _incremental_pairs_from_assignments(
+            _sem_batch, _sem_corpus, 0.35, materialized=True
+        )
+    )
+    check(
+        "semantic incremental probe: one corpus scan behind a broadcast"
+        " touched-cluster semi, broadcast batch probe, no old x old",
+        "CartesianProduct" not in plan
+        and n_nodes(plan, "Scan parquet") == 1
+        and "BroadcastHashJoin LeftSemi" in plan
+        and n_nodes(plan, "BroadcastHashJoin") >= 3
+        and n_nodes(plan, "SortMergeJoin") == 0,
+    )
+
     # 55. serving over the maintained IVF-PQ index (the read half of the
     # lifecycle): the plan must scan the CODES table (plus the query
     # vectors and the tombstones) — never the raw corpus twice, never a
