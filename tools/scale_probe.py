@@ -543,6 +543,58 @@ def main() -> None:
         f"{out['neardup_full_10x_sec']}s"
     )
 
+    # --- semantic incremental maintenance (r15 fifth index) -----------
+    # The probe touches only the batch's clusters, so cost scales with
+    # batch x touched-cluster DENSITY, not corpus size: at fixed
+    # n_clusters a 10x corpus makes clusters 10x denser (cost grows);
+    # at the prescribed SemDeDup scaling (n_clusters ∝ corpus, E[|c|]
+    # constant — the semdedup_10x_c640 rows above) the probe stays
+    # ~flat. Contrast: the one-shot semantic_dedup rerun the reference
+    # pays every run is the semdedup_* family above (sum |c|^2 over the
+    # WHOLE corpus, every time).
+    from clinical_vector_search_spark.operators.dedup import (
+        _assignment_frame,
+        _incremental_pairs_from_assignments,
+    )
+
+    sem_batch_src = emb1.filter(F.col("vec_id") % 10 == 7)
+    out["sem_batch_vecs"] = sem_batch_src.count()
+    sem_b64 = _assignment_frame(sem_batch_src, 64, 64).localCheckpoint()
+    sem_b640 = _assignment_frame(sem_batch_src, 64, 640).localCheckpoint()
+    sem_i1 = _assignment_frame(
+        emb1.filter(F.col("vec_id") % 10 != 7), 64, 64
+    ).localCheckpoint()
+    sem_i10_c64 = _assignment_frame(
+        emb10.filter(F.col("vec_id") % 10 != 7), 64, 64
+    ).localCheckpoint()
+    sem_i10_c640 = _assignment_frame(
+        emb10.filter(F.col("vec_id") % 10 != 7), 64, 640
+    ).localCheckpoint()
+    out["sem_index_rows_1x"] = sem_i1.count()
+    out["sem_index_rows_10x"] = sem_i10_c64.count()
+    out["sem_incr_1x_sec"] = timed2(
+        lambda: _incremental_pairs_from_assignments(
+            sem_b64, sem_i1, 0.35, materialized=True
+        )
+    )
+    out["sem_incr_10x_c64_sec"] = timed2(
+        lambda: _incremental_pairs_from_assignments(
+            sem_b64, sem_i10_c64, 0.35, materialized=True
+        )
+    )
+    out["sem_incr_10x_c640_sec"] = timed2(
+        lambda: _incremental_pairs_from_assignments(
+            sem_b640, sem_i10_c640, 0.35, materialized=True
+        )
+    )
+    log(
+        f"semantic incremental: 1x/c64 {out['sem_incr_1x_sec']}s -> "
+        f"10x/c64 {out['sem_incr_10x_c64_sec']}s (denser clusters) -> "
+        f"10x/c640 {out['sem_incr_10x_c640_sec']}s (prescribed scaling;"
+        f" vs one-shot semdedup_10x_c640_auto "
+        f"{out['semdedup_10x_c640_auto_sec']}s every run)"
+    )
+
     # --- incremental BM25 maintenance growth (r11) ----------------------
     # Claim under test: bm25_index_add cost is ∝ BATCH, not corpus — a
     # FIXED ~600-doc batch folds into a persisted additive-stats index
