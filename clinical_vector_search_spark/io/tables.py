@@ -162,23 +162,40 @@ def upsert_vector_index(
         # directory today — the guard keeps the protocol uniform)
         _guard_no_ingest_in_flight(spark, path, None)
         recover_interrupted_swap(spark, path, deep=True, _leased=True)
-        old = spark.read.parquet(path).withColumn("_gen", F.lit(0))
-        incoming = (
-            new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
-            .select(*old.drop("_gen").columns)
-            .withColumn("_gen", F.lit(1))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
-        merged = (
-            old.unionByName(incoming)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_gen")
+        merged = _latest_wins_merge(
+            spark.read.parquet(path), new_docs, id_col, vec_col
         )
         tag = uuid.uuid4().hex[:8]
         tmp = f"{path}__tmp_{tag}"
         merged.write.mode("overwrite").parquet(tmp)
         _swap_directories(spark, path, tmp, tag)
+
+
+def _latest_wins_merge(
+    old: DataFrame, new_docs: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """The shared merge plan of :func:`upsert_vector_index` and
+    :func:`upsert_vector_index_versioned` (one code path — a change to
+    the merge semantics must reach both storage layouts): normalize the
+    incoming vectors, union with the live index, keep the newest row
+    per id (window row_number on the generation tag). ``new_docs`` is
+    assumed id-distinct (one delta row per doc); duplicate ids within a
+    single delta tie on the generation tag."""
+    from pyspark.sql import Window
+
+    old = old.withColumn("_gen", F.lit(0))
+    incoming = (
+        new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
+        .select(*old.drop("_gen").columns)
+        .withColumn("_gen", F.lit(1))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
+    return (
+        old.unionByName(incoming)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_gen")
+    )
 
 
 VERSION_POINTER = "_CURRENT"
@@ -234,19 +251,28 @@ def versioned_publish(
     _atomic_small_file(
         spark, base, VERSION_POINTER, new_name.encode("utf-8")
     )
-    # best-effort prune. The PREVIOUSLY-POINTED version is protected by
-    # name, not by sort order — an orphan from a crashed publish
-    # carries a HIGHER number than the predecessor, so a
-    # newest-by-name retention would delete the predecessor (breaking
-    # the in-flight-reader grace window) while keeping the useless
-    # orphan. A crash here just leaves extra complete directories,
-    # re-pruned next publish.
+    # best-effort prune. Orphans from crashed publishes (numbered ABOVE
+    # the previous pointer — they were never pointed, possibly partial)
+    # are deleted unconditionally and NEVER count toward `keep`:
+    # otherwise a newest-by-name retention would keep a partial orphan
+    # while evicting the complete grace versions readers may still be
+    # scanning. Every surviving version below the pointer was itself
+    # pointed once (this same rule purged its orphans when it
+    # published), so the `keep` retention slots go to genuinely
+    # complete predecessors, newest first. A crash mid-prune just
+    # leaves extra complete directories, re-pruned next publish.
     protect = {new_name}
     if prev is not None:
         protect.add(prev)
-    candidates = [v for v in versions if v not in protect]
+    orphans = [
+        v for v in versions
+        if v not in protect and (prev is None or v > prev)
+    ]
+    complete = [v for v in versions if v not in protect and v not in orphans]
+    for v in orphans:
+        fs.delete(P(f"{base}/{v}"), True)
     extra = max(0, keep - len(protect))
-    for v in candidates[: max(0, len(candidates) - extra)]:
+    for v in complete[: max(0, len(complete) - extra)]:
         fs.delete(P(f"{base}/{v}"), True)
     return new_name
 
@@ -296,26 +322,13 @@ def upsert_vector_index_versioned(
     merges would both base on the same old version and the second
     pointer flip would silently drop the first's rows); readers are
     lease-free."""
-    from pyspark.sql import Window
-
     with compaction_lease(spark, path):
         try:
-            old = read_versioned(spark, path).withColumn("_gen", F.lit(0))
+            old = read_versioned(spark, path)
         except FileNotFoundError:
             merged = new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
             return versioned_publish(merged, path, keep)
-        incoming = (
-            new_docs.withColumn(vec_col, V.l2_normalize(vec_col))
-            .select(*old.drop("_gen").columns)
-            .withColumn("_gen", F.lit(1))
-        )
-        w = Window.partitionBy(id_col).orderBy(F.desc("_gen"))
-        merged = (
-            old.unionByName(incoming)
-            .withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn", "_gen")
-        )
+        merged = _latest_wins_merge(old, new_docs, id_col, vec_col)
         return versioned_publish(merged, path, keep)
 
 
@@ -825,6 +838,16 @@ def publish_sidecar(spark: SparkSession, index_path: str, payload: bytes):
     state at all (old one already deleted, new one still a hidden
     tmp): readers would silently fall into their "caller keeps the
     state" branch with the actual geometry lost."""
+    # legacy stray cleanup: pre-r15 write_trained_state named its tmp
+    # files .<uuid>.trained.tmp, which the generalized
+    # _atomic_small_file glob (.<name>.*.tmp) never matches — clear
+    # them here or a pre-r15 crashed publish's stray lives forever
+    jvm, fs, _ = _hadoop_fs(spark, index_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    for st in fs.globStatus(
+        P(f"{index_path.rstrip('/')}/.*.trained.tmp")
+    ) or []:
+        fs.delete(st.getPath(), False)
     _atomic_small_file(spark, index_path, TRAINED_SIDECAR, payload)
 
 
@@ -912,6 +935,61 @@ def _rewrite_and_swap(
             out.close()
     _swap_directories(spark, path, tmp, tag)
     return n
+
+
+def reindex_under_leases(
+    spark: SparkSession,
+    index_path: str,
+    tombstone_path: str | None,
+    build_fn,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    break_stale_lease_after_sec: float | None = None,
+) -> None:
+    """The shared leased retrain-and-rewrite harness of
+    ``pq.reindex_ivfpq`` and ``dedup.reindex_semantic`` — one code path
+    so a fix to the exclusion/fence/swap/clear ordering reaches every
+    reindexer (the same argument :func:`_rewrite_and_swap` makes for
+    the compactors). TWO leases in fixed order (index then tombstone —
+    the delete writers' guards watch the TOMBSTONE path's lease, so
+    holding it for the whole long job turns a concurrent delete into a
+    loud refusal instead of a batch silently wiped by the clear-LAST
+    delete), ingest guards on both paths, deep mid-swap self-heal, then
+    ``build_fn() -> (df, sidecar_bytes)`` computes the rebuilt rows and
+    trained-state payload UNDER the exclusion (surviving membership
+    must be derived inside it), the folded batch names are fenced (a
+    redelivery encoded/assigned under the OLD geometry must refuse),
+    the rewrite+swap installs the sidecar atomically with the rows it
+    interprets, and the tombstone directory clears LAST (its ids are
+    physically absent only after the swap — same ordering argument as
+    :func:`compact_tombstoned`)."""
+    import contextlib
+
+    with contextlib.ExitStack() as _stack:
+        _stack.enter_context(
+            compaction_lease(spark, index_path, break_stale_lease_after_sec)
+        )
+        if tombstone_path is not None:
+            _stack.enter_context(
+                compaction_lease(
+                    spark, tombstone_path, break_stale_lease_after_sec
+                )
+            )
+        _guard_no_ingest_in_flight(
+            spark, index_path, break_stale_lease_after_sec
+        )
+        if tombstone_path is not None:
+            _guard_no_ingest_in_flight(
+                spark, tombstone_path, break_stale_lease_after_sec
+            )
+        recover_interrupted_swap(spark, index_path, deep=True, _leased=True)
+        df, sidecar = build_fn()
+        record_compacted_batches(
+            spark, index_path, _list_batch_subdirs(spark, index_path)
+        )
+        _rewrite_and_swap(df, index_path, target_file_bytes, sidecar=sidecar)
+        if tombstone_path is not None:
+            jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
 
 
 def compact_batched(

@@ -255,10 +255,15 @@ def _incremental_pairs_from_buckets(
     ``localCheckpoint`` from the streaming path), so the multi-consumer
     ``cache()`` below is skipped — a long-running stream must not
     accumulate cached blocks in executor storage, one per micro-batch."""
+    from clinical_vector_search_spark.plan_cache import tracked_cache
+
     # cached: reused by the touched-key broadcast, the new×new self-join
     # (Spark does not reuse exchanges across self-join sides), and the
-    # new×old probe join — slim (doc_id, band, bucket-hash) rows only
-    nb = new_buckets if materialized else new_buckets.cache()
+    # new×old probe join — slim (doc_id, band, bucket-hash) rows only.
+    # tracked_cache, not bare .cache(): inside a registered plan build
+    # the handle is owned (and evicted) by the build; outside one the
+    # caller owns it, same contract as semantic_clusters
+    nb = new_buckets if materialized else tracked_cache(new_buckets)
 
     a = nb.select("band", "bucket", F.col(id_col).alias("a_id"))
     b = nb.select("band", "bucket", F.col(id_col).alias("b_id"))
@@ -2314,7 +2319,14 @@ def _incremental_pairs_from_assignments(
     batch-self pairs through the probe with the identical (exact-dot,
     argument-order-symmetric) cosine, and the ``distinct`` collapses
     them into the new×new term."""
-    na = new_assigned if materialized else new_assigned.cache()
+    from clinical_vector_search_spark.plan_cache import tracked_cache
+
+    # tracked_cache, not bare .cache(): inside a registered plan build
+    # the handle is owned (and evicted) by the build; outside one the
+    # caller owns the lifecycle (the persisted ingest path always
+    # passes materialized=True — localCheckpoint — so a foreachBatch
+    # stream never accumulates cache blocks)
+    na = new_assigned if materialized else tracked_cache(new_assigned)
 
     a = na.select(
         "cluster", F.col(id_col).alias("a_id"), F.col("_nv").alias("_va")
@@ -2538,38 +2550,12 @@ def reindex_semantic(
     which candidates FUTURE ingests can see. Returns the semantic state
     dict (also readable via :func:`read_semantic_state`); pass its
     ``centroids`` to every subsequent add/probe."""
-    import contextlib
-
-    from clinical_vector_search_spark.io.tables import (
-        _guard_no_ingest_in_flight,
-        _hadoop_fs,
-        _list_batch_subdirs,
-        _rewrite_and_swap,
-        compaction_lease,
-        record_compacted_batches,
-        recover_interrupted_swap,
-    )
+    from clinical_vector_search_spark.io.tables import reindex_under_leases
     from clinical_vector_search_spark.operators.knn import kmeans_centroids
 
-    with contextlib.ExitStack() as _stack:
-        _stack.enter_context(
-            compaction_lease(spark, index_path, break_stale_lease_after_sec)
-        )
-        if tombstone_path is not None:
-            _stack.enter_context(
-                compaction_lease(
-                    spark, tombstone_path, break_stale_lease_after_sec
-                )
-            )
-        _guard_no_ingest_in_flight(
-            spark, index_path, break_stale_lease_after_sec
-        )
-        if tombstone_path is not None:
-            _guard_no_ingest_in_flight(
-                spark, tombstone_path, break_stale_lease_after_sec
-            )
-        recover_interrupted_swap(spark, index_path, deep=True, _leased=True)
+    state: dict = {}
 
+    def build():
         survivors = semantic_read_index(
             spark, index_path, tombstone_path, id_col
         ).select(id_col)
@@ -2583,23 +2569,22 @@ def reindex_semantic(
             sample.select(V.l2_normalize(vec_col).alias(vec_col)),
             dim, n_clusters, n_iter, vec_col,
         )
+        state["centroids"] = cents
         asg = _assignment_frame(
             corpus, dim, n_clusters, id_col, vec_col, cents, encoder
         )
-        record_compacted_batches(
-            spark, index_path, _list_batch_subdirs(spark, index_path)
-        )
-        _rewrite_and_swap(
-            asg, index_path, target_file_bytes,
-            sidecar=semantic_state_payload(cents, dim),
-        )
-        if tombstone_path is not None:
-            jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
+        return asg, semantic_state_payload(cents, dim)
 
+    # the two-lease exclusion, ingest guards, fence, sidecar-atomic
+    # rewrite+swap, and clear-tombstones-LAST ordering are the shared
+    # harness — one code path with pq.reindex_ivfpq
+    reindex_under_leases(
+        spark, index_path, tombstone_path, build,
+        target_file_bytes, break_stale_lease_after_sec,
+    )
     return {
         "kind": "semantic",
-        "centroids": cents,
+        "centroids": state["centroids"],
         "dim": dim,
         "n_clusters": n_clusters,
     }

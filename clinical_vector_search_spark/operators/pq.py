@@ -1099,47 +1099,14 @@ def reindex_ivfpq(
     Returns the trained-state dict (also readable back via
     :func:`read_trained_state`); pass its ``centroids``/``books`` to
     every subsequent :func:`ivfpq_index_add` / serving call."""
-    from pyspark.errors import AnalysisException
-
-    from clinical_vector_search_spark.io.tables import (
-        _guard_no_ingest_in_flight,
-        _hadoop_fs,
-        _list_batch_subdirs,
-        _rewrite_and_swap,
-        compaction_lease,
-        is_absence_error,
-        record_compacted_batches,
-        recover_interrupted_swap,
-    )
+    from clinical_vector_search_spark.io.tables import reindex_under_leases
     from clinical_vector_search_spark.operators.knn import kmeans_centroids
 
-    import contextlib
+    if encoder not in ("expr", "pd"):
+        raise ValueError(f"encoder must be 'expr' or 'pd', got {encoder!r}")
+    state: dict = {}
 
-    # TWO leases, index then tombstone (fixed order, same argument as
-    # ``compact_tombstoned``): the delete writers' guards/markers check
-    # the TOMBSTONE path's lease — holding it for the whole (long:
-    # retrain + re-encode) job is what turns a concurrent delete into a
-    # loud refusal instead of a batch silently wiped by the clear-LAST
-    # delete in step 6.
-    with contextlib.ExitStack() as _stack:
-        _stack.enter_context(
-            compaction_lease(spark, index_path, break_stale_lease_after_sec)
-        )
-        if tombstone_path is not None:
-            _stack.enter_context(
-                compaction_lease(
-                    spark, tombstone_path, break_stale_lease_after_sec
-                )
-            )
-        _guard_no_ingest_in_flight(
-            spark, index_path, break_stale_lease_after_sec
-        )
-        if tombstone_path is not None:
-            _guard_no_ingest_in_flight(
-                spark, tombstone_path, break_stale_lease_after_sec
-            )
-        recover_interrupted_swap(spark, index_path, deep=True, _leased=True)
-
+    def build():
         # 1. surviving membership comes from the INDEX (ids ingested
         # minus ids deleted), so the re-encoded index serves exactly
         # the same id set — reindex changes geometry, never membership
@@ -1169,39 +1136,27 @@ def reindex_ivfpq(
             sample, dim, m, ksub, n_iter, vec_col,
             centroids=cents if residual else None,
         )
+        state["centroids"], state["books"] = cents, books
 
         # 4. re-encode EVERYTHING in one batch pass. ``encoder`` picks
         # between the bit-identical twins, same contract as
         # :func:`ivfpq_index_add`: "pd" (default — a retrain-cadence
         # batch job wants the Arrow/NumPy throughput kernel) or "expr"
         # (the whole-stage-codegen oracle-parity path)
-        if encoder not in ("expr", "pd"):
-            raise ValueError(
-                f"encoder must be 'expr' or 'pd', got {encoder!r}"
-            )
         enc_fn = ivfpq_encode if encoder == "expr" else ivfpq_encode_pd
         enc = enc_fn(
             corpus, dim, books, cents, n_centroids, id_col, vec_col, residual
         )
+        return enc, _trained_payload(cents, books, dim, residual)
 
-        # 5. fence old batch names (a redelivery encoded under the OLD
-        # geometry must refuse), then rewrite+swap with the new trained
-        # state INSIDE the directory — atomic with the codes
-        record_compacted_batches(
-            spark, index_path, _list_batch_subdirs(spark, index_path)
-        )
-        _rewrite_and_swap(
-            enc,
-            index_path,
-            target_file_bytes,
-            sidecar=_trained_payload(cents, books, dim, residual),
-        )
-
-        # 6. clear tombstones LAST — their ids are now physically absent
-        if tombstone_path is not None:
-            jvm, fs, _ = _hadoop_fs(spark, tombstone_path)
-            fs.delete(jvm.org.apache.hadoop.fs.Path(tombstone_path), True)
-
+    # steps 5-6 (two-lease exclusion, ingest guards, fence, rewrite+swap
+    # with the sidecar atomic, tombstones cleared LAST) are the shared
+    # harness — one code path with dedup.reindex_semantic
+    reindex_under_leases(
+        spark, index_path, tombstone_path, build,
+        target_file_bytes, break_stale_lease_after_sec,
+    )
+    cents, books = state["centroids"], state["books"]
     return {
         "centroids": cents,
         "books": books,

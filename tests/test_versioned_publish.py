@@ -171,3 +171,22 @@ def test_upsert_vector_index_versioned_latest_wins(spark, tmp_path):
     assert got[9] == (0.6, 0.8)          # inserted, normalized
     assert got[0] == (1.0, 0.0)          # untouched survivor
     assert current_version(spark, base) == "v-000002"
+
+
+def test_keep3_retains_complete_predecessors_not_orphans(
+    spark, tmp_path
+):
+    """keep>2 regression (r15 review): the extra retention slots must go
+    to genuinely complete predecessors, not to a crashed publish's
+    orphan that happens to out-sort them by name."""
+    import os
+
+    base = str(tmp_path / "idx")
+    versioned_publish(_frame(spark, "a"), base, keep=3)   # v1
+    versioned_publish(_frame(spark, "b"), base, keep=3)   # v2, pointed
+    _frame(spark, "crash").write.parquet(f"{base}/v-000003")  # orphan
+    versioned_publish(_frame(spark, "c"), base, keep=3)   # v4
+    kept = sorted(d for d in os.listdir(base) if d.startswith("v-"))
+    # new + predecessor + the one complete grace version; orphan gone
+    assert kept == ["v-000001", "v-000002", "v-000004"]
+    assert _snap(read_versioned(spark, base)) == _snap(_frame(spark, "c"))

@@ -69,6 +69,11 @@ def diagnose(spark, path: str) -> dict:
 
     # suggested next action, per the README crash table (first match
     # wins — orderings mirror how the protocol itself prioritizes)
+    def _age(a):
+        # maintenance_state reports age_sec=None when the stat raced a
+        # releasing holder — the doctor must render that, not crash
+        return "?" if a is None else round(a, 1)
+
     lease_age = (st["lease"] or {}).get("age_sec")
     marker_ages = [m["age_sec"] for m in st["markers"]]
     if not st["path_exists"] and len(st["old_siblings"]) == 1:
@@ -82,6 +87,18 @@ def diagnose(spark, path: str) -> dict:
             "ambiguous crash state: multiple __old siblings and no live "
             "directory — the protocol refuses to guess; inspect which "
             "copy is complete and rename it back manually"
+        )
+    elif not st["path_exists"] and (st["lease"] or st["markers"]):
+        # the lease/marker paths are SIBLINGS of the data directory, so
+        # a writer that crashed before its first build strands them
+        # next to a path that does not exist — every later writer then
+        # refuses with no data in sight
+        act = (
+            "no data directory, but a stranded "
+            + ("lease" if st["lease"] else "ingest marker")
+            + " sits next to this path — a writer crashed before its "
+            "first build ever landed; re-run it with "
+            "break_stale_lease_after_sec to reclaim"
         )
     elif not st["path_exists"]:
         act = "no directory here: nothing maintained at this path (yet)"
@@ -101,7 +118,7 @@ def diagnose(spark, path: str) -> dict:
         )
     elif st["lease"]:
         act = (
-            f"compaction lease held ({round(lease_age, 1)}s): a "
+            f"compaction lease held ({_age(lease_age)}s): a "
             "compactor/upserter is running, or crashed hard. If the age "
             "exceeds any legitimate compaction, re-run with "
             "break_stale_lease_after_sec to reclaim (the breaker "
@@ -109,7 +126,7 @@ def diagnose(spark, path: str) -> dict:
         )
     elif st["markers"]:
         act = (
-            f"live ingest markers (ages {[round(a, 1) for a in marker_ages]}"
+            f"live ingest markers (ages {[_age(a) for a in marker_ages]}"
             "s): batch writers in flight, or crashed. Stale markers are "
             "reclaimed by the next compaction run with "
             "break_stale_lease_after_sec; sinks are idempotent batch-id "
@@ -132,11 +149,14 @@ def diagnose(spark, path: str) -> dict:
 
 
 def render(st: dict) -> str:
+    def _age(a):
+        return "?" if a is None else round(a, 1)
+
     lease = st["lease"]
     lease_s = (
         "none"
         if lease is None
-        else f"held {round(lease['age_sec'], 1)}s by {lease['holder']}"
+        else f"held {_age(lease['age_sec'])}s by {lease['holder']}"
     )
     lines = [
         f"== {st['path']}",
@@ -145,7 +165,7 @@ def render(st: dict) -> str:
         f"  ingest markers:  "
         + (
             ", ".join(
-                f"{m['name']} ({round(m['age_sec'], 1)}s)"
+                f"{m['name']} ({_age(m['age_sec'])}s)"
                 for m in st["markers"]
             )
             or "none"
