@@ -640,6 +640,36 @@ def main() -> None:
             bm25_read_index(spark, _bm25_state["dir"]), qset, 10
         )
 
+    _sem_state: dict = {}
+
+    def bench_incremental_semantic():
+        # incremental SemDeDup maintenance (r15): a daily batch assigns
+        # map-side against the FROZEN centroids and probes ONLY its
+        # touched clusters of the PERSISTED assignment index for new
+        # near-dup pairs (broadcast semi + broadcast batch probe, no
+        # old×old rescan — dedup.semantic_pairs_incremental);
+        # semantic_dedup above is the rebuild-every-run contrast family
+        # (whole-corpus cluster assignment + Σ|c|² prune each time).
+        # The persisted assignment index is prebuilt ONCE outside the
+        # warm sweeps — production amortizes it across every ingest.
+        from clinical_vector_search_spark.operators.dedup import (
+            _assignment_frame,
+            semantic_pairs_incremental,
+        )
+
+        if not _sem_state:
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            _sem_state["batch"] = emb.filter(
+                F.col("vec_id") % 10 == 7
+            ).localCheckpoint()
+            _sem_state["idx"] = _assignment_frame(
+                emb.filter(F.col("vec_id") % 10 != 7), 64, 64
+            ).localCheckpoint()
+        return semantic_pairs_incremental(
+            _sem_state["batch"], _sem_state["idx"], 64,
+            threshold=0.35, n_clusters=64,
+        )
+
     def bench_pricing():
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
         return (
@@ -681,6 +711,7 @@ def main() -> None:
         "incremental_ann": bench_incremental_ann,
         "refine_serving": bench_refine_serving,
         "incremental_bm25": bench_incremental_bm25,
+        "incremental_semantic": bench_incremental_semantic,
     }
 
     # Throwaway end-to-end run of the flagship query before ANY timing
