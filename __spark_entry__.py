@@ -5324,6 +5324,53 @@ def q_dedup_semantic_reindex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_semantic_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair-recall recovery after a semantic reindex (operators/dedup.py
+    backfill_semantic_pairs, r15): a reindex improves candidate
+    generation only for FUTURE ingests — this job emits the pairs the
+    STALE geometry missed for the existing corpus. Lifecycle: two
+    ingests at the frozen 8-cluster md5 geometry accumulate their
+    incremental pairs, ONE leased retrain-and-reassign moves the index
+    to 16 normalized-md5 clusters (n_iter=0 — deterministic), then the
+    backfill emits the within-cluster pairs the NEW clustering admits
+    anti-joined on (a_id, b_id) against everything accumulated. The
+    accumulated table afterwards is old-geometry pairs ∪ (new-geometry
+    pairs \\ old) — every row still an exact cosine-≥-threshold pair —
+    so the oracle is the union of the two one-shot pair SQLs with the
+    second anti-joined to the first. Cost: one Σ|c|² pass per reindex
+    cadence, never per ingest."""
+    import shutil
+    import tempfile
+
+    from clinical_vector_search_spark.operators.dedup import (
+        backfill_semantic_pairs,
+        ingest_semantic_batch,
+        reindex_semantic,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    base = f"{tempfile.gettempdir()}/cvs_sem_bfill_{tag}"
+    shutil.rmtree(base, ignore_errors=True)
+    v = _vecs(spark, sf_dir)
+    for i, batch in enumerate(
+        (v.filter(F.col("vec_id") % 2 == 0), v.filter(F.col("vec_id") % 2 == 1))
+    ):
+        ingest_semantic_batch(
+            spark, batch, i, f"{base}/assign", f"{base}/pairs", 64,
+            threshold=0.35, n_clusters=8,
+        )
+    reindex_semantic(spark, f"{base}/assign", v, 64, n_clusters=16, n_iter=0)
+    backfill_semantic_pairs(
+        spark, f"{base}/assign", f"{base}/pairs", threshold=0.35
+    )
+    acc = spark.read.option("recursiveFileLookup", "true").parquet(
+        f"{base}/pairs"
+    )
+    return acc.select(
+        "a_id", "b_id", "cluster", F.round("cosine", 6).alias("cosine")
+    )
+
+
 def q_vec_binary_sign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary (1-bit sign) quantization of the 64-d embedding into two
     32-bit words (functions/vector.py sign_pack): a 32× scan/shuffle cut
@@ -7490,9 +7537,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver checks only the FIRST ~50 entries, so ordering is a
     # freshness rotation (established r5; re-rotated each round — the
     # r14 VERDICT's task 2 names this r15 order):
-    #   1. the TWO entries NEW in r15 (the maintained SemDeDup index:
-    #      incremental pair lifecycle + leased retrain-and-reassign)
-    #      lead;
+    #   1. the THREE entries NEW in r15 (the maintained SemDeDup index:
+    #      incremental pair lifecycle, leased retrain-and-reassign, and
+    #      the post-reindex pairs backfill) lead;
     #   2. knn_ivfpq_reindex + knn_ivfpq_serve re-enter the window
     #      because r15 CHANGED their contract (residual=True flip, new
     #      oracles, shared fixture) — a changed entry must re-earn its
@@ -7500,7 +7547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the 35 remaining last-green-r9 entries (rows-only excluded)
     #      — this RETIRES the r9 tier: after r15 no hash entry's last
     #      driver row predates r10;
-    #   4. the 11 stalest last-green-r10 entries fill the window to 50
+    #   4. the 10 stalest last-green-r10 entries fill the window to 50
     #      (the 8 rows-only entries stay ordered OUTSIDE the window,
     #      per the r9 VERDICT's task 7, so every driver row carries
     #      hash evidence);
@@ -7509,13 +7556,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      below the window was green in its last driver round
     #      (r10-r14) AND in the r14 judge's full 293-entry sweep.
     return {
-        # -- r15 window 1-2: NEW in r15 (maintained SemDeDup index) --
+        # -- r15 window 1-3: NEW in r15 (maintained SemDeDup index) --
         "dedup_semantic_incremental": q_dedup_semantic_incremental,
         "dedup_semantic_reindex": q_dedup_semantic_reindex,
-        # -- r15 window 3-4: oracle+impl CHANGED in r15 (residual flip of the reindex/serve lifecycle) — re-verify under the new contract --
+        "dedup_semantic_backfill": q_dedup_semantic_backfill,
+        # -- r15 window 4-5: oracle+impl CHANGED in r15 (residual flip of the reindex/serve lifecycle) — re-verify under the new contract --
         "knn_ivfpq_reindex": q_knn_ivfpq_reindex,
         "knn_ivfpq_serve": q_knn_ivfpq_serve,
-        # -- r15 window 5-39: the remaining last-green-r9 block (non-rows-only) — retires the r9 tier --
+        # -- r15 window 6-40: the remaining last-green-r9 block (non-rows-only) — retires the r9 tier --
         "text_cms_heavyhitters": q_text_cms_heavyhitters,
         "rel_cube": q_rel_cube,
         "rel_window_ranks": q_rel_window_ranks,
@@ -7551,7 +7599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_communities": q_graph_communities,
         "text_trigram_search": q_text_trigram_search,
         "events_forecast_backtest": q_events_forecast_backtest,
-        # -- r15 window 40-50: stalest last-green-r10 entries --
+        # -- r15 window 41-50: stalest last-green-r10 entries --
         "events_scd2_incremental": q_events_scd2_incremental,
         "rel_skyline_prefiltered": q_rel_skyline_prefiltered,
         "rel_entity_resolution": q_rel_entity_resolution,
@@ -7562,7 +7610,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_incremental_join": q_rel_incremental_join,
         "doc_neyman_allocation": q_doc_neyman_allocation,
         "text_spearman": q_text_spearman,
-        "events_ks_test": q_events_ks_test,
         # -- below the window: the 8 rows-only entries stay ordered OUTSIDE it (anchored by oracle-hashed twins/pytests — tools/check_correctness.py ROWS_ONLY_TWINS) --
         "events_distinct_hll": q_events_distinct_hll,
         "rag_hybrid_mmr": q_rag_hybrid_mmr,
@@ -7573,6 +7620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_ivfpq": q_knn_ivfpq,
         "vec_pca": q_vec_pca,
         # -- last-green-r10 remainder, stalest-first --
+        "events_ks_test": q_events_ks_test,
         "events_cramers_v": q_events_cramers_v,
         "events_anova": q_events_anova,
         "events_welch_t": q_events_welch_t,
@@ -10889,6 +10937,58 @@ def oracle_sql() -> dict[str, str]:
                    FROM dots)
                 WHERE rn = 1)
         SELECT vec_id, cluster FROM asg
+    """
+
+    # backfill after reindex (r15): the accumulated pairs table is
+    # old-geometry pairs (8 raw-md5 clusters — the two ingests'
+    # chunking-invariant accumulation) UNION the new-geometry pairs
+    # (16 L2-normalized-md5 clusters, the n_iter=0 reindex) that are
+    # NOT already present by (a_id, b_id); cosine is geometry-
+    # independent (exact dot over nv), only the cluster column differs
+    s["dedup_semantic_backfill"] = f"""
+        WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, {_NORMALIZE.format(v="v")} AS nv FROM d),
+        c8 AS (SELECT * FROM (VALUES {_cents_sql}) AS c(cid, w)),
+        dots8 AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                  FROM n CROSS JOIN c8),
+        asg8 AS (SELECT vec_id, cid::INT AS cluster FROM
+                   (SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY floor(dot * 1e12 + 0.5)
+                                                         DESC,
+                                                       cid) AS rn
+                    FROM dots8)
+                 WHERE rn = 1),
+        an8 AS (SELECT n.vec_id, n.nv, asg8.cluster
+                FROM n JOIN asg8 ON n.vec_id = asg8.vec_id),
+        p8 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+                      list_dot_product(a.nv, b.nv) AS cosine
+               FROM an8 a JOIN an8 b
+                 ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+               WHERE list_dot_product(a.nv, b.nv) >= 0.35),
+        c16 AS (SELECT * FROM (VALUES {_c16_sql}) AS c(cid, w)),
+        dots16 AS (SELECT vec_id, cid, list_dot_product(nv, w) AS dot
+                   FROM n CROSS JOIN c16),
+        asg16 AS (SELECT vec_id, cid::INT AS cluster FROM
+                    (SELECT vec_id, cid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY floor(dot * 1e12
+                                                              + 0.5) DESC,
+                                                        cid) AS rn
+                     FROM dots16)
+                  WHERE rn = 1),
+        an16 AS (SELECT n.vec_id, n.nv, asg16.cluster
+                 FROM n JOIN asg16 ON n.vec_id = asg16.vec_id),
+        p16 AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.cluster,
+                       list_dot_product(a.nv, b.nv) AS cosine
+                FROM an16 a JOIN an16 b
+                  ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+                WHERE list_dot_product(a.nv, b.nv) >= 0.35)
+        SELECT a_id, b_id, cluster, round(cosine, 6) AS cosine FROM p8
+        UNION ALL
+        SELECT p16.a_id, p16.b_id, p16.cluster,
+               round(p16.cosine, 6) AS cosine
+        FROM p16 ANTI JOIN p8 USING (a_id, b_id)
     """
 
     # incremental IVF-PQ index add: the full-index rebuild RESTRICTED to

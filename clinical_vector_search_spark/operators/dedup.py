@@ -1366,8 +1366,8 @@ def semantic_clusters_pd(
 
 
 def semantic_dedup_pairs(
-    df: DataFrame,
-    dim: int,
+    df: DataFrame | None,
+    dim: int | None,
     threshold: float = 0.35,
     n_clusters: int = 8,
     id_col: str = "vec_id",
@@ -1412,6 +1412,11 @@ def semantic_dedup_pairs(
     this by design — ε-balls live inside clusters).
     """
     if assigned is None:
+        if df is None or dim is None:
+            raise ValueError(
+                "semantic_dedup_pairs needs either (df, dim) to assign "
+                "clusters or a precomputed `assigned` frame"
+            )
         assigned = semantic_clusters(
             df, dim, n_clusters, id_col, vec_col, centroids
         )
@@ -2588,3 +2593,66 @@ def reindex_semantic(
         "dim": dim,
         "n_clusters": n_clusters,
     }
+
+
+def backfill_semantic_pairs(
+    spark,
+    index_path: str,
+    pairs_path: str,
+    threshold: float = 0.35,
+    batch_id: int = 0,
+    tombstone_path: str | None = None,
+    id_col: str = "vec_id",
+    max_cluster_rows: int | None = 4096,
+    run_id: str | None = None,
+) -> None:
+    """The pair-recall recovery completing :func:`reindex_semantic`:
+    a reindex improves candidate generation only for FUTURE ingests —
+    pairs the STALE geometry missed for the existing corpus (true
+    near-dups that straddled old cluster boundaries) are still absent
+    from the accumulated pairs table. This job emits exactly those:
+    the within-cluster pairs the CURRENT clustering admits, anti-joined
+    on (a_id, b_id) against everything already accumulated, appended as
+    an idempotent ``backfill-{id}`` subdirectory (distinct prefix, so
+    it can never collide with a streaming ``batch-…`` name).
+
+    Cost: one Σ|c|² within-cluster pass over the reassigned index
+    (the hot-cluster salted guard applies, same as the one-shot) plus
+    a pairs-table anti-join — paid once per reindex cadence, never per
+    ingest. The accumulated table afterwards equals
+    ``old pairs ∪ (pairs under the new geometry \\ old pairs)``: every
+    row is still a true cosine-≥-threshold pair (cosine is exact,
+    unioning across geometries loses nothing), and the corpus-wide
+    recall floor becomes the NEW clustering's recall instead of the
+    history of whichever geometry each pair happened to ingest under.
+    Run it right after :func:`reindex_semantic`, before the next
+    ingest batch."""
+    from pyspark.errors import AnalysisException
+
+    from clinical_vector_search_spark.io.tables import (
+        batch_subdir,
+        guard_batch_not_compacted,
+        ingest_markers,
+        is_absence_error,
+    )
+
+    sub = batch_subdir("backfill", run_id, batch_id)
+    guard_batch_not_compacted(pairs_path, sub)
+    asg = semantic_read_index(spark, index_path, tombstone_path, id_col)
+    admitted = semantic_dedup_pairs(
+        None, None, threshold, id_col=id_col, assigned=asg,
+        max_cluster_rows=max_cluster_rows,
+    )
+    try:
+        existing = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(pairs_path)
+            .select("a_id", "b_id")
+        )
+        new = admitted.join(existing, ["a_id", "b_id"], "left_anti")
+    except AnalysisException as e:
+        if not is_absence_error(e):
+            raise
+        new = admitted
+    with ingest_markers(spark, [pairs_path]):
+        new.write.mode("overwrite").parquet(f"{pairs_path}/{sub}")

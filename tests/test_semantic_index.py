@@ -278,3 +278,66 @@ def test_streaming_semantic_ingest_pairs_match_one_shot(spark, tmp_path):
         d.startswith("batch-day1-")
         for d in os.listdir(f"{base}/pairs")
     )
+
+
+def test_backfill_recovers_pairs_the_stale_geometry_missed(
+    spark, tmp_path
+):
+    """reindex_semantic improves candidate generation only for FUTURE
+    ingests; backfill_semantic_pairs recovers the existing corpus's
+    missed pairs: after ingest-under-md5 -> reindex(trained) ->
+    backfill, the accumulated (a_id, b_id) set equals
+    old-pairs ∪ pairs-under-the-new-geometry, its recall reaches the
+    new clustering's recall, and a retry of the backfill is a no-op
+    (anti-join emits nothing new)."""
+    from clinical_vector_search_spark.operators.dedup import (
+        backfill_semantic_pairs,
+    )
+
+    docs, mat = _blob_frame(
+        spark, n_blobs=6, per_blob=40, dim=16, noise=0.22, seed=11
+    )
+    A, P = str(tmp_path / "assign"), str(tmp_path / "pairs")
+    thr = 0.85
+    for b in range(2):
+        ingest_semantic_batch(
+            spark, docs.filter(F.col("vec_id") % 2 == b), b, A, P, 16,
+            threshold=thr, n_clusters=6,
+        )
+    old = {
+        (r.a_id, r.b_id)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(P).select("a_id", "b_id").collect()
+    }
+    reindex_semantic(spark, A, docs, 16, n_clusters=6, n_iter=5)
+    backfill_semantic_pairs(spark, A, P, threshold=thr)
+    acc = {
+        (r.a_id, r.b_id)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(P).select("a_id", "b_id").collect()
+    }
+    admitted = {
+        (r.a_id, r.b_id)
+        for r in _within_cluster_pairs(
+            semantic_read_index(spark, A), thr
+        ).collect()
+    }
+    assert acc == old | admitted
+    assert len(admitted - old) > 0  # the reindex genuinely found more
+    # accumulated recall reaches the retrained clustering's recall
+    import numpy as np
+
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(mat), k=1)
+    hit = sims[iu, ju] >= thr
+    truth = {(int(i), int(j)) for i, j in zip(iu[hit], ju[hit])}
+    assert acc <= truth  # cosine filter exact: never a false pair
+    assert len(acc) / len(truth) > 0.95
+    # retry: the anti-join makes the backfill idempotent
+    backfill_semantic_pairs(spark, A, P, threshold=thr, batch_id=1)
+    acc2 = {
+        (r.a_id, r.b_id)
+        for r in spark.read.option("recursiveFileLookup", "true")
+        .parquet(P).select("a_id", "b_id").collect()
+    }
+    assert acc2 == acc
