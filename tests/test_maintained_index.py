@@ -1,8 +1,10 @@
-"""The maintained-index lifecycle protocol, tested ONCE over all four
+"""The maintained-index lifecycle protocol, tested ONCE over all five
 indexes that implement it (VERDICT r13 task 5).
 
-BM25 (operators/bm25.py), TF-IDF and trigram (operators/sparse.py) and
-IVF-PQ (operators/pq.py) share an identical maintenance protocol: additive
+BM25 (operators/bm25.py), TF-IDF and trigram (operators/sparse.py),
+IVF-PQ (operators/pq.py) and the SemDeDup assignments table
+(operators/dedup.py, the r15 fifth kit) share an identical maintenance
+protocol: additive
 sufficient statistics in per-batch subdirectories / batch-id OVERWRITE
 idempotency / tombstoned deletes with delete-redelivery fencing /
 compaction fence manifests / ingest-marker + lease exclusion / global
@@ -480,7 +482,7 @@ def test_lifecycle_algebra_matches_survivor_rebuild(
     codes, minus tombstones and negative deltas) must reconstruct the
     one-shot rebuild of exactly the surviving rows, with redelivered
     ids' deltas subtracted exactly once and vanished vocabulary
-    dropped (text kits). One property, four indexes — the protocol
+    dropped (text kits). One property, five indexes — the protocol
     algebra is the artifact under test."""
     kit = make_kit()
     docs = kit.corpus(spark, seed=seed)
