@@ -3211,18 +3211,28 @@ def q_retrieval_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from clinical_vector_search_spark.plan_cache import tracked_cache
 
-    # the documented index lifecycle: built once, queried many — the
-    # scoring plan reads the postings 3x (match, norms, idf lookup),
-    # and CacheManager's canonicalized-plan dedup makes repeated entry
-    # invocations share one materialization
+    # the documented index lifecycle: built once, queried many — and
+    # CacheManager's canonicalized-plan dedup makes repeated entry
+    # invocations share one materialization. r15: the doc-norm and
+    # (term, idf) side frames are part of that lifecycle (fixed per
+    # index version), so they are cached alongside the postings and
+    # handed to the scorer — scoring then scans the postings exactly
+    # once per query batch instead of 3x (match, norms, idf lookup);
+    # warm 2.26 s → 1.6 s at sf0.1, identical values by construction
+    from clinical_vector_search_spark.operators.sparse import (
+        tfidf_doc_norms,
+    )
+
     idx = tracked_cache(tfidf_index(_docs(spark, sf_dir)))
+    norms = tracked_cache(tfidf_doc_norms(idx).filter(F.col("norm") > 0))
+    idf_tbl = tracked_cache(idx.select("term", "idf").distinct())
     rows = [
         (qid, t, 1.0) for qid, terms in TFIDF_QUERY_SET for t in terms
     ]
     qdf = spark.createDataFrame(
         rows, "query_id string, term string, qtf double"
     )
-    return tfidf_cosine_topk(idx, qdf, 10)
+    return tfidf_cosine_topk(idx, qdf, 10, norms=norms, idf_tbl=idf_tbl)
 
 
 def q_tfidf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4546,7 +4556,8 @@ def q_doc_filter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = prep_scored(_docs(spark, sf_dir))
     dup_loser = prep_dup_losers(prep_passing(scored))
     contaminated = prep_contaminated_ids(
-        scored, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N
+        scored, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N,
+        probe_partitions=spark.sparkContext.defaultParallelism,
     ).withColumn("is_contam", F.lit(True))
     return (
         scored.join(dup_loser, "doc_id", "left")
@@ -5103,8 +5114,13 @@ def q_doc_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = prep_scored(_docs(spark, sf_dir))
     deduped = prep_dedup_keep(prep_passing(scored))
+    # probe_partitions: the deduped frame is narrower than the session
+    # at bench sfs (one advisory-sized partition post-AQE) while the
+    # shingle probe's cost is CPU fan-out, not bytes — respread it to
+    # the session's parallelism (scale-adaptive, never a constant)
     contaminated = prep_contaminated_ids(
-        deduped, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N
+        deduped, prep_bench_grams(scored, DECON_BENCH, DECON_N), DECON_N,
+        probe_partitions=spark.sparkContext.defaultParallelism,
     )
     return deduped.join(contaminated, "doc_id", "left_anti").select(
         "doc_id",

@@ -66,6 +66,8 @@ def tfidf_cosine_topk(
     query_terms: DataFrame,
     k: int,
     round_to: int = 6,
+    norms: DataFrame | None = None,
+    idf_tbl: DataFrame | None = None,
 ) -> DataFrame:
     """Top-k docs per query by tf-idf cosine over the posting lists:
     (query_id, rank, doc_id, score). ``query_terms`` is a
@@ -87,18 +89,31 @@ def tfidf_cosine_topk(
     Zero-norm sides are EXCLUDED before the division (ANSI mode would
     raise): a document composed entirely of corpus-universal terms
     (every idf 0) or a query whose in-vocabulary terms all have idf 0
-    has no direction in VSM space — its cosine is undefined, not 0."""
+    has no direction in VSM space — its cosine is undefined, not 0.
+
+    ``norms`` / ``idf_tbl`` let a serving layer hand in the two
+    index-lifecycle side frames — (doc, norm>0) from
+    :func:`tfidf_doc_norms` and the distinct (term, idf) table — built
+    (and cached) ONCE per index instead of re-derived from the postings
+    on every query batch. Scoring then scans the postings exactly once
+    (the term match); values are identical by construction (r15
+    measured warm 2.26 s → 1.6 s at sf0.1 with both cached)."""
     # idf lookup for QUERY terms only: semi-filter the postings by a
     # broadcast of the (small) query term set BEFORE the distinct — a
     # distinct over the full posting list would shuffle vocabulary-
     # granularity rows to answer a |q|-term question (measured ~2x off
     # this operator's bench time at sf0.1)
     qterms = query_terms.select("term").distinct()
-    vocab_idf = (
-        index.join(F.broadcast(qterms), "term")
-        .select("term", "idf")
-        .distinct()
-    )
+    if idf_tbl is not None:
+        vocab_idf = idf_tbl.join(F.broadcast(qterms), "term").select(
+            "term", "idf"
+        )
+    else:
+        vocab_idf = (
+            index.join(F.broadcast(qterms), "term")
+            .select("term", "idf")
+            .distinct()
+        )
     qw = query_terms.join(F.broadcast(vocab_idf), "term").select(
         "query_id", "term", (F.col("qtf") * F.col("idf")).alias("qw")
     )
@@ -118,8 +133,10 @@ def tfidf_cosine_topk(
     )
     # norms join AFTER aggregation: (query, doc) granularity rows meet
     # the doc-granularity norm frame — never the full posting list
+    if norms is None:
+        norms = tfidf_doc_norms(index).filter(F.col("norm") > 0)
     scored = (
-        dots.join(tfidf_doc_norms(index).filter(F.col("norm") > 0), "doc")
+        dots.join(norms, "doc")
         .select(
             "query_id",
             "doc",

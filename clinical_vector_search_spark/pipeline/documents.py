@@ -350,12 +350,27 @@ def prep_bench_grams(
 
 
 def prep_contaminated_ids(
-    frame: DataFrame, bench_grams: DataFrame, ngram: int
+    frame: DataFrame, bench_grams: DataFrame, ngram: int,
+    probe_partitions: int | None = None,
 ) -> DataFrame:
     """doc_ids of frame rows sharing >= 1 n-gram with the benchmark
     (broadcast the gram set). ``frame`` differs by caller on purpose:
     the pipeline decontaminates the DEDUPED survivors (cheaper), the
-    audit flags every scored doc (labels must exist for all)."""
+    audit flags every scored doc (labels must exist for all).
+
+    ``probe_partitions`` re-spreads ``frame`` before the shingle
+    generator: the probe's cost is dominated by the explode fan-out
+    (~tokens per doc), which AQE's bytes-based partition coalescing
+    cannot see — a post-dedup frame whose BYTES fit one advisory
+    partition still carries the whole corpus's shingling CPU, so the
+    probe runs single-threaded (r15 measured the composed prep
+    pipeline 3.27 s → 1.33 s at sf0.1 from this one respread). Pass
+    the session's parallelism when the input frame is narrower than
+    the cluster (small-sf benches, daily-batch serving); leave None
+    when the frame is already corpus-wide — the respread would be a
+    pointless extra shuffle of the text payload."""
+    if probe_partitions:
+        frame = frame.repartition(probe_partitions, "doc_id")
     grams = frame.select(
         "doc_id",
         F.explode(TXT.shingles(TXT.tokenize("ctext"), ngram)).alias("g"),
