@@ -669,6 +669,7 @@ def dedup_groups(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 50,
+    seed_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Duplicate-GROUP assignment: connected components over the candidate
     pair graph — the step after MinHash/Jaccard pair generation that turns
@@ -688,13 +689,29 @@ def dedup_groups(
 
     ``ids`` must carry every node (one row per ``id_col``); ``pairs``
     carries (a_id, b_id) candidate edges. Returns (id_col, group_id).
+
+    ``seed_labels`` (optional, (id_col, group_id)) REPLACES the
+    identity-label start: the caller hands a complete initial label
+    table covering exactly the nodes of ``ids`` (duplicate rows are
+    fine — the first round's min-groupBy resolves them; ``ids`` itself
+    is then never evaluated). The fixpoint is unchanged as long as
+    every seed is a MEMBER id of the node's own component that is ≤
+    the node's id (labels only decrease pointwise, and a valid member
+    label can never undershoot the component minimum) — exactly what a
+    previous run's min-id labels are. Starting at the old minima
+    instead of identity saves one full propagation round per ingest
+    (r15, guide §1.2: fewer passes), and skipping the identity build
+    drops the ids-side union+distinct exchange with it.
     """
     edges = (
         pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .union(pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .cache()  # re-read every round; rows are two ids
     )
-    labels = ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+    if seed_labels is not None:
+        labels = seed_labels.select(F.col(id_col), F.col("group_id"))
+    else:
+        labels = ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
 
     # Min-label propagation only DECREASES labels pointwise (each round
     # takes a min over a superset that includes the old label), so the
@@ -731,9 +748,11 @@ def _incremental_group_subgraph(
     new_pairs: DataFrame,
     new_ids: DataFrame,
     id_col: str = "doc_id",
-) -> tuple[DataFrame, DataFrame]:
-    """(sub_ids, sub_pairs) for :func:`dedup_groups_incremental` — the
-    touched-component reduction. Old min-id labels ARE the old
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(sub_ids, sub_pairs, members) for :func:`dedup_groups_incremental`
+    — the touched-component reduction. ``members`` is the old label
+    rows of the touched components (batch-bounded), returned so the
+    propagation can seed from them. Old min-id labels ARE the old
     components (each is the star doc↔group_id, connectivity-equivalent
     to the old pair graph), so the only edges that need propagation are
     the batch's new pairs plus the stars of the components those pairs
@@ -766,7 +785,7 @@ def _incremental_group_subgraph(
         members.select(id_col).union(new_ids.select(id_col)).distinct()
     )
     sub_pairs = new_pairs.select("a_id", "b_id").union(star)
-    return sub_ids, sub_pairs
+    return sub_ids, sub_pairs, members
 
 
 def dedup_groups_incremental(
@@ -798,10 +817,24 @@ def dedup_groups_incremental(
     :func:`_incremental_group_subgraph` for the broadcast-probe shape;
     the min-label propagation then runs on the subgraph only.
     """
-    sub_ids, sub_pairs = _incremental_group_subgraph(
+    sub_ids, sub_pairs, members = _incremental_group_subgraph(
         old_labels, new_pairs, new_ids, id_col
     )
-    return dedup_groups(sub_ids, sub_pairs, id_col, max_iter)
+    # seed with the touched components' persisted labels (members —
+    # batch-bounded, never the corpus label table) plus identity rows
+    # for the batch: old members start at their component minimum (a
+    # valid member id ≤ their own), so the first propagation round no
+    # longer re-derives what the last run already knew — one fewer
+    # round per ingest, same fixpoint; handing a COMPLETE seed table
+    # also skips the identity build's union+distinct exchange (see
+    # dedup_groups seed_labels). members ∪ new_ids is exactly
+    # sub_ids' node set, so the output population is unchanged.
+    seeds = members.select(F.col(id_col), F.col("group_id")).union(
+        new_ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
+    )
+    return dedup_groups(
+        sub_ids, sub_pairs, id_col, max_iter, seed_labels=seeds
+    )
 
 
 def dedup_groups_star(

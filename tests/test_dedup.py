@@ -344,6 +344,38 @@ def test_minhash_pairs_incremental_matches_full_recompute(spark, sf_dir):
     assert any(a % 3 != 0 or b % 3 != 0 for a, b in got)  # new×old present
 
 
+def test_dedup_groups_seed_labels_same_fixpoint(spark):
+    """r15 seeding: warm-starting the propagation from a previous run's
+    min-id labels must land on the exact same fixpoint as the identity
+    start — seeds are member ids <= each node's own id, so min-label
+    propagation cannot undershoot the component minimum."""
+    from clinical_vector_search_spark.operators.dedup import dedup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    # two components {0,1,2,5} and {3,4}, singletons elsewhere
+    pairs = spark.createDataFrame(
+        [(1, 2), (0, 5), (2, 5), (3, 4)], ["a_id", "b_id"]
+    )
+    plain = {
+        (r.doc_id, r.group_id)
+        for r in dedup_groups(ids, pairs).collect()
+    }
+    # a valid initial label table: COMPLETE coverage (the contract),
+    # some nodes already at their true component minima, the rest at
+    # identity — what members ∪ batch-identity produces
+    seeds = spark.createDataFrame(
+        [(0, 0), (1, 1), (2, 0), (5, 0), (3, 3), (4, 3),
+         (6, 6), (7, 7), (8, 8), (9, 9)],
+        ["doc_id", "group_id"],
+    )
+    seeded = {
+        (r.doc_id, r.group_id)
+        for r in dedup_groups(ids, pairs, seed_labels=seeds).collect()
+    }
+    assert seeded == plain
+    assert (5, 0) in seeded and (4, 3) in seeded
+
+
 def test_dedup_groups_incremental_matches_full_recompute(spark, sf_dir):
     """Folding a batch's new pairs into persisted labels == a full CC
     rerun over corpus+batch restricted to components containing a batch
@@ -393,7 +425,7 @@ def test_dedup_groups_incremental_matches_full_recompute(spark, sf_dir):
     assert any(d == g and d % 3 == 0 for d, g in got)
     # touched-component reduction: the propagation subgraph must be far
     # smaller than corpus+batch (cost ∝ touched components)
-    sub_ids, _ = _incremental_group_subgraph(
+    sub_ids, _, _members = _incremental_group_subgraph(
         old_labels, new_pairs, batch.select("doc_id")
     )
     assert sub_ids.count() < docs.count()

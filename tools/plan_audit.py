@@ -1052,7 +1052,7 @@ def main() -> int:
         [(3, 200), (5, 201)], "a_id long, b_id long"
     )
     _nid = spark.createDataFrame([(200,), (201,)], "doc_id long")
-    _, sub_pairs = _incremental_group_subgraph(_labels, _np, _nid)
+    _, sub_pairs, _members = _incremental_group_subgraph(_labels, _np, _nid)
     plan = formatted(sub_pairs)
     check(
         "groups_incremental: broadcast semi member pull, no label shuffle",
