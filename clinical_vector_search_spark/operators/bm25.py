@@ -65,19 +65,32 @@ def bm25_index(
     Lazy — no driver actions. Cache the result to amortize across queries
     (``bm25_index(docs).cache()``); at scale the postings are partitioned
     by term and the 1-row stats are broadcast by AQE.
+
+    Plan shape (r15): ``dl`` rides the explode into the (doc, term)
+    aggregation (one extra long per shuffle row, constant within the
+    group) instead of being joined on afterwards — that join cost a
+    second corpus tokenize pass AND a postings-granularity doc-key
+    shuffle for a value the map side already knew (guide §2.3/§2.4).
+    Values are identical by construction: dl is functionally dependent
+    on doc. ``stats`` still aggregates over ALL docs (zero-token docs
+    have no postings but do count toward n_docs/avgdl).
     """
     toks = docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     )
     doclens = toks.select("doc", F.size("tokens").alias("dl"))
-    terms = toks.select("doc", F.explode("tokens").alias("term"))
-    tf = terms.groupBy("doc", "term").agg(F.count("*").alias("tf"))
+    terms = toks.select(
+        "doc", F.size("tokens").alias("dl"), F.explode("tokens").alias("term")
+    )
+    tf = terms.groupBy("doc", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = doclens.agg(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    return tf.join(_idf_with_floor(dfreq, stats), "term").join(doclens, "doc")
+    return tf.join(_idf_with_floor(dfreq, stats), "term")
 
 
 def bm25_score_index(
