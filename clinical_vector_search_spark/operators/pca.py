@@ -83,13 +83,15 @@ def pca_transform(
     """Expression-path projection: out[i] = dot(v - mean, components[i]).
     Components/mean enter the plan as literals (same pattern as the IVF
     centroid matrix); d-order summation for cross-engine determinism."""
-    mean = F.array(*[F.lit(float(x)) for x in model["mean"]])
+    from clinical_vector_search_spark.functions.vector import (
+        lit_double_array,
+        lit_double_matrix,
+    )
+
+    mean = lit_double_array(model["mean"])
     centered = F.zip_with(F.col(vec_col), mean, lambda x, m: x.cast("double") - m)
-    comps = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in row])
-            for row in model["components"]
-        ]
+    comps = (
+        lit_double_matrix(model["components"])
     )
     proj = F.transform(
         F.sequence(F.lit(0), F.lit(len(model["components"]) - 1)),

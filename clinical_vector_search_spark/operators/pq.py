@@ -33,7 +33,12 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from clinical_vector_search_spark.functions.vector import LCG_M, PROJ_A, PROJ_C
+from clinical_vector_search_spark.functions.vector import (
+    LCG_M,
+    PROJ_A,
+    PROJ_C,
+    lit_double_matrix,
+)
 from clinical_vector_search_spark.operators.knn import (
     ASSIGN_SCALE as _ASCALE,
 )
@@ -171,9 +176,7 @@ def _subspace_dists(vec: str, books: list, sub: int) -> F.Column:
     m×ksub×dsub table per call would bloat every pq_encode plan m-fold)."""
     dsub = len(books[0][0])
     v = F.col(vec)
-    cb = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in books[sub]]
-    )
+    cb = lit_double_matrix(books[sub])
     return F.transform(
         F.sequence(F.lit(0), F.lit(len(books[0]) - 1)),
         lambda k: F.aggregate(
@@ -626,9 +629,7 @@ def ivfpq_encode(
     )
     enc_col = vec_col
     if residual:
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(w)) for w in row]) for row in cents]
-        )
+        cent_arr = lit_double_matrix(cents)
         out = out.withColumn(
             "_enc",
             F.zip_with(

@@ -197,3 +197,26 @@ def test_mean_pool_matches_numpy(spark, sf_dir):
         n, mv = got[label]
         assert n == len(grp)
         assert np.allclose(np.array(mv), mat.mean(axis=0), atol=1e-9)
+
+
+def test_lit_double_builders_bit_identical(spark):
+    """r15: the one-parse literal builders must produce bit-identical
+    values to the per-element F.lit spelling they replaced — including
+    exponent-form, negative, and non-terminating binary fractions."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        [1e-05, -0.5, 0.1, 1.0 / 3.0, 2.0 ** -40],
+        [123456789.123456789, -1e300, 5e-324, 0.0, 1.0],
+    ]
+    old = F.array(*[F.array(*[F.lit(float(x)) for x in r]) for r in rows])
+    new = V.lit_double_matrix(rows)
+    got = spark.range(1).select(old.alias("a"), new.alias("b")).collect()[0]
+    bits = lambda m: [struct.pack("<d", x) for r in m for x in r]  # noqa: E731
+    assert bits(got["a"]) == bits(got["b"])
+    one = spark.range(1).select(
+        V.lit_double_array(rows[0]).alias("x")
+    ).collect()[0]["x"]
+    assert bits([one]) == bits([rows[0]])
