@@ -189,6 +189,17 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.driver.memory", "24g")
         .config("spark.sql.adaptive.enabled", "true")
+        # let AQE size CACHED plan output by observed bytes instead of
+        # freezing spark.sql.shuffle.partitions into the cache (r15,
+        # guide §2.2: partitions derived from data, not a constant —
+        # off by default only for plan-stability reasons). Scale-
+        # neutral: at any size AQE targets the advisory partition size;
+        # locally it stops every cached-index scan paying 32 tasks for
+        # a few MB. Measured: tfidf cache build 9.5 s → 5.5 s cold.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

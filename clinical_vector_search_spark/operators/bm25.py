@@ -295,12 +295,18 @@ def bm25_index_add(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
     ).localCheckpoint()  # consumed by postings, df and scalars
     doclens = toks.select("doc", F.size("tokens").alias("dl"))
+    # dl rides the explode into the (doc, term) aggregation — same
+    # join-free shape as bm25_index (r15): the former tf⋈doclens join
+    # cost a batch-postings doc-key shuffle for a map-side-known value
     tf = (
-        toks.select("doc", F.explode("tokens").alias("term"))
+        toks.select(
+            "doc", F.size("tokens").alias("dl"),
+            F.explode("tokens").alias("term"),
+        )
         .groupBy("doc", "term")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.first("dl").alias("dl"))
     )
-    postings = tf.join(doclens, "doc")
+    postings = tf.select("doc", "term", "tf", "dl")
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     scalars = doclens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
