@@ -4572,9 +4572,13 @@ def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n_chunks, n_shared_chunks, shared_fraction). Chunk hashes are
     8-byte keys — the dedup shuffle never moves chunk text (same
     contract as span dedup)."""
-    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+    # r15: the Arrow twin (bit-identical, parity pytest) — the expr
+    # path's interpreted HOF window hashing was ~7x slower
+    from clinical_vector_search_spark.functions.text import (
+        cdc_chunk_rows_pd,
+    )
 
-    ch = cdc_chunk_rows(_docs(spark, sf_dir), w=4, divisor=8).select(
+    ch = cdc_chunk_rows_pd(_docs(spark, sf_dir), w=4, divisor=8).select(
         "doc_id", "chunk_hash"
     )
     hot = (
@@ -4934,10 +4938,14 @@ def q_events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (functions/text.py cdc_chunk_rows):
     rolling-hash cut points make chunk identity survive token shifts —
-    the chunk-dedup/caching primitive fixed windows can't provide."""
-    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+    the chunk-dedup/caching primitive fixed windows can't provide.
+    r15: served by the Arrow twin cdc_chunk_rows_pd (bit-identical,
+    parity pytest; same SQL oracle)."""
+    from clinical_vector_search_spark.functions.text import (
+        cdc_chunk_rows_pd,
+    )
 
-    return cdc_chunk_rows(_docs(spark, sf_dir), w=4, divisor=8)
+    return cdc_chunk_rows_pd(_docs(spark, sf_dir), w=4, divisor=8)
 
 
 def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

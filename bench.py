@@ -407,10 +407,10 @@ def main() -> None:
         # windows, map-only — fan the single test split across cores
         # (measured 15s -> 1.0s warm; no combine stage to bloat)
         from clinical_vector_search_spark.functions.text import (
-            cdc_chunk_rows,
+            cdc_chunk_rows_pd,
         )
 
-        return cdc_chunk_rows(docs.repartition(int(cpus)), w=4, divisor=8)
+        return cdc_chunk_rows_pd(docs.repartition(int(cpus)), w=4, divisor=8)
 
     def bench_prep_pipeline():
         # the composed LLM data-prep plan: clean -> lang/quality filter ->

@@ -707,6 +707,86 @@ def cdc_chunk_rows(
     )
 
 
+def cdc_chunk_rows_pd(
+    df: DataFrame,
+    w: int = 4,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow/NumPy throughput twin of :func:`cdc_chunk_rows` — same
+    contract, bit-identical output (parity pinned by
+    tests/test_text.py::test_cdc_chunk_rows_pd_parity over every test
+    sf). The expression path's window hashing is interpreted HOF eval
+    (~15 µs/window, CodegenFallback); here each task tokenizes and
+    hashes its batch in plain Python/hashlib (~1 µs/window), which is
+    what a compute-bound map-only chunker should pay (guide §4.2).
+    Same parallelism note as the expression twin: fan a few-split
+    source across cores first."""
+    import hashlib
+    import re
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    # JVM \\s is ASCII-only; mirror it exactly (re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("chunk_seq", T.IntegerType(), False),
+            T.StructField("chunk_text", T.StringType()),
+            T.StructField("chunk_hash", T.LongType()),
+            T.StructField("n_tokens", T.IntegerType()),
+        ]
+    )
+
+    def chunk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, seqs, texts, hashes, ntoks = [], [], [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(str(text).lower()) if t]
+                n = len(toks)
+                if n == 0:
+                    continue
+                cuts = []
+                if n >= w:
+                    cuts = [
+                        i + w
+                        for i in range(n - w + 1)
+                        if h60(" ".join(toks[i : i + w])) % divisor == 0
+                    ]
+                # mirrors array_distinct(concat([0], cuts, [n])): cuts
+                # are strictly increasing and never 0, so only a
+                # trailing cut == n can duplicate
+                bounds = [0] + [c for c in cuts if c != n] + [n]
+                for seq, (a, b) in enumerate(zip(bounds, bounds[1:])):
+                    piece = " ".join(toks[a:b])
+                    ids.append(did)
+                    seqs.append(seq)
+                    texts.append(piece)
+                    hashes.append(h60(piece))
+                    ntoks.append(b - a)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "chunk_seq": pd.Series(seqs, dtype="int32"),
+                    "chunk_text": pd.Series(texts, dtype="object"),
+                    "chunk_hash": pd.Series(hashes, dtype="int64"),
+                    "n_tokens": pd.Series(ntoks, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(chunk, schema)
+
+
 def pmi_cooccurrence(
     docs: DataFrame,
     min_count: int = 5,

@@ -768,3 +768,28 @@ def test_trigram_search_lossless_pruning(spark):
 
     with _pytest.raises(ValueError):
         trigram_search(postings, docs, "ab")
+
+
+def test_cdc_chunk_rows_pd_parity(spark):
+    """r15 throughput twin: cdc_chunk_rows_pd must be bit-identical to
+    the expression path on every test sf (hashes, seqs, texts, token
+    counts), including short-doc (< w tokens) and multi-cut docs."""
+    from clinical_vector_search_spark.functions.text import (
+        cdc_chunk_rows,
+        cdc_chunk_rows_pd,
+    )
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        for w, divisor in ((4, 8), (3, 4)):
+            a = sorted(
+                map(tuple, cdc_chunk_rows(docs, w=w, divisor=divisor).collect())
+            )
+            b = sorted(
+                map(
+                    tuple,
+                    cdc_chunk_rows_pd(docs, w=w, divisor=divisor).collect(),
+                )
+            )
+            assert a == b, (sf, w, divisor)
+            assert a  # non-degenerate

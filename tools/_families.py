@@ -134,9 +134,11 @@ def build(spark, sf_dir: str, cpus: str):
 
 
     def bench_cdc_chunks():
-        from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+        from clinical_vector_search_spark.functions.text import (
+            cdc_chunk_rows_pd,
+        )
 
-        return cdc_chunk_rows(docs.repartition(int(cpus)), w=4, divisor=8)
+        return cdc_chunk_rows_pd(docs.repartition(int(cpus)), w=4, divisor=8)
 
 
     def bench_prep_pipeline():

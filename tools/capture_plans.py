@@ -33,6 +33,9 @@ spark = (
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.driver.memory", "24g")
     .config("spark.sql.adaptive.enabled", "true")
+    .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
@@ -160,9 +163,9 @@ def bench_semantic_dedup():
 
 
 def bench_cdc_chunks():
-    from clinical_vector_search_spark.functions.text import cdc_chunk_rows
+    from clinical_vector_search_spark.functions.text import cdc_chunk_rows_pd
 
-    return cdc_chunk_rows(docs.repartition(int(cpus)), w=4, divisor=8)
+    return cdc_chunk_rows_pd(docs.repartition(int(cpus)), w=4, divisor=8)
 
 
 def bench_prep_pipeline():
