@@ -123,8 +123,14 @@ def tfidf_cosine_topk(
     qside = F.broadcast(
         qw.join(qnorm, "query_id").filter(F.col("qnorm") > 0)
     )
+    # one exchange for BOTH the (query_id, doc) aggregation and the
+    # final windowed top-k: hash-partitioning by query_id satisfies the
+    # groupBy's ClusteredDistribution (its keys are a superset) AND the
+    # window's partitionBy — the same single-shuffle spelling as
+    # bm25_topk_set_df (r15; previously agg and window each paid one)
     dots = (
         index.join(qside, "term")
+        .repartition("query_id")
         .groupBy("query_id", "doc")
         .agg(
             F.sum(F.col("w") * F.col("qw")).alias("_dot"),
