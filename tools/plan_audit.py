@@ -908,12 +908,16 @@ def main() -> int:
         and "CartesianProduct" not in plan,
     )
 
-    # 40. basket mining: supports/basket-count join back by broadcast;
-    # the only non-broadcast join is the basket-key self-join
+    # 40. basket mining (r15 shape): pairs expand from the pinned
+    # per-basket item sets via nested explodes — the basket-key
+    # SELF-JOIN is gone entirely; the support stats still join back by
+    # broadcast and nothing degenerates to a cartesian product
     plan = formatted(E.q_rel_basket_pairs(spark, SF_DIR))
     check(
-        "basket_pairs: broadcast stat joins, bounded self-join",
-        n_nodes(plan, "BroadcastHashJoin") >= 3
+        "basket_pairs: broadcast stat joins, no self-join",
+        n_nodes(plan, "BroadcastHashJoin") >= 2
+        and n_nodes(plan, "SortMergeJoin") == 0
+        and n_nodes(plan, "ShuffledHashJoin") == 0
         and "CartesianProduct" not in plan,
     )
 
