@@ -2119,6 +2119,11 @@ def cusum_changepoints(
         )
         .groupBy("grp", "day")
         .agg(F.avg("_v").alias("x"))
+        # pinned: consumed by the burn-in window (twice, via `first`)
+        # and the scored series — unpinned, the event-scale day
+        # aggregation ran three times (no exchange reuse across the
+        # differently-pruned subtrees; r15)
+        .localCheckpoint()
     )
     first = daily.groupBy("grp").agg(F.min("day").alias("_d0"))
     burn = (
