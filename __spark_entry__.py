@@ -2297,7 +2297,7 @@ def _rag_candidate_parts(spark: SparkSession, sf_dir: str):
         for r in qtexts
     ]
     bm_ranked = bm25_topk_set(
-        bm25_index(docs), qset, RAG_CAND_K, round_to=6
+        bm25_index(docs, materialize=True), qset, RAG_CAND_K, round_to=6
     ).withColumn("query_id", F.col("query_id").cast("long"))
     return raw, vec_ranked, bm_ranked
 
@@ -3083,7 +3083,7 @@ def q_rag_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.max("qw").alias("qw"))
     )
     res = bm25_topk_set_df(
-        bm25_index(docs), qdf, topk=10, round_to=6
+        bm25_index(docs, materialize=True), qdf, topk=10, round_to=6
     )
     return res.select(
         "query_id", "doc_id", "bm25", F.col("rank").cast("long").alias("rank")

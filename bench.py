@@ -293,7 +293,7 @@ def main() -> None:
     def bench_bm25_queryset():
         # index built ONCE, whole query set scored in ONE plan (the
         # reference rebuilds per query — pipeline.py:171-172)
-        idx = bm25_index(docs)
+        idx = bm25_index(docs, materialize=True)
         qset = [
             (i, terms)
             for i, terms in enumerate(

@@ -57,7 +57,10 @@ def _idf_with_floor(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
 
 
 def bm25_index(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    materialize: bool = False,
 ) -> DataFrame:
     """Build the reusable BM25 index: one row per (doc, term) with every
     statistic scoring needs: (doc, term, tf, dl, idf, n_docs, avgdl).
@@ -74,6 +77,16 @@ def bm25_index(
     Values are identical by construction: dl is functionally dependent
     on doc. ``stats`` still aggregates over ALL docs (zero-token docs
     have no postings but do count toward n_docs/avgdl).
+
+    ``materialize=True`` pins the (doc, term, tf, dl) frame with an
+    eager ``localCheckpoint``: the lazy plan consumes it for dfreq
+    (twice, through the epsilon-floor's vocabulary mean) AND the final
+    posting join, and Spark reuses none of those subtrees — a one-shot
+    build-and-score pays 3 corpus tokenize+shuffle passes for one
+    index (r15, verified: 5 parquet scans, 0 ReusedExchange in the
+    plan). Pinned, the corpus is tokenized and shuffled ONCE; stats
+    keeps its own plain scan (zero-token docs). Default False keeps
+    the documented lazy contract for callers that cache the result.
     """
     toks = docs.select(
         F.col(id_col).alias("doc"), TXT.tokenize(text_col).alias("tokens")
@@ -85,6 +98,8 @@ def bm25_index(
     tf = terms.groupBy("doc", "term").agg(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
+    if materialize:
+        tf = tf.localCheckpoint()
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = doclens.agg(
         F.count("*").cast("double").alias("n_docs"),
@@ -147,9 +162,12 @@ def bm25_score(
     b: float = B,
 ) -> DataFrame:
     """One-shot convenience: build index + score. For repeated queries build
-    the index once with :func:`bm25_index` and use :func:`bm25_score_index`."""
+    the index once with :func:`bm25_index` and use :func:`bm25_score_index`.
+    Build-and-score-once by definition, so the index is materialized
+    (see bm25_index materialize)."""
     return bm25_score_index(
-        bm25_index(docs, id_col, text_col), docs, query_terms, id_col, k1, b
+        bm25_index(docs, id_col, text_col, materialize=True),
+        docs, query_terms, id_col, k1, b,
     )
 
 

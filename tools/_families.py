@@ -60,7 +60,7 @@ def build(spark, sf_dir: str, cpus: str):
 
 
     def bench_bm25_queryset():
-        return bm25_topk_set(bm25_index(docs), QSET, 10)
+        return bm25_topk_set(bm25_index(docs, materialize=True), QSET, 10)
 
 
     def bench_embed_corpus():
