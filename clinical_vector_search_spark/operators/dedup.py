@@ -829,9 +829,13 @@ def dedup_groups_incremental(
     # also skips the identity build's union+distinct exchange (see
     # dedup_groups seed_labels). members ∪ new_ids is exactly
     # sub_ids' node set, so the output population is unchanged.
+    # pinned: the seed table is read by the initial convergence sum,
+    # the first round's propagation join AND its union — unpinned, the
+    # members broadcast-probe lineage re-executes for each (batch-
+    # bounded rows, so the checkpoint is cheap by construction)
     seeds = members.select(F.col(id_col), F.col("group_id")).union(
         new_ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
-    )
+    ).localCheckpoint()
     return dedup_groups(
         sub_ids, sub_pairs, id_col, max_iter, seed_labels=seeds
     )
