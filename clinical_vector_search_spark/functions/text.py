@@ -722,7 +722,8 @@ def cdc_chunk_rows_pd(
     hashes its batch in plain Python/hashlib (~1 µs/window), which is
     what a compute-bound map-only chunker should pay (guide §4.2).
     Same parallelism note as the expression twin: fan a few-split
-    source across cores first."""
+    source across cores first. Assumes a BIGINT ``id_col`` (the repo's
+    doc-id convention); use the expression twin for exotic id types."""
     import hashlib
     import re
     from typing import Iterator
