@@ -2946,12 +2946,16 @@ def q_text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE window-min via the (hash·2^21 + inverted-pos) packed key, exact
     int64 on both engines. Summarized per doc (count, hash sum, min/max)
     so the compare covers every selected fingerprint without shipping
-    raw fingerprint rows."""
+    raw fingerprint rows. r16: served by the Arrow twin
+    winnowing_fingerprints_pd (bit-identical, parity pytest; same SQL
+    oracle) — the expr path paid a doc-key exchange + two window sorts
+    plus per-gram conv()/substring md5 machinery for a per-doc
+    map-only computation."""
     from clinical_vector_search_spark.functions.text import (
-        winnowing_fingerprints,
+        winnowing_fingerprints_pd,
     )
 
-    fp = winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+    fp = winnowing_fingerprints_pd(_docs(spark, sf_dir), k=3, w=4)
     return fp.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_fp"),
         F.sum("fp_hash").alias("fp_hash_sum"),
@@ -2966,13 +2970,15 @@ def q_dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     winnowing guarantee makes any shared run of ≥ w+k-1 words surface
     here). The join runs on fingerprint-hash postings at selected
     (≈ 2/(w+1)) density, ~60% fewer join rows than full-shingle
-    postings; the support cut keeps only pairs with real overlap."""
+    postings; the support cut keeps only pairs with real overlap.
+    r16: served by the Arrow twin winnowing_fingerprints_pd
+    (bit-identical, parity pytest; same SQL oracle)."""
     from clinical_vector_search_spark.functions.text import (
-        winnowing_fingerprints,
+        winnowing_fingerprints_pd,
     )
 
     fp = (
-        winnowing_fingerprints(_docs(spark, sf_dir), k=3, w=4)
+        winnowing_fingerprints_pd(_docs(spark, sf_dir), k=3, w=4)
         .select("doc_id", "fp_hash")
         .distinct()
     )
@@ -3540,10 +3546,11 @@ def q_rel_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association mining (operators/basket.py
     cooccurrence_lift): brand pairs co-ordered within the same order with
     support and lift — the Apriori first-two-passes as one declarative
-    plan. Scale shape: the basket-key self-join runs on per-order
-    DISTINCT items (fan-out ≤ basket size², never corpus²), supports and
-    the basket count are map-side-combinable aggs joined back by
-    broadcast. Lift rounded to 6dp."""
+    plan. Scale shape (r15): ONE basket-key exchange builds each order's
+    sorted distinct item set; pairs expand via nested codegen explodes
+    (fan-out ≤ basket size², never corpus²), supports and the basket
+    count are map-side-combinable aggs joined back by broadcast. Lift
+    rounded to 6dp."""
     from clinical_vector_search_spark.operators.basket import (
         cooccurrence_lift,
     )

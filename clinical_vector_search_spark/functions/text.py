@@ -723,7 +723,13 @@ def cdc_chunk_rows_pd(
     what a compute-bound map-only chunker should pay (guide §4.2).
     Same parallelism note as the expression twin: fan a few-split
     source across cores first. Assumes a BIGINT ``id_col`` (the repo's
-    doc-id convention); use the expression twin for exotic id types."""
+    doc-id convention); use the expression twin for exotic id types.
+    Also assumes Python ``str.lower()`` matches the JVM ``lower()``:
+    they agree on ASCII and the common full-case mappings (U+0130,
+    final sigma, ß — pinned by the parity test's non-ASCII case), but
+    locale-independent case mappings have differed across runtime
+    versions — non-ASCII corpora should pin parity on their own data
+    before switching twins."""
     import hashlib
     import re
     from typing import Iterator
@@ -1113,6 +1119,117 @@ def winnowing_fingerprints(
         ).alias("fp_pos"),
         F.shiftright(F.col("_wmin"), 21).alias("fp_hash"),
     ).distinct()
+
+
+def winnowing_fingerprints_pd(
+    df: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow/mapInPandas throughput twin of
+    :func:`winnowing_fingerprints` — same contract, bit-identical output
+    (parity pinned by tests/test_text.py::test_winnowing_pd_parity over
+    every test sf, including the per-column dtypes). The expression
+    path's per-k-gram md5 runs through conv()/substring string
+    machinery per window row plus a doc-key exchange + two window sorts
+    just to phrase "rightmost min per sliding window"; here each task
+    tokenizes, hashes (hashlib, ~1 µs/gram) and selects fingerprints
+    with a monotonic-deque sliding minimum in O(n) per doc — the
+    map-only plan a per-doc fingerprint function should have
+    (guide §4.2): ZERO shuffles (the expression twin pays one doc-key
+    exchange), parallelism = input splits, so fan a few-split source
+    across cores first, exactly like :func:`cdc_chunk_rows_pd`.
+
+    Same parity caveats as the cdc twin, documented not theoretical:
+    a BIGINT ``id_col`` (the repo's doc-id convention — use the
+    expression twin for exotic id types), and Python ``str.lower()``
+    standing in for the JVM ``lower()``; the two agree on ASCII and on
+    the common Unicode plane but differ on a few locale-independent
+    full-case mappings (e.g. U+0130 İ), so non-ASCII corpora should
+    pin parity on their own data before switching twins (the parity
+    test includes a non-ASCII case)."""
+    import hashlib
+    import re
+    from collections import deque
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    POSCAP = 1 << 21
+    MASK31 = (1 << 31) - 1  # % 2^31 == & (2^31 - 1) on non-negatives
+    # JVM \\s is ASCII-only; mirror it exactly (re.ASCII)
+    ws = re.compile(r"\s+", re.ASCII)
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.LongType()),
+            T.StructField("fp_pos", T.LongType()),
+            T.StructField("fp_hash", T.LongType()),
+        ]
+    )
+
+    def fingerprint(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        md5 = hashlib.md5
+        for pdf in batches:
+            ids, poss, hashes = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                toks = [t for t in ws.split(str(text).lower()) if t]
+                n = len(toks)
+                m = min(n - k + 1, POSCAP)  # grams, pos < POSCAP
+                if m <= 0:
+                    continue
+                keys = [
+                    (
+                        (
+                            int(
+                                md5(
+                                    " ".join(toks[i : i + k]).encode("utf-8")
+                                ).hexdigest()[:15],
+                                16,
+                            )
+                            & MASK31
+                        )
+                        << 21
+                    )
+                    + (POSCAP - 1 - i)
+                    for i in range(m)
+                ]
+                if m < w:
+                    sel = {min(keys)}
+                else:
+                    # monotonic deque sliding min; keys are distinct
+                    # (pos component unique), min key = (min hash,
+                    # rightmost pos) by construction of the packed key
+                    sel = set()
+                    dq: deque = deque()
+                    for j, kv in enumerate(keys):
+                        while dq and keys[dq[-1]] > kv:
+                            dq.pop()
+                        dq.append(j)
+                        if dq[0] <= j - w:
+                            dq.popleft()
+                        if j >= w - 1:
+                            sel.add(keys[dq[0]])
+                for v in sel:
+                    ids.append(did)
+                    poss.append(POSCAP - 1 - (v & (POSCAP - 1)))
+                    hashes.append(v >> 21)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "fp_pos": pd.Series(poss, dtype="int64"),
+                    "fp_hash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(fingerprint, schema)
 
 
 def heaps_fit(

@@ -85,8 +85,19 @@ def _dlit(w: float) -> str:
     round-trips the IEEE-754 value in Python, and the JVM's
     ``Double.parseDouble`` is correctly rounded, so the parsed literal
     is bit-identical to ``F.lit(float(w))`` (pinned by
-    tests/test_vector.py::test_lit_double_builders_bit_identical)."""
-    return repr(float(w)) + "D"
+    tests/test_vector.py::test_lit_double_builders_bit_identical).
+    Non-finite values (a degenerate PCA/k-means model) map to the
+    ``double('Infinity')``/``double('NaN')`` spellings — ``repr``'s
+    'inf'/'nan' would not parse (ADVICE r15; the per-element ``F.lit``
+    path these builders replaced handled non-finites, so must this)."""
+    w = float(w)
+    if w != w:
+        return "double('NaN')"
+    if w == float("inf"):
+        return "double('Infinity')"
+    if w == float("-inf"):
+        return "double('-Infinity')"
+    return repr(w) + "D"
 
 
 def lit_double_array(xs) -> Column:

@@ -6,16 +6,18 @@ terms-co-occurring on documents (the PMI collocation miner in
 ``functions.text`` is the information-theoretic cousin; this one speaks
 support / confidence / lift, the market-basket vocabulary).
 
-Scale notes (the all-pairs trap and its bound): pairs are generated by a
-basket-key self-equi-join, so per-task work is bounded by the LARGEST
-BASKET squared, never by corpus size — the mandatory ``distinct`` on
-(basket, item) first both fixes multiplicity semantics (an item counted
-once per basket) and caps the fan-out. Item supports and the basket
-count are one map-side-combinable aggregation each; the two stat frames
-join back by broadcast (item-vocabulary-sized). A support cut BEFORE the
-self-join (``min_item_support``) prunes the postings the way frequent-
+Scale notes (the all-pairs trap and its bound): pairs are expanded from
+each basket's SORTED DISTINCT item set (one basket-key groupBy +
+collect_set, then two nested codegen explodes — r15; the former
+basket-key self-equi-join paid two more corpus exchanges for the same
+answer), so per-task work is bounded by the LARGEST BASKET squared,
+never by corpus size — the set semantics also fix multiplicity (an item
+counted once per basket). Item supports and the basket count are one
+map-side-combinable aggregation each; the stat frames join back by
+broadcast (item-vocabulary-sized). A support cut BEFORE the pair
+expansion (``min_item_support``) prunes rare items the way frequent-
 itemset miners (Apriori's first pass) do, so a 100 TB corpus with a
-heavy-tailed vocabulary never self-joins its singleton tail.
+heavy-tailed vocabulary never expands its singleton tail.
 """
 
 from __future__ import annotations
@@ -57,10 +59,19 @@ def cooccurrence_lift(
     # pinned: supports, the basket count and the pair expansion all
     # consume this frame, and Spark does not reuse the exchange across
     # the three subtrees (verified in the executed plan) — unpinned,
-    # the corpus scan + set aggregation would run three times
-    sets = df.groupBy(F.col(basket_col).alias("basket")).agg(
-        F.array_sort(F.collect_set(F.col(item_col))).alias("arr")
-    ).localCheckpoint()
+    # the corpus scan + set aggregation would run three times. pin() =
+    # recomputable persist, not localCheckpoint (r16: a lost executor
+    # must not kill the job at scale)
+    from clinical_vector_search_spark.plan_cache import pin
+
+    # NULL items never form pairs or supports (collect_set skips NULL —
+    # made explicit here, ADVICE r15): a basket of only-NULL items does
+    # not count toward n_baskets, matching the set-based semantics
+    sets = pin(
+        df.filter(F.col(item_col).isNotNull())
+        .groupBy(F.col(basket_col).alias("basket"))
+        .agg(F.array_sort(F.collect_set(F.col(item_col))).alias("arr"))
+    )
     supp = (
         sets.select(F.explode("arr").alias("item"))
         .groupBy("item")
@@ -70,12 +81,11 @@ def cooccurrence_lift(
         supp = supp.filter(F.col("supp") >= min_item_support)
         # rebuild the sets over surviving items only (baskets whose
         # items all died drop out — same population rule as before)
-        sets = (
+        sets = pin(  # same multi-consumer pin as above
             sets.select("basket", F.explode("arr").alias("item"))
             .join(F.broadcast(supp.select("item")), "item")
             .groupBy("basket")
             .agg(F.array_sort(F.collect_set("item")).alias("arr"))
-            .localCheckpoint()  # same multi-consumer pin as above
         )
     n_baskets = sets.agg(F.count("*").cast("long").alias("n_baskets"))
     # unordered pairs from the sorted set: element i pairs with every

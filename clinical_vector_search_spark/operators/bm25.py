@@ -79,7 +79,7 @@ def bm25_index(
     have no postings but do count toward n_docs/avgdl).
 
     ``materialize=True`` pins the (doc, term, tf, dl) frame with an
-    eager ``localCheckpoint``: the lazy plan consumes it for dfreq
+    eager recomputable persist (``plan_cache.pin``): the lazy plan consumes it for dfreq
     (twice, through the epsilon-floor's vocabulary mean) AND the final
     posting join, and Spark reuses none of those subtrees — a one-shot
     build-and-score pays 3 corpus tokenize+shuffle passes for one
@@ -99,7 +99,12 @@ def bm25_index(
         F.count("*").alias("tf"), F.first("dl").alias("dl")
     )
     if materialize:
-        tf = tf.localCheckpoint()
+        # pin() = recomputable persist, not localCheckpoint (r16):
+        # same one-tokenize-pass reuse, but a lost executor recomputes
+        # instead of killing the job at scale
+        from clinical_vector_search_spark.plan_cache import pin
+
+        tf = pin(tf)
     dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = doclens.agg(
         F.count("*").cast("double").alias("n_docs"),

@@ -127,10 +127,17 @@ def tfidf_cosine_topk(
     # final windowed top-k: hash-partitioning by query_id satisfies the
     # groupBy's ClusteredDistribution (its keys are a superset) AND the
     # window's partitionBy — the same single-shuffle spelling as
-    # bm25_topk_set_df (r15; previously agg and window each paid one)
+    # bm25_topk_set_df (r15; previously agg and window each paid one).
+    # SERVING-path only (norms/idf_tbl handed in — the shape it was
+    # measured on): partitioning by query_id alone caps aggregation
+    # parallelism at |queries|, wrong for the default path's few-queries-
+    # over-huge-corpus case (ADVICE r15) — there the (query_id, doc) agg
+    # keeps full hash parallelism and the window pays its own exchange
+    matched = index.join(qside, "term")
+    if norms is not None or idf_tbl is not None:
+        matched = matched.repartition("query_id")
     dots = (
-        index.join(qside, "term")
-        .repartition("query_id")
+        matched
         .groupBy("query_id", "doc")
         .agg(
             F.sum(F.col("w") * F.col("qw")).alias("_dot"),

@@ -40,6 +40,46 @@ def tracked_cache(df: DataFrame) -> DataFrame:
     return df
 
 
+def pin(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Multi-consumer pin for CORPUS-SCALE intermediates — the one
+    policy point for "this frame is consumed by N subtrees and Spark
+    will not reuse the exchange across them" (r16, VERDICT r15 task 3).
+
+    Implementation: ``persist(MEMORY_AND_DISK)``, NOT ``localCheckpoint``.
+    localCheckpoint truncates lineage and stores non-reliable blocks on
+    executors — at the 100 TB target one lost executor kills the whole
+    job with no recompute path, and the blocks can neither spill
+    beyond their executor nor be rebuilt. persist keeps the lineage
+    (lost blocks recompute), spills to disk under memory pressure, and
+    shows up in plans as the same InMemoryTableScan reuse the pin
+    exists for. Iterative DRIVER LOOPS (dedup label propagation, BPE,
+    k-means) keep localCheckpoint deliberately: there the point is
+    truncating a per-round growing plan, the pinned frames are
+    batch-/vocab-bounded, and a loop re-derivation is the failure mode
+    being paid for.
+
+    ``eager=True`` (default) materializes the cache with one
+    ``count()`` before returning — broadcast-exchange subtrees build
+    CONCURRENTLY at execution, so a lazy cache can be computed twice by
+    racing broadcast stages before either populates it; one cheap
+    column-complete pass (DataFrame caches store whole rows) keeps the
+    upstream corpus pass single-run, which is the measured behavior the
+    r15 numbers were taken under. Callers that merely want reuse across
+    their OWN sequential actions may pass ``eager=False``.
+
+    Lifecycle: the handle is returned; operators that pin inside a
+    one-shot plan intentionally leak the blocks to the session (exactly
+    as the former localCheckpoint did) — long-lived servers should pin
+    under ``begin_build``/``end_build`` via :func:`tracked_cache` or
+    unpersist explicitly."""
+    from pyspark import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    if eager:
+        df.count()
+    return df
+
+
 def begin_build() -> None:
     _stack().append([])
 

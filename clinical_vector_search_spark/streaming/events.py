@@ -699,23 +699,24 @@ def retention_cohorts(
     day domain, never events). Cohort = array_min of the set, so the
     former separate (user, day) distinct, the min-day aggregation, AND
     the user-granularity activity join all collapse into expressions
-    over the one set frame; the frame is pinned (localCheckpoint) so
-    its two consumers (cohort sizes, offset counts) do not re-run the
-    event scan. Final counts per (cohort, horizon) are tiny aggs,
+    over the one set frame; the frame is pinned (``plan_cache.pin`` —
+    recomputable persist, r16) so its two consumers (cohort sizes,
+    offset counts) do not re-run the event scan. Final counts per (cohort, horizon) are tiny aggs,
     densified by a broadcast cross with the horizons list + left join.
     Exact distinct-user counts throughout (swap count_distinct for
     approx_count_distinct at trillion-row scale if ±2% suffices).
     """
     if not horizons:
         raise ValueError("retention_cohorts needs at least one horizon")
-    sets = (
+    from clinical_vector_search_spark.plan_cache import pin
+
+    sets = pin(
         events.select(
             F.col(id_col),
             F.expr(f"{ts_col} div {day_sec * NS}").alias("day"),
         )
         .groupBy(id_col)
         .agg(F.collect_set("day").alias("_days"))
-        .localCheckpoint()
     )
     rows = sets.select(
         F.array_min("_days").alias("cohort_day"),
@@ -2119,12 +2120,15 @@ def cusum_changepoints(
         )
         .groupBy("grp", "day")
         .agg(F.avg("_v").alias("x"))
-        # pinned: consumed by the burn-in window (twice, via `first`)
-        # and the scored series — unpinned, the event-scale day
-        # aggregation ran three times (no exchange reuse across the
-        # differently-pruned subtrees; r15)
-        .localCheckpoint()
     )
+    # pinned: consumed by the burn-in window (twice, via `first`)
+    # and the scored series — unpinned, the event-scale day
+    # aggregation ran three times (no exchange reuse across the
+    # differently-pruned subtrees; r15). pin() = recomputable persist,
+    # not localCheckpoint (r16)
+    from clinical_vector_search_spark.plan_cache import pin
+
+    daily = pin(daily)
     first = daily.groupBy("grp").agg(F.min("day").alias("_d0"))
     burn = (
         daily.join(F.broadcast(first), "grp")

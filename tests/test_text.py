@@ -793,3 +793,66 @@ def test_cdc_chunk_rows_pd_parity(spark):
             )
             assert a == b, (sf, w, divisor)
             assert a  # non-degenerate
+
+    # non-ASCII lowercasing parity (ADVICE r15): Python str.lower() and
+    # JVM lower() agree on these full-case mappings (U+0130 → i+U+0307,
+    # final sigma, ß) — pin it so a runtime divergence surfaces here
+    # instead of silently changing chunk hashes
+    uni = spark.createDataFrame(
+        [
+            (1, "İstanbul ß ΣΊΣΥΦΟΣ κόσμε word İstanbul ß ΣΊΣΥΦΟΣ tail"),
+            (2, "STRASSE grüße ΕΛΛΑΣ Ёлка ЁЛКА mixed ascii words here"),
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, cdc_chunk_rows(uni, w=3, divisor=2).collect()))
+    b = sorted(map(tuple, cdc_chunk_rows_pd(uni, w=3, divisor=2).collect()))
+    assert a == b
+    assert a
+
+
+def test_winnowing_pd_parity(spark):
+    """r16 throughput twin: winnowing_fingerprints_pd must be
+    bit-identical to the expression path on every test sf (values AND
+    dtypes), plus constructed edge docs: empty, < k tokens, exactly k
+    tokens, m < w grams, m == w, hash ties, and non-ASCII text (the
+    Python str.lower() ↔ JVM lower() assumption both Arrow twins
+    document)."""
+    from clinical_vector_search_spark.functions.text import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_pd,
+    )
+
+    def both(df, k, w):
+        a = winnowing_fingerprints(df, k=k, w=w)
+        b = winnowing_fingerprints_pd(df, k=k, w=w)
+        assert a.dtypes == b.dtypes
+        return (
+            sorted(map(tuple, a.collect())),
+            sorted(map(tuple, b.collect())),
+        )
+
+    for sf in ("sf0.001", "sf0.01"):
+        docs = spark.read.parquet(f"/root/testdata/{sf}/documents.parquet")
+        for k, w in ((3, 4), (2, 5)):
+            a, b = both(docs, k, w)
+            assert a == b, (sf, k, w)
+            assert a  # non-degenerate
+
+    edge = spark.createDataFrame(
+        [
+            (1, ""),
+            (2, "one two"),            # < k tokens for k=3
+            (3, "one two three"),      # exactly k → 1 gram (m < w)
+            (4, "a b c d e"),          # m = 3 < w
+            (5, "a b c d e f g h i"),  # m > w
+            (6, "x x x x x x x x"),    # identical grams → hash ties
+            (7, None),
+            (8, "İstanbul ß ΣΊΣΥΦΟΣ κόσμε İstanbul ß ΣΊΣΥΦΟΣ word"),
+            (9, "  padded \t tokens \n with   runs  "),
+        ],
+        "doc_id long, text string",
+    )
+    a, b = both(edge, 3, 4)
+    assert a == b
+    assert a

@@ -220,3 +220,11 @@ def test_lit_double_builders_bit_identical(spark):
         V.lit_double_array(rows[0]).alias("x")
     ).collect()[0]["x"]
     assert bits([one]) == bits([rows[0]])
+    # non-finite values (degenerate models) must parse, not raise —
+    # and stay bit-identical to the F.lit path (ADVICE r15)
+    nf = [float("inf"), float("-inf"), float("nan"), 1.0]
+    got_nf = spark.range(1).select(
+        F.array(*[F.lit(x) for x in nf]).alias("a"),
+        V.lit_double_array(nf).alias("b"),
+    ).collect()[0]
+    assert bits([got_nf["a"]]) == bits([got_nf["b"]])

@@ -966,13 +966,17 @@ def main() -> int:
         and "CartesianProduct" not in plan,
     )
 
-    # 45. winnowing: the two window passes share ONE (doc_id, pos)
-    # ordering — a single hash exchange on doc_id feeds lead(), the
-    # frame-min, and the partition counts; no joins at all
+    # 45. winnowing (r16: Arrow twin): fingerprint selection is
+    # map-only MapInPandas — no joins, no window exchange; the only
+    # shuffle left is the per-doc summary groupBy over selected
+    # (≈ 2/(w+1) density) fingerprint rows
     plan = formatted(E.q_text_winnowing(spark, SF_DIR))
     check(
-        "winnowing: join-free, single doc-key exchange chain",
-        n_any_join(plan) == 0 and "CartesianProduct" not in plan,
+        "winnowing: map-only Arrow twin, join-free, no window exchange",
+        n_any_join(plan) == 0
+        and "CartesianProduct" not in plan
+        and "MapInPandas" in plan
+        and n_nodes(plan, "Window") == 0,
     )
 
     # 46. Kaplan-Meier: per-user agg is the only fact-sized shuffle;
