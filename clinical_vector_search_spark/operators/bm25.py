@@ -35,18 +35,34 @@ B = 0.75
 EPSILON = 0.25  # rank_bm25 BM25Okapi default
 
 
-def _idf_with_floor(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
+def _idf_with_floor(
+    dfreq: DataFrame, stats: DataFrame, materialize: bool = False
+) -> DataFrame:
     """(term, idf, n_docs, avgdl) from a (term, df) frame and a 1-row
     (n_docs, avgdl) frame — the Robertson idf with the rank_bm25 epsilon
     floor (negatives → EPSILON · mean raw idf over the whole vocabulary).
     THE single spelling shared by the one-shot builder
     (:func:`bm25_index`) and the maintenance reconstruction
     (:func:`bm25_read_index`): their bit-identical-scores contract is
-    only as strong as these expressions staying one code path."""
+    only as strong as these expressions staying one code path.
+
+    ``materialize=True`` pins the raw-idf vocabulary frame
+    (``plan_cache.pin`` — eager recomputable persist): it is consumed
+    TWICE (the epsilon floor's vocabulary mean, then the scoring join)
+    with zero subtree reuse, so unpinned every serve call folds the df
+    statistics twice — on the maintained-index path that is two full
+    recursive scans of the per-batch ``df/`` directory per query batch
+    (r16; the profiler showed the serve span dominated by serial
+    vocabulary-granularity broadcast builds). Values are identical by
+    construction — same expressions, one code path, persist is exact."""
     raw_idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn("raw_idf", raw_idf)
+    if materialize:
+        from clinical_vector_search_spark.plan_cache import pin
+
+        idf_tbl = pin(idf_tbl)
     avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
     return idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
         "idf",
@@ -110,7 +126,7 @@ def bm25_index(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    return tf.join(_idf_with_floor(dfreq, stats), "term")
+    return tf.join(_idf_with_floor(dfreq, stats, materialize), "term")
 
 
 def bm25_score_index(
@@ -360,8 +376,10 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     the appended postings. Same output schema (doc, term, tf, dl, idf, n_docs,
     avgdl) — ``bm25_score_index`` / ``bm25_topk_set`` consume it
     unchanged, so the scores equal a full one-shot rebuild (the oracle
-    contract of the ``bm25_incremental`` entry). Lazy; postings are
-    touched only by the downstream query-term join. The delete
+    contract of the ``bm25_incremental`` entry). The vocabulary refold
+    is pinned eagerly (once per call, r16 — see the materialize note
+    below); postings stay lazy, touched only by the downstream
+    query-term join. The delete
     tombstones are broadcast — they must stay broadcast-sized between
     ``compact_tombstoned`` runs (same caveat as compact_tombstoned's
     own broadcast of dead ids; compaction cadence bounds the set).
@@ -415,7 +433,14 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
             ),
         )
     )
-    return postings.join(_idf_with_floor(dfreq, stats), "term")
+    # materialize=True: the reconstructed raw-idf vocabulary is pinned
+    # once per serve call — the df/ directory is recursively scanned and
+    # folded ONCE instead of once per consumer (epsilon-floor mean +
+    # scoring join); see _idf_with_floor. The read is therefore eager at
+    # vocabulary granularity (postings stay lazy behind the query join).
+    return postings.join(
+        _idf_with_floor(dfreq, stats, materialize=True), "term"
+    )
 
 
 def bm25_index_delete(

@@ -264,6 +264,14 @@ def _incremental_pairs_from_buckets(
     # the handle is owned (and evicted) by the build; outside one the
     # caller owns it, same contract as semantic_clusters
     nb = new_buckets if materialized else tracked_cache(new_buckets)
+    if not materialized:
+        # populate the cache BEFORE the consumers run: the touched-key
+        # and new-side broadcast exchanges below build as CONCURRENT
+        # futures, and on a cold cache each future recomputes the whole
+        # batch shingle→minhash pipeline before any of them populates
+        # it (r16 profiler: three ~2 s duplicate builds per ingest at
+        # sf0.1). One cheap count pays the pipeline exactly once.
+        nb.count()
 
     a = nb.select("band", "bucket", F.col(id_col).alias("a_id"))
     b = nb.select("band", "bucket", F.col(id_col).alias("b_id"))
@@ -680,10 +688,12 @@ def dedup_groups(
     Algorithm: iterative min-label propagation. Each round is one
     edges⋈labels join + one min-groupBy; labels converge in diameter(G)
     rounds (near-dup components are duplicate clusters, not social graphs —
-    diameters are tiny). Labels are ``localCheckpoint``-ed every round to
-    truncate the lineage a loop of joins would otherwise stack up, and the
-    fixed-point check is one count per round (an iterative algorithm acts
-    per iteration by nature, like Lloyd's). At extreme scale swap the
+    diameters are tiny). Labels are lazily ``localCheckpoint``-ed every
+    round — truncating the lineage a loop of joins would otherwise
+    stack up — and the convergence sum is the SAME action that
+    materializes the checkpoint: one job per round (r16; the former
+    eager checkpoint + sum paid two; an iterative algorithm acts per
+    iteration by nature, like Lloyd's). At extreme scale swap the
     propagation for the alternating large-star/small-star variant
     (O(log n) rounds) — the per-round plan shape is the same.
 
@@ -729,11 +739,18 @@ def dedup_groups(
         prop = edges.join(
             labels.withColumnRenamed(id_col, "src"), "src"
         ).select(F.col("dst").alias(id_col), "group_id")
+        # LAZY localCheckpoint + sum = ONE action per round (r16): the
+        # convergence sum doubles as the materializing action (the
+        # eager variant spent a dedicated job per round on the
+        # checkpoint, then a second on the sum). Lineage truncation is
+        # unchanged — the plan becomes a LogicalRDD either way, which
+        # is what keeps a loop of self-referencing joins from stacking
+        # an exponentially growing plan (a plain persist OOMs here).
         new_labels = (
             labels.union(prop)
             .groupBy(id_col)
             .agg(F.min("group_id").alias("group_id"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = label_sum(new_labels)
         labels = new_labels
@@ -831,11 +848,14 @@ def dedup_groups_incremental(
     # sub_ids' node set, so the output population is unchanged.
     # pinned: the seed table is read by the initial convergence sum,
     # the first round's propagation join AND its union — unpinned, the
-    # members broadcast-probe lineage re-executes for each (batch-
-    # bounded rows, so the checkpoint is cheap by construction)
+    # members broadcast-probe lineage re-executes for each. LAZY
+    # checkpoint (r16): dedup_groups' initial convergence sum is the
+    # first consumer and materializes it in the same action the old
+    # eager localCheckpoint spent a dedicated job on (batch-bounded
+    # rows, truncation unchanged)
     seeds = members.select(F.col(id_col), F.col("group_id")).union(
         new_ids.select(F.col(id_col), F.col(id_col).alias("group_id"))
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     return dedup_groups(
         sub_ids, sub_pairs, id_col, max_iter, seed_labels=seeds
     )
@@ -871,13 +891,19 @@ def dedup_groups_star(
     per input partition before the shuffle, where a window-min would
     funnel and sort the whole neighborhood in one task) joined back onto
     the edges (streaming hash join, AQE-skew-splittable), then distinct;
-    edges are ``localCheckpoint``-ed each round to truncate the join-loop
-    lineage. Convergence = (count, xor-of-xxhash64) fingerprint equality —
-    two cheap aggs, no symmetric-difference join. The same per-round
-    convergence action any iterative algorithm (Lloyd's, label
-    propagation) performs.
+    edges are lazily ``localCheckpoint``-ed each round (truncating the
+    join-loop lineage, which references the previous round ~8×) and the
+    convergence fingerprint is the SAME action that materializes the
+    checkpoint — one job per round (r16). Convergence =
+    (count, xor-of-xxhash64) fingerprint equality — two cheap aggs, no
+    symmetric-difference join. The same per-round convergence action
+    any iterative algorithm (Lloyd's, label propagation) performs.
     """
-    # canonical hi→lo orientation; self-loops dropped
+    # canonical hi→lo orientation; self-loops dropped. LAZY checkpoint:
+    # the fingerprint action materializes it in the same job (r16, same
+    # discipline as dedup_groups — the convergence check IS the
+    # materializing action; truncation itself must stay, each round
+    # references the previous plan ~8 times)
     edges = (
         pairs.select(
             F.greatest("a_id", "b_id").alias("u"),
@@ -885,7 +911,7 @@ def dedup_groups_star(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def fingerprint(e: DataFrame) -> tuple:
@@ -918,7 +944,7 @@ def dedup_groups_star(
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(with_m.select("u", F.col("m").alias("v")).distinct())
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_fp = fingerprint(small)
         edges = small

@@ -966,25 +966,30 @@ def sessionize_skew(
     straggler/OOM task. Here the timeline is salted by coarse time range:
 
       1. events shuffle ONCE on (user_id, rng) where rng = ts div range_sec
-         — per-task data is bounded by one user-DAY (tunable), not one user;
-      2. session-start flags are computed locally; the flag of each range's
-         FIRST event needs the previous range's last event ts, which comes
-         from a per-(user, range) summary (rows ∝ user-ranges, not events);
-      3. partial per-range sessions are stitched into global sessions by
-         adding a cumulative session-count offset and re-aggregating — both
-         steps run at session granularity, orders of magnitude smaller.
+         — per-task data is bounded by one user-DAY (tunable), not one user,
+         and this is the ONLY event-volume exchange in the plan (r16);
+      2. session-start flags are computed locally with every range opening
+         its own first run — no cross-range information touches event rows;
+      3. partial per-range runs are stitched in one session-granularity
+         window: a run merges into the previous one iff its start is within
+         gap of the previous run's end (exact within AND across ranges —
+         see the inline proof), then the running open-count numbers the
+         sessions and one re-aggregation rolls them up — all at session
+         granularity, orders of magnitude smaller.
 
     Requires range_sec >= gap_sec (otherwise a session could span an empty
     range and the boundary stitch would miss the merge). Returns the same
     per-session rollup columns as ``sessionize`` with ``session_num``
     (1-based per user) instead of ``session_seq``.
 
-    Cost honesty: the stitch adds ~4 extra stages, so on data whose
-    heaviest user still fits one sort task (measured: 500k events/user →
-    plain 1.1s vs salted 4.2s at 2M rows) ``sessionize`` is faster. This
-    variant is insurance for the tail that breaks the plain plan —
-    per-user histories too big for one task's memory/runtime — not a
-    default replacement.
+    Cost honesty: vs plain ``sessionize`` this pays the same ONE event
+    shuffle (on the salted key) plus two session-granularity stitch
+    stages (r16; the former spelling added an event-scale boundary
+    aggregation and an event-scale summary join on top — both deleted),
+    so on data whose heaviest user still fits one sort task
+    ``sessionize`` remains slightly faster. This variant is insurance
+    for the tail that breaks the plain plan — per-user histories too
+    big for one task's memory/runtime — not a default replacement.
     """
     if range_sec < gap_sec:
         raise ValueError(
@@ -994,34 +999,27 @@ def sessionize_skew(
     gap_ns = gap_sec * NS
     ev = events.withColumn("rng", F.expr(f"ts_ns div {range_sec * NS}"))
 
-    # per-(user, range) boundary summary — tiny relative to events
-    w_rng = Window.partitionBy("user_id").orderBy("rng")
-    summ = (
-        ev.groupBy("user_id", "rng")
-        .agg(F.min("ts_ns").alias("first_ts"), F.max("ts_ns").alias("last_ts"))
-        .withColumn("prev_last_ts", F.lag("last_ts").over(w_rng))
-    )
-
-    # local flags: one shuffle of the events on (user_id, rng); the summary
-    # join is co-partitioned on the same keys (no second event shuffle)
+    # Local flags from ONE event shuffle on (user_id, rng) — the only
+    # event-volume exchange in the plan (r16). Every range opens its
+    # own local run (the first event is unconditionally new); whether a
+    # range's first run CONTINUES the previous range's last session is
+    # decided at SESSION granularity in the stitch below, where the
+    # boundary timestamps are already present as partial-session
+    # min/max — this deletes the former event-scale per-range boundary
+    # aggregation AND the event-scale summary join that carried
+    # prev_last_ts onto every event row (guide §2.4: the heavy rows
+    # cross the network once; all stitch decisions ride on
+    # session-granularity proxies).
     w_loc = Window.partitionBy("user_id", "rng").orderBy("ts_ns")
     ev = (
-        ev.join(summ.select("user_id", "rng", "prev_last_ts"), ["user_id", "rng"])
-        .withColumn("prev_ts", F.lag("ts_ns").over(w_loc))
+        ev.withColumn("prev_ts", F.lag("ts_ns").over(w_loc))
         .withColumn(
             "new_session",
             F.when(
-                F.col("prev_ts").isNull(),
-                F.when(
-                    F.col("prev_last_ts").isNull()
-                    | ((F.col("ts_ns") - F.col("prev_last_ts")) > F.lit(gap_ns)),
-                    1,
-                ).otherwise(0),
-            ).otherwise(
-                F.when(
-                    (F.col("ts_ns") - F.col("prev_ts")) > F.lit(gap_ns), 1
-                ).otherwise(0)
-            ),
+                F.col("prev_ts").isNull()
+                | ((F.col("ts_ns") - F.col("prev_ts")) > F.lit(gap_ns)),
+                1,
+            ).otherwise(0),
         )
         .withColumn(
             "local_run",
@@ -1031,27 +1029,44 @@ def sessionize_skew(
         )
     )
 
-    # partial per-range sessions (session granularity from here on)
+    # partial per-range sessions (session granularity from here on);
+    # the groupBy reuses the (user_id, rng) partitioning — no shuffle
     part = ev.groupBy("user_id", "rng", "local_run").agg(
         F.count("*").alias("n_events"),
         F.min("ts_ns").alias("session_start_ns"),
         F.max("ts_ns").alias("session_end_ns"),
         F.sum("value").alias("sum_value"),
-        F.max("new_session").alias("_any_new"),  # only for the numbering
     )
-    # Global numbering in ONE session-granularity window: runs ordered by
-    # (rng, local_run) per user; each run that opened a session carries
-    # _any_new = 1, a local_run of 0 (range opens mid-session) carries 0 and
-    # therefore inherits the PREVIOUS range's last number. The running sum
-    # equals sessions-closed-before-this-range + local_run — the same value
-    # the former per-range offset join produced, minus its groupBy + join
-    # stages. Partitioned by user over SESSION rows (bounded: events/gap),
-    # not events, so the skew-safety contract is preserved.
+    # Stitch in ONE session-granularity window pass: partial runs
+    # ordered by (rng, local_run) per user; a run opens a NEW session
+    # iff its start is more than gap after the previous partial run's
+    # end. Within a range consecutive runs satisfy start − prev_end >
+    # gap by construction (that is what split them), so the rule is
+    # exact there; across ranges it is exactly the old prev_last_ts
+    # test (the previous partial IS the previous range's last run —
+    # range_sec ≥ gap_sec guarantees a session never spans an EMPTY
+    # range, and non-adjacent partials are > range_sec apart). The
+    # running sum of opens is the 1-based session number. Partitioned
+    # by user over SESSION rows (bounded: events/gap), not events, so
+    # the skew-safety contract is preserved.
     w_sess = Window.partitionBy("user_id").orderBy("rng", "local_run")
+    opened = part.withColumn(
+        "_prev_end", F.lag("session_end_ns").over(w_sess)
+    ).withColumn(
+        "_open",
+        F.when(
+            F.col("_prev_end").isNull()
+            | (
+                (F.col("session_start_ns") - F.col("_prev_end"))
+                > F.lit(gap_ns)
+            ),
+            1,
+        ).otherwise(0),
+    )
     return (
-        part.withColumn(
+        opened.withColumn(
             "session_num",
-            F.sum("_any_new").over(
+            F.sum("_open").over(
                 w_sess.rowsBetween(Window.unboundedPreceding, 0)
             ),
         )

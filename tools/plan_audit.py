@@ -1112,15 +1112,19 @@ def main() -> int:
             ["patient", "treatment"],
         )
     )
-    # 6 parquet scans: postings ONCE, docs once, and the tiny df/scalars
-    # statistic relations twice each (idf + avg_idf / both crossJoins —
-    # vocabulary- and 1-row-sized, so the re-scan is free); at most the
-    # single term join may sort-merge (postings ⋈ vocab-sized idf — the
-    # one legitimately corpus-scaled join), everything else broadcasts
+    # 4 parquet scans (r16; was 6): postings ONCE, docs once, the 1-row
+    # scalars relation twice (idf + avg_idf crossJoins — free); the df/
+    # directory is folded ONCE into the pinned raw-idf vocabulary
+    # (_idf_with_floor materialize=True) whose two consumers read
+    # InMemoryTableScan instead of re-scanning the per-batch stat
+    # files; at most the single term join may sort-merge (postings ⋈
+    # vocab-sized idf — the one legitimately corpus-scaled join),
+    # everything else broadcasts
     check(
-        "bm25_incremental: single postings scan, broadcast stats, no cartesian",
+        "bm25_incremental: single postings scan, pinned vocab refold, no cartesian",
         "CartesianProduct" not in plan
-        and n_nodes(plan, "Scan parquet") == 6
+        and n_nodes(plan, "Scan parquet") == 4
+        and n_nodes(plan, "InMemoryTableScan") >= 2
         and n_nodes(plan, "BroadcastHashJoin") >= 2
         and n_nodes(plan, "SortMergeJoin") <= 1,
     )
