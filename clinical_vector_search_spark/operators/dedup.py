@@ -782,8 +782,10 @@ def _incremental_group_subgraph(
     # broadcast, the subgraph edge union, AND every propagation round —
     # unmaterialized it re-derives per consumer (measured 24.6 s vs
     # 4.5 s warm at sf0.1). Batch-bounded rows, so the checkpoint is
-    # cheap by construction.
-    new_pairs = new_pairs.localCheckpoint()
+    # cheap by construction. LAZY (r16): the first consumer — the
+    # touched-key broadcast chain under the seed convergence sum —
+    # materializes it in its own job instead of a dedicated one.
+    new_pairs = new_pairs.localCheckpoint(eager=False)
     pair_ids = (
         new_pairs.select(F.col("a_id").alias(id_col))
         .union(new_pairs.select(F.col("b_id").alias(id_col)))

@@ -67,14 +67,13 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     r15 numbers were taken under. Callers that merely want reuse across
     their OWN sequential actions may pass ``eager=False``.
 
-    Lifecycle: the handle is returned; operators that pin inside a
-    one-shot plan intentionally leak the blocks to the session (exactly
-    as the former localCheckpoint did) — long-lived servers should pin
-    under ``begin_build``/``end_build`` via :func:`tracked_cache` or
-    unpersist explicitly."""
-    from pyspark import StorageLevel
-
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    Lifecycle: the pin routes through :func:`tracked_cache`, so inside
+    a registered plan build (``begin_build``/``end_build``) the handle
+    is owned — and unpersisted — by the build's plan-cache entry;
+    outside one the caller owns it (operators that pin inside a
+    one-shot plan intentionally leak the blocks to the session, exactly
+    as the former localCheckpoint did)."""
+    df = tracked_cache(df)
     if eager:
         df.count()
     return df

@@ -37,6 +37,10 @@ spark = (
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.driver.memory", "24g")
     .config("spark.sql.adaptive.enabled", "true")
+    # mirror bench.py's session confs so profiles match benched plans
+    .config(
+        "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+    )
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .config("spark.eventLog.enabled", "true")
