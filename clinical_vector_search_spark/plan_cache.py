@@ -18,11 +18,13 @@ or get stolen by — the outer build's registry).
 
 from __future__ import annotations
 
+import itertools
 import threading
 
 from pyspark.sql import DataFrame
 
 _TLS = threading.local()
+_PIN_SEQ = itertools.count()
 
 
 def _stack() -> list[list[DataFrame]]:
@@ -72,7 +74,24 @@ def pin(df: DataFrame, eager: bool = True) -> DataFrame:
     is owned — and unpersisted — by the build's plan-cache entry;
     outside one the caller owns it (operators that pin inside a
     one-shot plan intentionally leak the blocks to the session, exactly
-    as the former localCheckpoint did)."""
+    as the former localCheckpoint did).
+
+    Per-call cache identity: Spark's CacheManager keys entries on the
+    CANONICALIZED ANALYZED PLAN, so a second ``pin`` of an identical
+    plan (same source paths, same expressions) would silently resolve
+    to the FIRST call's cached blocks. That aliasing is wrong twice:
+    (a) correctness — a read-back view over a MUTABLE directory index
+    (``bm25_read_index`` over ``df/``) folded once stays frozen across
+    later ingests (caught by test_maintained_index: stale n_docs/avgdl
+    after a batch add); (b) measurement — a re-run of the same operator
+    would serve the previous run's cache instead of recomputing from
+    the inputs. A per-call unique always-true filter literal keys each
+    pin privately; the optimizer constant-folds it out of the physical
+    plan, so the executed plan is unchanged — exactly localCheckpoint's
+    per-call semantics, with recomputable lineage."""
+    from pyspark.sql import functions as F
+
+    df = df.filter(F.lit(f"__pin_{next(_PIN_SEQ)}").isNotNull())
     df = tracked_cache(df)
     if eager:
         df.count()
