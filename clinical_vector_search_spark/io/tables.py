@@ -40,6 +40,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).parquet(path)
 
 
+def run_write_jobs(*thunks) -> None:
+    """Run independent driver actions (writes) CONCURRENTLY from a small
+    thread pool (optimization guide §2.6): Spark's scheduler happily
+    runs several jobs at once inside one application — actions are only
+    sequential because driver code calls them sequentially. The
+    maintained-index writers emit 3 independent outputs (postings/df/
+    scalars or df/scalars/deleted) derived from one already-pinned
+    upstream frame; written back to back, each job's straggler tail
+    leaves the cluster idle (measured at sf0.1: 0.30+0.35+0.20 s
+    sequential for the bm25 ingest trilogy). FIFO scheduling back-fills
+    the next write's tasks onto freed executors. Exceptions propagate
+    to the caller (all futures are awaited, first raise wins)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        thunks[0]()
+        return
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        for f in futures:
+            f.result()
+
+
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """S7: single-file CSV metric sink (coalesce(1) — metric tables are
     tiny by construction; never use for data-scale outputs)."""

@@ -35,9 +35,7 @@ B = 0.75
 EPSILON = 0.25  # rank_bm25 BM25Okapi default
 
 
-def _idf_with_floor(
-    dfreq: DataFrame, stats: DataFrame, materialize: bool = False
-) -> DataFrame:
+def _idf_with_floor(dfreq: DataFrame, stats: DataFrame) -> DataFrame:
     """(term, idf, n_docs, avgdl) from a (term, df) frame and a 1-row
     (n_docs, avgdl) frame — the Robertson idf with the rank_bm25 epsilon
     floor (negatives → EPSILON · mean raw idf over the whole vocabulary).
@@ -46,23 +44,19 @@ def _idf_with_floor(
     (:func:`bm25_read_index`): their bit-identical-scores contract is
     only as strong as these expressions staying one code path.
 
-    ``materialize=True`` pins the raw-idf vocabulary frame
-    (``plan_cache.pin`` — eager recomputable persist): it is consumed
-    TWICE (the epsilon floor's vocabulary mean, then the scoring join)
-    with zero subtree reuse, so unpinned every serve call folds the df
-    statistics twice — on the maintained-index path that is two full
-    recursive scans of the per-batch ``df/`` directory per query batch
-    (r16; the profiler showed the serve span dominated by serial
-    vocabulary-granularity broadcast builds). Values are identical by
-    construction — same expressions, one code path, persist is exact."""
+    Deliberately LAZY (r16): the raw-idf vocabulary is consumed twice
+    (the epsilon floor's mean, then the scoring join), but both
+    consumers are vocabulary-granularity subtrees that execute as
+    CONCURRENT broadcast futures inside the one scoring job — a
+    measured pin here (eager persist) added a serial driver action per
+    serve call for zero wall-clock win (A/B at sf0.1: pinned reps
+    [6.1, 5.4, 2.9] vs lazy [3.5, 3.4, 2.8] s for the full
+    add+read+score family), and the duplicated work is two scans of
+    the vocabulary-granularity stats, never the corpus."""
     raw_idf = F.log(
         (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     )
     idf_tbl = dfreq.crossJoin(F.broadcast(stats)).withColumn("raw_idf", raw_idf)
-    if materialize:
-        from clinical_vector_search_spark.plan_cache import pin
-
-        idf_tbl = pin(idf_tbl)
     avg_idf = idf_tbl.agg(F.avg("raw_idf").alias("avg_idf"))
     return idf_tbl.crossJoin(F.broadcast(avg_idf)).withColumn(
         "idf",
@@ -126,7 +120,7 @@ def bm25_index(
         F.count("*").cast("double").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    return tf.join(_idf_with_floor(dfreq, stats, materialize), "term")
+    return tf.join(_idf_with_floor(dfreq, stats), "term")
 
 
 def bm25_score_index(
@@ -350,17 +344,27 @@ def bm25_index_add(
     scalars = doclens.agg(
         F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    from clinical_vector_search_spark.io.tables import ingest_markers
+    from clinical_vector_search_spark.io.tables import (
+        ingest_markers,
+        run_write_jobs,
+    )
 
     with ingest_markers(
         spark, [f"{index_path}/{s}" for s in ("postings", "df", "scalars")]
     ):
-        postings.write.mode("overwrite").parquet(
-            f"{index_path}/postings/{bsub}"
-        )
-        dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
-        scalars.write.mode("overwrite").parquet(
-            f"{index_path}/scalars/{bsub}"
+        # three INDEPENDENT outputs of the one checkpointed toks frame —
+        # submitted concurrently so the cluster is never idle in a
+        # write's tail (guide §2.6; sequential they serialize 3 jobs)
+        run_write_jobs(
+            lambda: postings.write.mode("overwrite").parquet(
+                f"{index_path}/postings/{bsub}"
+            ),
+            lambda: dfreq.write.mode("overwrite").parquet(
+                f"{index_path}/df/{bsub}"
+            ),
+            lambda: scalars.write.mode("overwrite").parquet(
+                f"{index_path}/scalars/{bsub}"
+            ),
         )
 
 
@@ -376,10 +380,10 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     the appended postings. Same output schema (doc, term, tf, dl, idf, n_docs,
     avgdl) — ``bm25_score_index`` / ``bm25_topk_set`` consume it
     unchanged, so the scores equal a full one-shot rebuild (the oracle
-    contract of the ``bm25_incremental`` entry). The vocabulary refold
-    is pinned eagerly (once per call, r16 — see the materialize note
-    below); postings stay lazy, touched only by the downstream
-    query-term join. The delete
+    contract of the ``bm25_incremental`` entry). Lazy; postings are
+    touched only by the downstream query-term join, and the vocabulary
+    refold's two consumers run as concurrent broadcast futures in the
+    scoring job (see :func:`_idf_with_floor`). The delete
     tombstones are broadcast — they must stay broadcast-sized between
     ``compact_tombstoned`` runs (same caveat as compact_tombstoned's
     own broadcast of dead ids; compaction cadence bounds the set).
@@ -397,11 +401,18 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
         recover_interrupted_swap,
     )
 
-    def rec(sub: str) -> DataFrame:
+    def rec(sub: str, schema: str | None = None) -> DataFrame:
         recover_interrupted_swap(spark, f"{index_path}/{sub}")
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{index_path}/{sub}"
-        )
+        reader = spark.read.option("recursiveFileLookup", "true")
+        if schema is not None:
+            # df/ and scalars/ have a FIXED writer contract (bm25_index_
+            # add/_delete always emit these exact types), so the reader
+            # skips the per-file footer-inference pass — which otherwise
+            # grows with the number of per-batch files between
+            # compactions. postings/ and deleted/ carry the caller's id
+            # type and keep inference.
+            reader = reader.schema(schema)
+        return reader.parquet(f"{index_path}/{sub}")
 
     postings = rec("postings")
     try:  # bm25_index_delete tombstones — tiny, broadcast anti-join
@@ -415,13 +426,13 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
     # postings and must leave the vocabulary, or the epsilon floor's
     # avg(raw_idf) would include phantom terms a true rebuild never sees
     dfreq = (
-        rec("df")
+        rec("df", "term string, df long")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
     stats = (
-        rec("scalars")
+        rec("scalars", "n_docs long, sum_dl long")
         .agg(
             F.sum("n_docs").alias("_n"),
             F.sum("sum_dl").alias("_sdl"),
@@ -433,14 +444,7 @@ def bm25_read_index(spark, index_path: str) -> DataFrame:
             ),
         )
     )
-    # materialize=True: the reconstructed raw-idf vocabulary is pinned
-    # once per serve call — the df/ directory is recursively scanned and
-    # folded ONCE instead of once per consumer (epsilon-floor mean +
-    # scoring join); see _idf_with_floor. The read is therefore eager at
-    # vocabulary granularity (postings stay lazy behind the query join).
-    return postings.join(
-        _idf_with_floor(dfreq, stats, materialize=True), "term"
-    )
+    return postings.join(_idf_with_floor(dfreq, stats), "term")
 
 
 def bm25_index_delete(
@@ -537,19 +541,26 @@ def bm25_index_delete(
         (-F.count("*")).alias("n_docs"), (-F.sum("dl")).alias("sum_dl")
     )
     tomb = toks.select("doc").distinct()
-    from clinical_vector_search_spark.io.tables import ingest_markers
+    from clinical_vector_search_spark.io.tables import (
+        ingest_markers,
+        run_write_jobs,
+    )
 
     with ingest_markers(
         spark, [f"{index_path}/{s}" for s in ("df", "scalars", "deleted")]
     ):
-        neg_df.write.mode("overwrite").parquet(
-            f"{index_path}/df/{dsub}"
-        )
-        neg_scalars.write.mode("overwrite").parquet(
-            f"{index_path}/scalars/{dsub}"
-        )
-        tomb.write.mode("overwrite").parquet(
-            f"{index_path}/deleted/{dsub}"
+        # independent outputs of the checkpointed toks — concurrent
+        # submission, same as bm25_index_add (guide §2.6)
+        run_write_jobs(
+            lambda: neg_df.write.mode("overwrite").parquet(
+                f"{index_path}/df/{dsub}"
+            ),
+            lambda: neg_scalars.write.mode("overwrite").parquet(
+                f"{index_path}/scalars/{dsub}"
+            ),
+            lambda: tomb.write.mode("overwrite").parquet(
+                f"{index_path}/deleted/{dsub}"
+            ),
         )
 
 

@@ -734,7 +734,13 @@ def dedup_groups(
             F.sum(F.col("group_id").cast("decimal(38,0)"))
         ).collect()[0][0]
 
-    prev = label_sum(labels)
+    # No pre-loop baseline action (r16): the first round's sum IS the
+    # baseline — monotone decrease means sum(r_k) == sum(r_{k-1}) still
+    # detects the fixpoint exactly, one driver action earlier per call.
+    # The seed/identity frame is materialized by round 1's own action
+    # (its lazy checkpoint persists on first compute, so the two
+    # consumers inside that round still compute it once).
+    prev = None
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed(id_col, "src"), "src"
@@ -923,7 +929,11 @@ def dedup_groups_star(
         ).collect()[0]
         return (row["n"], row["h"])
 
-    fp = fingerprint(edges)
+    # No pre-loop baseline action (r16, same as dedup_groups): the star
+    # rounds are idempotent at the fixed point, so fp(r_k) == fp(r_{k-1})
+    # detects convergence without fingerprinting the input first; the
+    # input checkpoint materializes under round 1's own action.
+    fp = None
     converged = False
     for _ in range(max_iter):
         sym = edges.union(

@@ -223,15 +223,26 @@ def tfidf_index_add(
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scalars = toks.agg(F.count(F.lit(1)).alias("n_docs"))
-    from clinical_vector_search_spark.io.tables import ingest_markers
+    from clinical_vector_search_spark.io.tables import (
+        ingest_markers,
+        run_write_jobs,
+    )
 
     with ingest_markers(
         spark, [f"{index_path}/{s}" for s in ("postings", "df", "scalars")]
     ):
-        tf.write.mode("overwrite").parquet(f"{index_path}/postings/{bsub}")
-        dfreq.write.mode("overwrite").parquet(f"{index_path}/df/{bsub}")
-        scalars.write.mode("overwrite").parquet(
-            f"{index_path}/scalars/{bsub}"
+        # three independent outputs of the checkpointed toks frame —
+        # concurrent submission (guide §2.6), same as bm25_index_add
+        run_write_jobs(
+            lambda: tf.write.mode("overwrite").parquet(
+                f"{index_path}/postings/{bsub}"
+            ),
+            lambda: dfreq.write.mode("overwrite").parquet(
+                f"{index_path}/df/{bsub}"
+            ),
+            lambda: scalars.write.mode("overwrite").parquet(
+                f"{index_path}/scalars/{bsub}"
+            ),
         )
 
 
@@ -299,16 +310,27 @@ def tfidf_index_delete(
     neg_df = tf.groupBy("term").agg((-F.count(F.lit(1))).alias("df"))
     neg_scalars = toks.agg((-F.count(F.lit(1))).alias("n_docs"))
     tomb = toks.select("doc").distinct()
-    from clinical_vector_search_spark.io.tables import ingest_markers
+    from clinical_vector_search_spark.io.tables import (
+        ingest_markers,
+        run_write_jobs,
+    )
 
     with ingest_markers(
         spark, [f"{index_path}/{s}" for s in ("df", "scalars", "deleted")]
     ):
-        neg_df.write.mode("overwrite").parquet(f"{index_path}/df/{dsub}")
-        neg_scalars.write.mode("overwrite").parquet(
-            f"{index_path}/scalars/{dsub}"
+        # independent outputs of the checkpointed toks — concurrent
+        # submission (guide §2.6), same as the bm25 twin
+        run_write_jobs(
+            lambda: neg_df.write.mode("overwrite").parquet(
+                f"{index_path}/df/{dsub}"
+            ),
+            lambda: neg_scalars.write.mode("overwrite").parquet(
+                f"{index_path}/scalars/{dsub}"
+            ),
+            lambda: tomb.write.mode("overwrite").parquet(
+                f"{index_path}/deleted/{dsub}"
+            ),
         )
-        tomb.write.mode("overwrite").parquet(f"{index_path}/deleted/{dsub}")
 
 
 def tfidf_read_index(spark, index_path: str) -> DataFrame:
@@ -333,11 +355,14 @@ def tfidf_read_index(spark, index_path: str) -> DataFrame:
         recover_interrupted_swap,
     )
 
-    def rec(sub: str) -> DataFrame:
+    def rec(sub: str, schema: str | None = None) -> DataFrame:
         recover_interrupted_swap(spark, f"{index_path}/{sub}")
-        return spark.read.option("recursiveFileLookup", "true").parquet(
-            f"{index_path}/{sub}"
-        )
+        reader = spark.read.option("recursiveFileLookup", "true")
+        if schema is not None:
+            # fixed writer contract for the stat directories — skips
+            # the per-file footer-inference pass (see the bm25 twin)
+            reader = reader.schema(schema)
+        return reader.parquet(f"{index_path}/{sub}")
 
     postings = rec("postings")
     try:  # tfidf_index_delete tombstones — tiny, broadcast anti-join
@@ -348,12 +373,12 @@ def tfidf_read_index(spark, index_path: str) -> DataFrame:
         if not is_absence_error(e):
             raise
     dfreq = (
-        rec("df")
+        rec("df", "term string, df long")
         .groupBy("term")
         .agg(F.sum("df").alias("df"))
         .filter(F.col("df") > 0)
     )
-    n_docs = rec("scalars").agg(
+    n_docs = rec("scalars", "n_docs long").agg(
         F.sum("n_docs").cast("double").alias("n_docs")
     )
     idf_tbl = dfreq.crossJoin(F.broadcast(n_docs)).select(

@@ -1112,19 +1112,19 @@ def main() -> int:
             ["patient", "treatment"],
         )
     )
-    # 4 parquet scans (r16; was 6): postings ONCE, docs once, the 1-row
-    # scalars relation twice (idf + avg_idf crossJoins — free); the df/
-    # directory is folded ONCE into the pinned raw-idf vocabulary
-    # (_idf_with_floor materialize=True) whose two consumers read
-    # InMemoryTableScan instead of re-scanning the per-batch stat
-    # files; at most the single term join may sort-merge (postings ⋈
-    # vocab-sized idf — the one legitimately corpus-scaled join),
-    # everything else broadcasts
+    # 6 parquet scans: postings ONCE, docs once, and the vocabulary-
+    # granularity df/ + 1-row scalars relations twice each (the raw-idf
+    # fold feeds both the epsilon-floor mean and the scoring join; the
+    # two subtrees execute as CONCURRENT broadcast futures inside the
+    # one scoring job — a measured eager pin here cost a serial action
+    # per serve for no wall win, see _idf_with_floor). The postings are
+    # never rescanned per stat; at most the single term join may
+    # sort-merge (postings ⋈ vocab-sized idf — the one legitimately
+    # corpus-scaled join), everything else broadcasts
     check(
-        "bm25_incremental: single postings scan, pinned vocab refold, no cartesian",
+        "bm25_incremental: single postings scan, lazy vocab refold, no cartesian",
         "CartesianProduct" not in plan
-        and n_nodes(plan, "Scan parquet") == 4
-        and n_nodes(plan, "InMemoryTableScan") >= 2
+        and n_nodes(plan, "Scan parquet") == 6
         and n_nodes(plan, "BroadcastHashJoin") >= 2
         and n_nodes(plan, "SortMergeJoin") <= 1,
     )
