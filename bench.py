@@ -476,6 +476,29 @@ def main() -> None:
 
     _incr_state: dict = {}
 
+    def _ensure_incr_state():
+        from clinical_vector_search_spark.operators.dedup import (
+            dedup_groups,
+            minhash_band_buckets,
+            minhash_candidate_pairs,
+            minhash_signatures,
+        )
+
+        if _incr_state:
+            return
+        d = docs.select("doc_id", "text")
+        corpus = d.filter(F.col("doc_id") < 400)
+        _incr_state["batch"] = d.filter(
+            F.col("doc_id") >= 400
+        ).localCheckpoint()
+        _incr_state["idx"] = minhash_band_buckets(
+            minhash_signatures(corpus, 4, 3), 2
+        ).localCheckpoint()
+        _incr_state["labels"] = dedup_groups(
+            corpus.select("doc_id"),
+            minhash_candidate_pairs(corpus, 4, 2, 3),
+        )  # dedup_groups output is already localCheckpoint-ed
+
     def bench_incremental_dedup():
         # incremental near-dup maintenance (r10): batch band keys
         # broadcast-probe the persisted corpus index, new pairs fold
@@ -486,27 +509,11 @@ def main() -> None:
         # amortizes them across every ingest; the timed work is
         # probe + pair emission + label fold-in.
         from clinical_vector_search_spark.operators.dedup import (
-            dedup_groups,
             dedup_groups_incremental,
-            minhash_band_buckets,
-            minhash_candidate_pairs,
             minhash_pairs_incremental,
-            minhash_signatures,
         )
 
-        if not _incr_state:
-            d = docs.select("doc_id", "text")
-            corpus = d.filter(F.col("doc_id") < 400)
-            _incr_state["batch"] = d.filter(
-                F.col("doc_id") >= 400
-            ).localCheckpoint()
-            _incr_state["idx"] = minhash_band_buckets(
-                minhash_signatures(corpus, 4, 3), 2
-            ).localCheckpoint()
-            _incr_state["labels"] = dedup_groups(
-                corpus.select("doc_id"),
-                minhash_candidate_pairs(corpus, 4, 2, 3),
-            )  # dedup_groups output is already localCheckpoint-ed
+        _ensure_incr_state()
         new_pairs = minhash_pairs_incremental(
             _incr_state["batch"], _incr_state["idx"], 4, 2, 3
         )
@@ -518,6 +525,43 @@ def main() -> None:
 
     _ann_state: dict = {}
 
+    def _ensure_ann_state():
+        import tempfile
+
+        from clinical_vector_search_spark.functions import vector as V
+        from clinical_vector_search_spark.operators.pq import (
+            ivfpq_index_add,
+            ivfpq_index_delete,
+            pq_codebooks_lcg,
+        )
+
+        if _ann_state:
+            return
+        v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", V.l2_normalize("embedding").alias("embedding")
+        )
+        _ann_state["books"] = pq_codebooks_lcg(64, 8, 16)
+        _ann_state["idx"] = tempfile.mkdtemp(prefix="cvs_bench_ivfpq_")
+        _ann_state["batch"] = v.filter(
+            F.col("vec_id") % 8 == 3
+        ).localCheckpoint()
+        _ann_state["queries"] = v.filter(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        ).localCheckpoint()
+        _ann_state["corpus"] = v  # lazy — the refine rescore's cold store
+        # tombstones for the refine_serving family — its plan must
+        # include the broadcast anti-join the production serve pays
+        _ann_state["dead"] = tempfile.mkdtemp(prefix="cvs_bench_tomb_")
+        ivfpq_index_delete(
+            spark, v.filter(F.col("vec_id") % 16 == 5), 0,
+            _ann_state["dead"],
+        )
+        ivfpq_index_add(
+            spark, v.filter(F.col("vec_id") % 8 != 3), 0,
+            _ann_state["idx"], 64, _ann_state["books"], n_centroids=16,
+        )
+
     def bench_incremental_ann():
         # incremental ANN index maintenance + serving (r11): fold a daily
         # batch into a PERSISTED IVF-PQ codes table (map-side expression
@@ -528,42 +572,13 @@ def main() -> None:
         # The base index is built ONCE outside the sweeps (production
         # amortizes it across every ingest); timed work = batch fold-in
         # write + codes-scan serving query.
-        import tempfile
-
-        from clinical_vector_search_spark.functions import vector as V
         from clinical_vector_search_spark.operators.pq import (
             ivfpq_index_add,
-            ivfpq_index_delete,
             knn_ivfpq_codes,
-            pq_codebooks_lcg,
             read_ivfpq_index,
         )
 
-        if not _ann_state:
-            v = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-                "vec_id", V.l2_normalize("embedding").alias("embedding")
-            )
-            _ann_state["books"] = pq_codebooks_lcg(64, 8, 16)
-            _ann_state["idx"] = tempfile.mkdtemp(prefix="cvs_bench_ivfpq_")
-            _ann_state["batch"] = v.filter(
-                F.col("vec_id") % 8 == 3
-            ).localCheckpoint()
-            _ann_state["queries"] = v.filter(F.col("vec_id") < 10).select(
-                F.col("vec_id").alias("query_id"),
-                F.col("embedding").alias("query_vec"),
-            ).localCheckpoint()
-            _ann_state["corpus"] = v  # lazy — the refine rescore's cold store
-            # tombstones for the refine_serving family — its plan must
-            # include the broadcast anti-join the production serve pays
-            _ann_state["dead"] = tempfile.mkdtemp(prefix="cvs_bench_tomb_")
-            ivfpq_index_delete(
-                spark, v.filter(F.col("vec_id") % 16 == 5), 0,
-                _ann_state["dead"],
-            )
-            ivfpq_index_add(
-                spark, v.filter(F.col("vec_id") % 8 != 3), 0,
-                _ann_state["idx"], 64, _ann_state["books"], n_centroids=16,
-            )
+        _ensure_ann_state()
         # encoder="pd": the Arrow+NumPy throughput twin — the expression
         # twin spends ~2 s/rep compiling its ~1k-term codegen tree,
         # which at bench batch sizes measures plan compilation, not
@@ -594,8 +609,7 @@ def main() -> None:
             read_ivfpq_index,
         )
 
-        if not _ann_state:
-            bench_incremental_ann()  # builds the persisted codes table
+        _ensure_ann_state()
         return knn_refine_codes(
             _ann_state["queries"],
             read_ivfpq_index(
@@ -609,6 +623,25 @@ def main() -> None:
 
     _bm25_state: dict = {}
 
+    def _ensure_bm25_state():
+        import tempfile
+
+        from clinical_vector_search_spark.operators.bm25 import (
+            bm25_index_add,
+        )
+
+        if _bm25_state:
+            return
+        d = docs.select("doc_id", "text")
+        _bm25_state["dir"] = tempfile.mkdtemp(prefix="cvs_bench_bm25_")
+        _bm25_state["batch"] = d.filter(
+            F.col("doc_id") % 10 == 7
+        ).localCheckpoint()
+        bm25_index_add(
+            spark, d.filter(F.col("doc_id") % 10 != 7), 0,
+            _bm25_state["dir"],
+        )
+
     def bench_incremental_bm25():
         # incremental BM25 maintenance + serving (r11): fold one new doc
         # batch into the persisted additive-stats index (cost ∝ batch —
@@ -617,24 +650,13 @@ def main() -> None:
         # view (global idf/avgdl refolded at vocabulary granularity) —
         # the contrast family, which re-tokenizes and rebuilds the whole
         # index from the corpus every run.
-        import tempfile
-
         from clinical_vector_search_spark.operators.bm25 import (
             bm25_index_add,
             bm25_read_index,
             bm25_topk_set,
         )
 
-        if not _bm25_state:
-            d = docs.select("doc_id", "text")
-            _bm25_state["dir"] = tempfile.mkdtemp(prefix="cvs_bench_bm25_")
-            _bm25_state["batch"] = d.filter(
-                F.col("doc_id") % 10 == 7
-            ).localCheckpoint()
-            bm25_index_add(
-                spark, d.filter(F.col("doc_id") % 10 != 7), 0,
-                _bm25_state["dir"],
-            )
+        _ensure_bm25_state()
         bm25_index_add(spark, _bm25_state["batch"], 1, _bm25_state["dir"])
         qset = [
             (i, terms)
@@ -653,6 +675,21 @@ def main() -> None:
 
     _sem_state: dict = {}
 
+    def _ensure_sem_state():
+        from clinical_vector_search_spark.operators.dedup import (
+            _assignment_frame,
+        )
+
+        if _sem_state:
+            return
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        _sem_state["batch"] = emb.filter(
+            F.col("vec_id") % 10 == 7
+        ).localCheckpoint()
+        _sem_state["idx"] = _assignment_frame(
+            emb.filter(F.col("vec_id") % 10 != 7), 64, 64
+        ).localCheckpoint()
+
     def bench_incremental_semantic():
         # incremental SemDeDup maintenance (r15): a daily batch assigns
         # map-side against the FROZEN centroids and probes ONLY its
@@ -664,18 +701,10 @@ def main() -> None:
         # The persisted assignment index is prebuilt ONCE outside the
         # warm sweeps — production amortizes it across every ingest.
         from clinical_vector_search_spark.operators.dedup import (
-            _assignment_frame,
             semantic_pairs_incremental,
         )
 
-        if not _sem_state:
-            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            _sem_state["batch"] = emb.filter(
-                F.col("vec_id") % 10 == 7
-            ).localCheckpoint()
-            _sem_state["idx"] = _assignment_frame(
-                emb.filter(F.col("vec_id") % 10 != 7), 64, 64
-            ).localCheckpoint()
+        _ensure_sem_state()
         return semantic_pairs_incremental(
             _sem_state["batch"], _sem_state["idx"], 64,
             threshold=0.35, n_clusters=64,
@@ -737,6 +766,32 @@ def main() -> None:
         materialize(bench_baseline())
     except Exception as ex:  # noqa: BLE001
         print(f"warmup baseline failed: {ex}", file=sys.stderr)
+
+    # Persisted-state prebuild for the incremental families, OUTSIDE the
+    # timed region (r16 MEASUREMENT-BUG FIX, disclosed in
+    # OPTIMIZATION_r16.md): each incremental family's docstring has
+    # always said its persisted inputs (corpus band index + labels,
+    # IVF-PQ codes table, BM25 additive stats, SemDeDup assignments)
+    # are "prebuilt ONCE, outside the warm sweeps — production
+    # amortizes them across every ingest", but the build actually ran
+    # inside the FIRST TIMED REP, so "queries_cold" mixed amortized
+    # index CONSTRUCTION into the maintenance families' cold numbers
+    # (r16 start: 4.1 s of incremental_dedup's 6.3 s cold was the
+    # corpus index+labels build). The warm numbers never included the
+    # builds and are unaffected. Old cold numbers: incremental_dedup
+    # 6.27, incremental_ann 4.62, incremental_bm25 4.60,
+    # incremental_semantic 1.81, refine_serving (shares _ann_state)
+    # at r16 start on this host.
+    for _ensure in (
+        _ensure_incr_state,
+        _ensure_ann_state,
+        _ensure_bm25_state,
+        _ensure_sem_state,
+    ):
+        try:
+            _ensure()
+        except Exception as ex:  # noqa: BLE001
+            print(f"state prebuild failed: {ex}", file=sys.stderr)
 
     # best-of-3 in ISOLATION ORDER: all reps of one family run back to
     # back before the next family starts (VERDICT r8 task 4). The old

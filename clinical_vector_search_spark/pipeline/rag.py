@@ -168,16 +168,14 @@ def rag_pipeline(
         doc_id=doc_id, doc_vec=doc_vec,
     )
     if distributed:
-        # materialize=True (r16): building the CACHE of a lazy index
-        # plan runs its three tf consumers (epsilon-floor mean, idf
-        # join, posting join) against a cold subtree — the corpus was
-        # tokenized 3x on the first execution. The pin pays one
-        # tokenize pass; the pinned handles are registered to this
-        # build's plan-cache entry (pin → tracked_cache), so eviction
-        # still unpersists everything.
-        index = tracked_cache(
-            bm25_index(docs_text, doc_id, text_col, materialize=True)
-        )
+        # Cached-lifecycle caller: the index cache is the build-once
+        # artifact, so the internal tf pin stays OFF (lazy default) —
+        # measured cold A/B in fresh sessions (r16): the eager tf pin
+        # costs more during the plan build than it saves at first
+        # execution (build 7.9 s + first 4.5 s pinned vs 3.9 + 7.0
+        # lazy, warm identical), because the cache build's three tf
+        # consumers run as concurrent subtrees on idle cores anyway.
+        index = tracked_cache(bm25_index(docs_text, doc_id, text_col))
         qterms = query_term_weights(queries, query_id, query_text)
         bm_cands = bm25_topk_set_df(index, qterms, bm25_topk, id_col=doc_id)
         bm_cands = bm_cands.select(

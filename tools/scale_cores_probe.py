@@ -88,7 +88,7 @@ def main() -> None:
         return reduce(DataFrame.unionByName, reps)
 
     docs1 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
-        "doc_id", "text", "lang", "source", "n_chars", "quality_score"
+        "doc_id", "text", "lang", "source", "n_chars"
     )
     # text perturbed per replica (replica ordinal appended as a token):
     # exact-duplicate replicas would quadratically inflate dedup OUTPUT
